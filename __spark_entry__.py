@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The actual engine lives in ``covid_weather_etl_spark``; every operator
+registers itself in ``covid_weather_etl_spark.queries.registry`` with
+its PySpark implementation and (where SQL-expressible) its DuckDB
+oracle twin. This module just adapts the registry to the driver shape.
 """
 
 from __future__ import annotations
@@ -13,26 +17,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Runs the engine's flagship `pipeline_status` query — the reference's
+    multi-way LEFT JOIN + countDistinct + SUM(CASE WHEN) + GROUP BY
+    monitoring shape (reference streamlit/etl_logs.py:188-204).
+    """
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from covid_weather_etl_spark.session import configure_existing
+
+    configure_existing(spark)
+    return all_queries()["pipeline_status"].fn(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from covid_weather_etl_spark.session import configure_existing
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_existing(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(q.fn) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query (omitted for non-SQL-expressible ops)."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    return {name: q.oracle for name, q in all_queries().items()
+            if q.oracle is not None}

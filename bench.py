@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = queries tagged bench=True in the registry (the flagship
+multi-join rollups + the LLM-pipeline heavies) plus every other
+registered query once — total wall time is the headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from covid_weather_etl_spark.session import get_spark
+
+    spark = get_spark("cwes-bench", cpus=cpus)
+    qs = all_queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name in sorted(qs, key=lambda n: (not qs[n].bench, n)):
+        q = qs[name]
+        t0 = time.perf_counter()
+        try:
+            df = q.fn(spark, sf_dir)
+            n = df.count()  # force full execution without driver collect
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
+    total = round(time.perf_counter() - t_total, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Deduplication / set operators (SURVEY.md §2.7) + exact-dup for documents.
+
+The reference deduplicates twice: file-path dedup during load
+(`etl/loader.py:79-90`) and record-level natural-key probes
+(`database/operations.py:175-206`); backfill re-runs are latest-wins
+updates (`etl/extractor.py:52-77`). All become set-based one-pass
+operators here. The `documents` table gets the LLM-pipeline exact-dedup
+treatment: content-hash groupBy — the O(n) first stage of any 100 TB
+dedup stack (near-dup stages live in `minhash.py` / `similarity.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+
+@register(
+    "latest_event_per_user",
+    survey="D4,J9",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM (
+        SELECT event_id, user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins dedup (the append-only replacement for the
+    reference's keyed UPDATE upserts, `database/operations.py:157-172`):
+    row_number over (key ORDER BY ts DESC) = 1. One shuffle on the key;
+    at scale this is the standard CDC-compaction pattern."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "distinct_pairs",
+    survey="D1,A13",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level dedup (reference file-path dedup,
+    `etl/loader.py:79-90`): DISTINCT on the natural key — map-side
+    partial dedup then one shuffle."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return t["events"].select("user_id", "event_type").distinct()
+
+
+@register(
+    "union_append",
+    survey="D3",
+    oracle="""
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT 'covid' AS src, o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'weather' AS src, o_orderkey FROM orders WHERE o_orderstatus <> 'F'
+    ) GROUP BY src
+    """,
+)
+def union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName append (reference per-API result-list extension,
+    `etl/extractor.py:135-140` — COVID then WEATHER batches): two
+    branches of the same scan unioned; Catalyst collapses to one scan."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    fin = (t["orders"].filter(F.col("o_orderstatus") == "F")
+           .select(F.lit("covid").alias("src"), "o_orderkey"))
+    rest = (t["orders"].filter(F.col("o_orderstatus") != "F")
+            .select(F.lit("weather").alias("src"), "o_orderkey"))
+    return fin.unionByName(rest).groupBy("src").agg(F.count("*").alias("n"))
+
+
+@register(
+    "docs_exact_dedup",
+    survey="D2,LLM-dedup",
+    bench=True,
+    oracle="""
+    SELECT content_hash,
+           CAST(COUNT(*) AS BIGINT)  AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    GROUP BY content_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-zero-cost dedup over documents: md5 content hash →
+    groupBy hash → keep min doc_id as canonical. At 100 TB the hash
+    (16 bytes) shuffles instead of the text (KBs) — this is why the
+    hash-first pattern matters."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"),
+             F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_on_load(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """Reusable anti-join load dedup (reference loader existence probe,
+    `etl/loader.py:36-57`): drop in-batch duplicates on the natural key,
+    then anti-join against the target table. Returns only rows safe to
+    append. Used by `etl.pipeline`."""
+    return (
+        new.dropDuplicates(keys)
+        .join(existing.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+    )

@@ -1,0 +1,341 @@
+"""Window-function / ordered operator library (SURVEY.md §2.5).
+
+The reference's richest non-SQL surface is pandas per-country
+time-series feature engineering (lags, diffs, shifted rolling stats,
+chronological splits — notebook cells 29-31). All of it maps onto
+`Window.partitionBy(key).orderBy(time)`: per-key ordered computation
+that shuffles ONCE on the partition key and then streams each partition
+in sort order — exactly the layout a 1000-executor cluster wants (each
+country/customer series lands whole on one task; no driver loops).
+
+Parity details handled here:
+- every window ORDER BY carries a unique tie-break key (pandas sort is
+  stable; SQL isn't without one);
+- pandas `rolling(w)` yields NaN until the window is full → replicated
+  with a `count(...) >= w` guard over the same frame;
+- pandas `std` is sample stddev (ddof=1) = Spark `stddev_samp`;
+- windowed float means/stddevs are rounded to 6dp on both sides
+  (segment-tree vs streaming accumulation order differs).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.functions.numeric import exact_avg_sql
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+# per-customer order history, ordered by date with orderkey tie-break —
+# the analog of the reference's per-country date-ordered series.
+_SERIES_ORDER_SQL = "o_orderdate, o_orderkey"
+
+
+def _series_window():
+    return W.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+
+
+@register(
+    "lag_features",
+    survey="W1,W2",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           o_totalprice,
+           lag(o_totalprice, 1) OVER w AS price_lag_1,
+           lag(o_totalprice, 2) OVER w AS price_lag_2,
+           lag(o_totalprice, 3) OVER w AS price_lag_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY {_SERIES_ORDER_SQL})
+    """,
+)
+def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k features (reference `df['tavg'].shift(lag)` for lag 1..7,
+    forecasting notebook cell 30) per customer series."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = _series_window()
+    return t["orders"].select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("price_lag_1"),
+        F.lag("o_totalprice", 2).over(w).alias("price_lag_2"),
+        F.lag("o_totalprice", 3).over(w).alias("price_lag_3"),
+    )
+
+
+@register(
+    "first_difference",
+    survey="W3",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, price_diff FROM (
+        SELECT o_custkey, o_orderkey,
+               o_totalprice - lag(o_totalprice, 1) OVER
+                 (PARTITION BY o_custkey ORDER BY {_SERIES_ORDER_SQL}) AS price_diff
+        FROM orders
+    ) WHERE price_diff IS NOT NULL
+    """,
+)
+def first_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First difference + dropna (reference `tavg.diff()` stationarity
+    transform, forecasting notebook cell 9/29). Single subtraction per
+    row — bit-deterministic, no rounding needed."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = _series_window()
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey",
+                (F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w))
+                .alias("price_diff"))
+        .filter(F.col("price_diff").isNotNull())
+    )
+
+
+@register(
+    "rolling_features",
+    survey="W4",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN count(o_totalprice) OVER w3 >= 3
+                THEN ROUND(avg(o_totalprice)    OVER w3, 6) END AS roll_mean_3,
+           CASE WHEN count(o_totalprice) OVER w3 >= 3
+                THEN ROUND(stddev_samp(o_totalprice) OVER w3, 6) END AS roll_std_3,
+           CASE WHEN count(o_totalprice) OVER w3 >= 3
+                THEN min(o_totalprice) OVER w3 END AS roll_min_3,
+           CASE WHEN count(o_totalprice) OVER w3 >= 3
+                THEN max(o_totalprice) OVER w3 END AS roll_max_3,
+           CASE WHEN count(o_totalprice) OVER w7 >= 7
+                THEN ROUND(avg(o_totalprice) OVER w7, 6) END AS roll_mean_7
+    FROM orders
+    WINDOW
+      w3 AS (PARTITION BY o_custkey ORDER BY {_SERIES_ORDER_SQL}
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+      w7 AS (PARTITION BY o_custkey ORDER BY {_SERIES_ORDER_SQL}
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shifted rolling mean/std/min/max (reference
+    `rolling(w).agg().shift(1)` — exclude current row — notebook cell
+    30), with the pandas null-until-full semantics via a count guard."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    out_cols = ["o_custkey", "o_orderkey"]
+    df = t["orders"]
+    p = F.col("o_totalprice")
+
+    def guarded(agg: Column, w, size: int) -> Column:
+        return F.when(F.count(p).over(w) >= size, agg)
+
+    w3 = _series_window().rowsBetween(-3, -1)
+    w7 = _series_window().rowsBetween(-7, -1)
+    return df.select(
+        *out_cols,
+        guarded(F.round(F.avg(p).over(w3), 6), w3, 3).alias("roll_mean_3"),
+        guarded(F.round(F.stddev_samp(p).over(w3), 6), w3, 3).alias("roll_std_3"),
+        guarded(F.min(p).over(w3), w3, 3).alias("roll_min_3"),
+        guarded(F.max(p).over(w3), w3, 3).alias("roll_max_3"),
+        guarded(F.round(F.avg(p).over(w7), 6), w7, 7).alias("roll_mean_7"),
+    )
+
+
+@register(
+    "chrono_split",
+    survey="W5",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN rn <= CAST(FLOOR(cnt * 0.8) AS BIGINT)
+                THEN 'train' ELSE 'test' END AS split
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY {_SERIES_ORDER_SQL}) AS rn,
+               count(*)     OVER (PARTITION BY o_custkey) AS cnt
+        FROM orders
+    )
+    """,
+)
+def chrono_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological 80/20 train/test split per series (reference
+    `iloc[:int(n*0.8)]`, `dags/forecasting_dag.py:103-105`) — row_number
+    vs per-group count, one shuffle on the series key."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = _series_window()
+    wall = W.partitionBy("o_custkey")
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey",
+                F.row_number().over(w).alias("rn"),
+                F.count("*").over(wall).alias("cnt"))
+        .select("o_custkey", "o_orderkey",
+                F.when(F.col("rn") <= F.floor(F.col("cnt") * 0.8).cast("bigint"),
+                       "train").otherwise("test").alias("split"))
+    )
+
+
+@register(
+    "topk_orders",
+    survey="W6",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K by value (reference 10-hottest-days,
+    `streamlit/weather_analysis.py:232-236`). Spark plans this as
+    TakeOrderedAndProject — per-partition heap + driver merge, no full
+    sort even at 100 TB."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "recent_events_limit",
+    survey="W7",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY ts DESC, event_id
+    LIMIT 1000
+    """,
+)
+def recent_events_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY time DESC LIMIT 1000 (the reference's dashboard log-table
+    cap, `streamlit/etl_logs.py:385-387`) — TakeOrderedAndProject again."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .orderBy(F.col("ts").desc(), F.col("event_id"))
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(1000)
+    )
+
+
+@register(
+    "date_parts",
+    survey="W12,W13,F3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)       AS year,
+           CAST(month(o_orderdate) AS INT)      AS month,
+           CAST(day(o_orderdate) AS INT)        AS day,
+           CAST(quarter(o_orderdate) AS INT)    AS quarter,
+           CAST(dayofyear(o_orderdate) AS INT)  AS day_of_year,
+           CAST(isodow(o_orderdate) AS INT)     AS iso_dow,
+           CAST(isodow(o_orderdate) >= 6 AS BOOLEAN) AS is_weekend,
+           CASE WHEN month(o_orderdate) IN (12, 1, 2)  THEN 'winter'
+                WHEN month(o_orderdate) IN (3, 4, 5)   THEN 'spring'
+                WHEN month(o_orderdate) IN (6, 7, 8)   THEN 'summer'
+                ELSE 'fall' END AS season
+    FROM orders
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + season bucketing (reference notebook cell
+    30 / cell 11). ISO day-of-week (Mon=1) is used on both sides —
+    Spark's `dayofweek` is Sun=1, pandas is Mon=0; `weekday()+1`
+    calibrates (SURVEY §7 'hard parts')."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = F.col("o_orderdate")
+    m = F.month(d)
+    return t["orders"].select(
+        "o_orderkey",
+        F.year(d).alias("year"),
+        m.alias("month"),
+        F.dayofmonth(d).alias("day"),
+        F.quarter(d).alias("quarter"),
+        F.dayofyear(d).alias("day_of_year"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        ((F.weekday(d) + 1) >= 6).alias("is_weekend"),
+        F.when(m.isin(12, 1, 2), "winter")
+         .when(m.isin(3, 4, 5), "spring")
+         .when(m.isin(6, 7, 8), "summer")
+         .otherwise("fall").alias("season"),
+    )
+
+
+@register(
+    "cyclical_encoding",
+    survey="W11,F10",
+    oracle="""
+    -- each ROUND gets "+ 0.0": Spark's round() normalizes -0.0 to +0.0,
+    -- DuckDB's preserves the sign bit; adding +0.0 normalizes both.
+    SELECT o_orderkey,
+           ROUND(sin(2 * pi() * month(o_orderdate) / 12.0), 6) + 0.0      AS month_sin,
+           ROUND(cos(2 * pi() * month(o_orderdate) / 12.0), 6) + 0.0      AS month_cos,
+           ROUND(sin(2 * pi() * dayofyear(o_orderdate) / 365.0), 6) + 0.0 AS doy_sin,
+           ROUND(cos(2 * pi() * dayofyear(o_orderdate) / 365.0), 6) + 0.0 AS doy_cos
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def cyclical_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclical time encodings sin/cos(2π·part/period) (reference
+    notebook cell 30). Rounded to 6dp: JVM and libm trig differ in the
+    last ulp."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = F.col("o_orderdate")
+    two_pi = 2 * math.pi
+    return t["orders"].filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.round(F.sin(F.lit(two_pi) * F.month(d) / 12.0), 6).alias("month_sin"),
+        F.round(F.cos(F.lit(two_pi) * F.month(d) / 12.0), 6).alias("month_cos"),
+        F.round(F.sin(F.lit(two_pi) * F.dayofyear(d) / 365.0), 6).alias("doy_sin"),
+        F.round(F.cos(F.lit(two_pi) * F.dayofyear(d) / 365.0), 6).alias("doy_cos"),
+    )
+
+
+@register(
+    "yoy_comparison",
+    survey="W15,P6,A9",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)  AS year,
+           CAST(month(o_orderdate) AS INT) AS month,
+           {avg_price} AS avg_price
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997, 1998)
+    GROUP BY 1, 2
+    """.format(avg_price=exact_avg_sql("o_totalprice")),
+)
+def yoy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly comparison (reference
+    `streamlit/weather_analysis.py:198-210`): year IN-list filter +
+    (year, month) grouped means."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    from covid_weather_etl_spark.functions.numeric import exact_avg
+    return (
+        t["orders"]
+        .filter(F.year("o_orderdate").isin(1996, 1997, 1998))
+        .groupBy(F.year("o_orderdate").alias("year"),
+                 F.month("o_orderdate").alias("month"))
+        .agg(exact_avg("o_totalprice", "avg_price"))
+    )
+
+
+@register(
+    "running_total",
+    survey="W1,A6",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER
+             (PARTITION BY o_custkey ORDER BY {_SERIES_ORDER_SQL}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+    FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-series total — the incremental-cursor analog of the
+    reference's running backfill progress. Decimal accumulation keeps
+    the running sum bit-deterministic at any prefix length."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = _series_window().rowsBetween(W.unboundedPreceding, W.currentRow)
+    return t["orders"].select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w)
+         .cast("double").alias("cum_spend"),
+    )

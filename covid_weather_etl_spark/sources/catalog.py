@@ -1,0 +1,58 @@
+"""Catalog over the driver-supplied parquet tables.
+
+Mirrors the reference's warehouse-of-tables model (Postgres schemas,
+`database/schema.py:5-7` in the reference) as a parquet lakehouse: each
+table is a columnar scan that Catalyst can prune and push filters into
+(`PushedFilters` / `ReadSchema` in `.explain`), replacing the manual
+SELECT-list + WHERE-splicing the reference hand-writes per query
+(reference `streamlit/etl_logs.py:104-117`).
+
+At 100 TB the same call works against a partitioned table root
+(`.../lineitem/shipdate_month=.../*.parquet`) — partition pruning is
+free once the layout carries the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: small dimension tables that should always broadcast in joins —
+#: the analog of the reference's 3-row country / 2-row api dims
+#: (reference `data/countries.py:1-5`).
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw
+        # int64 (legacy conf set in session/configure_existing) and
+        # truncate to microseconds with exact integer division — `div`,
+        # not `/`, because epoch-nanos ≈ 1.7e18 exceeds double's 2^53
+        # exact-integer range. DuckDB's TIMESTAMP cast truncates the
+        # same way, so oracle comparisons stay bit-exact.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Lazy DataFrames, one per table. No data is read until an action."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return {t: _read(spark, sf_dir, t) for t in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view for the SQL API path."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

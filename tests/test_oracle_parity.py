@@ -1,0 +1,33 @@
+"""The correctness spine: every registered query with an oracle must
+match its DuckDB twin exactly (driver-style compare) at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from covid_weather_etl_spark.queries.registry import all_queries
+from tests.conftest import assert_parity
+
+QUERIES = all_queries()
+WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, duck, name):
+    assert_parity(spark, duck, QUERIES[name])
+
+
+def test_all_queries_return_rows(spark):
+    for name, q in QUERIES.items():
+        df = q.fn(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"n_name", "n_customers", "n_orders"} <= set(df.columns)
