@@ -1,5 +1,249 @@
 """Text-analysis operators over `documents` (LLM-pipeline extension).
 
-Filled in after the relational spine: token counting, quality scoring,
-language-ID heuristic, fingerprinting, n-gram Jaccard near-dup.
+The north-star additions for a 100 TB training-data pipeline
+(BASELINE.json north_star): token statistics, quality scoring,
+language-ID heuristic, content fingerprinting, and shingle-based
+n-gram Jaccard near-dup detection — all as declarative DataFrame plans
+(higher-order array functions, no Python UDFs), oracle-checked against
+DuckDB's list/lambda equivalents.
+
+Scale design: every per-document computation here is embarrassingly
+parallel (narrow transforms over the text column — no shuffle at all
+until an aggregate); the near-dup self-join shuffles on the *shingle*,
+whose cardinality grows with corpus size, so the join stays sparse;
+at 100 TB you'd add the MinHash/LSH band stage (operators/minhash.py)
+in front to cap pair generation.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+# language marker words for the n-gram/stopword language-ID heuristic.
+# Priority order (en, de, fr, es, zh) breaks score ties deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def _marker_count(tokens: F.Column, lang: str) -> F.Column:
+    """# tokens that are marker words of `lang` (with repeats)."""
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
+
+
+def _marker_count_sql(lang: str) -> str:
+    quoted = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({quoted})))"
+
+
+@register(
+    "token_stats",
+    survey="LLM-text,F1,A13",
+    bench=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                 AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT)  AS n_distinct_tokens,
+           CAST(length(text) AS INT)              AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+                                                  AS n_ws_tokens,
+           (length(replace(text, ' ', '')) * 1.0) / len(toks) AS avg_token_len
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): per-document token,
+    distinct-token and char counts plus mean token length. Narrow
+    transform — zero shuffle, scales linearly."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _tokens()
+    no_ws = F.regexp_replace(F.col("text"), " ", "")
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+        (F.length("text") - F.length(no_ws) + 1).alias("n_ws_tokens"),
+        (F.length(no_ws) * 1.0 / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+@register(
+    "quality_score",
+    survey="LLM-text,P7,F9",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           {en_hits} * 1.0 / len(toks)                    AS stopword_ratio,
+           len(list_distinct(toks)) * 1.0 / len(toks)     AS distinct_ratio,
+           CASE WHEN len(toks) >= 20
+                 AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.2
+                THEN 'keep' ELSE 'filter' END             AS quality_route
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """.format(en_hits=_marker_count_sql("en")),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / stopword / repetition
+    signals) with a keep-vs-filter routing decision — the text analog
+    of the ETL validation router. All int-ratio math: deterministic."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _tokens()
+    df = t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (_marker_count(toks, "en") * 1.0 / F.size(toks)).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)).alias("distinct_ratio"),
+    )
+    return df.withColumn(
+        "quality_route",
+        F.when((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.2), "keep")
+         .otherwise("filter"))
+
+
+@register(
+    "lang_id",
+    survey="LLM-text,F8",
+    oracle="""
+    SELECT lang,
+           predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT lang,
+               CASE
+                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                 WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                 WHEN s_es >= s_zh THEN 'es'
+                 ELSE 'zh'
+               END AS predicted_lang
+        FROM (
+            SELECT lang,
+                   {en} AS s_en, {de} AS s_de, {fr} AS s_fr,
+                   {es} AS s_es, {zh} AS s_zh
+            FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+        )
+    )
+    GROUP BY lang, predicted_lang
+    """.format(**{k: _marker_count_sql(k) for k in LANG_MARKERS}),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: score each document by marker-stopword
+    hits per language, argmax with a fixed priority tie-break, then a
+    confusion rollup against the labeled `lang` column."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _tokens()
+    scored = t["documents"].select(
+        "lang", *[_marker_count(toks, k).alias(f"s_{k}") for k in LANG_MARKERS])
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    predicted = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+               & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), "fr")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh"))
+    return (
+        scored.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    survey="LLM-text,D2",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8)
+             AS fingerprint_prefix
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-normalized, case-folded
+    content hash — the 16-byte identity that shuffles instead of the
+    document body in any downstream exact-dedup or provenance join."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return t["documents"].select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.substring(F.md5(normalized), 1, 8).alias("fingerprint_prefix"),
+    )
+
+
+@register(
+    "ngram_jaccard_near_dup",
+    survey="LLM-dedup,J7,A5",
+    bench=True,
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2, n_common,
+           n_common * 1.0 / (s1.n + s2.n - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.2
+    """,
+)
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 3-gram (word-shingle) Jaccard ≥ 0.2:
+    shingle → explode → self-join on shingle → per-pair intersection
+    count → Jaccard from set sizes. The join key is the shingle, so
+    pair generation is proportional to true overlap, not n². At 100 TB
+    the MinHash/LSH band stage bounds candidate pairs before this
+    exact re-check."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _tokens()
+    shingled = (
+        t["documents"]
+        .select("doc_id",
+                F.explode(F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                )).alias("s"))
+        .distinct())
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"),
+                 F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count("*").alias("n_common")))
+    jaccard = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        pairs
+        .join(sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")),
+              "doc_id_1")
+        .join(sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2")),
+              "doc_id_2")
+        .select("doc_id_1", "doc_id_2", "n_common", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )

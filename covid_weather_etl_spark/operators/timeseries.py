@@ -1,5 +1,168 @@
-"""Composite time-series operators (seasonal decompose, interpolation).
+"""Composite time-series operators (SURVEY.md §2.5 W8/W9).
 
-Filled in after the relational spine: W8 (seasonal_decompose as
-window + groupBy composition) and W9 (linear gap interpolation).
+The reference calls statsmodels' `seasonal_decompose` and pandas'
+`interpolate()` on per-country series (`streamlit/weather_analysis.py:
+101-103`, forecasting notebook cell 10). Neither exists as a Spark
+builtin; both are *compositions of window frames* — no UDF needed:
+
+- W8 seasonal decompose (additive, period p): trend = centered moving
+  average (full-window guard), detrended = y − trend, seasonal = per-
+  phase mean of detrended re-centered to sum~0, resid = y − trend −
+  seasonal. Three window/groupBy passes over a series that shuffles
+  once on the series key.
+- W9 linear interpolation: for each null, last/first non-null value
+  and position via IGNORE NULLS frames, then one deterministic lerp.
+
+Scale: both operators are per-series (partitionBy the series key) —
+a 100 TB corpus of many series parallelizes to one task per series
+chunk; the demo daily-revenue series is a single global series, the
+degenerate case.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.functions.numeric import dsum
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+PERIOD = 7  # weekly seasonality for the daily order-revenue series
+
+
+@register(
+    "seasonal_decompose",
+    survey="W8,A6,A9,F5",
+    bench=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    with_trend AS (
+        SELECT d, y, CAST(isodow(d) AS INT) - 1 AS phase,
+               CASE WHEN count(y) OVER w = {PERIOD}
+                    THEN avg(y) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {PERIOD // 2} PRECEDING
+                                         AND {PERIOD // 2} FOLLOWING)
+    ),
+    phase_means AS (
+        SELECT phase, avg(y - trend) AS sm
+        FROM with_trend WHERE trend IS NOT NULL GROUP BY phase
+    ),
+    grand AS (SELECT avg(sm) AS g FROM phase_means)
+    SELECT t.d, t.y,
+           ROUND(t.trend, 6) + 0.0                    AS trend,
+           ROUND(p.sm - grand.g, 6) + 0.0             AS seasonal,
+           ROUND(t.y - t.trend - (p.sm - grand.g), 6) + 0.0 AS resid
+    FROM with_trend t
+    JOIN phase_means p ON t.phase = p.phase
+    CROSS JOIN grand
+    """,
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily order-revenue
+    series (period=7), composed purely from windows + groupBy —
+    observed/trend/seasonal/resid like statsmodels, no UDF."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    half = PERIOD // 2
+    daily = (t["orders"]
+             .groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(dsum("o_totalprice", "y")))
+    w = W.orderBy("d").rowsBetween(-half, half)
+    with_trend = daily.select(
+        "d", "y",
+        (F.weekday("d")).alias("phase"),
+        F.when(F.count("y").over(w) == PERIOD, F.avg("y").over(w)).alias("trend"))
+    phase_means = (with_trend
+                   .filter(F.col("trend").isNotNull())
+                   .groupBy("phase")
+                   .agg(F.avg(F.col("y") - F.col("trend")).alias("sm")))
+    grand = phase_means.agg(F.avg("sm").alias("g"))
+    seasonal = F.col("sm") - F.col("g")
+    return (
+        with_trend
+        .join(F.broadcast(phase_means), "phase")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "d", "y",
+            F.round("trend", 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(F.col("y") - F.col("trend") - seasonal, 6).alias("resid"))
+    )
+
+
+@register(
+    "interpolate_gaps",
+    survey="W9",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_id % 7 <> 0 THEN value END AS v,
+               row_number() OVER w_ord AS rn
+        FROM events
+        WINDOW w_ord AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    ctx AS (
+        SELECT user_id, event_id, v, rn,
+               last_value(v IGNORE NULLS) OVER w_prev  AS prev_v,
+               first_value(v IGNORE NULLS) OVER w_next AS next_v,
+               max(CASE WHEN v IS NOT NULL THEN rn END) OVER w_prev AS prev_rn,
+               min(CASE WHEN v IS NOT NULL THEN rn END) OVER w_next AS next_rn
+        FROM gapped
+        WINDOW
+          w_prev AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          w_next AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, v AS observed,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v) * (rn - prev_rn)
+                              / (next_rn - prev_rn)
+           END AS value_filled
+    FROM ctx
+    """,
+)
+def interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gaps (reference `series.interpolate()`,
+    `streamlit/weather_analysis.py:101`): nulls are injected
+    deterministically (event_id % 7 == 0), then filled from the
+    nearest non-null neighbors on each side via IGNORE NULLS frames +
+    one lerp. Edge gaps fall back to nearest-value fill, matching
+    pandas' default. All per-row IEEE ops — bit-exact vs the oracle."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w_ord = W.partitionBy("user_id").orderBy("event_id")
+    gapped = t["events"].select(
+        "user_id", "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("v"),
+    ).withColumn("rn", F.row_number().over(w_ord))
+
+    w_prev = W.partitionBy("user_id").orderBy("rn") \
+        .rowsBetween(W.unboundedPreceding, -1)
+    w_next = W.partitionBy("user_id").orderBy("rn") \
+        .rowsBetween(1, W.unboundedFollowing)
+    v = F.col("v")
+    ctx = gapped.select(
+        "user_id", "event_id", "v", "rn",
+        F.last(v, ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.first(v, ignorenulls=True).over(w_next).alias("next_v"),
+        F.max(F.when(v.isNotNull(), F.col("rn"))).over(w_prev).alias("prev_rn"),
+        F.min(F.when(v.isNotNull(), F.col("rn"))).over(w_next).alias("next_rn"),
+    )
+    lerp = (F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("rn") - F.col("prev_rn"))
+            / (F.col("next_rn") - F.col("prev_rn")))
+    return ctx.select(
+        "user_id", "event_id", v.alias("observed"),
+        F.when(v.isNotNull(), v)
+         .when(F.col("prev_v").isNull(), F.col("next_v"))
+         .when(F.col("next_v").isNull(), F.col("prev_v"))
+         .otherwise(lerp).alias("value_filled"),
+    )
