@@ -1,0 +1,208 @@
+"""MinHash-LSH and SimHash near-duplicate detection (LLM-pipeline).
+
+The scale path for near-dup at 100 TB: exact pairwise Jaccard
+(operators/text.py) is O(candidate pairs); these operators bound the
+candidate set first:
+
+- **MinHash**: k independent permutation-hashes approximate each
+  document's token set as a k-int signature; banding (b bands × r rows)
+  turns "Jaccard ≥ t" into "equal band hash in ≥1 band" — a plain
+  groupBy/self-join on (band, band_hash). Candidates then get the exact
+  Jaccard re-check. Probability calibration: P(candidate) =
+  1 − (1 − j^r)^b.
+- **SimHash**: 64-bit fingerprint whose Hamming distance tracks token
+  multiset similarity; near-dup = fingerprints within d bits, found by
+  exact-matching 16-bit quarters (any pair within 3 bits must agree on
+  ≥1 of 4 quarters).
+
+Everything is JVM-side column algebra over `xxhash64` — no Python UDFs,
+no mllib dependency — so signatures are deterministic across runs and
+cluster layouts (test oracle: plain-numpy reimplementation in
+tests/test_minhash.py). Registered as rows-only driver checks: the
+banding join is not expressible in ANSI SQL without the same hash
+function, which DuckDB lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+# Near-dup identity is the 3-gram shingle set (same unit as
+# operators/text.py's exact Jaccard): word-level sets degenerate on
+# small vocabularies — most long documents share most words — while
+# shingles keep the set cardinality proportional to document length.
+# 32 hashes = 16 bands × 2 rows, calibrated for a ~0.5 Jaccard
+# threshold: P(candidate) = 1−(1−j²)¹⁶ → 0.99 at j=0.5, 0.9998 at
+# j=0.7, but only ~0.6% for unrelated pairs at j=0.02 — so candidate
+# volume stays near-linear and the exact re-check stays cheap.
+N_HASHES = 32
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+# 2^31-1: (a·x + b) with 31-bit a and x stays under 2^62, inside a
+# signed 64-bit long even with ANSI overflow checking on (Spark 4
+# default). 61-bit params would overflow the JVM multiply.
+MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(k: int = N_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod p.
+
+    Derived from a fixed linear congruential sequence (seed 42) so
+    signatures are reproducible across sessions with no RNG calls.
+    """
+    params, state = [], 42
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % MERSENNE
+        a = (state % (MERSENNE - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % MERSENNE
+        b = state % MERSENNE
+        params.append((a, b))
+    return params
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded distinct n-word shingles (the dedup unit)."""
+    return (docs
+            .select("doc_id", F.explode(F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) - {n}), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+            )).alias("token"))
+            .distinct())
+
+
+def _token_hash() -> Column:
+    """Non-negative 31-bit base hash of a shingle (xxhash64 folded)."""
+    return F.pmod(F.xxhash64(F.col("token")), F.lit(MERSENNE))
+
+
+def minhash_signatures(docs: DataFrame, k: int = N_HASHES) -> DataFrame:
+    """doc_id → [sig_0 .. sig_{k-1}] minhash signature over shingles.
+
+    One explode to distinct (doc, shingle) rows, one groupBy computing
+    all k mins map-side — the shuffle carries k longs per doc, not the
+    shingle set.
+    """
+    tokens = shingles(docs).withColumn("h", _token_hash())
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE)))
+        .alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_perm_params(k))
+    ]
+    return tokens.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash)."""
+    bands = []
+    for band in range(N_BANDS):
+        cols = [F.col(f"sig_{band * ROWS_PER_BAND + r}")
+                for r in range(ROWS_PER_BAND)]
+        bands.append(F.struct(F.lit(band).alias("band"),
+                              F.xxhash64(*cols).alias("bh")))
+    banded = (sigs.select("doc_id", F.explode(F.array(*bands)).alias("b"))
+              .select("doc_id", "b.band", "b.bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"))
+        .distinct()
+    )
+
+
+def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard re-check of candidate pairs."""
+    toksets = (shingles(docs)
+               .groupBy("doc_id")
+               .agg(F.collect_set("token").alias("toks")))
+    t1 = toksets.select(F.col("doc_id").alias("doc_id_1"),
+                        F.col("toks").alias("toks_1"))
+    t2 = toksets.select(F.col("doc_id").alias("doc_id_2"),
+                        F.col("toks").alias("toks_2"))
+    inter = F.size(F.array_intersect("toks_1", "toks_2"))
+    union = F.size(F.array_union("toks_1", "toks_2"))
+    return (pairs.join(t1, "doc_id_1").join(t2, "doc_id_2")
+            .select("doc_id_1", "doc_id_2",
+                    (inter * 1.0 / union).alias("jaccard")))
+
+
+@register("minhash_near_dup", survey="LLM-dedup", bench=True)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→band→bucket-join→exact-recheck near-dup pairs with
+    3-gram-shingle Jaccard ≥ 0.5. Rows-only driver check; numpy-oracle
+    tested in tests/test_minhash.py."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    return (exact_jaccard(docs, cands)
+            .filter(F.col("jaccard") >= 0.5)
+            .orderBy("doc_id_1", "doc_id_2"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """doc_id → 64-bit simhash: per-bit majority vote over token hashes.
+
+    sum(±1) per bit position across tokens, assembled with shift/or —
+    pure column algebra, one groupBy.
+    """
+    tokens = (docs
+              .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+              .distinct()
+              .withColumn("h", F.xxhash64("token")))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    voted = tokens.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+             .otherwise(F.lit(0).cast("long")))
+    return voted.select("doc_id", fp.alias("simhash"))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+@register("simhash_near_dup", survey="LLM-dedup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: pairs within Hamming distance ≤ 12 of the
+    64-bit fingerprint, candidates found by exact-match on any of the
+    four 16-bit quarters (pigeonhole: distance ≤ 3 guarantees an equal
+    quarter; wider distances trade recall for candidate volume).
+    Rows-only driver check; numpy-oracle tested."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    fps = simhash(t["documents"])
+    quarters = F.array(*[
+        F.struct(F.lit(q).alias("q"),
+                 F.shiftright(F.col("simhash"), q * 16)
+                  .bitwiseAND(F.lit(0xFFFF)).alias("qh"))
+        for q in range(4)
+    ])
+    banded = (fps.select("doc_id", "simhash", F.explode(quarters).alias("b"))
+              .select("doc_id", "simhash", "b.q", "b.qh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qh") == F.col("b.qh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_1"),
+                F.col("b.doc_id").alias("doc_id_2"),
+                hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+        .orderBy("doc_id_1", "doc_id_2")
+    )
