@@ -58,3 +58,24 @@ def r6(col: Column, alias: str | None = None) -> Column:
     """Round to 6 decimals — tolerance band for order-dependent float stats."""
     out = F.round(col, 6)
     return out.alias(alias) if alias else out
+
+
+def fround(col: Column, scale: int = 6) -> Column:
+    """Cross-engine-deterministic round: ``floor(x·10^s + 0.5) / 10^s``.
+
+    Native ROUND differs between engines at ties: Spark rounds the
+    double's shortest decimal representation half-up (Scala BigDecimal),
+    DuckDB rounds in binary — a value whose repr ends in "…5" can round
+    differently even from bit-identical inputs. This formulation is
+    three IEEE ops both engines execute identically, so bit-identical
+    inputs give bit-identical outputs, always. (Spark's FLOOR returns
+    LONG, so |x·10^s| must stay under 2^63 — true for every stat here.)
+    """
+    p = float(10 ** scale)
+    return F.floor(col * p + F.lit(0.5)) / F.lit(p)
+
+
+def fround_sql(expr: str, scale: int = 6) -> str:
+    """Oracle-side twin of ``fround``."""
+    p = float(10 ** scale)
+    return f"FLOOR(({expr}) * {p!r} + 0.5) / {p!r}"

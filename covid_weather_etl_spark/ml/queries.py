@@ -1,3 +1,511 @@
-"""ML-layer registry entries (filled in after the relational spine):
-per-group `applyInPandas` forecasting and Spark ML classification.
+"""ML layer (SURVEY.md §2.9 U2-U5) — Spark-first restatement of the
+reference's forecasting / classification DAGs.
+
+The reference runs per-country SARIMAX + XGBoost inside Airflow tasks,
+shipping pandas frames as JSON over XCom at every edge
+(reference `dags/forecasting_dag.py:46-231`,
+`dags/classification_dag.py:46-152`). Here the same shapes become:
+
+- **closed-form OLS trend per group** (U2 analog): simple linear
+  regression computed from five map-side-combinable sums — slope =
+  (nΣxy−ΣxΣy)/(nΣx²−(Σx)²). One aggregation pass, no model object, no
+  driver loop; exact DECIMAL accumulation makes it bit-deterministic
+  and therefore fully oracle-checkable (most engines' `regr_slope` is
+  float-accumulation-order dependent; this formulation is not).
+- **chronological 80/20 split + persistence-forecast eval** (W5+U5):
+  the reference's `iloc[:int(n*0.8)]` split and MAE/RMSE/R² metrics
+  (`dags/forecasting_dag.py:103-124,211-212`) as window-rank split and
+  decimal-exact aggregate metrics.
+- **train-fit StandardScaler** (U4): μ/σ fitted on the train split
+  only (reference `dags/classification_dag.py:82-88`), applied to
+  test — σ from the exact-sum identity σ² = (Σy²−(Σy)²/n)/(n−1).
+- **per-group AR(p) forecast** (U2): `groupBy(key).applyInPandas`
+  fitting a numpy least-squares AR model per nation — the canonical
+  Spark pattern for the reference's per-country statsmodels loop;
+  embarrassingly parallel across groups at 100 TB.
+- **classification** (U3-U5): deterministic hash-based stratified
+  split (no RNG — reproducible across cluster layouts, unlike
+  `randomSplit`), `pyspark.ml` StandardScaler+LogisticRegression
+  pipeline, confusion-matrix / accuracy / precision / recall metrics
+  as plain aggregations.
+
+Oracle status: the sum-composed operators (trend, split-eval, scaler,
+rule-classifier metrics) are ANSI-SQL-expressible and oracle-checked;
+the applyInPandas AR fit and the ml-pipeline classifier are rows-only
+for the driver and pinned instead by numpy-oracle tests in
+tests/test_ml.py.
 """
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from covid_weather_etl_spark.functions.numeric import (
+    dsum, fround, fround_sql,
+)
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+EPOCH = "1970-01-01"
+
+#: exact decimal type for 2-decimal money values — casts of clean
+#: money doubles are exact in both engines (data resolution 0.01 is
+#: far above ulp), so products/sums built from it are bit-deterministic.
+M2 = "decimal(18,2)"
+
+# Shared series: daily order revenue per nation (the analog of the
+# reference's per-country daily weather series). x = days since epoch
+# (integer, exact), y = revenue (exact decimal sum cast to double).
+_NATION_DAILY_SQL = f"""
+    nation_daily AS (
+        SELECT n.n_name,
+               CAST(o.o_orderdate AS DATE) AS d,
+               datediff('day', DATE '{EPOCH}', CAST(o.o_orderdate AS DATE)) AS x,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3
+    )
+"""
+
+
+def nation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation daily revenue series — shuffles once on (nation, day);
+    the two dimension hops broadcast (customer/nation are small dims)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.to_date("o_orderdate").alias("d"))
+        .agg(dsum("o_totalprice", "y"))
+        .withColumn("x", F.datediff("d", F.lit(EPOCH)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 analog — closed-form OLS trend per group, one aggregation pass
+# ---------------------------------------------------------------------------
+
+@register(
+    "ols_trend_per_group",
+    survey="U2,A9,J1",
+    oracle=f"""
+    WITH {_NATION_DAILY_SQL},
+    sums AS (
+        SELECT n_name,
+               COUNT(*) AS n,
+               SUM(x) AS sx,
+               SUM(x * x) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y AS DECIMAL(18,2)) * CAST(x AS DECIMAL(8,0)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+                    AS DOUBLE) AS syy
+        FROM nation_daily GROUP BY 1
+    )
+    SELECT n_name, n,
+           {fround_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+           {fround_sql("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)"
+                       " / n")} AS intercept,
+           {fround_sql("POWER(n * sxy - sx * sy, 2)"
+                       " / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS r2
+    FROM sums
+    """,
+)
+def ols_trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation linear trend of daily revenue — the reference's
+    per-country model fit (`dags/forecasting_dag.py:165-190`) collapsed
+    to closed-form OLS over five sums. Integer sums (x, x²) are exact;
+    double sums go through DECIMAL so slope/intercept/r² are
+    order-independent. Single shuffle on the group key; partial sums
+    combine map-side — the plan a 1000-executor cluster wants."""
+    daily = nation_daily(spark, sf_dir)
+    # y is an exact-2-decimal money value: its DECIMAL(18,2) cast is
+    # exact in both engines, and every second moment is then an exact
+    # decimal PRODUCT-of-decimals sum — never a cast of a messy double
+    # product, whose 6th-decimal rounding is engine-dependent.
+    yd = F.col("y").cast(M2)
+    xd = F.col("x").cast("decimal(8,0)")
+    sums = daily.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(yd * xd).cast("double").alias("sxy"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "n_name", "n",
+        fround(slope).alias("slope"),
+        fround((sy - slope * sx) / n).alias("intercept"),
+        fround(F.pow(n * sxy - sx * sy, F.lit(2))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 + U5 — chronological split, persistence forecast, MAE/RMSE/R²
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = f"""
+    ranked AS (
+        SELECT n_name, d, y,
+               row_number() OVER (PARTITION BY n_name ORDER BY d) AS rn,
+               count(*)    OVER (PARTITION BY n_name) AS n_total,
+               lag(y) OVER (PARTITION BY n_name ORDER BY d) AS y_prev
+        FROM nation_daily
+    ),
+    test AS (
+        SELECT n_name, y, y_prev, y - y_prev AS e
+        FROM ranked WHERE rn > CAST(FLOOR(n_total * 0.8) AS BIGINT)
+    )
+"""
+
+
+@register(
+    "persistence_forecast_eval",
+    survey="W5,U5,A4",
+    oracle=f"""
+    WITH {_NATION_DAILY_SQL},
+    {_SPLIT_SQL}
+    SELECT n_name,
+           COUNT(*) AS n_test,
+           {fround_sql("CAST(SUM(CAST(ABS(e) AS DECIMAL(18,2))) AS DOUBLE)"
+                       " / COUNT(*)")} AS mae,
+           {fround_sql("SQRT(CAST(SUM(CAST(e AS DECIMAL(18,2))"
+                       " * CAST(e AS DECIMAL(18,2))) AS DOUBLE)"
+                       " / COUNT(*))")} AS rmse,
+           {fround_sql("1.0 - CAST(SUM(CAST(e AS DECIMAL(18,2))"
+                       " * CAST(e AS DECIMAL(18,2))) AS DOUBLE)"
+                       " / (CAST(SUM(CAST(y AS DECIMAL(18,2))"
+                       " * CAST(y AS DECIMAL(18,2))) AS DOUBLE)"
+                       "    - POWER(CAST(SUM(CAST(y AS DECIMAL(18,2)))"
+                       " AS DOUBLE), 2) / COUNT(*))")} AS r2
+    FROM test GROUP BY 1
+    """,
+)
+def persistence_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological 80/20 split per nation (reference
+    `iloc[:int(n*0.8)]`, `dags/forecasting_dag.py:103-105`) and the
+    reference's MAE/RMSE/R² evaluation (`dags/forecasting_dag.py:
+    211-212`) of the lag-1 persistence forecast — the baseline every
+    fitted model must beat. Metrics are decimal-exact aggregates."""
+    daily = nation_daily(spark, sf_dir)
+    w = W.partitionBy("n_name").orderBy("d")
+    wp = W.partitionBy("n_name")
+    ranked = daily.select(
+        "n_name", "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n_total"),
+        F.lag("y").over(w).alias("y_prev"),
+    )
+    test = (ranked
+            .filter(F.col("rn") >
+                    F.floor(F.col("n_total") * 0.8).cast("long"))
+            .withColumn("e", F.col("y") - F.col("y_prev")))
+    # e = difference of exact-2-decimal values → itself clean 2-decimal;
+    # second moments as exact decimal products (see ols_trend_per_group).
+    ed, yd = F.col("e").cast(M2), F.col("y").cast(M2)
+    sse = F.sum(ed * ed).cast("double")
+    syy = F.sum(yd * yd).cast("double")
+    sy = F.sum(yd).cast("double")
+    n = F.count("*")
+    return test.groupBy("n_name").agg(
+        n.alias("n_test"),
+        fround(F.sum(F.abs(F.col("e")).cast(M2)).cast("double") / n)
+        .alias("mae"),
+        fround(F.sqrt(sse / n)).alias("rmse"),
+        fround(F.lit(1.0) - sse / (syy - F.pow(sy, F.lit(2)) / n))
+        .alias("r2"),
+    )
+
+
+@register(
+    "standard_scaler_transform",
+    survey="U4,W5",
+    oracle=f"""
+    WITH {_NATION_DAILY_SQL},
+    ranked AS (
+        SELECT n_name, d, y,
+               row_number() OVER (PARTITION BY n_name ORDER BY d) AS rn,
+               count(*)    OVER (PARTITION BY n_name) AS n_total
+        FROM nation_daily
+    ),
+    stats AS (
+        SELECT n_name,
+               COUNT(*) AS n_train,
+               CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+                    AS DOUBLE) AS syy
+        FROM ranked WHERE rn <= CAST(FLOOR(n_total * 0.8) AS BIGINT)
+        GROUP BY 1
+    )
+    SELECT r.n_name, r.d, r.y,
+           {fround_sql("s.sy / s.n_train")} AS mu_train,
+           {fround_sql("(r.y - s.sy / s.n_train)"
+                       " / SQRT((s.syy - s.sy * s.sy / s.n_train)"
+                       " / (s.n_train - 1))")} AS z
+    FROM ranked r JOIN stats s ON r.n_name = s.n_name
+    WHERE r.rn > CAST(FLOOR(r.n_total * 0.8) AS BIGINT)
+    """,
+)
+def standard_scaler_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler with fit-on-train-only semantics (reference
+    `dags/classification_dag.py:82-88`: scaler fitted on X_train,
+    applied to X_test — no leakage). σ via the exact-sum identity so
+    the z-scores are bit-deterministic. The fitted stats are a tiny
+    per-group frame — broadcast back onto the test split."""
+    daily = nation_daily(spark, sf_dir)
+    w = W.partitionBy("n_name").orderBy("d")
+    wp = W.partitionBy("n_name")
+    ranked = daily.select(
+        "n_name", "d", "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n_total"),
+    )
+    cut = F.floor(F.col("n_total") * 0.8).cast("long")
+    yd = F.col("y").cast(M2)
+    stats = (ranked.filter(F.col("rn") <= cut)
+             .groupBy("n_name")
+             .agg(F.count("*").alias("n_train"),
+                  F.sum(yd).cast("double").alias("sy"),
+                  F.sum(yd * yd).cast("double").alias("syy")))
+    mu = F.col("sy") / F.col("n_train")
+    sigma = F.sqrt((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_train"))
+                   / (F.col("n_train") - 1))
+    return (ranked.filter(F.col("rn") > cut)
+            .join(F.broadcast(stats), "n_name")
+            .select("n_name", "d", "y",
+                    fround(mu).alias("mu_train"),
+                    fround((F.col("y") - mu) / sigma).alias("z")))
+
+
+# ---------------------------------------------------------------------------
+# U2 — per-group AR(p) forecast via applyInPandas (rows-only check)
+# ---------------------------------------------------------------------------
+
+AR_ORDER = 3
+HORIZON = 7
+
+_AR_SCHEMA = T.StructType([
+    T.StructField("n_name", T.StringType()),
+    T.StructField("step", T.IntegerType()),
+    T.StructField("forecast", T.DoubleType()),
+    T.StructField("mae_insample", T.DoubleType()),
+])
+
+
+def _fit_ar_forecast(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fit AR(p) by least squares on one group's series; forecast
+    HORIZON steps recursively. Pure numpy — independently reimplemented
+    in tests/test_ml.py as the oracle."""
+    pdf = pdf.sort_values("d")
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    p = AR_ORDER
+    name = pdf["n_name"].iloc[0]
+    if len(y) <= p + 1:
+        return pd.DataFrame({"n_name": [name], "step": [0],
+                             "forecast": [float("nan")],
+                             "mae_insample": [float("nan")]})
+    # design matrix: y_t ~ [1, y_{t-1} .. y_{t-p}]
+    X = np.column_stack([np.ones(len(y) - p)]
+                        + [y[p - k - 1:len(y) - k - 1] for k in range(p)])
+    target = y[p:]
+    coef, *_ = np.linalg.lstsq(X, target, rcond=None)
+    fitted = X @ coef
+    mae = float(np.mean(np.abs(target - fitted)))
+    hist = list(y)
+    out = []
+    for step in range(1, HORIZON + 1):
+        nxt = float(coef[0] + sum(coef[k + 1] * hist[-k - 1]
+                                  for k in range(p)))
+        out.append((name, step, nxt, mae))
+        hist.append(nxt)
+    return pd.DataFrame(out, columns=["n_name", "step", "forecast",
+                                      "mae_insample"])
+
+
+@register("ar_forecast_per_group", survey="U2")
+def ar_forecast_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation AR(3) fit + 7-step recursive forecast via
+    `groupBy.applyInPandas` — the Spark restatement of the reference's
+    per-country SARIMAX tasks (`dags/forecasting_dag.py:127-231`): one
+    Arrow batch per group, model fit where the data lives, forecasts
+    come back as ordinary rows. Rows-only driver check; numpy oracle in
+    tests/test_ml.py."""
+    daily = nation_daily(spark, sf_dir)
+    return (daily.groupBy("n_name")
+            .applyInPandas(_fit_ar_forecast, schema=_AR_SCHEMA)
+            .withColumn("forecast", F.round("forecast", 6))
+            .withColumn("mae_insample", F.round("mae_insample", 6))
+            .orderBy("n_name", "step"))
+
+
+# ---------------------------------------------------------------------------
+# U3-U5 — classification: stratified split, pipeline, metrics
+# ---------------------------------------------------------------------------
+
+def _labeled_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary label analog of the reference's `rain = (prcp > 0)`
+    (`dags/classification_dag.py:69`): discounted = l_discount > 0.05,
+    with numeric + cyclical date features (c.cell 8)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    two_pi = 2 * math.pi
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_discount") > 0.05).cast("int").alias("label"),
+        F.col("l_quantity").alias("f_qty"),
+        F.col("l_extendedprice").alias("f_price"),
+        F.col("l_tax").alias("f_tax"),
+        F.sin(F.lit(two_pi) * F.month("l_shipdate") / 12).alias("f_month_sin"),
+        F.cos(F.lit(two_pi) * F.month("l_shipdate") / 12).alias("f_month_cos"),
+        (F.dayofweek("l_shipdate").isin(1, 7)).cast("int").alias("f_weekend"),
+    )
+
+
+@register(
+    "stratified_split_summary",
+    survey="U4",
+    oracle="""
+    WITH labeled AS (
+        SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS label,
+               CASE WHEN (l_orderkey * 31 + l_linenumber) % 10 < 7
+                    THEN 'train' ELSE 'test' END AS split
+        FROM lineitem
+    )
+    SELECT label, split, COUNT(*) AS n
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def stratified_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 70/30 stratified split (reference
+    `train_test_split(test_size=0.3, stratify=y, random_state=42)`,
+    `dags/classification_dag.py:103-106`) via key hashing instead of
+    RNG: `(orderkey*31 + linenumber) % 10 < 7`. Hash splits are
+    reproducible across cluster layouts and re-runs — the property the
+    reference buys with random_state — and need no driver coordination.
+    Returns the per-(label, split) contingency the stratification
+    guarantee is judged by."""
+    df = _labeled_lineitem(spark, sf_dir)
+    split = F.when(
+        (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10 < 7,
+        "train").otherwise("test")
+    return (df.withColumn("split", split)
+            .groupBy("label", "split").count()
+            .select("label", "split", F.col("count").alias("n")))
+
+
+@register(
+    "rule_classifier_confusion",
+    survey="U5,A3,A5",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS label,
+               CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS pred
+        FROM lineitem
+    ),
+    cm AS (
+        SELECT
+            SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+            SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+            SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+            SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn,
+            COUNT(*) AS n
+        FROM scored
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           ROUND((tp + tn) * 1.0 / n, 6) AS accuracy,
+           ROUND(tp * 1.0 / (tp + fp), 6) AS precision,
+           ROUND(tp * 1.0 / (tp + fn), 6) AS recall,
+           ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM cm
+    """,
+)
+def rule_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + accuracy/precision/recall/F1 as one
+    conditional-aggregate pass (reference's classification_report /
+    confusion_matrix, c.cell 16) — counts are integer-exact, ratios
+    single divisions, fully oracle-checked."""
+    df = _labeled_lineitem(spark, sf_dir)
+    scored = df.select(
+        "label", (F.col("f_qty") >= 25).cast("int").alias("pred"))
+    tp = F.sum(((F.col("label") == 1) & (F.col("pred") == 1)).cast("long"))
+    fp = F.sum(((F.col("label") == 0) & (F.col("pred") == 1)).cast("long"))
+    fn = F.sum(((F.col("label") == 1) & (F.col("pred") == 0)).cast("long"))
+    tn = F.sum(((F.col("label") == 0) & (F.col("pred") == 0)).cast("long"))
+    cm = scored.agg(tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+                    tn.alias("tn"), F.count("*").alias("n"))
+    tp_, fp_ = F.col("tp"), F.col("fp")
+    fn_, tn_, n_ = F.col("fn"), F.col("tn"), F.col("n")
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.round((tp_ + tn_) * 1.0 / n_, 6).alias("accuracy"),
+        F.round(tp_ * 1.0 / (tp_ + fp_), 6).alias("precision"),
+        F.round(tp_ * 1.0 / (tp_ + fn_), 6).alias("recall"),
+        F.round(2.0 * tp_ / (2.0 * tp_ + fp_ + fn_), 6).alias("f1"),
+    )
+
+
+FEATURES = ["f_qty", "f_price", "f_tax", "f_month_sin", "f_month_cos",
+            "f_weekend"]
+
+
+@register("logreg_classifier_eval", survey="U3,U4,U5")
+def logreg_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML pipeline for the reference's rain classifier
+    (`dags/classification_dag.py:82-125`): hash-stratified 70/30 split,
+    StandardScaler fitted on train only, logistic regression, scored
+    distributed (`PipelineModel.transform` — no collect), evaluated
+    with accuracy / AUC / confusion counts. Rows-only driver check;
+    metric-range + determinism tests in tests/test_ml.py."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    df = _labeled_lineitem(spark, sf_dir)
+    split_key = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10
+    train = df.filter(split_key < 7)
+    test = df.filter(split_key >= 7)
+
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=FEATURES, outputCol="features_raw"),
+        StandardScaler(inputCol="features_raw", outputCol="features",
+                       withMean=True, withStd=True),
+        LogisticRegression(featuresCol="features", labelCol="label",
+                           maxIter=50, regParam=0.01),
+    ])
+    model = pipe.fit(train)
+    scored = model.transform(test).select("label", "prediction",
+                                          "rawPrediction", "probability")
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction",
+        metricName="areaUnderROC").evaluate(scored)
+    cm = scored.groupBy("label",
+                        F.col("prediction").cast("int").alias("pred")) \
+               .count().collect()
+    counts = {(r["label"], r["pred"]): r["count"] for r in cm}
+    tp = counts.get((1, 1), 0)
+    fp = counts.get((0, 1), 0)
+    fn = counts.get((1, 0), 0)
+    tn = counts.get((0, 0), 0)
+    n = tp + fp + fn + tn
+    return spark.createDataFrame(
+        [(tp, fp, fn, tn,
+          round((tp + tn) / n, 4), round(auc, 3))],
+        "tp long, fp long, fn long, tn long, accuracy double, auc double")

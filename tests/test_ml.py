@@ -1,0 +1,83 @@
+"""Tests for the non-SQL-expressible ML operators (rows-only for the
+driver): independent numpy oracle for the applyInPandas AR forecast,
+invariant checks for the hash-stratified split and the pyspark.ml
+logistic-regression evaluation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from covid_weather_etl_spark.ml import queries as ML
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def daily_pdf(spark) -> pd.DataFrame:
+    return ML.nation_daily(spark, SF_DIR).toPandas()
+
+
+def _ar_oracle(y: np.ndarray, p: int, horizon: int):
+    """Independent reimplementation of the AR(p) fit+forecast."""
+    X = np.column_stack([np.ones(len(y) - p)]
+                        + [y[p - k - 1:len(y) - k - 1] for k in range(p)])
+    target = y[p:]
+    coef, *_ = np.linalg.lstsq(X, target, rcond=None)
+    mae = float(np.mean(np.abs(target - X @ coef)))
+    hist = list(y)
+    fc = []
+    for _ in range(horizon):
+        nxt = float(coef[0] + sum(coef[k + 1] * hist[-k - 1]
+                                  for k in range(p)))
+        fc.append(nxt)
+        hist.append(nxt)
+    return fc, mae
+
+
+def test_ar_forecast_matches_numpy(spark, daily_pdf):
+    got = ML.ar_forecast_per_group(spark, SF_DIR).toPandas()
+    for name, grp in daily_pdf.groupby("n_name"):
+        y = grp.sort_values("d")["y"].to_numpy(dtype=np.float64)
+        if len(y) <= ML.AR_ORDER + 1:
+            continue
+        fc, mae = _ar_oracle(y, ML.AR_ORDER, ML.HORIZON)
+        sub = got[got.n_name == name].sort_values("step")
+        assert len(sub) == ML.HORIZON, name
+        np.testing.assert_allclose(sub["forecast"].to_numpy(),
+                                   np.round(fc, 6), rtol=1e-9)
+        assert (sub["mae_insample"] == round(mae, 6)).all(), name
+
+
+def test_ar_forecast_every_group_present(spark, daily_pdf):
+    got = ML.ar_forecast_per_group(spark, SF_DIR).toPandas()
+    assert set(got.n_name) == set(daily_pdf.n_name)
+
+
+def test_stratified_split_proportions(spark):
+    pdf = ML.stratified_split_summary(spark, SF_DIR).toPandas()
+    pivot = pdf.pivot(index="label", columns="split", values="n").fillna(0)
+    for label, row in pivot.iterrows():
+        frac = row["train"] / (row["train"] + row["test"])
+        # hash split targets 70%; small-sample tolerance
+        assert 0.64 <= frac <= 0.76, (label, frac)
+
+
+def test_stratified_split_deterministic(spark):
+    a = ML.stratified_split_summary(spark, SF_DIR).toPandas()
+    b = ML.stratified_split_summary(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["label", "split"]).reset_index(drop=True),
+        b.sort_values(["label", "split"]).reset_index(drop=True))
+
+
+def test_logreg_eval_invariants(spark):
+    row = ML.logreg_classifier_eval(spark, SF_DIR).collect()[0]
+    n = row.tp + row.fp + row.fn + row.tn
+    # test split is ~30% of lineitem
+    total = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert n == pytest.approx(total * 0.3, rel=0.1)
+    assert 0.0 <= row.accuracy <= 1.0
+    assert 0.0 <= row.auc <= 1.0
+    assert row.accuracy == pytest.approx((row.tp + row.tn) / n, abs=1e-4)
