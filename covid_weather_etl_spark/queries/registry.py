@@ -62,6 +62,7 @@ def _load_modules() -> None:
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
+    from covid_weather_etl_spark.streaming import streams           # noqa: F401
     _LOADED = True
 
 

@@ -1,0 +1,264 @@
+"""Structured Streaming surface + time-window operators.
+
+The reference is batch-only; its incrementality is a persisted cursor
+(Airflow Variable advanced 30 days per run, reference
+`dags/etl_dag.py:31-46`) and its late-data story is the backfill
+update path (SURVEY.md §2.8). Spark-first, both collapse into
+Structured Streaming primitives:
+
+- **file-source ingest** (`read_event_stream` → `ingest_bronze`):
+  `readStream` over a landing directory replaces the cursor — the
+  checkpoint IS the cursor, exactly-once per file, no bookkeeping
+  tables. `Trigger.AvailableNow` gives the reference's batch windows;
+  removing the trigger gives continuous ingest with zero code change.
+- **watermarked tumbling/sliding/session windows**: the standard
+  streaming aggregation shapes. The SAME `F.window`/`session_window`
+  expressions run in batch, so each is registered as an oracle-checked
+  batch query below — the driver verifies window semantics against
+  DuckDB, and tests/test_streaming.py verifies stream == batch on the
+  same data (the property Structured Streaming guarantees).
+- **custom stateful operator** (`running_totals_stream`):
+  `applyInPandasWithState` keeping per-user running count/sum across
+  micro-batches — the pattern for operators with cross-batch state
+  (the reference's nearest analog: its dedup-on-load existence probe,
+  `database/operations.py:175-206`, which must remember what it has
+  seen).
+
+Scale notes: windowed aggs shuffle on (key, window) — at 100 TB the
+watermark bounds state size; session windows merge per key so skewed
+users are the hot spot (AQE skew handling applies to the shuffle, the
+state store partitions by key count). File-source ingest lists the
+directory incrementally; at large file counts use
+`maxFilesPerTrigger` to bound micro-batch size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from covid_weather_etl_spark.functions.numeric import dsum, dsum_sql
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+#: event schema as landed by the ingest stream (ts in microseconds —
+#: the nanos quirk of the driver parquet is batch-read-specific).
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+GAP = "30 minutes"
+WATERMARK = "2 hours"
+
+
+# ---------------------------------------------------------------------------
+# streaming API
+# ---------------------------------------------------------------------------
+
+def read_event_stream(spark: SparkSession, landing_dir: str,
+                      fmt: str = "parquet",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a landing directory (S3/raw analog)."""
+    reader = spark.readStream.format(fmt).schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir)
+
+
+def ingest_bronze(stream: DataFrame, bronze_dir: str, checkpoint_dir: str):
+    """Exactly-once append of the landing stream into the bronze zone.
+
+    The checkpoint replaces the reference's cursor Variable; re-runs
+    resume after the last committed file, duplicates impossible.
+    """
+    return (stream
+            .withColumn("ingest_batch", F.lit(None).cast("long"))
+            .writeStream
+            .format("parquet")
+            .option("path", bronze_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start())
+
+
+def tumbling_counts_stream(events: DataFrame,
+                           window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts — late events beyond the
+    watermark are dropped (the streaming analog of the reference's
+    'backfill updates the old row' late-data policy)."""
+    return (events
+            .withWatermark("ts", WATERMARK)
+            .groupBy(F.window("ts", window), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 dsum("value", "sum_value"))
+            .select(F.col("window.start").alias("w_start"),
+                    F.col("window.end").alias("w_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def session_windows_stream(events: DataFrame, gap: str = GAP) -> DataFrame:
+    """Watermarked session windows per user (gap-merged)."""
+    return (events
+            .withWatermark("ts", WATERMARK)
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("session_window.start").alias("s_start"),
+                    F.col("session_window.end").alias("s_end"),
+                    "n_events"))
+
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n_seen", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+_RUNNING_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_seen", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def _update_running(key, pdfs: Iterable[pd.DataFrame],
+                    state: GroupState) -> Iterable[pd.DataFrame]:
+    """Stateful per-user accumulator: count/sum across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_seen": [n],
+                        "total": [total]})
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: per-user
+    running (count, sum) that survives micro-batch boundaries — state
+    lives in the state store, partitioned by user, no driver memory."""
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_running,
+                outputStructType=_RUNNING_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# the same window semantics as oracle-checked batch queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "tumbling_window_counts",
+    survey="streaming,A6,A7",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream — identical
+    expression runs under `readStream` in tumbling_counts_stream;
+    stream==batch equivalence is tested in tests/test_streaming.py."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 dsum("value", "sum_value"))
+            .select(F.col("window.start").alias("w_start"),
+                    F.col("window.end").alias("w_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+@register(
+    "sliding_window_avg",
+    survey="streaming,A4,A9",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS b, value FROM events
+    ),
+    assigned AS (
+        SELECT b AS w_start, value FROM buckets
+        UNION ALL
+        SELECT b - INTERVAL '1 hour' AS w_start, value FROM buckets
+    )
+    SELECT w_start, w_start + INTERVAL '2 hours' AS w_end,
+           COUNT(*) AS n_events,
+           {dsum_sql("value")} / COUNT(*) AS avg_value
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    windows — Spark materializes the assignment inside `window()`; the
+    oracle unions the two bucket starts explicitly."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy(F.window("ts", "2 hours", "1 hour"))
+            .agg(F.count("*").alias("n_events"),
+                 (dsum("value") / F.count("*")).alias("avg_value"))
+            .select(F.col("window.start").alias("w_start"),
+                    F.col("window.end").alias("w_end"),
+                    "n_events", "avg_value"))
+
+
+@register(
+    "session_windows",
+    survey="streaming,W-sessionize",
+    bench=True,
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN ts >= lag(ts) OVER w + INTERVAL '{GAP}' THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL '{GAP}' AS s_end,
+           COUNT(*) AS n_events,
+           {dsum_sql("value")} AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (30-min gap) via the native
+    `session_window` expression — sessions merge while events arrive
+    within the gap; window end = last event + gap. The oracle derives
+    the identical sessions with a gaps-and-islands lag/cumsum (Spark's
+    session merge condition is `ts < prev_ts + gap`, so a new session
+    starts at diff >= gap — mirrored exactly)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (t["events"]
+            .groupBy(F.session_window("ts", GAP), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 dsum("value", "sum_value"))
+            .select("user_id",
+                    F.col("session_window.start").alias("s_start"),
+                    F.col("session_window.end").alias("s_end"),
+                    "n_events", "sum_value"))

@@ -1,0 +1,118 @@
+"""Structured Streaming tests: stream==batch equivalence for the
+windowed aggregations, exactly-once checkpointed bronze ingest, and
+cross-micro-batch state for the applyInPandasWithState operator.
+
+The events table is split into three chunk files fed as separate
+micro-batches (maxFilesPerTrigger=1), so these tests exercise real
+incremental processing, not a single-batch degenerate case.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.sources.catalog import load_tables
+from covid_weather_etl_spark.streaming import streams as S
+from tests.conftest import SF_DIR, normalize
+
+
+@pytest.fixture(scope="module")
+def landing_dir(spark, tmp_path_factory) -> str:
+    """The sf0.001 events table as 3 parquet chunk files (micro-batches),
+    ts normalized to microseconds as the ingest schema declares."""
+    d = tmp_path_factory.mktemp("landing")
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = len(pdf)
+    for i in range(3):
+        pdf.iloc[i * n // 3:(i + 1) * n // 3].to_parquet(
+            f"{d}/chunk_{i}.parquet", index=False)
+    return str(d)
+
+
+def _run_stream_to_memory(spark, df, name: str, mode: str):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, landing_dir):
+    stream = S.read_event_stream(spark, landing_dir,
+                                 max_files_per_trigger=1)
+    got = _run_stream_to_memory(
+        spark, S.tumbling_counts_stream(stream), "t_tumbling", "append")
+    batch = (load_tables(spark, SF_DIR, ("events",))["events"]
+             .groupBy(F.window("ts", "1 hour"), "event_type")
+             .agg(F.count("*").alias("n_events"))
+             .select(F.col("window.start").alias("w_start"),
+                     F.col("window.end").alias("w_end"),
+                     "event_type", "n_events"))
+    g = normalize(got.drop("sum_value").toPandas())
+    b = normalize(batch.toPandas())
+    # append mode only emits windows closed by the watermark; every
+    # emitted window must match batch, and most windows must close.
+    merged = g.merge(b, on=["w_start", "w_end", "event_type"],
+                     suffixes=("_s", "_b"))
+    assert len(merged) == len(g)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert len(g) >= 0.8 * len(b)
+
+
+def test_session_stream_equals_batch(spark, landing_dir):
+    stream = S.read_event_stream(spark, landing_dir,
+                                 max_files_per_trigger=1)
+    got = _run_stream_to_memory(
+        spark, S.session_windows_stream(stream), "t_sessions", "append")
+    batch = (load_tables(spark, SF_DIR, ("events",))["events"]
+             .groupBy(F.session_window("ts", S.GAP), "user_id")
+             .agg(F.count("*").alias("n_events"))
+             .select("user_id",
+                     F.col("session_window.start").alias("s_start"),
+                     F.col("session_window.end").alias("s_end"),
+                     "n_events"))
+    g = normalize(got.toPandas())
+    b = normalize(batch.toPandas())
+    merged = g.merge(b, on=["user_id", "s_start", "s_end"],
+                     suffixes=("_s", "_b"))
+    assert len(merged) == len(g)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert len(g) >= 0.8 * len(b)
+
+
+def test_bronze_ingest_exactly_once(spark, landing_dir, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    src = S.read_event_stream(spark, landing_dir)
+    q = S.ingest_bronze(src, bronze, ckpt)
+    q.awaitTermination(120)
+    n_src = spark.read.parquet(landing_dir).count()
+    assert spark.read.parquet(bronze).count() == n_src
+    # re-run with same checkpoint: no new files processed, no dupes
+    q2 = S.ingest_bronze(S.read_event_stream(spark, landing_dir),
+                         bronze, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(bronze).count() == n_src
+
+
+def test_running_totals_state_across_batches(spark, landing_dir):
+    stream = S.read_event_stream(spark, landing_dir,
+                                 max_files_per_trigger=1)
+    got = _run_stream_to_memory(
+        spark, S.running_totals_stream(stream), "t_running", "update")
+    # memory sink in update mode appends every emission; the LAST row
+    # per user is the final state — must equal the batch totals.
+    pdf = got.toPandas()
+    final = (pdf.groupby("user_id").last()
+             .reset_index()[["user_id", "n_seen"]])
+    batch = (spark.read.parquet(landing_dir).groupBy("user_id")
+             .agg(F.count("*").alias("n_batch")).toPandas())
+    merged = final.merge(batch, on="user_id")
+    assert len(merged) == len(batch)
+    assert (merged.n_seen == merged.n_batch).all()
+    # state genuinely crossed micro-batches: some user must have been
+    # emitted more than once (3 chunks, ~every user in each chunk)
+    assert (pdf.groupby("user_id").size() > 1).any()
