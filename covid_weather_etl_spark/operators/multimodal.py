@@ -1,0 +1,226 @@
+"""Multimodal (image/audio/video) column plumbing (LLM-pipeline).
+
+Media assets are opaque `binary` payload columns + a typed metadata
+struct — the lakehouse pattern for 100 TB multimodal corpora: the
+bytes travel inside parquet (or as object-store paths for very large
+assets), metadata is columnar and prunable, and every decode /
+feature-extract / resize step is an Arrow-batched Pandas UDF so the
+Python work is vectorized per batch, never per row.
+
+The container has no image/audio codecs, so the decode step itself is
+STUBBED: `decode_media` raises NotImplementedError unless a fake
+deterministic decoder is requested. Everything AROUND the decode — the
+binary schema, the metadata derivation, the `mapInPandas` batch shape,
+the frame-sampling plan, the feature schema — is real and tested; a
+real deployment swaps `_fake_decode` for PIL/ffmpeg and nothing else
+changes.
+
+Payloads here are derived from `documents.text` bytes (the driver
+corpus has no binary table); the operators never look at them as text.
+
+Scale notes: payload columns make parquet row groups large — feature
+extraction repartitions by doc_id so batches stay bounded; metadata
+queries (media_catalog, frame_sample) never touch the payload bytes
+after the initial projection, so column pruning keeps their scans
+cheap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+N_SAMPLE_FRAMES = 4
+BYTES_PER_FRAME = 100  # fake container: one "frame" per 100 payload bytes
+
+
+def media_assets(docs: DataFrame) -> DataFrame:
+    """documents → media-asset table: opaque binary payload + typed
+    metadata struct (the schema a real multimodal corpus carries)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    n_frames = (F.octet_length(payload) / BYTES_PER_FRAME).cast("int") + 1
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(payload).alias("fingerprint"),
+            F.when(F.col("lang") == "en", "video/fake")
+             .otherwise("image/fake").alias("mime"),
+            n_frames.alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "media_catalog",
+    survey="multimodal",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS fingerprint,
+           CASE WHEN lang = 'en' THEN 'video/fake'
+                ELSE 'image/fake' END AS mime,
+           CAST(FLOOR(octet_length(encode(text)) / 100) AS INT) + 1 AS n_frames
+    FROM documents
+    """,
+)
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata catalog over the media assets — byte size, content
+    fingerprint, sniffed mime, frame count. Reads ONLY the metadata
+    struct (payload pruned from the scan after projection)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return media_assets(t["documents"]).select(
+        "asset_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.fingerprint").alias("fingerprint"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@register(
+    "frame_sample",
+    survey="multimodal",
+    oracle=f"""
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               CAST(FLOOR(octet_length(encode(text)) / {BYTES_PER_FRAME}) AS INT)
+                 + 1 AS n_frames
+        FROM documents
+    )
+    SELECT asset_id, n_frames,
+           CAST(FLOOR(i * (n_frames - 1) / ({N_SAMPLE_FRAMES} - 1)) AS INT)
+             AS frame_idx,
+           CAST(FLOOR(i * (n_frames - 1) / ({N_SAMPLE_FRAMES} - 1)) AS INT)
+             * {BYTES_PER_FRAME} AS byte_offset
+    FROM assets,
+         (SELECT unnest(generate_series(0, {N_SAMPLE_FRAMES} - 1)) AS i)
+    WHERE n_frames >= {N_SAMPLE_FRAMES}
+    UNION ALL
+    SELECT asset_id, n_frames,
+           unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+           unnest(generate_series(0, n_frames - 1)) * {BYTES_PER_FRAME}
+             AS byte_offset
+    FROM assets WHERE n_frames < {N_SAMPLE_FRAMES}
+    """,
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame sampling plan (video keyframe extraction
+    shape): k frame indices per asset via `sequence` + `explode` —
+    integer arithmetic only, no payload bytes touched, so the planner
+    prunes the binary column entirely. Assets with fewer frames than k
+    emit every frame."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    assets = media_assets(t["documents"]).select(
+        "asset_id", F.col("meta.n_frames").alias("n_frames"))
+    k = N_SAMPLE_FRAMES
+    sampled = (assets
+               .filter(F.col("n_frames") >= k)
+               .select("asset_id", "n_frames",
+                       F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                        .alias("i"))
+               .select("asset_id", "n_frames",
+                       (F.col("i") * (F.col("n_frames") - 1) / (k - 1))
+                       .cast("int").alias("frame_idx")))
+    short = (assets
+             .filter(F.col("n_frames") < k)
+             .select("asset_id", "n_frames",
+                     F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1))
+                      .alias("frame_idx")))
+    return (sampled.unionByName(short)
+            .withColumn("byte_offset",
+                        (F.col("frame_idx") * BYTES_PER_FRAME)
+                        .cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
+# decode + featurize (Arrow-batched; decode stubbed)
+# ---------------------------------------------------------------------------
+
+N_FEATURES = 8
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for image/audio decode: the payload bytes
+    themselves as a uint8 array (a real decoder returns pixels/samples
+    the same way)."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def _featurize(arr: np.ndarray) -> list[float]:
+    """8-dim feature vector over decoded samples: mean, std, min, max,
+    plus a 4-bin histogram density. Matches the independent python
+    reimplementation in tests/test_multimodal.py."""
+    if arr.size == 0:
+        return [0.0] * N_FEATURES
+    hist = np.bincount(arr >> 6, minlength=4) / arr.size
+    return [float(arr.mean()), float(arr.std()), float(arr.min()),
+            float(arr.max()), *(float(h) for h in hist)]
+
+
+def decode_media(payload: bytes, mime: str, fake: bool = False) -> np.ndarray:
+    """Decode one media payload. Real codecs are not available in this
+    environment — callers opt into the deterministic fake decoder;
+    a production build replaces this body with PIL/soundfile/ffmpeg."""
+    if fake:
+        return _fake_decode(payload)
+    try:  # pragma: no cover - codec libs absent by design
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real media decode requires codec libraries (PIL/ffmpeg) "
+            "not present in this environment; pass fake=True for the "
+            "deterministic stand-in decoder")
+    raise NotImplementedError("real decode path not implemented")
+
+
+def featurize_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """`mapInPandas` feature extraction: Arrow streams batches of
+    (asset_id, payload) into Python; numpy featurizes each decoded
+    payload; only the small feature vectors come back. At 100 TB this
+    is the canonical shape — bytes stay in the executor, one Python
+    worker per core, batch size bounds Arrow memory."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_featurize(decode_media(p, m, fake=True))
+                     for p, m in zip(pdf["payload"], pdf["mime"])]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "n_bytes": pdf["n_bytes"].astype("int32"),
+                "features": feats,
+            })
+
+    return (assets
+            .select("asset_id", "payload",
+                    F.col("meta.n_bytes").alias("n_bytes"),
+                    F.col("meta.mime").alias("mime"))
+            .mapInPandas(extract, schema=FEATURE_SCHEMA))
+
+
+@register("media_features", survey="multimodal")
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode(+stub)→featurize over every media asset; rows-only driver
+    check (the fake decoder is not expressible in SQL), pinned by the
+    python oracle in tests/test_multimodal.py."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    feats = featurize_assets(media_assets(t["documents"]))
+    return feats.select(
+        "asset_id", "n_bytes",
+        *[F.round(F.col("features")[i], 5).alias(f"f{i}")
+          for i in range(N_FEATURES)],
+    ).orderBy("asset_id")
