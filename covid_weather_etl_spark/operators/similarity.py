@@ -21,8 +21,11 @@ product.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables
@@ -168,3 +171,103 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicate detection
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_T = 0.4  # driver-corpus demo threshold (max observed sim ≈ 0.51)
+
+
+@register(
+    "embedding_near_dup",
+    survey="LLM-dedup,J1",
+    oracle=f"""
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) + 0.0
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= {NEAR_DUP_T}
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force): all pairs
+    with cosine ≥ t via a vec_id-ordered self-join — the exact
+    baseline the LSH scale path (rp_lsh_near_dup) is measured against.
+    O(N²/2) similarity evaluations: correct at corpus ≪ memory, the
+    reason the banded variant exists for 100 TB."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    a = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_id_2"), F.col("v").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
+            .select("vec_id_1", "vec_id_2", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= NEAR_DUP_T))
+
+
+# random-hyperplane LSH: 64 deterministic planes → 64 sign bits →
+# 8 bands × 8 bits. Calibration (p = 1 − θ/π per bit):
+#   cos 0.95 → P(candidate) ≈ 0.99;  cos 0.9 → ≈ 0.93;
+#   cos 0.0  → ≈ 0.03 (≈30× candidate pruning vs brute force).
+N_PLANES = 64
+RP_BANDS = 8
+RP_BITS = N_PLANES // RP_BANDS
+RP_THRESHOLD = 0.9  # design point: true near-dups (the 100 TB use case)
+
+
+def _hyperplanes(dim: int = 64):
+    return np.random.RandomState(42).standard_normal((N_PLANES, dim))
+
+
+def rp_band_hashes(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """vec_id → (band, band_hash) rows via a vectorized pandas_udf:
+    the 64×64 sign-projection is one BLAS matmul per Arrow batch —
+    the documented exception to 'stay JVM-side' (per-element
+    zip_with/aggregate over 64 planes would defeat codegen anyway).
+    Planes are seeded constants, so signatures are reproducible
+    across runs and cluster layouts."""
+    planes = _hyperplanes(dim)
+    weights = (1 << np.arange(RP_BITS)).astype("int64")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_hash(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy())          # (batch, dim) float64
+        bits = (X @ planes.T) > 0            # (batch, n_planes)
+        bands = bits.reshape(len(X), RP_BANDS, RP_BITS)
+        hashes = (bands * weights).sum(axis=2)   # (batch, bands)
+        return pd.Series(list(hashes))
+
+    return (emb.select("vec_id", "v",
+                       F.posexplode(band_hash(F.col("v")))
+                        .alias("band", "bh")))
+
+
+@register("rp_lsh_near_dup", survey="LLM-dedup")
+def rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (the 100 TB path): sign-bit
+    signatures, band-bucket self-join on (band, band_hash), exact
+    cosine re-check at t=0.9 — so false positives are impossible and
+    the banding only bounds recall (≈0.93 at the threshold, ≥0.99 for
+    cos ≥ 0.95). The driver corpus has no pairs that similar (max
+    ≈ 0.51) so this returns empty there; recall is pinned on planted
+    near-dups in tests/test_similarity_lsh.py. Candidate volume is
+    ~3% of the brute-force pair count on unrelated data."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    banded = rp_band_hashes(emb)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_id_1"),
+                     F.col("b.vec_id").alias("vec_id_2"),
+                     F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+             .dropDuplicates(["vec_id_1", "vec_id_2"]))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (cands.select("vec_id_1", "vec_id_2", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= RP_THRESHOLD)
+            .orderBy("vec_id_1", "vec_id_2"))
