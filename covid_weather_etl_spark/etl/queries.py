@@ -7,7 +7,7 @@ over the driver's `events` table so the DuckDB oracle can check them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.queries.registry import register
@@ -38,9 +38,11 @@ def validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value").isNull() | (F.col("value") < 0)
                | F.col("event_type").isNull(), "quarantine")
         .otherwise("valid").alias("route"))
-    return (
-        routed.groupBy("route")
-        .agg(F.count("*").alias("n"))
-        .withColumn("pct", F.col("n").cast("double") * 100.0
-                    / F.sum("n").over(W.partitionBy()))
-    )
+    counts = routed.groupBy("route").agg(F.count("*").alias("n"))
+    # total via broadcast of a 1-row aggregate, not a global window —
+    # the per-route frame is tiny but plan hygiene is free
+    total = counts.agg(F.sum("n").alias("tot"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("route", "n",
+                    (F.col("n").cast("double") * 100.0 / F.col("tot"))
+                    .alias("pct")))

@@ -488,7 +488,7 @@ def logreg_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         StandardScaler(inputCol="features_raw", outputCol="features",
                        withMean=True, withStd=True),
         LogisticRegression(featuresCol="features", labelCol="label",
-                           maxIter=50, regParam=0.01),
+                           maxIter=20, regParam=0.01, tol=1e-5),
     ])
     model = pipe.fit(train)
     scored = model.transform(test).select("label", "prediction",

@@ -37,58 +37,71 @@ PERIOD = 7  # weekly seasonality for the daily order-revenue series
     bench=True,
     oracle=f"""
     WITH daily AS (
-        SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS y
-        FROM orders GROUP BY 1
+        SELECT n.n_name,
+               CAST(o.o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
     ),
     with_trend AS (
-        SELECT d, y, CAST(isodow(d) AS INT) - 1 AS phase,
+        SELECT n_name, d, y, CAST(isodow(d) AS INT) - 1 AS phase,
                CASE WHEN count(y) OVER w = {PERIOD}
                     THEN avg(y) OVER w END AS trend
         FROM daily
-        WINDOW w AS (ORDER BY d ROWS BETWEEN {PERIOD // 2} PRECEDING
-                                         AND {PERIOD // 2} FOLLOWING)
+        WINDOW w AS (PARTITION BY n_name ORDER BY d
+                     ROWS BETWEEN {PERIOD // 2} PRECEDING
+                              AND {PERIOD // 2} FOLLOWING)
     ),
     phase_means AS (
-        SELECT phase, avg(y - trend) AS sm
-        FROM with_trend WHERE trend IS NOT NULL GROUP BY phase
+        SELECT n_name, phase, avg(y - trend) AS sm
+        FROM with_trend WHERE trend IS NOT NULL GROUP BY n_name, phase
     ),
-    grand AS (SELECT avg(sm) AS g FROM phase_means)
-    SELECT t.d, t.y,
+    grand AS (SELECT n_name, avg(sm) AS g FROM phase_means GROUP BY n_name)
+    SELECT t.n_name, t.d, t.y,
            ROUND(t.trend, 6) + 0.0                    AS trend,
-           ROUND(p.sm - grand.g, 6) + 0.0             AS seasonal,
-           ROUND(t.y - t.trend - (p.sm - grand.g), 6) + 0.0 AS resid
+           ROUND(p.sm - gr.g, 6) + 0.0                AS seasonal,
+           ROUND(t.y - t.trend - (p.sm - gr.g), 6) + 0.0 AS resid
     FROM with_trend t
-    JOIN phase_means p ON t.phase = p.phase
-    CROSS JOIN grand
+    JOIN phase_means p ON t.n_name = p.n_name AND t.phase = p.phase
+    JOIN grand gr ON t.n_name = gr.n_name
     """,
 )
 def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Additive seasonal decomposition of the daily order-revenue
+    """Additive seasonal decomposition of the PER-NATION daily revenue
     series (period=7), composed purely from windows + groupBy —
-    observed/trend/seasonal/resid like statsmodels, no UDF."""
-    t = load_tables(spark, sf_dir, ("orders",))
+    observed/trend/seasonal/resid like statsmodels, no UDF. Every
+    window partitions on the series key, so a 100 TB corpus of many
+    series decomposes with zero global shuffles (one series per task
+    chunk); the phase/grand means are tiny per-series frames that
+    broadcast back."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
     half = PERIOD // 2
     daily = (t["orders"]
-             .groupBy(F.to_date("o_orderdate").alias("d"))
+             .join(F.broadcast(t["customer"]),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(t["nation"]),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+             .groupBy("n_name", F.to_date("o_orderdate").alias("d"))
              .agg(dsum("o_totalprice", "y")))
-    w = W.orderBy("d").rowsBetween(-half, half)
+    w = W.partitionBy("n_name").orderBy("d").rowsBetween(-half, half)
     with_trend = daily.select(
-        "d", "y",
+        "n_name", "d", "y",
         (F.weekday("d")).alias("phase"),
         F.when(F.count("y").over(w) == PERIOD, F.avg("y").over(w)).alias("trend"))
     phase_means = (with_trend
                    .filter(F.col("trend").isNotNull())
-                   .groupBy("phase")
+                   .groupBy("n_name", "phase")
                    .agg(F.avg(F.col("y") - F.col("trend")).alias("sm")))
-    grand = phase_means.agg(F.avg("sm").alias("g"))
+    grand = phase_means.groupBy("n_name").agg(F.avg("sm").alias("g"))
     seasonal = F.col("sm") - F.col("g")
     return (
         with_trend
-        .join(F.broadcast(phase_means), "phase")
-        .crossJoin(F.broadcast(grand))
+        .join(F.broadcast(phase_means), ["n_name", "phase"])
+        .join(F.broadcast(grand), "n_name")
         .select(
-            "d", "y",
+            "n_name", "d", "y",
             F.round("trend", 6).alias("trend"),
             F.round(seasonal, 6).alias("seasonal"),
             F.round(F.col("y") - F.col("trend") - seasonal, 6).alias("resid"))

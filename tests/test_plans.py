@@ -1,0 +1,61 @@
+"""Physical-plan assertions — the properties that make plans survive a
+100 TB scale-up, pinned as tests: no global (unpartitioned) windows
+anywhere in the registry, dimension joins broadcast, filters reach the
+parquet scan, and projections prune the read schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.plans import inspect as I
+from covid_weather_etl_spark.queries.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_global_windows(spark, name):
+    """A window without partition columns funnels every row through one
+    task — fatal at scale. Zero tolerance across the whole registry."""
+    df = QUERIES[name].fn(spark, SF_DIR)
+    assert I.global_window_count(df) == 0, I.physical_plan(df)
+
+
+@pytest.mark.parametrize("name", [
+    "pipeline_status", "join_chain_4way_revenue", "ols_trend_per_group",
+    "seasonal_decompose", "cosine_topk",
+])
+def test_dim_joins_broadcast(spark, name):
+    """Dimension-table joins must be broadcast-hash, never shuffled."""
+    df = QUERIES[name].fn(spark, SF_DIR)
+    assert I.broadcast_join_count(df) >= 1, I.physical_plan(df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+          .filter(F.col("o_totalprice") > 1000.0)
+          .select("o_orderkey"))
+    assert I.has_pushed_filters(df)
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+          .select("o_orderkey", "o_totalprice"))
+    cols = I.scan_read_columns(df)
+    assert cols and all(set(c) <= {"o_orderkey", "o_totalprice"}
+                        for c in cols), cols
+
+
+def test_flagship_query_stays_pruned(spark):
+    """pipeline_status must not read full rows of orders/lineitem."""
+    df = QUERIES["pipeline_status"].fn(spark, SF_DIR)
+    for cols in I.scan_read_columns(df):
+        assert len(cols) <= 6, cols
+
+
+def test_whole_stage_codegen_present(spark):
+    df = QUERIES["join_chain_4way_revenue"].fn(spark, SF_DIR)
+    assert I.codegen_stage_count(df) >= 1
