@@ -120,3 +120,24 @@ def dedup_on_load(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataF
         new.dropDuplicates(keys)
         .join(existing.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
     )
+
+
+@register("approx_distinct_profile", survey="A2-scale,A1")
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality profile — the 100 TB scale-up of the
+    dashboard's COUNT(DISTINCT) (SURVEY.md §2.4 note): approximate
+    distinct counts are map-side mergeable sketches, so the profile
+    costs ONE pass and one tiny shuffle regardless of key cardinality,
+    where exact distinct counting shuffles every distinct value.
+    Rows-only driver check (sketch estimates are engine-specific);
+    tests/test_sketches.py pins estimates within 5% of exact."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_types"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.expr("approx_count_distinct(concat(user_id, '|', event_type))")
+         .alias("approx_user_type_pairs"),
+    )
