@@ -609,3 +609,36 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"), dsum("value", "value_sum"))
     )
+
+
+_TREND_SQL = """
+    SELECT CAST(e.ts AS DATE) AS day,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+           CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           COUNT(*) AS n_events
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY CAST(e.ts AS DATE)
+    ORDER BY day DESC
+    LIMIT 30
+"""
+
+
+@register(
+    "daily_activity_trend",
+    survey="J6,A2,A3,A7,W7,F5",
+    oracle=_TREND_SQL,
+)
+def daily_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's time-trend shape (reference
+    `streamlit/etl_logs.py:240-254`: LEFT JOIN + 2×COUNT DISTINCT +
+    SUM(CASE WHEN) + date-trunc GROUP BY + ORDER/LIMIT), run through
+    the ENGINE'S SQL API path — `spark.sql` over registered views with
+    the very string the oracle runs — demonstrating that the reference's
+    13 dashboard SQL strings port verbatim (SURVEY.md §3.2). Catalyst
+    expands the multi-distinct aggregate with one `expand` + two-stage
+    agg; the customer dim broadcasts."""
+    from covid_weather_etl_spark.sources.catalog import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_TREND_SQL)
