@@ -509,3 +509,69 @@ def logreg_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(tp, fp, fn, tn,
           round((tp + tn) / n, 4), round(auc, 3))],
         "tp long, fp long, fn long, tn long, accuracy double, auc double")
+
+
+# ---------------------------------------------------------------------------
+# W10 — ADF stationarity test per group (applyInPandas, rows-only)
+# ---------------------------------------------------------------------------
+
+ADF_LAGS = 1
+# MacKinnon 5% critical value for the constant-only ADF regression at
+# large T (published statistical constant).
+ADF_CRIT_5PCT = -2.86
+
+_ADF_SCHEMA = T.StructType([
+    T.StructField("n_name", T.StringType()),
+    T.StructField("n_obs", T.IntegerType()),
+    T.StructField("adf_stat", T.DoubleType()),
+    T.StructField("stationary_5pct", T.BooleanType()),
+])
+
+
+def adf_stat(y: np.ndarray, lags: int = ADF_LAGS) -> float:
+    """Augmented Dickey-Fuller t-statistic (constant, no trend):
+    Δy_t = α + φ·y_{t-1} + Σβᵢ·Δy_{t-i} + ε, H0: φ = 0. Returns the
+    t-stat of φ — compare against MacKinnon critical values. Pure
+    numpy; the reference calls statsmodels `adfuller` (forecasting
+    notebook cells 8-9)."""
+    dy = np.diff(y)
+    t_len = len(dy) - lags
+    if t_len <= lags + 3:
+        return float("nan")
+    X = np.column_stack(
+        [y[lags:-1]]
+        + [dy[lags - i - 1:len(dy) - i - 1] for i in range(lags)]
+        + [np.ones(t_len)])
+    target = dy[lags:]
+    coef, *_ = np.linalg.lstsq(X, target, rcond=None)
+    resid = target - X @ coef
+    dof = t_len - X.shape[1]
+    s2 = float(resid @ resid) / dof
+    cov00 = s2 * np.linalg.inv(X.T @ X)[0, 0]
+    return float(coef[0] / np.sqrt(cov00))
+
+
+def _adf_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("d")
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    stat = adf_stat(y)
+    return pd.DataFrame({
+        "n_name": [pdf["n_name"].iloc[0]],
+        "n_obs": [len(y)],
+        "adf_stat": [round(stat, 6) if stat == stat else stat],
+        "stationary_5pct": [bool(stat < ADF_CRIT_5PCT)
+                            if stat == stat else None],
+    })
+
+
+@register("adf_stationarity", survey="W10,U2")
+def adf_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ADF stationarity test of the daily revenue series —
+    the reference's `adfuller(series)` gate before differencing
+    (forecasting notebook cells 8-9) as a `groupBy.applyInPandas`
+    numpy regression. Rows-only driver check; numpy oracle in
+    tests/test_ml.py."""
+    daily = nation_daily(spark, sf_dir)
+    return (daily.groupBy("n_name")
+            .applyInPandas(_adf_group, schema=_ADF_SCHEMA)
+            .orderBy("n_name"))

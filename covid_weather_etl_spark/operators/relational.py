@@ -642,3 +642,40 @@ def daily_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_weather_etl_spark.sources.catalog import register_views
     register_views(spark, sf_dir)
     return spark.sql(_TREND_SQL)
+
+
+_MONTH_NAMES = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+@register(
+    "epoch_scalar_fns",
+    survey="F4,F12,F14,U1",
+    oracle=f"""
+    SELECT event_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+           CASE CAST(month(ts) AS INT)
+                {' '.join(f"WHEN {i + 1} THEN '{m}'"
+                          for i, m in enumerate(_MONTH_NAMES))}
+           END AS month_name,
+           CAST(value > 50 AS INT) AS is_high
+    FROM events
+    """,
+)
+def epoch_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch conversion, dict-style month naming, boolean→int — the
+    reference's `convert_timestamp` (`streamlit/etl_logs.py:44-47`),
+    month_name map (`streamlit/weather_analysis.py:175-177`) and
+    `(prcp > 0).astype(int)` label (`dags/classification_dag.py:69`)
+    as pure column expressions (U1: no UDF needed). The month map is an
+    explicit literal map, locale-independent unlike date_format MMM."""
+    t = load_tables(spark, sf_dir, ("events",))
+    month_map = F.create_map(
+        *[x for i, m in enumerate(_MONTH_NAMES)
+          for x in (F.lit(i + 1), F.lit(m))])
+    return t["events"].select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.element_at(month_map, F.month("ts")).alias("month_name"),
+        (F.col("value") > 50).cast("int").alias("is_high"),
+    )

@@ -339,3 +339,67 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w)
          .cast("double").alias("cum_spend"),
     )
+
+
+@register(
+    "monthly_boxplot_stats",
+    survey="A16,A11,A6,W12",
+    oracle="""
+    SELECT CAST(month(o_orderdate) AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def monthly_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped boxplot statistics (reference monthly `px.box` of tavg,
+    `streamlit/weather_analysis.py:193-196`): exact interpolated
+    quartiles per month in ONE grouped aggregate — the five-number
+    summary the plot needs without shipping rows to the client. At
+    100 TB swap `percentile` for `approx_percentile` (same call shape,
+    mergeable sketch)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    p = F.col("o_totalprice")
+    return (t["orders"]
+            .groupBy(F.month("o_orderdate").alias("m"))
+            .agg(F.count("*").alias("n"),
+                 F.min(p).alias("lo"),
+                 F.round(F.percentile(p, F.lit(0.25)), 6).alias("p25"),
+                 F.round(F.percentile(p, F.lit(0.50)), 6).alias("p50"),
+                 F.round(F.percentile(p, F.lit(0.75)), 6).alias("p75"),
+                 F.max(p).alias("hi")))
+
+
+@register(
+    "label_encode_segment",
+    survey="W14,A13,U1",
+    oracle="""
+    WITH vocab AS (
+        SELECT c_mktsegment,
+               CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT)
+                 AS segment_id
+        FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT c.c_custkey, c.c_mktsegment, v.segment_id
+    FROM customer c JOIN vocab v ON c.c_mktsegment = v.c_mktsegment
+    """,
+)
+def label_encode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label encoding (reference `LabelEncoder` on season, forecasting
+    notebook cell 12): sorted-vocabulary → dense integer ids. The
+    vocabulary is collected (it is by definition small — this is what
+    StringIndexer does internally) and broadcast-joined back, so the
+    encode is one map-side join, no global window, no second shuffle."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    cust = t["customer"]
+    vocab = sorted(r[0] for r in
+                   cust.select("c_mktsegment").distinct().collect())
+    mapping = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(vocab)],
+        "c_mktsegment string, segment_id long")
+    return (cust.join(F.broadcast(mapping), "c_mktsegment")
+            .select("c_custkey", "c_mktsegment", "segment_id"))

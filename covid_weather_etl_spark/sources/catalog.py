@@ -56,3 +56,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def ensure_warehouse(spark: SparkSession, db: str = "warehouse",
+                     location: str | None = None) -> None:
+    """DDL bootstrap (SURVEY.md S7): CREATE DATABASE / TABLE IF NOT
+    EXISTS for the reference's warehouse fact tables, DDL rendered from
+    the canonical StructType constants — the Spark restatement of the
+    reference's sqlglot-roundtripped DDL executor
+    (`database/schema.py:103-143`). Idempotent by construction."""
+    from covid_weather_etl_spark import schemas as S
+
+    loc = f" LOCATION '{location}/{db}.db'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+    for table, schema in (("weather", S.WEATHER_SCHEMA),
+                          ("covid", S.COVID_SCHEMA),
+                          ("import_logs", S.IMPORT_LOG_SCHEMA),
+                          ("transform_logs", S.TRANSFORM_LOG_SCHEMA),
+                          ("load_logs", S.LOAD_LOG_SCHEMA)):
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                         for f in schema.fields)
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {db}.{table} ({cols}) "
+                  f"USING parquet")

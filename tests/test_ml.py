@@ -81,3 +81,50 @@ def test_logreg_eval_invariants(spark):
     assert 0.0 <= row.accuracy <= 1.0
     assert 0.0 <= row.auc <= 1.0
     assert row.accuracy == pytest.approx((row.tp + row.tn) / n, abs=1e-4)
+
+
+def test_adf_matches_numpy(spark, daily_pdf):
+    got = ML.adf_stationarity(spark, SF_DIR).toPandas().set_index("n_name")
+    for name, grp in daily_pdf.groupby("n_name"):
+        y = grp.sort_values("d")["y"].to_numpy(dtype=np.float64)
+        want = ML.adf_stat(y)
+        row = got.loc[name]
+        assert row["n_obs"] == len(y)
+        if want != want:  # nan
+            assert row["adf_stat"] != row["adf_stat"]
+        else:
+            assert row["adf_stat"] == round(want, 6)
+            assert row["stationary_5pct"] == (want < ML.ADF_CRIT_5PCT)
+
+
+def test_adf_detects_stationary_vs_random_walk(spark):
+    """Sanity on synthetic series: white noise is stationary, a random
+    walk is not — the decision the reference drives with adfuller."""
+    rng = np.random.RandomState(0)
+    noise = rng.standard_normal(300)
+    walk = np.cumsum(rng.standard_normal(300))
+    assert ML.adf_stat(noise) < ML.ADF_CRIT_5PCT
+    assert ML.adf_stat(walk) > ML.ADF_CRIT_5PCT
+
+
+def test_pipeline_model_save_load_roundtrip(spark, tmp_path):
+    """S9: model persistence — PipelineModel.save/load replaces the
+    reference's joblib-base64-over-XCom round trip
+    (dags/forecasting_dag.py:186-204)."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    df = ML._labeled_lineitem(spark, SF_DIR).limit(500)
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=ML.FEATURES, outputCol="features"),
+        LogisticRegression(featuresCol="features", labelCol="label",
+                           maxIter=5),
+    ])
+    model = pipe.fit(df)
+    path = str(tmp_path / "model")
+    model.save(path)
+    back = PipelineModel.load(path)
+    a = model.transform(df).select("prediction").collect()
+    b = back.transform(df).select("prediction").collect()
+    assert a == b

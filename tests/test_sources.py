@@ -57,3 +57,15 @@ def test_csv_roundtrip(spark, tmp_path):
     ])
     back = SIO.read_csv(spark, path, schema)
     assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_ensure_warehouse_ddl(spark, tmp_path):
+    from covid_weather_etl_spark.sources.catalog import ensure_warehouse
+
+    ensure_warehouse(spark, db="wh_test", location=str(tmp_path))
+    ensure_warehouse(spark, db="wh_test", location=str(tmp_path))  # idempotent
+    tables = {t.name for t in spark.catalog.listTables("wh_test")}
+    assert {"weather", "covid", "import_logs",
+            "transform_logs", "load_logs"} <= tables
+    cols = [f.name for f in spark.table("wh_test.weather").schema.fields]
+    assert "tavg" in cols and "country" in cols
