@@ -491,14 +491,17 @@ def logreg_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                            maxIter=20, regParam=0.01, tol=1e-5),
     ])
     model = pipe.fit(train)
+    # scored feeds two actions (AUC + confusion counts) — cache so the
+    # assemble/scale/predict chain runs once
     scored = model.transform(test).select("label", "prediction",
-                                          "rawPrediction", "probability")
+                                          "rawPrediction").cache()
     auc = BinaryClassificationEvaluator(
         labelCol="label", rawPredictionCol="rawPrediction",
         metricName="areaUnderROC").evaluate(scored)
     cm = scored.groupBy("label",
                         F.col("prediction").cast("int").alias("pred")) \
                .count().collect()
+    scored.unpersist()
     counts = {(r["label"], r["pred"]): r["count"] for r in cm}
     tp = counts.get((1, 1), 0)
     fp = counts.get((0, 1), 0)

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.queries.registry import register
-from covid_weather_etl_spark.sources.catalog import load_tables
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
 # Near-dup identity is the 3-gram shingle set (same unit as
 # operators/text.py's exact Jaccard): word-level sets degenerate on
@@ -65,8 +65,9 @@ def _perm_params(k: int = N_HASHES) -> list[tuple[int, int]]:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → exploded distinct n-word shingles (the dedup unit)."""
-    return (docs
+    """doc_id → exploded distinct n-word shingles (the dedup unit).
+    Spread across cores first — the explode is the CPU-heavy stage."""
+    return (spread(docs, "doc_id")
             .select("doc_id", F.explode(F.expr(
                 f"transform(sequence(0, size(split(text, ' ')) - {n}), "
                 f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
@@ -156,7 +157,7 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     sum(±1) per bit position across tokens, assembled with shift/or —
     pure column algebra, one groupBy.
     """
-    tokens = (docs
+    tokens = (spread(docs, "doc_id")
               .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
               .distinct()
               .withColumn("h", F.xxhash64("token")))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.queries.registry import register
-from covid_weather_etl_spark.sources.catalog import load_tables
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
 # language marker words for the n-gram/stopword language-ID heuristic.
 # Priority order (en, de, fr, es, zh) breaks score ties deterministically.
@@ -221,7 +221,7 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     toks = _tokens()
     shingled = (
-        t["documents"]
+        spread(t["documents"], "doc_id")
         .select("doc_id",
                 F.explode(F.expr(
                     "transform(sequence(0, size(split(text, ' ')) - 3), "

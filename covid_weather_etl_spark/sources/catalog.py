@@ -78,3 +78,16 @@ def ensure_warehouse(spark: SparkSession, db: str = "warehouse",
                          for f in schema.fields)
         spark.sql(f"CREATE TABLE IF NOT EXISTS {db}.{table} ({cols}) "
                   f"USING parquet")
+
+
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition to the session's core count before a CPU-heavy
+    narrow stage (shingling, hashing, UDF batches). Single-file parquet
+    tables arrive as ONE input partition, which would serialize the
+    whole downstream chain on one task; one cheap shuffle of the
+    (small) source rows unlocks full parallelism. At 100 TB inputs are
+    many files and this becomes a no-op choice — keyed repartition is
+    still the right call ahead of per-key explodes to keep skew off a
+    single task."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys) if keys else df.repartition(n)
