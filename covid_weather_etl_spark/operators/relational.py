@@ -679,3 +679,46 @@ def epoch_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(month_map, F.month("ts")).alias("month_name"),
         (F.col("value") > 50).cast("int").alias("is_high"),
     )
+
+
+@register(
+    "etl_kpi_cards",
+    survey="A1,A2,A3,A5,P5,J1,F9",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS total_orders,
+           CAST(COUNT(*) AS BIGINT)                   AS total_lineitems,
+           ROUND(100.0 * SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                 / COUNT(*), 1)                       AS pct_no_return,
+           ROUND(100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 / COUNT(*), 1)                       AS pct_finished
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1996-12-31'
+    """,
+)
+def etl_kpi_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's four scalar KPI cards (reference
+    `streamlit/etl_logs.py:125-180`: total files, total API calls,
+    transform/load success rates) — four separate Postgres round-trips
+    there, ONE aggregate pass here: the BETWEEN filter pushes into the
+    orders scan, the join shuffles once, and all four metrics (a
+    distinct count, a plain count, two SUM(CASE WHEN) ratio-of-aggregate
+    percentages) come out of a single global agg. At 100 TB this is the
+    difference between four full scans and one."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    return (
+        t["lineitem"]
+        .join(t["orders"].filter(
+            F.col("o_orderdate").between("1996-01-01", "1996-12-31 00:00:00")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("total_orders"),
+            F.count("*").alias("total_lineitems"),
+            F.round(100.0 * F.sum(F.when(F.col("l_returnflag") == "N", 1)
+                                  .otherwise(0)) / F.count("*"), 1)
+             .alias("pct_no_return"),
+            F.round(100.0 * F.sum(F.when(F.col("o_orderstatus") == "F", 1)
+                                  .otherwise(0)) / F.count("*"), 1)
+             .alias("pct_finished"),
+        )
+    )
