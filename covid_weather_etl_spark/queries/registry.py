@@ -58,8 +58,8 @@ def _load_modules() -> None:
     if _LOADED:
         return
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        relational, windows, dedup, minhash, multimodal, similarity, text,
-        timeseries,
+        bucketing, relational, windows, dedup, minhash, multimodal,
+        similarity, text, timeseries,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
