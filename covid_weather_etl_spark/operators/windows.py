@@ -403,3 +403,61 @@ def label_encode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment string, segment_id long")
     return (cust.join(F.broadcast(mapping), "c_mktsegment")
             .select("c_custkey", "c_mktsegment", "segment_id"))
+
+
+@register(
+    "skew_resilient_running_total",
+    survey="W1,A6",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER
+             (PARTITION BY o_custkey ORDER BY {_SERIES_ORDER_SQL}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+    FROM orders
+    """,
+)
+def skew_resilient_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as `running_total`, computed as a two-phase
+    distributed prefix sum — the skew-resilient form for when one series
+    key dominates (a hot user with 10M+ rows): a plain
+    `Window.partitionBy(key)` funnels the whole hot series through ONE
+    task, and AQE cannot split a window partition. Instead:
+
+    1. block the series on a coarse monotone time key (`year`), so the
+       in-block cumulative window partitions on (key, block) — the hot
+       series splits across as many tasks as it spans blocks;
+    2. aggregate per-block sums (tiny: keys × blocks rows) and take a
+       cumulative sum over PRECEDING blocks on that aggregate;
+    3. add the block offset back to the in-block prefix.
+
+    Decimal accumulation makes phase-1 + phase-3 exactly equal to the
+    single-window sum (decimal addition is associative), which the
+    oracle — the PLAIN single-window SQL — verifies. At 100 TB, block
+    granularity (year → month → day) tunes max-task size."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    blk = F.year("o_orderdate").alias("blk")
+    dec = F.col("o_totalprice").cast("decimal(25,6)")
+
+    w_in = (W.partitionBy("o_custkey", "blk")
+            .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    in_block = (t["orders"]
+                .select("o_custkey", "o_orderkey", "o_orderdate",
+                        "o_totalprice", blk)
+                .withColumn("cum_in_blk", F.sum(dec).over(w_in)))
+
+    w_off = (W.partitionBy("o_custkey").orderBy("blk")
+             .rowsBetween(W.unboundedPreceding, -1))
+    offsets = (t["orders"]
+               .groupBy("o_custkey", blk)
+               .agg(F.sum(dec).alias("blk_sum"))
+               .withColumn("offset", F.sum("blk_sum").over(w_off))
+               .select("o_custkey", "blk", "offset"))
+
+    return (in_block
+            .join(offsets, ["o_custkey", "blk"])
+            .select(
+                "o_custkey", "o_orderkey",
+                (F.col("cum_in_blk")
+                 + F.coalesce(F.col("offset"), F.lit(0).cast("decimal(25,6)")))
+                .cast("double").alias("cum_spend")))
