@@ -182,13 +182,35 @@ def load(spark: SparkSession, silver: DataFrame, gold_path: str, kind: str,
     if existing is not None:
         batch = batch.join(existing.select(*key).dropDuplicates(key),
                            on=key, how="left_anti")
+    # Dense unique ids WITHOUT a global window (a bare
+    # W.orderBy(...) row_number funnels the whole batch through one
+    # task — fatal at 100 TB appends). Two-phase, like
+    # skew_resilient_running_total: partition-local row_number, then a
+    # cumulative offset over the tiny one-row-per-partition count
+    # table, broadcast back. Ids stay dense and continue from
+    # max(gold.id); which row gets which id follows partition layout
+    # (the reference's SERIAL made no ordering promise either).
     from pyspark.sql import Window as W
-    w = W.orderBy(*[F.col(c) for c in ("date", "country")])
-    to_append = (batch
-                 .withColumn("id", F.row_number().over(w) + F.lit(max_id))
+    w_in = (W.partitionBy("_pid")
+            .orderBy(*[F.col(c) for c in ("date", "country")]))
+    local = (batch.withColumn("_pid", F.spark_partition_id())
+             .withColumn("_rn", F.row_number().over(w_in)))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (local.groupBy("_pid").agg(F.max("_rn").alias("_cnt"))
+               .withColumn("_off", F.coalesce(
+                   F.sum("_cnt").over(w_off), F.lit(0)).cast("long"))
+               .select("_pid", "_off"))
+    to_append = (local
+                 .join(F.broadcast(offsets), "_pid")
+                 .withColumn("id", (F.col("_rn") + F.col("_off")
+                                    + F.lit(max_id)).cast("long"))
                  .select("id", *[f.name for f in
                                  (S.WEATHER_SCHEMA if kind == "weather"
                                   else S.COVID_SCHEMA).fields if f.name != "id"]))
+    # Unpartitioned at test scale so an all-quarantined batch still
+    # leaves a readable (empty) gold footer; the at-scale layout adds
+    # .partitionBy("country") — the reference's dominant filter (P4) —
+    # plus a month component (see SCALE.md §1).
     to_append.write.mode("append").parquet(gold_path)
 
     n_in = silver.count()
