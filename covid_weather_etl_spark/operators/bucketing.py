@@ -59,10 +59,25 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str) -> str:
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     for name, df, key in (("orders_b", t["orders"], "o_orderkey"),
                           ("lineitem_b", t["lineitem"], "l_orderkey")):
-        if not spark.catalog.tableExists(f"{db}.{name}"):
+        if spark.catalog.tableExists(f"{db}.{name}"):
+            continue
+        path = f"{loc}/{name}"
+        if os.path.exists(f"{path}/_SUCCESS"):
+            # files survive across sessions; the in-memory catalog does
+            # not. Re-register the existing bucketed files as an
+            # external table with the same bucket spec instead of
+            # rewriting — this is what makes the write-side shuffle a
+            # genuinely one-time cost.
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                             for f in df.schema.fields)
+            spark.sql(
+                f"CREATE TABLE {db}.{name} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'")
+        else:
             (df.repartition(N_BUCKETS, key)
                .write.format("parquet")
-               .option("path", f"{loc}/{name}")
+               .option("path", path)
                .bucketBy(N_BUCKETS, key).sortBy(key)
                .mode("overwrite")
                .saveAsTable(f"{db}.{name}"))
