@@ -247,3 +247,48 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_1", "doc_id_2", "n_common", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
+
+
+@register(
+    "bpe_token_stats",
+    survey="LLM-text",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_bpe_tokens,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^\p{L}')))
+                AS INT) AS n_word_tokens,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^\p{N}')))
+                AS INT) AS n_num_tokens,
+           CAST(len(toks)
+                - len(list_filter(toks, t -> regexp_matches(t, '^\p{L}')))
+                - len(list_filter(toks, t -> regexp_matches(t, '^\p{N}')))
+                AS INT) AS n_punct_tokens,
+           len(toks) * 1.0 / len(string_split(text, ' '))
+               AS bpe_per_ws_ratio
+    FROM (SELECT doc_id, text,
+                 regexp_extract_all(text,
+                     '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+') AS toks
+          FROM documents)
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer backbone
+    (letter runs | digit runs | punctuation runs — the split a byte-BPE
+    vocabulary is trained over) as a pure regex column expression, plus
+    the fertility ratio against whitespace tokens. Narrow transform,
+    zero shuffle; the real tokenizer's merge table would slot in as a
+    Pandas UDF over these pre-tokens without changing the plan shape."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.expr(
+        r"regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+', 0)")
+    n = F.size(toks)
+    words = F.size(F.filter(toks, lambda x: x.rlike(r"^\p{L}")))
+    nums = F.size(F.filter(toks, lambda x: x.rlike(r"^\p{N}")))
+    return t["documents"].select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        words.alias("n_word_tokens"),
+        nums.alias("n_num_tokens"),
+        (n - words - nums).alias("n_punct_tokens"),
+        (n * 1.0 / F.size(F.split("text", " "))).alias("bpe_per_ws_ratio"),
+    )

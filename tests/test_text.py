@@ -1,0 +1,47 @@
+"""Text-analysis operators on constructed inputs that exercise the
+cases the synthetic corpus doesn't (digits, punctuation, mixed runs) —
+the registry-wide oracle sweep covers the corpus itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _bpe_counts(spark, text: str) -> dict:
+    from covid_weather_etl_spark.operators import text as tx
+    toks = F.expr(
+        r"regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+', 0)")
+    df = (spark.createDataFrame([(0, text)], "doc_id long, text string")
+          .select(toks.alias("toks")))
+    return df.collect()[0]["toks"]
+
+
+def test_bpe_pretokens_split_letter_digit_punct_runs(spark):
+    assert _bpe_counts(spark, "abc123!? x") == ["abc", "123", "!?", "x"]
+
+
+def test_bpe_pretokens_unicode_letters(spark):
+    assert _bpe_counts(spark, "héllo wörld42") == ["héllo", "wörld", "42"]
+
+
+def test_bpe_stats_on_mixed_text(spark, tmp_path):
+    """Full query over a tiny parquet 'documents' table with mixed
+    content: category counts must add up and fertility > 1 when
+    punctuation splits whitespace tokens apart."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    sf = str(tmp_path)
+    (spark.createDataFrame(
+        [(1, "Hello, world! 2 + 2 = 4."), (2, "plain words only")],
+        "doc_id long, text string")
+     .write.parquet(f"{sf}/documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            all_queries()["bpe_token_stats"].fn(spark, sf).collect()}
+    r1 = rows[1]
+    assert (r1["n_word_tokens"] + r1["n_num_tokens"]
+            + r1["n_punct_tokens"]) == r1["n_bpe_tokens"]
+    assert r1["n_num_tokens"] == 3 and r1["n_punct_tokens"] == 5
+    assert r1["bpe_per_ws_ratio"] > 1.0
+    r2 = rows[2]
+    assert r2["n_bpe_tokens"] == 3 and r2["n_punct_tokens"] == 0
+    assert r2["bpe_per_ws_ratio"] == 1.0
