@@ -224,3 +224,66 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col("features")[i], 5).alias(f"f{i}")
           for i in range(N_FEATURES)],
     ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# resize (Arrow-batched; decode stubbed, resampling real)
+# ---------------------------------------------------------------------------
+
+TARGET_SAMPLES = 64
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("n_bytes_in", T.IntegerType()),
+    T.StructField("n_bytes_out", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+])
+
+
+def _fake_resize(arr: np.ndarray, target: int = TARGET_SAMPLES) -> np.ndarray:
+    """Nearest-neighbor resample of the decoded 1-D sample array to a
+    fixed length — the 1-D analog of image resize (a real build swaps
+    in PIL's `Image.resize`/ffmpeg scale and nothing else changes)."""
+    if arr.size == 0:
+        return np.zeros(target, dtype=np.uint8)
+    idx = (np.arange(target, dtype=np.int64) * arr.size) // target
+    return arr[idx]
+
+
+def resize_assets(assets: DataFrame,
+                  target: int = TARGET_SAMPLES) -> DataFrame:
+    """`mapInPandas` resize: payload bytes → decode (stub) → fixed-size
+    resample → new binary payload. Bytes never leave the executor; the
+    output rows are uniformly `target` bytes, which is what makes the
+    downstream training-batch layout predictable at 100 TB."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_fake_resize(decode_media(p, m, fake=True),
+                                target).tobytes()
+                   for p, m in zip(pdf["payload"], pdf["mime"])]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "n_bytes_in": pdf["n_bytes"].astype("int32"),
+                "n_bytes_out": np.int32(target),
+                "resized": out,
+            })
+
+    return (assets
+            .select("asset_id", "payload",
+                    F.col("meta.n_bytes").alias("n_bytes"),
+                    F.col("meta.mime").alias("mime"))
+            .mapInPandas(run, schema=RESIZE_SCHEMA))
+
+
+@register("media_resize", survey="multimodal")
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every media asset to TARGET_SAMPLES samples; returns
+    sizes + content checksum (not the bytes — the driver compare
+    wants stable strings). Rows-only driver check; the python oracle
+    in tests/test_multimodal.py pins the resampling."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    resized = resize_assets(media_assets(t["documents"]))
+    return (resized
+            .select("asset_id", "n_bytes_in", "n_bytes_out",
+                    F.md5("resized").alias("checksum"))
+            .orderBy("asset_id"))

@@ -63,3 +63,27 @@ def test_frame_sample_invariants(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError, match="codec"):
         MM.decode_media(b"\x00\x01", "image/fake", fake=False)
+
+
+def test_media_resize_matches_python(spark, docs_pdf):
+    got = MM.media_resize(spark, SF_DIR).toPandas().set_index("asset_id")
+    assert (got["n_bytes_out"] == MM.TARGET_SAMPLES).all()
+    for row in docs_pdf.head(20).itertuples():
+        arr = np.frombuffer(row.text.encode("utf-8"), dtype=np.uint8)
+        idx = (np.arange(MM.TARGET_SAMPLES, dtype=np.int64)
+               * arr.size) // MM.TARGET_SAMPLES
+        expected = arr[idx].tobytes()
+        assert (got.loc[row.doc_id, "checksum"]
+                == hashlib.md5(expected).hexdigest())
+        assert got.loc[row.doc_id, "n_bytes_in"] == arr.size
+
+
+def test_fake_resize_preserves_endpoints():
+    arr = np.arange(256, dtype=np.uint8)
+    out = MM._fake_resize(arr, 64)
+    assert out.size == 64
+    assert out[0] == arr[0]
+    # nearest-neighbor grid: last sample index is (63*256)//64 = 252
+    assert out[-1] == arr[(63 * 256) // 64]
+    # monotone non-decreasing source indices → order preserved
+    assert (np.diff(out.astype(int)) >= 0).all()
