@@ -17,7 +17,7 @@ in front to cap pair generation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.queries.registry import register
@@ -292,3 +292,68 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - words - nums).alias("n_punct_tokens"),
         (n * 1.0 / F.size(F.split("text", " "))).alias("bpe_per_ws_ratio"),
     )
+
+
+# winnowing parameters: k-gram size and winnow window (Schleimer et al.,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+# the MOSS fingerprinter; guarantees any match of length >= k + w - 1
+# shares a selected fingerprint).
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+@register(
+    "winnowing_fingerprint",
+    survey="LLM-text",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               i AS pos,
+               md5(substr(text, CAST(i AS INT), {WINNOW_K})) AS h,
+               length(text) - {WINNOW_K} + 1 AS n_grams
+        FROM documents,
+             LATERAL unnest(generate_series(1, length(text) - {WINNOW_K} + 1)) AS t(i)
+        WHERE length(text) >= {WINNOW_K}
+    ), winnowed AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS fp
+        FROM grams
+        QUALIFY pos <= n_grams - {WINNOW_W} + 1
+    )
+    SELECT doc_id, fp FROM winnowed GROUP BY doc_id, fp
+    """,
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS): hash
+    every character k-gram, then keep the minimum hash of each sliding
+    window of w consecutive positions — the selected fingerprints are
+    the local minima that any sufficiently long shared substring must
+    hit, so two documents sharing >= k+w-1 chars share a fingerprint.
+    md5 stands in for the polynomial rolling hash so the DuckDB oracle
+    computes identical values; a production build swaps in a cheaper
+    rolling hash without changing the plan. Per-doc windows partition
+    on doc_id — no global state, scales with the corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    k, w = WINNOW_K, WINNOW_W
+    # all k-gram hashes as ONE array expression, then posexplode — the
+    # text is scanned once per doc, no self-join
+    hashes = F.expr(
+        f"transform(sequence(1, length(text) - {k} + 1), "
+        f"i -> md5(substr(text, i, {k})))")
+    grams = (
+        spread(t["documents"], "doc_id")
+        .filter(F.length("text") >= k)
+        .select("doc_id",
+                (F.length("text") - k + 1).alias("n_grams"),
+                F.posexplode(hashes).alias("pos0", "h"))
+        .select("doc_id", "n_grams",
+                (F.col("pos0") + 1).alias("pos"), "h"))
+    win = (W.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(W.currentRow, w - 1))
+    return (grams
+            .withColumn("fp", F.min("h").over(win))
+            .filter(F.col("pos") <= F.col("n_grams") - w + 1)
+            .select("doc_id", "fp")
+            .distinct())

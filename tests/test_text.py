@@ -45,3 +45,26 @@ def test_bpe_stats_on_mixed_text(spark, tmp_path):
     r2 = rows[2]
     assert r2["n_bpe_tokens"] == 3 and r2["n_punct_tokens"] == 0
     assert r2["bpe_per_ws_ratio"] == 1.0
+
+
+def test_winnowing_shared_substring_guarantee(spark, tmp_path):
+    """Winnowing guarantee (Schleimer et al.): two documents sharing a
+    substring of length >= k + w - 1 share at least one fingerprint;
+    disjoint-alphabet documents share none."""
+    from covid_weather_etl_spark.operators.text import (
+        WINNOW_K, WINNOW_W, winnowing_fingerprint,
+    )
+    shared = "the quick brown fox jumps over the lazy dog"
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    sf = str(tmp_path)
+    (spark.createDataFrame(
+        [(1, f"aaaa {shared} bbbb"),
+         (2, f"cccc {shared} dddd"),
+         (3, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")],
+        "doc_id long, text string")
+     .write.parquet(f"{sf}/documents.parquet"))
+    fps = winnowing_fingerprint(spark, sf).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
