@@ -722,3 +722,78 @@ def etl_kpi_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("pct_finished"),
         )
     )
+
+
+@register(
+    "rollup_revenue",
+    survey="ext-rollup,A3,A6,A7",
+    oracle=f"""
+    SELECT n_name, o_orderpriority,
+           CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS lvl,
+           {dsum_sql('o_totalprice')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, o_orderpriority)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy aggregation the reference lacks (SURVEY.md §2.4: "No
+    grouping sets / cube / rollup") but every monitoring dashboard
+    needs at scale: nation → priority → grand-total revenue in ONE
+    shuffled aggregate instead of three separate GROUP BY passes
+    (the reference's dashboard issues one Postgres query per rollup
+    level, `streamlit/etl_logs.py:125-204`). `grouping_id()` tags each
+    level; Spark plans ROLLUP as a single Expand + hash aggregate, so
+    the fact table is scanned once. Dims broadcast."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    joined = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            dsum("o_totalprice", "revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("n_name", "o_orderpriority", "lvl", "revenue", "n_orders")
+    )
+
+
+@register(
+    "pivot_status_revenue",
+    survey="ext-pivot,A3,A7",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS rev_f,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS rev_o,
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS rev_p
+    FROM orders
+    GROUP BY year(o_orderdate)
+    """,
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot (long→wide reshape): revenue per year broken
+    out by order status as columns. The reference reshapes in pandas
+    driver-side (`streamlit/weather_analysis.py:198-210` year-over-year
+    lines); here `groupBy(year).pivot(status, [explicit values])` stays
+    distributed — the explicit value list keeps the plan a single
+    hash aggregate (no extra distinct-values job) and map-side partial
+    aggregation applies. Exact decimal accumulation keeps the hash
+    comparison with the oracle's SUM(CASE WHEN) formulation bit-exact."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+        .withColumnRenamed("F", "rev_f")
+        .withColumnRenamed("O", "rev_o")
+        .withColumnRenamed("P", "rev_p")
+    )

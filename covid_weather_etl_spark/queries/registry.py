@@ -59,7 +59,7 @@ def _load_modules() -> None:
         return
     from covid_weather_etl_spark.operators import (  # noqa: F401
         bucketing, relational, windows, dedup, minhash, multimodal,
-        similarity, text, timeseries,
+        similarity, temporal, text, timeseries,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
