@@ -141,3 +141,33 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_count_distinct(concat(user_id, '|', event_type))")
          .alias("approx_user_type_pairs"),
     )
+
+
+@register("approx_quantile_profile", survey="A11-scale,A16")
+def approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error-bounded quantile sketch — the 100 TB scale-up of the
+    exact `percentile` used by summary_stats / monthly_boxplot_stats
+    (reference `df.describe()` / boxplots, SURVEY.md §2.4 A11/A16).
+    Exact percentiles need all values of a group collected to one
+    reducer; `percentile_approx` (Greenwald-Khanna sketch) is map-side
+    mergeable, so the profile is one pass + a tiny shuffle of fixed-size
+    sketches regardless of group size. accuracy=10000 bounds rank error
+    to n/10000 per group. Rows-only driver check (sketch picks are
+    engine-specific); tests/test_sketches.py pins each estimate inside
+    the exact [p-eps, p+eps] quantile envelope."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("q"),
+        )
+        .select(
+            "l_returnflag", "n_rows",
+            F.col("q")[0].alias("p25"), F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"), F.col("q")[3].alias("p95"),
+        )
+    )

@@ -19,3 +19,20 @@ def test_approx_distinct_within_tolerance(spark, duck):
                       (row.approx_events, exact[3]),
                       (row.approx_user_type_pairs, exact[4])]:
         assert abs(got - want) <= max(1, 0.05 * want), (got, want)
+
+
+def test_approx_quantiles_within_rank_envelope(spark, duck):
+    rows = all_queries()["approx_quantile_profile"].fn(spark, SF_DIR).collect()
+    assert rows
+    eps = 0.002  # accuracy=10000 → rank error ≤ n/10000; generous envelope
+    for r in rows:
+        for p, got in [(0.25, r.p25), (0.5, r.p50), (0.75, r.p75), (0.95, r.p95)]:
+            lo, hi = duck.execute(
+                """
+                SELECT quantile_disc(l_extendedprice, ?),
+                       quantile_disc(l_extendedprice, ?)
+                FROM lineitem WHERE l_returnflag = ?
+                """,
+                [max(0.0, p - eps), min(1.0, p + eps), r.l_returnflag],
+            ).fetchone()
+            assert float(lo) <= float(got) <= float(hi), (r.l_returnflag, p, got, lo, hi)
