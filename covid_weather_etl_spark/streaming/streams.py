@@ -119,6 +119,23 @@ def session_windows_stream(events: DataFrame, gap: str = GAP) -> DataFrame:
                     "n_events"))
 
 
+def enrich_stream(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: tag each streaming event with the
+    market segment of its user from the static customer dim (the
+    streaming analog of the reference's dashboard joins against dim
+    tables, `streamlit/etl_logs.py:188-204`). Stream-static joins are
+    STATELESS — no watermark, no join state to grow — and Spark re-reads
+    the static side each micro-batch, so dim updates land on the next
+    trigger without a restart. The explicit `broadcast()` keeps the
+    stream side un-shuffled: at 100 TB/day of events the dim (MBs) ships
+    to executors; the firehose never repartitions. Left join keeps
+    events whose user has no dim row (NULL segment → quarantine lane)."""
+    dim = F.broadcast(
+        customer_dim.select(F.col("c_custkey").alias("user_id"),
+                            F.col("c_mktsegment").alias("segment")))
+    return events.join(dim, "user_id", "left")
+
+
 _STATE_SCHEMA = T.StructType([
     T.StructField("n_seen", T.LongType()),
     T.StructField("total", T.DoubleType()),

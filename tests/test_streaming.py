@@ -116,3 +116,21 @@ def test_running_totals_state_across_batches(spark, landing_dir):
     # state genuinely crossed micro-batches: some user must have been
     # emitted more than once (3 chunks, ~every user in each chunk)
     assert (pdf.groupby("user_id").size() > 1).any()
+
+
+def test_enrich_stream_equals_batch_join(spark, landing_dir):
+    customer = load_tables(spark, SF_DIR, ("customer",))["customer"]
+    stream = S.read_event_stream(spark, landing_dir,
+                                 max_files_per_trigger=1)
+    got = _run_stream_to_memory(
+        spark, S.enrich_stream(stream, customer), "t_enrich", "append")
+    batch = S.enrich_stream(
+        load_tables(spark, SF_DIR, ("events",))["events"], customer)
+    g = got.toPandas().sort_values("event_id").reset_index(drop=True)
+    b = batch.toPandas().sort_values("event_id").reset_index(drop=True)
+    # stateless stream-static join: every event passes through exactly
+    # once with the same enrichment batch would produce
+    assert len(g) == len(b) == 1000
+    assert (g["segment"].fillna("∅").values
+            == b[g.columns]["segment"].fillna("∅").values).all()
+    assert g["segment"].notna().any()
