@@ -63,8 +63,15 @@ def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id; no per-key range explosion (a naive range join is
     O(|clicks|·|purchases|) per user). Purchases with no prior click
     keep NULLs (left as-of). The oracle is DuckDB's native ASOF LEFT
-    JOIN — an independent formulation of the same semantics."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    JOIN — an independent formulation of the same semantics.
+    Edge semantics (same-instant tie, no-prior-click, latest-wins)
+    pinned on synthetic frames in tests/test_temporal.py."""
+    return asof_attribution(load_tables(spark, sf_dir, ("events",))["events"])
+
+
+def asof_attribution(ev: DataFrame) -> DataFrame:
+    """Core of asof_join_attribution over any events-shaped frame
+    (event_id, user_id, event_type, ts)."""
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -134,9 +141,16 @@ def interval_join_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     left's 3 candidates), so no post-dedup is needed. The oracle is the
     plain quadratic theta join in DuckDB. The gap average runs over
     exact integer microseconds (one deterministic double division at
-    the end), so the hash comparison is bit-exact."""
+    the end), so the hash comparison is bit-exact. Boundary semantics
+    (pair at exactly ±W in, W+1µs out, adjacent-cell pairs found)
+    pinned in tests/test_temporal.py."""
+    return interval_proximity(load_tables(spark, sf_dir, ("events",))["events"])
+
+
+def interval_proximity(events: DataFrame) -> DataFrame:
+    """Core of interval_join_proximity over any events-shaped frame."""
     ev = (
-        load_tables(spark, sf_dir, ("events",))["events"]
+        events
         .select("event_id", "event_type", F.unix_micros("ts").alias("us"))
         .withColumn("cell", F.expr(f"us div {_HOUR_US}"))
     )
