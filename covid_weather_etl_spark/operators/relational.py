@@ -797,3 +797,37 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "rev_o")
         .withColumnRenamed("P", "rev_p")
     )
+
+
+@register(
+    "cube_revenue",
+    survey="ext-cube,A3,A6,A7",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
+           {dsum_sql('o_totalprice')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the grouping-sets family next to rollup_revenue:
+    all 2^k margin combinations (status×priority, status, priority,
+    grand total) in ONE Expand + hash aggregate over a single fact
+    scan — vs 4 separate GROUP BY passes driver-side in the reference's
+    dashboard pattern. Expand multiplies rows 4× before the partial
+    aggregate, but map-side combine collapses them to (tiny key-space)
+    groups before the one shuffle, so the network cost stays the
+    aggregate size, not 4× the scan."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            dsum("o_totalprice", "revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "lvl", "revenue", "n_orders")
+    )
