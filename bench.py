@@ -45,12 +45,31 @@ def main() -> None:
     total = round(time.perf_counter() - t_total, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query timings go to a sidecar file + stderr; the single
+    # stdout line stays compact (headline bench=True set only) so a
+    # tail-truncating capture can still parse it.  (Round-1 lesson:
+    # one 80-entry JSON line was truncated from the front and the
+    # driver recorded "parsed": null.)
+    full = {"metric": "total_query_wall_seconds", "value": total,
+            "unit": "sec", "queries": timings, "sf": sf_val}
+    try:
+        with open("BENCH_FULL.json", "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as ex:
+        print(f"bench: could not write BENCH_FULL.json: {ex}", file=sys.stderr)
+    print(json.dumps(full["queries"], sort_keys=True), file=sys.stderr)
+
+    headline = {n: timings[n] for n in timings if qs[n].bench}
     print(json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": headline,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
     }))
 
 

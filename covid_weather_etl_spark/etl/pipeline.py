@@ -211,10 +211,16 @@ def load(spark: SparkSession, silver: DataFrame, gold_path: str, kind: str,
     # leaves a readable (empty) gold footer; the at-scale layout adds
     # .partitionBy("country") — the reference's dominant filter (P4) —
     # plus a month component (see SCALE.md §1).
+    # Count BEFORE the append, from a cached frame: re-executing this
+    # lineage after the write would anti-join against a gold directory
+    # that now contains the batch itself (and re-run the whole
+    # non-deterministic spark_partition_id/row_number assignment).
+    to_append = to_append.cache()
+    n_loaded = to_append.count()
     to_append.write.mode("append").parquet(gold_path)
+    to_append.unpersist()
 
     n_in = silver.count()
-    n_loaded = to_append.count()
     return spark.createDataFrame(
         [(batch_ts, f"{kind}_batch", "Success", n_loaded, n_in - n_loaded)],
         schema=S.LOAD_LOG_SCHEMA)

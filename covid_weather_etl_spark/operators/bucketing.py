@@ -20,8 +20,10 @@ bucketing is a physical layout choice and must not change results.
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,12 +64,18 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str) -> str:
         if spark.catalog.tableExists(f"{db}.{name}"):
             continue
         path = f"{loc}/{name}"
-        if os.path.exists(f"{path}/_SUCCESS"):
+        spec = {"n_buckets": N_BUCKETS, "clustered_by": key, "sorted_by": key,
+                "format": "parquet"}
+        if os.path.exists(f"{path}/_SUCCESS") and _spec_matches(path, spec):
             # files survive across sessions; the in-memory catalog does
             # not. Re-register the existing bucketed files as an
             # external table with the same bucket spec instead of
             # rewriting — this is what makes the write-side shuffle a
-            # genuinely one-time cost.
+            # genuinely one-time cost. Reattach ONLY when the spec
+            # marker written alongside _SUCCESS matches the current
+            # N_BUCKETS/key/sort: declaring a wrong bucketing would
+            # make Spark plan an exchange-free join that silently
+            # drops matches.
             cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                              for f in df.schema.fields)
             spark.sql(
@@ -75,13 +83,26 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str) -> str:
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                 f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'")
         else:
+            if os.path.exists(path):
+                shutil.rmtree(path)  # stale/foreign layout: rewrite
             (df.repartition(N_BUCKETS, key)
                .write.format("parquet")
                .option("path", path)
                .bucketBy(N_BUCKETS, key).sortBy(key)
                .mode("overwrite")
                .saveAsTable(f"{db}.{name}"))
+            with open(f"{path}/_BUCKET_SPEC.json", "w") as fh:
+                json.dump(spec, fh)
     return db
+
+
+def _spec_matches(path: str, spec: dict) -> bool:
+    """True iff the on-disk spec marker equals the expected bucketing."""
+    try:
+        with open(f"{path}/_BUCKET_SPEC.json") as fh:
+            return json.load(fh) == spec
+    except (OSError, ValueError):
+        return False
 
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,14 +80,17 @@ def _token_hash() -> Column:
     return F.pmod(F.xxhash64(F.col("token")), F.lit(MERSENNE))
 
 
-def minhash_signatures(docs: DataFrame, k: int = N_HASHES) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = N_HASHES,
+                       shing: DataFrame | None = None) -> DataFrame:
     """doc_id → [sig_0 .. sig_{k-1}] minhash signature over shingles.
 
     One explode to distinct (doc, shingle) rows, one groupBy computing
     all k mins map-side — the shuffle carries k longs per doc, not the
-    shingle set.
+    shingle set. Pass a precomputed (persisted) ``shing`` frame to
+    share the explode+distinct with the exact re-check stage.
     """
-    tokens = shingles(docs).withColumn("h", _token_hash())
+    tokens = (shing if shing is not None else shingles(docs)) \
+        .withColumn("h", _token_hash())
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE)))
         .alias(f"sig_{i}")
@@ -117,9 +120,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def exact_jaccard(docs: DataFrame, pairs: DataFrame,
+                  shing: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard re-check of candidate pairs."""
-    toksets = (shingles(docs)
+    toksets = ((shing if shing is not None else shingles(docs))
                .groupBy("doc_id")
                .agg(F.collect_set("token").alias("toks")))
     t1 = toksets.select(F.col("doc_id").alias("doc_id_1"),
@@ -140,9 +144,15 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested in tests/test_minhash.py."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    sigs = minhash_signatures(docs)
+    # The shingle frame feeds BOTH the signature stage and the exact
+    # re-check; persisting it computes the explode+distinct (the two
+    # most expensive exchanges) once. Left cached for the consumer's
+    # action — Spark evicts LRU / on session close; at 100 TB this
+    # persist is a disk-backed intermediate, same role.
+    shing = shingles(docs).persist()
+    sigs = minhash_signatures(docs, shing=shing)
     cands = lsh_candidate_pairs(sigs)
-    return (exact_jaccard(docs, cands)
+    return (exact_jaccard(docs, cands, shing=shing)
             .filter(F.col("jaccard") >= 0.5)
             .orderBy("doc_id_1", "doc_id_2"))
 
@@ -179,22 +189,35 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# 8 bands × 8 bits: by pigeonhole, any pair at Hamming distance ≤ 7
+# must agree exactly on ≥1 band, so the ≤7 output set is COMPLETE (not
+# recall-bounded). The earlier 4×16-bit banding only guaranteed d ≤ 3
+# while the query filtered at d ≤ 12 — silently missing pairs whose
+# differing bits spread across all four quarters.
+_SIMHASH_BANDS = 8
+_BAND_BITS = 64 // _SIMHASH_BANDS
+_SIMHASH_MAX_DIST = _SIMHASH_BANDS - 1
+
+
 @register("simhash_near_dup", survey="LLM-dedup")
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: pairs within Hamming distance ≤ 12 of the
-    64-bit fingerprint, candidates found by exact-match on any of the
-    four 16-bit quarters (pigeonhole: distance ≤ 3 guarantees an equal
-    quarter; wider distances trade recall for candidate volume).
-    Rows-only driver check; numpy-oracle tested."""
+    """SimHash near-dup: ALL pairs within Hamming distance ≤ 7 of the
+    64-bit fingerprint. Candidates = exact match on any of eight 8-bit
+    bands (pigeonhole: d ≤ bands−1 guarantees a shared band, so the
+    result is the complete ≤7 set, verified in tests/test_minhash.py).
+    Scale note (100 TB): band width trades completeness for bucket
+    size — 8-bit bands give ~N/256 docs per bucket; at extreme corpus
+    sizes widen to 16-bit bands and accept the d ≤ 3 guarantee, or
+    band a 128-bit fingerprint. Rows-only driver check."""
     t = load_tables(spark, sf_dir, ("documents",))
     fps = simhash(t["documents"])
-    quarters = F.array(*[
+    bands_arr = F.array(*[
         F.struct(F.lit(q).alias("q"),
-                 F.shiftright(F.col("simhash"), q * 16)
-                  .bitwiseAND(F.lit(0xFFFF)).alias("qh"))
-        for q in range(4)
+                 F.shiftright(F.col("simhash"), q * _BAND_BITS)
+                  .bitwiseAND(F.lit((1 << _BAND_BITS) - 1)).alias("qh"))
+        for q in range(_SIMHASH_BANDS)
     ])
-    banded = (fps.select("doc_id", "simhash", F.explode(quarters).alias("b"))
+    banded = (fps.select("doc_id", "simhash", F.explode(bands_arr).alias("b"))
               .select("doc_id", "simhash", "b.q", "b.qh"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -204,6 +227,6 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_id_2"),
                 hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= 12)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_DIST)
         .orderBy("doc_id_1", "doc_id_2")
     )

@@ -7,12 +7,13 @@ assets), metadata is columnar and prunable, and every decode /
 feature-extract / resize step is an Arrow-batched Pandas UDF so the
 Python work is vectorized per batch, never per row.
 
-The container has no image/audio codecs, so the decode step itself is
-STUBBED: `decode_media` raises NotImplementedError unless a fake
-deterministic decoder is requested. Everything AROUND the decode — the
-binary schema, the metadata derivation, the `mapInPandas` batch shape,
-the frame-sampling plan, the feature schema — is real and tested; a
-real deployment swaps `_fake_decode` for PIL/ffmpeg and nothing else
+`decode_media` decodes WAV PCM (stdlib `wave`) and binary PPM/PGM
+(handwritten header parse) for real — no codec libraries needed — and
+those real bytes flow through the same featurize/resize path as the
+synthetic assets (tests/test_multimodal.py). Compressed formats
+(JPEG/MP3/MP4) are stubbed behind NotImplementedError because the
+container has no codec libraries; a real deployment adds
+PIL/soundfile/ffmpeg branches in `decode_media` and nothing else
 changes.
 
 Payloads here are derived from `documents.text` bytes (the driver
@@ -173,20 +174,77 @@ def _featurize(arr: np.ndarray) -> list[float]:
             float(arr.max()), *(float(h) for h in hist)]
 
 
-def decode_media(payload: bytes, mime: str, fake: bool = False) -> np.ndarray:
-    """Decode one media payload. Real codecs are not available in this
-    environment — callers opt into the deterministic fake decoder;
-    a production build replaces this body with PIL/soundfile/ffmpeg."""
-    if fake:
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """Real WAV PCM decode (stdlib `wave`, no codec libs): mono uint8
+    sample stream. 16-bit PCM is rescaled to 8-bit and multi-channel
+    audio is mixed down so every decoder feeds the same uint8
+    featurize/resample path."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8)
+    elif sw == 2:
+        arr = (((np.frombuffer(raw, dtype="<i2").astype(np.int32) + 32768)
+                >> 8).astype(np.uint8))
+    else:
+        raise NotImplementedError(f"{8 * sw}-bit PCM not supported")
+    if nch > 1:
+        arr = (arr[:arr.size // nch * nch]
+               .reshape(-1, nch).mean(axis=1).astype(np.uint8))
+    return arr
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Real binary netpbm decode (P6=PPM pixels, P5=PGM grayscale),
+    handwritten header parse: returns the flat uint8 raster."""
+    magic = payload[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":          # comment to end of line
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                      # single whitespace before raster
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm samples not supported")
+    n = width * height * (3 if magic == b"P6" else 1)
+    raster = payload[pos:pos + n]
+    if len(raster) != n:
+        raise ValueError(f"truncated netpbm raster: {len(raster)} < {n}")
+    return np.frombuffer(raster, dtype=np.uint8)
+
+
+def decode_media(payload: bytes, mime: str = "", fake: bool = False) -> np.ndarray:
+    """Decode one media payload to a flat uint8 sample array.
+
+    Real pure-python decoders cover WAV PCM (sniffed RIFF/WAVE) and
+    binary PPM/PGM (P6/P5); the synthetic `*/fake` assets derived from
+    the driver corpus use the deterministic byte-identity decoder.
+    Formats needing external codec libraries (JPEG/PNG/MP3/MP4) are
+    stubbed in this environment — a production build adds
+    PIL/soundfile/ffmpeg branches here and nothing downstream changes."""
+    if fake or mime.endswith("/fake"):
         return _fake_decode(payload)
-    try:  # pragma: no cover - codec libs absent by design
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "real media decode requires codec libraries (PIL/ffmpeg) "
-            "not present in this environment; pass fake=True for the "
-            "deterministic stand-in decoder")
-    raise NotImplementedError("real decode path not implemented")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        "no codec for this payload: supported real formats are WAV PCM "
+        "and PPM/PGM; compressed formats require codec libraries "
+        "(PIL/ffmpeg) not present in this environment")
 
 
 def featurize_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
@@ -197,7 +255,7 @@ def featurize_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
     worker per core, batch size bounds Arrow memory."""
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_featurize(decode_media(p, m, fake=True))
+            feats = [_featurize(decode_media(p, m))
                      for p, m in zip(pdf["payload"], pdf["mime"])]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
@@ -258,8 +316,7 @@ def resize_assets(assets: DataFrame,
     downstream training-batch layout predictable at 100 TB."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [_fake_resize(decode_media(p, m, fake=True),
-                                target).tobytes()
+            out = [_fake_resize(decode_media(p, m), target).tobytes()
                    for p, m in zip(pdf["payload"], pdf["mime"])]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],

@@ -49,7 +49,13 @@ _HOUR_US = 3_600_000_000
            c.event_id AS last_click_id,
            (epoch_us(t.ts) - epoch_us(c.ts)) / 1000000.0 AS secs_since_click
     FROM (SELECT * FROM events WHERE event_type = 'purchase') t
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+        -- clicks pre-deduped to one row per (user_id, ts): DuckDB's ASOF
+        -- picks an arbitrary row among tied c.ts, the engine picks the
+        -- max click_id — collapsing ties makes both deterministic.
+        SELECT user_id, ts, MAX(event_id) AS event_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ) c
       ON t.user_id = c.user_id AND t.ts >= c.ts
     """,
 )
@@ -72,12 +78,16 @@ def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_attribution(ev: DataFrame) -> DataFrame:
     """Core of asof_join_attribution over any events-shaped frame
     (event_id, user_id, event_type, ts)."""
+    # One click row per (user_id, ts): among tied click timestamps the
+    # max event_id wins, deterministically, on both engine and oracle.
     clicks = (
         ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
         .select(
             "user_id", "ts",
             F.lit(0).alias("side"),
-            F.col("event_id").alias("click_id"),
+            "click_id",
             F.lit(None).cast("long").alias("event_id"),
         )
     )

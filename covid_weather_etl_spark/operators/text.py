@@ -227,7 +227,10 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "transform(sequence(0, size(split(text, ' ')) - 3), "
                     "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
                 )).alias("s"))
-        .distinct())
+        .distinct()
+        # consumed 4× (self-join both sides + two size joins): persist
+        # computes the explode+distinct exchanges once.
+        .persist())
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")

@@ -57,13 +57,21 @@ def _load_modules() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Registration order matters: the correctness driver evaluates queries
+    # in registration order with a bounded window, so modules whose queries
+    # were NOT driver-verified last round register FIRST (rotate per round).
+    # Round 2: similarity/temporal/text/timeseries/etl/ml/streaming (all
+    # unverified in CORRECTNESS_r01) lead; relational/windows/bucketing
+    # (all green in r01) trail.
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        bucketing, relational, windows, dedup, minhash, multimodal,
         similarity, temporal, text, timeseries,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
     from covid_weather_etl_spark.streaming import streams           # noqa: F401
+    from covid_weather_etl_spark.operators import (  # noqa: F401
+        dedup, minhash, multimodal, bucketing, relational, windows,
+    )
     _LOADED = True
 
 

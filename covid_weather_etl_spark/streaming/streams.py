@@ -242,7 +242,7 @@ def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL THEN 1
                     WHEN ts >= lag(ts) OVER w + INTERVAL '{GAP}' THEN 1
                     ELSE 0 END AS is_new
@@ -250,8 +250,12 @@ def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
+        -- the cumulative window MUST share the is_new window's total
+        -- order (ts, event_id): with ts ties at a session boundary a
+        -- different tiebreaker can place an unflagged tied row before
+        -- the flagged one and assign it to the previous session.
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )

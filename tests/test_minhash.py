@@ -99,8 +99,18 @@ def test_simhash_matches_python(spark, docs, docs_pdf):
         assert fps[row.doc_id] == fp, f"doc {row.doc_id}"
 
 
-def test_simhash_near_dup_pairs_are_close(spark):
-    """Every reported pair is within the Hamming bound."""
-    rows = M.simhash_near_dup(spark, SF_DIR).collect()
-    for r in rows:
-        assert r["hamming"] <= 12
+def test_simhash_near_dup_is_exact_close_pair_set(spark):
+    """The operator returns EXACTLY the brute-force pair set at
+    Hamming ≤ 7 (8-band pigeonhole guarantees completeness, the
+    residual filter guarantees precision)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fps = sorted((r["doc_id"], r["simhash"])
+                 for r in M.simhash(docs).collect())
+    truth = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            if bin((fps[i][1] ^ fps[j][1]) & ((1 << 64) - 1)).count("1") <= 7:
+                truth.add((fps[i][0], fps[j][0]))
+    got = {(r["doc_id_1"], r["doc_id_2"])
+           for r in M.simhash_near_dup(spark, SF_DIR).collect()}
+    assert got == truth

@@ -83,6 +83,71 @@ def test_logreg_eval_invariants(spark):
     assert row.accuracy == pytest.approx((row.tp + row.tn) / n, abs=1e-4)
 
 
+def _seasonal_fixture(seed: int = 42) -> np.ndarray:
+    """Reference-shaped series: 30 years of monthly temperature —
+    12-period yearly cycle, slight trend, AR(1) noise — scaled like the
+    Moldova tavg series behind BASELINE.md's SARIMAX anchors."""
+    rng = np.random.RandomState(seed)
+    n = 360
+    t = np.arange(n)
+    noise = np.zeros(n)
+    for i in range(1, n):
+        noise[i] = 0.5 * noise[i - 1] + rng.normal(0, 2.28)
+    return 10.0 + 8.0 * np.sin(2 * np.pi * t / 12) + 0.002 * t + noise
+
+
+def test_sarima_hits_baseline_anchor_band():
+    """On the reference-shaped fixture the seasonal-ARIMA forecast's
+    MAE/RMSE land in the SARIMAX anchor band from BASELINE.md (MAE
+    2.073–2.161, RMSE 2.713–2.956 — reference
+    notebooks/weather_forecasting.ipynb cell 40): same 80/20 chrono
+    split, same full-test-horizon forecast protocol
+    (dags/forecasting_dag.py:103-105,205-212)."""
+    y = _seasonal_fixture(42)
+    n_train = int(len(y) * 0.8)
+    fc = ML._sarima_forecast(y[:n_train], len(y) - n_train, s=12)
+    err = y[n_train:] - fc
+    mae = float(np.mean(np.abs(err)))
+    rmse = float(np.sqrt(np.mean(err ** 2)))
+    assert 1.95 <= mae <= 2.25, mae      # anchor band ±~4%
+    assert 2.45 <= rmse <= 3.05, rmse
+
+
+def test_sarima_beats_seasonal_naive_across_seeds():
+    """The fitted model must beat the seasonal-naive baseline on every
+    seed — the 'model earns its keep' gate the reference applies to
+    SARIMAX vs persistence."""
+    for seed in (42, 7, 123, 2026):
+        y = _seasonal_fixture(seed)
+        n_train = int(len(y) * 0.8)
+        test = y[n_train:]
+        fc = ML._sarima_forecast(y[:n_train], len(test), s=12)
+        naive = np.array([y[n_train - 12 + (h % 12)]
+                          for h in range(len(test))])
+        assert np.mean(np.abs(test - fc)) < np.mean(np.abs(test - naive)), seed
+
+
+def test_sarima_eval_query_shape(spark):
+    pdf = ML.sarima_forecast_eval(spark, SF_DIR).toPandas()
+    assert len(pdf) == 25                       # one row per nation
+    assert (pdf["n_test"] > 0).all()
+    ok = pdf["mae"].notna()
+    assert ok.any()
+    assert (pdf.loc[ok, "mae"] >= 0).all()
+    assert (pdf.loc[ok, "rmse"] >= pdf.loc[ok, "mae"]).all()
+
+
+def test_gbt_eval_invariants_and_determinism(spark):
+    a = ML.gbt_classifier_eval(spark, SF_DIR).collect()[0]
+    n = a.tp + a.fp + a.fn + a.tn
+    total = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert n == pytest.approx(total * 0.3, rel=0.1)
+    assert 0.0 <= a.accuracy <= 1.0
+    assert 0.0 <= a.auc <= 1.0
+    b = ML.gbt_classifier_eval(spark, SF_DIR).collect()[0]
+    assert a == b                                # seeded → bit-stable
+
+
 def test_adf_matches_numpy(spark, daily_pdf):
     got = ML.adf_stationarity(spark, SF_DIR).toPandas().set_index("n_name")
     for name, grp in daily_pdf.groupby("n_name"):

@@ -10,6 +10,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.operators import multimodal as MM
 from tests.conftest import SF_DIR
@@ -60,9 +61,83 @@ def test_frame_sample_invariants(spark):
     assert (lasts.mn == 0).all()
 
 
-def test_real_decode_is_stubbed():
+def test_unsupported_format_decode_is_stubbed():
+    """Compressed formats stay stubbed (no codec libs in container)."""
     with pytest.raises(NotImplementedError, match="codec"):
-        MM.decode_media(b"\x00\x01", "image/fake", fake=False)
+        MM.decode_media(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
+
+
+def _wav_bytes(samples: np.ndarray, sampwidth: int = 2,
+               nch: int = 1, rate: int = 8000) -> bytes:
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        if sampwidth == 1:
+            w.writeframes(samples.astype(np.uint8).tobytes())
+        else:
+            w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _ppm_bytes(pixels: np.ndarray, width: int, height: int,
+               magic: bytes = b"P6") -> bytes:
+    return (magic + b"\n# comment\n" +
+            f"{width} {height}\n255\n".encode() +
+            pixels.astype(np.uint8).tobytes())
+
+
+def test_wav_decode_real_bytes():
+    """Real 16-bit PCM WAV decodes to the expected rescaled uint8
+    samples; stereo mixes down."""
+    sine = (np.sin(np.linspace(0, 8 * np.pi, 400)) * 30000).astype("<i2")
+    arr = MM.decode_media(_wav_bytes(sine), "audio/wav")
+    expect = (((sine.astype(np.int32) + 32768) >> 8).astype(np.uint8))
+    assert (arr == expect).all()
+    # 8-bit mono roundtrips exactly
+    raw = np.arange(256, dtype=np.uint8)
+    assert (MM.decode_media(_wav_bytes(raw, sampwidth=1), "") == raw).all()
+
+
+def test_ppm_decode_real_bytes():
+    """P6 raster (with header comment) and P5 grayscale decode to the
+    exact flat raster."""
+    px = np.arange(2 * 3 * 3, dtype=np.uint8)
+    assert (MM.decode_media(_ppm_bytes(px, 3, 2), "image/ppm") == px).all()
+    gray = np.arange(12, dtype=np.uint8)
+    assert (MM.decode_media(_ppm_bytes(gray, 4, 3, b"P5"), "") == gray).all()
+
+
+def test_real_formats_flow_through_featurize_and_resize(spark):
+    """Real WAV + PPM bytes ride the SAME mapInPandas featurize/resize
+    plumbing as the synthetic assets — decode dispatches per row on the
+    sniffed container format."""
+    sine = (np.sin(np.linspace(0, 4 * np.pi, 300)) * 25000).astype("<i2")
+    wav = _wav_bytes(sine)
+    px = (np.arange(5 * 4 * 3) % 256).astype(np.uint8)
+    ppm = _ppm_bytes(px, 5, 4)
+    assets = spark.createDataFrame(
+        [(1, wav, len(wav), "audio/wav"),
+         (2, ppm, len(ppm), "image/ppm")],
+        "asset_id long, payload binary, n_bytes int, mime string",
+    ).select("asset_id", "payload",
+             F.struct("n_bytes", "mime").alias("meta"))
+
+    feats = {r["asset_id"]: r for r in MM.featurize_assets(assets).collect()}
+    wav_dec = MM.decode_media(wav, "audio/wav")
+    ppm_dec = MM.decode_media(ppm, "image/ppm")
+    assert feats[1]["features"][0] == pytest.approx(wav_dec.mean(), rel=1e-6)
+    assert feats[2]["features"][0] == pytest.approx(ppm_dec.mean(), rel=1e-6)
+    assert feats[2]["features"][3] == float(ppm_dec.max())
+
+    resized = {r["asset_id"]: r for r in MM.resize_assets(assets).collect()}
+    for aid, dec in ((1, wav_dec), (2, ppm_dec)):
+        idx = (np.arange(MM.TARGET_SAMPLES, dtype=np.int64)
+               * dec.size) // MM.TARGET_SAMPLES
+        assert resized[aid]["resized"] == dec[idx].tobytes()
 
 
 def test_media_resize_matches_python(spark, docs_pdf):
