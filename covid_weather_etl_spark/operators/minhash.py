@@ -144,15 +144,29 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested in tests/test_minhash.py."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    # The shingle frame feeds BOTH the signature stage and the exact
-    # re-check; persisting it computes the explode+distinct (the two
-    # most expensive exchanges) once. Left cached for the consumer's
-    # action — Spark evicts LRU / on session close; at 100 TB this
-    # persist is a disk-backed intermediate, same role.
-    shing = shingles(docs).persist()
-    sigs = minhash_signatures(docs, shing=shing)
-    cands = lsh_candidate_pairs(sigs)
-    return (exact_jaccard(docs, cands, shing=shing)
+    # ONE aggregation pass computes the signature mins AND the exact
+    # shingle set per doc; every consumer (banding, both re-check
+    # sides) references the identical subtree, so Catalyst plans
+    # ReusedExchange over the top shuffle — explode+distinct+agg run
+    # once, no cache needed.
+    tokens = shingles(docs).withColumn("h", _token_hash())
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE)))
+        .alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_perm_params(N_HASHES))
+    ]
+    per_doc = tokens.groupBy("doc_id").agg(
+        *mins, F.collect_set("token").alias("toks"))
+    cands = lsh_candidate_pairs(per_doc)
+    t1 = per_doc.select(F.col("doc_id").alias("doc_id_1"),
+                        F.col("toks").alias("toks_1"))
+    t2 = per_doc.select(F.col("doc_id").alias("doc_id_2"),
+                        F.col("toks").alias("toks_2"))
+    inter = F.size(F.array_intersect("toks_1", "toks_2"))
+    union = F.size(F.array_union("toks_1", "toks_2"))
+    return (cands.join(t1, "doc_id_1").join(t2, "doc_id_2")
+            .select("doc_id_1", "doc_id_2",
+                    (inter * 1.0 / union).alias("jaccard"))
             .filter(F.col("jaccard") >= 0.5)
             .orderBy("doc_id_1", "doc_id_2"))
 

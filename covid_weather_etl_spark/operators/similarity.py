@@ -179,6 +179,13 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_T = 0.4  # driver-corpus demo threshold (max observed sim ≈ 0.51)
 
+#: blocked all-pairs block count — each vector is shuffled to
+#: N_BLOCKS block-pair groups; group memory is ~2·N/N_BLOCKS vectors.
+#: At 100 TB raise N_BLOCKS so a group fits one executor (work grows
+#: as N²/B² per group, B·(B+1)/2 groups — the standard blocked
+#: all-pairs decomposition).
+N_BLOCKS = 8
+
 
 @register(
     "embedding_near_dup",
@@ -198,41 +205,63 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cosine ≥ t — the exact baseline the LSH scale path
     (rp_lsh_near_dup) is measured against.
 
-    Shape: broadcast the full (small) corpus matrix, stream corpus
-    partitions through `mapInPandas`, and score each Arrow batch with
-    ONE BLAS matmul against the broadcast side — O(N²) arithmetic but
-    vectorized, ~100× faster than evaluating an interpreted
-    higher-order-function cosine per pair. At 100 TB the broadcast side
-    becomes the (small) query set and this same shape is the
-    brute-force scorer; full-corpus self-dedup at that scale is what
-    rp_lsh_near_dup is for. float64 matmul agrees with the oracle's
-    sequential accumulation to well under the 6dp round (verified
-    ≤ 4e-16 over 2M pairs)."""
+    Shape: fully distributed blocked self-join — NO driver
+    materialization of the corpus. Each vector hashes to one of
+    N_BLOCKS blocks and is shipped to every block-pair group
+    (bi ≤ bj) it belongs to; `groupBy(bi, bj).applyInPandas` scores
+    each group with ONE float64 BLAS matmul (~100× faster than an
+    interpreted per-pair higher-order-function cosine). Every
+    unordered pair lands in exactly one group (its blocks' (min, max)),
+    and the id-order filter keeps it once. Matmul agrees with the
+    oracle's sequential accumulation to well under the 6dp round
+    (verified ≤ 4e-16 over 2M pairs)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    emb = t["embeddings"].select("vec_id", "embedding")
-    corpus = emb.toPandas()  # broadcast side: the baseline assumes it fits
-    b_ids = corpus["vec_id"].to_numpy()
-    B = np.stack([np.asarray(e, dtype=np.float64)
-                  for e in corpus["embedding"]])
-    b_norm = np.sqrt((B * B).sum(axis=1))
-    bc = spark.sparkContext.broadcast((b_ids, B, b_norm))
+    ev = (t["embeddings"].select("vec_id", "embedding")
+          .withColumn("blk", F.pmod(F.xxhash64("vec_id"),
+                                    F.lit(N_BLOCKS)).cast("int")))
+    partners = F.array(*[F.lit(i) for i in range(N_BLOCKS)])
+    memb = (ev.select("vec_id", "embedding", "blk",
+                      F.explode(partners).alias("p"))
+            .select("vec_id", "embedding", "blk",
+                    F.least("blk", "p").alias("bi"),
+                    F.greatest("blk", "p").alias("bj")))
 
-    def score(batches):
-        ids_b, Bm, bn = bc.value
-        for pdf in batches:
-            X = np.stack([np.asarray(e, dtype=np.float64)
-                          for e in pdf["embedding"]])
-            xn = np.sqrt((X * X).sum(axis=1))
-            S = np.round((X @ Bm.T) / np.outer(xn, bn), 6)
-            xa = pdf["vec_id"].to_numpy()
+    def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in pdf["embedding"]])
+        blk = pdf["blk"].to_numpy()
+        if bi == bj:
+            ia, ib = ids, ids
+            A, B = X, X
+        else:
+            ma, mb = blk == bi, blk == bj
+            ia, ib = ids[ma], ids[mb]
+            A, B = X[ma], X[mb]
+        if not len(A) or not len(B):
+            return pd.DataFrame({"vec_id_1": [], "vec_id_2": [],
+                                 "cos_sim": []})
+        an = np.sqrt((A * A).sum(axis=1))
+        bn = np.sqrt((B * B).sum(axis=1))
+        S = np.round((A @ B.T) / np.outer(an, bn), 6)
+        if bi == bj:
+            # same block: upper triangle only (skip self, count once)
             ii, jj = np.where((S >= NEAR_DUP_T)
-                              & (xa[:, None] < ids_b[None, :]))
-            yield pd.DataFrame({"vec_id_1": xa[ii],
-                                "vec_id_2": ids_b[jj],
-                                "cos_sim": S[ii, jj]})
+                              & (ia[:, None] < ib[None, :]))
+            id1, id2 = ia[ii], ib[jj]
+        else:
+            # cross-block: every hit is a distinct pair; the smaller id
+            # may live in EITHER block, so order per pair, don't filter
+            ii, jj = np.where(S >= NEAR_DUP_T)
+            id1 = np.minimum(ia[ii], ib[jj])
+            id2 = np.maximum(ia[ii], ib[jj])
+        return pd.DataFrame({"vec_id_1": id1, "vec_id_2": id2,
+                             "cos_sim": S[ii, jj]})
 
     schema = "vec_id_1 long, vec_id_2 long, cos_sim double"
-    return emb.repartition(16, "vec_id").mapInPandas(score, schema=schema)
+    return (memb.groupBy("bi", "bj")
+            .applyInPandas(score_group, schema=schema))
 
 
 # random-hyperplane LSH: 64 deterministic planes → 64 sign bits →

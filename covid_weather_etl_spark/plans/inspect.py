@@ -25,14 +25,28 @@ def count_occurrences(df: DataFrame, pattern: str) -> int:
     return len(re.findall(pattern, physical_plan(df)))
 
 
+def _node_ids(df: DataFrame, node_pattern: str) -> set[str]:
+    """Unique node ids matching the pattern in the formatted plan.
+
+    The formatted explain prints every node TWICE (once in the tree,
+    once as a `(id) NodeName` detail header) — counting raw regex hits
+    doubles every number, so counters parse the detail headers and
+    dedupe on id. (Round-1 PLANS.md used raw hits; those figures were
+    exactly 2× the physical node counts.)"""
+    return set(re.findall(rf"\((\d+)\) {node_pattern}\b", physical_plan(df)))
+
+
 def count_shuffles(df: DataFrame) -> int:
-    """Exchange nodes in the plan = shuffle boundaries. Every one is a
-    full network rewrite of the stream — the first thing to audit."""
-    return count_occurrences(df, r"\bExchange\b|\bShuffle\b(?!dHashJoin)")
+    """Shuffle-Exchange nodes in the plan = shuffle boundaries. Every
+    one is a full network rewrite of the stream — the first thing to
+    audit. BroadcastExchange and ReusedExchange are excluded (the
+    former moves a small side, the latter re-reads an existing
+    materialization)."""
+    return len(_node_ids(df, r"Exchange(?! \S)"))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return count_occurrences(df, r"BroadcastHashJoin|BroadcastNestedLoopJoin")
+    return len(_node_ids(df, r"(?:BroadcastHashJoin|BroadcastNestedLoopJoin)"))
 
 
 def has_pushed_filters(df: DataFrame) -> bool:

@@ -94,3 +94,23 @@ def test_rp_lsh_empty_on_driver_corpus(spark):
     df = S.rp_lsh_near_dup(spark, SF_DIR)
     assert df.columns == ["vec_id_1", "vec_id_2", "cos_sim"]
     assert df.count() == 0
+
+
+def test_embedding_near_dup_equals_brute_force(spark):
+    """The blocked all-pairs decomposition returns EXACTLY the numpy
+    brute-force pair set — regression for the cross-block ordering bug
+    where a pair whose smaller vec_id hashed to the right-side block
+    was silently dropped."""
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in pdf["embedding"]])
+    n = np.sqrt((X * X).sum(axis=1))
+    sim = np.round((X @ X.T) / np.outer(n, n), 6)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sim[iu, ju] >= S.NEAR_DUP_T
+    truth = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))):
+             float(sim[i, j]) for i, j in zip(iu[keep], ju[keep])}
+    got = {(r["vec_id_1"], r["vec_id_2"]): r["cos_sim"]
+           for r in S.embedding_near_dup(spark, SF_DIR).collect()}
+    assert got == truth
