@@ -1,0 +1,247 @@
+"""Training-corpus preparation operators (LLM-pipeline extension).
+
+The steps between "deduplicated documents" and "training batches" that
+every large-scale pretraining pipeline runs, each expressed so it is
+deterministic (no RNG — reproducible across cluster layouts and runs)
+and oracle-checkable:
+
+- **hash-stratified sampling**: sample ~10% per language via a
+  content-independent md5 bucket of the doc id — the deterministic
+  replacement for `TABLESAMPLE`/`rand()` that survives re-runs,
+  backfills, and repartitioning unchanged.
+- **train/test contamination check**: hash-split the corpus, then flag
+  test documents sharing a winnowing fingerprint with ANY train
+  document (the shared-substring guarantee from operators/text.py
+  makes this a real leakage detector, not an exact-match check).
+- **sequence packing**: assign documents to fixed-token-budget
+  training batches by cumulative token count per language stream —
+  the contiguous-packing shape; the per-stream window partitions on
+  lang, and the two-phase prefix sum (see
+  windows.skew_resilient_running_total) is the drop-in replacement
+  when one stream outgrows a task.
+- **near-dup cluster resolution**: connected components over the
+  3-gram-Jaccard near-dup pair set via iterative min-label
+  propagation, then keep the minimum doc id as each cluster's
+  canonical representative — turning pairwise dedup output into an
+  actual keep/drop decision.
+
+Scale notes (100 TB): sampling/packing/contamination are single-window
+or single-join plans partitioned by natural keys. Label propagation
+converges in O(diameter) rounds of one join + one min-aggregate each
+(near-dup cluster diameters are tiny in practice); each round shuffles
+only (doc_id, label) pairs, and the loop carries a single scalar per
+round to the driver for the convergence test. For adversarial graph
+shapes the same loop upgrades to the large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce"), which bounds
+rounds at O(log² n) — the structure here (symmetric edges, min-label
+join, fixpoint test) is exactly that algorithm's inner step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from covid_weather_etl_spark.operators import text as TX
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+#: md5-hex prefix cutoffs: first 2 hex chars < '1a' ≈ 26/256 ≈ 10.2%
+#: sample; first char < '4' = 4/16 = 25% test split. String comparison
+#: of hex digits is identical in Spark and DuckDB.
+SAMPLE_CUT = "1a"
+TEST_CUT = "4"
+
+#: token budget per packed training batch (whitespace tokens).
+PACK_BUDGET = 2048
+
+#: label-propagation round cap — near-dup clusters are shallow; the
+#: cap only guards against adversarial chain graphs.
+MAX_CC_ROUNDS = 20
+
+
+def _hash_bucket(col: str = "doc_id", n_chars: int = 2) -> F.Column:
+    """Deterministic md5-hex bucket of an id column (content- and
+    layout-independent)."""
+    return F.substring(F.md5(F.col(col).cast("string")), 1, n_chars)
+
+
+@register(
+    "hash_stratified_sample",
+    survey="corpus-sample,P4,A6",
+    oracle=f"""
+    SELECT doc_id, lang,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SAMPLE_CUT}'
+    """,
+)
+def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: md5-bucket the doc id and keep
+    buckets below the cutoff. Unlike `rand()`/`TABLESAMPLE`, membership
+    is a pure function of the id — stable under re-runs, retries, and
+    repartitioning, and the per-language sample rate concentrates to
+    the global rate (md5 is independent of lang). The filter is a
+    narrow map — no shuffle at any scale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (t["documents"]
+            .withColumn("bucket", _hash_bucket())
+            .filter(F.col("bucket") < SAMPLE_CUT)
+            .select("doc_id", "lang", "bucket"))
+
+
+@register(
+    "contamination_check",
+    survey="corpus-contamination,J7,A5",
+    oracle=f"""
+    WITH {TX.WINNOW_FPS_CTES},
+    split AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{TEST_CUT}'
+                   AS is_test
+        FROM documents
+    ),
+    test_fps AS (
+        SELECT f.doc_id, f.fp FROM winnow_fps f
+        JOIN split s ON f.doc_id = s.doc_id WHERE s.is_test
+    ),
+    train_fps AS (
+        SELECT DISTINCT f.fp FROM winnow_fps f
+        JOIN split s ON f.doc_id = s.doc_id WHERE NOT s.is_test
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           ROUND(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS contamination
+    FROM test_fps t LEFT JOIN train_fps tr ON t.fp = tr.fp
+    GROUP BY t.doc_id
+    HAVING SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage detector: hash-split the corpus 75/25, then
+    flag every test document sharing a winnowing fingerprint with any
+    train document, with the shared-fingerprint fraction as the
+    contamination score. Winnowing's guarantee (any shared substring of
+    length ≥ k+w-1 shares a fingerprint) makes this catch near-copies,
+    not just exact matches — the check run before any public eval. The
+    join key is the fingerprint: pre-aggregated distinct train fps,
+    one shuffle each side, no doc×doc pair space."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    fps = TX.winnow_fps(t["documents"])
+    is_test = _hash_bucket(n_chars=1) < TEST_CUT
+    split = t["documents"].select("doc_id", is_test.alias("is_test"))
+    fps = fps.join(split, "doc_id")
+    test_fps = fps.filter(F.col("is_test")).select("doc_id", "fp")
+    train_fps = (fps.filter(~F.col("is_test"))
+                 .select("fp").distinct()
+                 .withColumn("in_train", F.lit(1)))
+    shared = F.sum(F.when(F.col("in_train").isNotNull(), 1).otherwise(0))
+    return (test_fps
+            .join(train_fps, "fp", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_fps"),
+                 shared.cast("long").alias("n_shared"),
+                 F.round(shared * 1.0 / F.count("*"), 6)
+                 .alias("contamination"))
+            .filter(F.col("n_shared") > 0))
+
+
+@register(
+    "sequence_packing",
+    survey="corpus-pack,W1,A7",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS batch_id
+    FROM toks
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: within each language stream
+    (ordered by doc id for determinism) assign every document to the
+    training batch whose token budget its cumulative offset falls in —
+    the packing shape behind fixed-length pretraining batches. One
+    keyed window per stream; when a single stream outgrows one task,
+    swap the window for the two-phase blocked prefix sum
+    (windows.skew_resilient_running_total) — identical output."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor(offset / PACK_BUDGET).cast("long").alias("batch_id"))
+
+
+@register(
+    "dedup_clusters",
+    survey="corpus-cc,LLM-dedup,J1",
+    oracle=f"""
+    WITH RECURSIVE {TX.NGRAM_PAIRS_CTES},
+    edges AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM ngram_pairs
+        UNION ALL
+        SELECT doc_id_2, doc_id_1 FROM ngram_pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.doc_id
+    )
+    SELECT doc_id,
+           MIN(label) AS cluster_id,
+           doc_id = MIN(label) AS is_canonical
+    FROM walk GROUP BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    3-gram-Jaccard pair set (ngram_jaccard_near_dup's edges) by
+    iterative min-label propagation — each round every node adopts the
+    minimum label among itself and its neighbors; at the fixpoint the
+    label is the component's minimum doc id, which becomes the
+    canonical document (is_canonical = keep, rest = drop). Singleton
+    documents keep their own id. Convergence is detected by the global
+    label sum (strictly decreasing until fixpoint), one scalar per
+    round on the driver. The oracle is an independent formulation:
+    DuckDB recursive-CTE label reachability + MIN."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = TX.ngram_jaccard_near_dup(spark, sf_dir) \
+        .select("doc_id_1", "doc_id_2")
+    edges = (pairs.select(F.col("doc_id_1").alias("src"),
+                          F.col("doc_id_2").alias("dst"))
+             .unionByName(pairs.select(
+                 F.col("doc_id_2").alias("src"),
+                 F.col("doc_id_1").alias("dst")))
+             .persist())
+    labels = t["documents"].select(
+        "doc_id", F.col("doc_id").alias("label"))
+    prev_sum = None
+    for _ in range(MAX_CC_ROUNDS):
+        neighbor = (labels
+                    .join(edges, labels["doc_id"] == edges["src"])
+                    .select(F.col("dst").alias("doc_id"), "label"))
+        labels = (labels.unionByName(neighbor)
+                  .groupBy("doc_id")
+                  .agg(F.min("label").alias("label"))
+                  .persist())
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"))

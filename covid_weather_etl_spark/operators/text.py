@@ -186,29 +186,40 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_near_dup",
-    survey="LLM-dedup,J7,A5",
-    bench=True,
-    oracle="""
-    WITH sh AS (
+#: shared CTE chain producing the 3-gram-Jaccard near-dup pair set —
+#: used by the ngram_jaccard_near_dup oracle here and as the edge set
+#: of operators/corpus.py's dedup_clusters oracle.
+NGRAM_PAIRS_CTES = """
+    sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
              UNNEST(generate_series(1, len(t) - 2)) AS u(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (
+    raw_pairs AS (
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                CAST(COUNT(*) AS BIGINT) AS n_common
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    ngram_pairs AS (
+        SELECT doc_id_1, doc_id_2, n_common,
+               n_common * 1.0 / (s1.n + s2.n - n_common) AS jaccard
+        FROM raw_pairs
+        JOIN sizes s1 ON doc_id_1 = s1.doc_id
+        JOIN sizes s2 ON doc_id_2 = s2.doc_id
+        WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.2
     )
-    SELECT doc_id_1, doc_id_2, n_common,
-           n_common * 1.0 / (s1.n + s2.n - n_common) AS jaccard
-    FROM pairs
-    JOIN sizes s1 ON doc_id_1 = s1.doc_id
-    JOIN sizes s2 ON doc_id_2 = s2.doc_id
-    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.2
+"""
+
+
+@register(
+    "ngram_jaccard_near_dup",
+    survey="LLM-dedup,J7,A5",
+    bench=True,
+    oracle=f"""
+    WITH {NGRAM_PAIRS_CTES}
+    SELECT doc_id_1, doc_id_2, n_common, jaccard FROM ngram_pairs
     """,
 )
 def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,11 +316,11 @@ WINNOW_K = 8
 WINNOW_W = 4
 
 
-@register(
-    "winnowing_fingerprint",
-    survey="LLM-text",
-    oracle=f"""
-    WITH grams AS (
+#: shared CTE chain producing (doc_id, fp) winnowing fingerprints —
+#: used by the winnowing_fingerprint oracle here and by
+#: operators/corpus.py's contamination_check oracle.
+WINNOW_FPS_CTES = f"""
+    grams AS (
         SELECT doc_id,
                i AS pos,
                md5(substr(text, CAST(i AS INT), {WINNOW_K})) AS h,
@@ -324,21 +335,14 @@ WINNOW_W = 4
                             AND {WINNOW_W - 1} FOLLOWING) AS fp
         FROM grams
         QUALIFY pos <= n_grams - {WINNOW_W} + 1
-    )
-    SELECT doc_id, fp FROM winnowed GROUP BY doc_id, fp
-    """,
-)
-def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprinting (winnowing / MOSS): hash
-    every character k-gram, then keep the minimum hash of each sliding
-    window of w consecutive positions — the selected fingerprints are
-    the local minima that any sufficiently long shared substring must
-    hit, so two documents sharing >= k+w-1 chars share a fingerprint.
-    md5 stands in for the polynomial rolling hash so the DuckDB oracle
-    computes identical values; a production build swaps in a cheaper
-    rolling hash without changing the plan. Per-doc windows partition
-    on doc_id — no global state, scales with the corpus."""
-    t = load_tables(spark, sf_dir, ("documents",))
+    ),
+    winnow_fps AS (SELECT doc_id, fp FROM winnowed GROUP BY doc_id, fp)
+"""
+
+
+def winnow_fps(docs: DataFrame) -> DataFrame:
+    """doc_id → distinct winnowing fingerprints (the reusable core of
+    winnowing_fingerprint; see its docstring for the guarantee)."""
     k, w = WINNOW_K, WINNOW_W
     # all k-gram hashes as ONE array expression, then posexplode — the
     # text is scanned once per doc, no self-join
@@ -346,7 +350,7 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, length(text) - {k} + 1), "
         f"i -> md5(substr(text, i, {k})))")
     grams = (
-        spread(t["documents"], "doc_id")
+        spread(docs, "doc_id")
         .filter(F.length("text") >= k)
         .select("doc_id",
                 (F.length("text") - k + 1).alias("n_grams"),
@@ -360,3 +364,25 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("pos") <= F.col("n_grams") - w + 1)
             .select("doc_id", "fp")
             .distinct())
+
+
+@register(
+    "winnowing_fingerprint",
+    survey="LLM-text",
+    oracle=f"""
+    WITH {WINNOW_FPS_CTES}
+    SELECT doc_id, fp FROM winnow_fps
+    """,
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS): hash
+    every character k-gram, then keep the minimum hash of each sliding
+    window of w consecutive positions — the selected fingerprints are
+    the local minima that any sufficiently long shared substring must
+    hit, so two documents sharing >= k+w-1 chars share a fingerprint.
+    md5 stands in for the polynomial rolling hash so the DuckDB oracle
+    computes identical values; a production build swaps in a cheaper
+    rolling hash without changing the plan. Per-doc windows partition
+    on doc_id — no global state, scales with the corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return winnow_fps(t["documents"])

@@ -64,7 +64,7 @@ def _load_modules() -> None:
     # unverified in CORRECTNESS_r01) lead; relational/windows/bucketing
     # (all green in r01) trail.
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        dashboard, similarity, temporal, text, timeseries,
+        corpus, dashboard, similarity, temporal, text, timeseries,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401

@@ -136,6 +136,80 @@ def enrich_stream(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
     return events.join(dim, "user_id", "left")
 
 
+#: attribution lookback for the stream-stream join
+ATTRIB_WINDOW = "1 hour"
+
+
+def attribution_join_stream(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream self-join: every purchase event joined
+    to the same user's click events within the preceding hour. Both
+    sides carry watermarks and the join condition bounds click_ts to a
+    window around purchase_ts, so Spark can expire join state — the
+    canonical stream-stream pattern (state size ∝ watermark horizon ×
+    arrival rate, independent of stream length). Inner joins emit
+    eagerly on match, so append output equals the batch join exactly
+    (pinned in tests/test_streaming.py); the batch twin
+    `click_attribution_window` is oracle-checked."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", WATERMARK))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id",
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", WATERMARK))
+    return (purchases.join(
+        clicks,
+        F.expr(f"""c_user = user_id AND
+                   click_ts BETWEEN purchase_ts - INTERVAL {ATTRIB_WINDOW}
+                                AND purchase_ts"""))
+        .select("purchase_id", "user_id", "click_id",
+                ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                 / F.lit(1_000_000.0)).alias("secs_before")))
+
+
+@register(
+    "click_attribution_window",
+    survey="streaming,ext-range,J1",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS secs_before
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    """,
+)
+def click_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of attribution_join_stream: ALL clicks within the
+    hour before each purchase (vs asof_join_attribution's latest-only).
+    Equi-join on user_id with the time-range residual — Catalyst plans
+    a shuffled hash join on the user key; the binned interval-join form
+    (operators/temporal.py) is the drop-in when per-user event counts
+    explode."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    return (purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & F.col("click_ts").between(
+            F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW}"),
+            F.col("purchase_ts")))
+        .select("purchase_id", "user_id", "click_id",
+                ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                 / F.lit(1_000_000.0)).alias("secs_before")))
+
+
 _STATE_SCHEMA = T.StructType([
     T.StructField("n_seen", T.LongType()),
     T.StructField("total", T.DoubleType()),

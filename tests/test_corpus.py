@@ -1,0 +1,113 @@
+"""Tests for the training-corpus preparation operators: independent
+python reimplementations (union-find, pandas cumulative packing, hash
+membership) pin the semantics the DuckDB oracles also check, plus the
+determinism/stratification properties oracles can't express.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from covid_weather_etl_spark.operators import corpus as C
+from covid_weather_etl_spark.operators import text as TX
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _md5_prefix(doc_id: int, n: int) -> str:
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[:n]
+
+
+def test_sample_membership_is_pure_hash_function(spark, docs_pdf):
+    got = {r["doc_id"] for r in C.hash_stratified_sample(spark, SF_DIR).collect()}
+    want = {d for d in docs_pdf["doc_id"]
+            if _md5_prefix(d, 2) < C.SAMPLE_CUT}
+    assert got == want
+    # ~10% target: md5 buckets put 26/256 ≈ 10.2% below '1a'
+    assert 0.04 <= len(got) / len(docs_pdf) <= 0.18
+
+
+def test_sample_rate_concentrates_per_language(spark, docs_pdf):
+    pdf = C.hash_stratified_sample(spark, SF_DIR).toPandas()
+    totals = docs_pdf.groupby("lang").size()
+    sampled = pdf.groupby("lang").size().reindex(totals.index).fillna(0)
+    for lang in totals.index:
+        assert sampled[lang] / totals[lang] <= 0.30, lang
+
+
+def test_sequence_packing_matches_pandas(spark, docs_pdf):
+    got = (C.sequence_packing(spark, SF_DIR).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pdf = docs_pdf.copy()
+    pdf["n_tokens"] = pdf["text"].str.split(" ").str.len()
+    pdf = pdf.sort_values(["lang", "doc_id"])
+    pdf["offset"] = (pdf.groupby("lang")["n_tokens"].cumsum()
+                     - pdf["n_tokens"])
+    pdf["batch_id"] = pdf["offset"] // C.PACK_BUDGET
+    want = (pdf[["doc_id", "lang", "n_tokens", "batch_id"]]
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"batch_id": "int64", "n_tokens": "int64"}), want)
+
+
+def test_packing_batches_are_contiguous_and_bounded(spark):
+    pdf = C.sequence_packing(spark, SF_DIR).toPandas()
+    for (lang, batch), grp in pdf.groupby(["lang", "batch_id"]):
+        # a batch overflows the budget only via its last document's tail
+        assert grp["n_tokens"].sum() < C.PACK_BUDGET + grp["n_tokens"].max()
+    # batch ids per lang are dense from 0
+    for lang, grp in pdf.groupby("lang"):
+        ids = sorted(grp["batch_id"].unique())
+        assert ids == list(range(len(ids)))
+
+
+def test_contamination_only_flags_test_docs_with_real_overlap(spark):
+    got = C.contamination_check(spark, SF_DIR).toPandas()
+    assert len(got) > 0                      # the corpus has near-dups
+    assert (got["n_shared"] > 0).all()
+    assert (got["n_shared"] <= got["n_fps"]).all()
+    assert got["doc_id"].apply(
+        lambda d: _md5_prefix(d, 1) < C.TEST_CUT).all()
+    # brute-force one flagged doc: its shared count equals the overlap
+    # of its fingerprints with the union of train fingerprints
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fps = TX.winnow_fps(docs).toPandas()
+    fps["is_test"] = fps["doc_id"].apply(
+        lambda d: _md5_prefix(d, 1) < C.TEST_CUT)
+    train_fps = set(fps.loc[~fps["is_test"], "fp"])
+    probe = got.iloc[0]
+    mine = set(fps.loc[fps["doc_id"] == probe["doc_id"], "fp"])
+    assert probe["n_fps"] == len(mine)
+    assert probe["n_shared"] == len(mine & train_fps)
+
+
+def test_dedup_clusters_match_union_find(spark, docs_pdf):
+    pairs = [(r["doc_id_1"], r["doc_id_2"]) for r in
+             TX.ngram_jaccard_near_dup(spark, SF_DIR).collect()]
+    parent = {int(d): int(d) for d in docs_pdf["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in C.dedup_clusters(spark, SF_DIR).collect()}
+    assert got == want
+    canon = {r["doc_id"]: r["is_canonical"]
+             for r in C.dedup_clusters(spark, SF_DIR).collect()}
+    for d, c in got.items():
+        assert canon[d] == (d == c)

@@ -134,3 +134,19 @@ def test_enrich_stream_equals_batch_join(spark, landing_dir):
     assert (g["segment"].fillna("∅").values
             == b[g.columns]["segment"].fillna("∅").values).all()
     assert g["segment"].notna().any()
+
+
+def test_stream_stream_join_equals_batch(spark, landing_dir):
+    """Inner stream-stream join with watermarks emits exactly the batch
+    join's matches (inner joins emit on match; the watermark only
+    bounds state retention)."""
+    stream = S.read_event_stream(spark, landing_dir,
+                                 max_files_per_trigger=1)
+    got = _run_stream_to_memory(
+        spark, S.attribution_join_stream(stream), "t_ssjoin", "append")
+    batch = S.click_attribution_window(spark, SF_DIR)
+    key = ["purchase_id", "click_id"]
+    g = got.toPandas().sort_values(key).reset_index(drop=True)
+    b = batch.toPandas().sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    pd.testing.assert_frame_equal(g, b[g.columns])
