@@ -140,3 +140,55 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_items"),
              dsum("l_extendedprice", "revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# salted join — the hot-key remedy when neither bucketing nor AQE applies
+# ---------------------------------------------------------------------------
+
+N_SALT = 4
+
+
+@register(
+    "salted_join_revenue",
+    survey="J1,A6,skew",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {rev} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """.format(rev=dsum_sql("l_extendedprice")),
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly SALTED fact-fact join: the fact side's join key is
+    widened to (key, salt) with a deterministic per-row salt, and the
+    other side is exploded into all N_SALT salt replicas — a hot key's
+    rows now spread over N_SALT tasks instead of one. The oracle is the
+    PLAIN join aggregate: salting is a physical rewrite and must not
+    change results (decimal-exact revenue makes the check bit-level).
+
+    When to reach for it at 100 TB, in order: (1) bucketing
+    (`ensure_bucketed`) removes the shuffle entirely for repeated
+    joins; (2) AQE skew-join splitting (on in session.py) handles
+    moderate skew at runtime; (3) explicit salting is the remaining
+    tool when one key dominates AND the join is too hot or too custom
+    for AQE — cost: the replicated side grows N_SALT×, so salt only
+    the skewed key range in production (two-path union: salted hot
+    keys + plain tail). Salt is `xxhash64(linenumber) % N_SALT` —
+    deterministic, layout-independent, no RNG."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    fact = t["lineitem"].withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(N_SALT)).cast("int"))
+    other = (t["orders"]
+             .withColumn("salt", F.explode(
+                 F.array(*[F.lit(i) for i in range(N_SALT)]))))
+    # the shuffle_hash hint forces the shuffled-join shape salting
+    # exists for — at the audit SF Catalyst would otherwise broadcast
+    # the small side and hide the salted exchange being demonstrated
+    return (fact.hint("shuffle_hash")
+            .join(other, (F.col("l_orderkey") == F.col("o_orderkey"))
+                  & (fact["salt"] == other["salt"]))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 dsum("l_extendedprice", "revenue")))

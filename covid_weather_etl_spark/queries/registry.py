@@ -70,7 +70,7 @@ def _load_modules() -> None:
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
     from covid_weather_etl_spark.streaming import streams           # noqa: F401
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        dedup, minhash, multimodal, bucketing, relational, windows,
+        bucketing, dedup, minhash, multimodal, relational, windows,
     )
     _LOADED = True
 

@@ -59,3 +59,23 @@ def test_flagship_query_stays_pruned(spark):
 def test_whole_stage_codegen_present(spark):
     df = QUERIES["join_chain_4way_revenue"].fn(spark, SF_DIR)
     assert I.codegen_stage_count(df) >= 1
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """The at-scale gold layout partitions by the dominant filter
+    column (SCALE.md §1); a filter on it must become a PartitionFilter
+    (directories skipped at planning time), not a row filter."""
+    from covid_weather_etl_spark.sources.catalog import load_tables
+    path = str(tmp_path / "part_events")
+    (load_tables(spark, SF_DIR, ("events",))["events"]
+     .write.partitionBy("event_type").parquet(path))
+    df = (spark.read.parquet(path)
+          .filter(F.col("event_type") == "purchase")
+          .select("event_id"))
+    plan = I.physical_plan(df)
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    n_purchase = df.count()
+    total = spark.read.parquet(path).count()
+    assert 0 < n_purchase < total

@@ -114,3 +114,24 @@ def test_embedding_near_dup_equals_brute_force(spark):
     got = {(r["vec_id_1"], r["vec_id_2"]): r["cos_sim"]
            for r in S.embedding_near_dup(spark, SF_DIR).collect()}
     assert got == truth
+
+
+def test_ivf_kmeans_codebook_deterministic_and_recall(spark):
+    """Trained-IVF: the Lloyd loop is RNG-free (two runs produce the
+    identical codebook), and the probe-cell search finds a meaningful
+    share of the true brute-force top-5 (IVF trades recall for a
+    ~1/k scan; with one probe cell the true neighbors concentrate in
+    the probe's cell because k-means groups by the same geometry)."""
+    emb = S._vecs(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+    cb1 = {r["c_id"]: tuple(r["cv"]) for r in
+           S.train_ivf_codebook(emb).collect()}
+    cb2 = {r["c_id"]: tuple(r["cv"]) for r in
+           S.train_ivf_codebook(emb).collect()}
+    assert cb1 == cb2
+    assert len(cb1) == S.KMEANS_K
+
+    got = [r["vec_id"] for r in S.ivf_kmeans_topk(spark, SF_DIR).collect()]
+    truth = [r["vec_id"] for r in S.cosine_topk(spark, SF_DIR).limit(5).collect()]
+    assert len(got) == 5
+    assert len(set(got) & set(truth)) >= 2   # recall@5 >= 0.4 with 1 probe
