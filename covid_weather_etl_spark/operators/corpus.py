@@ -229,7 +229,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              .persist())
     labels = t["documents"].select(
         "doc_id", F.col("doc_id").alias("label"))
-    prev_sum = None
+    prev_sum, prev_frame = None, None
     for _ in range(MAX_CC_ROUNDS):
         neighbor = (labels
                     .join(edges, labels["doc_id"] == edges["src"])
@@ -239,9 +239,86 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.min("label").alias("label"))
                   .persist())
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if prev_frame is not None:
+            prev_frame.unpersist()   # round N-1's cache is dead weight
+        prev_frame = labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    edges.unpersist()
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"))
+
+
+# ---------------------------------------------------------------------------
+# training-mix construction
+# ---------------------------------------------------------------------------
+
+#: target mix proportions over the three source families (the
+#: web/books/code shape of a pretraining mix).
+MIX_WEIGHTS = {"g0": 0.6, "g1": 0.3, "g2": 0.1}
+
+_GRP_SQL = "'g' || CAST(CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 3 AS VARCHAR)"
+_W_SQL = ("CASE grp WHEN 'g0' THEN 0.6 WHEN 'g1' THEN 0.3 "
+          "ELSE 0.1 END")
+
+
+@register(
+    "corpus_mix",
+    survey="corpus-mix,W6,A6",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, {_GRP_SQL} AS grp,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    counts AS (SELECT grp, COUNT(*) AS n FROM tagged GROUP BY grp),
+    cap AS (SELECT MIN(n / ({_W_SQL})) AS c FROM counts),
+    targets AS (
+        SELECT grp, CAST(FLOOR(cap.c * ({_W_SQL})) AS BIGINT) AS n_target
+        FROM counts, cap
+    ),
+    ranked AS (
+        SELECT doc_id, grp,
+               row_number() OVER (PARTITION BY grp ORDER BY h, doc_id) AS rn
+        FROM tagged
+    )
+    SELECT r.doc_id, r.grp
+    FROM ranked r JOIN targets t ON r.grp = t.grp
+    WHERE r.rn <= t.n_target
+    """,
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: pick the LARGEST corpus subset whose
+    source-family proportions exactly match MIX_WEIGHTS. The cap is
+    C = min over groups of n_g / w_g (the binding family), each family
+    contributes floor(C·w_g) documents, and WHICH documents is decided
+    by md5-rank within the family — deterministic, no RNG, stable
+    under repartitioning. One aggregate for the counts (broadcast back
+    as a 3-row frame), one per-family window for the rank — at 100 TB
+    the rank window partitions by family; for families too large for
+    one task, switch the rank to the md5-threshold form (no window)
+    and accept ±ε on the exact counts."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    grp = F.concat(
+        F.lit("g"),
+        (F.regexp_extract("source", r"src(\d+)", 1).cast("bigint") % 3)
+        .cast("string"))
+    w_expr = (F.when(F.col("grp") == "g0", MIX_WEIGHTS["g0"])
+              .when(F.col("grp") == "g1", MIX_WEIGHTS["g1"])
+              .otherwise(MIX_WEIGHTS["g2"]))
+    tagged = t["documents"].select(
+        "doc_id", grp.alias("grp"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"))
+    counts = tagged.groupBy("grp").agg(F.count("*").alias("n"))
+    cap = counts.agg(F.min(F.col("n") / w_expr).alias("c"))
+    targets = (counts.crossJoin(F.broadcast(cap))
+               .select("grp", F.floor(F.col("c") * w_expr)
+                       .cast("long").alias("n_target")))
+    w = W.partitionBy("grp").orderBy("h", "doc_id")
+    return (tagged
+            .withColumn("rn", F.row_number().over(w))
+            .join(F.broadcast(targets), "grp")
+            .filter(F.col("rn") <= F.col("n_target"))
+            .select("doc_id", "grp"))

@@ -357,3 +357,37 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("session_window.start").alias("s_start"),
                     F.col("session_window.end").alias("s_end"),
                     "n_events", "sum_value"))
+
+
+def upsert_gold_stream(stream: DataFrame, gold_dir: str,
+                       checkpoint_dir: str,
+                       key_cols: tuple[str, ...] = ("event_id",)):
+    """Streaming gold-zone upsert via `foreachBatch`: each micro-batch
+    is deduped in-batch on the natural key, anti-joined against the
+    gold directory, and bulk-appended — the streaming version of the
+    ETL load stage (etl/pipeline.py `load`, itself the set-based
+    replacement for the reference's per-row existence probe,
+    `database/operations.py:175-206`). The checkpoint makes each
+    source file processed once; the anti-join makes REPROCESSING
+    harmless (a wiped checkpoint or an at-least-once source cannot
+    create duplicates) — the two layers of exactly-once the reference
+    gets from its cursor + per-row probes. At 100 TB the anti-join
+    probes only the key columns of gold (column-pruned scan); with
+    gold partitioned by the key's natural prefix the probe prunes to
+    the partitions the batch touches."""
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(list(key_cols))
+        try:
+            existing = (spark.read.parquet(gold_dir)
+                        .select(*key_cols).dropDuplicates(list(key_cols)))
+            batch = batch.join(existing, list(key_cols), "left_anti")
+        except Exception:
+            pass  # first batch: gold does not exist yet
+        batch.write.mode("append").parquet(gold_dir)
+
+    return (stream.writeStream
+            .foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

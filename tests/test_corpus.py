@@ -111,3 +111,23 @@ def test_dedup_clusters_match_union_find(spark, docs_pdf):
              for r in C.dedup_clusters(spark, SF_DIR).collect()}
     for d, c in got.items():
         assert canon[d] == (d == c)
+
+
+def test_corpus_mix_proportions_and_determinism(spark, docs_pdf):
+    a = C.corpus_mix(spark, SF_DIR).toPandas()
+    b = C.corpus_mix(spark, SF_DIR).toPandas()
+    key = ["doc_id", "grp"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+    sizes = a.groupby("grp").size()
+    total = sizes.sum()
+    for g, w in C.MIX_WEIGHTS.items():
+        # floor() rounding puts each family within 1 doc of exact
+        assert abs(sizes.get(g, 0) - total * w) <= 1 + total * 0.01, g
+    # the binding family is fully consumed up to floor
+    grp_of = docs_pdf["source"].str.extract(r"src(\d+)")[0].astype(int) % 3
+    n_by_grp = grp_of.map(lambda i: f"g{i}").value_counts()
+    cap = min(n_by_grp[g] / w for g, w in C.MIX_WEIGHTS.items())
+    for g, w in C.MIX_WEIGHTS.items():
+        assert sizes.get(g, 0) == int(cap * w // 1), g

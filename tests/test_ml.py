@@ -193,3 +193,14 @@ def test_pipeline_model_save_load_roundtrip(spark, tmp_path):
     a = model.transform(df).select("prediction").collect()
     b = back.transform(df).select("prediction").collect()
     assert a == b
+
+
+def test_sarima_exact_on_noiseless_seasonal_trend():
+    """On a noise-free seasonal+linear series the seasonal-ARIMA
+    forecast must be near-exact (the d/D inversion reconstructs the
+    deterministic structure) — pins the differencing inversion
+    arithmetic independent of any noise model."""
+    t = np.arange(240, dtype=np.float64)
+    y = 5.0 + 0.1 * t + 4.0 * np.sin(2 * np.pi * t / 12)
+    fc = ML._sarima_forecast(y[:192], 48, s=12)
+    assert np.max(np.abs(fc - y[192:])) < 1e-6

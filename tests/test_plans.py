@@ -79,3 +79,17 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     n_purchase = df.count()
     total = spark.read.parquet(path).count()
     assert 0 < n_purchase < total
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("minhash_near_dup", 5),       # spread repartitions + final sort only
+    ("embedding_near_dup", 2),     # block-pair shuffle (+AQE coalesce slack)
+    ("hash_stratified_sample", 0), # pure narrow map
+    ("salted_join_revenue", 3),    # both salted sides + final agg
+])
+def test_shuffle_budgets_hold(spark, name, max_shuffles):
+    """Regression pins for the audited shuffle counts of the scale-path
+    operators — a refactor that silently doubles exchanges fails here,
+    not at 100 TB."""
+    df = QUERIES[name].fn(spark, SF_DIR)
+    assert I.count_shuffles(df) <= max_shuffles, I.physical_plan(df)

@@ -150,3 +150,33 @@ def test_stream_stream_join_equals_batch(spark, landing_dir):
     b = batch.toPandas().sort_values(key).reset_index(drop=True)
     assert len(g) == len(b) > 0
     pd.testing.assert_frame_equal(g, b[g.columns])
+
+
+def test_upsert_gold_stream_is_duplicate_proof(spark, landing_dir,
+                                               tmp_path):
+    """foreachBatch upsert: duplicates across micro-batches are dropped
+    by the anti-join, and a FULL reprocess (fresh checkpoint, same
+    gold) appends nothing — dedup holds even when exactly-once file
+    tracking is lost."""
+    import shutil
+    dup_dir = str(tmp_path / "landing_dup")
+    shutil.copytree(landing_dir, dup_dir)
+    # chunk 3 = copy of chunk 0: every row arrives twice across batches
+    shutil.copy(f"{landing_dir}/chunk_0.parquet",
+                f"{dup_dir}/chunk_3.parquet")
+    gold = str(tmp_path / "gold")
+    q = S.upsert_gold_stream(
+        S.read_event_stream(spark, dup_dir, max_files_per_trigger=1),
+        gold, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    n_distinct = (spark.read.parquet(dup_dir)
+                  .select("event_id").distinct().count())
+    got = spark.read.parquet(gold)
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+    # reprocess everything with a FRESH checkpoint → still no dupes
+    q2 = S.upsert_gold_stream(
+        S.read_event_stream(spark, dup_dir, max_files_per_trigger=1),
+        gold, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(gold).count() == n_distinct
