@@ -659,6 +659,156 @@ def sarima_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# U2/U5 — Fourier trend regression (Prophet parity path)
+# ---------------------------------------------------------------------------
+
+# The reference's Prophet forecast (BASELINE.md: RMSE 2.763 / MAE 2.135,
+# notebooks/weather_forecasting.ipynb cell 25) is additive trend +
+# Fourier seasonality (+ exogenous regressors). The same family in
+# closed form: OLS on [1, t, sin/cos harmonics] — fit per group in one
+# applyInPandas body, forecast by extending the design matrix. Anchor-
+# band parity on the reference-shaped fixture in tests/test_ml.py.
+
+FOURIER_K = 3
+
+
+def _fourier_design(t: np.ndarray, period: float,
+                    k: int = FOURIER_K) -> np.ndarray:
+    cols = [np.ones(len(t)), t]
+    for h in range(1, k + 1):
+        w = 2.0 * math.pi * h / period
+        cols += [np.sin(w * t), np.cos(w * t)]
+    return np.column_stack(cols)
+
+
+def _fourier_forecast(y: np.ndarray, steps: int, period: float,
+                      k: int = FOURIER_K) -> np.ndarray | None:
+    """Fit y ~ trend + K Fourier harmonics on t = 0..n-1 by least
+    squares; predict the next `steps` points. Pure numpy."""
+    n = len(y)
+    if n < 2 * k + 4 or steps < 1:
+        return None
+    coef, *_ = np.linalg.lstsq(_fourier_design(np.arange(n), period, k),
+                               y, rcond=None)
+    t_f = np.arange(n, n + steps, dtype=np.float64)
+    return _fourier_design(t_f, period, k) @ coef
+
+
+def _fourier_eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("d")
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    name = pdf["n_name"].iloc[0]
+    n_train = int(len(y) * 0.8)
+    test = y[n_train:]
+    fc = _fourier_forecast(y[:n_train], len(test), period=float(SARIMA_SEASON))
+    if fc is None or not len(test):
+        return pd.DataFrame([{
+            "n_name": name, "n_train": n_train, "n_test": len(test),
+            "mae": float("nan"), "rmse": float("nan"), "r2": float("nan")}])
+    err = test - fc
+    denom = float(np.sum((test - test.mean()) ** 2))
+    return pd.DataFrame([{
+        "n_name": name, "n_train": n_train, "n_test": len(test),
+        "mae": round(float(np.mean(np.abs(err))), 6),
+        "rmse": round(float(np.sqrt(np.mean(err ** 2))), 6),
+        "r2": round(float(1.0 - np.sum(err ** 2) / denom), 6)
+        if denom > 0 else float("nan")}])
+
+
+@register("fourier_trend_forecast_eval", survey="U2,U5,W5")
+def fourier_trend_forecast_eval(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-nation additive trend+Fourier-seasonality forecast eval —
+    the closed-form restatement of the reference's Prophet model
+    (same 80/20 chrono protocol as sarima_forecast_eval). One Arrow
+    batch per group; embarrassingly parallel. Rows-only driver check;
+    Prophet anchor-band parity on the reference-shaped fixture in
+    tests/test_ml.py."""
+    daily = nation_daily(spark, sf_dir)
+    return (daily.groupBy("n_name")
+            .applyInPandas(_fourier_eval_group, schema=_SARIMA_EVAL_SCHEMA)
+            .orderBy("n_name"))
+
+
+# ---------------------------------------------------------------------------
+# U2/U3/U5 — GBT regressor with lag/rolling features (notebook parity)
+# ---------------------------------------------------------------------------
+
+REG_LAGS = 7
+REG_ROLLS = (3, 7, 14, 30)
+
+
+def _lag_rolling_features(daily: DataFrame) -> DataFrame:
+    """The reference regressor's feature set (BASELINE.md: lag 1–7 +
+    rolling {3,7,14,30} means, weather_forecasting.ipynb cell 36) over
+    the per-nation daily series. Rolling means use STRICTLY PAST rows
+    (-m..-1) — the reference's leakage caveat ('linear models reach
+    RMSE≈0 via leaky rolling features') is exactly why the current row
+    must stay out of its own feature window."""
+    w = W.partitionBy("n_name").orderBy("d")
+    cols = [F.lag("y", k).over(w).alias(f"lag_{k}")
+            for k in range(1, REG_LAGS + 1)]
+    cols += [F.avg("y").over(w.rowsBetween(-m, -1)).alias(f"roll_{m}")
+             for m in REG_ROLLS]
+    wp = W.partitionBy("n_name")
+    return (daily
+            .select("n_name", "d", "y", *cols,
+                    F.row_number().over(w).alias("rn"),
+                    F.count("*").over(wp).alias("n_total"))
+            .dropna())
+
+
+@register("gbt_regressor_eval", survey="U2,U3,U5,W2,W4")
+def gbt_regressor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted-trees REGRESSOR on lag+rolling features with a
+    chronological 80/20 split — the Spark restatement of the
+    reference's best honest ML regressor (BASELINE.md: GB RMSE 1.341 /
+    MAE 1.039 / R² 0.926 with the same feature recipe; the chrono
+    split is the final TimeSeriesSplit fold, grid search replaced by
+    fixed seeded hyperparameters). Feature building is pure window
+    algebra; fit is distributed; scoring is PipelineModel.transform;
+    metrics are decimal-rounded aggregates. Rows-only driver check;
+    determinism + invariant tests in tests/test_ml.py. NOTE: on the
+    driver's TPC-H-ish revenue series R² ≈ 0 is the CORRECT honest
+    result — daily order revenue has no serial memory, unlike the
+    reference's temperature target where the same recipe earns
+    R² 0.926; the operator demonstrates the pipeline, the anchors
+    live on the reference-shaped fixture tests."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    feats = _lag_rolling_features(nation_daily(spark, sf_dir))
+    fcols = ([f"lag_{k}" for k in range(1, REG_LAGS + 1)]
+             + [f"roll_{m}" for m in REG_ROLLS])
+    cut = F.floor(F.col("n_total") * 0.8).cast("long")
+    train = feats.filter(F.col("rn") <= cut)
+    test = feats.filter(F.col("rn") > cut)
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=fcols, outputCol="features"),
+        GBTRegressor(featuresCol="features", labelCol="y",
+                     maxIter=10, maxDepth=4, stepSize=0.1, seed=42),
+    ])
+    model = pipe.fit(train)
+    scored = model.transform(test).select(
+        "y", F.col("prediction").alias("p")).cache()
+    err = F.col("y") - F.col("p")
+    n = F.count("*")
+    sse = F.sum(err * err)
+    syy = F.sum(F.col("y") * F.col("y"))
+    sy = F.sum("y")
+    out = scored.agg(
+        n.alias("n_test"),
+        F.round(F.sum(F.abs(err)) / n, 4).alias("mae"),
+        F.round(F.sqrt(sse / n), 4).alias("rmse"),
+        F.round(F.lit(1.0) - sse / (syy - sy * sy / n), 4).alias("r2"),
+    )
+    rows = out.collect()
+    scored.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
 # U3-U5 — GBT classifier (reference XGBoost family parity)
 # ---------------------------------------------------------------------------
 

@@ -322,3 +322,101 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(targets), "grp")
             .filter(F.col("rn") <= F.col("n_target"))
             .select("doc_id", "grp"))
+
+
+# ---------------------------------------------------------------------------
+# cleaning-funnel report
+# ---------------------------------------------------------------------------
+
+#: funnel thresholds (C4-style cleaning cascade)
+MIN_CHARS = 200
+MIN_TOKENS = 20
+MIN_DISTINCT_RATIO = 0.2
+
+
+@register(
+    "quality_filter_funnel",
+    survey="corpus-funnel,A1,A3,F8",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               n_chars >= {MIN_CHARS} AS p1,
+               len(string_split(text, ' ')) >= {MIN_TOKENS} AS p2,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) >= {MIN_DISTINCT_RATIO} AS p3,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) = 1 AS p4
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id,
+               p1, p1 AND p2 AS s2, p1 AND p2 AND p3 AS s3,
+               p1 AND p2 AND p3 AND p4 AS s4
+        FROM scored
+    )
+    SELECT stage, n_in, n_out,
+           ROUND((n_in - n_out) * 1.0 / n_in, 6) AS drop_rate
+    FROM (
+        SELECT 1 AS stage, 'min_chars' AS rule, COUNT(*) AS n_in,
+               CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        FROM flags
+        UNION ALL
+        SELECT 2, 'min_tokens',
+               CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+        UNION ALL
+        SELECT 3, 'distinct_ratio',
+               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+        UNION ALL
+        SELECT 4, 'exact_dedup',
+               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    )
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning-funnel attrition report: how many documents survive
+    each stage of the C4-style cascade (length floor → token floor →
+    repetition gate → exact-dedup keep-first) — the per-stage
+    accounting every corpus-cleaning run publishes. One pass computes
+    all stage flags per doc (the dedup flag is a per-content-hash
+    window, shuffling 16-byte digests); the funnel itself is four
+    conditional sums over the flag frame — no per-stage rescans of the
+    corpus, which is the property that matters when the corpus is
+    100 TB and each rescan is a day."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    wdup = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = t["documents"].select(
+        "doc_id",
+        (F.col("n_chars") >= MIN_CHARS).alias("p1"),
+        (F.size(toks) >= MIN_TOKENS).alias("p2"),
+        ((F.size(F.array_distinct(toks)) * 1.0 / F.size(toks))
+         >= MIN_DISTINCT_RATIO).alias("p3"),
+        (F.row_number().over(wdup) == 1).alias("p4"),
+    ).select(
+        "doc_id", "p1",
+        (F.col("p1") & F.col("p2")).alias("s2"),
+        (F.col("p1") & F.col("p2") & F.col("p3")).alias("s3"),
+        (F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4")).alias("s4"),
+    )
+    cnt = F.count("*")
+    c = {k: F.sum(F.col(k).cast("long")) for k in ("p1", "s2", "s3", "s4")}
+    agg = flags.agg(cnt.alias("n_docs"), *[v.alias(k) for k, v in c.items()])
+    stages = [
+        (1, F.col("n_docs"), F.col("p1")),
+        (2, F.col("p1"), F.col("s2")),
+        (3, F.col("s2"), F.col("s3")),
+        (4, F.col("s3"), F.col("s4")),
+    ]
+    rows = [agg.select(F.lit(i).alias("stage"),
+                       n_in.cast("long").alias("n_in"),
+                       n_out.cast("long").alias("n_out"),
+                       F.round((n_in - n_out) * 1.0 / n_in, 6)
+                       .alias("drop_rate"))
+            for i, n_in, n_out in stages]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -131,3 +131,17 @@ def test_corpus_mix_proportions_and_determinism(spark, docs_pdf):
     cap = min(n_by_grp[g] / w for g, w in C.MIX_WEIGHTS.items())
     for g, w in C.MIX_WEIGHTS.items():
         assert sizes.get(g, 0) == int(cap * w // 1), g
+
+
+def test_quality_funnel_is_monotone_and_consistent(spark, docs_pdf):
+    pdf = (C.quality_filter_funnel(spark, SF_DIR).toPandas()
+           .sort_values("stage").reset_index(drop=True))
+    assert list(pdf["stage"]) == [1, 2, 3, 4]
+    assert pdf.loc[0, "n_in"] == len(docs_pdf)
+    # each stage's input is the previous stage's output; counts shrink
+    for i in range(1, 4):
+        assert pdf.loc[i, "n_in"] == pdf.loc[i - 1, "n_out"]
+        assert pdf.loc[i, "n_out"] <= pdf.loc[i, "n_in"]
+    # stage-1 survivor count checks against pandas
+    assert pdf.loc[0, "n_out"] == int((docs_pdf["n_chars"]
+                                       >= C.MIN_CHARS).sum())
