@@ -386,3 +386,64 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id — no global state, scales with the corpus."""
     t = load_tables(spark, sf_dir, ("documents",))
     return winnow_fps(t["documents"])
+
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "tfidf_top_terms",
+    survey="LLM-text,A6,W6",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, t AS term,
+               COUNT(*) * 1.0 / ANY_VALUE(n_toks) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                     len(string_split(text, ' ')) AS n_toks
+              FROM documents)
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT term, COUNT(*) AS n_docs FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(n.n_total * 1.0 / df.n_docs), 6) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, score,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= {TFIDF_TOPK}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document — the classic keyword
+    extractor (and the bag-of-words featurizer's scoring core). Term
+    frequencies aggregate per (doc, term); document frequencies per
+    term come from the same frame re-aggregated (small — vocabulary
+    sized — and broadcast back); corpus size N broadcasts as one row.
+    Shuffles on (doc, term) once; the top-k window partitions per doc.
+    ln() is evaluated in IEEE double on both engines and the score is
+    rounded to 6dp, insulating the comparison from libm ulp drift."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _tokens()
+    tf = (spread(t["documents"], "doc_id")
+          .select("doc_id", F.size(toks).alias("n_toks"),
+                  F.explode(toks).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg((F.count("*") * 1.0 / F.first("n_toks")).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("n_docs"))
+    n_total = t["documents"].agg(F.count("*").alias("n_total"))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(n_total))
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_total") * 1.0
+                                      / F.col("n_docs")), 6)
+                      .alias("score")))
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TFIDF_TOPK)
+            .select("doc_id", "term", "score", "rank"))
