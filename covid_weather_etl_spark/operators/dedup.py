@@ -19,47 +19,6 @@ from covid_weather_etl_spark.sources.catalog import load_tables
 
 
 @register(
-    "latest_event_per_user",
-    survey="D4,J9",
-    oracle="""
-    SELECT event_id, user_id, event_type, value
-    FROM (
-        SELECT event_id, user_id, event_type, value,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    ) WHERE rn = 1
-    """,
-)
-def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-wins dedup (the append-only replacement for the
-    reference's keyed UPDATE upserts, `database/operations.py:157-172`):
-    row_number over (key ORDER BY ts DESC) = 1. One shuffle on the key;
-    at scale this is the standard CDC-compaction pattern."""
-    t = load_tables(spark, sf_dir, ("events",))
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        t["events"]
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type", "value")
-    )
-
-
-@register(
-    "distinct_pairs",
-    survey="D1,A13",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
-)
-def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-level dedup (reference file-path dedup,
-    `etl/loader.py:79-90`): DISTINCT on the natural key — map-side
-    partial dedup then one shuffle."""
-    t = load_tables(spark, sf_dir, ("events",))
-    return t["events"].select("user_id", "event_type").distinct()
-
-
-@register(
     "union_append",
     survey="D3",
     oracle="""
@@ -171,3 +130,44 @@ def approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q")[2].alias("p75"), F.col("q")[3].alias("p95"),
         )
     )
+
+
+@register(
+    "latest_event_per_user",
+    survey="D4,J9",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM (
+        SELECT event_id, user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins dedup (the append-only replacement for the
+    reference's keyed UPDATE upserts, `database/operations.py:157-172`):
+    row_number over (key ORDER BY ts DESC) = 1. One shuffle on the key;
+    at scale this is the standard CDC-compaction pattern."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "distinct_pairs",
+    survey="D1,A13",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level dedup (reference file-path dedup,
+    `etl/loader.py:79-90`): DISTINCT on the natural key — map-side
+    partial dedup then one shuffle."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return t["events"].select("user_id", "event_type").distinct()

@@ -58,20 +58,24 @@ def _load_modules() -> None:
     if _LOADED:
         return
     # Registration order matters: the correctness driver evaluates queries
-    # in registration order with a bounded window, so modules whose queries
-    # were NOT driver-verified last round register FIRST (rotate per round).
-    # Round 2: similarity/temporal/text/timeseries/etl/ml/streaming (all
-    # unverified in CORRECTNESS_r01) lead; relational/windows/bucketing
-    # (all green in r01) trail.
+    # in registration order with a bounded window (50 rows), so modules whose
+    # queries were NOT driver-verified last round register FIRST (rotate per
+    # round). Round 3: relational/windows/multimodal/minhash (verified only
+    # against round-1 code, or never — media_features/media_resize) lead,
+    # followed by dedup whose first four registrations are its r2-unverified
+    # queries (the two r1+r2-green ones moved to the module tail). That puts
+    # all 49 queries lacking a CORRECTNESS_r02 row inside the r3 window.
+    # Round-2-verified modules (corpus/dashboard/similarity/temporal/text/
+    # timeseries/etl/ml/streams/bucketing) trail.
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        corpus, dashboard, similarity, temporal, text, timeseries,
+        relational, windows, multimodal, minhash, dedup,
+    )
+    from covid_weather_etl_spark.operators import (  # noqa: F401
+        bucketing, corpus, dashboard, similarity, temporal, text, timeseries,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
     from covid_weather_etl_spark.streaming import streams           # noqa: F401
-    from covid_weather_etl_spark.operators import (  # noqa: F401
-        bucketing, dedup, minhash, multimodal, relational, windows,
-    )
     _LOADED = True
 
 
