@@ -229,7 +229,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              .persist())
     labels = t["documents"].select(
         "doc_id", F.col("doc_id").alias("label"))
-    prev_sum, prev_frame = None, None
+    prev_sum, prev_frame, converged = None, None, False
     for _ in range(MAX_CC_ROUNDS):
         neighbor = (labels
                     .join(edges, labels["doc_id"] == edges["src"])
@@ -243,10 +243,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev_frame.unpersist()   # round N-1's cache is dead weight
         prev_frame = labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(
+    if not converged:
+        # A component with diameter > MAX_CC_ROUNDS would exit the loop
+        # with WRONG (unconverged) labels — fail loudly instead of
+        # returning them. Real near-dup graphs are shallow (clusters of
+        # copies, not long chains); hitting this means the cap, or the
+        # propagation scheme (large-star/small-star), needs revisiting.
+        prev_frame.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge "
+            f"within {MAX_CC_ROUNDS} rounds (component diameter exceeds "
+            f"the cap)")
+    # Materialize the fixpoint, then drop the loop's cache entry —
+    # persist() entries live in the CacheManager until explicitly
+    # unpersisted and would accumulate across a multi-query run.
+    final = labels.localCheckpoint(eager=True)
+    prev_frame.unpersist()
+    return final.select(
         "doc_id", F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"))
 
@@ -260,8 +277,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_WEIGHTS = {"g0": 0.6, "g1": 0.3, "g2": 0.1}
 
 _GRP_SQL = "'g' || CAST(CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 3 AS VARCHAR)"
-_W_SQL = ("CASE grp WHEN 'g0' THEN 0.6 WHEN 'g1' THEN 0.3 "
-          "ELSE 0.1 END")
+#: weights as DOUBLE on the oracle side: DuckDB would otherwise run the
+#: cap / floor math in DECIMAL, which can floor one row differently from
+#: Spark's IEEE doubles when C*w lands exactly on an integer.
+_W_SQL = ("CASE grp WHEN 'g0' THEN CAST(0.6 AS DOUBLE) "
+          "WHEN 'g1' THEN CAST(0.3 AS DOUBLE) "
+          "ELSE CAST(0.1 AS DOUBLE) END")
 
 
 @register(
@@ -274,7 +295,7 @@ _W_SQL = ("CASE grp WHEN 'g0' THEN 0.6 WHEN 'g1' THEN 0.3 "
         FROM documents
     ),
     counts AS (SELECT grp, COUNT(*) AS n FROM tagged GROUP BY grp),
-    cap AS (SELECT MIN(n / ({_W_SQL})) AS c FROM counts),
+    cap AS (SELECT MIN(CAST(n AS DOUBLE) / ({_W_SQL})) AS c FROM counts),
     targets AS (
         SELECT grp, CAST(FLOOR(cap.c * ({_W_SQL})) AS BIGINT) AS n_target
         FROM counts, cap

@@ -239,9 +239,13 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
                 )).alias("s"))
         .distinct()
-        # consumed 4× (self-join both sides + two size joins): persist
-        # computes the explode+distinct exchanges once.
-        .persist())
+        # Consumed 4× (self-join both sides + two size joins): materialize
+        # once. localCheckpoint instead of persist() so the blocks are
+        # released by the ContextCleaner when the frame is GC'd —
+        # CacheManager entries from persist() outlive the query and
+        # accumulate across a multi-query run. (On a real cluster with
+        # executor churn, swap for a reliable checkpoint dir.)
+        .localCheckpoint(eager=True))
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")

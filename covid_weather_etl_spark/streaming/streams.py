@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.errors import AnalysisException
 
 from covid_weather_etl_spark.functions.numeric import dsum, dsum_sql
 from covid_weather_etl_spark.queries.registry import register
@@ -381,9 +382,18 @@ def upsert_gold_stream(stream: DataFrame, gold_dir: str,
         try:
             existing = (spark.read.parquet(gold_dir)
                         .select(*key_cols).dropDuplicates(list(key_cols)))
-            batch = batch.join(existing, list(key_cols), "left_anti")
-        except Exception:
-            pass  # first batch: gold does not exist yet
+            # Materialize the anti-join BEFORE the append job: the gold
+            # read and the gold append must not share one job, or the
+            # scan's file listing could race the write. localCheckpoint
+            # is batch-sized (not gold-sized), so it is scale-safe.
+            batch = (batch.join(existing, list(key_cols), "left_anti")
+                     .localCheckpoint(eager=True))
+        except AnalysisException as exc:
+            # Only "path does not exist" means first batch; any other
+            # failure (corrupt footer, schema drift, IO error) must
+            # fail the batch rather than silently append duplicates.
+            if (exc.getCondition() or "") != "PATH_NOT_FOUND":
+                raise
         batch.write.mode("append").parquet(gold_dir)
 
     return (stream.writeStream
