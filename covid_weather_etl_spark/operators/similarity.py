@@ -219,18 +219,94 @@ def train_ivf_codebook(emb: DataFrame, k: int = KMEANS_K,
     return centroids
 
 
+# --- train-once seam -------------------------------------------------------
+# At 100 TB the codebook is a model artifact: trained ONCE (on a sample),
+# persisted, and read by every search query — never retrained in the hot
+# path. `ensure_ivf_codebook` is that seam: first call per corpus trains
+# and writes parquet under the warehouse; later calls (and later
+# processes) load it. The search query is then assign+top-k only.
+
+_CODEBOOK_MEMO: dict[str, list] = {}
+
+
+def ivf_codebook_path(sf_dir: str) -> str:
+    """Deterministic warehouse location for a corpus' trained codebook."""
+    import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return os.path.join(repo_root, "spark-warehouse", f"ivf_codebook_{base}")
+
+
+def ensure_ivf_codebook(spark: SparkSession, sf_dir: str) -> list:
+    """Load the persisted codebook for `sf_dir`, training it first if it
+    does not exist yet. Returns the k (c_id, cv) rows (a model artifact,
+    k×dim doubles — driver-sized by definition, like a PipelineModel).
+    Keyed by the corpus directory name; regenerating the test data
+    invalidates the artifact (delete the warehouse dir to retrain)."""
+    import os
+    if sf_dir in _CODEBOOK_MEMO:
+        return _CODEBOOK_MEMO[sf_dir]
+    path = ivf_codebook_path(sf_dir)
+    if os.path.isdir(path):
+        rows = spark.read.parquet(path).collect()
+    else:
+        t = load_tables(spark, sf_dir, ("embeddings",))
+        rows = train_ivf_codebook(_vecs(t["embeddings"])).collect()
+        (spark.createDataFrame(rows, schema=_CENTROID_SCHEMA)
+         .coalesce(1).write.mode("overwrite").parquet(path))
+    rows = sorted(rows, key=lambda r: r["c_id"])
+    _CODEBOOK_MEMO[sf_dir] = rows
+    return rows
+
+
+def _codebook_literal(rows: list) -> Column:
+    """The k-row codebook as a literal array<struct<c_id, cv>> column —
+    small enough to inline in the plan, which keeps nearest-centroid
+    assignment a NARROW map (no crossJoin, no per-vector window)."""
+    return F.array(*[
+        F.struct(F.lit(int(r["c_id"])).alias("c_id"),
+                 F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"))
+        for r in rows])
+
+
+def assign_cells_literal(emb: DataFrame, rows: list) -> DataFrame:
+    """Shuffle-free nearest-centroid assignment: arg-max over the
+    literal codebook via array_max on (sim, -c_id) structs (field-wise
+    struct ordering ⇒ highest sim, ties to the LOWEST c_id — identical
+    to `_assign_cells`'s window tie-break, without the corpus-wide
+    shuffle that row_number(PARTITION BY vec_id) costs)."""
+    cb = _codebook_literal(rows)
+    best = F.array_max(F.transform(cb, lambda c: F.struct(
+        F.round(cosine(F.col("v"), c["cv"]), 6).alias("c_sim"),
+        (-c["c_id"]).alias("neg_id"))))
+    return emb.withColumn("c_id", (-best["neg_id"]).cast("int"))
+
+
+@register("ivf_codebook_train", survey="LLM-sim,U2")
+def ivf_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training half of the IVF seam: 3 Lloyd rounds (RNG-free,
+    seeded from the first k vec_ids) build the k=8 codebook, persisted
+    to the warehouse for every later search. Rows-only driver check
+    (iterative k-means is not ANSI-SQL-expressible); determinism is
+    pinned in tests/test_similarity_lsh.py."""
+    rows = ensure_ivf_codebook(spark, sf_dir)
+    return spark.createDataFrame(rows, schema=_CENTROID_SCHEMA)
+
+
 @register("ivf_kmeans_topk", survey="LLM-sim,U2,J1")
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 through a TRAINED IVF codebook: 3 Lloyd rounds build
-    the k=8 cell centroids (vs ivf_ann_topk's fixed stand-in codebook),
-    then the probe searches only its own cell. Rows-only driver check
-    (iterative k-means is not ANSI-SQL-expressible); recall vs the
-    brute-force baseline and codebook determinism are pinned in
-    tests/test_similarity_lsh.py."""
+    """ANN top-5 through the TRAINED IVF codebook (vs ivf_ann_topk's
+    fixed stand-in): reads the persisted codebook (training it on first
+    use — see ensure_ivf_codebook), assigns cells with a narrow map over
+    the literal codebook, and searches ONLY the probe's cell. The plan
+    is scan → narrow assign → broadcast-probe join → TakeOrdered: zero
+    wide shuffles. Rows-only driver check; recall vs the brute-force
+    baseline is pinned in tests/test_similarity_lsh.py."""
+    rows = ensure_ivf_codebook(spark, sf_dir)
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = _vecs(t["embeddings"])
-    codebook = train_ivf_codebook(emb)
-    assigned = _assign_cells(emb, codebook)
+    assigned = assign_cells_literal(emb, rows)
     probe = (assigned.filter(F.col("vec_id") == 0)
              .select(F.col("c_id").alias("p_cell"), F.col("v").alias("pv")))
     sim_p = F.round(cosine(F.col("v"), F.col("pv")), 6)
