@@ -8,8 +8,9 @@
   predicate + projection into the database and partitions the scan on
   a numeric column; `df.write.jdbc(mode="append")` batches inserts —
   the vectorized replacement for the reference's per-row INSERT loop.
-  No database exists in this environment, so these are thin,
-  untested-by-CI wrappers over Spark's built-in JDBC source.
+  Exercised end-to-end against embedded Derby (bundled with Spark's
+  distribution) in tests/test_sources.py: append ×2, partitioned
+  read-back, and filter/projection pushdown into the database.
 """
 
 from __future__ import annotations

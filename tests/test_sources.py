@@ -69,3 +69,41 @@ def test_ensure_warehouse_ddl(spark, tmp_path):
             "transform_logs", "load_logs"} <= tables
     cols = [f.name for f in spark.table("wh_test.weather").schema.fields]
     assert "tavg" in cols and "country" in cols
+
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S5/S6 against a REAL database: Spark's distribution bundles
+    embedded Derby (the Hive-metastore backend), so the JDBC sink and
+    the partitioned JDBC scan can execute end-to-end offline — the
+    in-process stand-in for the reference's Postgres warehouse
+    (`dags/forecasting_dag.py:47-53`, `database/operations.py:63-108`)."""
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    src = spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS v",
+        "CONCAT('c', CAST(id % 3 AS STRING)) AS tag")
+    SIO.write_jdbc_append(src, url, "weather_load", driver=DERBY)
+    # second append batch — the sink must not clobber existing rows
+    SIO.write_jdbc_append(src.selectExpr("id + 100 AS id", "v", "tag"),
+                          url, "weather_load", driver=DERBY)
+
+    back = SIO.read_jdbc_table(
+        spark, url, "weather_load",
+        partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=200, driver=DERBY)
+    # the partitioned scan really fans out over 4 range slices
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 200
+    assert back.schema.simpleString() == src.schema.simpleString()
+
+    # predicate + projection push INTO the database: the plan's data
+    # source node carries the pushed filter, not a post-scan Filter
+    pushed = back.filter("id >= 150").select("id", "tag")
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan
+    assert pushed.count() == 50
+    got = {(r["id"], r["v"], r["tag"]) for r in back.collect()}
+    want = {(i, float(i % 100 % 7), f"c{i % 100 % 3}") for i in range(200)}
+    assert got == want
