@@ -664,12 +664,19 @@ def sarima_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The reference's Prophet forecast (BASELINE.md: RMSE 2.763 / MAE 2.135,
 # notebooks/weather_forecasting.ipynb cell 25) is additive trend +
-# Fourier seasonality (+ exogenous regressors). The same family in
-# closed form: OLS on [1, t, sin/cos harmonics] — fit per group in one
-# applyInPandas body, forecast by extending the design matrix. Anchor-
-# band parity on the reference-shaped fixture in tests/test_ml.py.
+# Fourier seasonality + exogenous regressors (prcp/season/wspd/snow/
+# pres, `add_regressor` per column). The same family in closed form:
+# OLS on [1, t, sin/cos harmonics | exog columns] — fit per group in
+# one applyInPandas body, forecast by extending the design matrix with
+# the regressors' observed test-window values (the reference likewise
+# feeds actual weather covariates for the forecast horizon). Anchor-
+# band parity + planted-exog coefficient recovery in tests/test_ml.py.
 
 FOURIER_K = 3
+
+#: exogenous regressor columns of the per-nation daily series — the
+#: engine's analog of the reference's weather covariates.
+EXOG_COLS = ("n_orders", "urgent_share")
 
 
 def _fourier_design(t: np.ndarray, period: float,
@@ -681,26 +688,54 @@ def _fourier_design(t: np.ndarray, period: float,
     return np.column_stack(cols)
 
 
-def _fourier_forecast(y: np.ndarray, steps: int, period: float,
-                      k: int = FOURIER_K) -> np.ndarray | None:
-    """Fit y ~ trend + K Fourier harmonics on t = 0..n-1 by least
-    squares; predict the next `steps` points. Pure numpy."""
+def _fourier_fit(y: np.ndarray, period: float, k: int = FOURIER_K,
+                 X: np.ndarray | None = None) -> np.ndarray | None:
+    """OLS coefficients of y ~ [1, t, harmonics | exog] on t=0..n-1.
+    Returns None when the system is under-determined. Coefficient
+    layout: 2 + 2k trend/seasonal terms, then one β per exog column."""
     n = len(y)
-    if n < 2 * k + 4 or steps < 1:
+    n_exog = 0 if X is None else X.shape[1]
+    if n < 2 * k + 4 + n_exog:
         return None
-    coef, *_ = np.linalg.lstsq(_fourier_design(np.arange(n), period, k),
-                               y, rcond=None)
+    D = _fourier_design(np.arange(n), period, k)
+    if X is not None:
+        D = np.column_stack([D, X[:n]])
+    coef, *_ = np.linalg.lstsq(D, y, rcond=None)
+    return coef
+
+
+def _fourier_forecast(y: np.ndarray, steps: int, period: float,
+                      k: int = FOURIER_K,
+                      X: np.ndarray | None = None) -> np.ndarray | None:
+    """Fit y ~ trend + K Fourier harmonics (+ exog βs when X is given)
+    on t = 0..n-1; predict the next `steps` points. X must cover the
+    forecast horizon too (rows n..n+steps-1) — exogenous regressors
+    are known covariates, exactly the reference's Prophet
+    `add_regressor` contract. Pure numpy."""
+    n = len(y)
+    if steps < 1:
+        return None
+    coef = _fourier_fit(y, period, k, X)
+    if coef is None:
+        return None
     t_f = np.arange(n, n + steps, dtype=np.float64)
-    return _fourier_design(t_f, period, k) @ coef
+    Df = _fourier_design(t_f, period, k)
+    if X is not None:
+        Df = np.column_stack([Df, X[n:n + steps]])
+    return Df @ coef
 
 
 def _fourier_eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("d")
     y = pdf["y"].to_numpy(dtype=np.float64)
     name = pdf["n_name"].iloc[0]
+    have_exog = all(c in pdf.columns for c in EXOG_COLS)
+    X = (pdf[list(EXOG_COLS)].to_numpy(dtype=np.float64)
+         if have_exog else None)
     n_train = int(len(y) * 0.8)
     test = y[n_train:]
-    fc = _fourier_forecast(y[:n_train], len(test), period=float(SARIMA_SEASON))
+    fc = _fourier_forecast(y[:n_train], len(test),
+                           period=float(SARIMA_SEASON), X=X)
     if fc is None or not len(test):
         return pd.DataFrame([{
             "n_name": name, "n_train": n_train, "n_test": len(test),
@@ -715,16 +750,38 @@ def _fourier_eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if denom > 0 else float("nan")}])
 
 
+def nation_daily_exog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation_daily plus the exogenous covariates: daily order count
+    and urgent-order share — computed in the SAME single shuffle as y
+    (extra aggregates are free map-side)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.to_date("o_orderdate").alias("d"))
+        .agg(dsum("o_totalprice", "y"),
+             F.count("*").alias("n_orders"),
+             F.avg((F.col("o_orderpriority") == "1-URGENT")
+                   .cast("double")).alias("urgent_share"))
+        .withColumn("x", F.datediff("d", F.lit(EPOCH)))
+    )
+
+
 @register("fourier_trend_forecast_eval", survey="U2,U5,W5")
 def fourier_trend_forecast_eval(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    """Per-nation additive trend+Fourier-seasonality forecast eval —
-    the closed-form restatement of the reference's Prophet model
-    (same 80/20 chrono protocol as sarima_forecast_eval). One Arrow
-    batch per group; embarrassingly parallel. Rows-only driver check;
-    Prophet anchor-band parity on the reference-shaped fixture in
-    tests/test_ml.py."""
-    daily = nation_daily(spark, sf_dir)
+    """Per-nation additive trend + Fourier seasonality + exogenous
+    regressors forecast eval — the closed-form restatement of the
+    reference's full Prophet model incl. `add_regressor` covariates
+    (same 80/20 chrono protocol as sarima_forecast_eval; test-window
+    regressor values are observed covariates, as in the notebook).
+    One Arrow batch per group; embarrassingly parallel. Rows-only
+    driver check; Prophet anchor-band parity + planted-exog recovery
+    on reference-shaped fixtures in tests/test_ml.py."""
+    daily = nation_daily_exog(spark, sf_dir)
     return (daily.groupBy("n_name")
             .applyInPandas(_fourier_eval_group, schema=_SARIMA_EVAL_SCHEMA)
             .orderBy("n_name"))
@@ -778,7 +835,16 @@ def gbt_regressor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import GBTRegressor
 
-    feats = _lag_rolling_features(nation_daily(spark, sf_dir))
+    # Boosting is sequential — 10 rounds of full passes over train —
+    # so at this row count (tens of thousands) wall time is task
+    # scheduling, not compute: build the window-algebra feature frame
+    # ONCE, coalesced to a few partitions and cached, and derive both
+    # splits from it — each boosting round is then a handful of tasks
+    # over in-memory data, and the test side doesn't re-run the whole
+    # feature build. (At 100 TB the partition count scales back up
+    # with the data; the knob is rows-per-task, not a constant.)
+    feats = (_lag_rolling_features(nation_daily(spark, sf_dir))
+             .coalesce(4).cache())
     fcols = ([f"lag_{k}" for k in range(1, REG_LAGS + 1)]
              + [f"roll_{m}" for m in REG_ROLLS])
     cut = F.floor(F.col("n_total") * 0.8).cast("long")
@@ -805,6 +871,7 @@ def gbt_regressor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     scored.unpersist()
+    feats.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -827,7 +894,13 @@ def gbt_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
 
-    df = _labeled_lineitem(spark, sf_dir)
+    # Same scheduling consideration as gbt_regressor_eval: 10 sequential
+    # boosting rounds over a few hundred thousand narrow rows — coalesce
+    # + cache the labeled frame once and derive both splits from it, so
+    # each round is a few in-memory tasks instead of parquet re-scans'
+    # worth of task overhead per tree. (At 100 TB the partition count
+    # scales with the data; the knob is rows-per-task.)
+    df = _labeled_lineitem(spark, sf_dir).coalesce(8).cache()
     split_key = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10
     train = df.filter(split_key < 7)
     test = df.filter(split_key >= 7)
@@ -851,6 +924,7 @@ def gbt_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("prediction").cast("int").alias("pred")) \
                .count().collect()
     scored.unpersist()
+    df.unpersist()
     counts = {(r["label"], r["pred"]): r["count"] for r in cm}
     tp = counts.get((1, 1), 0)
     fp = counts.get((0, 1), 0)
@@ -932,3 +1006,203 @@ def adf_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (daily.groupBy("n_name")
             .applyInPandas(_adf_group, schema=_ADF_SCHEMA)
             .orderBy("n_name"))
+
+
+# ---------------------------------------------------------------------------
+# U2/U5/W5 — rolling-origin CV + grid search (TimeSeriesSplit parity)
+# ---------------------------------------------------------------------------
+
+# The reference tunes its GB regressor with `TimeSeriesSplit(5)` +
+# `GridSearchCV` (weather_forecasting.ipynb cell 36; grid also in
+# dags/classification_dag.py): K expanding-window chronological folds,
+# every config scored on every fold, winner = lowest mean error.
+# Spark-first restatement: the fold protocol is plain index arithmetic
+# per group, the grid×fold fit matrix runs inside ONE applyInPandas
+# body per group (a group's whole series is one Arrow batch — the same
+# distribution unit as sarima_forecast_eval), and the model is a
+# deterministic pure-numpy gradient-boosted-tree regressor on the
+# notebook's lag+rolling feature recipe. Embarrassingly parallel
+# across groups; nothing leaves the executor but (group × config ×
+# fold) metric rows.
+
+CV_SPLITS = 5
+CV_MIN_TRAIN = 60
+#: grid of boosted-tree settings (n_trees, learning rate, depth) —
+#: deliberately small, like the reference's 2-3-value grids.
+CV_GRID = (
+    {"n_trees": 20, "lr": 0.1, "depth": 2},
+    {"n_trees": 40, "lr": 0.05, "depth": 2},
+    {"n_trees": 20, "lr": 0.3, "depth": 1},
+)
+
+_CV_SCHEMA = ("n_name string, config string, fold int, n_train int, "
+              "n_test int, rmse double, is_winner boolean")
+
+
+def ts_split_bounds(n: int, k: int = CV_SPLITS) -> list[tuple[int, int]]:
+    """sklearn `TimeSeriesSplit(k)` fold boundaries: test blocks of
+    size n // (k+1); fold i trains on EVERYTHING before its test block
+    (expanding window — train always precedes test chronologically).
+    Returns [(n_train, n_test)] per fold."""
+    ts = n // (k + 1)
+    if ts < 1:
+        return []
+    return [(n - (k - i) * ts, ts) for i in range(k)]
+
+
+def _lag_roll_matrix(y: np.ndarray) -> np.ndarray:
+    """The notebook's feature recipe (lags 1..7 + strictly-past rolling
+    means {3,7,14,30}) as a numpy matrix; rows with incomplete windows
+    are NaN (min_periods = window — null-until-full, leakage-free)."""
+    s = pd.Series(y)
+    cols = [s.shift(kk) for kk in range(1, REG_LAGS + 1)]
+    cols += [s.shift(1).rolling(m, min_periods=m).mean()
+             for m in REG_ROLLS]
+    return pd.concat(cols, axis=1).to_numpy(dtype=np.float64)
+
+
+N_BINS = 32
+
+
+def _bin_columns(Xtr: np.ndarray, Xte: np.ndarray,
+                 n_bins: int = N_BINS) -> tuple[np.ndarray, np.ndarray]:
+    """Quantile-bin every feature column into int codes (edges from the
+    TRAIN fold only; test binned with the same edges). Histogram
+    boosting: split search then needs one bincount per (node, feature)
+    instead of a sort — the same trick as sklearn's HistGradientBoosting
+    and LightGBM."""
+    ctr = np.empty(Xtr.shape, dtype=np.int64)
+    cte = np.empty(Xte.shape, dtype=np.int64)
+    for j in range(Xtr.shape[1]):
+        edges = np.unique(np.quantile(
+            Xtr[:, j], np.linspace(0.0, 1.0, n_bins + 1)[1:-1]))
+        ctr[:, j] = np.searchsorted(edges, Xtr[:, j], side="left")
+        cte[:, j] = np.searchsorted(edges, Xte[:, j], side="left")
+    return ctr, cte
+
+
+def _fit_tree(C: np.ndarray, r: np.ndarray, depth: int,
+              min_leaf: int = 20, n_bins: int = N_BINS):
+    """Greedy variance-reduction CART on residuals over BINNED feature
+    codes — deterministic (bincount accumulation, first-argmax
+    tie-breaks). Nodes are dicts splitting on (feature, bin); leaves
+    are floats."""
+    def build(idx: np.ndarray, d: int):
+        if d == 0 or len(idx) < 2 * min_leaf:
+            return float(r[idx].mean())
+        n = len(idx)
+        ri = r[idx]
+        total = float(ri.sum())
+        best = None
+        for j in range(C.shape[1]):
+            c = C[idx, j]
+            cnt = np.bincount(c, minlength=n_bins)
+            sm = np.bincount(c, weights=ri, minlength=n_bins)
+            nl = np.cumsum(cnt)[:-1]          # left size for split <= b
+            sl = np.cumsum(sm)[:-1]
+            ok = (nl >= min_leaf) & (n - nl >= min_leaf)
+            if not ok.any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                gain = np.where(
+                    ok,
+                    sl ** 2 / np.maximum(nl, 1)
+                    + (total - sl) ** 2 / np.maximum(n - nl, 1),
+                    -np.inf)
+            b = int(np.argmax(gain))
+            if best is None or gain[b] > best[0]:
+                best = (float(gain[b]), j, b)
+        if best is None:
+            return float(ri.mean())
+        _, j, b = best
+        mask = C[idx, j] <= b
+        return {"j": j, "thr": b,
+                "l": build(idx[mask], d - 1),
+                "r": build(idx[~mask], d - 1)}
+    return build(np.arange(len(r)), depth)
+
+
+def _tree_predict(node, C: np.ndarray) -> np.ndarray:
+    if not isinstance(node, dict):
+        return np.full(len(C), node)
+    out = np.empty(len(C))
+    mask = C[:, node["j"]] <= node["thr"]
+    out[mask] = _tree_predict(node["l"], C[mask])
+    out[~mask] = _tree_predict(node["r"], C[~mask])
+    return out
+
+
+def gbm_fit_predict(Ctr: np.ndarray, ytr: np.ndarray, Cte: np.ndarray,
+                    n_trees: int, lr: float, depth: int) -> np.ndarray:
+    """Plain gradient boosting for squared loss over binned codes:
+    each round fits a small tree to the current residual and steps by
+    `lr`. Bin with `_bin_columns` first."""
+    mean0 = float(ytr.mean())
+    pred_tr = np.full(len(ytr), mean0)
+    pred_te = np.full(len(Cte), mean0)
+    for _ in range(n_trees):
+        tree = _fit_tree(Ctr, ytr - pred_tr, depth)
+        pred_tr += lr * _tree_predict(tree, Ctr)
+        pred_te += lr * _tree_predict(tree, Cte)
+    return pred_te
+
+
+def _cv_grid_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("d")
+    name = pdf["n_name"].iloc[0]
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    X = _lag_roll_matrix(y)
+    valid = ~np.isnan(X).any(axis=1)
+    out = []
+    fold_rmses: dict[str, list[float]] = {}
+    for fold, (n_tr, n_te) in enumerate(ts_split_bounds(len(y))):
+        vtr = valid[:n_tr]
+        if n_te < 1 or int(vtr.sum()) < CV_MIN_TRAIN:
+            continue
+        ytr = y[:n_tr][vtr]
+        yte = y[n_tr:n_tr + n_te]
+        # bin once per fold (edges from the fold's train only — no
+        # leakage), reuse the codes for every grid config
+        Ctr, Cte = _bin_columns(X[:n_tr][vtr], X[n_tr:n_tr + n_te])
+        for cfg in CV_GRID:
+            label = (f"trees={cfg['n_trees']},lr={cfg['lr']},"
+                     f"depth={cfg['depth']}")
+            fc = gbm_fit_predict(Ctr, ytr, Cte, **cfg)
+            rmse = float(np.sqrt(np.mean((yte - fc) ** 2)))
+            fold_rmses.setdefault(label, []).append(rmse)
+            out.append({"n_name": name, "config": label, "fold": fold,
+                        "n_train": n_tr, "n_test": n_te,
+                        "rmse": round(rmse, 6)})
+    if not out:
+        return pd.DataFrame([{"n_name": name, "config": "insufficient",
+                              "fold": -1, "n_train": len(y), "n_test": 0,
+                              "rmse": float("nan"), "is_winner": False}])
+    means = {c: float(np.mean(v)) for c, v in fold_rmses.items()}
+    winner = min(means, key=lambda c: (means[c], c))
+    for row in out:
+        row["is_winner"] = row["config"] == winner
+    return pd.DataFrame(out)
+
+
+@register("rolling_cv_gbt", survey="U2,U5,W5")
+def rolling_cv_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation rolling-origin cross-validated grid search — the
+    reference's `TimeSeriesSplit(5)` + `GridSearchCV` protocol
+    (weather_forecasting.ipynb cell 36) per group: 5 expanding-window
+    chronological folds × 3 boosted-tree configs, per-fold RMSE, and
+    the per-group winner flagged (lowest mean RMSE, ties broken by
+    config label — deterministic). Rows-only driver check (iterative
+    tree fitting is not ANSI-SQL-expressible); fold-boundary
+    chronology, sklearn-parity arithmetic, and winner determinism are
+    pinned in tests/test_ml.py."""
+    from covid_weather_etl_spark.sources.catalog import spread
+    # The fit matrix is ~1 s of numpy PER GROUP while the series rows
+    # are tiny — left alone, AQE coalesces the upstream shuffle to one
+    # partition and runs every group in ONE Python worker. An explicit
+    # keyed repartition pins one-task-per-group parallelism (user
+    # repartitions are exempt from AQE coalescing); applyInPandas then
+    # reuses that distribution (keys superset rule — no extra shuffle).
+    daily = spread(nation_daily(spark, sf_dir), "n_name")
+    return (daily.groupBy("n_name")
+            .applyInPandas(_cv_grid_group, schema=_CV_SCHEMA)
+            .orderBy("n_name", "config", "fold"))

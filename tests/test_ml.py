@@ -236,6 +236,39 @@ def test_fourier_eval_query_shape(spark):
     assert (pdf.loc[ok, "rmse"] >= pdf.loc[ok, "mae"]).all()
 
 
+def test_fourier_exog_recovers_planted_effect():
+    """Exogenous-regressor parity (reference Prophet `add_regressor`,
+    forecasting notebook cell 25): on a fixture with a planted linear
+    exog effect the extended design matrix recovers the coefficients,
+    and the exog fit beats the no-exog fit out of sample."""
+    rng = np.random.RandomState(42)
+    t = np.arange(240, dtype=np.float64)
+    X = np.column_stack([rng.standard_normal(240),
+                         rng.standard_normal(240)])
+    base = 3.0 + 0.05 * t + 6.0 * np.sin(2 * np.pi * t / 12)
+    y = base + 2.5 * X[:, 0] - 1.5 * X[:, 1] + 0.1 * rng.standard_normal(240)
+    n_train = 192
+    coef = ML._fourier_fit(y[:n_train], period=12.0, X=X)
+    assert coef is not None
+    beta = coef[-2:]
+    assert abs(beta[0] - 2.5) < 0.05 and abs(beta[1] + 1.5) < 0.05
+    test = y[n_train:]
+    fc_ex = ML._fourier_forecast(y[:n_train], 48, period=12.0, X=X)
+    fc_no = ML._fourier_forecast(y[:n_train], 48, period=12.0)
+    rmse_ex = float(np.sqrt(np.mean((test - fc_ex) ** 2)))
+    rmse_no = float(np.sqrt(np.mean((test - fc_no) ** 2)))
+    assert rmse_ex < rmse_no * 0.5
+    assert rmse_ex < 0.2
+
+
+def test_nation_daily_exog_columns(spark):
+    df = ML.nation_daily_exog(spark, SF_DIR)
+    assert set(ML.EXOG_COLS) <= set(df.columns)
+    row = df.orderBy("n_name", "d").limit(1).collect()[0]
+    assert row["n_orders"] >= 1
+    assert 0.0 <= row["urgent_share"] <= 1.0
+
+
 def test_gbt_regressor_eval_invariants_and_determinism(spark):
     a = ML.gbt_regressor_eval(spark, SF_DIR).collect()[0]
     b = ML.gbt_regressor_eval(spark, SF_DIR).collect()[0]
@@ -245,3 +278,53 @@ def test_gbt_regressor_eval_invariants_and_determinism(spark):
     # TPC-H-ish daily revenue has no serial memory: R² must sit near 0,
     # not spuriously high (leakage) and not catastrophically negative
     assert -0.2 <= a.r2 <= 0.2
+
+
+def test_ts_split_bounds_matches_sklearn_protocol():
+    """Expanding-window folds with sklearn TimeSeriesSplit arithmetic:
+    test blocks of n//(k+1), train = everything before the block."""
+    bounds = ML.ts_split_bounds(100, 5)
+    assert bounds == [(20, 16), (36, 16), (52, 16), (68, 16), (84, 16)]
+    for (a_tr, a_te), (b_tr, b_te) in zip(bounds, bounds[1:]):
+        assert b_tr == a_tr + a_te          # folds tile chronologically
+    assert bounds[-1][0] + bounds[-1][1] == 100
+    assert ML.ts_split_bounds(3, 5) == []   # degenerate series
+
+
+def _cv_fixture(n=600, seed=3):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n, dtype=np.float64)
+    y = (10 + 0.02 * t + 5 * np.sin(2 * np.pi * t / 7)
+         + rng.standard_normal(n))
+    return pd.DataFrame({"n_name": "FIX",
+                         "d": pd.date_range("2019-01-01", periods=n),
+                         "y": y})
+
+
+def test_cv_grid_group_chronology_and_winner():
+    a = ML._cv_grid_group(_cv_fixture())
+    b = ML._cv_grid_group(_cv_fixture())
+    pd.testing.assert_frame_equal(a, b)      # fully deterministic
+    assert set(a["config"]) == {
+        f"trees={c['n_trees']},lr={c['lr']},depth={c['depth']}"
+        for c in ML.CV_GRID}
+    # every fold trains strictly before it tests, folds expand
+    for cfg, grp in a.groupby("config"):
+        tr = grp.sort_values("fold")["n_train"].to_numpy()
+        te = grp.sort_values("fold")["n_test"].to_numpy()
+        assert (np.diff(tr) == te[:-1]).all()
+    # exactly one winning config, flagged on all its folds
+    winners = a[a["is_winner"]]["config"].unique()
+    assert len(winners) == 1
+    assert (a.groupby("config")["rmse"].mean().idxmin() == winners[0])
+
+
+def test_rolling_cv_query_shape_and_determinism(spark):
+    a = ML.rolling_cv_gbt(spark, SF_DIR).toPandas()
+    b = ML.rolling_cv_gbt(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert {"n_name", "config", "fold", "n_train", "n_test",
+            "rmse", "is_winner"} == set(a.columns)
+    # per group: at most one winning config
+    for name, grp in a.groupby("n_name"):
+        assert grp[grp["is_winner"]]["config"].nunique() <= 1
