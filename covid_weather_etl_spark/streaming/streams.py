@@ -120,6 +120,26 @@ def session_windows_stream(events: DataFrame, gap: str = GAP) -> DataFrame:
                     "n_events"))
 
 
+def dedup_ingest_stream(events: DataFrame,
+                        keys: tuple[str, ...] = ("event_id",),
+                        watermark: str = WATERMARK) -> DataFrame:
+    """Streaming arm of the natural-key dedup-on-load (D2 — reference
+    loader existence probe, `etl/loader.py:36-57`; batch arm:
+    operators/dedup.py::dedup_on_load): `dropDuplicatesWithinWatermark`
+    emits the first arrival of each key and drops re-deliveries that
+    arrive within the watermark horizon — exactly the at-least-once →
+    effectively-once ingest guard an LLM-corpus landing stream needs.
+    State is bounded: key state expires once the event-time watermark
+    passes it (size ∝ watermark horizon × arrival rate, NOT stream
+    length — the reason this beats unbounded `dropDuplicates` at
+    100 TB/day). Events older than the watermark are dropped as late
+    data, so they cannot re-introduce duplicates either.
+    Stream==batch equivalence pinned in tests/test_streaming.py."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
 def enrich_stream(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: tag each streaming event with the
     market segment of its user from the static customer dim (the

@@ -180,3 +180,29 @@ def test_upsert_gold_stream_is_duplicate_proof(spark, landing_dir,
         gold, str(tmp_path / "ckpt2"))
     q2.awaitTermination(120)
     assert spark.read.parquet(gold).count() == n_distinct
+
+
+def test_dedup_ingest_stream_drops_redeliveries(spark, landing_dir,
+                                                tmp_path):
+    """dropDuplicatesWithinWatermark twin of dedup-on-load (D2): the
+    same chunks re-delivered as later micro-batches (an at-least-once
+    source replaying) must emit every event exactly once — identical
+    to the batch `dropDuplicates` over the union."""
+    import shutil
+    d = tmp_path / "landing_dup"
+    d.mkdir()
+    for i in range(3):
+        shutil.copy(f"{landing_dir}/chunk_{i}.parquet",
+                    d / f"a_chunk_{i}.parquet")
+        shutil.copy(f"{landing_dir}/chunk_{i}.parquet",
+                    d / f"b_redelivery_{i}.parquet")
+    stream = S.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    got = _run_stream_to_memory(
+        spark, S.dedup_ingest_stream(stream), "t_dedup_ingest", "append")
+    batch = (spark.read.schema(S.EVENT_SCHEMA).parquet(str(d))
+             .dropDuplicates(["event_id"]))
+    assert got.count() == batch.count()
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+    g = normalize(got.orderBy("event_id").toPandas())
+    b = normalize(batch.orderBy("event_id").toPandas())
+    pd.testing.assert_frame_equal(g, b)
