@@ -1,0 +1,252 @@
+"""Corpus quality-filtering operators (LLM-pipeline extension).
+
+The document-quality stage of a large-scale training-data pipeline,
+beyond the basic length/stopword router in operators/text.py: Gopher-
+style repetition signals (Rae et al. 2021 §A1.1 — top-token fraction,
+duplicate-n-gram fraction, word-shape bounds), PII redaction (the
+regex-scrub every public corpus pass runs before training), and a
+unigram language-model score (the CCNet-style perplexity proxy —
+Wenzek et al. 2020 — with the KenLM stand-in expressed relationally:
+corpus term frequencies ARE the model).
+
+Everything here is declarative column algebra — per-document signals
+are narrow transforms (zero shuffle); the unigram model adds one
+vocabulary-sized aggregate that broadcasts back. All three queries are
+oracle-checked against DuckDB list/lambda equivalents.
+
+Reference provenance: the keep/filter routing mirrors the reference's
+transform-stage validation router (`etl/transformer.py:35-57` routes
+whole files by per-entry predicates); the signals themselves are the
+north-star corpus additions (BASELINE.json north_star).
+
+Scale notes (100 TB): repetition signals and redaction stream through
+the scan with no state; the unigram vocabulary is Zipf-bounded (≪
+corpus) and broadcast; at open-web vocabulary sizes you'd hash terms
+to a bounded id space or train the model on a sample — the join shape
+is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+# Gopher-style routing thresholds, tuned to the synthetic corpus's word
+# distribution so both routes are exercised at every SF.
+MIN_TOKENS = 20
+MAX_TOP_TOKEN_FRAC = 0.12
+MAX_DUP_BIGRAM_FRAC = 0.55
+MEAN_WORD_LEN_BOUNDS = (2.0, 9.0)
+
+
+def _toks() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "gopher_repetition_signals",
+    survey="LLM-quality,P7,F9",
+    bench=True,
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           ROUND(top_cnt * 1.0 / n_tokens, 6)                AS top_token_frac,
+           ROUND(1.0 - n_dist_bg * 1.0 / n_bigrams, 6)       AS dup_bigram_frac,
+           ROUND(sum_word_len * 1.0 / n_tokens, 6)           AS mean_word_len,
+           CASE WHEN n_tokens >= {MIN_TOKENS}
+                 AND top_cnt * 1.0 / n_tokens <= {MAX_TOP_TOKEN_FRAC}
+                 AND 1.0 - n_dist_bg * 1.0 / n_bigrams <= {MAX_DUP_BIGRAM_FRAC}
+                 AND sum_word_len * 1.0 / n_tokens
+                     BETWEEN {MEAN_WORD_LEN_BOUNDS[0]} AND {MEAN_WORD_LEN_BOUNDS[1]}
+                THEN 'keep' ELSE 'filter' END                AS gopher_route
+    FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(list_max(list_transform(list_distinct(toks),
+                    x -> len(list_filter(toks, t -> t = x)))) AS INT) AS top_cnt,
+               CAST(len(bgs) AS INT)                AS n_bigrams,
+               CAST(len(list_distinct(bgs)) AS INT) AS n_dist_bg,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS INT)
+                   AS sum_word_len
+        FROM (SELECT doc_id, toks,
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1]) AS bgs
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents))
+    )
+    """,
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition/shape signals per document: most-frequent-
+    token fraction, duplicate-bigram fraction, mean word length, and the
+    keep/filter route over all three plus a length floor. Entirely
+    higher-order array functions over the token array — one narrow pass,
+    zero shuffle, no UDFs; the per-row mode is O(distinct·n) on ~100-token
+    documents, still cheaper than an explode + groupBy shuffle and
+    embarrassingly parallel at corpus scale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _toks()
+    # bigrams as "tok_i tok_{i+1}" strings, built from one sequence expr
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "            element_at(split(text, ' '), i + 1)))")
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda x: F.size(F.filter(toks, lambda t: t == x))))
+    sum_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                          F.lit(0), lambda acc, x: acc + x)
+    sig = t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        top_cnt.alias("top_cnt"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_dist_bg"),
+        sum_len.alias("sum_word_len"),
+    )
+    top_frac = F.col("top_cnt") * 1.0 / F.col("n_tokens")
+    dup_bg = 1.0 - F.col("n_dist_bg") * 1.0 / F.col("n_bigrams")
+    mean_wl = F.col("sum_word_len") * 1.0 / F.col("n_tokens")
+    lo, hi = MEAN_WORD_LEN_BOUNDS
+    return sig.select(
+        "doc_id", "n_tokens",
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup_bg, 6).alias("dup_bigram_frac"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.when((F.col("n_tokens") >= MIN_TOKENS)
+               & (top_frac <= MAX_TOP_TOKEN_FRAC)
+               & (dup_bg <= MAX_DUP_BIGRAM_FRAC)
+               & mean_wl.between(lo, hi), "keep")
+         .otherwise("filter").alias("gopher_route"),
+    )
+
+
+# Deterministic synthetic PII derived from doc_id: the driver corpus
+# carries no natural PII, so the query plants it identically on both
+# engines, then proves the scrubber removes exactly what was planted.
+# Regex subset chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): character classes, +, {n}, alternation — no lookaround.
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[.][a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+@register(
+    "pii_redaction",
+    survey="LLM-quality,F1,F9",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g')                           AS redacted,
+           CAST(len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(
+                 regexp_replace(aug, '{_PHONE_RE}', '<PHONE>', 'g'),
+                 '{_IP_RE}')) AS INT)                               AS n_ips
+    FROM (
+        SELECT doc_id,
+               substr(text, 1, 40)
+               || ' contact user' || doc_id || '@mail' || doc_id % 7 || '.com'
+               || ' tel ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                  || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' from 10.' || doc_id % 256 || '.' || doc_id % 256 || '.1'
+               AS aug
+        FROM documents
+    )
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: plant deterministic doc_id-derived email / phone /
+    IPv4 strings into each document prefix, then redact them with the
+    standard regex cascade and count matches per class. Phones are
+    scrubbed before IPs so the dotted-quad pattern can't bite into
+    phone fragments — same cascade order on both engines. Narrow
+    per-row regexp_replace: streams through the scan at any scale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), d, F.lit("@mail"), d % 7, F.lit(".com"),
+        F.lit(" tel "), F.lpad((d % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), d % 256, F.lit("."), d % 256, F.lit(".1"),
+    )
+    df = t["documents"].select("doc_id", aug.alias("aug"))
+    phone_scrubbed = F.regexp_replace("aug", _PHONE_RE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("aug", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE, "<PHONE>"),
+            _IP_RE, "<IP>").alias("redacted"),
+        F.size(F.regexp_extract_all("aug", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(phone_scrubbed, F.lit(_IP_RE), 0)).alias("n_ips"),
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    survey="LLM-quality,A6,J1,F9",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+    ),
+    totals AS (
+        SELECT SUM(cnt) AS n_corpus,
+               COUNT(*) AS v_size
+        FROM vocab
+    ),
+    scored AS (
+        SELECT tok.doc_id,
+               ln((vocab.cnt + 1.0) / (totals.n_corpus + totals.v_size))
+                   AS logp
+        FROM tok JOIN vocab USING (term) CROSS JOIN totals
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT)            AS n_tokens,
+           ROUND(-AVG(logp), 6)             AS avg_neg_logprob,
+           CASE WHEN -AVG(logp) <= 6.0 THEN 'keep' ELSE 'filter' END
+                                            AS lm_route
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (the CCNet perplexity-proxy filter):
+    train add-one-smoothed unigram probabilities on the corpus itself,
+    then score each document by mean negative log-probability — high
+    scores mark out-of-distribution junk. The vocabulary aggregate is
+    Zipf-small and broadcast back onto the token stream; one shuffle on
+    (doc_id) for the final mean. AVG's accumulation order is not
+    IEEE-deterministic across partitionings, so the score is rounded to
+    6dp on both engines (the route threshold sits far from any 6dp
+    boundary at every SF)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = vocab.agg(F.sum("cnt").alias("n_corpus"),
+                       F.count("*").alias("v_size"))
+    logp = F.log((F.col("cnt") + 1.0)
+                 / (F.col("n_corpus") + F.col("v_size")))
+    scored = (tok.join(F.broadcast(vocab), "term")
+              .crossJoin(F.broadcast(totals))
+              .select("doc_id", logp.alias("logp")))
+    neg = -F.avg("logp")
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_tokens"),
+                 F.round(neg, 6).alias("avg_neg_logprob"),
+                 F.when(neg <= 6.0, "keep").otherwise("filter")
+                  .alias("lm_route")))

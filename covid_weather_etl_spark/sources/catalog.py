@@ -31,15 +31,20 @@ DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw
-        # int64 (legacy conf set in session/configure_existing) and
-        # truncate to microseconds with exact integer division — `div`,
-        # not `/`, because epoch-nanos ≈ 1.7e18 exceeds double's 2^53
-        # exact-integer range. DuckDB's TIMESTAMP cast truncates the
-        # same way, so oracle comparisons stay bit-exact.
-        if dict(df.dtypes).get("ts") == "bigint":
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (rejected by
+        # the vectorized reader — read as raw int64 via the legacy conf
+        # and truncated with exact integer `div`, since epoch-nanos
+        # ≈ 1.7e18 exceeds double's 2^53 exact range) and as
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (inferred as
+        # TIMESTAMP_NTZ, which unix_micros/watermarks reject). Normalize
+        # both to session-TZ TIMESTAMP; the session runs UTC, so the
+        # NTZ cast reinterprets the same wall-clock instant and DuckDB
+        # comparisons stay bit-exact.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

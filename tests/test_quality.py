@@ -1,0 +1,56 @@
+"""Semantic pins for the corpus quality-filtering pack
+(operators/quality.py) beyond the DuckDB parity check: the routes
+actually split the corpus, and the scrubber removes every planted PII
+string (no pattern survivors in the redacted text).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.operators import quality as Q
+from covid_weather_etl_spark.queries.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = all_queries()
+
+
+def test_gopher_routes_split_corpus(spark):
+    df = QUERIES["gopher_repetition_signals"].fn(spark, SF_DIR)
+    routes = {r["gopher_route"] for r in df.select("gopher_route").distinct().collect()}
+    assert routes == {"keep", "filter"}, routes
+    # signals live in their mathematical ranges
+    bad = df.filter(
+        (F.col("top_token_frac") <= 0) | (F.col("top_token_frac") > 1)
+        | (F.col("dup_bigram_frac") < 0) | (F.col("dup_bigram_frac") >= 1)
+        | (F.col("mean_word_len") <= 0)).count()
+    assert bad == 0
+
+
+def test_pii_redaction_leaves_no_survivors(spark):
+    df = QUERIES["pii_redaction"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    email = re.compile(Q._EMAIL_RE)
+    phone = re.compile(Q._PHONE_RE)
+    ip = re.compile(Q._IP_RE)
+    for r in rows:
+        assert r["n_emails"] >= 1 and r["n_phones"] >= 1 and r["n_ips"] >= 1, r
+        assert not email.search(r["redacted"]), r["redacted"]
+        assert not phone.search(r["redacted"]), r["redacted"]
+        assert not ip.search(r["redacted"]), r["redacted"]
+        assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"] \
+            and "<IP>" in r["redacted"]
+
+
+def test_unigram_score_orders_ood_text(spark):
+    """A document made of corpus-frequent words must score lower
+    (more in-distribution) than the rarest-word documents."""
+    df = QUERIES["unigram_logprob_score"].fn(spark, SF_DIR)
+    stats = df.agg(F.min("avg_neg_logprob").alias("lo"),
+                   F.max("avg_neg_logprob").alias("hi")).collect()[0]
+    assert stats["lo"] < stats["hi"]
+    # scores are positive (negative log-probs) and finite
+    assert df.filter(~F.col("avg_neg_logprob").between(0.001, 50)).count() == 0
