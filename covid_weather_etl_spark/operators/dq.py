@@ -1,0 +1,144 @@
+"""Data-quality constraint suite (Deequ-style declarative checks).
+
+The reference validates records imperatively inside its transform stage
+(`etl/transformer.py:35-57` — per-entry null/date checks routing whole
+files to quarantine). This module generalizes that into the
+warehouse-side contract a production pipeline runs after every load: a
+declarative constraint catalog (completeness, uniqueness, value range,
+set membership, referential integrity) evaluated in ONE aggregate pass
+per table and emitted as a tall audit report — the shape Deequ
+(Schelter et al., VLDB 2018) popularized on Spark.
+
+Scale notes (100 TB): each table contributes exactly one full-scan
+aggregate whose partial (map-side) states are a handful of counters —
+no shuffle wider than one row per table. The referential check is a
+key-projected anti-join: broadcast when the dimension's key column
+fits (here), shuffle-hash otherwise; either way it never moves
+non-key columns. Adding a constraint adds a counter, not a pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+EVENT_TYPES = ("error", "view", "purchase", "click", "signup")
+SEGMENTS = ("MACHINERY", "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD")
+ORDER_STATUSES = ("O", "F", "P")
+
+
+def _status(violations: F.Column) -> F.Column:
+    return F.when(violations == 0, "pass").otherwise("fail")
+
+
+@register(
+    "dq_constraint_report",
+    survey="ext-dq,P8,A1,A2,J7",
+    bench=True,
+    oracle=f"""
+    WITH o AS (
+        SELECT COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)      AS null_custkey,
+               COUNT(*) - COUNT(DISTINCT o_orderkey)              AS dup_orderkey,
+               COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END)      AS nonpos_price,
+               COUNT(CASE WHEN o_orderstatus NOT IN
+                     {ORDER_STATUSES!r} THEN 1 END)               AS bad_status
+        FROM orders
+    ),
+    e AS (
+        SELECT COUNT(CASE WHEN ts IS NULL THEN 1 END)             AS null_ts,
+               COUNT(*) - COUNT(DISTINCT event_id)                AS dup_event_id,
+               COUNT(CASE WHEN event_type NOT IN
+                     {EVENT_TYPES!r} THEN 1 END)                  AS bad_type
+        FROM events
+    ),
+    c AS (
+        SELECT COUNT(*) - COUNT(DISTINCT c_custkey)               AS dup_custkey,
+               COUNT(CASE WHEN c_mktsegment NOT IN
+                     {SEGMENTS!r} THEN 1 END)                     AS bad_segment
+        FROM customer
+    ),
+    r AS (
+        SELECT COUNT(*) AS orphan_orders
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    tall AS (
+        SELECT 'orders' AS tbl, 'completeness:o_custkey' AS check_name,
+               null_custkey AS violations FROM o
+        UNION ALL SELECT 'orders', 'uniqueness:o_orderkey', dup_orderkey FROM o
+        UNION ALL SELECT 'orders', 'range:o_totalprice>0', nonpos_price FROM o
+        UNION ALL SELECT 'orders', 'membership:o_orderstatus', bad_status FROM o
+        UNION ALL SELECT 'events', 'completeness:ts', null_ts FROM e
+        UNION ALL SELECT 'events', 'uniqueness:event_id', dup_event_id FROM e
+        UNION ALL SELECT 'events', 'membership:event_type', bad_type FROM e
+        UNION ALL SELECT 'customer', 'uniqueness:c_custkey', dup_custkey FROM c
+        UNION ALL SELECT 'customer', 'membership:c_mktsegment', bad_segment FROM c
+        UNION ALL SELECT 'orders', 'referential:o_custkey->customer',
+                  orphan_orders FROM r
+    )
+    SELECT tbl, check_name, violations,
+           CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM tall
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint catalog over three tables, evaluated as
+    one counter-aggregate pass per table plus a key-projected broadcast
+    anti-join for referential integrity, stacked into a tall
+    (tbl, check_name, violations, status) audit report. COUNT(CASE WHEN
+    violation) with identical null semantics on both engines:
+    completeness counts nulls, membership counts non-members (null is
+    neither), uniqueness is COUNT(*) − COUNT(DISTINCT key)."""
+    t = load_tables(spark, sf_dir, ("orders", "events", "customer"))
+
+    def viol(cond: F.Column) -> F.Column:
+        return F.count(F.when(cond, 1))
+
+    o = t["orders"].agg(
+        viol(F.col("o_custkey").isNull()).alias("null_custkey"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        viol(F.col("o_totalprice") <= 0).alias("nonpos_price"),
+        viol(~F.col("o_orderstatus").isin(*ORDER_STATUSES)).alias("bad_status"),
+    )
+    e = t["events"].agg(
+        viol(F.col("ts").isNull()).alias("null_ts"),
+        (F.count("*") - F.countDistinct("event_id")).alias("dup_event_id"),
+        viol(~F.col("event_type").isin(*EVENT_TYPES)).alias("bad_type"),
+    )
+    c = t["customer"].agg(
+        (F.count("*") - F.countDistinct("c_custkey")).alias("dup_custkey"),
+        viol(~F.col("c_mktsegment").isin(*SEGMENTS)).alias("bad_segment"),
+    )
+    # NOT-IN semantics: a NULL foreign key is a completeness violation,
+    # not an orphan — filter nulls BEFORE the anti-join (left_anti alone
+    # would keep null-keyed rows, silently double-counting them here).
+    r = (t["orders"].select("o_custkey")
+         .filter(F.col("o_custkey").isNotNull())
+         .join(F.broadcast(t["customer"].select("c_custkey")),
+               F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+         .agg(F.count("*").alias("orphan_orders")))
+
+    def stack(df: DataFrame, rows: list[tuple[str, str, str]]) -> DataFrame:
+        parts = ", ".join(f"'{tbl}', '{chk}', {col}" for tbl, chk, col in rows)
+        return df.select(F.expr(
+            f"stack({len(rows)}, {parts}) as (tbl, check_name, violations)"))
+
+    tall = (
+        stack(o, [("orders", "completeness:o_custkey", "null_custkey"),
+                  ("orders", "uniqueness:o_orderkey", "dup_orderkey"),
+                  ("orders", "range:o_totalprice>0", "nonpos_price"),
+                  ("orders", "membership:o_orderstatus", "bad_status")])
+        .unionAll(stack(e, [("events", "completeness:ts", "null_ts"),
+                            ("events", "uniqueness:event_id", "dup_event_id"),
+                            ("events", "membership:event_type", "bad_type")]))
+        .unionAll(stack(c, [("customer", "uniqueness:c_custkey", "dup_custkey"),
+                            ("customer", "membership:c_mktsegment",
+                             "bad_segment")]))
+        .unionAll(stack(r, [("orders", "referential:o_custkey->customer",
+                             "orphan_orders")]))
+    )
+    return tall.select("tbl", "check_name", "violations",
+                       _status(F.col("violations")).alias("status"))
