@@ -179,3 +179,151 @@ def interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("next_v").isNull(), F.col("prev_v"))
          .otherwise(lerp).alias("value_filled"),
     )
+
+
+ALPHA = 0.3  # EWMA smoothing factor; literal mirrored in the oracle SQL
+
+
+@register(
+    "ewma_smoothing",
+    survey="ext-timeseries,W4,U2,A6",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+        SELECT o_orderpriority AS priority,
+               date_trunc('month', o_orderdate) AS month,
+               {{rev}} AS rev,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY date_trunc('month', o_orderdate)) AS INT) AS rn
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT priority, month, rev, rn, rev AS ewma FROM m WHERE rn = 1
+        UNION ALL
+        SELECT m.priority, m.month, m.rev, m.rn,
+               {ALPHA} * m.rev + {1 - ALPHA} * e.ewma
+        FROM m JOIN e ON m.priority = e.priority AND m.rn = e.rn + 1
+    )
+    SELECT priority, month, rev, rn, ROUND(ewma, 6) AS ewma FROM e
+    """.format(rev="CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"),
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the monthly revenue
+    series per order priority: y_1 = x_1, y_t = α·x_t + (1−α)·y_{t−1}.
+    A linear recurrence has no fixed-size window form, so the scale
+    path is per-series applyInPandas (one Arrow batch per priority;
+    at 100 TB one task per series chunk after the monthly rollup has
+    already shrunk the data by orders of magnitude). The oracle runs
+    the SAME recurrence as a DuckDB recursive CTE; both sides compute
+    α·x + (1−α)·y in IEEE double with identical literals and op order,
+    so results agree bit-for-bit before the 6dp display rounding.
+
+    Reference provenance: the forecasting notebook smooths series with
+    pandas rolling means (notebooks/weather_forecasting.ipynb cell 10);
+    EWMA is the streaming-friendly upgrade (O(1) state per series).
+    """
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    monthly = (t["orders"]
+               .groupBy(F.col("o_orderpriority").alias("priority"),
+                        F.date_trunc("month", "o_orderdate").alias("month"))
+               .agg(dsum("o_totalprice", "rev")))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        x = pdf["rev"].to_numpy()
+        y = x.copy()
+        for i in range(1, len(y)):
+            # identical op order to the oracle: α·x first, then add
+            y[i] = ALPHA * x[i] + (1 - ALPHA) * y[i - 1]
+        pdf["rn"] = range(1, len(pdf) + 1)
+        pdf["ewma"] = y.round(6)
+        return pdf
+
+    schema = ("priority string, month timestamp, rev double, "
+              "rn int, ewma double")
+    return (monthly.groupBy("priority")
+            .applyInPandas(smooth, schema=schema))
+
+
+@register(
+    "cusum_changepoint",
+    survey="ext-timeseries,W1,A6,A9",
+    oracle="""
+    WITH m AS (
+        SELECT n_name,
+               date_trunc('month', o_orderdate) AS month,
+               COUNT(*) AS cnt
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT n_name, month, cnt,
+               SUM(cnt) OVER w AS cum,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+               COUNT(*) OVER (PARTITION BY n_name) AS n_months,
+               SUM(cnt) OVER (PARTITION BY n_name) AS total
+        FROM m
+        WINDOW w AS (PARTITION BY n_name ORDER BY month)
+    ),
+    scored AS (
+        SELECT n_name, month, n_months, total,
+               cum * n_months - t * total AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_name
+                   ORDER BY abs(cum * n_months - t * total) DESC, month
+               ) AS pick
+        FROM s
+    )
+    SELECT n_name,
+           month                                   AS cp_month,
+           ROUND(score * 1.0 / n_months, 6)        AS s_value,
+           CAST(n_months AS BIGINT)                AS n_months,
+           ROUND(total * 1.0 / n_months, 6)        AS mean_monthly
+    FROM scored WHERE pick = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per nation over monthly order
+    counts: S_t = Σ_{i≤t}(x_i − x̄); the changepoint is the month
+    maximizing |S_t| (Page 1954 / binary-segmentation step 1). The
+    comparison key is kept in EXACT integer arithmetic — |S_t|·N =
+    |cum·N − t·total| — so the argmax can't flip on float noise; the
+    reported S value divides once at the end. Shape: one shuffle to
+    (nation, month), then nation-partitioned windows and a top-1 pick
+    per nation — bounded state, no global window, scales per series."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    m = (t["orders"]
+         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.count("*").alias("cnt")))
+    w = W.partitionBy("n_name").orderBy("month")
+    wn = W.partitionBy("n_name")
+    s = m.select(
+        "n_name", "month", "cnt",
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.count("*").over(wn).alias("n_months"),
+        F.sum("cnt").over(wn).alias("total"),
+    )
+    score = F.col("cum") * F.col("n_months") - F.col("t") * F.col("total")
+    scored = s.select(
+        "n_name", "month", "n_months", "total", score.alias("score"),
+        F.row_number().over(
+            W.partitionBy("n_name")
+            .orderBy(F.abs(score).desc(), F.col("month"))).alias("pick"),
+    )
+    return (scored.filter(F.col("pick") == 1)
+            .select("n_name",
+                    F.col("month").alias("cp_month"),
+                    F.round(F.col("score") * 1.0 / F.col("n_months"), 6)
+                     .alias("s_value"),
+                    F.col("n_months").cast("bigint").alias("n_months"),
+                    F.round(F.col("total") * 1.0 / F.col("n_months"), 6)
+                     .alias("mean_monthly")))
