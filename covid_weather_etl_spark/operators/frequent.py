@@ -1,0 +1,108 @@
+"""Frequent-items (heavy hitters) at scale: sketch pass + exact verify.
+
+The 100 TB version of "GROUP BY key HAVING COUNT(*) > N/k" when the
+key's distinct count is itself too large to shuffle comfortably: a
+bounded-memory Misra-Gries / SpaceSaving summary per partition (Misra &
+Gries 1982; Metwally et al. 2005) produces a small candidate set with a
+NO-FALSE-NEGATIVE guarantee — any key with global frequency > N/K is
+heavy in at least one partition, so it survives that partition's
+K-counter summary — and a second pass recounts ONLY the candidates
+exactly. The final answer is exact, so the whole operator stays
+DuckDB-oracle-checkable while the sketch machinery is real.
+
+The event stream has no naturally Zipf key (driver data is uniform),
+so the key is derived deterministically with scale-invariant skew:
+bucket = length(bin(event_id+1)) ⊕ event_id % 50 — exponential mass
+per length-class split over 50 sub-buckets; both engines compute it
+with the same pure-integer expression (no float log that could round
+differently at class boundaries).
+
+Scale notes: pass 1 is mapInPandas with K counters of state per task
+and NO shuffle; pass 2 shuffles only rows matching ≤ P·K candidate
+keys (broadcast semi-join), then one bounded aggregation. Increasing
+skew makes it cheaper, not hotter — the opposite of a naive groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+K = 150  # counters per partition == support denominator (freq > N/K)
+
+_BUCKET_SQL = ("CONCAT(LENGTH(BIN(event_id + 1)), '_', "
+               "CAST(event_id % 50 AS VARCHAR))")
+
+
+def mg_summarize(counts: dict[str, int], batch: dict[str, int],
+                 k: int = K) -> dict[str, int]:
+    """Merge one batch of (key -> weight) into a Misra-Gries summary,
+    pruning to ≤ k counters by the weighted decrement: subtract the
+    smallest surviving threshold from every counter and drop the
+    non-positive. Each prune of δ removes ≥ δ·(k+1) total mass, so the
+    cumulative undercount per key is < N_partition/k — which is what
+    makes the global candidate set a superset of the true heavy set."""
+    for key, w in batch.items():
+        counts[key] = counts.get(key, 0) + int(w)
+    if len(counts) > k:
+        vals = sorted(counts.values())
+        delta = vals[len(counts) - k - 1]
+        counts = {key: c - delta for key, c in counts.items() if c > delta}
+    return counts
+
+
+@register(
+    "heavy_hitters_twopass",
+    survey="ext-frequent,A1,A6,J7",
+    oracle=f"""
+    WITH stream AS (
+        SELECT {_BUCKET_SQL} AS bucket FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM stream)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT)          AS cnt,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(n), 6) AS share
+    FROM stream CROSS JOIN tot
+    GROUP BY bucket
+    HAVING COUNT(*) > ANY_VALUE(n) // {K}
+    """,
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (support N/{K}) via Misra-Gries candidate
+    generation + exact recount. Pass 1: per-partition K-counter
+    summaries in mapInPandas (vectorized value_counts per Arrow batch,
+    weighted-decrement prune — bounded memory, zero shuffle). Pass 2:
+    broadcast semi-join on the candidate keys, one exact aggregation,
+    threshold filter. The MG superset guarantee means the output equals
+    the plain GROUP BY/HAVING oracle for ANY partitioning of pass 1."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ("events",))
+    bucket = F.concat(
+        F.length(F.bin(F.col("event_id") + 1)).cast("string"),
+        F.lit("_"),
+        (F.col("event_id") % 50).cast("string"),
+    )
+    stream = t["events"].select(bucket.alias("bucket"))
+
+    def mg_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            counts = mg_summarize(counts, pdf["bucket"].value_counts().to_dict())
+        yield pd.DataFrame({"bucket": list(counts.keys())})
+
+    candidates = (stream.mapInPandas(mg_pass, schema="bucket string")
+                  .distinct())
+    total = stream.agg(F.count("*").alias("n"))
+    return (stream
+            .join(F.broadcast(candidates), "bucket", "leftsemi")
+            .groupBy("bucket").agg(F.count("*").alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") > F.expr(f"n div {K}"))
+            .select("bucket", "cnt",
+                    F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("share")))
