@@ -83,6 +83,13 @@ def test_planted_clusters_fully_recalled(spark, tmp_path):
             vid += 1
     d = tmp_path / "sfp"
     d.mkdir()
+    # the codebook artifact is keyed by corpus BASENAME — drop any
+    # leftover from a previous test run before training on this one
+    import shutil as _sh
+    from covid_weather_etl_spark.operators.pq import (
+        _PQ_MEMO, pq_codebook_path)
+    _PQ_MEMO.pop(str(d), None)
+    _sh.rmtree(pq_codebook_path(str(d)), ignore_errors=True)
     pdf = [(int(i), [float(x) for x in v], 0) for i, v in zip(ids, vecs)]
     (spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>, "
                                        "label int")
