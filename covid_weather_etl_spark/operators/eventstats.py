@@ -1,0 +1,154 @@
+"""Event-stream product analytics: cohort retention and ordered funnels.
+
+The reference's event surface stops at per-type counts and recency
+tables (streamlit/etl_logs.py:328-343, 461-480); this module adds the
+two queries every product-analytics warehouse is actually asked for:
+
+- cohort retention: users grouped by first-seen day, tracked by
+  day-offset — the retention triangle.
+- ordered funnel: view → click → purchase where each stage must happen
+  strictly AFTER the user's previous stage (min-timestamp chaining),
+  not merely co-occur.
+
+Both are pure join/aggregate algebra with DuckDB oracles.
+
+Scale notes (100 TB): cohort retention is two shuffles on user_id
+(first-seen + distinct activity) and one on (cohort, offset) — all
+key-projected; the funnel chains three per-user min-aggregates, each a
+map-side-combinable MIN, joined on user_id. Nothing materializes
+per-event state; event-time skew lands on user_id, the natural
+well-distributed key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+
+@register(
+    "cohort_retention",
+    survey="ext-events,A2,A7,J1",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day
+        FROM events
+    ),
+    sizes AS (
+        SELECT cohort_day, COUNT(*) AS cohort_size
+        FROM first_seen GROUP BY cohort_day
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, a.act_day)  AS day_offset,
+           CAST(COUNT(*) AS BIGINT)                   AS n_active,
+           ANY_VALUE(s.cohort_size)                   AS cohort_size,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(s.cohort_size), 6) AS retention
+    FROM activity a
+    JOIN first_seen f ON a.user_id = f.user_id
+    JOIN sizes s      ON f.cohort_day = s.cohort_day
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle: each user joins the cohort of their
+    first-seen day; a cohort's day-offset-k retention is the share of
+    its users active k days later. first-seen and per-day activity are
+    both MIN/DISTINCT aggregates on user_id (one shuffle each,
+    map-side combinable); cohort sizes broadcast back. day 0 retention
+    is 1.0 by construction — pinned in tests."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day")))
+    activity = (ev.select("user_id",
+                          F.date_trunc("day", "ts").alias("act_day"))
+                .distinct())
+    sizes = (first_seen.groupBy("cohort_day")
+             .agg(F.count("*").alias("cohort_size")))
+    return (activity.join(first_seen, "user_id")
+            .join(F.broadcast(sizes), "cohort_day")
+            .groupBy("cohort_day",
+                     F.datediff("act_day", "cohort_day").alias("day_offset"))
+            .agg(F.count("*").alias("n_active"),
+                 F.any_value("cohort_size").alias("cohort_size"),
+                 F.round(F.count("*") * 1.0 / F.any_value("cohort_size"), 6)
+                  .alias("retention")))
+
+
+@register(
+    "funnel_conversion",
+    survey="ext-events,A1,J1,W1",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS tc
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.tv
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click,
+               (SELECT COUNT(*) FROM p) AS n_purchase
+    )
+    SELECT stage, n_users, ROUND(n_users * 1.0 / prev, 6) AS conversion
+    FROM (
+        SELECT 1 AS ord, 'view' AS stage, n_view AS n_users,
+               n_view AS prev FROM counts
+        UNION ALL
+        SELECT 2, 'view>click', n_click, n_view FROM counts
+        UNION ALL
+        SELECT 3, 'view>click>purchase', n_purchase, n_click FROM counts
+    ) ORDER BY ord
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-stage funnel: a click only counts if it
+    happens AFTER the user's first view, a purchase only after that
+    first qualifying click — min-timestamp chaining, the semantics
+    dashboards usually fake with unordered co-occurrence. Each stage
+    is one filtered MIN aggregate joined on user_id to the previous
+    stage's frame; per-stage frames shrink monotonically, so the
+    chain gets cheaper as it deepens."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("tv")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("tv"))
+         .groupBy("user_id").agg(F.min("ts").alias("tc")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("tc"))
+         .groupBy("user_id").agg(F.min("ts").alias("tp")))
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    counts = nv.crossJoin(nc).crossJoin(np_)
+    stages = counts.select(F.expr(
+        "stack(3, "
+        "1, 'view', n_view, n_view, "
+        "2, 'view>click', n_click, n_view, "
+        "3, 'view>click>purchase', n_purchase, n_click"
+        ") as (ord, stage, n_users, prev)"))
+    return (stages.select("stage", "n_users",
+                          F.round(F.col("n_users") * 1.0 / F.col("prev"), 6)
+                           .alias("conversion"))
+            .orderBy("stage"))

@@ -71,7 +71,7 @@ def _load_modules() -> None:
         relational, windows, multimodal, minhash, dedup,
     )
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        bucketing, corpus, dashboard, dq, frequent, pq, quality,
+        bucketing, corpus, dashboard, dq, eventstats, frequent, pq, quality,
         relational_ext, scd, similarity, temporal, text, timeseries,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401

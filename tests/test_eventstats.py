@@ -1,0 +1,93 @@
+"""Semantic pins for cohort_retention and funnel_conversion
+(operators/eventstats.py): retention triangle invariants, and the
+strict ordering of the funnel verified against both an independent
+per-user recomputation and a crafted out-of-order stream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = all_queries()
+
+
+def test_retention_triangle_invariants(spark):
+    df = QUERIES["cohort_retention"].fn(spark, SF_DIR).cache()
+    try:
+        rows = df.collect()
+        assert rows
+        # day-0 retention is exactly 1.0 for every cohort (first-seen
+        # day is by definition an active day)
+        day0 = {r["cohort_day"]: r["retention"] for r in rows
+                if r["day_offset"] == 0}
+        sizes = {r["cohort_day"]: r["cohort_size"] for r in rows}
+        assert day0 and all(v == 1.0 for v in day0.values())
+        assert set(day0) == set(sizes)       # every cohort has a day-0 row
+        for r in rows:
+            assert r["day_offset"] >= 0
+            assert 0 < r["n_active"] <= r["cohort_size"]
+            assert 0 < r["retention"] <= 1.0
+        # cohort sizes sum to the distinct-user count
+        n_users = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+                   .select("user_id").distinct().count())
+        assert sum({r["cohort_day"]: r["cohort_size"]
+                    for r in rows}.values()) == n_users
+    finally:
+        df.unpersist()
+
+
+def test_funnel_matches_per_user_recomputation(spark):
+    got = {r["stage"]: r for r in
+           QUERIES["funnel_conversion"].fn(spark, SF_DIR).collect()}
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    n_view = n_click = n_purchase = 0
+    for _, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"]
+        if views.empty:
+            continue
+        n_view += 1
+        tv = views.ts.min()
+        clicks = g[(g.event_type == "click") & (g.ts > tv)]
+        if clicks.empty:
+            continue
+        n_click += 1
+        tc = clicks.ts.min()
+        if ((g.event_type == "purchase") & (g.ts > tc)).any():
+            n_purchase += 1
+    assert got["view"]["n_users"] == n_view
+    assert got["view>click"]["n_users"] == n_click
+    assert got["view>click>purchase"]["n_users"] == n_purchase
+    assert got["view"]["conversion"] == 1.0
+
+
+def test_funnel_is_strictly_ordered(spark, tmp_path):
+    """A user whose purchase precedes their click must NOT convert:
+    unordered co-occurrence would count them, min-chaining must not."""
+    rows = [
+        # u1: proper order  view < click < purchase  -> converts
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 0.0, "{}"),
+        # u2: purchase BEFORE click                  -> stops at click
+        (4, "2024-01-02 10:00:00", 2, "view", 0.0, "{}"),
+        (5, "2024-01-02 12:00:00", 2, "click", 0.0, "{}"),
+        (6, "2024-01-02 11:00:00", 2, "purchase", 0.0, "{}"),
+        # u3: click BEFORE view                      -> stops at view
+        (7, "2024-01-03 09:00:00", 3, "click", 0.0, "{}"),
+        (8, "2024-01-03 10:00:00", 3, "view", 0.0, "{}"),
+    ]
+    d = tmp_path / "sfe"
+    d.mkdir()
+    (spark.createDataFrame(
+        rows, schema="event_id long, ts string, user_id long, "
+                     "event_type string, value double, props string")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(1).write.parquet(str(d / "events.parquet")))
+    got = {r["stage"]: r["n_users"] for r in
+           QUERIES["funnel_conversion"].fn(spark, str(d)).collect()}
+    assert got == {"view": 3, "view>click": 2, "view>click>purchase": 1}
