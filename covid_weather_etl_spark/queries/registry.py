@@ -71,8 +71,8 @@ def _load_modules() -> None:
         relational, windows, multimodal, minhash, dedup,
     )
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        bucketing, corpus, dashboard, dq, eventstats, frequent, pq, quality,
-        relational_ext, scd, similarity, temporal, text, timeseries,
+        bucketing, corpus, dashboard, dq, eventstats, frequent, graph, pq,
+        quality, relational_ext, scd, similarity, temporal, text, timeseries,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
