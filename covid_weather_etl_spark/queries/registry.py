@@ -72,7 +72,8 @@ def _load_modules() -> None:
     )
     from covid_weather_etl_spark.operators import (  # noqa: F401
         bucketing, corpus, dashboard, dq, eventstats, frequent, graph, pq,
-        quality, relational_ext, scd, similarity, temporal, text, timeseries,
+        quality, relational_ext, scd, semdedup, similarity, sketch_rollup,
+        temporal, text, timeseries,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401

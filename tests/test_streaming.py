@@ -129,8 +129,9 @@ def test_enrich_stream_equals_batch_join(spark, landing_dir):
     g = got.toPandas().sort_values("event_id").reset_index(drop=True)
     b = batch.toPandas().sort_values("event_id").reset_index(drop=True)
     # stateless stream-static join: every event passes through exactly
-    # once with the same enrichment batch would produce
-    assert len(g) == len(b) == 1000
+    # once with the same enrichment the batch join produces
+    n_events = load_tables(spark, SF_DIR, ("events",))["events"].count()
+    assert len(g) == len(b) == n_events
     assert (g["segment"].fillna("∅").values
             == b[g.columns]["segment"].fillna("∅").values).all()
     assert g["segment"].notna().any()
