@@ -61,9 +61,16 @@ def _status(violations: F.Column) -> F.Column:
         FROM customer
     ),
     r AS (
+        -- NOT EXISTS, not NOT IN: a NULL anywhere in customer.c_custkey
+        -- would make NOT IN three-valued-NULL for EVERY row (0 orphans
+        -- reported on exactly the dirty data a DQ suite targets); the
+        -- IS NOT NULL guard mirrors the engine's null-filtered anti-join
+        -- (a NULL FK is a completeness violation, not an orphan).
         SELECT COUNT(*) AS orphan_orders
         FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o_custkey)
     ),
     tall AS (
         SELECT 'orders' AS tbl, 'completeness:o_custkey' AS check_name,

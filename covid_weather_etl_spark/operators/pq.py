@@ -92,10 +92,18 @@ _PQ_MEMO: dict[str, list] = {}
 
 
 def pq_codebook_path(sf_dir: str) -> str:
+    """Deterministic warehouse location for a corpus' trained codebook,
+    keyed by the FULL absolute corpus path (basename kept for
+    readability, path hash for uniqueness) so two corpora that share a
+    directory name never share an artifact — same keying as the memo."""
+    import hashlib
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    return os.path.join(repo_root, "spark-warehouse", f"pq_codebook_{base}")
+    abspath = os.path.abspath(os.path.normpath(sf_dir))
+    base = os.path.basename(abspath).replace(".", "_")
+    digest = hashlib.md5(abspath.encode()).hexdigest()[:10]
+    return os.path.join(repo_root, "spark-warehouse",
+                        f"pq_codebook_{base}_{digest}")
 
 
 def ensure_pq_codebook(spark: SparkSession, sf_dir: str) -> list:

@@ -53,29 +53,39 @@ def _toks() -> F.Column:
     oracle=f"""
     SELECT doc_id,
            n_tokens,
-           ROUND(top_cnt * 1.0 / n_tokens, 6)                AS top_token_frac,
-           ROUND(1.0 - n_dist_bg * 1.0 / n_bigrams, 6)       AS dup_bigram_frac,
-           ROUND(sum_word_len * 1.0 / n_tokens, 6)           AS mean_word_len,
+           ROUND(top_frac, 6)  AS top_token_frac,
+           ROUND(dup_frac, 6)  AS dup_bigram_frac,
+           ROUND(mean_wl, 6)   AS mean_word_len,
            CASE WHEN n_tokens >= {MIN_TOKENS}
-                 AND top_cnt * 1.0 / n_tokens <= {MAX_TOP_TOKEN_FRAC}
-                 AND 1.0 - n_dist_bg * 1.0 / n_bigrams <= {MAX_DUP_BIGRAM_FRAC}
-                 AND sum_word_len * 1.0 / n_tokens
+                 AND top_frac <= {MAX_TOP_TOKEN_FRAC}
+                 AND dup_frac <= {MAX_DUP_BIGRAM_FRAC}
+                 AND mean_wl
                      BETWEEN {MEAN_WORD_LEN_BOUNDS[0]} AND {MEAN_WORD_LEN_BOUNDS[1]}
                 THEN 'keep' ELSE 'filter' END                AS gopher_route
     FROM (
-        SELECT doc_id,
-               CAST(len(toks) AS INT) AS n_tokens,
-               CAST(list_max(list_transform(list_distinct(toks),
-                    x -> len(list_filter(toks, t -> t = x)))) AS INT) AS top_cnt,
-               CAST(len(bgs) AS INT)                AS n_bigrams,
-               CAST(len(list_distinct(bgs)) AS INT) AS n_dist_bg,
-               CAST(list_sum(list_transform(toks, t -> length(t))) AS INT)
-                   AS sum_word_len
-        FROM (SELECT doc_id, toks,
-                     list_transform(range(1, len(toks)),
-                                    i -> toks[i] || ' ' || toks[i+1]) AS bgs
-              FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                    FROM documents))
+        SELECT doc_id, n_tokens,
+               top_cnt * 1.0 / n_tokens                       AS top_frac,
+               -- a 0/1-token document has no bigrams: define the dup
+               -- fraction as 0 instead of dividing by zero (same guard
+               -- as the Spark side)
+               CASE WHEN n_bigrams = 0 THEN 0.0
+                    ELSE 1.0 - n_dist_bg * 1.0 / n_bigrams END AS dup_frac,
+               sum_word_len * 1.0 / n_tokens                  AS mean_wl
+        FROM (
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(list_max(list_transform(list_distinct(toks),
+                        x -> len(list_filter(toks, t -> t = x)))) AS INT) AS top_cnt,
+                   CAST(len(bgs) AS INT)                AS n_bigrams,
+                   CAST(len(list_distinct(bgs)) AS INT) AS n_dist_bg,
+                   CAST(list_sum(list_transform(toks, t -> length(t))) AS INT)
+                       AS sum_word_len
+            FROM (SELECT doc_id, toks,
+                         list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1]) AS bgs
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents))
+        )
     )
     """,
 )
@@ -89,11 +99,16 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel at corpus scale."""
     t = load_tables(spark, sf_dir, ("documents",))
     toks = _toks()
-    # bigrams as "tok_i tok_{i+1}" strings, built from one sequence expr
+    # bigrams as "tok_i tok_{i+1}" strings, built from one sequence expr.
+    # Guarded for 0/1-token documents: sequence(1, 0) is DESCENDING in
+    # Spark ([1, 0]) and element_at(toks, 0) throws, so short docs take
+    # the empty-array branch instead.
     bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
         "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "            element_at(split(text, ' '), i + 1)))")
+        "            element_at(split(text, ' '), i + 1))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
     top_cnt = F.array_max(F.transform(
         F.array_distinct(toks),
         lambda x: F.size(F.filter(toks, lambda t: t == x))))
@@ -108,7 +123,9 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_len.alias("sum_word_len"),
     )
     top_frac = F.col("top_cnt") * 1.0 / F.col("n_tokens")
-    dup_bg = 1.0 - F.col("n_dist_bg") * 1.0 / F.col("n_bigrams")
+    dup_bg = F.when(F.col("n_bigrams") > 0,
+                    1.0 - F.col("n_dist_bg") * 1.0 / F.col("n_bigrams")) \
+              .otherwise(F.lit(0.0))
     mean_wl = F.col("sum_word_len") * 1.0 / F.col("n_tokens")
     lo, hi = MEAN_WORD_LEN_BOUNDS
     return sig.select(

@@ -230,19 +230,27 @@ _CODEBOOK_MEMO: dict[str, list] = {}
 
 
 def ivf_codebook_path(sf_dir: str) -> str:
-    """Deterministic warehouse location for a corpus' trained codebook."""
+    """Deterministic warehouse location for a corpus' trained codebook,
+    keyed by the FULL absolute corpus path (basename for readability,
+    path hash for uniqueness) so two corpora sharing a directory name
+    never share — or corrupt — each other's artifact; matches the
+    memo's full-path keying."""
+    import hashlib
     import os
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    return os.path.join(repo_root, "spark-warehouse", f"ivf_codebook_{base}")
+    abspath = os.path.abspath(os.path.normpath(sf_dir))
+    base = os.path.basename(abspath).replace(".", "_")
+    digest = hashlib.md5(abspath.encode()).hexdigest()[:10]
+    return os.path.join(repo_root, "spark-warehouse",
+                        f"ivf_codebook_{base}_{digest}")
 
 
 def ensure_ivf_codebook(spark: SparkSession, sf_dir: str) -> list:
     """Load the persisted codebook for `sf_dir`, training it first if it
     does not exist yet. Returns the k (c_id, cv) rows (a model artifact,
     k×dim doubles — driver-sized by definition, like a PipelineModel).
-    Keyed by the corpus directory name; regenerating the test data
+    Keyed by the full corpus path; regenerating the test data
     invalidates the artifact (delete the warehouse dir to retrain)."""
     import os
     if sf_dir in _CODEBOOK_MEMO:

@@ -239,13 +239,17 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             # identical op order to the oracle: α·x first, then add
             y[i] = ALPHA * x[i] + (1 - ALPHA) * y[i - 1]
         pdf["rn"] = range(1, len(pdf) + 1)
-        pdf["ewma"] = y.round(6)
+        pdf["ewma"] = y
         return pdf
 
     schema = ("priority string, month timestamp, rev double, "
               "rn int, ewma double")
+    # display rounding happens in Spark (HALF_UP, like the oracle's
+    # ROUND and the rest of the repo) — numpy's .round is half-to-even
+    # and would diverge from the oracle on an exact 6dp tie.
     return (monthly.groupBy("priority")
-            .applyInPandas(smooth, schema=schema))
+            .applyInPandas(smooth, schema=schema)
+            .withColumn("ewma", F.round("ewma", 6)))
 
 
 @register(

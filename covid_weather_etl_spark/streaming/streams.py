@@ -133,8 +133,14 @@ def dedup_ingest_stream(events: DataFrame,
     passes it (size ∝ watermark horizon × arrival rate, NOT stream
     length — the reason this beats unbounded `dropDuplicates` at
     100 TB/day). Events older than the watermark are dropped as late
-    data, so they cannot re-introduce duplicates either.
-    Stream==batch equivalence pinned in tests/test_streaming.py."""
+    data, so they cannot re-introduce duplicates either — which also
+    means the source must deliver roughly in event-time order: rows
+    more than `watermark` behind the max seen event time are NOT
+    emitted even if never seen before (size the watermark to the
+    source's real out-of-orderness). Both properties are pinned in
+    tests/test_streaming.py: stream==batch equality on time-ordered
+    chunks with in-horizon redeliveries, and zero output for
+    behind-the-watermark arrivals."""
     return (events
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(list(keys)))

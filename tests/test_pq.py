@@ -83,8 +83,8 @@ def test_planted_clusters_fully_recalled(spark, tmp_path):
             vid += 1
     d = tmp_path / "sfp"
     d.mkdir()
-    # the codebook artifact is keyed by corpus BASENAME — drop any
-    # leftover from a previous test run before training on this one
+    # artifact is keyed by full corpus path (unique per tmp_path), so
+    # this cleanup is belt-and-braces only
     import shutil as _sh
     from covid_weather_etl_spark.operators.pq import (
         _PQ_MEMO, pq_codebook_path)

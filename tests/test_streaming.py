@@ -185,24 +185,61 @@ def test_upsert_gold_stream_is_duplicate_proof(spark, landing_dir,
 
 def test_dedup_ingest_stream_drops_redeliveries(spark, landing_dir,
                                                 tmp_path):
-    """dropDuplicatesWithinWatermark twin of dedup-on-load (D2): the
-    same chunks re-delivered as later micro-batches (an at-least-once
-    source replaying) must emit every event exactly once — identical
-    to the batch `dropDuplicates` over the union."""
-    import shutil
+    """dropDuplicatesWithinWatermark twin of dedup-on-load (D2), run on
+    the delivery pattern an at-least-once landing stream actually
+    produces: chunks arrive in event-time order and each chunk is
+    immediately re-delivered (source replay) — the redelivery lands
+    WITHIN the watermark horizon, so it must be recognized as a
+    duplicate and dropped, and every legitimate event must be emitted
+    exactly once (== batch `dropDuplicates` over the union).
+
+    The earlier version of this fixture fed row-index slices of the
+    events table, which are NOT time-ordered: an early micro-batch
+    advanced the watermark past later chunks' legitimate-but-older rows
+    and the operator dropped a third of the stream as late data. That
+    is the DOCUMENTED late-data policy, not a dedup bug — so this test
+    now also pins it explicitly: a final file whose (never-seen) events
+    sit far behind the watermark must produce NO output rows."""
+    import os
+    import time
+
     d = tmp_path / "landing_dup"
     d.mkdir()
+    events = spark.read.parquet(landing_dir)
+    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = len(pdf)
+    # a_i = i-th time-ordered chunk; b_i = its immediate redelivery.
+    # Distinct mtimes pin the file-source processing order
+    # (a_0, b_0, a_1, b_1, a_2, b_2, z_late).
+    base = time.time() - 100
     for i in range(3):
-        shutil.copy(f"{landing_dir}/chunk_{i}.parquet",
-                    d / f"a_chunk_{i}.parquet")
-        shutil.copy(f"{landing_dir}/chunk_{i}.parquet",
-                    d / f"b_redelivery_{i}.parquet")
+        chunk = pdf.iloc[i * n // 3:(i + 1) * n // 3]
+        for j, name in ((0, f"a_chunk_{i}.parquet"),
+                        (1, f"b_redelivery_{i}.parquet")):
+            p = str(d / name)
+            chunk.to_parquet(p, index=False)
+            t = base + 10 * (2 * i + j)
+            os.utime(p, (t, t))
+    # never-seen event_ids, event-time far behind the final watermark
+    # (watermark = max ts − 2h; these sit at min ts − 1h)
+    late = pdf.iloc[:20].copy()
+    late["event_id"] = -1 - pd.RangeIndex(len(late))
+    late["ts"] = (late["ts"].min() - pd.Timedelta(hours=1))
+    late["ts"] = late["ts"].astype("datetime64[us]")
+    p_late = str(d / "z_late.parquet")
+    late.to_parquet(p_late, index=False)
+    os.utime(p_late, (base + 90, base + 90))
+
     stream = S.read_event_stream(spark, str(d), max_files_per_trigger=1)
     got = _run_stream_to_memory(
         spark, S.dedup_ingest_stream(stream), "t_dedup_ingest", "append")
+    # late-data policy: the z_late events never appear
+    assert got.filter("event_id < 0").count() == 0
+    # dedup: every legitimate event exactly once == batch dropDuplicates
     batch = (spark.read.schema(S.EVENT_SCHEMA).parquet(str(d))
-             .dropDuplicates(["event_id"]))
-    assert got.count() == batch.count()
+             .filter("event_id >= 0").dropDuplicates(["event_id"]))
+    assert got.count() == batch.count() == n
     assert got.groupBy("event_id").count().filter("count > 1").count() == 0
     g = normalize(got.orderBy("event_id").toPandas())
     b = normalize(batch.orderBy("event_id").toPandas())
