@@ -20,12 +20,27 @@ Determinism: per-destination contributions are summed in DECIMAL
 the resulting ordering) partitioning-dependent, which would break both
 the pytest oracle and cross-run reproducibility at scale.
 
+Convergence: the purchase graph is BIPARTITE, so the damped chain's
+subdominant eigenvalue is exactly −damping (the period-2 mode) and the
+raw iterate's L1 delta decays at only 0.85/round — a naive delta-based
+early exit would never fire, and 10 raw rounds still sit ~0.16 L1 from
+the fixpoint (measured). But because the oscillating mode's eigenvalue
+is KNOWN, one Aitken step removes it: the weighted average of two
+consecutive iterates est_k = (d·r_k + r_{k+1})/(1+d) cancels the −d
+mode exactly (and conserves rank mass, since the weights sum to 1).
+The loop therefore iterates raw power steps, maintains the
+extrapolated sequence, and stops when L1(est_k − est_{k−1}) < tol —
+measured: tol=1e-4 stops at ~5 rounds with est ~1e-5 L1 from the true
+fixpoint, four orders of magnitude MORE accurate than the old fixed
+10-round raw iterate at half the rounds. The delta is accumulated in
+DECIMAL so the stopping round is partitioning-independent.
+
 Scale notes (100 TB): each round's join shuffles only (node, rank) and
 (src, dst, frac) — key-projected; out-degree normalization is computed
 once. At web scale you add: edge frame bucketed by src (co-located
-join across all rounds), localCheckpoint every few rounds to truncate
-lineage, and convergence-delta early exit (here: fixed 10 rounds, the
-common production choice for stable top-k)."""
+join across all rounds); the per-round localCheckpoint already
+truncates lineage, and the extrapolated-delta early exit bounds
+rounds."""
 
 from __future__ import annotations
 
@@ -36,8 +51,13 @@ from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables
 
 DAMPING = 0.85
-PR_ROUNDS = 10
+PR_ROUNDS = 10   # hard cap; the tol-based early exit usually fires first
+PR_TOL = 1e-4    # L1 threshold on the extrapolated sequence's delta
 _DEC = "decimal(38,30)"  # exact accumulator for rank mass (ranks ≤ 1)
+
+#: rounds executed by the most recent pagerank() call (for tests: the
+#: numpy twin must run the identical number of rounds for bit-parity)
+LAST_ROUNDS = 0
 
 
 def purchase_edges(t: dict) -> DataFrame:
@@ -59,47 +79,82 @@ def purchase_edges(t: dict) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, rounds: int = PR_ROUNDS,
-             damping: float = DAMPING) -> DataFrame:
-    """Fixed-round weighted PageRank. Every node appears as a src (the
-    bipartite graph is symmetric), so there are no dangling nodes and
-    rank mass is conserved each round (pinned in tests)."""
+             damping: float = DAMPING, tol: float | None = PR_TOL) -> DataFrame:
+    """Weighted PageRank with bipartite-aware Aitken extrapolation and
+    convergence early exit (see module docstring). Every node appears
+    as a src (the bipartite graph is symmetric), so there are no
+    dangling nodes and rank mass is conserved each round (pinned in
+    tests). Returns the extrapolated estimate est_k = (d·r_k +
+    r_{k+1})/(1+d); stops when L1(est_k − est_{k−1}) < tol or at the
+    `rounds` cap. tol=None restores the fixed-round raw iterate."""
+    global LAST_ROUNDS
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     e = (edges.join(outdeg, "src")
          .select("src", "dst", (F.col("w") / F.col("outw")).alias("frac"))
          .cache())
     nodes = e.select(F.col("src").alias("node")).distinct().cache()
     n = nodes.count()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(rounds):
-        contrib = (e.join(ranks, F.col("src") == F.col("node"))
+    inv = 1.0 / (1.0 + damping)  # same literal/op order as the numpy twin
+    # one state frame carries (rank, est, per-node est-delta term) so a
+    # round is ONE edge join + (from round 2) one tiny N-row aggregate —
+    # not three separate join jobs. est starts at the uniform vector;
+    # its round-1 delta term is ignored (the check starts at round 2,
+    # mirroring the numpy twin).
+    state = nodes.select("node", F.lit(1.0 / n).alias("rank"),
+                         F.lit(1.0 / n).alias("est"))
+    # the rank frame is node-count sized — broadcast it into the edge
+    # join while it fits (checkpointed frames otherwise default to
+    # size-unknown and Catalyst picks a sort-merge join, shuffling the
+    # FULL edge frame every round). At web scale flip to a shuffle join
+    # co-located with src-bucketed edges instead.
+    hint = F.broadcast if n <= 5_000_000 else (lambda df: df)
+    for i in range(rounds):
+        prev = state
+        contrib = (e.join(hint(prev.select("node", "rank")),
+                          F.col("src") == F.col("node"))
                    .groupBy("dst")
                    .agg(F.sum((F.col("frac") * F.col("rank")).cast(_DEC))
                         .cast("double").alias("mass")))
-        ranks = (nodes.join(contrib, F.col("node") == F.col("dst"), "left")
-                 .select("node",
-                         (F.lit((1.0 - damping) / n)
-                          + F.lit(damping) * F.coalesce("mass", F.lit(0.0)))
-                         .alias("rank"))
+        joined = prev.join(contrib, prev["node"] == contrib["dst"], "left")
+        new_rank = (F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(contrib["mass"], F.lit(0.0)))
+        # extrapolated sequence: cancels the bipartite −d mode exactly
+        est_new = prev["rank"] + (new_rank - prev["rank"]) * F.lit(inv)
+        state = (joined.select(prev["node"].alias("node"),
+                               new_rank.alias("rank"),
+                               est_new.alias("est"),
+                               F.abs(est_new - prev["est"]).alias("dterm"))
                  # truncate lineage every round: without this the plan
                  # nests one join level per round and analyzer/codegen
                  # memory grows superlinearly (observed OOM at 10
                  # rounds) — the same reason web-scale PageRank
                  # checkpoints. localCheckpoint materializes the ~N-row
-                 # rank frame on executors and resets the plan to a
+                 # state frame on executors and resets the plan to a
                  # leaf.
                  .localCheckpoint(eager=True))
+        LAST_ROUNDS = i + 1
+        if tol is not None and i >= 1:
+            # DECIMAL-exact L1 so the stopping round (hence the result)
+            # is independent of partitioning / accumulation order
+            delta = (state.agg(F.sum(F.col("dterm").cast(_DEC))
+                               .cast("double").alias("d")).first()["d"])
+            if delta is not None and delta < tol:
+                break
     e.unpersist()
     nodes.unpersist()
-    return ranks
+    if tol is None:
+        return state.select("node", "rank")
+    return state.select("node", F.col("est").alias("rank"))
 
 
 @register("pagerank_suppliers", survey="ext-graph,J1,A6,U2")
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier ranking by damped random-walk mass over the purchase
-    network (10 rounds, d=0.85, decimal-exact accumulation). Rows-only
-    driver check (iterative fixpoint is not ANSI-SQL-expressible);
-    tests/test_graph.py pins rank-mass conservation, parity with a
-    numpy power iteration on the same adjacency, and determinism."""
+    network (d=0.85, decimal-exact accumulation, bipartite-extrapolated
+    with L1 early exit — see pagerank()). Rows-only driver check
+    (iterative fixpoint is not ANSI-SQL-expressible); tests/test_graph.py
+    pins rank-mass conservation, parity with a numpy power iteration
+    running the identical extrapolation/stopping rule, and determinism."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
     ranks = pagerank(purchase_edges(t))
     supp = (ranks.filter(F.col("node").startswith("s:"))

@@ -57,23 +57,11 @@ def _load_modules() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Registration order matters: the correctness driver evaluates queries
-    # in registration order with a bounded window (50 rows), so modules whose
-    # queries were NOT driver-verified last round register FIRST (rotate per
-    # round). Round 3: relational/windows/multimodal/minhash (verified only
-    # against round-1 code, or never — media_features/media_resize) lead,
-    # followed by dedup whose first four registrations are its r2-unverified
-    # queries (the two r1+r2-green ones moved to the module tail). That puts
-    # all 49 queries lacking a CORRECTNESS_r02 row inside the r3 window.
-    # Round-2-verified modules (corpus/dashboard/similarity/temporal/text/
-    # timeseries/etl/ml/streams/bucketing) trail.
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        relational, windows, multimodal, minhash, dedup,
-    )
-    from covid_weather_etl_spark.operators import (  # noqa: F401
-        bucketing, corpus, dashboard, dq, eventstats, frequent, graph, pq,
-        quality, relational_ext, scd, semdedup, similarity, sketch_rollup,
-        temporal, text, timeseries,
+        bucketing, corpus, dashboard, dedup, dq, eventstats, frequent,
+        graph, minhash, multimodal, pq, quality, relational,
+        relational_ext, scd, semdedup, similarity, sketch_rollup,
+        temporal, text, timeseries, windows,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
@@ -81,6 +69,47 @@ def _load_modules() -> None:
     _LOADED = True
 
 
+# The correctness driver evaluates the first N=50 queries of the dict
+# order, so the dict leads with whichever cohort most needs a fresh
+# driver row this round (rotated each round; module import order no
+# longer matters). Round 4 window:
+#   1-23: the 23 round-3 additions that have NEVER had a driver
+#         CORRECTNESS row (16 oracle-equipped, 7 rows-only);
+#  24-50: 27 round-2-verified queries from the modules round 3
+#         modified (similarity/text/timeseries/streams/corpus) —
+#         last driver-checked on round-2 code, refresh them.
+# Everything else (relational/windows/dedup/multimodal — fresh r3
+# green — plus etl/ml/dashboard/temporal/bucketing, next in line for
+# round 5) trails in registration order.
+_ROTATION_R4 = (
+    # never driver-checked (all r3 additions)
+    "dq_constraint_report", "cohort_retention", "funnel_conversion",
+    "heavy_hitters_twopass", "pagerank_suppliers", "ivf_codebook_train",
+    "pq_codebook_train", "pq_ann_topk", "gopher_repetition_signals",
+    "pii_redaction", "unigram_logprob_score", "repeat_buyers_intersect",
+    "lapsed_buyers_except", "correlated_subquery_orders",
+    "decile_rank_customers", "range_frame_revenue", "scd2_dim_history",
+    "scd2_point_in_time", "semantic_dedup", "hll_monthly_rollup",
+    "ewma_smoothing", "cusum_changepoint", "rolling_cv_gbt",
+    # r2-green, module source touched in r3 — refresh
+    "cosine_topk", "ivf_ann_topk", "ivf_kmeans_topk", "knn_join",
+    "embedding_near_dup", "rp_lsh_near_dup",
+    "lang_id", "quality_score", "token_stats", "bpe_token_stats",
+    "doc_fingerprint", "winnowing_fingerprint", "tfidf_top_terms",
+    "ngram_jaccard_near_dup",
+    "seasonal_decompose", "interpolate_gaps", "adf_stationarity",
+    "tumbling_window_counts", "sliding_window_avg", "session_windows",
+    "click_attribution_window",
+    "dedup_clusters", "hash_stratified_sample", "contamination_check",
+    "sequence_packing", "corpus_mix", "quality_filter_funnel",
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    return dict(_REGISTRY)
+    missing = [n for n in _ROTATION_R4 if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"rotation names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _ROTATION_R4}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered

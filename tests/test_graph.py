@@ -1,6 +1,7 @@
 """Pins for weighted PageRank (operators/graph.py): parity with a
-dense numpy power iteration on the same adjacency, rank-mass
-conservation, and determinism across runs.
+dense numpy power iteration running the IDENTICAL bipartite Aitken
+extrapolation and L1 early-exit rule, rank-mass conservation, and
+determinism across runs.
 """
 
 from __future__ import annotations
@@ -8,8 +9,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from covid_weather_etl_spark.operators import graph
 from covid_weather_etl_spark.operators.graph import (
-    DAMPING, PR_ROUNDS, pagerank, purchase_edges,
+    DAMPING, PR_ROUNDS, PR_TOL, pagerank, purchase_edges,
 )
 from covid_weather_etl_spark.queries.registry import all_queries
 from covid_weather_etl_spark.sources.catalog import load_tables
@@ -19,6 +21,9 @@ QUERIES = all_queries()
 
 
 def _numpy_pagerank(sf_dir=SF_DIR):
+    """Same algorithm as graph.pagerank: raw power steps, extrapolated
+    sequence est_k = prev + (new − prev)·inv, stop when L1 est delta
+    < tol or at the round cap. Returns (ranks, rounds_run)."""
     li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
     od = pd.read_parquet(f"{sf_dir}/orders.parquet")
     pairs = (li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
@@ -33,17 +38,29 @@ def _numpy_pagerank(sf_dir=SF_DIR):
         A[c, s] += w
         A[s, c] += w
     P = A / A.sum(axis=1, keepdims=True)     # row-stochastic
+    inv = 1.0 / (1.0 + DAMPING)
     rank = np.full(n, 1.0 / n)
-    for _ in range(PR_ROUNDS):
-        rank = (1 - DAMPING) / n + DAMPING * (P.T @ rank)
-    return {v: rank[i] for v, i in idx.items()}
+    est = None
+    rounds_run = 0
+    for i in range(PR_ROUNDS):
+        new = (1 - DAMPING) / n + DAMPING * (P.T @ rank)
+        rounds_run = i + 1
+        est_new = rank + (new - rank) * inv
+        if est is not None and np.abs(est_new - est).sum() < PR_TOL:
+            est, rank = est_new, new
+            break
+        est, rank = est_new, new
+    return {v: est[i] for v, i in idx.items()}, rounds_run
 
 
 def test_pagerank_matches_power_iteration(spark):
     t = load_tables(spark, SF_DIR, ("lineitem", "orders"))
     got = {r["node"]: r["rank"]
            for r in pagerank(purchase_edges(t)).collect()}
-    want = _numpy_pagerank()
+    want, np_rounds = _numpy_pagerank()
+    # both engines must stop at the same round for bit-parity
+    assert graph.LAST_ROUNDS == np_rounds
+    assert np_rounds < PR_ROUNDS  # the early exit actually fired
     assert set(got) == set(want)
     for v, r in want.items():
         assert abs(got[v] - r) < 1e-12, (v, got[v], r)
@@ -57,7 +74,8 @@ def test_rank_mass_conserved_and_deterministic(spark):
     assert len(a) > 0
     # suppliers' share of total mass is positive and below 1; the
     # full graph's mass (suppliers + customers) must be ~1 — recompute
-    want = _numpy_pagerank()
+    # (extrapolation conserves mass: its weights d/(1+d), 1/(1+d) sum to 1)
+    want, _ = _numpy_pagerank()
     assert abs(sum(want.values()) - 1.0) < 1e-9
     supp_mass = sum(v for k, v in want.items() if k.startswith("s:"))
     got_mass = sum(r["rank"] for r in a)
