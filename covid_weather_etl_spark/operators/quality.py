@@ -267,3 +267,77 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(neg, 6).alias("avg_neg_logprob"),
                  F.when(neg <= 6.0, "keep").otherwise("filter")
                   .alias("lm_route")))
+
+
+@register(
+    "bigram_logprob_score",
+    survey="LLM-quality,A6,J1,F9",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS prefix
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              FROM tok WHERE len(toks) >= 2)
+    ),
+    bgc AS (SELECT bigram, COUNT(*) AS cbg FROM bg GROUP BY 1),
+    pfc AS (SELECT prefix, COUNT(*) AS cpf FROM bg GROUP BY 1),
+    voc AS (
+        SELECT COUNT(DISTINCT tkn) AS v
+        FROM (SELECT unnest(toks) AS tkn FROM tok)
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               ln((bgc.cbg + 1.0) / (pfc.cpf + voc.v)) AS logp
+        FROM bg JOIN bgc USING (bigram) JOIN pfc USING (prefix)
+        CROSS JOIN voc
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT)  AS n_bigrams,
+           ROUND(-AVG(logp), 6)   AS avg_neg_logprob,
+           CASE WHEN -AVG(logp) <= 3.45 THEN 'keep' ELSE 'filter' END
+                                  AS lm_route
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring — the order-2 upgrade of
+    unigram_logprob_score (one step closer to CCNet's KenLM 5-gram):
+    P(v|u) = (c(uv)+1) / (c(u·)+V), add-one smoothed, trained on the
+    corpus itself; documents scored by mean negative log-probability
+    over their bigrams (docs under 2 tokens have no bigrams and are
+    excluded on both engines). Shape: one narrow bigram explode, two
+    Zipf-bounded count aggregates broadcast back onto the bigram
+    stream, one (doc_id) shuffle for the mean. At open-web scale the
+    bigram vocabulary outgrows broadcast — hash bigrams to a bounded
+    id space or count-min them; the join shape is unchanged. AVG is
+    rounded to 6dp on both engines (threshold far from any 6dp
+    boundary at every SF)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "            element_at(split(text, ' '), i + 1)))")
+    bg = (t["documents"].filter(F.size(toks) >= 2)
+          .select("doc_id", F.explode(bigrams).alias("bigram"))
+          .withColumn("prefix", F.split("bigram", " ")[0]))
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("cbg"))
+    pfc = bg.groupBy("prefix").agg(F.count("*").alias("cpf"))
+    voc = (t["documents"]
+           .select(F.explode(toks).alias("tkn"))
+           .agg(F.countDistinct("tkn").alias("v")))
+    logp = F.log((F.col("cbg") + 1.0) / (F.col("cpf") + F.col("v")))
+    scored = (bg.join(F.broadcast(bgc), "bigram")
+              .join(F.broadcast(pfc), "prefix")
+              .crossJoin(F.broadcast(voc))
+              .select("doc_id", logp.alias("logp")))
+    neg = -F.avg("logp")
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_bigrams"),
+                 F.round(neg, 6).alias("avg_neg_logprob"),
+                 F.when(neg <= 3.45, "keep").otherwise("filter")
+                  .alias("lm_route")))

@@ -234,3 +234,165 @@ def range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double"))
     return daily.select("n_name", "day_num", "daily_rev",
                         trailing.alias("trailing_30d_rev"))
+
+
+# ---------------------------------------------------------------------------
+# robust preprocessing: per-group winsorization
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "winsorized_prices",
+    survey="ext-robust,A11,J1,P10",
+    oracle=f"""
+    WITH thr AS (
+        SELECT l_returnflag AS rf,
+               ROUND(quantile_cont(l_extendedprice, {WINSOR_LO}), 2) AS lo,
+               ROUND(quantile_cont(l_extendedprice, {WINSOR_HI}), 2) AS hi
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           l_extendedprice AS price,
+           CASE WHEN l_extendedprice < lo THEN lo
+                WHEN l_extendedprice > hi THEN hi
+                ELSE l_extendedprice END AS price_winsor,
+           l_extendedprice < lo OR l_extendedprice > hi AS was_clipped
+    FROM lineitem JOIN thr ON l_returnflag = thr.rf
+    """,
+)
+def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (P5/P95 clipping) of extended price by
+    return flag — the robust-preprocessing step that caps outliers
+    before scaling/model fit (the heavy-tail guard every feature
+    pipeline wants). Exact interpolated percentiles per group (3
+    groups), rounded to the 2-decimal money grid BEFORE comparing so
+    both engines clip against the identical thresholds; the tiny
+    threshold frame broadcasts back onto the fact scan — one group
+    aggregate plus a narrow map, no row shuffle. At 100 TB swap the
+    exact percentile for percentile_approx and the plan is unchanged."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    price = F.col("l_extendedprice")
+    thr = (t["lineitem"].groupBy(F.col("l_returnflag").alias("rf"))
+           .agg(F.round(F.percentile(price, F.lit(WINSOR_LO)), 2).alias("lo"),
+                F.round(F.percentile(price, F.lit(WINSOR_HI)), 2).alias("hi")))
+    lo, hi = F.col("lo"), F.col("hi")
+    return (t["lineitem"]
+            .join(F.broadcast(thr), F.col("l_returnflag") == F.col("rf"))
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+                    price.alias("price"),
+                    F.when(price < lo, lo).when(price > hi, hi)
+                     .otherwise(price).alias("price_winsor"),
+                    ((price < lo) | (price > hi)).alias("was_clipped")))
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (CDC between two table states) + key-skew profiling
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff",
+    survey="ext-cdc,J1,J7,P10",
+    oracle="""
+    WITH new_snap AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment
+               END AS seg
+        FROM customer WHERE c_custkey % 11 <> 0
+        UNION ALL
+        SELECT -c_custkey - 1, 'NEWBIE' FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.c_mktsegment AS old_segment,
+           n.seg          AS new_segment
+    FROM customer o FULL OUTER JOIN new_snap n USING (c_custkey)
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_mktsegment <> n.seg
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two dimension snapshots: emit every
+    insert / delete / update with old and new values (the diff a CDC
+    feed or a MERGE INTO would apply; unchanged rows are dropped). The
+    'new' snapshot is derived deterministically from the old one (every
+    7th key's segment changes, every 11th key is deleted, every 13th
+    key spawns an insert under a fresh strictly-negative key −k−1,
+    which stays disjoint from the key space even for key 0) so both
+    engines
+    diff identical states. Plan: ONE full-outer join on the projected
+    key + change columns — no row moves except by key hash; at 100 TB
+    both snapshots shuffle once on the key (or zero times if both are
+    key-bucketed) and the filter drops the unchanged majority before
+    any further stage."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    cust = t["customer"]
+    old = cust.select("c_custkey", F.col("c_mktsegment").alias("old_segment"))
+    new = (cust.filter(F.col("c_custkey") % 11 != 0)
+           .select("c_custkey",
+                   F.when(F.col("c_custkey") % 7 == 0, "MOVED")
+                    .otherwise(F.col("c_mktsegment")).alias("new_segment"))
+           .unionByName(
+               cust.filter(F.col("c_custkey") % 13 == 0)
+               .select((-F.col("c_custkey") - 1).alias("c_custkey"),
+                       F.lit("NEWBIE").alias("new_segment"))))
+    joined = old.join(new, "c_custkey", "full_outer")
+    change = (F.when(F.col("old_segment").isNull(), "insert")
+               .when(F.col("new_segment").isNull(), "delete")
+               .otherwise("update"))
+    return (joined
+            .filter(F.col("old_segment").isNull()
+                    | F.col("new_segment").isNull()
+                    | (F.col("old_segment") != F.col("new_segment")))
+            .select("c_custkey", change.alias("change_type"),
+                    "old_segment", "new_segment"))
+
+
+@register(
+    "key_skew_profile",
+    survey="ext-skew,A6,A9,F9",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)           AS n_keys,
+           CAST(SUM(cnt) AS BIGINT)           AS n_rows,
+           CAST(MAX(cnt) AS BIGINT)           AS max_cnt,
+           ROUND(SUM(cnt) * 1.0 / COUNT(*), 6) AS avg_cnt,
+           ROUND(MAX(cnt) * COUNT(*) * 1.0 / SUM(cnt), 6) AS skew_ratio,
+           ROUND(ln(SUM(cnt) * 1.0)
+                 - SUM(cnt * ln(cnt * 1.0)) / SUM(cnt), 6) AS entropy_nats
+    FROM per_key
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy-key skew diagnosis for the orders fact's customer
+    key: key cardinality, heaviest-key count, max/avg skew ratio and
+    the key distribution's Shannon entropy — the report that decides
+    whether a shuffle needs salting or AQE skew handling before it
+    runs. Entropy of p_i = c_i/N via the algebraic identity
+    H = ln(N) − Σc·ln(c)/N (c = per-key count, N = total rows) so only
+    ONE float sum crosses the aggregation (rounded 6dp; the integer
+    sums are exact). Two aggregates: per-key counts (map-side
+    combinable) then a one-row summary — at 100 TB this is the
+    cheapest possible full-skew scan."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    per_key = (t["orders"].groupBy("o_custkey")
+               .agg(F.count("*").alias("cnt")))
+    c = F.col("cnt")
+    n_keys = F.count("*")
+    n_rows = F.sum(c)
+    return per_key.agg(
+        n_keys.alias("n_keys"),
+        n_rows.alias("n_rows"),
+        F.max(c).alias("max_cnt"),
+        F.round(n_rows * 1.0 / n_keys, 6).alias("avg_cnt"),
+        F.round(F.max(c) * n_keys * 1.0 / n_rows, 6).alias("skew_ratio"),
+        F.round(F.log(n_rows * 1.0)
+                - F.sum(c * F.log(c * 1.0)) / n_rows, 6)
+         .alias("entropy_nats"),
+    )

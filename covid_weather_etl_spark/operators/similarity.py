@@ -479,3 +479,70 @@ def rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cands.select("vec_id_1", "vec_id_2", sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= RP_THRESHOLD)
             .orderBy("vec_id_1", "vec_id_2"))
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (compressed-storage path)
+# ---------------------------------------------------------------------------
+
+INT8_MAX = 127.0
+
+
+@register(
+    "embedding_int8_quantize",
+    survey="LLM-sim,U1,F9",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           CAST(len(v) AS INT) AS n_dims,
+           ROUND(CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_sum(list_transform(v,
+               x -> pow(x - floor(x / scale + 0.5) * scale, 2)))
+             / len(v) END, 12) AS mse
+    FROM (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / {INT8_MAX}
+                   AS scale
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    )
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4× storage/bandwidth cut every large vector store applies
+    before ANN (scale = max|v|/127, code = floor(v/scale + 0.5),
+    zero-vector guarded; the extreme element maps to ±127 by
+    construction, so |code| ≤ 127 is structural). Emits the audit
+    frame: per-vector scale, dimension count and reconstruction MSE.
+    Pure higher-order array algebra — a narrow map with zero shuffle
+    at any scale; both engines evaluate the identical per-element
+    expression in array order, so the floats agree bit-for-bit before
+    display rounding (floor(x+0.5) instead of round() inside the
+    lambda because Spark HALF_UPs and DuckDB half-evens).
+
+    CAUTION (measured, Spark 4.1): column references INSIDE a
+    higher-order-function lambda are resolved late — if the SAME
+    projection outputs an alias with the referenced column's name
+    (e.g. `round(scale, 9) AS scale` next to a lambda using
+    `scale`), the lambda binds to the NEW aliased expression, not the
+    input column (the optimized plan showed the mse lambda reading the
+    rounded scale while the sibling WHEN read the raw one — a silent
+    ~1e-6 relative error). The raw column is therefore named `s_raw`,
+    distinct from every output alias."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    scale = (F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+             / F.lit(INT8_MAX))
+    df = emb.select("vec_id", "v", scale.alias("s_raw"))
+    s = F.col("s_raw")
+    sq_err = F.transform(F.col("v"),
+                         lambda x: F.pow(x - F.floor(x / s + 0.5) * s, 2))
+    mse = F.when(s == 0, 0.0).otherwise(
+        F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x)
+        / F.size("v"))
+    return df.select(
+        "vec_id",
+        F.round(s, 9).alias("scale"),
+        F.size("v").alias("n_dims"),
+        F.round(mse, 12).alias("mse"),
+    )

@@ -451,3 +451,141 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= TFIDF_TOPK)
             .select("doc_id", "term", "score", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring + sequence-length distribution
+# ---------------------------------------------------------------------------
+
+#: fixed query term set for the BM25 demo query (terms present at
+#: moderate frequency in the synthetic corpus vocabulary)
+BM25_QUERY = ("join", "window", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_doc_scores",
+    survey="LLM-text,A6,J1,W6",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, dl, COUNT(*) AS tf
+        FROM tok
+        WHERE term IN {BM25_QUERY!r}
+        GROUP BY 1, 2, 3
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS avgdl
+        FROM documents
+    )
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS INT) AS n_hit_terms,
+           ROUND(SUM(
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                     + {BM25_B} * tf.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of every document against a fixed query term
+    set (Robertson & Zaragoza 2009: idf = ln((N−df+0.5)/(df+0.5)+1),
+    tf saturation k1=1.2, length normalization b=0.75) — the sparse
+    half of a retrieval/contamination-check stack, complementing the
+    dense ANN operators. Plan: token explode filtered to the query
+    terms BEFORE any shuffle (predicate on the exploded stream, so only
+    query-term postings move), per-(doc, term) tf aggregate, tiny df
+    and corpus-stats frames broadcast back, one (doc_id) shuffle for
+    the final sum. At 100 TB this is the inverted-posting shape: the
+    scan streams, only postings for the query vocabulary shuffle.
+    Score rounded to 6dp on both engines (float SUM over ≤3 terms)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = _tokens()
+    tok = (spread(t["documents"], "doc_id")
+           .select("doc_id", F.size(toks).alias("dl"),
+                   F.explode(toks).alias("term"))
+           .filter(F.col("term").isin(*BM25_QUERY)))
+    tf = tok.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = t["documents"].agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(toks)) * 1.0 / F.count("*")).alias("avgdl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    score = (idf * (F.col("tf") * (BM25_K1 + 1.0))
+             / (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+                                         + BM25_B * F.col("dl")
+                                         / F.col("avgdl"))))
+    return (tf.join(F.broadcast(df_), "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_hit_terms"),
+                 F.round(F.sum(score), 6).alias("bm25")))
+
+
+SEQLEN_BIN = 16  # tokens per histogram bucket (integer math — exact)
+
+
+@register(
+    "seq_length_histogram",
+    survey="LLM-text,A15,W1",
+    oracle=f"""
+    WITH lens AS (
+        SELECT CAST(FLOOR(len(string_split(text, ' ')) / {SEQLEN_BIN})
+                    AS BIGINT) AS bin
+        FROM documents
+    ),
+    hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM lens GROUP BY bin)
+    SELECT bin,
+           bin * {SEQLEN_BIN} AS bin_lo,
+           (bin + 1) * {SEQLEN_BIN} - 1 AS bin_hi,
+           n_docs,
+           ROUND(SUM(n_docs) OVER (ORDER BY bin
+                                   ROWS UNBOUNDED PRECEDING) * 1.0
+                 / SUM(n_docs) OVER (), 6) AS cum_share
+    FROM hist
+    """,
+)
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution for packing/curriculum planning:
+    fixed-width token-count buckets with document counts and the
+    cumulative share of documents up to each bucket (the curve that
+    picks a packing budget covering e.g. 95% of documents unsplit).
+    Integer bucket math is exact on both engines; only the final share
+    ratio is floating (rounded 6dp). The histogram aggregate shuffles
+    bin ids only; the cumulative sum is a ≤-self-join over the
+    bin-count-sized aggregate (NOT a global window — the registry pins
+    zero unpartitioned windows; a dozen bins make the triangular join
+    trivial at any corpus scale) and the corpus total is a broadcast
+    1-row crossJoin."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    hist = (t["documents"]
+            .select(F.floor(F.size(_tokens()) / SEQLEN_BIN).alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("n_docs")))
+    total = hist.agg(F.sum("n_docs").alias("n_total"))
+    cum = (hist.alias("h")
+           .join(F.broadcast(hist.alias("p")),
+                 F.col("p.bin") <= F.col("h.bin"))
+           .groupBy(F.col("h.bin").alias("bin"))
+           .agg(F.first(F.col("h.n_docs")).alias("n_docs"),
+                F.sum(F.col("p.n_docs")).alias("n_cum")))
+    return (cum.crossJoin(F.broadcast(total))
+            .select(
+                "bin",
+                (F.col("bin") * SEQLEN_BIN).alias("bin_lo"),
+                ((F.col("bin") + 1) * SEQLEN_BIN - 1).alias("bin_hi"),
+                "n_docs",
+                F.round(F.col("n_cum") * 1.0 / F.col("n_total"), 6)
+                 .alias("cum_share"),
+            ))

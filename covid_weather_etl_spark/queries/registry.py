@@ -75,12 +75,15 @@ def _load_modules() -> None:
 # longer matters). Round 4 window:
 #   1-23: the 23 round-3 additions that have NEVER had a driver
 #         CORRECTNESS row (16 oracle-equipped, 7 rows-only);
-#  24-50: 27 round-2-verified queries from the modules round 3
-#         modified (similarity/text/timeseries/streams/corpus) —
-#         last driver-checked on round-2 code, refresh them.
+#  24-30: the 7 round-4 additions (first driver rows);
+#  31-50: 20 round-2-verified queries from the modules round 3
+#         modified (similarity/text/timeseries/streams + the
+#         perf-flagged dedup_clusters) — last driver-checked on
+#         round-2 code, refresh them (the two rows-only refreshes
+#         rp_lsh_near_dup / adf_stationarity yielded their slots).
 # Everything else (relational/windows/dedup/multimodal — fresh r3
-# green — plus etl/ml/dashboard/temporal/bucketing, next in line for
-# round 5) trails in registration order.
+# green — plus etl/ml/dashboard/temporal/bucketing/corpus, next in
+# line for round 5) trails in registration order.
 _ROTATION_R4 = (
     # never driver-checked (all r3 additions)
     "dq_constraint_report", "cohort_retention", "funnel_conversion",
@@ -91,17 +94,20 @@ _ROTATION_R4 = (
     "decile_rank_customers", "range_frame_revenue", "scd2_dim_history",
     "scd2_point_in_time", "semantic_dedup", "hll_monthly_rollup",
     "ewma_smoothing", "cusum_changepoint", "rolling_cv_gbt",
+    # r4 additions — first driver rows
+    "bigram_logprob_score", "bm25_doc_scores", "seq_length_histogram",
+    "embedding_int8_quantize", "winsorized_prices", "snapshot_diff",
+    "key_skew_profile",
     # r2-green, module source touched in r3 — refresh
     "cosine_topk", "ivf_ann_topk", "ivf_kmeans_topk", "knn_join",
-    "embedding_near_dup", "rp_lsh_near_dup",
+    "embedding_near_dup",
     "lang_id", "quality_score", "token_stats", "bpe_token_stats",
     "doc_fingerprint", "winnowing_fingerprint", "tfidf_top_terms",
     "ngram_jaccard_near_dup",
-    "seasonal_decompose", "interpolate_gaps", "adf_stationarity",
+    "seasonal_decompose", "interpolate_gaps",
     "tumbling_window_counts", "sliding_window_avg", "session_windows",
     "click_attribution_window",
-    "dedup_clusters", "hash_stratified_sample", "contamination_check",
-    "sequence_packing", "corpus_mix", "quality_filter_funnel",
+    "dedup_clusters",
 )
 
 
