@@ -29,16 +29,17 @@ def main() -> None:
 
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
-    # warm Spark ML too (pipeline/tree classloading + codegen is a
-    # one-time cluster cost, not a per-query cost — without this it all
-    # lands on whichever ML query happens to run first and distorts its
-    # per-query timing)
-    from pyspark.ml.classification import LogisticRegression
+    # warm Spark ML too (pipeline/tree-ensemble classloading + codegen
+    # is a one-time cluster cost, not a per-query cost — without this
+    # it all lands on whichever ML query happens to run first and
+    # distorts its per-query timing)
+    from pyspark.ml.classification import GBTClassifier, LogisticRegression
     from pyspark.ml.linalg import Vectors
     warm = spark.createDataFrame(
         [(0.0, Vectors.dense([0.0])), (1.0, Vectors.dense([1.0]))],
         ["label", "features"])
     LogisticRegression(maxIter=1).fit(warm)
+    GBTClassifier(maxIter=1, maxDepth=1).fit(warm)
 
     timings: dict[str, float] = {}
     t_total = time.perf_counter()

@@ -325,8 +325,16 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = (t["documents"].filter(F.size(toks) >= 2)
           .select("doc_id", F.explode(bigrams).alias("bigram"))
           .withColumn("prefix", F.split("bigram", " ")[0]))
-    bgc = bg.groupBy("bigram").agg(F.count("*").alias("cbg"))
-    pfc = bg.groupBy("prefix").agg(F.count("*").alias("cpf"))
+    # cached: the bigram-vocabulary frame (Zipf-bounded, model-sized)
+    # is used twice — broadcast into the scoring join AND folded into
+    # the prefix counts below; without the cache each use re-runs the
+    # corpus-sized explode+aggregate.
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("cbg")).cache()
+    # prefix counts FOLD OUT of the bigram counts (Σ over bigrams that
+    # share a prefix) — aggregating the vocabulary-sized bgc instead of
+    # re-running the corpus-sized explode a second time
+    pfc = (bgc.groupBy(F.split("bigram", " ")[0].alias("prefix"))
+           .agg(F.sum("cbg").alias("cpf")))
     voc = (t["documents"]
            .select(F.explode(toks).alias("tkn"))
            .agg(F.countDistinct("tkn").alias("v")))
