@@ -22,7 +22,12 @@ Structured Streaming primitives:
   micro-batches — the pattern for operators with cross-batch state
   (the reference's nearest analog: its dedup-on-load existence probe,
   `database/operations.py:175-206`, which must remember what it has
-  seen).
+  seen). Spark 4's successor API (`transformWithStateInPandas`,
+  typed ValueState/ListState/MapState + timers) was evaluated and is
+  unusable in this environment: its driver worker imports
+  google.protobuf (absent, no network to install), crashing at query
+  start — measured, not assumed. The applyInPandasWithState form
+  carries the same per-key-state semantics.
 
 Scale notes: windowed aggs shuffle on (key, window) — at 100 TB the
 watermark bounds state size; session windows merge per key so skewed

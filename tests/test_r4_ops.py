@@ -172,6 +172,44 @@ def test_snapshot_diff_partitions_change_space(spark):
     assert (upd["new_segment"] == "MOVED").all()
 
 
+def test_snapshot_diff_patch_reconstructs_new_state(spark):
+    """The CDC contract: applying the diff to the old snapshot (drop
+    deletes, apply updates, add inserts) reproduces the new snapshot
+    exactly — the property a MERGE INTO consumer relies on."""
+    got = QUERIES["snapshot_diff"].fn(spark, SF_DIR).toPandas()
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    old = cust.set_index("c_custkey")["c_mktsegment"]
+    # independently rebuild the planted new snapshot
+    keep = cust[cust.c_custkey % 11 != 0]
+    new_expected = {
+        int(k): ("MOVED" if k % 7 == 0 else s)
+        for k, s in zip(keep.c_custkey, keep.c_mktsegment)}
+    new_expected.update({int(-k - 1): "NEWBIE"
+                         for k in cust.c_custkey if k % 13 == 0})
+    # patch = old minus deletes, with updates applied, plus inserts
+    patched = {int(k): s for k, s in old.items()}
+    for r in got.itertuples():
+        if r.change_type == "delete":
+            del patched[int(r.c_custkey)]
+        elif r.change_type == "update":
+            patched[int(r.c_custkey)] = r.new_segment
+        else:
+            patched[int(r.c_custkey)] = r.new_segment
+    assert patched == new_expected
+
+
+def test_winsorize_idempotent(spark):
+    """Winsorizing an already-winsorized column with the same
+    thresholds changes nothing (clip is a projection onto [lo, hi])."""
+    got = QUERIES["winsorized_prices"].fn(spark, SF_DIR).toPandas()
+    thr = (got.groupby("l_returnflag")["price_winsor"]
+           .agg(["min", "max"]))
+    for rf, grp in got.groupby("l_returnflag"):
+        lo, hi = thr.loc[rf, "min"], thr.loc[rf, "max"]
+        again = grp["price_winsor"].clip(lo, hi)
+        assert (again == grp["price_winsor"]).all()
+
+
 def test_key_skew_profile_matches_pandas(spark):
     got = QUERIES["key_skew_profile"].fn(spark, SF_DIR).toPandas().iloc[0]
     orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
