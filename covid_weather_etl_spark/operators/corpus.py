@@ -441,3 +441,100 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# duplicated-chunk (line-level) dedup
+# ---------------------------------------------------------------------------
+
+#: tokens per chunk (the "line" unit — the corpus has no newlines, so a
+#: fixed token window stands in for CCNet's newline-delimited lines).
+CHUNK_TOKENS = 3
+#: a chunk appearing in more than this many distinct documents is
+#: boilerplate and is removed from every document that carries it.
+CHUNK_DUP_DF = 5
+
+
+@register(
+    "dup_chunk_removal",
+    survey="LLM-dedup,A2,A6,J1",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents
+    ), chunk AS (
+        SELECT doc_id, CAST(FLOOR((ord - 1) / {CHUNK_TOKENS}) AS BIGINT) AS cid,
+               string_agg(tok, ' ' ORDER BY ord) AS ctext
+        FROM tok GROUP BY 1, 2
+    ), freq AS (
+        SELECT ctext, COUNT(DISTINCT doc_id) AS df
+        FROM chunk GROUP BY 1
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.df <= {CHUNK_DUP_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN f.df <= {CHUNK_DUP_DF} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS frac_kept,
+           COALESCE(string_agg(
+               CASE WHEN f.df <= {CHUNK_DUP_DF} THEN c.ctext END,
+               ' ' ORDER BY c.cid), '') AS kept_text
+    FROM chunk c JOIN freq f USING (ctext)
+    GROUP BY c.doc_id
+    """,
+)
+def dup_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-chunk removal, the CCNet/RefinedWeb *line-level*
+    dedup (dedup across documents at sub-document granularity —
+    headers, nav bars, license blurbs that exact- and near-dup passes
+    both miss because the *documents* differ). The corpus here has no
+    newlines, so the unit is a fixed {CHUNK_TOKENS}-token window:
+    split each document into consecutive chunks, count each distinct
+    chunk's document frequency across the corpus, strike every chunk
+    whose DF exceeds {CHUNK_DUP_DF}, and reassemble what remains in
+    original order, reporting the per-document survival fraction.
+
+    Plan shape (3 shuffles, all narrow): chunk assembly is pure array
+    algebra on the tokens column (slice + array_join inside transform —
+    no per-token explode for assembly); DF counting shuffles (chunk,
+    doc) pairs once; the dup verdict joins back by chunk text; ordered
+    reassembly is a groupBy(doc_id) with an array_sort over (cid, text)
+    structs — partitioned by doc, never global. At 100 TB the join key
+    becomes xxhash64(chunk) (8 bytes instead of the text; md5-free
+    plumbing is identical) and the DF table self-prunes: only chunks
+    with DF > threshold (a tiny minority) need to survive the
+    aggregate, so the verdict join is a broadcast of the boilerplate
+    set — the exact CCNet architecture."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "))
+    exploded = (t["documents"]
+                .select("doc_id", F.posexplode(chunks).alias("cid", "ctext")))
+    freq = (exploded.groupBy("ctext")
+            .agg(F.countDistinct("doc_id").alias("df")))
+    marked = (exploded
+              .join(freq, "ctext")
+              .select("doc_id", "cid",
+                      F.when(F.col("df") <= CHUNK_DUP_DF, F.col("ctext"))
+                       .alias("kept_ctext")))
+    assembled = (marked
+                 .groupBy("doc_id")
+                 .agg(F.count("*").alias("n_chunks"),
+                      F.sum(F.col("kept_ctext").isNotNull().cast("long"))
+                       .alias("n_kept"),
+                      F.array_sort(F.collect_list(
+                          F.struct("cid", "kept_ctext"))).alias("parts")))
+    kept_text = F.concat_ws(
+        " ", F.transform(
+            F.filter("parts", lambda s: s["kept_ctext"].isNotNull()),
+            lambda s: s["kept_ctext"]))
+    return assembled.select(
+        "doc_id", "n_chunks", "n_kept",
+        F.round(F.col("n_kept") * 1.0 / F.col("n_chunks"), 6)
+         .alias("frac_kept"),
+        kept_text.alias("kept_text"))

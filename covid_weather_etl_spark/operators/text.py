@@ -589,3 +589,104 @@ def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n_cum") * 1.0 / F.col("n_total"), 6)
                  .alias("cum_share"),
             ))
+
+
+HASH_DIM = 64  # hashed-feature buckets (2^6 — tiny for test visibility;
+               # 2^18-2^20 in a real pipeline, the math is identical)
+
+
+@register(
+    "hashed_bow_features",
+    survey="LLM-text,A6,F11",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {HASH_DIM}
+                AS BIGINT) AS bucket,
+           COUNT(*) AS tf
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def hashed_bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick'): sparse bag-of-words where
+    each token maps to bucket = md5(token) mod {HASH_DIM} — no
+    vocabulary pass, no dictionary to broadcast, collisions accepted by
+    design (Weinberger et al. 2009; `HashingTF` in Spark ML is the same
+    idea with murmur3). md5 is used instead of Spark's native hash()/
+    xxhash64 solely because both engines implement it identically, so
+    the oracle can verify bucket assignment bit-for-bit; swapping in
+    xxhash64 changes one expression and nothing structural.
+
+    Plan shape: explode tokens → two-column groupBy((doc_id, bucket)).
+    The aggregate is map-side combinable and the shuffle carries only
+    (id, bucket, count) triples — at 100 TB this is the standard
+    featurization pass, one shuffle, no driver state. Output rows are
+    the sparse (doc, bucket, tf) triples a downstream trainer consumes
+    directly."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = (t["documents"]
+           .select("doc_id", F.explode(_tokens()).alias("tok")))
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+              .cast("long") % HASH_DIM)
+    return (tok.select("doc_id", bucket.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("tf")))
+
+
+VOCAB_SIZE = 16  # top-V vocabulary (the corpus has ~30 distinct tokens,
+                 # so V=16 leaves a real OOV tail to measure)
+
+
+@register(
+    "vocab_coverage",
+    survey="LLM-text,A6,W6,J1",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT tok, COUNT(*) AS n FROM tok GROUP BY 1
+    ), vocab AS (
+        SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT {VOCAB_SIZE}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           ROUND(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS coverage
+    FROM tok t LEFT JOIN vocab v USING (tok)
+    GROUP BY 1
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + coverage audit: build the top-{VOCAB_SIZE}
+    token vocabulary by corpus frequency (count ties broken by token
+    string, so the cut is deterministic on both engines), then score
+    every document's out-of-vocabulary rate — the audit a tokenizer
+    team runs before freezing a vocab (documents with low coverage are
+    the ones a fixed vocab will shred into bytes).
+
+    Plan: token-count aggregate (one map-combinable shuffle), top-V via
+    TakeOrderedAndProject (V rows to the driver, V is vocab-sized by
+    definition), broadcast the vocab back over the token stream, one
+    per-doc aggregate. At 100 TB the only full-data passes are the two
+    aggregates; the vocab join is a broadcast hash join against a table
+    that fits in L2 cache."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = t["documents"].select("doc_id", F.explode(_tokens()).alias("tok"))
+    vocab = (tok.groupBy("tok").agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("tok")).limit(VOCAB_SIZE)
+             .select("tok", F.lit(1).alias("in_vocab")))
+    return (tok.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.coalesce("in_vocab", F.lit(0)).cast("long"))
+                  .alias("n_in_vocab"))
+            .select("doc_id", "n_tokens", "n_in_vocab",
+                    F.round(F.col("n_in_vocab") * 1.0 / F.col("n_tokens"), 6)
+                     .alias("coverage")))

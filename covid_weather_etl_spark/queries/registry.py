@@ -61,7 +61,7 @@ def _load_modules() -> None:
         bucketing, corpus, dashboard, dedup, dq, eventstats, frequent,
         graph, minhash, multimodal, pq, quality, relational,
         relational_ext, scd, semdedup, similarity, sketch_rollup,
-        temporal, text, timeseries, windows,
+        temporal, text, timeseries, warehouse, windows,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
@@ -75,15 +75,18 @@ def _load_modules() -> None:
 # longer matters). Round 4 window:
 #   1-23: the 23 round-3 additions that have NEVER had a driver
 #         CORRECTNESS row (16 oracle-equipped, 7 rows-only);
-#  24-30: the 7 round-4 additions (first driver rows);
-#  31-50: 20 round-2-verified queries from the modules round 3
-#         modified (similarity/text/timeseries/streams + the
-#         perf-flagged dedup_clusters) — last driver-checked on
-#         round-2 code, refresh them (the two rows-only refreshes
-#         rp_lsh_near_dup / adf_stationarity yielded their slots).
+#  24-35: the 12 round-4 additions (first driver rows) — including
+#         the session-2 cohort (incremental MV maintenance, Z-order
+#         layout, hashed BoW, dup-chunk removal, vocab coverage);
+#  36-50: 15 round-2-verified queries from the modules round 3
+#         modified (similarity/text/timeseries + the perf-flagged
+#         dedup_clusters) — last driver-checked on round-2 code,
+#         refresh them. The four streaming batch twins yielded their
+#         refresh slots to the new ops: their stream==batch pytest
+#         equality is driver-independent evidence the others lack.
 # Everything else (relational/windows/dedup/multimodal — fresh r3
-# green — plus etl/ml/dashboard/temporal/bucketing/corpus, next in
-# line for round 5) trails in registration order.
+# green — plus etl/ml/dashboard/temporal/bucketing/corpus/streams,
+# next in line for round 5) trails in registration order.
 _ROTATION_R4 = (
     # never driver-checked (all r3 additions)
     "dq_constraint_report", "cohort_retention", "funnel_conversion",
@@ -98,15 +101,15 @@ _ROTATION_R4 = (
     "bigram_logprob_score", "bm25_doc_scores", "seq_length_histogram",
     "embedding_int8_quantize", "winsorized_prices", "snapshot_diff",
     "key_skew_profile",
+    "incremental_agg_maintenance", "zorder_layout", "hashed_bow_features",
+    "dup_chunk_removal", "vocab_coverage",
     # r2-green, module source touched in r3 — refresh
     "cosine_topk", "ivf_ann_topk", "ivf_kmeans_topk", "knn_join",
     "embedding_near_dup",
-    "lang_id", "quality_score", "token_stats", "bpe_token_stats",
+    "lang_id", "quality_score", "bpe_token_stats",
     "doc_fingerprint", "winnowing_fingerprint", "tfidf_top_terms",
     "ngram_jaccard_near_dup",
     "seasonal_decompose", "interpolate_gaps",
-    "tumbling_window_counts", "sliding_window_avg", "session_windows",
-    "click_attribution_window",
     "dedup_clusters",
 )
 

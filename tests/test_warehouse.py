@@ -1,0 +1,112 @@
+"""Semantic pins for the warehouse/corpus session-2 operators (exact
+engine/oracle parity is covered by test_oracle_parity; these pin the
+invariants that make each result MEANINGFUL): incremental-MV merge
+identity, Z-order skipping advantage, hashing-trick mass conservation,
+dup-chunk reconstruction, and vocabulary coverage bounds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.operators.corpus import (
+    CHUNK_DUP_DF, CHUNK_TOKENS,
+)
+from covid_weather_etl_spark.operators.text import HASH_DIM, VOCAB_SIZE
+from covid_weather_etl_spark.operators.warehouse import ZFILES
+from covid_weather_etl_spark.queries.registry import all_queries
+from covid_weather_etl_spark.sources.catalog import load_tables
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_incremental_merge_equals_oneshot(spark):
+    """The core MV identity: merge(partial(base), partial(delta)) must
+    equal the one-shot aggregate computed directly in Spark (the oracle
+    already checks vs DuckDB; this checks the merge against the SAME
+    engine, so a Spark-side aggregation quirk can't hide)."""
+    got = (QUERIES["incremental_agg_maintenance"].fn(spark, SF_DIR)
+           .toPandas().set_index("month").sort_index())
+    t = load_tables(spark, SF_DIR, ("orders",))
+    oneshot = (t["orders"]
+               .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                        .alias("month"))
+               .agg(F.count("*").alias("order_cnt"),
+                    F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                     .cast("double").alias("revenue"),
+                    F.max("o_totalprice").alias("max_price"))
+               .toPandas().set_index("month").sort_index())
+    pd.testing.assert_frame_equal(got, oneshot, check_exact=True)
+
+
+def test_zorder_envelopes_beat_single_column_sort(spark):
+    """The point of the Z-curve: per-file min/max envelopes are tight
+    on BOTH dimensions. A single-column layout (cluster by cust_bucket
+    only) leaves the date dimension's envelope at full width in every
+    file, so its mean envelope area must be strictly worse."""
+    z = QUERIES["zorder_layout"].fn(spark, SF_DIR).toPandas()
+    assert len(z) <= ZFILES
+    assert (z["n_rows"] > 0).all()
+    z_area = ((z["max_cust_bucket"] - z["min_cust_bucket"] + 1)
+              * (z["max_date_bucket"] - z["min_date_bucket"] + 1))
+
+    t = load_tables(spark, SF_DIR, ("orders",))
+    cb = (F.col("o_custkey") % 256).cast("int").alias("cust_bucket")
+    db = (F.datediff(F.col("o_orderdate").cast("date"),
+                     F.to_date(F.lit("1992-01-01"))) % 256
+          ).cast("int").alias("date_bucket")
+    single = (t["orders"].select(cb, db)
+              # cluster by cust_bucket only: file = cust_bucket / 4
+              .withColumn("file_id", (F.col("cust_bucket") / 4).cast("int"))
+              .groupBy("file_id")
+              .agg(F.min("cust_bucket").alias("c0"),
+                   F.max("cust_bucket").alias("c1"),
+                   F.min("date_bucket").alias("d0"),
+                   F.max("date_bucket").alias("d1"))
+              .toPandas())
+    s_area = (single["c1"] - single["c0"] + 1) * (single["d1"] - single["d0"] + 1)
+    assert z_area.mean() < s_area.mean()
+
+
+def test_hashed_bow_conserves_token_mass(spark):
+    """Feature hashing drops no tokens: per-doc sum(tf) == token count,
+    and every bucket is in [0, HASH_DIM)."""
+    got = QUERIES["hashed_bow_features"].fn(spark, SF_DIR).toPandas()
+    assert got["bucket"].between(0, HASH_DIM - 1).all()
+    per_doc = got.groupby("doc_id")["tf"].sum()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    expect = docs.set_index("doc_id")["text"].str.split(" ").str.len()
+    pd.testing.assert_series_equal(
+        per_doc.sort_index(), expect.sort_index(),
+        check_names=False, check_dtype=False)
+
+
+def test_dup_chunk_removal_reconstructs(spark):
+    """Clean documents survive verbatim; boilerplate is actually
+    removed somewhere (the threshold is real on this corpus); kept_text
+    token counts match n_kept chunks."""
+    got = QUERIES["dup_chunk_removal"].fn(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    joined = got.merge(docs[["doc_id", "text"]], on="doc_id")
+    clean = joined[joined["n_kept"] == joined["n_chunks"]]
+    assert len(clean) and (clean["kept_text"] == clean["text"]).all()
+    assert (joined["n_kept"] < joined["n_chunks"]).any(), (
+        f"threshold DF>{CHUNK_DUP_DF} removed nothing — corpus drifted?")
+    # chunk partition arithmetic: n_chunks = ceil(tokens / CHUNK_TOKENS)
+    ntok = joined["text"].str.split(" ").str.len()
+    import numpy as np
+    assert (joined["n_chunks"] == np.ceil(ntok / CHUNK_TOKENS)).all()
+
+
+def test_vocab_coverage_bounds(spark):
+    got = QUERIES["vocab_coverage"].fn(spark, SF_DIR).toPandas()
+    assert (got["n_in_vocab"] <= got["n_tokens"]).all()
+    assert got["coverage"].between(0.0, 1.0).all()
+    # V tokens can't cover everything here (corpus vocab > VOCAB_SIZE),
+    # but the top-V must cover the majority of token mass
+    assert (got["n_in_vocab"].sum() / got["n_tokens"].sum()) > 0.5
+    assert (got["coverage"] < 1.0).any(), \
+        f"every doc fully covered by top-{VOCAB_SIZE} — vocab too large"
