@@ -920,9 +920,13 @@ def gbt_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boosting rounds over a few hundred thousand narrow rows — coalesce
     # + cache the labeled frame once and derive both splits from it, so
     # each round is a few in-memory tasks instead of parquet re-scans'
-    # worth of task overhead per tree. (At 100 TB the partition count
-    # scales with the data; the knob is rows-per-task.)
-    df = _labeled_lineitem(spark, sf_dir).coalesce(16).cache()
+    # worth of task overhead per tree. Two partitions measure fastest
+    # at sf0.1 (~50 boosting jobs × per-task overhead dominates; fit
+    # 9.5→7.6 s vs 16 partitions) with bit-identical metrics; ONE
+    # partition actually changes the quantile binning and thus the
+    # model, so 2 is the floor. (At 100 TB the partition count scales
+    # with the data; the knob is rows-per-task.)
+    df = _labeled_lineitem(spark, sf_dir).coalesce(2).cache()
     split_key = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10
     train = df.filter(split_key < 7)
     test = df.filter(split_key >= 7)

@@ -45,7 +45,7 @@ from pyspark.sql.window import Window as W
 
 from covid_weather_etl_spark.operators import text as TX
 from covid_weather_etl_spark.queries.registry import register
-from covid_weather_etl_spark.sources.catalog import load_tables
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
 #: md5-hex prefix cutoffs: first 2 hex chars < '1a' ≈ 26/256 ≈ 10.2%
 #: sample; first char < '4' = 4/16 = 25% test split. String comparison
@@ -513,7 +513,7 @@ def dup_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(
             F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "))
-    exploded = (t["documents"]
+    exploded = (spread(t["documents"], "doc_id")
                 .select("doc_id", F.posexplode(chunks).alias("cid", "ctext")))
     freq = (exploded.groupBy("ctext")
             .agg(F.countDistinct("doc_id").alias("df")))

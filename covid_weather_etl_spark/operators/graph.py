@@ -53,7 +53,10 @@ from covid_weather_etl_spark.sources.catalog import load_tables
 DAMPING = 0.85
 PR_ROUNDS = 10   # hard cap; the tol-based early exit usually fires first
 PR_TOL = 1e-4    # L1 threshold on the extrapolated sequence's delta
-_DEC = "decimal(38,30)"  # exact accumulator for rank mass (ranks ≤ 1)
+_DEC = "decimal(18,15)"  # exact accumulator for rank mass (ranks ≤ 1); 18
+# digits keeps Spark decimals in the compact-long fast path (38,30 was
+# ~2× slower byte-array math) while 15 fractional digits hold every
+# per-node mass sum far below the 1e-12 numpy-parity band
 
 #: rounds executed by the most recent pagerank() call (for tests: the
 #: numpy twin must run the identical number of rounds for bit-parity)
@@ -71,11 +74,16 @@ def purchase_edges(t: dict) -> DataFrame:
              .groupBy(F.concat(F.lit("c:"), F.col("o_custkey")).alias("cust"),
                       F.concat(F.lit("s:"), F.col("l_suppkey")).alias("supp"))
              .agg(F.count("*").alias("w")))
-    fwd = pairs.select(F.col("cust").alias("src"),
-                       F.col("supp").alias("dst"), "w")
-    rev = pairs.select(F.col("supp").alias("src"),
-                       F.col("cust").alias("dst"), "w")
-    return fwd.unionAll(rev)
+    # both directions from ONE aggregate via explode — a fwd/rev
+    # union of `pairs` would compile to TWO full scan+join+aggregate
+    # branches (self-referenced frames are not auto-reused), doubling
+    # the edge-build work at any scale
+    return (pairs.select(F.explode(F.array(
+        F.struct(F.col("cust").alias("src"), F.col("supp").alias("dst"),
+                 F.col("w")),
+        F.struct(F.col("supp").alias("src"), F.col("cust").alias("dst"),
+                 F.col("w")),
+    )).alias("e")).select("e.src", "e.dst", "e.w"))
 
 
 def pagerank(edges: DataFrame, rounds: int = PR_ROUNDS,
@@ -115,7 +123,13 @@ def pagerank(edges: DataFrame, rounds: int = PR_ROUNDS,
                    .groupBy("dst")
                    .agg(F.sum((F.col("frac") * F.col("rank")).cast(_DEC))
                         .cast("double").alias("mass")))
-        joined = prev.join(contrib, prev["node"] == contrib["dst"], "left")
+        # contrib is node-count-sized like the rank frame — broadcast
+        # it into the state update too, so a round's ONLY shuffle is
+        # the groupBy(dst) aggregate (the left join would otherwise
+        # exchange both sides: aggregate outputs carry no size stats,
+        # so Catalyst defaults to sort-merge)
+        joined = prev.join(hint(contrib), prev["node"] == contrib["dst"],
+                           "left")
         new_rank = (F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.coalesce(contrib["mass"], F.lit(0.0)))
         # extrapolated sequence: cancels the bipartite −d mode exactly
@@ -124,6 +138,13 @@ def pagerank(edges: DataFrame, rounds: int = PR_ROUNDS,
                                new_rank.alias("rank"),
                                est_new.alias("est"),
                                F.abs(est_new - prev["est"]).alias("dterm"))
+                 # the state frame is node-count-sized but inherits the
+                 # aggregate's full shuffle-partition fan-out; eager
+                 # localCheckpoint materializes BEFORE AQE's coalescing
+                 # would apply, so cap the task count explicitly —
+                 # every downstream per-round job (checkpoint, L1 agg,
+                 # broadcast build) then schedules 8 tasks, not 32
+                 .coalesce(8)
                  # truncate lineage every round: without this the plan
                  # nests one join level per round and analyzer/codegen
                  # memory grows superlinearly (observed OOM at 10

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.queries.registry import register
-from covid_weather_etl_spark.sources.catalog import load_tables
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
 # Gopher-style routing thresholds, tuned to the synthetic corpus's word
 # distribution so both routes are exercised at every SF.
@@ -322,7 +322,7 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(split(text, ' ')) - 1), "
         "i -> concat(element_at(split(text, ' '), i), ' ', "
         "            element_at(split(text, ' '), i + 1)))")
-    bg = (t["documents"].filter(F.size(toks) >= 2)
+    bg = (spread(t["documents"], "doc_id").filter(F.size(toks) >= 2)
           .select("doc_id", F.explode(bigrams).alias("bigram"))
           .withColumn("prefix", F.split("bigram", " ")[0]))
     # cached: the bigram-vocabulary frame (Zipf-bounded, model-sized)
