@@ -484,7 +484,13 @@ def logreg_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
-    df = _labeled_lineitem(spark, sf_dir)
+    # the single-file parquet scan arrives as ONE partition, and the
+    # scaler-fit pass, LR's internal instance build, and the test-side
+    # transform each re-run it single-threaded — spread once across the
+    # cores and cache (LR's 20 treeAggregate rounds then run over an
+    # in-memory, fully parallel instance RDD)
+    from covid_weather_etl_spark.sources.catalog import spread
+    df = spread(_labeled_lineitem(spark, sf_dir)).cache()
     split_key = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10
     train = df.filter(split_key < 7)
     test = df.filter(split_key >= 7)
@@ -508,6 +514,7 @@ def logreg_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("prediction").cast("int").alias("pred")) \
                .count().collect()
     scored.unpersist()
+    df.unpersist()
     counts = {(r["label"], r["pred"]): r["count"] for r in cm}
     tp = counts.get((1, 1), 0)
     fp = counts.get((0, 1), 0)

@@ -134,7 +134,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = TX.winnow_fps(t["documents"])
     is_test = _hash_bucket(n_chars=1) < TEST_CUT
     split = t["documents"].select("doc_id", is_test.alias("is_test"))
-    fps = fps.join(split, "doc_id")
+    # the flagged fingerprint frame feeds BOTH the test and train
+    # branches — self-referenced frames are not auto-reused, so without
+    # materialization the corpus-sized winnowing explode runs twice;
+    # the frame itself is tiny (docs × ~a-dozen fps), so an eager
+    # localCheckpoint (same pattern as dedup_clusters' fixpoint) pays
+    # one small write to halve the heavy work
+    fps = fps.join(split, "doc_id").localCheckpoint(eager=True)
     test_fps = fps.filter(F.col("is_test")).select("doc_id", "fp")
     train_fps = (fps.filter(~F.col("is_test"))
                  .select("fp").distinct()

@@ -690,3 +690,64 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "n_in_vocab",
                     F.round(F.col("n_in_vocab") * 1.0 / F.col("n_tokens"), 6)
                      .alias("coverage")))
+
+
+@register(
+    "bpe_merge_step",
+    survey="LLM-text,A6,J1",
+    oracle="""
+    WITH wc AS (
+        SELECT tok AS word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                      i -> substr(word, i, 2))) AS pair,
+               cnt
+        FROM wc WHERE length(word) >= 2
+    ), pc AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY 1
+    )
+    SELECT p.pair, p.pair_count,
+           CAST(1 + (SELECT COUNT(*) FROM pc q
+                     WHERE q.pair_count > p.pair_count
+                        OR (q.pair_count = p.pair_count AND q.pair < p.pair))
+                AS BIGINT) AS merge_rank
+    FROM pc p
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training step (Sennrich et al. 2016): corpus-weighted
+    counts of adjacent symbol pairs, ranked so merge_rank=1 is the pair
+    the next merge would fuse. Runs the way fast BPE trainers do: the
+    corpus is scanned ONCE into a word-frequency table (Zipf-bounded),
+    and pair extraction works over the VOCABULARY weighted by counts —
+    per-merge cost is O(vocab), not O(corpus), which is exactly why
+    50k-merge tokenizers are trainable. Symbols here are characters
+    (merge 0); after a merge the same plan re-runs over the re-segmented
+    vocab without shape changes.
+
+    Ranking avoids a global window (the registry pins zero unpartitioned
+    windows): rank = 1 + |pairs strictly ahead in (count desc, pair)|
+    via a broadcast triangular self-join over the pair table, which is
+    alphabet²-bounded — trivial at any corpus scale. The length≥2
+    filter guards Spark's descending-sequence trap (sequence(1,0) is
+    [1,0], not empty — the ADVICE r3 lesson on gopher signals)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    wc = (spread(t["documents"], "doc_id")
+          .select(F.explode(_tokens()).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    pair_list = F.expr(
+        "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+    pc = (wc.filter(F.length("word") >= 2)
+          .select(F.explode(pair_list).alias("pair"), "cnt")
+          .groupBy("pair").agg(F.sum("cnt").alias("pair_count")))
+    p, q = pc.alias("p"), pc.alias("q")
+    ahead = ((F.col("q.pair_count") > F.col("p.pair_count"))
+             | ((F.col("q.pair_count") == F.col("p.pair_count"))
+                & (F.col("q.pair") < F.col("p.pair"))))
+    return (p.join(F.broadcast(q), ahead, "left")
+            .groupBy(F.col("p.pair").alias("pair"),
+                     F.col("p.pair_count").alias("pair_count"))
+            .agg((F.count(F.col("q.pair")) + 1).alias("merge_rank")))

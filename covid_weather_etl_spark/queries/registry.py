@@ -75,15 +75,17 @@ def _load_modules() -> None:
 # longer matters). Round 4 window:
 #   1-23: the 23 round-3 additions that have NEVER had a driver
 #         CORRECTNESS row (16 oracle-equipped, 7 rows-only);
-#  24-35: the 12 round-4 additions (first driver rows) — including
+#  24-36: the 13 round-4 additions (first driver rows) — including
 #         the session-2 cohort (incremental MV maintenance, Z-order
-#         layout, hashed BoW, dup-chunk removal, vocab coverage);
-#  36-50: 15 round-2-verified queries from the modules round 3
+#         layout, hashed BoW, dup-chunk removal, vocab coverage, BPE
+#         merge step);
+#  37-50: 14 round-2-verified queries from the modules round 3
 #         modified (similarity/text/timeseries + the perf-flagged
 #         dedup_clusters) — last driver-checked on round-2 code,
-#         refresh them. The four streaming batch twins yielded their
-#         refresh slots to the new ops: their stream==batch pytest
-#         equality is driver-independent evidence the others lack.
+#         refresh them. The four streaming batch twins plus the
+#         cheapest text refreshes yielded their slots to the new ops:
+#         stream==batch pytest equality is driver-independent evidence
+#         the others lack.
 # Everything else (relational/windows/dedup/multimodal — fresh r3
 # green — plus etl/ml/dashboard/temporal/bucketing/corpus/streams,
 # next in line for round 5) trails in registration order.
@@ -102,11 +104,11 @@ _ROTATION_R4 = (
     "embedding_int8_quantize", "winsorized_prices", "snapshot_diff",
     "key_skew_profile",
     "incremental_agg_maintenance", "zorder_layout", "hashed_bow_features",
-    "dup_chunk_removal", "vocab_coverage",
+    "dup_chunk_removal", "vocab_coverage", "bpe_merge_step",
     # r2-green, module source touched in r3 — refresh
     "cosine_topk", "ivf_ann_topk", "ivf_kmeans_topk", "knn_join",
     "embedding_near_dup",
-    "lang_id", "quality_score", "bpe_token_stats",
+    "lang_id", "bpe_token_stats",
     "doc_fingerprint", "winnowing_fingerprint", "tfidf_top_terms",
     "ngram_jaccard_near_dup",
     "seasonal_decompose", "interpolate_gaps",

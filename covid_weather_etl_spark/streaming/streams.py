@@ -432,3 +432,77 @@ def upsert_gold_stream(stream: DataFrame, gold_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental rollup maintenance (the MV-refresh twin)
+# ---------------------------------------------------------------------------
+
+#: exact accumulator for the maintained rollup state — DECIMAL survives
+#: any number of partial merges bit-identically (see functions/numeric).
+_ROLLUP_DEC = "decimal(25,6)"
+
+
+def rollup_refresh_stream(stream: DataFrame, rollup_dir: str,
+                          checkpoint_dir: str):
+    """Streaming materialized-view maintenance via `foreachBatch`: each
+    micro-batch folds its partial (day, event_type) aggregate into the
+    persisted rollup — the Structured-Streaming twin of the batch
+    `incremental_agg_maintenance` operator (operators/warehouse.py),
+    maintaining merge(state, partial(batch)) == one-shot(all data),
+    which the stream==batch pytest asserts.
+
+    Exactly-once layers: the checkpoint feeds each source file once;
+    on top, a batch-id high-watermark stored WITH the state makes the
+    merge idempotent under foreachBatch's at-least-once replay (a
+    failed-then-retried batch id folds in only once) — without the
+    guard, a replayed micro-batch would silently double-count, the
+    classic streaming-MV bug. COUNT merges by +, SUM by exact DECIMAL +,
+    so the state never drifts from the one-shot truth at any merge
+    depth. At 100 TB the state table is rewritten per refresh only at
+    the touched keys' partitions (partition the state by day)."""
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (batch_df
+                .groupBy(F.to_date("ts").alias("day"), "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum(F.col("value").cast(_ROLLUP_DEC))
+                      .alias("sum_dec")))
+        old = None
+        try:
+            old = spark.read.parquet(rollup_dir)
+            if old.agg(F.max("batch_hwm")).first()[0] >= batch_id:
+                return  # replayed batch — already folded in
+        except AnalysisException as exc:
+            if (exc.getCondition() or "") != "PATH_NOT_FOUND":
+                raise
+        if old is not None:
+            b, d = old.alias("b"), part.alias("d")
+            zero = F.lit(0).cast(_ROLLUP_DEC)
+            part = (b.join(d, ["day", "event_type"], "full_outer")
+                    .select(
+                        "day", "event_type",
+                        (F.coalesce(F.col("b.n_events"), F.lit(0))
+                         + F.coalesce(F.col("d.n_events"), F.lit(0)))
+                        .alias("n_events"),
+                        (F.coalesce(F.col("b.sum_dec"), zero)
+                         + F.coalesce(F.col("d.sum_dec"), zero))
+                        .alias("sum_dec")))
+        # materialize BEFORE the overwrite: the merged frame's lineage
+        # reads the same files the write replaces
+        merged = (part.withColumn("batch_hwm", F.lit(batch_id))
+                  .localCheckpoint(eager=True))
+        merged.write.mode("overwrite").parquet(rollup_dir)
+
+    return (stream.writeStream
+            .foreachBatch(refresh)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """The maintained rollup, exact decimal state exposed as DOUBLE."""
+    return (spark.read.parquet(rollup_dir)
+            .select("day", "event_type", "n_events",
+                    F.col("sum_dec").cast("double").alias("sum_value")))

@@ -244,3 +244,33 @@ def test_dedup_ingest_stream_drops_redeliveries(spark, landing_dir,
     g = normalize(got.orderBy("event_id").toPandas())
     b = normalize(batch.orderBy("event_id").toPandas())
     pd.testing.assert_frame_equal(g, b)
+
+
+def test_rollup_refresh_stream_matches_oneshot(spark, landing_dir,
+                                               tmp_path):
+    """Streaming MV maintenance: after 3 micro-batches the persisted
+    rollup equals the one-shot batch aggregate (the mergeable-state
+    identity), and re-running the stream on the SAME checkpoint folds
+    nothing twice."""
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    q = S.rollup_refresh_stream(
+        S.read_event_stream(spark, landing_dir, max_files_per_trigger=1),
+        rollup, ckpt)
+    q.awaitTermination(120)
+    got = normalize(S.read_rollup(spark, rollup).toPandas())
+    want = normalize(
+        spark.read.parquet(landing_dir)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+              .alias("sum_value"))
+        .toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # same checkpoint, no new files → state unchanged
+    q2 = S.rollup_refresh_stream(
+        S.read_event_stream(spark, landing_dir, max_files_per_trigger=1),
+        rollup, ckpt)
+    q2.awaitTermination(120)
+    got2 = normalize(S.read_rollup(spark, rollup).toPandas())
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)

@@ -110,3 +110,25 @@ def test_vocab_coverage_bounds(spark):
     assert (got["n_in_vocab"].sum() / got["n_tokens"].sum()) > 0.5
     assert (got["coverage"] < 1.0).any(), \
         f"every doc fully covered by top-{VOCAB_SIZE} — vocab too large"
+
+
+def test_bpe_merge_step_matches_numpy(spark):
+    """Independent recount: corpus-weighted adjacent char-pair counts
+    from raw python, and the rank-1 pair is the true argmax under
+    (count desc, pair asc)."""
+    got = (QUERIES["bpe_merge_step"].fn(spark, SF_DIR)
+           .toPandas().set_index("pair").sort_index())
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    from collections import Counter
+    wc = Counter(w for t in docs["text"] for w in t.split(" "))
+    pc = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i:i + 2]] += c
+    assert set(got.index) == set(pc)
+    for pair, cnt in pc.items():
+        assert got.loc[pair, "pair_count"] == cnt
+    winner = min(pc, key=lambda p: (-pc[p], p))
+    assert got[got["merge_rank"] == 1].index.tolist() == [winner]
+    # ranks are a permutation of 1..n (deterministic total order)
+    assert sorted(got["merge_rank"]) == list(range(1, len(pc) + 1))
