@@ -152,3 +152,58 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(F.col("n_users") * 1.0 / F.col("prev"), 6)
                            .alias("conversion"))
             .orderBy("stage"))
+
+
+@register(
+    "event_transition_matrix",
+    survey="ext-events,W2,A6,A5",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT from_type, SUM(n_transitions) AS n_from FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n_transitions,
+           ROUND(t.n_transitions * 1.0 / s.n_from, 6) AS share
+    FROM trans t JOIN totals s USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix: for each user's
+    event stream (ordered by ts, event_id ties broken exactly) count
+    consecutive event-type pairs and normalize per source type — the
+    empirical Markov chain behind funnel design, next-action
+    prediction baselines, and bot detection (a user whose transition
+    rows diverge hard from this matrix is not browsing like a human).
+
+    Plan: one lag window partitioned per user (never global), one
+    map-combinable (from,to) aggregate — type²-bounded output — and a
+    broadcast join against the per-source totals. Shares divide two
+    exact integers, rounded 6dp identically on both engines. At 100 TB
+    the user partition key keeps every window task bounded by one
+    user's history; AQE skew-split covers power users."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (t["events"]
+             .select("user_id", "event_type",
+                     F.lag("event_type").over(w).alias("prev_type"))
+             .filter(F.col("prev_type").isNotNull())
+             .groupBy(F.col("prev_type").alias("from_type"),
+                      F.col("event_type").alias("to_type"))
+             .agg(F.count("*").alias("n_transitions")))
+    totals = (trans.groupBy("from_type")
+              .agg(F.sum("n_transitions").alias("n_from")))
+    return (trans.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n_transitions",
+                    F.round(F.col("n_transitions") * 1.0 / F.col("n_from"), 6)
+                     .alias("share")))

@@ -546,3 +546,55 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("v").alias("n_dims"),
         F.round(mse, 12).alias("mse"),
     )
+
+
+@register(
+    "embedding_dim_profile",
+    survey="LLM-sim,A6,A8,A12",
+    oracle="""
+    WITH dims AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    SELECT label, pos,
+           COUNT(*) AS n_vecs,
+           FLOOR(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_val,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM dims
+    GROUP BY 1, 2
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile by label — the
+    drift/health report run before trusting an embedding table (a
+    collapsed dimension, a saturated one, or a label whose per-dim
+    means shift between snapshots all show up here; compare two runs
+    of this query to get an embedding drift monitor). Long-format
+    (label, dim) rows so downstream comparison is a plain join, never
+    a 128-column-wide schema change when the model dim changes.
+
+    Plan: posexplode to (label, pos, val) → ONE map-combinable groupBy
+    shuffle carrying (label, pos) keys. Means go through exact DECIMAL
+    sums + one deterministic division, rounded with the cross-engine
+    floor formulation (functions/numeric.fround); min/max of the
+    original float32 values are exact in both engines. At 100 TB this
+    is the standard one-pass profile: D×L output rows regardless of
+    corpus size."""
+    from covid_weather_etl_spark.functions.numeric import fround
+    from covid_weather_etl_spark.sources.catalog import spread
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    dims = (spread(t["embeddings"], "vec_id")
+            .select("label", F.posexplode("embedding").alias("pos", "val_f"))
+            .select("label", "pos", F.col("val_f").cast("double").alias("val")))
+    mean = (F.sum(F.col("val").cast("decimal(25,6)")).cast("double")
+            / F.count("*"))
+    return (dims.groupBy("label", "pos")
+            .agg(F.count("*").alias("n_vecs"),
+                 fround(mean).alias("mean_val"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val")))

@@ -184,3 +184,113 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("cust_bucket").alias("max_cust_bucket"),
                  F.min("date_bucket").alias("min_date_bucket"),
                  F.max("date_bucket").alias("max_date_bucket")))
+
+
+#: Bloom geometry: K hash functions, m auto-sized to 8 bits/key
+#: (fp ≈ (1−e^−K·n/m)^K ≈ 2.4% at K=4, m=8n).
+BLOOM_K = 4
+BLOOM_CUTOFF = "2001-07-01"  # "recent orders" build-side slice (last month)
+
+_BLOOM_POS_SQL = (
+    "CAST(CAST('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || "
+    "CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % {m} AS BIGINT)")
+
+
+@register(
+    "bloom_prefilter_join",
+    survey="ext-bloom,J7,A3,A5",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{BLOOM_CUTOFF}'
+    ), mm AS (
+        SELECT CAST(POWER(2, CEIL(LOG2(COUNT(*) * 8))) AS BIGINT) AS m
+        FROM keys
+    ), pos AS (
+        SELECT DISTINCT {_BLOOM_POS_SQL.format(j='jj.j', key='keys.k', m='mm.m')} AS p
+        FROM keys CROSS JOIN mm
+        CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj
+    ), bits AS (
+        SELECT list_sort(list(p)) AS bl, (SELECT m FROM mm) AS m FROM pos
+    ), probe AS (
+        SELECT c.c_custkey,
+               len(list_filter([0,1,2,3], j -> list_contains(b.bl,
+                   {_BLOOM_POS_SQL.format(j='j', key='c.c_custkey', m='b.m')}
+               ))) = {BLOOM_K} AS pass
+        FROM customer c CROSS JOIN bits b
+    )
+    SELECT COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN p.pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_bloom,
+           CAST(SUM(CASE WHEN k.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_match,
+           CAST(SUM(CASE WHEN p.pass AND k.k IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           ROUND(SUM(CASE WHEN p.pass AND k.k IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS fp_rate
+    FROM probe p LEFT JOIN keys k ON p.c_custkey = k.k
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filtering, measured: build a Bloom filter
+    over the "recent orders" customer keys (m auto-sized to 8 bits/key,
+    K={BLOOM_K} md5-derived hashes), probe every customer through it,
+    and report pass/true-match/false-positive counts and the FP rate —
+    the report that justifies (or rejects) shipping a Bloom filter to
+    the probe side before a shuffle join. No false negatives by
+    construction (every true key set its own bits; the oracle's
+    true-match count confirms), and the FP rate lands near the
+    (1−e^−K·n/m)^K design point.
+
+    md5-derived positions are used (not xxhash64) so DuckDB verifies
+    the filter bit-for-bit. The bit set is carried as a sorted position
+    array in a 1-row broadcast frame — bounded by m, NOT by data (m
+    grows as 8·n_keys: at sf levels this is a few-KB array; at 10^9
+    keys you switch to Spark's native runtime bloom join / an
+    aggregate-built bitmap, same algebra, streaming build). Probe-side
+    membership is {BLOOM_K} array_contains (binary search) per row —
+    whole-stage-codegen'd, no UDF, no shuffle of the probe side at all
+    until the (now pre-filtered) join itself."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    keys = (t["orders"]
+            .filter(F.col("o_orderdate") >= BLOOM_CUTOFF)
+            .select(F.col("o_custkey").alias("k")).distinct())
+    mm = keys.agg(
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.count("*") * 8)))
+        .cast("long").alias("m"))
+
+    def bpos(j, key, m):
+        raw = F.conv(F.substring(F.md5(
+            F.concat(j.cast("string"), F.lit(":"), key.cast("string"))),
+            1, 8), 16, 10).cast("long")
+        return raw % m
+
+    pos = (keys.crossJoin(F.broadcast(mm))
+           .select(F.explode(F.array(
+               *[F.lit(i) for i in range(BLOOM_K)])).alias("j"), "k", "m")
+           .select(bpos(F.col("j"), F.col("k"), F.col("m")).alias("p"))
+           .distinct())
+    bits = (pos.agg(F.array_sort(F.collect_set("p")).alias("bl"))
+            .crossJoin(F.broadcast(mm)))
+
+    probe = t["customer"].crossJoin(F.broadcast(bits))
+    passed = None
+    for i in range(BLOOM_K):
+        hit = F.array_contains(
+            "bl", bpos(F.lit(i), F.col("c_custkey"), F.col("m")))
+        passed = hit if passed is None else (passed & hit)
+    probe = probe.select("c_custkey", passed.alias("pass"))
+
+    joined = probe.join(F.broadcast(keys),
+                        probe["c_custkey"] == keys["k"], "left")
+    t1 = F.when(F.col("pass"), 1).otherwise(0)
+    return joined.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(t1).cast("long").alias("n_pass_bloom"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).cast("long")
+         .alias("n_true_match"),
+        F.sum(F.when(F.col("pass") & F.col("k").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_false_pos"),
+        F.round(F.sum(F.when(F.col("pass") & F.col("k").isNull(), 1)
+                      .otherwise(0)) * 1.0 / F.count("*"), 6)
+         .alias("fp_rate"))

@@ -75,17 +75,19 @@ def _load_modules() -> None:
 # longer matters). Round 4 window:
 #   1-23: the 23 round-3 additions that have NEVER had a driver
 #         CORRECTNESS row (16 oracle-equipped, 7 rows-only);
-#  24-36: the 13 round-4 additions (first driver rows) — including
+#  24-39: the 16 round-4 additions (first driver rows) — including
 #         the session-2 cohort (incremental MV maintenance, Z-order
 #         layout, hashed BoW, dup-chunk removal, vocab coverage, BPE
-#         merge step);
-#  37-50: 14 round-2-verified queries from the modules round 3
+#         merge step, embedding dim profile, event transitions, bloom
+#         pre-filter);
+#  40-50: 11 round-2-verified queries from the modules round 3
 #         modified (similarity/text/timeseries + the perf-flagged
 #         dedup_clusters) — last driver-checked on round-2 code,
 #         refresh them. The four streaming batch twins plus the
 #         cheapest text refreshes yielded their slots to the new ops:
 #         stream==batch pytest equality is driver-independent evidence
-#         the others lack.
+#         the others lack; ALL 112 oracle queries were locally verified
+#         at sf0.01 on current code this round (scripts/parity_check.py).
 # Everything else (relational/windows/dedup/multimodal — fresh r3
 # green — plus etl/ml/dashboard/temporal/bucketing/corpus/streams,
 # next in line for round 5) trails in registration order.
@@ -105,11 +107,12 @@ _ROTATION_R4 = (
     "key_skew_profile",
     "incremental_agg_maintenance", "zorder_layout", "hashed_bow_features",
     "dup_chunk_removal", "vocab_coverage", "bpe_merge_step",
+    "embedding_dim_profile", "event_transition_matrix",
+    "bloom_prefilter_join",
     # r2-green, module source touched in r3 — refresh
     "cosine_topk", "ivf_ann_topk", "ivf_kmeans_topk", "knn_join",
     "embedding_near_dup",
-    "lang_id", "bpe_token_stats",
-    "doc_fingerprint", "winnowing_fingerprint", "tfidf_top_terms",
+    "winnowing_fingerprint", "tfidf_top_terms",
     "ngram_jaccard_near_dup",
     "seasonal_decompose", "interpolate_gaps",
     "dedup_clusters",

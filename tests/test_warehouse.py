@@ -132,3 +132,46 @@ def test_bpe_merge_step_matches_numpy(spark):
     assert got[got["merge_rank"] == 1].index.tolist() == [winner]
     # ranks are a permutation of 1..n (deterministic total order)
     assert sorted(got["merge_rank"]) == list(range(1, len(pc) + 1))
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom guarantee: every true key passes (pass − fp == true), the
+    filter actually filters, and the FP rate stays near the m=8n, K=4
+    design point (theory ≈ 2.4%; assert a 3× envelope)."""
+    row = (QUERIES["bloom_prefilter_join"].fn(spark, SF_DIR)
+           .collect()[0].asDict())
+    assert row["n_pass_bloom"] - row["n_false_pos"] == row["n_true_match"]
+    assert row["n_pass_bloom"] < 0.5 * row["n_probe"]
+    assert row["fp_rate"] <= 3 * 0.024
+
+
+def test_embedding_dim_profile_shape(spark):
+    got = QUERIES["embedding_dim_profile"].fn(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb["embedding"].iloc[0])
+    labels = emb["label"].nunique()
+    assert len(got) == dim * labels
+    assert (got["min_val"] <= got["mean_val"]).all()
+    assert (got["mean_val"] <= got["max_val"]).all()
+    sizes = emb.groupby("label").size()
+    for lbl, n in sizes.items():
+        assert (got[got["label"] == lbl]["n_vecs"] == n).all()
+
+
+def test_event_transition_matrix_is_stochastic(spark):
+    """Per-source shares sum to 1 and totals equal Σ(per-user n−1);
+    spot-recount one user's transitions in pandas."""
+    got = QUERIES["event_transition_matrix"].fn(spark, SF_DIR).toPandas()
+    sums = got.groupby("from_type")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    per_user = ev.groupby("user_id").size()
+    assert got["n_transitions"].sum() == (per_user - 1).sum()
+    u = per_user.idxmax()
+    seq = (ev[ev["user_id"] == u]
+           .sort_values(["ts", "event_id"])["event_type"].tolist())
+    from collections import Counter
+    mine = Counter(zip(seq, seq[1:]))
+    total = (got.set_index(["from_type", "to_type"])["n_transitions"])
+    for (a, b), n in mine.items():
+        assert total[(a, b)] >= n
