@@ -1,0 +1,203 @@
+"""Statistical feature-engineering operators: exact quantile binning,
+IQR outlier fencing, and a chi-square independence test.
+
+The reference's EDA dashboard computes exact percentiles for extremes
+(`streamlit/weather_analysis.py:218-222`), `describe()` profiles and a
+correlation matrix (`:124-151`) — the natural next steps a warehouse
+user takes are discretization (quantile bins as model features),
+outlier fencing (the boxplot rule the dashboard draws, reference
+`:193-196`, turned into an actionable report), and independence
+testing between categorical dimensions. All three are expressed as
+aggregate + broadcast-edge plans:
+
+- one full-data pass computes the (tiny) edge/contingency aggregate;
+- the edges broadcast back over the scan for assignment/counting;
+- floating quantile edges are rounded to 6dp on BOTH engines before
+  any comparison, so bin membership is bit-deterministic (the repo's
+  standard engine/oracle float convention).
+
+Scale: every plan is one map-combinable shuffle over the group keys
+plus broadcast joins of percentile-row-sized frames. Exact
+`percentile` becomes `percentile_approx` at 100 TB (SURVEY A11 note);
+nothing else changes shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
+
+#: quartile probabilities for binning/fencing (boxplot geometry).
+_QS = (0.25, 0.50, 0.75)
+
+
+@register(
+    "quantile_binning",
+    survey="ext-stats,A11,A6,F9",
+    oracle="""
+    WITH edges AS (
+        SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS e1,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS e2,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS e3
+        FROM lineitem
+    ), binned AS (
+        SELECT CASE WHEN l_extendedprice < e.e1 THEN 0
+                    WHEN l_extendedprice < e.e2 THEN 1
+                    WHEN l_extendedprice < e.e3 THEN 2
+                    ELSE 3 END AS bin,
+               l_extendedprice AS v
+        FROM lineitem CROSS JOIN edges e
+    )
+    SELECT bin, COUNT(*) AS n_rows,
+           MIN(v) AS min_price, MAX(v) AS max_price
+    FROM binned GROUP BY bin
+    """,
+)
+def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile discretization of `l_extendedprice` (the
+    QuantileDiscretizer / ntile-as-feature shape, computed exactly):
+    one aggregate derives the three interpolated quartile edges,
+    rounded 6dp so both engines compare against bit-identical
+    thresholds; the assignment is a broadcast CASE over the scan; the
+    report is per-bin count + support. Bins 0-3 land within ±1 of
+    n/4 of each other only up to value ties — exactly what the oracle
+    verifies. At 100 TB the edge pass flips to percentile_approx and
+    the rest of the plan is unchanged."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    # single-file scan → ONE task; the exact percentile sorts the whole
+    # column in it. spread() parallelizes the partial collection.
+    li = spread(t["lineitem"])
+    edges = li.agg(*[
+        F.round(F.percentile("l_extendedprice", F.lit(q)), 6)
+        .alias(f"e{i + 1}") for i, q in enumerate(_QS)])
+    v = F.col("l_extendedprice")
+    bin_ = (F.when(v < F.col("e1"), 0)
+            .when(v < F.col("e2"), 1)
+            .when(v < F.col("e3"), 2)
+            .otherwise(3))
+    return (li.crossJoin(F.broadcast(edges))
+            .select(bin_.alias("bin"), v.alias("v"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("v").alias("min_price"),
+                 F.max("v").alias("max_price")))
+
+
+@register(
+    "iqr_outlier_report",
+    survey="ext-stats,A11,A16,A3",
+    oracle="""
+    WITH fences AS (
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25)
+                     - 1.5 * (quantile_cont(l_extendedprice, 0.75)
+                              - quantile_cont(l_extendedprice, 0.25)), 6)
+                   AS lo_fence,
+               ROUND(quantile_cont(l_extendedprice, 0.75)
+                     + 1.5 * (quantile_cont(l_extendedprice, 0.75)
+                              - quantile_cont(l_extendedprice, 0.25)), 6)
+                   AS hi_fence
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice < f.lo_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN l.l_extendedprice > f.hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           f.lo_fence, f.hi_fence
+    FROM lineitem l JOIN fences f USING (l_returnflag)
+    GROUP BY 1, f.lo_fence, f.hi_fence
+    """,
+)
+def iqr_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per return flag: the dashboard's
+    boxplot whiskers (reference `streamlit/weather_analysis.py:193-196`)
+    turned into counts — lo/hi fences at Q1∓1.5·IQR / Q3±1.5·IQR
+    (rounded 6dp before comparison on both engines) and how many rows
+    breach each. Complements `winsorized_prices` (which CLIPS): this
+    one measures. Two passes: a per-group percentile aggregate
+    (group-count-sized) broadcast back over the scan, then one
+    map-combinable count aggregate."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = spread(t["lineitem"], "l_returnflag")
+    q1 = F.percentile("l_extendedprice", F.lit(0.25))
+    q3 = F.percentile("l_extendedprice", F.lit(0.75))
+    fences = (li.groupBy("l_returnflag")
+              .agg(F.round(q1 - 1.5 * (q3 - q1), 6).alias("lo_fence"),
+                   F.round(q3 + 1.5 * (q3 - q1), 6).alias("hi_fence")))
+    v = F.col("l_extendedprice")
+    return (li.join(F.broadcast(fences), "l_returnflag")
+            .groupBy("l_returnflag", "lo_fence", "hi_fence")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.when(v < F.col("lo_fence"), 1).otherwise(0))
+                  .cast("long").alias("n_low"),
+                 F.sum(F.when(v > F.col("hi_fence"), 1).otherwise(0))
+                  .cast("long").alias("n_high"))
+            .select("l_returnflag", "n_rows", "n_low", "n_high",
+                    "lo_fence", "hi_fence"))
+
+
+@register(
+    "chi2_independence",
+    survey="ext-stats,A6,A14,J1",
+    oracle="""
+    WITH obs AS (
+        SELECT c_mktsegment AS seg, n_name AS nat, COUNT(*) AS o
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), rt AS (SELECT seg, SUM(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT nat, SUM(o) AS c FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+        SELECT CAST(ROUND(POWER(obs.o - (rt.r * ct.c * 1.0 / tot.n), 2)
+                          / (rt.r * ct.c * 1.0 / tot.n), 9)
+                    AS DECIMAL(28,9)) AS term
+        FROM obs JOIN rt USING (seg) JOIN ct USING (nat) CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+               * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between market segment and nation
+    over the customer dimension — the categorical complement of the
+    correlation matrix (SURVEY A14): observed cell counts vs
+    expected-under-independence r·c/N, χ² = Σ(o−e)²/e with the degrees
+    of freedom. Per-cell terms are rounded to 9dp then summed in exact
+    DECIMAL, so the statistic is independent of cell visit order (a
+    raw double Σ over 125 cells would be partitioning-dependent in the
+    last ulps). Plan: one (seg, nation) count shuffle; the row/column
+    marginals are aggregates OF that tiny contingency table, broadcast
+    back — nothing but the first count ever touches the full table."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    obs = (t["customer"]
+           .join(F.broadcast(t["nation"]),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy(F.col("c_mktsegment").alias("seg"),
+                    F.col("n_name").alias("nat"))
+           .agg(F.count("*").alias("o")))
+    rt = obs.groupBy("seg").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("nat").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") * 1.0 / F.col("n")
+    term = (F.round(F.pow(F.col("o") - e, F.lit(2)) / e, 9)
+            .cast("decimal(28,9)"))
+    terms = (obs.join(F.broadcast(rt), "seg")
+             .join(F.broadcast(ct), "nat")
+             .crossJoin(F.broadcast(tot))
+             .select(term.alias("term")))
+    n_r = rt.agg(F.count("*").alias("nr"))
+    n_c = ct.agg(F.count("*").alias("nc"))
+    return (terms.agg(F.count("*").alias("n_cells"),
+                      F.round(F.sum("term").cast("double"), 6).alias("chi2"))
+            .crossJoin(F.broadcast(n_r)).crossJoin(F.broadcast(n_c))
+            .select("n_cells",
+                    ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long")
+                    .alias("dof"),
+                    "chi2"))

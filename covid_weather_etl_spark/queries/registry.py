@@ -61,7 +61,7 @@ def _load_modules() -> None:
         bucketing, corpus, dashboard, dedup, dq, eventstats, frequent,
         graph, minhash, multimodal, pq, quality, relational,
         relational_ext, scd, semdedup, similarity, sketch_rollup,
-        temporal, text, timeseries, warehouse, windows,
+        stats, temporal, text, timeseries, warehouse, windows,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
@@ -75,19 +75,21 @@ def _load_modules() -> None:
 # longer matters). Round 4 window:
 #   1-23: the 23 round-3 additions that have NEVER had a driver
 #         CORRECTNESS row (16 oracle-equipped, 7 rows-only);
-#  24-39: the 16 round-4 additions (first driver rows) — including
+#  24-42: the 19 round-4 additions (first driver rows) — including
 #         the session-2 cohort (incremental MV maintenance, Z-order
 #         layout, hashed BoW, dup-chunk removal, vocab coverage, BPE
 #         merge step, embedding dim profile, event transitions, bloom
-#         pre-filter);
-#  40-50: 11 round-2-verified queries from the modules round 3
+#         pre-filter, quantile binning, IQR fences, chi-square);
+#  43-50: 8 round-2-verified queries from the modules round 3/4
 #         modified (similarity/text/timeseries + the perf-flagged
 #         dedup_clusters) — last driver-checked on round-2 code,
-#         refresh them. The four streaming batch twins plus the
-#         cheapest text refreshes yielded their slots to the new ops:
-#         stream==batch pytest equality is driver-independent evidence
-#         the others lack; ALL 112 oracle queries were locally verified
-#         at sf0.01 on current code this round (scripts/parity_check.py).
+#         refresh them. The streaming batch twins and cheapest
+#         similarity/text refreshes yielded their slots to the new
+#         ops: stream==batch pytest equality is driver-independent
+#         evidence, and EVERY oracle query was locally verified at
+#         sf0.01 on current round-4 code (scripts/parity_check.py,
+#         138/138 green) — the displaced refreshes carry that
+#         evidence instead of a driver row this round.
 # Everything else (relational/windows/dedup/multimodal — fresh r3
 # green — plus etl/ml/dashboard/temporal/bucketing/corpus/streams,
 # next in line for round 5) trails in registration order.
@@ -109,10 +111,11 @@ _ROTATION_R4 = (
     "dup_chunk_removal", "vocab_coverage", "bpe_merge_step",
     "embedding_dim_profile", "event_transition_matrix",
     "bloom_prefilter_join",
-    # r2-green, module source touched in r3 — refresh
-    "cosine_topk", "ivf_ann_topk", "ivf_kmeans_topk", "knn_join",
+    "quantile_binning", "iqr_outlier_report", "chi2_independence",
+    # r2-green, module source touched in r3/r4 — refresh
+    "cosine_topk", "ivf_kmeans_topk",
     "embedding_near_dup",
-    "winnowing_fingerprint", "tfidf_top_terms",
+    "winnowing_fingerprint",
     "ngram_jaccard_near_dup",
     "seasonal_decompose", "interpolate_gaps",
     "dedup_clusters",

@@ -175,3 +175,44 @@ def test_event_transition_matrix_is_stochastic(spark):
     total = (got.set_index(["from_type", "to_type"])["n_transitions"])
     for (a, b), n in mine.items():
         assert total[(a, b)] >= n
+
+
+def test_quantile_binning_balanced(spark):
+    """Quartile bins hold ~n/4 each (up to ties) and partition the
+    value range in order."""
+    got = (QUERIES["quantile_binning"].fn(spark, SF_DIR)
+           .toPandas().set_index("bin").sort_index())
+    n = got["n_rows"].sum()
+    assert set(got.index) == {0, 1, 2, 3}
+    assert (got["n_rows"] > 0.15 * n).all()  # roughly balanced
+    for b in range(3):
+        assert got.loc[b, "max_price"] <= got.loc[b + 1, "min_price"]
+
+
+def test_iqr_outlier_report_matches_pandas(spark):
+    got = (QUERIES["iqr_outlier_report"].fn(spark, SF_DIR)
+           .toPandas().set_index("l_returnflag"))
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    for flag, grp in li.groupby("l_returnflag"):
+        q1, q3 = grp["l_extendedprice"].quantile([0.25, 0.75])
+        lo = round(q1 - 1.5 * (q3 - q1), 6)
+        hi = round(q3 + 1.5 * (q3 - q1), 6)
+        assert got.loc[flag, "n_low"] == (grp["l_extendedprice"] < lo).sum()
+        assert got.loc[flag, "n_high"] == (grp["l_extendedprice"] > hi).sum()
+        assert got.loc[flag, "n_rows"] == len(grp)
+
+
+def test_chi2_independence_matches_numpy(spark):
+    import numpy as np
+    row = QUERIES["chi2_independence"].fn(spark, SF_DIR).collect()[0]
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_mktsegment", "c_nationkey"])
+    ct = pd.crosstab(cust["c_mktsegment"], cust["c_nationkey"]).to_numpy()
+    # drop all-zero rows/cols like the observed-cell formulation does
+    e = np.outer(ct.sum(1), ct.sum(0)) / ct.sum()
+    mask = ct > 0
+    chi2 = (np.round((ct[mask] - e[mask]) ** 2 / e[mask], 9)).sum()
+    assert abs(row["chi2"] - round(chi2, 6)) < 1e-4
+    assert row["dof"] == (ct.shape[0] - 1) * ((ct != 0).any(0).sum() - 1)
+    assert row["n_cells"] == int(mask.sum())
