@@ -165,3 +165,68 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                            | (F.col("valid_to") > asof)))
             .groupBy("segment")
             .agg(F.count("*").alias("n_customers")))
+
+
+@register(
+    "scd2_fact_join",
+    survey="ext-scd,J1,P5,A6",
+    oracle=f"""
+    WITH upd AS (
+        SELECT c_custkey, {_NEXT_SEG_SQL} AS new_segment
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    hist AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               DATE '{GENESIS}' AS valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL
+                    THEN DATE '{EFFECTIVE}' END AS valid_to
+        FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+        UNION ALL
+        SELECT c_custkey, new_segment, DATE '{EFFECTIVE}', NULL
+        FROM upd
+    )
+    SELECT h.segment,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS revenue
+    FROM orders o
+    JOIN hist h ON o.o_custkey = h.c_custkey
+               AND h.valid_from <= CAST(o.o_orderdate AS DATE)
+               AND (h.valid_to IS NULL
+                    OR h.valid_to > CAST(o.o_orderdate AS DATE))
+    GROUP BY 1, 2
+    """,
+)
+def scd2_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SCD2 fact→dimension temporal join: every order
+    joins the customer-segment VERSION that was valid on its order
+    date ([valid_from, valid_to) containment), then revenue rolls up
+    by as-was segment × year — so a customer who moved segments at the
+    {EFFECTIVE} batch splits their history correctly instead of being
+    retroactively rewritten (the join `scd2_point_in_time` answers for
+    ONE date, answered per-fact-row). Exactly one version matches per
+    (custkey, date) because versions partition the timeline — pinned
+    in tests via n_orders conservation.
+
+    Plan: the version table is dim-sized (≤2 rows/key), so Spark runs
+    a broadcast hash join on custkey with the range predicate as a
+    cheap residual filter — the fact table never shuffles at all. At
+    100 TB with a dimension too big to broadcast, the same query
+    becomes a key-bucketed sort-merge join; the range residual is
+    unchanged and per-key versions are contiguous in the sorted
+    stream."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    hist = scd2_dim_history(spark, sf_dir).select(
+        "c_custkey", "segment", "valid_from", "valid_to")
+    o = t["orders"]
+    od = F.col("o_orderdate").cast("date")
+    cond = ((F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("valid_from") <= od)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > od)))
+    return (o.join(F.broadcast(hist), cond)
+            .groupBy("segment",
+                     F.year("o_orderdate").cast("long").alias("order_year"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                  .cast("double").alias("revenue")))

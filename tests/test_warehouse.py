@@ -216,3 +216,21 @@ def test_chi2_independence_matches_numpy(spark):
     assert abs(row["chi2"] - round(chi2, 6)) < 1e-4
     assert row["dof"] == (ct.shape[0] - 1) * ((ct != 0).any(0).sum() - 1)
     assert row["n_cells"] == int(mask.sum())
+
+
+def test_scd2_fact_join_conserves_orders(spark):
+    """Version intervals partition the timeline: every order matches
+    exactly one version, so n_orders across the rollup equals the
+    order count; a moved customer's orders split around the effective
+    date."""
+    from covid_weather_etl_spark.operators.scd import EFFECTIVE
+    got = QUERIES["scd2_fact_join"].fn(spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    assert got["n_orders"].sum() == len(orders)
+    # a customer in the update batch (custkey % 7 == 0) with orders on
+    # both sides of the effective date contributes to two segments
+    eff = pd.Timestamp(EFFECTIVE)
+    moved = orders[orders["o_custkey"] % 7 == 0]
+    both = moved.groupby("o_custkey")["o_orderdate"].agg(["min", "max"])
+    assert ((both["min"] < eff) & (both["max"] >= eff)).any()
