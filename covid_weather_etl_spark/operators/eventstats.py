@@ -207,3 +207,74 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("from_type", "to_type", "n_transitions",
                     F.round(F.col("n_transitions") * 1.0 / F.col("n_from"), 6)
                      .alias("share")))
+
+
+#: lookback horizon for multi-touch credit assignment.
+MTA_WINDOW_HOURS = 24
+
+
+@register(
+    "multi_touch_attribution",
+    survey="ext-events,J1,A6,A5",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+        SELECT event_id AS t_id, user_id, ts AS t_ts, event_type
+        FROM events WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+        SELECT p.p_id, p.value, t.event_type
+        FROM purchases p JOIN touches t
+          ON p.user_id = t.user_id
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL {MTA_WINDOW_HOURS} HOUR
+    ), credited AS (
+        SELECT event_type,
+               value / (COUNT(*) OVER (PARTITION BY p_id)) AS credit
+        FROM pairs
+    )
+    SELECT event_type,
+           COUNT(*) AS n_credited_touches,
+           ROUND(CAST(SUM(CAST(ROUND(credit, 6) AS DECIMAL(25,6)))
+                      AS DOUBLE), 4) AS total_credit
+    FROM credited
+    GROUP BY 1
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    EQUALLY across every view/click by the same user in the preceding
+    {MTA_WINDOW_HOURS}h, and credit totals roll up per touch type —
+    the fractional-credit complement of the last-touch as-of join
+    (`asof_join_attribution`). Per-touch credits are rounded 6dp then
+    summed in exact DECIMAL so the totals are visit-order independent.
+
+    Plan: both sides are user-keyed projections of the same scan; the
+    range condition rides an equi-join on user_id (per-user candidate
+    space, never a global time cross-product), the per-purchase touch
+    count is a window partitioned by purchase id, and the rollup is a
+    map-combinable aggregate. At 100 TB the user-keyed join is the
+    bucketed fact-fact shape, and the time horizon bounds per-user
+    pair fan-out."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("p_id"), "user_id",
+                         F.col("ts").alias("p_ts"), "value"))
+    touches = (ev.filter(F.col("event_type").isin("view", "click"))
+               .select("user_id", F.col("ts").alias("t_ts"), "event_type"))
+    pairs = purchases.join(
+        touches,
+        (purchases["user_id"] == touches["user_id"])
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts")
+           - F.expr(f"INTERVAL {MTA_WINDOW_HOURS} HOURS")))
+    credit = F.col("value") / F.count("*").over(W.partitionBy("p_id"))
+    return (pairs.select("event_type", F.round(credit, 6).alias("credit"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_credited_touches"),
+                 F.round(F.sum(F.col("credit").cast("decimal(25,6)"))
+                         .cast("double"), 4).alias("total_credit")))

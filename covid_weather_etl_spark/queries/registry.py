@@ -75,13 +75,13 @@ def _load_modules() -> None:
 # longer matters). Round 4 window:
 #   1-23: the 23 round-3 additions that have NEVER had a driver
 #         CORRECTNESS row (16 oracle-equipped, 7 rows-only);
-#  24-43: the 20 round-4 additions (first driver rows) — including
+#  24-44: the 21 round-4 additions (first driver rows) — including
 #         the session-2 cohort (incremental MV maintenance, Z-order
 #         layout, hashed BoW, dup-chunk removal, vocab coverage, BPE
 #         merge step, embedding dim profile, event transitions, bloom
 #         pre-filter, quantile binning, IQR fences, chi-square,
 #         SCD2 fact join);
-#  44-50: 7 round-2-verified queries from the modules round 3/4
+#  45-50: 6 round-2-verified queries from the modules round 3/4
 #         modified (similarity/text/timeseries + the perf-flagged
 #         dedup_clusters) — last driver-checked on round-2 code,
 #         refresh them. The streaming batch twins and cheapest
@@ -113,10 +113,9 @@ _ROTATION_R4 = (
     "embedding_dim_profile", "event_transition_matrix",
     "bloom_prefilter_join",
     "quantile_binning", "iqr_outlier_report", "chi2_independence",
-    "scd2_fact_join",
+    "scd2_fact_join", "multi_touch_attribution",
     # r2-green, module source touched in r3/r4 — refresh
     "ivf_kmeans_topk",
-    "embedding_near_dup",
     "winnowing_fingerprint",
     "ngram_jaccard_near_dup",
     "seasonal_decompose", "interpolate_gaps",

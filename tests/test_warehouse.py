@@ -234,3 +234,28 @@ def test_scd2_fact_join_conserves_orders(spark):
     moved = orders[orders["o_custkey"] % 7 == 0]
     both = moved.groupby("o_custkey")["o_orderdate"].agg(["min", "max"])
     assert ((both["min"] < eff) & (both["max"] >= eff)).any()
+
+
+def test_multi_touch_attribution_conserves_value(spark):
+    """Credit conservation: each purchase with >=1 in-window touch
+    distributes ~its full value (6dp rounding per touch)."""
+    from covid_weather_etl_spark.operators.eventstats import (
+        MTA_WINDOW_HOURS,
+    )
+    got = QUERIES["multi_touch_attribution"].fn(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    purchases = ev[ev["event_type"] == "purchase"]
+    touches = ev[ev["event_type"].isin(["view", "click"])]
+    horizon = pd.Timedelta(hours=MTA_WINDOW_HOURS)
+    covered = 0.0
+    n_pairs = 0
+    for p in purchases.itertuples():
+        tt = touches[(touches["user_id"] == p.user_id)
+                     & (touches["ts"] < p.ts)
+                     & (touches["ts"] >= p.ts - horizon)]
+        if len(tt):
+            covered += p.value
+            n_pairs += len(tt)
+    assert got["n_credited_touches"].sum() == n_pairs
+    assert abs(got["total_credit"].sum() - covered) < 1e-2
