@@ -171,3 +171,72 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial dedup then one shuffle."""
     t = load_tables(spark, sf_dir, ("events",))
     return t["events"].select("user_id", "event_type").distinct()
+
+
+#: burst-suppression gap: an event within this many seconds of the
+#: previous same-(user, type) event is treated as a redelivery/bounce.
+DEBOUNCE_SECONDS = 300
+
+
+@register(
+    "debounce_events",
+    survey="D2,W2,P7",
+    oracle=f"""
+    WITH landed AS (
+        SELECT event_id, user_id, event_type, ts FROM events
+        UNION ALL
+        SELECT -event_id - 1, user_id, event_type,
+               ts + INTERVAL 30 SECOND
+        FROM events WHERE event_id % 10 = 0
+    ), seq AS (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM landed
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM seq
+    WHERE prev_ts IS NULL
+       OR ts - prev_ts > INTERVAL {DEBOUNCE_SECONDS} SECOND
+    """,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression (debounce): within each (user, event-type)
+    stream keep only events more than {DEBOUNCE_SECONDS}s after their
+    predecessor — double-clicks, retry storms, and duplicate webhook
+    deliveries collapse to the burst's first event. Equivalent to
+    keeping the FIRST event of every `session_window`-style chain with
+    the same gap (an event opens a new chain iff its gap from the
+    previous event exceeds the threshold), so the batch result matches
+    what a streaming session-window head would emit.
+
+    One lag window partitioned by (user, type) — never global, skew
+    bounded by a single user's single-type history; the filter is a
+    narrow map. The time-based rule complements the key-equality dedup
+    family (D2): exact dedup removes identical rows, this removes
+    near-in-time repeats with distinct ids."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "user_id", "event_type", "ts")
+    # the stream is augmented with deterministic redeliveries (every
+    # 10th event re-lands 30s later under fresh negative id −k−1, the
+    # planted-fixture convention of pii_redaction / snapshot_diff) so
+    # the operator provably fires: the natural stream's same-key gaps
+    # are days at every SF
+    redelivered = (ev.filter(F.col("event_id") % 10 == 0)
+                   .select((-F.col("event_id") - 1).alias("event_id"),
+                           "user_id", "event_type",
+                           (F.col("ts")
+                            + F.expr("INTERVAL 30 SECONDS")).alias("ts")))
+    landed = ev.unionByName(redelivered)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (landed
+            .select("event_id", "user_id", "event_type", "ts",
+                    F.lag("ts").over(w).alias("prev_ts"))
+            # microsecond-exact gap: the event timestamps carry real
+            # sub-second components, and a seconds-truncating cast
+            # would silently disagree with the oracle's INTERVAL
+            # comparison for gaps inside (300, 301)s
+            .filter(F.col("prev_ts").isNull()
+                    | (F.unix_micros("ts") - F.unix_micros("prev_ts")
+                       > DEBOUNCE_SECONDS * 1_000_000))
+            .drop("prev_ts"))

@@ -259,3 +259,18 @@ def test_multi_touch_attribution_conserves_value(spark):
             n_pairs += len(tt)
     assert got["n_credited_touches"].sum() == n_pairs
     assert abs(got["total_credit"].sum() - covered) < 1e-2
+
+
+def test_debounce_events_drops_planted_redeliveries(spark):
+    """The planted 30s redeliveries (negative ids) are all dropped,
+    every original event survives, and no two kept events of the same
+    (user, type) are within the gap."""
+    from covid_weather_etl_spark.operators.dedup import DEBOUNCE_SECONDS
+    got = QUERIES["debounce_events"].fn(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert (got["event_id"] >= 0).all()          # all redeliveries gone
+    assert len(got) == len(ev)                    # all originals kept
+    gap = pd.Timedelta(seconds=DEBOUNCE_SECONDS)
+    kept = got.sort_values(["user_id", "event_type", "ts"])
+    diffs = kept.groupby(["user_id", "event_type"])["ts"].diff().dropna()
+    assert (diffs > gap).all()
