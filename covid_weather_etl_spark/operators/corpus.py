@@ -544,3 +544,74 @@ def dup_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_kept") * 1.0 / F.col("n_chunks"), 6)
          .alias("frac_kept"),
         kept_text.alias("kept_text"))
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking
+# ---------------------------------------------------------------------------
+
+#: retrieval-chunk geometry: window tokens per chunk, stride tokens
+#: between chunk starts (window − stride = overlap).
+RAG_WINDOW = 64
+RAG_STRIDE = 48
+
+
+@register(
+    "rag_chunking",
+    survey="LLM-corpus,P10,F1",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(CEIL(
+                   CASE WHEN len(t) <= {RAG_WINDOW} THEN 1
+                        ELSE (len(t) - {RAG_WINDOW}) / {RAG_STRIDE}.0 + 1
+                   END) AS BIGINT))) AS chunk_id,
+               t
+        FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(t[chunk_id * {RAG_STRIDE} + 1 :
+                             chunk_id * {RAG_STRIDE} + {RAG_WINDOW}],
+                           ' ') AS chunk_text,
+           CAST(least({RAG_WINDOW},
+                      len(t) - chunk_id * {RAG_STRIDE}) AS BIGINT)
+               AS n_tokens
+    FROM spans
+    """,
+)
+def rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-chunk construction: split every document into
+    {RAG_WINDOW}-token windows advancing {RAG_STRIDE} tokens per step
+    ({RAG_WINDOW - RAG_STRIDE}-token overlap so no answer span is cut
+    at a boundary), emitting (doc_id, chunk_id, chunk_text, n_tokens)
+    — the corpus an embedding indexer consumes. Chunk count =
+    ceil((n − window)/stride) + 1 capped below at 1, so every document
+    yields at least one chunk and the final chunk is the only short
+    one.
+
+    Pure array algebra: tokens once per doc, chunk spans via
+    transform(sequence) + slice + array_join — no per-token explode,
+    one row out per chunk, no shuffle at all until a downstream
+    consumer groups. At 100 TB this is the classic embarrassingly
+    parallel map; pair output with `hashed_bow_features` or the ANN
+    stack for end-to-end retrieval indexing."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= RAG_WINDOW, F.lit(1)
+    ).otherwise(F.ceil((n - RAG_WINDOW) / F.lit(float(RAG_STRIDE)) + 1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i * RAG_STRIDE + 1, RAG_WINDOW), " ")
+            .alias("chunk_text"),
+            F.least(F.lit(RAG_WINDOW), n - i * RAG_STRIDE)
+            .cast("long").alias("n_tokens")))
+    return (spread(t["documents"], "doc_id")
+            .select("doc_id", F.explode(chunks).alias("c"))
+            .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"))

@@ -274,3 +274,30 @@ def test_debounce_events_drops_planted_redeliveries(spark):
     kept = got.sort_values(["user_id", "event_type", "ts"])
     diffs = kept.groupby(["user_id", "event_type"])["ts"].diff().dropna()
     assert (diffs > gap).all()
+
+
+def test_rag_chunking_covers_every_token(spark):
+    """Chunk coverage: concatenating stride-aligned prefixes of chunks
+    reconstructs the document; overlaps equal window − stride; every
+    doc yields ≥1 chunk and only the final chunk may be short."""
+    from covid_weather_etl_spark.operators.corpus import (
+        RAG_STRIDE, RAG_WINDOW,
+    )
+    got = QUERIES["rag_chunking"].fn(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert set(got["doc_id"]) == set(docs["doc_id"])
+    by_doc = dict(tuple(got.sort_values("chunk_id").groupby("doc_id")))
+    for row in docs.head(50).itertuples():
+        toks = row.text.split(" ")
+        g = by_doc[row.doc_id]
+        # chunk i starts at i*stride and carries min(window, rest)
+        for c in g.itertuples():
+            start = c.chunk_id * RAG_STRIDE
+            expect = toks[start:start + RAG_WINDOW]
+            assert c.chunk_text.split(" ") == expect
+            assert c.n_tokens == len(expect)
+        # non-final chunks are full-width
+        assert (g["n_tokens"].iloc[:-1] == RAG_WINDOW).all()
+        # last chunk reaches the end of the doc
+        last = g.iloc[-1]
+        assert last.chunk_id * RAG_STRIDE + last.n_tokens == len(toks)
