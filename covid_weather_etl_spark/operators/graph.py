@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.queries.registry import register
-from covid_weather_etl_spark.sources.catalog import load_tables
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
 DAMPING = 0.85
 PR_ROUNDS = 10   # hard cap; the tol-based early exit usually fires first
@@ -68,7 +68,9 @@ def purchase_edges(t: dict) -> DataFrame:
     multiplicity as weight, emitted in both directions for the random
     walk. Node ids are prefixed ('c:'/'s:') to keep the two key spaces
     disjoint in one column."""
-    pairs = (t["lineitem"]
+    # spread the single-file lineitem scan so the broadcast join +
+    # partial aggregate run on all cores instead of one input task
+    pairs = (spread(t["lineitem"], "l_orderkey")
              .join(t["orders"],
                    F.col("l_orderkey") == F.col("o_orderkey"))
              .groupBy(F.concat(F.lit("c:"), F.col("o_custkey")).alias("cust"),

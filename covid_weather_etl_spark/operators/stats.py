@@ -201,3 +201,50 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long")
                     .alias("dof"),
                     "chi2"))
+
+
+LEV_MAX = 3  # maximum edit distance for a name match
+
+
+@register(
+    "name_similarity_pairs",
+    survey="ext-er,A13,J1,F1",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1
+    )
+    SELECT a.name AS name_1, b.name AS name_2,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance,
+           a.n_parts AS n_parts_1, b.n_parts AS n_parts_2
+    FROM names a JOIN names b
+      ON a.name < b.name
+     AND levenshtein(a.name, b.name) <= {LEV_MAX}
+    """,
+)
+def name_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs by edit distance over part
+    names — with the distinct-first trick that makes fuzzy matching
+    tractable: Levenshtein runs on the DISTINCT name table (vocabulary-
+    sized), never on the base rows, and member counts map each fuzzy
+    pair back to its record mass. At any corpus scale the quadratic
+    comparison is |distinct values|², not |rows|² — and distinct names
+    grow Zipf-slowly. When the distinct table itself outgrows one
+    broadcast, the standard escalation is length + first-character
+    blocking (edit distance ≤ k forces |len(a)−len(b)| ≤ k), which
+    this plan picks up as one extra join key without changing shape.
+
+    Both engines implement the same unweighted Levenshtein; the pair
+    predicate is a broadcast theta-join over the tiny name table."""
+    t = load_tables(spark, sf_dir, ("part",))
+    names = (t["part"].groupBy(F.col("p_name").alias("name"))
+             .agg(F.count("*").alias("n_parts")))
+    a, b = names.alias("a"), names.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (a.join(F.broadcast(b),
+                   (F.col("a.name") < F.col("b.name")) & (lev <= LEV_MAX))
+            .select(F.col("a.name").alias("name_1"),
+                    F.col("b.name").alias("name_2"),
+                    lev.cast("long").alias("edit_distance"),
+                    F.col("a.n_parts").alias("n_parts_1"),
+                    F.col("b.n_parts").alias("n_parts_2")))

@@ -331,3 +331,53 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_months").cast("bigint").alias("n_months"),
                     F.round(F.col("total") * 1.0 / F.col("n_months"), 6)
                      .alias("mean_monthly")))
+
+
+MEDIAN_WINDOW = 7  # trailing rows for the robust rolling median
+
+
+@register(
+    "rolling_median_revenue",
+    survey="W4,A11,A6",
+    oracle=f"""
+    WITH daily AS (
+        SELECT n.n_name,
+               CAST(o.o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, d, y,
+           CASE WHEN count(y) OVER w = {MEDIAN_WINDOW}
+                THEN ROUND(CAST(quantile_cont(y, 0.5) OVER w AS DOUBLE), 6)
+           END AS roll_median
+    FROM daily
+    WINDOW w AS (PARTITION BY n_name ORDER BY d
+                 ROWS BETWEEN {MEDIAN_WINDOW - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact MEDIAN of the per-nation daily revenue series over
+    a trailing {MEDIAN_WINDOW}-row frame — the robust complement of the
+    rolling means in `rolling_features` (one spike corrupts a rolling
+    mean for a full window; the median shrugs it off, which is why
+    robust monitors alert on median-vs-mean divergence). Emitted only
+    for full frames (null-until-full, pandas/W4 parity convention).
+
+    Windowed exact percentile runs per (nation) partition — never a
+    global window — and both engines interpolate identically (rounded
+    6dp as last-ulp hygiene). At 100 TB the frame is row-bounded
+    ({MEDIAN_WINDOW} values live per task at a time after the one
+    series shuffle); a value-RANGE frame variant swaps the frame spec
+    without changing the plan."""
+    from covid_weather_etl_spark.ml.queries import nation_daily
+
+    w = (W.partitionBy("n_name").orderBy("d")
+         .rowsBetween(-(MEDIAN_WINDOW - 1), 0))
+    daily = nation_daily(spark, sf_dir).select("n_name", "d", "y")
+    med = F.when(
+        F.count("y").over(w) == MEDIAN_WINDOW,
+        F.round(F.percentile("y", F.lit(0.5)).over(w), 6))
+    return daily.select("n_name", "d", "y", med.alias("roll_median"))

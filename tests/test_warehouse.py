@@ -301,3 +301,70 @@ def test_rag_chunking_covers_every_token(spark):
         # last chunk reaches the end of the doc
         last = g.iloc[-1]
         assert last.chunk_id * RAG_STRIDE + last.n_tokens == len(toks)
+
+
+def test_rolling_median_matches_pandas(spark):
+    from covid_weather_etl_spark.operators.timeseries import MEDIAN_WINDOW
+    got = QUERIES["rolling_median_revenue"].fn(spark, SF_DIR).toPandas()
+    one = (got[got["n_name"] == got["n_name"].iloc[0]]
+           .sort_values("d").reset_index(drop=True))
+    expect = (one["y"].rolling(MEDIAN_WINDOW).median().round(6))
+    pd.testing.assert_series_equal(
+        one["roll_median"], expect, check_names=False)
+
+
+def test_name_similarity_pairs_symmetric_and_bounded(spark):
+    from covid_weather_etl_spark.operators.stats import LEV_MAX
+    got = QUERIES["name_similarity_pairs"].fn(spark, SF_DIR).toPandas()
+    assert (got["edit_distance"] <= LEV_MAX).all()
+    assert (got["name_1"] < got["name_2"]).all()
+    # python recount on one pair
+    if len(got):
+        import itertools
+        r = got.iloc[0]
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                             prev + (ca != cb))
+            return dp[-1]
+        assert lev(r.name_1, r.name_2) == r.edit_distance
+
+
+def test_morton_code_roundtrip_property(spark):
+    """Property: the Morton interleave is invertible — de-interleaving
+    the Z-value recovers both bucket coordinates exactly, for random
+    coordinates across the full 8-bit range (hypothesis-driven)."""
+    from hypothesis import given, settings, strategies as st
+
+    from covid_weather_etl_spark.operators.warehouse import (
+        ZBITS, _morton_sql,
+    )
+    import duckdb
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 255), st.integers(0, 255))
+    def check(a, b):
+        z = con.execute(
+            f"SELECT {_morton_sql(str(a), str(b))}").fetchone()[0]
+        da = sum(((z >> (2 * i + 1)) & 1) << i for i in range(ZBITS))
+        db = sum(((z >> (2 * i)) & 1) << i for i in range(ZBITS))
+        assert (da, db) == (a, b)
+
+    check()
+
+    # and the Spark expression agrees with the SQL expression
+    from covid_weather_etl_spark.operators.warehouse import _morton_spark
+    from pyspark.sql import functions as F
+    rows = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 127, 128, 255) for b in (0, 3, 200, 255)],
+        "a int, b int")
+    got = rows.select("a", "b",
+                      _morton_spark(F.col("a"), F.col("b")).alias("z"))
+    for r in got.collect():
+        want = con.execute(
+            f"SELECT {_morton_sql(str(r.a), str(r.b))}").fetchone()[0]
+        assert r.z == want
