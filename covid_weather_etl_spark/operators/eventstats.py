@@ -278,3 +278,71 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_credited_touches"),
                  F.round(F.sum(F.col("credit").cast("decimal(25,6)"))
                          .cast("double"), 4).alias("total_credit")))
+
+
+@register(
+    "time_to_convert_stats",
+    survey="ext-events,A4,A11,W1",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY 1
+    ), converted AS (
+        SELECT CAST(epoch_us(first_purchase) - epoch_us(first_view)
+                    AS BIGINT) / 3600000000.0 AS hours
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase > first_view
+    )
+    SELECT (SELECT COUNT(*) FROM firsts WHERE first_view IS NOT NULL)
+               AS n_viewers,
+           COUNT(*) AS n_converted,
+           ROUND(COUNT(*) * 1.0 /
+                 (SELECT COUNT(*) FROM firsts WHERE first_view IS NOT NULL),
+                 6) AS conversion_rate,
+           ROUND(quantile_cont(hours, 0.50), 6) AS p50_hours,
+           ROUND(quantile_cont(hours, 0.90), 6) AS p90_hours
+    FROM converted
+    """,
+)
+def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: per user, hours from first
+    view to the first purchase AFTER it; report the viewer count,
+    converted count, conversion rate, and exact P50/P90 latency — the
+    funnel-timing cut of the cohort/funnel family (how LONG conversion
+    takes, not just whether it happens). Latency is computed in exact
+    integer microseconds before the one float division, so the
+    percentile inputs are bit-identical on both engines.
+
+    Plan: ONE conditional-min aggregate per user (map-combinable, one
+    shuffle), a filter, and a percentile over the converted-users frame
+    — user-count-bounded, never event-count-bounded. At 100 TB the
+    exact percentile swaps for percentile_approx unchanged."""
+    t = load_tables(spark, sf_dir, ("events",))
+    firsts = (t["events"]
+              .groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == "view",
+                                F.col("ts"))).alias("first_view"),
+                   F.min(F.when(F.col("event_type") == "purchase",
+                                F.col("ts"))).alias("first_purchase")))
+    viewers = firsts.filter(F.col("first_view").isNotNull())
+    conv = (viewers
+            .filter(F.col("first_purchase").isNotNull()
+                    & (F.col("first_purchase") > F.col("first_view")))
+            .select(((F.unix_micros("first_purchase")
+                      - F.unix_micros("first_view")) / 3600000000.0)
+                    .alias("hours")))
+    n_viewers = viewers.agg(F.count("*").alias("n_viewers"))
+    return (conv.agg(F.count("*").alias("n_converted"),
+                     F.round(F.percentile("hours", F.lit(0.5)), 6)
+                      .alias("p50_hours"),
+                     F.round(F.percentile("hours", F.lit(0.9)), 6)
+                      .alias("p90_hours"))
+            .crossJoin(F.broadcast(n_viewers))
+            .select("n_viewers", "n_converted",
+                    F.round(F.col("n_converted") * 1.0 / F.col("n_viewers"), 6)
+                     .alias("conversion_rate"),
+                    "p50_hours", "p90_hours"))

@@ -248,3 +248,64 @@ def name_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lev.cast("long").alias("edit_distance"),
                     F.col("a.n_parts").alias("n_parts_1"),
                     F.col("b.n_parts").alias("n_parts_2")))
+
+
+TE_SMOOTHING = 10.0  # pseudo-count weight toward the global mean
+
+
+@register(
+    "target_encoding_segment",
+    survey="ext-stats,A6,A9,U4",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per_cat AS (
+        SELECT segment, COUNT(*) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy
+        FROM joined GROUP BY 1
+    ), gl AS (
+        SELECT CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*) AS gmean
+        FROM joined
+    )
+    SELECT p.segment, p.n AS n_orders,
+           ROUND(p.sy / p.n, 6) AS raw_mean,
+           ROUND((p.sy + {TE_SMOOTHING!r} * g.gmean)
+                 / (p.n + {TE_SMOOTHING!r}), 6) AS encoded
+    FROM per_cat p CROSS JOIN gl g
+    """,
+)
+def target_encoding_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of market segment against order
+    value — the categorical-feature workhorse a tree model consumes
+    instead of one-hot: encoded = (Σy + m·global_mean)/(n + m), which
+    shrinks rare categories toward the global mean (m = {TE_SMOOTHING:g}
+    pseudo-observations) so a 3-row category can't memorize its
+    targets. Sums run through exact DECIMAL, so the encoding is
+    bit-stable across partitionings; the division chain is identical
+    IEEE on both engines, rounded 6dp.
+
+    Plan: one fact scan feeding a per-category aggregate and a 1-row
+    global aggregate (broadcast crossJoin back) — category-count
+    output. At 100 TB that is still exactly two map-combinable passes;
+    out-of-fold encoding (per CV fold) re-runs the same plan per fold
+    over the fold filter."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    joined = (t["orders"]
+              .join(F.broadcast(t["customer"]),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select(F.col("c_mktsegment").alias("segment"),
+                      F.col("o_totalprice").alias("y")))
+    per_cat = (joined.groupBy("segment")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("y").cast("decimal(25,6)"))
+                     .cast("double").alias("sy")))
+    gl = joined.agg((F.sum(F.col("y").cast("decimal(25,6)")).cast("double")
+                     / F.count("*")).alias("gmean"))
+    return (per_cat.crossJoin(F.broadcast(gl))
+            .select("segment", F.col("n").alias("n_orders"),
+                    F.round(F.col("sy") / F.col("n"), 6).alias("raw_mean"),
+                    F.round((F.col("sy") + TE_SMOOTHING * F.col("gmean"))
+                            / (F.col("n") + F.lit(TE_SMOOTHING)), 6)
+                     .alias("encoded")))

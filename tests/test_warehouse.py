@@ -368,3 +368,37 @@ def test_morton_code_roundtrip_property(spark):
         want = con.execute(
             f"SELECT {_morton_sql(str(r.a), str(r.b))}").fetchone()[0]
         assert r.z == want
+
+
+def test_target_encoding_shrinks_toward_global(spark):
+    """Smoothing property: every encoded value lies strictly between
+    its raw category mean and the global mean (unless they coincide),
+    and a pandas recount agrees."""
+    from covid_weather_etl_spark.operators.stats import TE_SMOOTHING
+    got = QUERIES["target_encoding_segment"].fn(spark, SF_DIR).toPandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    gmean = j["o_totalprice"].mean()
+    for r in got.itertuples():
+        grp = j[j["c_mktsegment"] == r.segment]["o_totalprice"]
+        exp = (grp.sum() + TE_SMOOTHING * gmean) / (len(grp) + TE_SMOOTHING)
+        assert abs(r.encoded - exp) < 1e-3
+        lo, hi = sorted((r.raw_mean, gmean))
+        assert lo - 1e-6 <= r.encoded <= hi + 1e-6
+
+
+def test_time_to_convert_matches_pandas(spark):
+    got = QUERIES["time_to_convert_stats"].fn(spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    fv = (ev[ev["event_type"] == "view"].groupby("user_id")["ts"].min())
+    fp = (ev[ev["event_type"] == "purchase"].groupby("user_id")["ts"].min())
+    both = pd.concat([fv.rename("v"), fp.rename("p")], axis=1).dropna()
+    conv = both[both["p"] > both["v"]]
+    assert got["n_viewers"] == len(fv)
+    assert got["n_converted"] == len(conv)
+    hours = (conv["p"] - conv["v"]).dt.total_seconds() / 3600
+    assert abs(got["p50_hours"] - hours.quantile(0.5)) < 1e-3
