@@ -75,13 +75,13 @@ def _load_modules() -> None:
 # longer matters). Round 4 window:
 #   1-23: the 23 round-3 additions that have NEVER had a driver
 #         CORRECTNESS row (16 oracle-equipped, 7 rows-only);
-#  24-44: the 21 round-4 additions (first driver rows) — including
+#  24-46: the 23 round-4 additions (incl. debounce + RAG chunking) (first driver rows) — including
 #         the session-2 cohort (incremental MV maintenance, Z-order
 #         layout, hashed BoW, dup-chunk removal, vocab coverage, BPE
 #         merge step, embedding dim profile, event transitions, bloom
 #         pre-filter, quantile binning, IQR fences, chi-square,
 #         SCD2 fact join);
-#  45-50: 6 round-2-verified queries from the modules round 3/4
+#  47-50: 4 round-2-verified queries from the modules round 3/4
 #         modified (similarity/text/timeseries + the perf-flagged
 #         dedup_clusters) — last driver-checked on round-2 code,
 #         refresh them. The streaming batch twins and cheapest
@@ -114,11 +114,12 @@ _ROTATION_R4 = (
     "bloom_prefilter_join",
     "quantile_binning", "iqr_outlier_report", "chi2_independence",
     "scd2_fact_join", "multi_touch_attribution",
-    # r2-green, module source touched in r3/r4 — refresh
+    "debounce_events", "rag_chunking",
+    # r2-green, module source touched in r3/r4 — refresh (every
+    # displaced refresh still carries the local sf0.01 sweep evidence)
     "ivf_kmeans_topk",
-    "winnowing_fingerprint",
     "ngram_jaccard_near_dup",
-    "seasonal_decompose", "interpolate_gaps",
+    "seasonal_decompose",
     "dedup_clusters",
 )
 
