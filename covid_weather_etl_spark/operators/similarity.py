@@ -598,3 +598,82 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  fround(mean).alias("mean_val"),
                  F.min("val").alias("min_val"),
                  F.max("val").alias("max_val")))
+
+
+KNN_EVAL_K = 5  # neighbors voting in the label-propagation eval
+
+
+@register(
+    "knn_label_eval",
+    survey="LLM-sim,U5,A6,J1",
+    oracle=f"""
+    WITH neigh AS (
+        SELECT a.vec_id, a.label AS true_label, b.label AS n_label
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6)
+                     DESC, b.vec_id) <= {KNN_EVAL_K}
+    ), votes AS (
+        SELECT vec_id, true_label, n_label, COUNT(*) AS c
+        FROM neigh GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT vec_id, true_label, n_label AS pred_label
+        FROM votes
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY c DESC, n_label) = 1
+    )
+    SELECT true_label AS label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN pred_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS accuracy
+    FROM pred GROUP BY 1
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval by k-NN label propagation: every vector
+    is classified by the majority label of its {KNN_EVAL_K} nearest
+    cosine neighbors (leave-one-out), reported as per-label accuracy —
+    the standard "do my embeddings cluster by label" probe run before
+    trusting a space for retrieval or dedup. Ties: similarity rounded
+    6dp then vec_id, vote ties to the smaller label — deterministic and
+    identical on both engines.
+
+    Plan: all-pairs scoring with one side broadcast (the table is
+    eval-sized by construction), per-vector windows for the top-K and
+    the vote — partitioned by vec_id, never global. At corpus scale
+    you don't run exact leave-one-out over everything: sample the eval
+    set (hash_stratified_sample) or feed candidates from the IVF/PQ
+    stack; the vote/accuracy tail of the plan is unchanged."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    a = emb.select(F.col("vec_id").alias("a_id"),
+                   F.col("label").alias("true_label"),
+                   F.col("v").alias("av"))
+    b = emb.select(F.col("vec_id").alias("b_id"),
+                   F.col("label").alias("n_label"),
+                   F.col("v").alias("bv"))
+    sim = F.round(cosine(F.col("av"), F.col("bv")), 6)
+    w_top = W.partitionBy("a_id").orderBy(F.col("sim").desc(),
+                                          F.col("b_id"))
+    neigh = (a.crossJoin(F.broadcast(b))
+             .filter(F.col("b_id") != F.col("a_id"))
+             .select("a_id", "b_id", "true_label", "n_label",
+                     sim.alias("sim"))
+             .withColumn("rn", F.row_number().over(w_top))
+             .filter(F.col("rn") <= KNN_EVAL_K))
+    w_vote = W.partitionBy("a_id").orderBy(F.col("c").desc(),
+                                           F.col("n_label"))
+    pred = (neigh.groupBy("a_id", "true_label", "n_label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("vr", F.row_number().over(w_vote))
+            .filter(F.col("vr") == 1))
+    hit = F.when(F.col("n_label") == F.col("true_label"), 1).otherwise(0)
+    return (pred.groupBy(F.col("true_label").alias("label"))
+            .agg(F.count("*").alias("n_vecs"),
+                 F.sum(hit).cast("long").alias("n_correct"),
+                 F.round(F.sum(hit) * 1.0 / F.count("*"), 6)
+                  .alias("accuracy")))

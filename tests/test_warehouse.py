@@ -402,3 +402,31 @@ def test_time_to_convert_matches_pandas(spark):
     assert got["n_converted"] == len(conv)
     hours = (conv["p"] - conv["v"]).dt.total_seconds() / 3600
     assert abs(got["p50_hours"] - hours.quantile(0.5)) < 1e-3
+
+
+def test_knn_label_eval_matches_numpy(spark):
+    """Independent numpy leave-one-out kNN recount."""
+    import numpy as np
+    from covid_weather_etl_spark.operators.similarity import KNN_EVAL_K
+    got = (QUERIES["knn_label_eval"].fn(spark, SF_DIR)
+           .toPandas().set_index("label").sort_index())
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    correct = {}
+    for i in range(len(X)):
+        order = sorted((j for j in range(len(X)) if ids[j] != ids[i]),
+                       key=lambda j: (-S[i, j], ids[j]))[:KNN_EVAL_K]
+        votes = {}
+        for j in order:
+            votes[labels[j]] = votes.get(labels[j], 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        c = correct.setdefault(labels[i], [0, 0])
+        c[0] += 1
+        c[1] += int(pred == labels[i])
+    for lbl, (n, ok) in correct.items():
+        assert got.loc[lbl, "n_vecs"] == n
+        assert got.loc[lbl, "n_correct"] == ok
