@@ -831,3 +831,64 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "lvl", "revenue", "n_orders")
     )
+
+
+Q5_REGION = "ASIA"
+Q5_YEAR = ("1996-01-01", "1997-01-01")
+
+
+@register(
+    "local_supplier_revenue",
+    survey="J3,J6,A6,P5",
+    oracle=f"""
+    SELECT n.n_name,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{Q5_YEAR[0]}'
+      AND o.o_orderdate <  TIMESTAMP '{Q5_YEAR[1]}'
+    GROUP BY 1
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue from {Q5_REGION}
+    customers served by suppliers in the customer's OWN nation during
+    one order-year — the canonical join-order stress query, because
+    the supplier⋈lineitem arm is only restricted through the
+    customer-side nation equality (a cross-table correlation the
+    optimizer must route, not a local filter). The deepest join chain
+    in the registry: two facts + four dims.
+
+    Plan shape: lineitem⋈orders shuffles on the order key once (or
+    zero with the bucketed layout); customer/supplier/nation/region
+    broadcast; the date predicate pushes into the orders scan and the
+    region filter prunes nation keys before anything big moves.
+    Revenue accumulates in exact DECIMAL (2-decimal money algebra), so
+    the rollup is bit-identical to the oracle at any partitioning."""
+    t = load_tables(spark, sf_dir,
+                    ("customer", "orders", "lineitem", "supplier",
+                     "nation", "region"))
+    return (t["lineitem"]
+            .join(t["orders"].filter(
+                (F.col("o_orderdate") >= Q5_YEAR[0])
+                & (F.col("o_orderdate") < Q5_YEAR[1])),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["supplier"]),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(t["region"]),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .filter(F.col("r_name") == Q5_REGION)
+            .groupBy("n_name")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue")))
