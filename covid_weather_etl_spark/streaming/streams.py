@@ -506,3 +506,65 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     return (spark.read.parquet(rollup_dir)
             .select("day", "event_type", "n_events",
                     F.col("sum_dec").cast("double").alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# streaming debounce (gap-based burst suppression)
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_OUT = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+_DEBOUNCE_STATE = T.StructType([
+    T.StructField("last_seen_us", T.LongType()),
+])
+
+
+def debounce_stream(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
+    """Streaming twin of the batch `debounce_events` rule (operators/
+    dedup.py): per (user, event-type) stream, emit only events more
+    than `gap_seconds` after their predecessor; the predecessor
+    timestamp is per-key state in the state store, so bursts spanning
+    micro-batch boundaries are still suppressed (the property a
+    per-batch window can't give you). Within a batch events are
+    processed in (ts, event_id) order; with an in-event-time-order
+    landing pattern the output equals the batch lag-rule exactly
+    (stream==batch pytest). Gap compare is µs-exact, matching the
+    batch operator's convention.
+
+    State is ONE long per key — bounded by key cardinality, not
+    history; at 100 TB the state store partitions by key hash and the
+    operator never shuffles more than (key, event) pairs."""
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterable[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # normalize to µs explicitly: Arrow hands pandas ns-typed
+            # datetimes, and a raw int64 view would be off by 1000×
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            keep = []
+            for i, t_us in enumerate(ts_us):
+                if last is None or t_us - last > gap_us:
+                    keep.append(i)
+                last = int(t_us)
+            out = pdf.iloc[keep][["event_id", "user_id", "event_type",
+                                  "ts"]]
+            if len(out):
+                yield out
+        if last is not None:
+            state.update((last,))
+
+    return (events
+            .groupBy("user_id", "event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType=_DEBOUNCE_OUT,
+                stateStructType=_DEBOUNCE_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

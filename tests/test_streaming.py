@@ -274,3 +274,58 @@ def test_rollup_refresh_stream_matches_oneshot(spark, landing_dir,
     q2.awaitTermination(120)
     got2 = normalize(S.read_rollup(spark, rollup).toPandas())
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+def test_debounce_stream_equals_batch_rule(spark, landing_dir, tmp_path):
+    """Gap-based streaming debounce == the batch lag-rule over the
+    same time-ordered stream, including bursts planted ACROSS
+    micro-batch boundaries (per-key state carries the last-seen
+    timestamp between batches)."""
+    import os
+    import time
+
+    d = tmp_path / "landing_bursts"
+    d.mkdir()
+    pdf = (spark.read.parquet(landing_dir).toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # every 10th event redelivers 30s later under a negative id —
+    # same planting rule as the batch operator's fixture
+    dup = pdf[pdf["event_id"] % 10 == 0].copy()
+    dup["event_id"] = -dup["event_id"] - 1
+    dup["ts"] = dup["ts"] + pd.Timedelta(seconds=30)
+    full = (pd.concat([pdf, dup]).sort_values(["ts", "event_id"])
+            .reset_index(drop=True))
+    # concat/Timedelta arithmetic can upcast to ns; the ingest schema
+    # declares TIMESTAMP(MICROS)
+    full["ts"] = full["ts"].astype("datetime64[us]")
+    n = len(full)
+    base = time.time() - 100
+    for i in range(3):
+        p = str(d / f"chunk_{i}.parquet")
+        full.iloc[i * n // 3:(i + 1) * n // 3].to_parquet(p, index=False)
+        os.utime(p, (base + 10 * i, base + 10 * i))
+
+    got = _run_stream_to_memory(
+        spark,
+        S.debounce_stream(
+            S.read_event_stream(spark, str(d), max_files_per_trigger=1)),
+        "debounce_stream_out", "append")
+
+    # batch twin: the same lag rule over the full landed set
+    landed = spark.createDataFrame(full)
+    w = (F.lag("ts").over(
+        __import__("pyspark").sql.Window
+        .partitionBy("user_id", "event_type").orderBy("ts", "event_id")))
+    want = (landed
+            .select("event_id", "user_id", "event_type", "ts",
+                    w.alias("prev_ts"))
+            .filter(F.col("prev_ts").isNull()
+                    | (F.unix_micros("ts") - F.unix_micros("prev_ts")
+                       > 300 * 1_000_000))
+            .drop("prev_ts"))
+    a = normalize(got.toPandas())
+    b = normalize(want.toPandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the planted bursts were actually suppressed
+    assert len(a) < len(full)
