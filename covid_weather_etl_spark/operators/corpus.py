@@ -615,3 +615,64 @@ def rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spread(t["documents"], "doc_id")
             .select("doc_id", F.explode(chunks).alias("c"))
             .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled sampling weights
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7  # temperature exponent (mT5/XLM-R convention)
+
+
+@register(
+    "temperature_mix_weights",
+    survey="corpus-mix,A6,A5",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n_tokens) AS t,
+               SUM(POWER(n_tokens, {MIX_ALPHA!r})) AS tp
+        FROM counts
+    )
+    SELECT c.lang, c.n_docs, c.n_tokens,
+           ROUND(c.n_tokens * 1.0 / g.t, 6) AS raw_share,
+           ROUND(POWER(c.n_tokens, {MIX_ALPHA!r}) / g.tp, 6)
+               AS sampled_share,
+           ROUND((POWER(c.n_tokens, {MIX_ALPHA!r}) / g.tp)
+                 / (c.n_tokens * 1.0 / g.t), 6) AS boost
+    FROM counts c CROSS JOIN tot g
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-sampling weights (the mT5/XLM-R
+    α-smoothing): sampling share ∝ tokens^{MIX_ALPHA:g} instead of raw
+    token share, which boosts low-resource languages (boost > 1) and
+    damps the head — the report that turns a raw corpus census into
+    multinomial sampling rates for training. The exponent runs on
+    exact integer token counts, so both engines power identical
+    inputs; all three ratios are rounded 6dp.
+
+    One map-combinable census pass; everything after operates on the
+    language-count-sized aggregate with a broadcast 1-row total. The
+    complement of `corpus_mix` (which enforces fixed target
+    proportions by capping): this one derives the proportions."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    counts = (spread(t["documents"], "doc_id")
+              .groupBy("lang")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum(F.size(F.split("text", " ")).cast("long"))
+                    .alias("n_tokens")))
+    tot = counts.agg(
+        F.sum("n_tokens").alias("t"),
+        F.sum(F.pow("n_tokens", F.lit(MIX_ALPHA))).alias("tp"))
+    raw = F.col("n_tokens") * 1.0 / F.col("t")
+    smp = F.pow("n_tokens", F.lit(MIX_ALPHA)) / F.col("tp")
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs", "n_tokens",
+                    F.round(raw, 6).alias("raw_share"),
+                    F.round(smp, 6).alias("sampled_share"),
+                    F.round(smp / raw, 6).alias("boost")))

@@ -430,3 +430,15 @@ def test_knn_label_eval_matches_numpy(spark):
     for lbl, (n, ok) in correct.items():
         assert got.loc[lbl, "n_vecs"] == n
         assert got.loc[lbl, "n_correct"] == ok
+
+
+def test_temperature_mix_boosts_tail(spark):
+    """α<1 sampling: shares still sum to 1, the LARGEST language is
+    damped (boost < 1) and the SMALLEST is boosted (boost > 1)."""
+    got = (QUERIES["temperature_mix_weights"].fn(spark, SF_DIR)
+           .toPandas().sort_values("n_tokens"))
+    assert abs(got["sampled_share"].sum() - 1.0) < 1e-4
+    assert abs(got["raw_share"].sum() - 1.0) < 1e-4
+    if got["n_tokens"].iloc[0] != got["n_tokens"].iloc[-1]:
+        assert got["boost"].iloc[0] > 1.0
+        assert got["boost"].iloc[-1] < 1.0
