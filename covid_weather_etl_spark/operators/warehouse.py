@@ -204,7 +204,10 @@ _BLOOM_POS_SQL = (
         SELECT DISTINCT o_custkey AS k FROM orders
         WHERE o_orderdate >= TIMESTAMP '{BLOOM_CUTOFF}'
     ), mm AS (
-        SELECT CAST(POWER(2, CEIL(LOG2(COUNT(*) * 8))) AS BIGINT) AS m
+        -- greatest(..., 2): an empty build side would otherwise hit
+        -- LOG2(0) and poison m with -inf on both engines
+        SELECT CAST(POWER(2, CEIL(LOG2(GREATEST(COUNT(*) * 8, 2))))
+                    AS BIGINT) AS m
         FROM keys
     ), pos AS (
         SELECT DISTINCT {_BLOOM_POS_SQL.format(j='jj.j', key='keys.k', m='mm.m')} AS p
@@ -256,7 +259,8 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("o_orderdate") >= BLOOM_CUTOFF)
             .select(F.col("o_custkey").alias("k")).distinct())
     mm = keys.agg(
-        F.pow(F.lit(2.0), F.ceil(F.log2(F.count("*") * 8)))
+        F.pow(F.lit(2.0),
+              F.ceil(F.log2(F.greatest(F.count("*") * 8, F.lit(2)))))
         .cast("long").alias("m"))
 
     def bpos(j, key, m):
