@@ -346,3 +346,45 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_converted") * 1.0 / F.col("n_viewers"), 6)
                      .alias("conversion_rate"),
                     "p50_hours", "p90_hours"))
+
+
+@register(
+    "user_growth_curve",
+    survey="ext-events,A2,A7,W1",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+        FROM events GROUP BY 1
+    ), daily AS (
+        SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT a.d, a.new_users,
+           CAST(SUM(b.new_users) AS BIGINT) AS cum_users
+    FROM daily a JOIN daily b ON b.d <= a.d
+    GROUP BY a.d, a.new_users
+    """,
+)
+def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct growth curve: users are deduplicated to
+    their FIRST-seen day (one min-aggregate), daily new-user counts
+    roll up, and the cumulative total comes from a ≤-self-join over
+    the day-grain aggregate — the standard rewrite of "COUNT(DISTINCT)
+    OVER (ORDER BY day)", which engines either reject or execute as an
+    O(days × users) re-scan. The dedup-then-cumsum form is O(events)
+    + O(days²) on a days-sized frame.
+
+    Scale: the first-seen aggregate shuffles (user, day) pairs once,
+    map-side combinable; everything after runs on a frame bounded by
+    the calendar, not the event volume (and the registry's
+    no-global-window pin holds — the cumsum is a broadcast triangular
+    join, same pattern as seq_length_histogram)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    first_seen = (t["events"]
+                  .groupBy("user_id")
+                  .agg(F.min(F.col("ts").cast("date")).alias("d")))
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    a, b = daily.alias("a"), daily.alias("b")
+    return (a.join(F.broadcast(b), F.col("b.d") <= F.col("a.d"))
+            .groupBy(F.col("a.d").alias("d"),
+                     F.col("a.new_users").alias("new_users"))
+            .agg(F.sum("b.new_users").alias("cum_users")))

@@ -442,3 +442,15 @@ def test_temperature_mix_boosts_tail(spark):
     if got["n_tokens"].iloc[0] != got["n_tokens"].iloc[-1]:
         assert got["boost"].iloc[0] > 1.0
         assert got["boost"].iloc[-1] < 1.0
+
+
+def test_user_growth_curve_monotone_and_totals(spark):
+    got = (QUERIES["user_growth_curve"].fn(spark, SF_DIR)
+           .toPandas().sort_values("d").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert got["cum_users"].is_monotonic_increasing
+    assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
+    assert got["new_users"].sum() == ev["user_id"].nunique()
+    pd.testing.assert_series_equal(
+        got["cum_users"], got["new_users"].cumsum(),
+        check_names=False, check_dtype=False)
