@@ -676,3 +676,120 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(raw, 6).alias("raw_share"),
                     F.round(smp, 6).alias("sampled_share"),
                     F.round(smp / raw, 6).alias("boost")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling")
+
+#: hashed n-gram feature space (2^13-2^16 in a real pipeline; 64 keeps
+#: real collisions on this vocabulary so the hashing trick is exercised).
+DSIR_BUCKETS = 64
+
+#: selection cutoff — keep documents above the 80th weight percentile.
+DSIR_CUT_Q = 0.8
+
+
+@register(
+    "dsir_importance_weights",
+    survey="LLM-corpus,A6,A11,J1,F10",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, lang, tok AS f FROM tok
+        UNION ALL
+        SELECT doc_id, lang, f FROM (
+            SELECT doc_id, lang,
+                   tok || '|' || lead(tok) OVER (PARTITION BY doc_id
+                                                 ORDER BY ord) AS f
+            FROM tok) WHERE f IS NOT NULL
+    ), dtf AS (
+        SELECT doc_id, lang,
+               CAST(CAST('0x' || substr(md5(f), 1, 8) AS BIGINT)
+                    % {DSIR_BUCKETS} AS BIGINT) AS bucket,
+               COUNT(*) AS tf
+        FROM feat GROUP BY 1, 2, 3
+    ), bstat AS (
+        SELECT bucket,
+               SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS ct,
+               SUM(tf) AS cr
+        FROM dtf GROUP BY 1
+    ), tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bstat),
+    ratio AS (
+        SELECT bucket,
+               ROUND(ln((ct + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                     - ln((cr + 1.0) / (tr + {DSIR_BUCKETS}.0)), 6) AS lr
+        FROM bstat, tot
+    ), w AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_feats,
+               ROUND(SUM(tf * lr), 6) AS logw
+        FROM dtf JOIN ratio USING (bucket) GROUP BY 1
+    ), cut AS (SELECT ROUND(quantile_cont(logw, {DSIR_CUT_Q}), 6) AS c FROM w)
+    SELECT doc_id, n_feats, logw,
+           CAST(CASE WHEN logw >= c THEN 1 ELSE 0 END AS INT) AS selected
+    FROM w, cut
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every raw document
+    by how target-like it is under hashed-n-gram bag-of-words language
+    models, then keep the top slice. Features are unigrams plus
+    '|'-joined bigrams, hashed into {DSIR_BUCKETS} buckets (md5-based so
+    both engines agree bit-for-bit, same rationale as
+    hashed_bow_features); the target distribution is the lang='en'
+    slice, the raw distribution is the whole corpus; both are
+    Laplace-smoothed (alpha=1) multinomials over buckets, and
+    log w(doc) = sum_b tf_b * (ln p_target[b] - ln p_raw[b]). Per-bucket
+    log-ratios are rounded 6dp before the per-doc sum so both engines
+    accumulate identical addends. A document is `selected` when its
+    weight clears the {DSIR_CUT_Q:.0%} corpus percentile — a scalar
+    cutoff, NOT a global rank window, so selection stays embarrassingly
+    parallel.
+
+    Plan shape: featurize (array algebra, one explode) -> one
+    map-combinable (doc, bucket) count -> a {DSIR_BUCKETS}-row bucket
+    stat table with a broadcast 1-row total -> broadcast the log-ratio
+    table back over the doc-bucket counts -> per-doc aggregate -> one
+    scalar percentile broadcast for the verdict. At 100 TB both "models"
+    are a {DSIR_BUCKETS}-row table (paper uses 2^16 — still L2-sized),
+    the heavy passes are map-combinable aggregates, and the exact
+    percentile swaps for approx_percentile without touching the rest of
+    the plan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = spread(t["documents"], "doc_id")
+    toks = F.split("text", " ")
+    n_bi = F.size(toks) - 1
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, n_bi), F.slice(toks, 2, n_bi),
+                   lambda a, b: F.concat(a, F.lit("|"), b))
+    ).otherwise(F.array().cast("array<string>"))
+    fb = docs.select("doc_id", "lang",
+                     F.explode(F.concat(toks, bigrams)).alias("f"))
+    bucket = (F.conv(F.substring(F.md5("f"), 1, 8), 16, 10)
+              .cast("long") % DSIR_BUCKETS)
+    dtf = (fb.groupBy("doc_id", "lang", bucket.alias("bucket"))
+           .agg(F.count("*").alias("tf")))
+    bstat = (dtf.groupBy("bucket")
+             .agg(F.sum(F.when(F.col("lang") == "en", F.col("tf"))
+                        .otherwise(F.lit(0))).alias("ct"),
+                  F.sum("tf").alias("cr")))
+    tot = bstat.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    nb = F.lit(float(DSIR_BUCKETS))
+    lr = F.round(F.log((F.col("ct") + 1.0) / (F.col("tt") + nb))
+                 - F.log((F.col("cr") + 1.0) / (F.col("tr") + nb)), 6)
+    ratio = (bstat.crossJoin(F.broadcast(tot))
+             .select("bucket", lr.alias("lr")))
+    w = (dtf.join(F.broadcast(ratio), "bucket")
+         .groupBy("doc_id")
+         .agg(F.sum("tf").cast("long").alias("n_feats"),
+              F.round(F.sum(F.col("tf") * F.col("lr")), 6).alias("logw")))
+    cut = w.agg(F.round(F.percentile("logw", F.lit(DSIR_CUT_Q)), 6)
+                .alias("c"))
+    return (w.crossJoin(F.broadcast(cut))
+            .select("doc_id", "n_feats", "logw",
+                    (F.col("logw") >= F.col("c")).cast("int")
+                    .alias("selected")))

@@ -892,3 +892,87 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_name")
             .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                       "revenue")))
+
+
+@register(
+    "grouping_sets_margins",
+    survey="ext-rollup,A3,A6,A7",
+    oracle=f"""
+    SELECT n_name, o_orderpriority,
+           CAST(GROUPING(n_name, o_orderpriority) AS BIGINT) AS lvl,
+           {dsum_sql('o_totalprice')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the family member ROLLUP and CUBE can't
+    express: the two independent one-dimensional margins (by nation, by
+    priority) plus the grand total, WITHOUT the combined
+    nation×priority cell. Completes §2.4's grouping-sets gap
+    (rollup_revenue, cube_revenue are the other two shapes). One Expand
+    (3×) + hash aggregate over a single fact scan with map-side
+    combine; both dims broadcast — same single-shuffle plan as rollup,
+    one fewer grouping set than cube."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    joined = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupingSets([["n_name"], ["o_orderpriority"], []],
+                            "n_name", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            dsum("o_totalprice", "revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("n_name", "o_orderpriority", "lvl", "revenue", "n_orders")
+    )
+
+
+@register(
+    "unpivot_flag_metrics",
+    survey="ext-pivot,A4,A6",
+    oracle=f"""
+    WITH g AS (
+        SELECT l_returnflag,
+               ROUND({exact_avg_sql('l_quantity')}, 6) AS avg_qty,
+               ROUND({exact_avg_sql('l_discount')}, 6) AS avg_disc,
+               ROUND({exact_avg_sql('l_extendedprice')}, 6) AS avg_price
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'avg_qty' AS metric, avg_qty AS value FROM g
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM g
+    UNION ALL
+    SELECT l_returnflag, 'avg_price', avg_price FROM g
+    """,
+)
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt), the inverse of pivot_status_revenue:
+    aggregate three per-returnflag metrics into wide columns, then
+    `unpivot` them into tidy (flag, metric, value) triples — the shape
+    chart libraries and metric stores ingest. Spark plans unpivot as an
+    Expand over the (tiny) aggregate, so the reshape costs nothing
+    after the one map-combinable shuffle; the oracle mirrors it as
+    UNION ALL, the portable-SQL equivalent. Averages go through exact
+    decimal sum / count (functions.numeric) so both engines emit
+    bit-identical doubles."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    g = (t["lineitem"].groupBy("l_returnflag")
+         .agg(F.round(exact_avg("l_quantity"), 6).alias("avg_qty"),
+              F.round(exact_avg("l_discount"), 6).alias("avg_disc"),
+              F.round(exact_avg("l_extendedprice"), 6).alias("avg_price")))
+    return g.unpivot(
+        ids=["l_returnflag"],
+        values=["avg_qty", "avg_disc", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

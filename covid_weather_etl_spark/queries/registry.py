@@ -115,13 +115,21 @@ _ROTATION_R4 = (
     "quantile_binning", "iqr_outlier_report", "chi2_independence",
     "scd2_fact_join", "multi_touch_attribution",
     "debounce_events", "rag_chunking",
-    # r2-green, module source touched in r3/r4 — refresh (every
-    # displaced refresh still carries the local sf0.01 sweep evidence)
-    "ivf_kmeans_topk",
-    "ngram_jaccard_near_dup",
-    "seasonal_decompose",
-    "dedup_clusters",
+    # late-session r4 additions — first driver rows. These four slots
+    # previously held r2-green refreshes (ivf_kmeans_topk,
+    # ngram_jaccard_near_dup, seasonal_decompose, dedup_clusters);
+    # never-checked queries outrank refreshes, and every displaced
+    # refresh carries the local sf0.01 sweep evidence
+    # (scripts/parity_check.py) on current code instead.
+    "knn_label_eval",
+    "dsir_importance_weights",
+    "grouping_sets_margins",
+    "local_supplier_revenue",
 )
+# Still never driver-checked after this window (queued first for r5,
+# all locally sf0.01-parity-green): unpivot_flag_metrics,
+# temperature_mix_weights, time_to_convert_stats, user_growth_curve,
+# name_similarity_pairs, target_encoding_segment, rolling_median_revenue.
 
 
 def all_queries() -> dict[str, Query]:

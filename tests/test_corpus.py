@@ -145,3 +145,27 @@ def test_quality_funnel_is_monotone_and_consistent(spark, docs_pdf):
     # stage-1 survivor count checks against pandas
     assert pdf.loc[0, "n_out"] == int((docs_pdf["n_chars"]
                                        >= C.MIN_CHARS).sum())
+
+
+def test_dsir_weights_favor_target_and_respect_quota(spark, docs_pdf):
+    """DSIR invariants the oracle can't express: the target (en) slice
+    must score higher on average than the non-target slice (its own
+    n-grams define p_target), the selected fraction must sit at the
+    quota up to ties, and membership must be a pure function of the
+    corpus (rerun-identical)."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    q = all_queries()["dsir_importance_weights"]
+    got = q.fn(spark, SF_DIR).toPandas().set_index("doc_id").sort_index()
+    merged = got.join(docs_pdf.set_index("doc_id")[["lang"]])
+    en = merged[merged["lang"] == "en"]["logw"]
+    rest = merged[merged["lang"] != "en"]["logw"]
+    if len(rest):
+        assert en.mean() > rest.mean()
+    frac = merged["selected"].mean()
+    assert 1 - C.DSIR_CUT_Q - 0.05 <= frac <= 1 - C.DSIR_CUT_Q + 0.05
+    # selection = weight above the scalar cutoff: every selected doc
+    # outweighs every unselected doc
+    assert (merged[merged["selected"] == 1]["logw"].min()
+            >= merged[merged["selected"] == 0]["logw"].max())
+    again = q.fn(spark, SF_DIR).toPandas().set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(got, again)
