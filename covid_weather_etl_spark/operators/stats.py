@@ -70,9 +70,15 @@ def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scan → ONE task; the exact percentile sorts the whole
     # column in it. spread() parallelizes the partial collection.
     li = spread(t["lineitem"])
-    edges = li.agg(*[
-        F.round(F.percentile("l_extendedprice", F.lit(q)), 6)
-        .alias(f"e{i + 1}") for i, q in enumerate(_QS)])
+    # ONE percentile aggregate for all three edges: F.percentile
+    # buffers the whole column per aggregate expression, so three
+    # separate aggs would buffer (and serialize partials of) the
+    # column three times.
+    qarr = li.agg(F.percentile(
+        "l_extendedprice", F.array(*[F.lit(q) for q in _QS])).alias("qs"))
+    edges = qarr.select(*[
+        F.round(F.col("qs")[i], 6).alias(f"e{i + 1}")
+        for i in range(len(_QS))])
     v = F.col("l_extendedprice")
     bin_ = (F.when(v < F.col("e1"), 0)
             .when(v < F.col("e2"), 1)
@@ -123,11 +129,15 @@ def iqr_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable count aggregate."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = spread(t["lineitem"], "l_returnflag")
-    q1 = F.percentile("l_extendedprice", F.lit(0.25))
-    q3 = F.percentile("l_extendedprice", F.lit(0.75))
+    # one array-percentile buffer per group instead of one per quartile
+    q1, q3 = F.col("qs")[0], F.col("qs")[1]
     fences = (li.groupBy("l_returnflag")
-              .agg(F.round(q1 - 1.5 * (q3 - q1), 6).alias("lo_fence"),
-                   F.round(q3 + 1.5 * (q3 - q1), 6).alias("hi_fence")))
+              .agg(F.percentile("l_extendedprice",
+                                F.array(F.lit(0.25), F.lit(0.75)))
+                   .alias("qs"))
+              .select("l_returnflag",
+                      F.round(q1 - 1.5 * (q3 - q1), 6).alias("lo_fence"),
+                      F.round(q3 + 1.5 * (q3 - q1), 6).alias("hi_fence")))
     v = F.col("l_extendedprice")
     return (li.join(F.broadcast(fences), "l_returnflag")
             .groupBy("l_returnflag", "lo_fence", "hi_fence")
