@@ -771,8 +771,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.explode(F.concat(toks, bigrams)).alias("f"))
     bucket = (F.conv(F.substring(F.md5("f"), 1, 8), 16, 10)
               .cast("long") % DSIR_BUCKETS)
+    # dtf feeds BOTH the bucket-model aggregate and the per-doc scorer;
+    # materialize it once (localCheckpoint truncates lineage, same as
+    # dedup_clusters' rounds) so the explode-heavy featurize pass runs
+    # once, not once per consumer — at corpus scale re-featurizing is
+    # the single biggest avoidable cost in this plan.
     dtf = (fb.groupBy("doc_id", "lang", bucket.alias("bucket"))
-           .agg(F.count("*").alias("tf")))
+           .agg(F.count("*").alias("tf"))
+           .localCheckpoint())
     bstat = (dtf.groupBy("bucket")
              .agg(F.sum(F.when(F.col("lang") == "en", F.col("tf"))
                         .otherwise(F.lit(0))).alias("ct"),
@@ -783,10 +789,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - F.log((F.col("cr") + 1.0) / (F.col("tr") + nb)), 6)
     ratio = (bstat.crossJoin(F.broadcast(tot))
              .select("bucket", lr.alias("lr")))
+    # w is consumed twice (cutoff percentile + verdict) — one more
+    # doc-count-sized materialization instead of re-running the join.
     w = (dtf.join(F.broadcast(ratio), "bucket")
          .groupBy("doc_id")
          .agg(F.sum("tf").cast("long").alias("n_feats"),
-              F.round(F.sum(F.col("tf") * F.col("lr")), 6).alias("logw")))
+              F.round(F.sum(F.col("tf") * F.col("lr")), 6).alias("logw"))
+         .localCheckpoint())
     cut = w.agg(F.round(F.percentile("logw", F.lit(DSIR_CUT_Q)), 6)
                 .alias("c"))
     return (w.crossJoin(F.broadcast(cut))
