@@ -298,3 +298,180 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(F.col("pass") & F.col("k").isNull(), 1)
                       .otherwise(0)) * 1.0 / F.count("*"), 6)
          .alias("fp_rate"))
+
+
+# ---------------------------------------------------------------------------
+# Customer analytics: RFM segmentation and market-basket affinity
+
+#: RFM quartile probabilities (3 edges -> 4 score levels per dimension).
+RFM_QS = (0.25, 0.50, 0.75)
+
+#: minimum pair co-occurrence to report (prunes the noise floor BEFORE
+#: the stat joins; at sf0.001 the corpus may legitimately have no pair
+#: clearing it, and the oracle agrees).
+BASKET_MIN_CO = 2
+
+
+@register(
+    "rfm_segmentation",
+    survey="ext-stats,A6,A8,A11,F5",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey, MAX(o_orderdate) AS last_dt, COUNT(*) AS freq,
+               {dsum_sql('o_totalprice')} AS money
+        FROM orders GROUP BY 1
+    ), maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    base AS (
+        SELECT o_custkey, CAST(date_diff('day', last_dt, d) AS BIGINT) AS rec,
+               freq, money
+        FROM cust, maxd
+    ), e AS (
+        SELECT ROUND(quantile_cont(rec,  0.25), 6) AS re1,
+               ROUND(quantile_cont(rec,  0.50), 6) AS re2,
+               ROUND(quantile_cont(rec,  0.75), 6) AS re3,
+               ROUND(quantile_cont(freq, 0.25), 6) AS fe1,
+               ROUND(quantile_cont(freq, 0.50), 6) AS fe2,
+               ROUND(quantile_cont(freq, 0.75), 6) AS fe3,
+               ROUND(quantile_cont(money, 0.25), 6) AS me1,
+               ROUND(quantile_cont(money, 0.50), 6) AS me2,
+               ROUND(quantile_cont(money, 0.75), 6) AS me3
+        FROM base
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(money AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+    FROM (
+        SELECT CASE WHEN rec <= re1 THEN 4 WHEN rec <= re2 THEN 3
+                    WHEN rec <= re3 THEN 2 ELSE 1 END AS r_score,
+               CASE WHEN freq <= fe1 THEN 1 WHEN freq <= fe2 THEN 2
+                    WHEN freq <= fe3 THEN 3 ELSE 4 END AS f_score,
+               CASE WHEN money <= me1 THEN 1 WHEN money <= me2 THEN 2
+                    WHEN money <= me3 THEN 3 ELSE 4 END AS m_score,
+               money
+        FROM base, e
+    ) GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse scoring model:
+    per customer, Recency (days since last order, lower is better),
+    Frequency (order count) and Monetary (exact-decimal revenue), each
+    discretized into quartile scores 1-4 against corpus-wide edges, then
+    rolled up to segment cells with exact revenue totals. Edges are
+    rounded 6dp on both engines before any comparison (repo float
+    convention); recency/frequency comparisons run on exact integers.
+
+    Plan shape: one map-combinable per-customer aggregate; a 1-row
+    global max-date broadcast; ONE array-percentile aggregate for all
+    nine quartile edges (single buffer per dimension, see
+    quantile_binning); the 1-row edge frame broadcast back over the
+    customer aggregate; one final tiny-key-space rollup. No global
+    windows anywhere — scoring is a scalar-cutoff CASE, which is what
+    keeps RFM embarrassingly parallel at 100 TB (swap exact percentile
+    for approx_percentile and nothing else changes)."""
+    from covid_weather_etl_spark.functions.numeric import DEC, dsum
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    cust = (o.groupBy("o_custkey")
+            .agg(F.max("o_orderdate").alias("last_dt"),
+                 F.count("*").alias("freq"),
+                 dsum("o_totalprice", "money")))
+    maxd = o.agg(F.max("o_orderdate").alias("d"))
+    base = (cust.crossJoin(F.broadcast(maxd))
+            .select("o_custkey",
+                    F.datediff("d", "last_dt").cast("long").alias("rec"),
+                    "freq", "money"))
+    qarr = F.array(*[F.lit(q) for q in RFM_QS])
+    edges = base.agg(F.percentile("rec", qarr).alias("re"),
+                     F.percentile("freq", qarr).alias("fe"),
+                     F.percentile("money", qarr).alias("me"))
+    e = edges.select(*[F.round(F.col(c)[i], 6).alias(f"{c}{i + 1}")
+                       for c in ("re", "fe", "me") for i in range(3)])
+    r = (F.when(F.col("rec") <= F.col("re1"), 4)
+         .when(F.col("rec") <= F.col("re2"), 3)
+         .when(F.col("rec") <= F.col("re3"), 2).otherwise(1))
+    f_ = (F.when(F.col("freq") <= F.col("fe1"), 1)
+          .when(F.col("freq") <= F.col("fe2"), 2)
+          .when(F.col("freq") <= F.col("fe3"), 3).otherwise(4))
+    m = (F.when(F.col("money") <= F.col("me1"), 1)
+         .when(F.col("money") <= F.col("me2"), 2)
+         .when(F.col("money") <= F.col("me3"), 3).otherwise(4))
+    return (base.crossJoin(F.broadcast(e))
+            .select(r.alias("r_score"), f_.alias("f_score"),
+                    m.alias("m_score"), "money")
+            .groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.col("money").cast(DEC)).cast("double")
+                  .alias("total_revenue")))
+
+
+@register(
+    "basket_affinity",
+    survey="ext-stats,J1,A2,A6,W6",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+    pair AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS co
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(co AS BIGINT) AS n_cooccur,
+           ROUND(co * 1.0 / n_orders, 6) AS support,
+           ROUND((co * 1.0 * n_orders) / (ia.c * ib.c), 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    WHERE co >= {BASKET_MIN_CO}
+    ORDER BY ROUND((co * 1.0 * n_orders) / (ia.c * ib.c), 6) DESC,
+             part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 part pairs by lift — the
+    co-purchase signal behind "frequently bought together". Support =
+    co-occurring orders / total orders; lift = P(a,b)/(P(a)·P(b)),
+    computed from exact integer counts with ONE final division, so the
+    6dp rounding is deterministic on both engines; the ordering
+    (lift desc, then both keys) is total, so the LIMIT cut is too.
+
+    Plan shape: project + distinct to (order, part) pairs, self-join on
+    the order key (one hash shuffle; pair fan-out is bounded by
+    basket_size² per order — baskets are small by nature, the join
+    never goes quadratic in the corpus), map-combinable pair counts
+    pruned by the support floor BEFORE the stat joins, item stats
+    broadcast (part-dimension-sized), 1-row order-count broadcast, and
+    a TakeOrderedAndProject for the top-20 (no global sort). The exact
+    shape of distributed frequent-pair mining's counting step (the
+    A-Priori candidate pass)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = (t["lineitem"].select("l_orderkey", "l_partkey").distinct())
+    n = t["lineitem"].agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("part_a"),
+                     F.col("b.l_partkey").alias("part_b"))
+            .agg(F.count("*").alias("co"))
+            .filter(F.col("co") >= BASKET_MIN_CO))
+    ia = F.broadcast(item.select(F.col("l_partkey").alias("part_a"),
+                                 F.col("c").alias("ca")))
+    ib = F.broadcast(item.select(F.col("l_partkey").alias("part_b"),
+                                 F.col("c").alias("cb")))
+    lift = F.round((F.col("co") * 1.0 * F.col("n_orders"))
+                   / (F.col("ca") * F.col("cb")), 6)
+    return (pair.join(ia, "part_a").join(ib, "part_b")
+            .crossJoin(F.broadcast(n))
+            .select("part_a", "part_b",
+                    F.col("co").cast("long").alias("n_cooccur"),
+                    F.round(F.col("co") * 1.0 / F.col("n_orders"), 6)
+                     .alias("support"),
+                    lift.alias("lift"))
+            .orderBy(F.col("lift").desc(), "part_a", "part_b")
+            .limit(20))

@@ -129,7 +129,8 @@ _ROTATION_R4 = (
 # Still never driver-checked after this window (queued first for r5,
 # all locally sf0.01-parity-green): unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
-# name_similarity_pairs, target_encoding_segment, rolling_median_revenue.
+# name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
+# rfm_segmentation, basket_affinity.
 
 
 def all_queries() -> dict[str, Query]:

@@ -454,3 +454,26 @@ def test_user_growth_curve_monotone_and_totals(spark):
     pd.testing.assert_series_equal(
         got["cum_users"], got["new_users"].cumsum(),
         check_names=False, check_dtype=False)
+
+
+def test_rfm_segments_partition_customers(spark):
+    got = QUERIES["rfm_segmentation"].fn(spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    assert got["n_customers"].sum() == orders["o_custkey"].nunique()
+    for c in ("r_score", "f_score", "m_score"):
+        assert got[c].between(1, 4).all()
+    assert abs(got["total_revenue"].sum()
+               - orders["o_totalprice"].sum()) < 1e-3
+
+
+def test_basket_affinity_pairs_are_real_cooccurrences(spark):
+    got = QUERIES["basket_affinity"].fn(spark, SF_DIR).toPandas()
+    from covid_weather_etl_spark.operators.warehouse import BASKET_MIN_CO
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(set)
+    assert (got["part_a"] < got["part_b"]).all()
+    assert (got["n_cooccur"] >= BASKET_MIN_CO).all()
+    assert got["lift"].is_monotonic_decreasing or len(got) <= 1
+    for r in got.itertuples(index=False):
+        co = sum(1 for b in baskets if r.part_a in b and r.part_b in b)
+        assert co == r.n_cooccur
