@@ -1244,3 +1244,96 @@ def rolling_cv_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (daily.groupBy("n_name")
             .applyInPandas(_cv_grid_group, schema=_CV_SCHEMA)
             .orderBy("n_name", "config", "fold"))
+
+
+# ---------------------------------------------------------------------------
+# U2/U5 — Holt-Winters triple exponential smoothing forecast eval
+# ---------------------------------------------------------------------------
+
+#: damped additive Holt-Winters constants (level/trend/seasonal/damping)
+#: and the weekly period of the daily revenue series. Fixed, not
+#: searched, so runs are deterministic without an optimizer; the values
+#: are conservative because the eval forecasts the FULL 20% test
+#: horizon statically — an undamped trend extrapolates linearly and a
+#: 72-step horizon amplifies any trend-estimate error ~72×, which is
+#: exactly the failure Gardner-McKenzie damping (φ<1 geometric decay of
+#: the trend contribution) exists to bound.
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_PHI = 0.1, 0.01, 0.1, 0.5
+HW_PERIOD = 7
+
+
+def _holt_winters_forecast(train: np.ndarray, horizon: int,
+                           m: int = HW_PERIOD) -> np.ndarray | None:
+    """Damped additive Holt-Winters: level/trend/seasonal recurrences
+    fit on the train slice, h-step-ahead forecast from the final state
+    with the trend contribution damped as φ+φ²+…+φʰ. Classical
+    initialization: level = first-season mean, trend = (second-season
+    mean − first-season mean)/m, seasonal = first-season deviations
+    from the initial level. Returns None when the series is shorter
+    than two seasons (state cannot initialize)."""
+    if len(train) < 2 * m or horizon <= 0:
+        return None
+    s1 = float(train[:m].mean())
+    s2 = float(train[m:2 * m].mean())
+    level, trend = s1, (s2 - s1) / m
+    seas = [float(v - s1) for v in train[:m]]
+    for t in range(len(train)):
+        x, si = float(train[t]), t % m
+        prev = level
+        level = (HW_ALPHA * (x - seas[si])
+                 + (1 - HW_ALPHA) * (level + HW_PHI * trend))
+        trend = (HW_BETA * (level - prev)
+                 + (1 - HW_BETA) * HW_PHI * trend)
+        seas[si] = HW_GAMMA * (x - level) + (1 - HW_GAMMA) * seas[si]
+    n = len(train)
+    out, damp, p = [], 0.0, 1.0
+    for k in range(horizon):
+        p *= HW_PHI
+        damp += p
+        out.append(level + damp * trend + seas[(n + k) % m])
+    return np.array(out, dtype=np.float64)
+
+
+def _hw_eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One group's 80/20 chrono split + Holt-Winters fit + forecast
+    eval — same protocol and output shape as _sarima_eval_group."""
+    pdf = pdf.sort_values("d")
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    name = pdf["n_name"].iloc[0]
+    n_train = int(len(y) * 0.8)
+    train, test = y[:n_train], y[n_train:]
+    fc = _holt_winters_forecast(train, len(test))
+    if fc is None:
+        return pd.DataFrame([{
+            "n_name": name, "n_train": n_train, "n_test": len(test),
+            "mae": float("nan"), "rmse": float("nan"), "r2": float("nan")}])
+    err = test - fc
+    mae = float(np.mean(np.abs(err)))
+    rmse = float(np.sqrt(np.mean(err ** 2)))
+    denom = float(np.sum((test - test.mean()) ** 2))
+    r2 = float(1.0 - np.sum(err ** 2) / denom) if denom > 0 else float("nan")
+    return pd.DataFrame([{
+        "n_name": name, "n_train": n_train, "n_test": len(test),
+        "mae": round(mae, 6), "rmse": round(rmse, 6), "r2": round(r2, 6)}])
+
+
+@register("holt_winters_forecast_eval", survey="U2,U5,W5")
+def holt_winters_forecast_eval(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-nation damped additive Holt-Winters (triple exponential
+    smoothing) forecast eval — completes the classical family between
+    ewma_smoothing (level only) and sarima_forecast_eval (full ARMA
+    state): level + trend + weekly-seasonal recurrences, O(1) state
+    per series, the production choice when SARIMA's fit cost isn't
+    justified. Same 80/20 chrono protocol and metric columns as the
+    SARIMA/Fourier evals (reference forecasting DAG protocol,
+    dags/forecasting_dag.py:95-231). One Arrow batch per nation via
+    applyInPandas — embarrassingly parallel; at 100 TB the per-series
+    state is three floats + one season vector regardless of series
+    length. Rows-only driver check; recurrence pinned against an
+    independent reimplementation and a planted trend+seasonal fixture
+    in tests/test_ml.py."""
+    daily = nation_daily(spark, sf_dir)
+    return (daily.groupBy("n_name")
+            .applyInPandas(_hw_eval_group, schema=_SARIMA_EVAL_SCHEMA)
+            .orderBy("n_name"))

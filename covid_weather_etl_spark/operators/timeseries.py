@@ -381,3 +381,75 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("y").over(w) == MEDIAN_WINDOW,
         F.round(F.percentile("y", F.lit(0.5)).over(w), 6))
     return daily.select("n_name", "d", "y", med.alias("roll_median"))
+
+
+#: Hampel/robust-z parameters: 1.4826 scales MAD to the stddev of a
+#: normal distribution; 3.5 is the standard Hampel identifier cutoff.
+MAD_SIGMA = 1.4826
+MAD_CUTOFF = 3.5
+
+
+@register(
+    "mad_anomaly_report",
+    survey="ext-timeseries,A11,A6,P7",
+    oracle=f"""
+    WITH daily AS (
+        SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), med AS (
+        SELECT n_name, ROUND(quantile_cont(y, 0.5), 6) AS med
+        FROM daily GROUP BY 1
+    ), mad AS (
+        SELECT d.n_name,
+               ROUND(quantile_cont(ABS(d.y - m.med), 0.5), 6) AS mad
+        FROM daily d JOIN med m USING (n_name) GROUP BY 1
+    )
+    SELECT d.n_name, d.d, d.y, m.med, a.mad,
+           ROUND(ABS(d.y - m.med) / ({MAD_SIGMA} * a.mad), 6) AS robust_z
+    FROM daily d
+    JOIN med m USING (n_name)
+    JOIN mad a USING (n_name)
+    WHERE a.mad > 0
+      AND ABS(d.y - m.med) > {MAD_CUTOFF} * {MAD_SIGMA} * a.mad
+    """,
+)
+def mad_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly report (Hampel identifier) over the per-nation
+    daily revenue series: a day is anomalous when its deviation from
+    the nation's MEDIAN exceeds {MAD_CUTOFF}·{MAD_SIGMA}·MAD (median
+    absolute deviation). Mean/stddev monitors drown in their own
+    outliers — one spike inflates sigma and masks the next spike; the
+    median/MAD pair has a 50% breakdown point, which is why production
+    data-quality monitors alert on robust z. Completes the monitoring
+    family next to ewma_smoothing (drift) and cusum_changepoint (level
+    shifts): this one catches point anomalies.
+
+    Plan shape: the one (nation, day) rollup shuffle, then two
+    group-count-sized exact-percentile aggregates (median, then median
+    of absolute deviations — the second needs the first, an inherent
+    two-pass dependency), each broadcast back over the tiny daily
+    frame. Both medians are rounded 6dp before any comparison so both
+    engines threshold identical values; groups with MAD = 0 are
+    excluded on both sides rather than dividing by zero. At 100 TB the
+    rollup IS the data reduction (days×nations rows); the percentile
+    swaps for approx_percentile, nothing else changes."""
+    from covid_weather_etl_spark.ml.queries import nation_daily
+
+    daily = nation_daily(spark, sf_dir).select("n_name", "d", "y")
+    med = (daily.groupBy("n_name")
+           .agg(F.round(F.percentile("y", F.lit(0.5)), 6).alias("med")))
+    with_med = daily.join(F.broadcast(med), "n_name")
+    mad = (with_med.groupBy("n_name")
+           .agg(F.round(F.percentile(F.abs(F.col("y") - F.col("med")),
+                                     F.lit(0.5)), 6).alias("mad")))
+    dev = F.abs(F.col("y") - F.col("med"))
+    return (with_med.join(F.broadcast(mad), "n_name")
+            .filter((F.col("mad") > 0)
+                    & (dev > MAD_CUTOFF * MAD_SIGMA * F.col("mad")))
+            .select("n_name", "d", "y", "med", "mad",
+                    F.round(dev / (MAD_SIGMA * F.col("mad")), 6)
+                     .alias("robust_z")))

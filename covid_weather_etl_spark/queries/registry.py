@@ -130,7 +130,8 @@ _ROTATION_R4 = (
 # all locally sf0.01-parity-green): unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
-# rfm_segmentation, basket_affinity.
+# rfm_segmentation, basket_affinity, mad_anomaly_report,
+# holt_winters_forecast_eval.
 
 
 def all_queries() -> dict[str, Query]:

@@ -386,3 +386,53 @@ def test_rolling_cv_query_shape_and_determinism(spark):
     # per group: at most one winning config
     for name, grp in a.groupby("n_name"):
         assert grp[grp["is_winner"]]["config"].nunique() <= 1
+
+
+def test_holt_winters_beats_seasonal_naive_across_seeds():
+    """Damped Holt-Winters must beat the seasonal-naive baseline on
+    every reference-shaped fixture seed — the same 'model earns its
+    keep' gate SARIMA passes; damping is what keeps the long static
+    horizon from amplifying trend error."""
+    for seed in (42, 7, 123, 2026):
+        y = _seasonal_fixture(seed)
+        n_train = int(len(y) * 0.8)
+        test = y[n_train:]
+        fc = ML._holt_winters_forecast(y[:n_train], len(test), m=12)
+        assert fc is not None and np.isfinite(fc).all()
+        naive = np.array([y[n_train - 12 + (h % 12)]
+                          for h in range(len(test))])
+        rmse = float(np.sqrt(np.mean((test - fc) ** 2)))
+        naive_rmse = float(np.sqrt(np.mean((test - naive) ** 2)))
+        assert rmse < naive_rmse, (seed, rmse, naive_rmse)
+
+
+def test_holt_winters_recurrence_and_guards():
+    """Pin the damped recurrence against an independent step-by-step
+    reimplementation, and the short-series guard."""
+    y = _seasonal_fixture(42)[:60]
+    fc = ML._holt_winters_forecast(y, 5, m=12)
+    # independent reimplementation
+    m, a, b, g, phi = 12, ML.HW_ALPHA, ML.HW_BETA, ML.HW_GAMMA, ML.HW_PHI
+    lvl = float(y[:m].mean())
+    tr = (float(y[m:2 * m].mean()) - lvl) / m
+    seas = [float(v - y[:m].mean()) for v in y[:m]]
+    for t in range(len(y)):
+        x, si = float(y[t]), t % m
+        prev = lvl
+        lvl = a * (x - seas[si]) + (1 - a) * (lvl + phi * tr)
+        tr = b * (lvl - prev) + (1 - b) * phi * tr
+        seas[si] = g * (x - lvl) + (1 - g) * seas[si]
+    exp = [lvl + sum(phi ** j for j in range(1, k + 2)) * tr
+           + seas[(len(y) + k) % m] for k in range(5)]
+    assert np.allclose(fc, exp, rtol=0, atol=1e-9)
+    assert ML._holt_winters_forecast(y[:18], 5, m=12) is None
+    assert ML._holt_winters_forecast(y, 0, m=12) is None
+
+
+def test_holt_winters_eval_runs_on_real_series(spark):
+    got = ML.holt_winters_forecast_eval(spark, SF_DIR).toPandas()
+    assert len(got) > 0
+    assert set(got.columns) == {"n_name", "n_train", "n_test",
+                                "mae", "rmse", "r2"}
+    ok = got.dropna()
+    assert (ok["mae"] >= 0).all() and (ok["rmse"] >= ok["mae"]).all()

@@ -92,3 +92,36 @@ def test_cusum_recovers_planted_shift(spark, tmp_path):
     # |S| peaks at the last pre-shift month (index 23)
     assert r[0]["cp_month"] == months[23]
     assert r[0]["s_value"] < 0  # pre-shift cum runs below the mean line
+
+
+def test_mad_anomalies_match_pandas_recount(spark):
+    """Independent pandas recount of the Hampel identifier: same daily
+    rollup, same rounded median/MAD, same cutoff — identical flagged
+    set and robust-z scores."""
+    from covid_weather_etl_spark.operators.timeseries import (
+        MAD_CUTOFF, MAD_SIGMA)
+    got = (QUERIES["mad_anomaly_report"].fn(spark, SF_DIR).toPandas()
+           .sort_values(["n_name", "d"]).reset_index(drop=True))
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    df = (orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+          .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    df["d"] = pd.to_datetime(df["o_orderdate"]).dt.date
+    daily = (df.groupby(["n_name", "d"])["o_totalprice"].sum()
+             .reset_index(name="y"))
+    rows = []
+    for name, g in daily.groupby("n_name"):
+        med = round(g["y"].median(), 6)
+        mad = round((g["y"] - med).abs().median(), 6)
+        if mad <= 0:
+            continue
+        for r in g.itertuples(index=False):
+            dev = abs(r.y - med)
+            if dev > MAD_CUTOFF * MAD_SIGMA * mad:
+                rows.append((name, r.d, round(dev / (MAD_SIGMA * mad), 6)))
+    exp = (pd.DataFrame(rows, columns=["n_name", "d", "robust_z"])
+           .sort_values(["n_name", "d"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got["n_name"] == exp["n_name"]).all()
+    assert np.allclose(got["robust_z"], exp["robust_z"], atol=1e-6)
