@@ -188,3 +188,95 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("suppkey") == F.col("s_suppkey"))
             .select(F.col("s_suppkey"), F.col("s_name"), F.col("rank"))
             .orderBy(F.col("rank").desc(), F.col("s_suppkey")))
+
+
+#: co-purchase edge support floor (same as warehouse.BASKET_MIN_CO —
+#: the triangle graph is the basket-affinity graph).
+TRI_MIN_CO = 2
+
+
+@register(
+    "triangle_count",
+    survey="ext-graph,J1,A2,A6",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_CO}
+    ), tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.pa = e1.pb
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+        ) GROUP BY 1
+    ), wedge AS (
+        -- d·(d−1) is always even: // keeps the whole path in exact
+        -- integer arithmetic (no double cast-rounding asymmetry)
+        SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN w.n_wedges > 0
+                 THEN 3.0 * t.n_triangles / w.n_wedges ELSE 0 END, 6)
+               AS global_clustering
+    FROM tri t, wedge w
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts linked when
+    ≥{TRI_MIN_CO} orders contain both): exact triangle count via the
+    canonical-orientation join — every edge stored once as (low, high),
+    so each triangle a<b<c is enumerated exactly once as
+    (a,b)⋈(b,c)⋈(a,c) with no division by symmetry — plus the global
+    clustering coefficient 3·triangles / wedges from exact integer
+    degree sums. The third canonical graph primitive next to
+    dedup_clusters (components) and pagerank_suppliers (centrality);
+    triangle density is the standard community-structure probe.
+
+    Plan shape: the edge build is the basket_affinity pair pass (one
+    orderkey-shuffle self-join, support floor applied BEFORE anything
+    else); the census is two hash joins of the edge list against
+    itself (shuffles keyed on single node columns) and one
+    degree aggregate — no iteration, no driver-side graph. At web
+    scale the standard upgrade is degree-orientation (direct each edge
+    low-degree → high-degree before the joins, bounding intermediate
+    wedge fan-out by the graph's degeneracy instead of its max degree);
+    the join structure is unchanged."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .groupBy(F.col("a.l_partkey").alias("pa"),
+                  F.col("b.l_partkey").alias("pb"))
+         .agg(F.count("*").alias("co"))
+         .filter(F.col("co") >= TRI_MIN_CO)
+         .select("pa", "pb")
+         .localCheckpoint())  # edge list feeds three join legs + degrees
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+           .join(e3, (F.col("e3.pa") == F.col("e1.pa"))
+                 & (F.col("e3.pb") == F.col("e2.pb")))
+           .agg(F.count("*").alias("n_triangles")))
+    deg = (e.select(F.col("pa").alias("node"))
+           .unionAll(e.select(F.col("pb").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    wedge = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+        F.count("*").alias("n_nodes"))
+    edges = e.agg(F.count("*").alias("n_edges"))
+    cc = F.when(F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+                ).otherwise(F.lit(0.0))
+    return (edges.crossJoin(F.broadcast(wedge))
+            .crossJoin(F.broadcast(tri))
+            .select("n_edges", "n_nodes",
+                    F.col("n_triangles").cast("long").alias("n_triangles"),
+                    cc.alias("global_clustering")))

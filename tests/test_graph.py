@@ -83,3 +83,30 @@ def test_rank_mass_conserved_and_deterministic(spark):
     # ordering is by rank desc with suppkey tiebreak
     ranks = [r["rank"] for r in a]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_triangle_count_matches_python_recount(spark):
+    """Exact triangle/wedge recount with python sets — independent of
+    both the engine's join order and the oracle's SQL."""
+    import itertools
+
+    from covid_weather_etl_spark.operators.graph import TRI_MIN_CO
+    got = QUERIES["triangle_count"].fn(spark, SF_DIR).collect()[0]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    pairs = {}
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(set(g["l_partkey"])), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    edges = {e for e, c in pairs.items() if c >= TRI_MIN_CO}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for (a, b) in edges
+              for c in adj[a] & adj[b] if b < c)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert got["n_edges"] == len(edges)
+    assert got["n_nodes"] == len(adj)
+    assert got["n_triangles"] == tri
+    if wedges:
+        assert got["global_clustering"] == round(3.0 * tri / wedges, 6)
