@@ -976,3 +976,58 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+Q1_SHIP_CUTOFF = "1998-09-02"  # TPC-H Q1's DATE '1998-12-01' - 90 days
+
+
+@register(
+    "pricing_summary_q1",
+    survey="A3,A4,A6,P5,F9",
+    bench=True,
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+               AS sum_charge,
+           ROUND({exact_avg_sql('l_quantity')}, 6) AS avg_qty,
+           ROUND({exact_avg_sql('l_extendedprice')}, 6) AS avg_price,
+           ROUND({exact_avg_sql('l_discount')}, 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '{Q1_SHIP_CUTOFF}'
+    GROUP BY 1, 2
+    """,
+)
+def pricing_summary_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — THE canonical scan-heavy aggregate
+    (one fact pass, tiny key space, several derived measures): shipped
+    lineitems up to the 90-day cutoff, grouped by (returnflag,
+    linestatus) with quantity/price/discounted/charged sums, averages
+    and counts. All money sums run through exact DECIMAL accumulation
+    and averages through exact-sum/count (functions.numeric), so the
+    hash compare is bit-exact despite six floating measures.
+
+    Plan shape: the WHERE reaches the parquet scan as a pushed filter,
+    the aggregate is one map-combinable shuffle over a ≤6-row key
+    space — partial aggregation does essentially all the work
+    map-side, and the shuffle carries six decimal partials per
+    (flag, status) per task. The query every engine quotes first for
+    scan throughput, which is why it's in the bench headline set."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit(Q1_SHIP_CUTOFF).cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"),
+             dsum("l_extendedprice", "sum_base_price"),
+             dsum(disc, "sum_disc_price"),
+             dsum(disc * (1 + F.col("l_tax")), "sum_charge"),
+             F.round(exact_avg("l_quantity"), 6).alias("avg_qty"),
+             F.round(exact_avg("l_extendedprice"), 6).alias("avg_price"),
+             F.round(exact_avg("l_discount"), 6).alias("avg_disc"),
+             F.count("*").alias("count_order"))
+    )
