@@ -37,12 +37,67 @@ def test_rest_source_deterministic(rest_df):
         assert row[f] == expected[f]
 
 
-def test_rest_source_http_mode_stubbed(spark):
+def test_rest_source_http_mode_requires_base_url(spark):
     R.register_rest_source(spark)
     df = (spark.read.format("rest_timeseries")
           .option("mode", "http").load())
-    with pytest.raises(Exception, match="mode=fake|NotImplemented"):
+    with pytest.raises(Exception, match="base_url"):
         df.collect()
+
+
+def test_rest_source_http_mode_real_roundtrip(spark):
+    """mode=http against an in-process localhost API serving the SAME
+    md5-deterministic payloads: the real urllib transport (executors ->
+    server over TCP, JSON envelope parse, retry path idle) must produce
+    a frame identical to mode=fake. Also exercises a flaky endpoint:
+    the first request per (country,date) returns 503 and the reader's
+    retry loop must absorb it."""
+    import http.server
+    import json as _json
+    import threading
+    from datetime import date as _date
+
+    flaky_seen = set()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+            q = parse_qs(urlparse(self.path).query)
+            key = (q["country"][0], q["date"][0])
+            if key not in flaky_seen:
+                flaky_seen.add(key)
+                self.send_response(503)
+                self.end_headers()
+                return
+            obs = R.synth_observation(key[0], _date.fromisoformat(key[1]))
+            body = _json.dumps({"data": [obs]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # noqa: D102 - silence test output
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        R.register_rest_source(spark)
+        opts = dict(countries="MDA,DEU", start="2021-04-01",
+                    end="2021-04-03")
+        live = (spark.read.format("rest_timeseries")
+                .option("mode", "http")
+                .option("base_url",
+                        f"http://127.0.0.1:{srv.server_address[1]}")
+                .options(**opts).load())
+        fake = (spark.read.format("rest_timeseries")
+                .option("mode", "fake").options(**opts).load())
+        got = sorted(map(tuple, live.collect()))
+        want = sorted(map(tuple, fake.collect()))
+        assert got == want and len(got) == 6
+    finally:
+        srv.shutdown()
 
 
 def test_csv_roundtrip(spark, tmp_path):
