@@ -226,24 +226,105 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Real baseline-PNG decode, pure stdlib: chunk walk, zlib (the
+    actual DEFLATE decompression — this is a genuinely compressed
+    format, unlike WAV/PPM), then scanline defiltering (all five PNG
+    filter types: None/Sub/Up/Average/Paeth). Supports the baseline
+    subset: bit depth 8, color types 0/2/6, non-interlaced — the same
+    subset most minimal decoders ship first. Returns the flat uint8
+    raster; per-byte defilter loops are fine here because rasters are
+    asset-sized (the Arrow batch, not the row, is the unit of
+    vectorization upstream)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length                     # 4 len + 4 type + data + 4 crc
+    if hdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"beyond baseline subset: depth={depth} color={color} "
+            f"interlace={interlace}")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        cur = np.frombuffer(raw[p + 1:p + 1 + stride],
+                            dtype=np.uint8).copy()
+        p += 1 + stride
+        if f == 1:                                        # Sub
+            for i in range(ch, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
+        elif f == 2:                                      # Up
+            cur += prev                                   # uint8 wraps
+        elif f == 3:                                      # Average
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:                                      # Paeth
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(-1)
+
+
 def decode_media(payload: bytes, mime: str = "", fake: bool = False) -> np.ndarray:
     """Decode one media payload to a flat uint8 sample array.
 
-    Real pure-python decoders cover WAV PCM (sniffed RIFF/WAVE) and
-    binary PPM/PGM (P6/P5); the synthetic `*/fake` assets derived from
-    the driver corpus use the deterministic byte-identity decoder.
-    Formats needing external codec libraries (JPEG/PNG/MP3/MP4) are
-    stubbed in this environment — a production build adds
-    PIL/soundfile/ffmpeg branches here and nothing downstream changes."""
+    Real pure-python decoders cover WAV PCM (sniffed RIFF/WAVE),
+    binary PPM/PGM (P6/P5), and baseline PNG (zlib DEFLATE + scanline
+    defilter — a real compressed format); the synthetic `*/fake`
+    assets derived from the driver corpus use the deterministic
+    byte-identity decoder. Formats needing entropy/DCT codec libraries
+    (JPEG/MP3/MP4) remain stubbed in this environment — a production
+    build adds PIL/soundfile/ffmpeg branches here and nothing
+    downstream changes."""
     if fake or mime.endswith("/fake"):
         return _fake_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "no codec for this payload: supported real formats are WAV PCM "
-        "and PPM/PGM; compressed formats require codec libraries "
+        "no codec for this payload: supported real formats are WAV PCM, "
+        "PPM/PGM and baseline PNG; JPEG/MP3/MP4 require codec libraries "
         "(PIL/ffmpeg) not present in this environment")
 
 

@@ -162,3 +162,89 @@ def test_fake_resize_preserves_endpoints():
     assert out[-1] == arr[(63 * 256) // 64]
     # monotone non-decreasing source indices → order preserved
     assert (np.diff(out.astype(int)) >= 0).all()
+
+
+def _png_bytes(raster: np.ndarray, width: int, height: int,
+               color: int, filters: list[int]) -> bytes:
+    """Independent PNG writer: applies the FORWARD scanline filters
+    (the decoder must invert them) and wraps zlib-compressed scanlines
+    in proper chunks with CRCs."""
+    import struct
+    import zlib
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = width * ch
+    img = raster.reshape(height, stride)
+    prev = np.zeros(stride, dtype=np.int32)
+    lines = []
+    for y in range(height):
+        cur = img[y].astype(np.int32)
+        f = filters[y % len(filters)]
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+            enc[i] = (cur[i] - pred) % 256
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_inverts_every_filter_type():
+    """Baseline PNG decode: an independent writer encodes a known
+    raster cycling through all five scanline filters; the decoder must
+    invert each one exactly, for grayscale, RGB and RGBA."""
+    rng = np.random.RandomState(7)
+    for color, ch in ((0, 1), (2, 3), (6, 4)):
+        w, h = 9, 10
+        raster = rng.randint(0, 256, size=h * w * ch).astype(np.uint8)
+        png = _png_bytes(raster, w, h, color, filters=[0, 1, 2, 3, 4])
+        got = MM.decode_media(png, "image/png")
+        assert (got == raster).all(), f"color type {color}"
+
+
+def test_png_decode_guards():
+    """Non-baseline PNGs fail loudly, truncated data is detected, and
+    JPEG stays stubbed (entropy/DCT codecs are genuinely absent)."""
+    import struct
+    import zlib
+    raster = np.zeros(4, dtype=np.uint8)
+    png16 = bytearray(_png_bytes(raster, 2, 2, 0, [0]))
+    # corrupt depth byte (offset: 8 magic + 4 len + 4 type + 8 w/h)
+    png16[8 + 8 + 8] = 16
+    with pytest.raises(NotImplementedError, match="baseline"):
+        MM.decode_media(bytes(png16), "")
+    good = _png_bytes(raster, 2, 2, 0, [0])
+    # rebuild with truncated IDAT payload
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_media(bad, "")
+    assert MM.decode_media(good, "").tolist() == [0, 0, 0, 0]
