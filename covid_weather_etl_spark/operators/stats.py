@@ -24,6 +24,7 @@ nothing else changes shape.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -319,3 +320,105 @@ def target_encoding_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((F.col("sy") + TE_SMOOTHING * F.col("gmean"))
                             / (F.col("n") + F.lit(TE_SMOOTHING)), 6)
                      .alias("encoded")))
+
+
+#: iterative-refinement knobs for the distributed exact quantile:
+#: histogram resolution per round and the candidate-set size at which
+#: the driver finishes the selection exactly.
+REFINE_BUCKETS = 512
+REFINE_COLLECT_LIMIT = 10_000
+
+
+def _exact_quantile_distributed(df: DataFrame, col: str,
+                                q: float) -> tuple[int, float]:
+    """Exact interpolated quantile WITHOUT buffering the column: the
+    driver-coordinated iterative rank-refinement selection. Each round
+    histograms the current value range into {REFINE_BUCKETS} buckets
+    (one map-combinable aggregate; only bucket counts reach the
+    driver), locates the bucket containing the target ranks, and
+    narrows to it; when ≤{REFINE_COLLECT_LIMIT} candidates remain they
+    are fetched sorted and indexed exactly. Memory is O(buckets) per
+    round everywhere — the scalable EXACT alternative to both
+    `percentile` (buffers every value) and `approx_percentile`
+    (sketched, inexact). Converges in ~2 rounds on real data
+    (range / buckets^rounds shrinks below float resolution fast).
+    Ties/duplicates are handled by the rank arithmetic (a bucket that
+    cannot shrink — all remaining values equal — short-circuits)."""
+    n = df.count()
+    if n == 0:
+        return 0, float("nan")
+    r = (n - 1) * q
+    k0, k1 = int(np.floor(r)), int(np.ceil(r))
+    frac = r - k0
+
+    def value_at(k: int) -> float:
+        lo_hi = df.agg(F.min(col), F.max(col)).first()
+        lo, hi = float(lo_hi[0]), float(lo_hi[1])
+        below = 0                       # values strictly < lo overall
+        cur = df
+        while True:
+            if lo == hi:
+                return lo
+            cur = cur.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            cnt = cur.count()
+            if cnt <= REFINE_COLLECT_LIMIT:
+                vals = [row[0] for row in
+                        cur.select(col).orderBy(col).collect()]
+                return float(vals[k - below])
+            width = (hi - lo) / REFINE_BUCKETS
+            b = F.least(
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
+                F.lit(REFINE_BUCKETS - 1)).cast("int")
+            hist = dict(cur.groupBy(b.alias("b")).count()
+                        .collect())
+            acc = below
+            for i in range(REFINE_BUCKETS):
+                c = hist.get(i, 0)
+                if acc + c > k:
+                    new_lo = lo + i * width
+                    new_hi = hi if i == REFINE_BUCKETS - 1 \
+                        else lo + (i + 1) * width
+                    # float-resolution floor: range can stop shrinking
+                    if (new_lo, new_hi) == (lo, hi):
+                        vals = [row[0] for row in
+                                cur.select(col).orderBy(col)
+                                .limit(k - below + 1).collect()]
+                        return float(vals[k - below])
+                    lo, hi, below = new_lo, new_hi, acc
+                    break
+                acc += c
+
+    v0 = value_at(k0)
+    v1 = v0 if k1 == k0 else value_at(k1)
+    return n, v0 + (v1 - v0) * frac
+
+
+@register(
+    "distributed_exact_median",
+    survey="ext-stats,A11,A1",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+    FROM lineitem
+    """,
+)
+def distributed_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median of l_extendedprice computed WITHOUT
+    any task ever buffering the column: driver-coordinated iterative
+    rank refinement (histogram -> narrow -> select; see
+    _exact_quantile_distributed). This is the 100 TB twin that
+    quantile_binning's docstring promises: where `percentile` buffers
+    every value in aggregate state and `approx_percentile` gives up
+    exactness, this plan's per-round state is 512 bucket counts per
+    task and a final ≤10k-value sorted fetch — and the oracle check
+    proves it lands on the bit-identical quantile_cont answer. The
+    trade: ~2-3 extra narrow scans instead of one buffering pass —
+    at scale, scans are cheap and memory is not."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = spread(t["lineitem"]).select("l_extendedprice").cache()
+    try:
+        n, med = _exact_quantile_distributed(li, "l_extendedprice", 0.5)
+    finally:
+        li.unpersist()
+    return spark.createDataFrame(
+        [(n, round(med, 6))], "n_rows long, median_price double")

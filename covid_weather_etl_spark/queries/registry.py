@@ -131,7 +131,8 @@ _ROTATION_R4 = (
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
 # rfm_segmentation, basket_affinity, mad_anomaly_report,
-# holt_winters_forecast_eval, triangle_count, pricing_summary_q1.
+# holt_winters_forecast_eval, triangle_count, pricing_summary_q1,
+# distributed_exact_median.
 
 
 def all_queries() -> dict[str, Query]:

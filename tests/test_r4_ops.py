@@ -237,3 +237,28 @@ def test_seq_length_histogram_totals(spark, docs_pdf):
     want = (docs_pdf["text"].str.split(" ").str.len() // SEQLEN_BIN) \
         .value_counts().sort_index()
     assert dict(zip(got["bin"], got["n_docs"])) == want.to_dict()
+
+
+def test_distributed_exact_quantile_pathological_inputs(spark):
+    """The iterative rank-refinement selection on inputs the histogram
+    narrowing finds hardest: all-equal values (range never shrinks),
+    heavy duplicates, a two-value interpolation, and n=1."""
+    import numpy as np
+    from covid_weather_etl_spark.operators.stats import (
+        _exact_quantile_distributed)
+
+    def med(vals):
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        return _exact_quantile_distributed(df, "v", 0.5)
+
+    assert med([7.0] * 500) == (500, 7.0)
+    assert med([1.0]) == (1, 1.0)
+    assert med([1.0, 2.0]) == (2, 1.5)
+    rng = np.random.RandomState(3)
+    vals = rng.choice([0.25, 0.5, 0.5, 0.5, 9.75], size=801)
+    n, got = med(vals)
+    assert n == 801 and got == float(np.percentile(vals, 50))
+    vals2 = rng.normal(100.0, 5.0, size=1001)
+    n2, got2 = med(vals2)
+    assert n2 == 1001
+    assert abs(got2 - float(np.percentile(vals2, 50))) < 1e-9
