@@ -751,3 +751,69 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.pair").alias("pair"),
                      F.col("p.pair_count").alias("pair_count"))
             .agg((F.count(F.col("q.pair")) + 1).alias("merge_rank")))
+
+
+#: full BPE training: merge budget and the minimum pair frequency a
+#: merge must clear (standard trainer floor; also the loop's natural
+#: stopping condition on tiny corpora).
+BPE_TRAIN_MERGES = 12
+BPE_MIN_PAIR_COUNT = 2
+
+
+@register("bpe_vocab_train", survey="LLM-text,A6,U2")
+def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016) — the
+    iterative closure of bpe_merge_step: up to {BPE_TRAIN_MERGES}
+    merges, each round counting corpus-weighted adjacent symbol pairs
+    over the WORD-FREQUENCY table (per-merge cost O(vocab), never
+    O(corpus) — the property that makes 50k-merge tokenizers
+    trainable), picking the winner (count desc, then pair — fully
+    deterministic), and re-segmenting every word's symbol array with a
+    greedy left-to-right fold (`aggregate` higher-order function:
+    "aaa" + merge(a,a) → [aa, a], standard BPE scanning). Returns the
+    merge table (idx, left, right, pair_count) — the artifact a
+    tokenizer ships.
+
+    Spark-first iteration shape, same as pagerank/Lloyd: per-round
+    state is the (syms, cnt) vocab frame, localCheckpoint truncates
+    lineage each merge so round N doesn't replay rounds 1..N−1; the
+    only driver traffic per round is ONE (pair, count) scalar row.
+    Stops early when no pair clears {BPE_MIN_PAIR_COUNT}. Rows-only
+    driver check (iterative — not SQL-expressible); the merge sequence
+    is pinned against a pure-python BPE trainer in tests/test_text.py."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    wc = (spread(t["documents"], "doc_id")
+          .select(F.explode(_tokens()).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    chars = F.expr("transform(sequence(1, length(word)), "
+                   "i -> substr(word, i, 1))")
+    vocab = wc.select(chars.alias("syms"), "cnt").localCheckpoint()
+
+    pair_expr = F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(syms[i - 1] AS l, syms[i] AS r))")
+    merges: list[tuple[int, str, str, int]] = []
+    for idx in range(1, BPE_TRAIN_MERGES + 1):
+        pc = (vocab.filter(F.size("syms") >= 2)   # sequence(1,0) trap
+              .select(F.explode(pair_expr).alias("p"), "cnt")
+              .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+              .agg(F.sum("cnt").alias("c")))
+        top = pc.orderBy(F.col("c").desc(), "l", "r").first()
+        if top is None or top["c"] < BPE_MIN_PAIR_COUNT:
+            break
+        a, b = top["l"], top["r"]
+        merges.append((idx, a, b, int(top["c"])))
+        la, lb = F.lit(a), F.lit(b)
+        fold = F.aggregate(
+            F.col("syms"), F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la)
+                & (s == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(la, lb)))
+            ).otherwise(F.concat(acc, F.array(s))))
+        old = vocab
+        vocab = old.select(fold.alias("syms"), "cnt").localCheckpoint()
+        old.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_idx int, left string, right string, pair_count long")

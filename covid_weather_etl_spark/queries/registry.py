@@ -132,7 +132,7 @@ _ROTATION_R4 = (
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
 # rfm_segmentation, basket_affinity, mad_anomaly_report,
 # holt_winters_forecast_eval, triangle_count, pricing_summary_q1,
-# distributed_exact_median.
+# distributed_exact_median, bpe_vocab_train.
 
 
 def all_queries() -> dict[str, Query]:

@@ -68,3 +68,45 @@ def test_winnowing_shared_substring_guarantee(spark, tmp_path):
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_bpe_vocab_train_matches_python_trainer(spark):
+    """The full merge sequence must equal a pure-python BPE trainer
+    with the identical tie-break (count desc, then (left, right))."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.text import (
+        BPE_MIN_PAIR_COUNT, BPE_TRAIN_MERGES)
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+    QUERIES = all_queries()
+    got = [tuple(r) for r in
+           QUERIES["bpe_vocab_train"].fn(spark, SF_DIR).collect()]
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")["text"]
+    wc = Counter(tok for t in docs for tok in t.split(" "))
+    vocab = {w: [c for c in w] for w in wc}
+    expect = []
+    for idx in range(1, BPE_TRAIN_MERGES + 1):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < BPE_MIN_PAIR_COUNT:
+            break
+        expect.append((idx, a, b, c))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    assert got == expect
+    assert len(got) >= 3  # the corpus supports a real merge sequence
