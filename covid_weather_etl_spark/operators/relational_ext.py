@@ -146,21 +146,33 @@ def correlated_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decile_rank_customers",
     survey="ext-ranking,A6,W6",
     oracle="""
-    SELECT c_custkey,
-           n_name,
-           revenue,
-           CAST(ntile(10) OVER w AS INT)        AS revenue_decile,
-           ROUND(percent_rank() OVER w, 6)      AS pct_rank,
-           ROUND(cume_dist() OVER w, 6)         AS cume
-    FROM (
-        SELECT c_custkey, n_name,
-               {rev} AS revenue
-        FROM customer
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN orders ON o_custkey = c_custkey
-        GROUP BY c_custkey, n_name
+    WITH r AS (
+        SELECT c_custkey, n_name, revenue,
+               CAST(ntile(10) OVER w AS INT) AS revenue_decile,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+        FROM (
+            SELECT c_custkey, n_name,
+                   {rev} AS revenue
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, n_name
+        )
+        WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, c_custkey)
     )
-    WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, c_custkey)
+    -- percent_rank/cume_dist emit k/n doubles; when n is 2^a·5^b the
+    -- quotient terminates at exactly 7 decimals and the 6dp ROUND hits
+    -- an exact .5 tie, where Spark (shortest-decimal-string HALF_UP)
+    -- and DuckDB (exact-binary half-away) disagree by one ulp of the
+    -- last digit. Integer half-up on the exact rational instead:
+    -- floor((2·k·10^6 + n) / (2n)) — bit-identical on both engines.
+    SELECT c_custkey, n_name, revenue, revenue_decile,
+           CASE WHEN n = 1 THEN 0.0
+                ELSE ((2 * (rn - 1) * 1000000 + (n - 1))
+                      // (2 * (n - 1))) / 1000000.0 END AS pct_rank,
+           ((2 * rn * 1000000 + n) // (2 * n)) / 1000000.0 AS cume
+    FROM r
     """.format(rev=dsum_sql("o_totalprice")),
 )
 def decile_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +183,12 @@ def decile_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule pinned by tests/test_plans.py::test_no_global_windows);
     revenue is an exact decimal sum so ranks can't flip on float
     noise, and the tie-break on custkey makes every rank
-    deterministic."""
+    deterministic. The rank RATIOS are computed from integer window
+    counts with exact integer half-up rounding rather than rounding
+    the engines' k/n doubles: when a partition size is 2^a·5^b, k/n
+    terminates at exactly 7 decimals and ROUND-at-6dp sits on a true
+    .5 tie, where Spark and DuckDB round differently (found by the
+    sf0.1 parity sweep; 6 customers per run landed on ties)."""
     t = load_tables(spark, sf_dir, ("customer", "nation", "orders"))
     rev = (t["customer"]
            .join(F.broadcast(t["nation"]),
@@ -181,12 +198,20 @@ def decile_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(dsum("o_totalprice", "revenue")))
     w = (W.partitionBy("n_name")
          .orderBy(F.col("revenue").desc(), F.col("c_custkey")))
-    return rev.select(
+    r = rev.select(
         "c_custkey", "n_name", "revenue",
         F.ntile(10).over(w).cast("int").alias("revenue_decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    )
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(W.partitionBy("n_name")).cast("long").alias("n"))
+    # 1e6, not 1000000.0: Spark SQL parses x.y literals as DECIMAL,
+    # which would type these columns decimal instead of double and
+    # break the driver's schema compare (caught by the vanilla-session
+    # driver simulation).
+    pct = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(F.expr(
+        "((2 * (rn - 1) * 1000000 + (n - 1)) div (2 * (n - 1))) / 1e6"))
+    cume = F.expr("((2 * rn * 1000000 + n) div (2 * n)) / 1e6")
+    return r.select("c_custkey", "n_name", "revenue", "revenue_decile",
+                    pct.alias("pct_rank"), cume.alias("cume"))
 
 
 @register(

@@ -97,15 +97,28 @@ def first_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_custkey, o_orderkey,
            CASE WHEN count(o_totalprice) OVER w3 >= 3
-                THEN ROUND(avg(o_totalprice)    OVER w3, 6) END AS roll_mean_3,
+                THEN ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                                OVER w3 AS DOUBLE) / 3.0, 6)
+           END AS roll_mean_3,
            CASE WHEN count(o_totalprice) OVER w3 >= 3
-                THEN ROUND(stddev_samp(o_totalprice) OVER w3, 6) END AS roll_std_3,
+                THEN ROUND(sqrt(CAST(
+                    3 * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                                 * CAST(o_totalprice AS DECIMAL(12,2)))
+                             OVER w3 AS DECIMAL(20,4))
+                    - CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                           OVER w3 AS DECIMAL(14,2))
+                      * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                             OVER w3 AS DECIMAL(14,2))
+                    AS DOUBLE) / 6.0), 6)
+           END AS roll_std_3,
            CASE WHEN count(o_totalprice) OVER w3 >= 3
                 THEN min(o_totalprice) OVER w3 END AS roll_min_3,
            CASE WHEN count(o_totalprice) OVER w3 >= 3
                 THEN max(o_totalprice) OVER w3 END AS roll_max_3,
            CASE WHEN count(o_totalprice) OVER w7 >= 7
-                THEN ROUND(avg(o_totalprice) OVER w7, 6) END AS roll_mean_7
+                THEN ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                                OVER w7 AS DOUBLE) / 7.0, 6)
+           END AS roll_mean_7
     FROM orders
     WINDOW
       w3 AS (PARTITION BY o_custkey ORDER BY {_SERIES_ORDER_SQL}
@@ -117,24 +130,40 @@ def first_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shifted rolling mean/std/min/max (reference
     `rolling(w).agg().shift(1)` — exclude current row — notebook cell
-    30), with the pandas null-until-full semantics via a count guard."""
+    30), with the pandas null-until-full semantics via a count guard.
+
+    Mean and std are derived from EXACT decimal window sums (Σx, Σx²)
+    with one final double division/sqrt, not from the engines' float
+    avg/stddev accumulators: sliding-window float aggregation orders
+    differ between engines (segment tree vs per-frame recompute),
+    giving doubles 1 ulp apart that can straddle a 6dp rounding
+    boundary — the sf0.1 parity sweep caught exactly that on
+    roll_std_3. Same moment identity stddev_samp² = (nΣx² − (Σx)²) /
+    (n(n−1)), computed where it is exact."""
     t = load_tables(spark, sf_dir, ("orders",))
     out_cols = ["o_custkey", "o_orderkey"]
     df = t["orders"]
     p = F.col("o_totalprice")
+    pd_ = p.cast("decimal(12,2)")
 
     def guarded(agg: Column, w, size: int) -> Column:
         return F.when(F.count(p).over(w) >= size, agg)
 
     w3 = _series_window().rowsBetween(-3, -1)
     w7 = _series_window().rowsBetween(-7, -1)
+    sx3 = F.sum(pd_).over(w3).cast("decimal(14,2)")
+    sxx3 = F.sum(pd_ * pd_).over(w3).cast("decimal(20,4)")
+    var_num = (F.lit(3) * sxx3 - sx3 * sx3).cast("double")
+    mean3 = F.round(F.sum(pd_).over(w3).cast("double") / 3.0, 6)
+    std3 = F.round(F.sqrt(var_num / 6.0), 6)
+    mean7 = F.round(F.sum(pd_).over(w7).cast("double") / 7.0, 6)
     return df.select(
         *out_cols,
-        guarded(F.round(F.avg(p).over(w3), 6), w3, 3).alias("roll_mean_3"),
-        guarded(F.round(F.stddev_samp(p).over(w3), 6), w3, 3).alias("roll_std_3"),
+        guarded(mean3, w3, 3).alias("roll_mean_3"),
+        guarded(std3, w3, 3).alias("roll_std_3"),
         guarded(F.min(p).over(w3), w3, 3).alias("roll_min_3"),
         guarded(F.max(p).over(w3), w3, 3).alias("roll_max_3"),
-        guarded(F.round(F.avg(p).over(w7), 6), w7, 7).alias("roll_mean_7"),
+        guarded(mean7, w7, 7).alias("roll_mean_7"),
     )
 
 

@@ -52,6 +52,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _type_kind(s: pd.Series) -> str:
+    """Coarse schema kind for the driver-style schema compare: flags
+    decimal-vs-double splits (e.g. a Spark SQL `x.y` literal typing a
+    column DECIMAL) that value coercion would silently paper over."""
+    import decimal
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    first = s.dropna().head(1)
+    if len(first) and isinstance(first.iloc[0], decimal.Decimal):
+        return "decimal"
+    return "other"
+
+
 def assert_parity(spark, duck, query, sf_dir: str = SF_DIR) -> None:
     """Driver-style compare between the Spark query and its DuckDB oracle."""
     sdf = normalize(query.fn(spark, sf_dir).toPandas())
@@ -60,6 +79,11 @@ def assert_parity(spark, duck, query, sf_dir: str = SF_DIR) -> None:
         f"{query.name}: column mismatch {list(sdf.columns)} vs {list(odf.columns)}")
     assert len(sdf) == len(odf), (
         f"{query.name}: row count {len(sdf)} vs oracle {len(odf)}")
+    for c in sdf.columns:
+        ks, ko = _type_kind(sdf[c]), _type_kind(odf[c])
+        assert ks == ko, (
+            f"{query.name}.{c}: schema kind mismatch — spark {ks} "
+            f"({sdf[c].dtype}) vs oracle {ko} ({odf[c].dtype})")
     for c in sdf.columns:
         a, b = sdf[c], odf[c]
         a_kind = np.asarray(a).dtype.kind
