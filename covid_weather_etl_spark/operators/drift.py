@@ -1,0 +1,297 @@
+"""Distribution-drift and dependence diagnostics — the monitoring pack
+a training-data pipeline runs between corpus snapshots: Population
+Stability Index over reference-period quantile bins, an exact
+two-sample Kolmogorov-Smirnov distance, and mutual information between
+a categorical feature and an outcome label.
+
+All three are pure column algebra over one or two aggregates — no
+Python in the data path — and each is exactly reproducible in the
+DuckDB oracle (percentile edges rounded 6dp before binning, counts
+integer-exact, logs applied to identical rationals on both engines).
+
+Reference parity: the reference has no drift monitoring; these are the
+operations its retraining DAG (`dags/forecasting_dag.py` re-fits on
+every run) would need before trusting a refreshed corpus at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
+
+#: reference/current split for drift: orders strictly before the cutoff
+#: are the "training-time" reference population.
+PSI_CUTOFF = "1998-01-01"
+#: decile edges of the reference distribution define the bins.
+PSI_QS = tuple(i / 10 for i in range(1, 10))
+
+_PSI_EDGE_SQL = ", ".join(
+    f"ROUND(quantile_cont(o_totalprice, {q}), 6) AS e{i}"
+    for i, q in enumerate(PSI_QS))
+_PSI_BIN_SQL = ("CASE " + " ".join(
+    f"WHEN o_totalprice < e{i} THEN {i}" for i in range(len(PSI_QS)))
+    + f" ELSE {len(PSI_QS)} END")
+
+
+@register(
+    "psi_drift_report",
+    survey="ext-drift,A11,A6,F9",
+    oracle=f"""
+    WITH edges AS (
+        SELECT {_PSI_EDGE_SQL}
+        FROM orders WHERE o_orderdate < TIMESTAMP '{PSI_CUTOFF}'
+    ), binned AS (
+        SELECT {_PSI_BIN_SQL} AS bin,
+               (o_orderdate < TIMESTAMP '{PSI_CUTOFF}') AS is_ref
+        FROM orders CROSS JOIN edges
+    ), counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ref_cnt,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cur_cnt
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(SUM(ref_cnt) AS BIGINT) AS nr,
+               CAST(SUM(cur_cnt) AS BIGINT) AS nc
+        FROM counts
+    )
+    SELECT bin, ref_cnt, cur_cnt,
+           ROUND(ref_cnt * 1.0 / nr, 6) AS ref_pct,
+           ROUND(cur_cnt * 1.0 / nc, 6) AS cur_pct,
+           ROUND((cur_cnt * 1.0 / nc - ref_cnt * 1.0 / nr)
+                 * LN((cur_cnt * 1.0 / nc) / (ref_cnt * 1.0 / nr)), 6)
+               AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of `o_totalprice` between the
+    pre-{cutoff} reference period and everything after: decile edges
+    are computed ONCE on the reference slice (one array-percentile
+    aggregate, edges rounded 6dp so both engines bin against
+    bit-identical thresholds), broadcast back over a single full scan
+    that CASE-assigns bins and map-side-combines (bin × is_ref) counts,
+    then 10 rows of pure arithmetic produce the per-bin PSI terms
+    (total PSI = SUM(psi_term); > 0.2 is the conventional alarm).
+
+    Every bin is guaranteed non-empty on the reference side (deciles of
+    the same population), so the log term never sees a zero — no
+    Laplace fudge needed for ref_pct; a zero cur_cnt would NaN the term
+    honestly on both engines alike. Scale: the edge pass flips to
+    percentile_approx at 100 TB, plan otherwise unchanged — one scan,
+    one tiny broadcast, one 10-row report."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    od = spread(t["orders"])
+    cutoff = F.lit(PSI_CUTOFF).cast("timestamp")
+    ref = od.filter(F.col("o_orderdate") < cutoff)
+    qarr = ref.agg(F.percentile(
+        "o_totalprice", F.array(*[F.lit(q) for q in PSI_QS])).alias("qs"))
+    edges = qarr.select(*[
+        F.round(F.col("qs")[i], 6).alias(f"e{i}")
+        for i in range(len(PSI_QS))])
+
+    v = F.col("o_totalprice")
+    bin_ = F.when(v < F.col("e0"), 0)
+    for i in range(1, len(PSI_QS)):
+        bin_ = bin_.when(v < F.col(f"e{i}"), i)
+    bin_ = bin_.otherwise(len(PSI_QS))
+
+    counts = (od.crossJoin(F.broadcast(edges))
+              .select(bin_.alias("bin"),
+                      (F.col("o_orderdate") < cutoff).alias("is_ref"))
+              .groupBy("bin")
+              .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                   .alias("ref_cnt"),
+                   F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+                   .alias("cur_cnt")))
+    tot = counts.agg(F.sum("ref_cnt").alias("nr"),
+                     F.sum("cur_cnt").alias("nc"))
+    ref_pct = F.col("ref_cnt") * 1.0 / F.col("nr")
+    cur_pct = F.col("cur_cnt") * 1.0 / F.col("nc")
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("bin", "ref_cnt", "cur_cnt",
+                    F.round(ref_pct, 6).alias("ref_pct"),
+                    F.round(cur_pct, 6).alias("cur_pct"),
+                    F.round((cur_pct - ref_pct)
+                            * F.log(cur_pct / ref_pct), 6)
+                    .alias("psi_term")))
+
+
+#: the two samples for the KS test: event `value` distributions of two
+#: behaviorally distinct event types.
+KS_A, KS_B = "click", "purchase"
+#: value-range blocks for the skew-resilient ECDF (see docstring).
+KS_BLOCKS = 32
+
+
+@register(
+    "ks_two_sample",
+    survey="ext-drift,A6,W1,A3",
+    oracle=f"""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END AS ib
+        FROM events
+        WHERE event_type IN ('{KS_A}', '{KS_B}') AND value IS NOT NULL
+    ), d AS (
+        SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+               CAST(SUM(ib) AS BIGINT) AS cb
+        FROM s GROUP BY v
+    ), c AS (
+        SELECT SUM(ca) OVER (ORDER BY v) AS cca,
+               SUM(cb) OVER (ORDER BY v) AS ccb
+        FROM d
+    ), tot AS (
+        SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+               CAST(SUM(ib) AS BIGINT) AS n_b
+        FROM s
+    )
+    SELECT n_a, n_b,
+           ROUND(MAX(ABS(cca * 1.0 / n_a - ccb * 1.0 / n_b)), 6)
+               AS ks_stat
+    FROM c CROSS JOIN tot
+    GROUP BY n_a, n_b
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    `value` distributions of '{KS_A}' and '{KS_B}' events — the
+    distribution-shape drift test PSI's fixed bins can miss.
+
+    D = max over the pooled support of |ECDF_a - ECDF_b|. The oracle
+    states it as one global cumulative window; the engine computes the
+    SAME rationals with zero global windows (the registry-wide pin):
+
+    1. tie-collapse: groupBy(v) → per-value (ca, cb) counts — the ECDF
+       only changes at distinct values, and using the cumulative
+       THROUGH each value handles ties in one step;
+    2. block the value axis into {KS_BLOCKS} equal-width ranges from a
+       collected (min, max) scalar pair; the in-block cumulative window
+       partitions on `blk`;
+    3. per-block integer totals form a {KS_BLOCKS}-row frame; the
+       strictly-below-block offset comes from a broadcast triangular
+       self-join (blk2 < blk1 — {KS_BLOCKS}² tiny rows), NOT a window;
+    4. ECDF fractions and one max-abs aggregate. Counts stay integers
+       until the final two divisions, so both engines compare identical
+       IEEE doubles before the 6dp round.
+
+    Scale: each block's window task sees ~distinct-values/{KS_BLOCKS}
+    rows (value ranges re-blockable finer at 100 TB); everything else
+    is map-combinable aggregation. No all-pairs, no global sort."""
+    t = load_tables(spark, sf_dir, ("events",))
+    s = (spread(t["events"], "event_type")
+         .filter(F.col("event_type").isin(KS_A, KS_B)
+                 & F.col("value").isNotNull())
+         .select("value",
+                 F.when(F.col("event_type") == KS_A, 1).otherwise(0)
+                 .alias("ia"),
+                 F.when(F.col("event_type") == KS_B, 1).otherwise(0)
+                 .alias("ib")))
+    d = (s.groupBy(F.col("value").alias("v"))
+         .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb")))
+
+    lo, hi = s.agg(F.min("value"), F.max("value")).first()
+    width = max((hi - lo) / KS_BLOCKS, 1e-12)
+    blk = F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+                  F.lit(KS_BLOCKS - 1)).cast("int")
+
+    from pyspark.sql import Window as W
+    w_in = (W.partitionBy("blk").orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    in_blk = (d.withColumn("blk", blk)
+              .withColumn("ca_in", F.sum("ca").over(w_in))
+              .withColumn("cb_in", F.sum("cb").over(w_in)))
+
+    blk_tot = (d.withColumn("blk", blk).groupBy("blk")
+               .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb")))
+    below = (blk_tot.alias("x")
+             .join(F.broadcast(blk_tot.alias("y")),
+                   F.col("y.blk") < F.col("x.blk"), "left")
+             .groupBy(F.col("x.blk").alias("blk"))
+             .agg(F.coalesce(F.sum("y.ta"), F.lit(0)).alias("off_a"),
+                  F.coalesce(F.sum("y.tb"), F.lit(0)).alias("off_b")))
+
+    tot = s.agg(F.sum("ia").alias("n_a"), F.sum("ib").alias("n_b"))
+    cca = F.col("ca_in") + F.col("off_a")
+    ccb = F.col("cb_in") + F.col("off_b")
+    return (in_blk.join(F.broadcast(below), "blk")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("n_a", "n_b")
+            .agg(F.round(F.max(F.abs(cca * 1.0 / F.col("n_a")
+                                     - ccb * 1.0 / F.col("n_b"))), 6)
+                 .alias("ks_stat"))
+            .select("n_a", "n_b", "ks_stat"))
+
+
+#: label threshold for the dependence test: a "large order".
+MI_PRICE_CUT = 200000.0
+
+
+@register(
+    "mutual_information_features",
+    survey="ext-drift,A6,J1,A3",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN o.o_totalprice > {MI_PRICE_CUT}
+                    THEN 1 ELSE 0 END AS label
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cells AS (
+        SELECT segment, label, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM joined GROUP BY segment, label
+    ), mx AS (
+        SELECT segment, CAST(SUM(n_xy) AS BIGINT) AS n_x
+        FROM cells GROUP BY segment
+    ), my AS (
+        SELECT label, CAST(SUM(n_xy) AS BIGINT) AS n_y
+        FROM cells GROUP BY label
+    ), tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+    SELECT c.segment, c.label, c.n_xy,
+           ROUND((c.n_xy * 1.0 / n)
+                 * LN((c.n_xy * 1.0 * n) / (1.0 * mx.n_x * my.n_y)), 9)
+               AS mi_term
+    FROM cells c
+    JOIN mx USING (segment) JOIN my USING (label)
+    CROSS JOIN tot
+    """,
+)
+def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between customer market segment and the
+    "large order" outcome (o_totalprice > {cut}) — the model-free
+    dependence screen for categorical feature selection; I(X;Y) =
+    SUM(mi_term) over the output rows, 0 iff independent.
+
+    One broadcast dim join builds the (segment, label) pairs; ONE
+    map-combinable aggregate produces the contingency cells; marginals
+    are re-aggregated from the CELLS (segments × 2 rows), never from a
+    second data scan; the MI terms are arithmetic over integers-until-
+    division, identical on both engines, rounded 9dp (terms are tiny).
+    Scale: cost == one scan + one |X|×|Y|-cell shuffle, independent of
+    row count; chi2_independence (stats.py) tests the same table's
+    significance, this ranks its effect size in nats."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    joined = (t["orders"]
+              .join(F.broadcast(t["customer"]),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select(F.col("c_mktsegment").alias("segment"),
+                      F.when(F.col("o_totalprice") > MI_PRICE_CUT, 1)
+                      .otherwise(0).alias("label")))
+    cells = (joined.groupBy("segment", "label")
+             .agg(F.count("*").alias("n_xy")))
+    mx = cells.groupBy("segment").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("label").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    return (cells
+            .join(F.broadcast(mx), "segment")
+            .join(F.broadcast(my), "label")
+            .crossJoin(F.broadcast(tot))
+            .select("segment", "label", "n_xy",
+                    F.round((F.col("n_xy") * 1.0 / F.col("n"))
+                            * F.log((F.col("n_xy") * 1.0 * F.col("n"))
+                                    / (1.0 * F.col("n_x") * F.col("n_y"))),
+                            9).alias("mi_term")))

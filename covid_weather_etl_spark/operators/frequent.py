@@ -106,3 +106,91 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cnt") > F.expr(f"n div {K}"))
             .select("bucket", "cnt",
                     F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("share")))
+
+
+#: Count-Min geometry: D independent hash rows × W columns. Expected
+#: overcount per key ≈ N/W per row; taking the min over D rows makes a
+#: large error require ALL D rows to collide hot.
+CMS_D = 4
+CMS_W = 128
+
+_CMS_POS_SQL = (
+    "CAST(CAST('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {key}), "
+    f"1, 8) AS BIGINT) % {{w}} AS BIGINT)")
+
+
+@register(
+    "count_min_frequency",
+    survey="ext-sketch,A1,A6,J1",
+    oracle=f"""
+    WITH stream AS (
+        SELECT {_BUCKET_SQL} AS bucket FROM events
+    ), cells AS (
+        SELECT jj.j,
+               {_CMS_POS_SQL.format(j='jj.j', key='bucket', w=CMS_W)} AS p,
+               CAST(COUNT(*) AS BIGINT) AS cell
+        FROM stream CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM stream GROUP BY bucket
+    )
+    SELECT e.bucket, e.exact_cnt,
+           CAST(MIN(c.cell) AS BIGINT) AS est_cnt,
+           CAST(MIN(c.cell) - e.exact_cnt AS BIGINT) AS overcount
+    FROM exact e
+    CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) jj
+    JOIN cells c
+      ON c.j = jj.j
+     AND c.p = {_CMS_POS_SQL.format(j='jj.j', key='e.bucket', w=CMS_W)}
+    GROUP BY e.bucket, e.exact_cnt
+    """,
+)
+def count_min_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built over the
+    same skewed event-key stream as `heavy_hitters_twopass`, with the
+    estimate audited against the exact count per key. The sketch build
+    is ONE map-side-combinable aggregate whose state is bounded at
+    D×W = 4×128 cells regardless of stream size — the update per row
+    is D pure md5 hashes, so partial aggregation collapses each task's
+    contribution to ≤ D·W rows before the (tiny) shuffle. Point queries
+    then read min over D broadcast cells. md5-derived positions (not
+    xxhash64) keep the whole sketch — cells AND estimates — exactly
+    reproducible in the DuckDB oracle, so a probabilistic structure
+    gets a deterministic bit-exact correctness check; the CMS guarantee
+    (est ≥ exact, overcount small) is pinned in tests/test_sketches.py.
+
+    Scale: at 100 TB the plan is unchanged — the sketch stays D×W
+    cells (widen W for tighter error), the estimate join broadcasts
+    ~D·W rows, and the key-distinct side is whatever keyspace you
+    audit. Reference parity: the reference has no sketches; this is the
+    mergeable-summary scale path for its COUNT(*)-per-key dashboards
+    (`streamlit/covid_analysis.py` group-by-cards).
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    bucket = F.concat(
+        F.length(F.bin(F.col("event_id") + 1)).cast("string"),
+        F.lit("_"),
+        (F.col("event_id") % 50).cast("string"),
+    )
+    stream = t["events"].select(bucket.alias("bucket"))
+
+    def pos(j, key):
+        raw = F.conv(F.substring(F.md5(
+            F.concat(j.cast("string"), F.lit(":"), key)), 1, 8), 16, 10)
+        return (raw.cast("long") % CMS_W).cast("long")
+
+    js = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("j")
+    # sketch build: the ONLY pass over the stream; partial agg bounds
+    # per-task state at D*W cells before the shuffle.
+    cells = (stream.select("bucket", js)
+             .select("j", pos(F.col("j"), F.col("bucket")).alias("p"))
+             .groupBy("j", "p").agg(F.count("*").alias("cell")))
+    exact = stream.groupBy("bucket").agg(F.count("*").alias("exact_cnt"))
+    probes = (exact.select("bucket", "exact_cnt", js)
+              .withColumn("p", pos(F.col("j"), F.col("bucket"))))
+    return (probes.join(F.broadcast(cells), ["j", "p"])
+            .groupBy("bucket", "exact_cnt")
+            .agg(F.min("cell").alias("est_cnt"))
+            .select("bucket", "exact_cnt", "est_cnt",
+                    (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount")))

@@ -58,7 +58,7 @@ def _load_modules() -> None:
     if _LOADED:
         return
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        bucketing, corpus, dashboard, dedup, dq, eventstats, frequent,
+        bucketing, corpus, dashboard, dedup, dq, drift, eventstats, frequent,
         graph, minhash, multimodal, pq, quality, relational,
         relational_ext, scd, semdedup, similarity, sketch_rollup,
         stats, temporal, text, timeseries, warehouse, windows,

@@ -36,3 +36,31 @@ def test_approx_quantiles_within_rank_envelope(spark, duck):
                 [max(0.0, p - eps), min(1.0, p + eps), r.l_returnflag],
             ).fetchone()
             assert float(lo) <= float(got) <= float(hi), (r.l_returnflag, p, got, lo, hi)
+
+
+def test_count_min_never_undercounts_and_bounds_error(spark):
+    """CMS guarantees est ≥ exact for every key (each cell sums a
+    superset of the key's rows); with W=128 cells per row the expected
+    overcount is ≤ N/W per row, and the min over D=4 rows should stay
+    well inside a 4·N/W envelope on this keyspace."""
+    rows = all_queries()["count_min_frequency"].fn(spark, SF_DIR).collect()
+    assert rows
+    n = sum(r.exact_cnt for r in rows)
+    from covid_weather_etl_spark.operators.frequent import CMS_W
+    for r in rows:
+        assert r.overcount >= 0, r
+        assert r.est_cnt == r.exact_cnt + r.overcount
+        assert r.overcount <= max(4, 4 * n // CMS_W), r
+
+
+def test_count_min_estimate_ranks_heavy_keys_first(spark):
+    """The point of a frequency sketch: estimated ordering must put the
+    genuinely heavy keys (top decile by exact count) in the top half by
+    estimate — overcounts are additive noise ≤ N/W, far smaller than
+    the exponential mass gaps between length-class buckets."""
+    rows = all_queries()["count_min_frequency"].fn(spark, SF_DIR).collect()
+    by_exact = sorted(rows, key=lambda r: -r.exact_cnt)
+    by_est = sorted(rows, key=lambda r: -r.est_cnt)
+    top_exact = {r.bucket for r in by_exact[:max(1, len(rows) // 10)]}
+    top_est_half = {r.bucket for r in by_est[:len(rows) // 2]}
+    assert top_exact <= top_est_half
