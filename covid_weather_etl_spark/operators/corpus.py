@@ -802,3 +802,100 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_feats", "logw",
                     (F.col("logw") >= F.col("c")).cast("int")
                     .alias("selected")))
+
+
+@register(
+    "dedup_clusters_star",
+    survey="corpus-cc,LLM-dedup,J1",
+    oracle=f"""
+    WITH RECURSIVE {TX.NGRAM_PAIRS_CTES},
+    edges AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM ngram_pairs
+        UNION ALL
+        SELECT doc_id_2, doc_id_1 FROM ngram_pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.doc_id
+    )
+    SELECT doc_id,
+           MIN(label) AS cluster_id,
+           doc_id = MIN(label) AS is_canonical
+    FROM walk GROUP BY doc_id
+    """,
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014) — the O(log² n)-round twin of
+    `dedup_clusters`' min-label propagation, and the form SCALE.md
+    prescribes once a component's DIAMETER outgrows the round budget
+    (min-label needs O(diameter) rounds; star contraction collapses
+    long chains exponentially).
+
+    One round = two halved-neighborhood star operations over the
+    canonical (a < b) edge frame:
+      large-star(u): every neighbor v > u re-attaches to
+                     m = min(N(u) ∪ {{u}});
+      small-star(u): every neighbor v < u (and u itself) attaches to m.
+    Both are ONE groupBy(min) + ONE key-projected join each — no
+    neighborhood materialized anywhere, so a hot node costs a shuffle
+    key, not memory. Convergence = the canonical edge frame reaching a
+    fixpoint, detected by a two-scalar checksum (count + sum of
+    xxhash64(a,b)) per round on the driver; at the fixpoint the frame
+    IS the component star {{(min, v)}}, read off as labels with one
+    left join for singletons. The oracle (recursive-CTE reachability +
+    MIN) and the pinned equality against `dedup_clusters` in
+    tests/test_corpus.py verify the outputs coincide."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = TX.ngram_jaccard_near_dup(spark, sf_dir) \
+        .select(F.least("doc_id_1", "doc_id_2").alias("a"),
+                F.greatest("doc_id_1", "doc_id_2").alias("b")) \
+        .distinct()
+    E = pairs.localCheckpoint(eager=True)
+
+    def star(E: DataFrame, large: bool) -> DataFrame:
+        nb = (E.select(F.col("a").alias("u"), F.col("b").alias("v"))
+              .unionByName(E.select(F.col("b").alias("u"),
+                                    F.col("a").alias("v"))))
+        mins = (nb.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        halved = (nb.join(mins, "u")
+                  .filter((F.col("v") > F.col("u")) if large
+                          else (F.col("v") < F.col("u")))
+                  .select(F.col("v").alias("x"), F.col("m").alias("y")))
+        self_edge = mins.select(F.col("u").alias("x"), F.col("m").alias("y"))
+        return (halved.unionByName(self_edge)
+                .filter(F.col("x") != F.col("y"))
+                .select(F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"))
+                .distinct())
+
+    def checksum(E: DataFrame):
+        # decimal accumulator: a long sum of 64-bit hashes overflows
+        # under ANSI mode; decimal(38,0) is exact and order-independent
+        row = E.agg(F.count("*").alias("n"),
+                    F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
+                    .alias("h")).first()
+        return (row.n, row.h)
+
+    prev, converged = checksum(E), False
+    for _ in range(MAX_CC_ROUNDS):
+        E = star(star(E, large=True), large=False).localCheckpoint(eager=True)
+        cur = checksum(E)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star: star contraction did not reach a "
+            f"fixpoint within {MAX_CC_ROUNDS} rounds")
+    lbl = E.groupBy(F.col("b").alias("doc_id")).agg(F.min("a").alias("lbl"))
+    return (t["documents"].select("doc_id")
+            .join(lbl, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lbl", "doc_id").alias("cluster_id"),
+                    (F.coalesce("lbl", "doc_id") == F.col("doc_id"))
+                    .alias("is_canonical")))

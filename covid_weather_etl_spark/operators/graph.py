@@ -280,3 +280,95 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_edges", "n_nodes",
                     F.col("n_triangles").cast("long").alias("n_triangles"),
                     cc.alias("global_clustering")))
+
+
+#: BFS horizon for the hop-distance profile.
+BFS_MAX_HOPS = 4
+
+_BFS_EDGE_SQL = """
+        SELECT CONCAT('c:', o_custkey) AS src,
+               CONCAT('s:', l_suppkey) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+"""
+
+
+@register(
+    "shortest_path_hops",
+    survey="ext-graph,J1,A6,D3",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {_BFS_EDGE_SQL}
+    ), e AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pairs
+    ), s AS (
+        SELECT MIN(src) AS root FROM e WHERE src LIKE 's:%'
+    ), bfs AS (
+        SELECT root AS node, 0 AS dist FROM s
+        UNION
+        SELECT e.dst, b.dist + 1
+        FROM bfs b JOIN e ON e.src = b.node
+        WHERE b.dist < {BFS_MAX_HOPS}
+    ), d AS (
+        SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
+    )
+    SELECT CAST(dist AS INT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY dist
+    """,
+)
+def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS) over the purchase
+    network, reported as the hop-distance profile from a deterministic
+    root (the lexicographically smallest supplier node) out to
+    BFS_MAX_HOPS=4 hops — "how many customers/suppliers sit within k
+    hops of this supplier", the reachability primitive under blast-
+    radius and influence queries.
+
+    Iteration shape: level-synchronous frontier expansion — each round
+    joins ONLY the previous frontier (never the full visited set)
+    against the src-keyed edge frame, anti-joins the visited frame to
+    keep first-discovery distances (first touch == min dist in BFS),
+    and localCheckpoints the accumulated frame so the plan stays one
+    round deep. The per-round driver scalar (frontier count) is the
+    loop's stopping test — same discipline as pagerank/dedup_clusters.
+    The oracle is a recursive CTE over the identical edge set; UNION
+    dedup bounds its working set at nodes × hops rows.
+
+    Scale: round cost = frontier ⋈ edges (key-projected shuffle;
+    bucketed-by-src edges make it co-located), frontier ≤ nodes rows.
+    BFS depth is the bipartite graph's diameter (small-world: ~4-6),
+    so the round count is bounded and data-independent in practice."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    pairs = (spread(t["lineitem"], "l_orderkey")
+             .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy(F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+                      F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"))
+             .agg(F.count("*").alias("w"))
+             .drop("w"))
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )).alias("e")).select("e.src", "e.dst")
+        .localCheckpoint())  # reused every round: materialize once
+
+    root = edges.filter(F.col("src").startswith("s:")) \
+                .agg(F.min("src")).first()[0]
+    visited = spark.createDataFrame([(root, 0)], "node string, dist int") \
+                   .localCheckpoint()
+    frontier = visited
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (frontier
+               .join(edges, frontier["node"] == edges["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited, "node", "left_anti")
+               .withColumn("dist", F.lit(hop))
+               .localCheckpoint())
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return (visited.groupBy("dist")
+            .agg(F.count("*").alias("n_nodes")))

@@ -701,3 +701,104 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(hit).cast("long").alias("n_correct"),
                  F.round(F.sum(hit) * 1.0 / F.count("*"), 6)
                   .alias("accuracy")))
+
+
+#: Johnson-Lindenstrauss sign projection: 64 → RP_K dims.
+RP_K = 16
+_RP_SIGN_SQL = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || "
+    "CAST({j} AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0 "
+    "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END")
+
+
+@register(
+    "random_projection_embed",
+    survey="LLM-embed,U1,A6,J1",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS val,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings
+    ), signs AS (
+        SELECT ii.i, jj.j,
+               {_RP_SIGN_SQL.format(i='ii.i', j='jj.j')} AS s
+        FROM (SELECT unnest(range(64)) AS i) ii
+        CROSS JOIN (SELECT unnest(range({RP_K})) AS j) jj
+    ), cells AS (
+        SELECT vec_id, j,
+               CAST(SUM(CAST(ROUND(val * s * {1.0 / RP_K ** 0.5}, 9)
+                             AS DECIMAL(25,9))) AS DOUBLE) AS pj
+        FROM ex JOIN signs ON ex.i = signs.i
+        GROUP BY 1, 2
+    ), pn AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(ROUND(pj * pj, 9) AS DECIMAL(25,9)))
+                    AS DOUBLE) AS proj_sq
+        FROM cells GROUP BY 1
+    ), onorm AS (
+        SELECT vec_id, ANY_VALUE(label) AS label,
+               CAST(SUM(CAST(ROUND(val * val, 9) AS DECIMAL(25,9)))
+                    AS DOUBLE) AS orig_sq
+        FROM ex GROUP BY 1
+    )
+    SELECT o.vec_id, o.label,
+           ROUND(o.orig_sq, 6) AS orig_sq_norm,
+           ROUND(p.proj_sq, 6) AS proj_sq_norm,
+           ROUND(ROUND(p.proj_sq, 6) / ROUND(o.orig_sq, 6), 6)
+               AS norm_ratio
+    FROM onorm o JOIN pn p USING (vec_id)
+    """,
+)
+def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 → 16 by a
+    deterministic ±1/√k sign matrix (Achlioptas 2003), with the
+    norm-preservation audit JL promises: E[‖Rx‖²] = ‖x‖², so
+    norm_ratio concentrates around 1 with variance ~2/k (pinned in
+    tests/test_similarity_lsh.py). The sign matrix is derived from
+    md5(i:j) parity — no RNG state — so the projection, not just its
+    statistics, is bit-reproducible in the DuckDB oracle AND across
+    cluster re-runs at any partitioning.
+
+    Determinism discipline: each product term is rounded to 9dp and
+    accumulated in DECIMAL(25,9) — float sums are order-dependent and
+    a shuffle reorders them, so exact associative accumulation is what
+    makes the result partitioning-independent (the same rule
+    functions/numeric.py applies to money). The 1024-entry sign table
+    is built driver-side (hashlib.md5 == SQL md5) and broadcast; the
+    plan is posexplode → broadcast join → two map-combinable
+    aggregates. Scale: cost is one narrow D×k multiply per vector —
+    at 100 TB swap the explode/join for the same BLAS-per-Arrow-batch
+    mapInPandas used by knn_label_eval, keeping this plan as the
+    bit-exact reference twin."""
+    import hashlib
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    scale = 1.0 / RP_K ** 0.5
+    signs = [(i, j, 1.0 if int(hashlib.md5(f"{i}:{j}".encode())
+                               .hexdigest()[0], 16) % 2 == 0 else -1.0)
+             for i in range(64) for j in range(RP_K)]
+    sign_df = spark.createDataFrame(signs, "i int, j int, s double")
+
+    ex = (t["embeddings"]
+          .select("vec_id", "label",
+                  F.posexplode("embedding").alias("i", "val"))
+          .withColumn("val", F.col("val").cast("double")))
+    dec = lambda c: F.round(c, 9).cast("decimal(25,9)")  # noqa: E731
+    cells = (ex.join(F.broadcast(sign_df), "i")
+             .groupBy("vec_id", "j")
+             .agg(F.sum(dec(F.col("val") * F.col("s") * scale))
+                  .cast("double").alias("pj")))
+    pn = (cells.groupBy("vec_id")
+          .agg(F.sum(dec(F.col("pj") * F.col("pj")))
+               .cast("double").alias("proj_sq")))
+    onorm = (ex.groupBy("vec_id")
+             .agg(F.first("label").alias("label"),
+                  F.sum(dec(F.col("val") * F.col("val")))
+                  .cast("double").alias("orig_sq")))
+    return (onorm.join(pn, "vec_id")
+            .select("vec_id", "label",
+                    F.round("orig_sq", 6).alias("orig_sq_norm"),
+                    F.round("proj_sq", 6).alias("proj_sq_norm"),
+                    F.round(F.round("proj_sq", 6)
+                            / F.round("orig_sq", 6), 6)
+                    .alias("norm_ratio")))

@@ -817,3 +817,88 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         old.unpersist()
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count long")
+
+
+#: collocation mining: minimum bigram support and report size.
+PMI_MIN_CNT = 5
+PMI_TOP = 50
+
+
+@register(
+    "pmi_collocations",
+    survey="LLM-text,A6,J1,W6",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS ts FROM documents
+    ), big AS (
+        SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+        FROM toks WHERE len(ts) >= 2
+    ), pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM big GROUP BY 1, 2
+    ), uc AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_cnt
+        FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1
+    ), nb AS (SELECT CAST(SUM(pair_cnt) AS BIGINT) AS n_big FROM pc),
+       nu AS (SELECT CAST(SUM(tok_cnt) AS BIGINT) AS n_tok FROM uc)
+    SELECT w1, w2, pair_cnt,
+           ROUND(LN((pair_cnt * 1.0 / n_big)
+                    / ((u1.tok_cnt * 1.0 / n_tok)
+                       * (u2.tok_cnt * 1.0 / n_tok))), 6) AS pmi
+    FROM pc
+    JOIN uc u1 ON pc.w1 = u1.tok
+    JOIN uc u2 ON pc.w2 = u2.tok
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE pair_cnt >= {PMI_MIN_CNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information — the
+    classic phrase-mining signal (Church & Hanks 1990) a tokenizer/
+    phrase-vocab pipeline runs before deciding what deserves a single
+    token. PMI(a,b) = ln(P(ab) / (P(a)P(b))) with bigram and unigram
+    probabilities from the same one-pass scan: explode adjacent pairs
+    via arrays_zip over two slices (no index UDF), count pairs and
+    tokens in two map-combinable aggregates, then join the (Zipf-
+    bounded) unigram table onto the bigram table twice. Support filter
+    first (pair_cnt ≥ PMI_MIN_CNT), so the PMI join only sees the surviving
+    pairs; final ordering is (rounded pmi DESC, w1, w2) — a total
+    order, so the LIMIT cut is deterministic on both engines and
+    compiles to TakeOrderedAndProject, never a global sort.
+
+    Scale: both count tables are vocabulary-bounded, not corpus-
+    bounded; the two enrichment joins broadcast the unigram side. At
+    100 TB raise PMI_MIN_CNT with corpus size (support ∝ N) — the
+    plan is unchanged. Reference parity: no text ops in the reference;
+    this extends the engine's tokenizer-training pack
+    (bpe_merge_step / vocab_coverage)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (spread(t["documents"], "doc_id")
+            .select(_tokens().alias("ts")))
+    n = F.size("ts")
+    pairs = (toks.filter(n >= 2)
+             .select(F.explode(F.arrays_zip(
+                 F.slice("ts", 1, n - 1).alias("w1"),
+                 F.expr("slice(ts, 2, size(ts) - 1)").alias("w2"),
+             )).alias("p"))
+             .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    pc = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt"))
+          .filter(F.col("pair_cnt") >= PMI_MIN_CNT))
+    uc = (toks.select(F.explode("ts").alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("tok_cnt")))
+    nb = pairs.agg(F.count("*").alias("n_big"))
+    nu = uc.agg(F.sum("tok_cnt").alias("n_tok"))
+    u1 = uc.select(F.col("tok").alias("w1"), F.col("tok_cnt").alias("c1"))
+    u2 = uc.select(F.col("tok").alias("w2"), F.col("tok_cnt").alias("c2"))
+    pmi = F.round(F.log(
+        (F.col("pair_cnt") * 1.0 / F.col("n_big"))
+        / ((F.col("c1") * 1.0 / F.col("n_tok"))
+           * (F.col("c2") * 1.0 / F.col("n_tok")))), 6)
+    return (pc.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+            .crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nu))
+            .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(PMI_TOP))

@@ -110,3 +110,36 @@ def test_triangle_count_matches_python_recount(spark):
     assert got["n_triangles"] == tri
     if wedges:
         assert got["global_clustering"] == round(3.0 * tri / wedges, 6)
+
+
+def test_bfs_hops_match_numpy_bfs(spark):
+    """Hop profile against a driver-side BFS over the same bipartite
+    edge set, from the same deterministic root."""
+    from collections import deque
+    got = {r.dist: r.n_nodes
+           for r in all_queries()["shortest_path_hops"].fn(spark, SF_DIR)
+           .collect()}
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    adj: dict[str, set] = {}
+    for c, s in {(f"c:{r.o_custkey}", f"s:{r.l_suppkey}")
+                 for r in j.itertuples()}:
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    root = min(n for n in adj if n.startswith("s:"))
+    from covid_weather_etl_spark.operators.graph import BFS_MAX_HOPS
+    dist = {root: 0}
+    q = deque([root])
+    while q:
+        u = q.popleft()
+        if dist[u] >= BFS_MAX_HOPS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    want: dict[int, int] = {}
+    for d in dist.values():
+        want[d] = want.get(d, 0) + 1
+    assert got == want

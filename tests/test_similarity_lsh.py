@@ -135,3 +135,41 @@ def test_ivf_kmeans_codebook_deterministic_and_recall(spark):
     truth = [r["vec_id"] for r in S.cosine_topk(spark, SF_DIR).limit(5).collect()]
     assert len(got) == 5
     assert len(set(got) & set(truth)) >= 2   # recall@5 >= 0.4 with 1 probe
+
+
+def test_random_projection_jl_concentration(spark):
+    """JL norm preservation: E[ratio] = 1, sd ~ sqrt(2/k) = 0.354 at
+    k=16 — the mean over 500 vectors must sit within 5 sigma/sqrt(n)
+    of 1 and individual ratios inside a generous (0.2, 3.0) band."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    pdf = all_queries()["random_projection_embed"].fn(spark, SF_DIR).toPandas()
+    r = pdf.norm_ratio.to_numpy()
+    assert len(r) >= 100
+    import math
+    assert abs(r.mean() - 1.0) < 5 * math.sqrt(2 / 16) / math.sqrt(len(r))
+    assert (r > 0.2).all() and (r < 3.0).all()
+    assert (pdf.orig_sq_norm > 0).all()
+
+
+def test_random_projection_matches_numpy(spark):
+    """Bit-level pin: the engine's projected squared norms equal a
+    numpy recomputation with the same md5 sign matrix and the same
+    9dp-round-then-sum discipline (up to the 6dp output round)."""
+    import hashlib
+    import numpy as np
+    import pandas as pd
+    from covid_weather_etl_spark.operators.similarity import RP_K
+    from covid_weather_etl_spark.queries.registry import all_queries
+    got = (all_queries()["random_projection_embed"].fn(spark, SF_DIR)
+           .toPandas().set_index("vec_id"))
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").set_index("vec_id")
+    S = np.array([[1.0 if int(hashlib.md5(f"{i}:{j}".encode())
+                              .hexdigest()[0], 16) % 2 == 0 else -1.0
+                   for j in range(RP_K)] for i in range(64)])
+    scale = 1.0 / RP_K ** 0.5
+    for vid in list(emb.index)[:25]:
+        x = emb.loc[vid].embedding.astype(np.float64)
+        terms = np.round(x[:, None] * S * scale, 9)
+        pj = terms.sum(axis=0)
+        proj_sq = np.round(pj * pj, 9).sum()
+        assert abs(got.loc[vid].proj_sq_norm - round(proj_sq, 6)) < 2e-6

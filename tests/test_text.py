@@ -110,3 +110,34 @@ def test_bpe_vocab_train_matches_python_trainer(spark):
             vocab[w] = out
     assert got == expect
     assert len(got) >= 3  # the corpus supports a real merge sequence
+
+
+def test_pmi_collocations_match_numpy(spark):
+    """PMI values against raw Counter-based recomputation; also the
+    report must be support-filtered and sorted by (pmi desc, w1, w2)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.text import PMI_MIN_CNT, PMI_TOP
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+    pdf = all_queries()["pmi_collocations"].fn(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    uni, big = Counter(), Counter()
+    for text in docs.text:
+        ts = text.split(" ")
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+    nb, nu = sum(big.values()), sum(uni.values())
+    assert len(pdf) <= PMI_TOP
+    assert (pdf.pair_cnt >= PMI_MIN_CNT).all()
+    for r in pdf.itertuples():
+        assert big[(r.w1, r.w2)] == r.pair_cnt
+        want = math.log((r.pair_cnt / nb)
+                        / ((uni[r.w1] / nu) * (uni[r.w2] / nu)))
+        assert abs(r.pmi - round(want, 6)) < 1e-9
+    # sorted by pmi desc with deterministic tie-break
+    key = list(zip(-pdf.pmi, pdf.w1, pdf.w2))
+    assert key == sorted(key)
