@@ -100,6 +100,9 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_ = bin_.when(v < F.col(f"e{i}"), i)
     bin_ = bin_.otherwise(len(PSI_QS))
 
+    # eager checkpoint: `counts` (10 rows) feeds both the report and
+    # `tot`; self-referenced frames are NOT auto-reused, so without
+    # materialization the full scan+bin pass would run twice.
     counts = (od.crossJoin(F.broadcast(edges))
               .select(bin_.alias("bin"),
                       (F.col("o_orderdate") < cutoff).alias("is_ref"))
@@ -107,7 +110,8 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
                    .alias("ref_cnt"),
                    F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
-                   .alias("cur_cnt")))
+                   .alias("cur_cnt"))
+              .localCheckpoint(eager=True))
     tot = counts.agg(F.sum("ref_cnt").alias("nr"),
                      F.sum("cur_cnt").alias("nc"))
     ref_pct = F.col("ref_cnt") * 1.0 / F.col("nr")
@@ -192,10 +196,15 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("ia"),
                  F.when(F.col("event_type") == KS_B, 1).otherwise(0)
                  .alias("ib")))
+    # one scan of events builds the tie-collapsed per-value table;
+    # checkpoint it (distinct-values-sized) — it feeds the in-block
+    # window, the block totals, the range scalars AND the sample sizes,
+    # and each reuse would otherwise recompute the scan
     d = (s.groupBy(F.col("value").alias("v"))
-         .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb")))
+         .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+         .localCheckpoint(eager=True))
 
-    lo, hi = s.agg(F.min("value"), F.max("value")).first()
+    lo, hi = d.agg(F.min("v"), F.max("v")).first()
     width = max((hi - lo) / KS_BLOCKS, 1e-12)
     blk = F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
                   F.lit(KS_BLOCKS - 1)).cast("int")
@@ -216,7 +225,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.coalesce(F.sum("y.ta"), F.lit(0)).alias("off_a"),
                   F.coalesce(F.sum("y.tb"), F.lit(0)).alias("off_b")))
 
-    tot = s.agg(F.sum("ia").alias("n_a"), F.sum("ib").alias("n_b"))
+    tot = d.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
     cca = F.col("ca_in") + F.col("off_a")
     ccb = F.col("cb_in") + F.col("off_b")
     return (in_blk.join(F.broadcast(below), "blk")
@@ -281,8 +290,10 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("c_mktsegment").alias("segment"),
                       F.when(F.col("o_totalprice") > MI_PRICE_CUT, 1)
                       .otherwise(0).alias("label")))
+    # |segments|x2 rows reused four times — materialize the scan once
     cells = (joined.groupBy("segment", "label")
-             .agg(F.count("*").alias("n_xy")))
+             .agg(F.count("*").alias("n_xy"))
+             .localCheckpoint(eager=True))
     mx = cells.groupBy("segment").agg(F.sum("n_xy").alias("n_x"))
     my = cells.groupBy("label").agg(F.sum("n_xy").alias("n_y"))
     tot = cells.agg(F.sum("n_xy").alias("n"))

@@ -885,11 +885,16 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("slice(ts, 2, size(ts) - 1)").alias("w2"),
              )).alias("p"))
              .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
-    pc = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt"))
-          .filter(F.col("pair_cnt") >= PMI_MIN_CNT))
+    # vocabulary-bounded count tables, each reused downstream —
+    # materialize so the corpus-sized explode runs exactly twice
+    # (bigrams + unigrams), never per consumer
+    pc_all = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt"))
+              .localCheckpoint(eager=True))
+    pc = pc_all.filter(F.col("pair_cnt") >= PMI_MIN_CNT)
     uc = (toks.select(F.explode("ts").alias("tok"))
-          .groupBy("tok").agg(F.count("*").alias("tok_cnt")))
-    nb = pairs.agg(F.count("*").alias("n_big"))
+          .groupBy("tok").agg(F.count("*").alias("tok_cnt"))
+          .localCheckpoint(eager=True))
+    nb = pc_all.agg(F.sum("pair_cnt").alias("n_big"))
     nu = uc.agg(F.sum("tok_cnt").alias("n_tok"))
     u1 = uc.select(F.col("tok").alias("w1"), F.col("tok_cnt").alias("c1"))
     u2 = uc.select(F.col("tok").alias("w2"), F.col("tok_cnt").alias("c2"))

@@ -127,7 +127,10 @@ _ROTATION_R4 = (
     "local_supplier_revenue",
 )
 # Still never driver-checked after this window (queued first for r5,
-# all locally sf0.01-parity-green): unpivot_flag_metrics,
+# all locally sf0.01-parity-green): the session-3 cohort
+# (count_min_frequency, psi_drift_report, ks_two_sample,
+# mutual_information_features, pmi_collocations, shortest_path_hops,
+# dedup_clusters_star, random_projection_embed), unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
 # rfm_segmentation, basket_affinity, mad_anomaly_report,
