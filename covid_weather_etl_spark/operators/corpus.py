@@ -899,3 +899,57 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("lbl", "doc_id").alias("cluster_id"),
                     (F.coalesce("lbl", "doc_id") == F.col("doc_id"))
                     .alias("is_canonical")))
+
+
+#: weighted sampling-without-replacement: sample size.
+WSAMPLE_K = 100
+
+
+@register(
+    "weighted_sample_topk",
+    survey="corpus-sample,W6,F9",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               (CAST(CAST('0x' || substr(md5('ws:' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT)
+                 AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           ROUND(LN(u) / o_totalprice * 1e6, 6) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, o_orderkey
+    LIMIT {WSAMPLE_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-Res): each row draws u ~ U(0,1) and survives if
+    its key u^(1/w) ranks in the top K — equivalently, by the monotone
+    transform ln(u)/w (less negative = better), which avoids the
+    underflow of u^(1/w) for tiny weights. Inclusion probability is
+    proportional to weight (here o_totalprice) in the without-
+    replacement sense — THE primitive under quality-weighted corpus
+    subsampling where `hash_stratified_sample` only does uniform
+    shares.
+
+    Determinism: u comes from md5(o_orderkey) mapped into (0,1) at
+    2^-52 grain — no RNG state, so the sample is identical across
+    engines, partitionings and reruns (same discipline as
+    hash_stratified_sample); the selection is ORDER BY (rounded key,
+    orderkey) LIMIT K — a total order, so the cut is deterministic and
+    compiles to TakeOrderedAndProject (per-partition top-K heaps + one
+    K-row merge), never a global sort. The 1e6 factor keeps the
+    rounded key's 6 decimals significant (ln(u)/w is O(1e-5) at this
+    weight scale). Scale: map + top-K — no shuffle of the data at all."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    raw = F.conv(F.substring(F.md5(
+        F.concat(F.lit("ws:"), F.col("o_orderkey").cast("string"))),
+        1, 13), 16, 10).cast("double")
+    u = (raw + 0.5) / float(1 << 52)
+    es_key = F.round(F.log(u) / F.col("o_totalprice") * 1e6, 6)
+    return (t["orders"]
+            .select("o_orderkey", "o_totalprice", es_key.alias("es_key"))
+            .orderBy(F.col("es_key").desc(), "o_orderkey")
+            .limit(WSAMPLE_K))

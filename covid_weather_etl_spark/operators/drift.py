@@ -306,3 +306,81 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * F.log((F.col("n_xy") * 1.0 * F.col("n"))
                                     / (1.0 * F.col("n_x") * F.col("n_y"))),
                             9).alias("mi_term")))
+
+
+@register(
+    "welch_ttest_ab",
+    survey="ext-drift,A4,A6,F9",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(25,6)))
+                    AS DOUBLE) AS sxx
+        FROM events
+        WHERE event_type IN ('{KS_A}', '{KS_B}') AND value IS NOT NULL
+        GROUP BY 1
+    ), w AS (
+        SELECT MAX(CASE WHEN grp = '{KS_A}' THEN n END) AS n_a,
+               MAX(CASE WHEN grp = '{KS_B}' THEN n END) AS n_b,
+               MAX(CASE WHEN grp = '{KS_A}' THEN sx / n END) AS mean_a,
+               MAX(CASE WHEN grp = '{KS_B}' THEN sx / n END) AS mean_b,
+               MAX(CASE WHEN grp = '{KS_A}'
+                        THEN (sxx - sx * sx / n) / (n - 1) END) AS var_a,
+               MAX(CASE WHEN grp = '{KS_B}'
+                        THEN (sxx - sx * sx / n) / (n - 1) END) AS var_b
+        FROM s
+    )
+    SELECT n_a, n_b,
+           ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+           ROUND((mean_a - mean_b)
+                 / SQRT(var_a / n_a + var_b / n_b), 6) AS t_stat,
+           ROUND(POWER(var_a / n_a + var_b / n_b, 2)
+                 / (POWER(var_a / n_a, 2) / (n_a - 1)
+                    + POWER(var_b / n_b, 2) / (n_b - 1)), 6) AS welch_df
+    FROM w
+    """,
+)
+def welch_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the `value`
+    distributions of the same two event types `ks_two_sample` compares
+    — the mean-shift A/B read to KS's shape read. ONE map-combinable
+    aggregate carries (n, Σx, Σx²) per group; the 2dp money grid makes
+    Σx and Σ(round(x²,6)) DECIMAL-exact and therefore partitioning-
+    independent, so mean/variance/t/df are identical IEEE doubles on
+    both engines before the 6dp round. Welch–Satterthwaite df comes
+    from the same four scalars. Scale: sufficient statistics only —
+    one scan, a 2-row shuffle, O(1) driver math; this is the pattern
+    every moment-based test reduces to at 100 TB."""
+    t = load_tables(spark, sf_dir, ("events",))
+    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
+    s = (t["events"]
+         .filter(F.col("event_type").isin(KS_A, KS_B)
+                 & F.col("value").isNotNull())
+         .groupBy(F.col("event_type").alias("grp"))
+         .agg(F.count("*").alias("n"),
+              F.sum(dec(F.col("value"))).cast("double").alias("sx"),
+              F.sum(dec(F.round(F.col("value") * F.col("value"), 6)))
+              .cast("double").alias("sxx")))
+    pick = lambda g, e: F.max(F.when(F.col("grp") == g, e))  # noqa: E731
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) \
+        / (F.col("n") - 1)
+    w = s.agg(pick(KS_A, F.col("n")).alias("n_a"),
+              pick(KS_B, F.col("n")).alias("n_b"),
+              pick(KS_A, mean).alias("mean_a"),
+              pick(KS_B, mean).alias("mean_b"),
+              pick(KS_A, var).alias("var_a"),
+              pick(KS_B, var).alias("var_b"))
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    df = (F.pow(se2, 2)
+          / (F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+             + F.pow(F.col("var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)))
+    return w.select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6)
+        .alias("t_stat"),
+        F.round(df, 6).alias("welch_df"))

@@ -388,3 +388,136 @@ def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("a.d").alias("d"),
                      F.col("a.new_users").alias("new_users"))
             .agg(F.sum("b.new_users").alias("cum_users")))
+
+
+@register(
+    "kaplan_meier_conversion",
+    survey="ext-events,A6,J1,W1",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS s FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), fp AS (
+        SELECT e.user_id, MIN(e.ts) AS p
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= su.s
+        GROUP BY 1
+    ), study AS (SELECT MAX(ts) AS study_end FROM events),
+    obs AS (
+        SELECT su.user_id,
+               CASE WHEN fp.p IS NOT NULL
+                    THEN CAST((epoch_us(fp.p) - epoch_us(su.s))
+                              // 86400000000 AS BIGINT)
+                    ELSE CAST((epoch_us(study_end) - epoch_us(su.s))
+                              // 86400000000 AS BIGINT)
+               END AS day,
+               CASE WHEN fp.p IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        FROM su LEFT JOIN fp ON su.user_id = fp.user_id
+        CROSS JOIN study
+    ), day_tab AS (
+        SELECT day,
+               CAST(SUM(is_event) AS BIGINT) AS d,
+               CAST(SUM(1 - is_event) AS BIGINT) AS c
+        FROM obs GROUP BY day
+    ), tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_total FROM day_tab),
+    at_risk AS (
+        SELECT a.day, a.d, a.c,
+               n_total - COALESCE(SUM(b.d + b.c), 0) AS n
+        FROM day_tab a CROSS JOIN tot
+        LEFT JOIN day_tab b ON b.day < a.day
+        GROUP BY a.day, a.d, a.c, n_total
+    ), surv AS (
+        SELECT a.day, a.d, a.c, a.n,
+               MAX(CASE WHEN b.d >= b.n THEN 1 ELSE 0 END) AS hit_zero,
+               SUM(CASE WHEN b.d > 0 AND b.d < b.n
+                        THEN CAST(ROUND(LN(1.0 - b.d * 1.0 / b.n), 9)
+                                  AS DECIMAL(25,9))
+                        ELSE CAST(0 AS DECIMAL(25,9)) END) AS logsum
+        FROM at_risk a JOIN at_risk b ON b.day <= a.day
+        GROUP BY a.day, a.d, a.c, a.n
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n AS BIGINT) AS n_at_risk,
+           d AS n_events, c AS n_censored,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(EXP(CAST(logsum AS DOUBLE)), 6)
+           END AS survival
+    FROM surv
+    """,
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion:
+    per signup cohort member, days until the first post-signup
+    purchase (event) or until the end of observation (right-censored),
+    then the product-limit estimate S(t) = Π_{s≤t} (1 − d_s/n_s) over
+    the day-grain risk table — survival analysis, the censoring-aware
+    answer to "how fast do users convert" that a plain latency average
+    gets wrong whenever observation windows are uneven.
+
+    Engine discipline: durations are exact integer microseconds
+    floored to days; the risk table is day-grain (≤ horizon rows), so
+    at-risk counts and the cumulative product both come from
+    TRIANGULAR self-joins over that tiny frame — no global window
+    (registry pin), and the log-space product Σ ln(1−d/n) is rounded
+    9dp per term then DECIMAL-summed, making S(t) independent of join
+    order on both engines. d_s = n_s (everyone left converts) drops
+    survival to exactly 0 via a flag, not ln(0). Scale: events scan →
+    two user-keyed aggregates; everything after is horizon-bounded.
+    The oracle mirrors the same algebra in SQL."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    su = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("s")))
+    fp = (ev.filter(F.col("event_type") == "purchase")
+          .join(su, "user_id")
+          .filter(F.col("ts") >= F.col("s"))
+          .groupBy("user_id").agg(F.min("ts").alias("p")))
+    study = ev.agg(F.max("ts").alias("study_end"))
+    end_day = ((F.unix_micros("study_end") - F.unix_micros("s"))
+               / F.lit(86400000000)).cast("bigint")
+    ev_day = ((F.unix_micros("p") - F.unix_micros("s"))
+              / F.lit(86400000000)).cast("bigint")
+    obs = (su.join(fp, "user_id", "left")
+           .crossJoin(F.broadcast(study))
+           .select(F.when(F.col("p").isNotNull(), ev_day)
+                   .otherwise(end_day).alias("day"),
+                   F.when(F.col("p").isNotNull(), 1).otherwise(0)
+                   .alias("is_event")))
+    day_tab = (obs.groupBy("day")
+               .agg(F.sum("is_event").alias("d"),
+                    F.sum(1 - F.col("is_event")).alias("c"))
+               .localCheckpoint(eager=True))  # horizon-sized; reused 3×
+    tot = day_tab.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    a, b = day_tab.alias("a"), day_tab.alias("b")
+    at_risk = (a.crossJoin(F.broadcast(tot))
+               .join(F.broadcast(b), F.col("b.day") < F.col("a.day"), "left")
+               .groupBy(F.col("a.day").alias("day"),
+                        F.col("a.d").alias("d"),
+                        F.col("a.c").alias("c"),
+                        F.col("n_total"))
+               .agg((F.col("n_total")
+                     - F.coalesce(F.sum(F.col("b.d") + F.col("b.c")),
+                                  F.lit(0))).alias("n"))
+               .drop("n_total")
+               .localCheckpoint(eager=True))  # reused as both join sides
+    ra, rb = at_risk.alias("ra"), at_risk.alias("rb")
+    frac = F.col("rb.d") * 1.0 / F.col("rb.n")
+    term = (F.when((F.col("rb.d") > 0) & (F.col("rb.d") < F.col("rb.n")),
+                   F.round(F.log(1.0 - frac), 9).cast("decimal(25,9)"))
+            .otherwise(F.lit(0).cast("decimal(25,9)")))
+    surv = (ra.join(F.broadcast(rb), F.col("rb.day") <= F.col("ra.day"))
+            .groupBy(F.col("ra.day").alias("day"),
+                     F.col("ra.d").alias("n_events"),
+                     F.col("ra.c").alias("n_censored"),
+                     F.col("ra.n").alias("n_at_risk"))
+            .agg(F.max(F.when(F.col("rb.d") >= F.col("rb.n"), 1)
+                       .otherwise(0)).alias("hit_zero"),
+                 F.sum(term).alias("logsum")))
+    return surv.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("logsum").cast("double")), 6))
+        .alias("survival"))

@@ -181,3 +181,27 @@ def test_star_contraction_equals_min_label_cc(spark):
     b = (all_queries()["dedup_clusters_star"].fn(spark, SF_DIR)
          .toPandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    """A-Res sampling must (a) reproduce the exact numpy selection
+    with the same md5 uniforms, and (b) over-represent heavy weights:
+    the sampled mean o_totalprice exceeds the population mean."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from covid_weather_etl_spark.operators.corpus import WSAMPLE_K
+    from covid_weather_etl_spark.queries.registry import all_queries
+    got = all_queries()["weighted_sample_topk"].fn(spark, SF_DIR).toPandas()
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    u = np.array([
+        (int(hashlib.md5(f"ws:{k}".encode()).hexdigest()[:13], 16) + 0.5)
+        / 2 ** 52 for k in od.o_orderkey])
+    key = np.round(np.log(u) / od.o_totalprice.to_numpy() * 1e6, 6)
+    order = sorted(zip(-key, od.o_orderkey))[:WSAMPLE_K]
+    want = {k for _, k in order}
+    assert set(got.o_orderkey) == want
+    assert len(got) == WSAMPLE_K
+    assert got.o_totalprice.mean() > od.o_totalprice.mean()

@@ -103,3 +103,21 @@ def test_mutual_information_independent_label_is_zero(spark, duck):
     out = duck.execute(sql).fetchdf()
     assert (out.label == 1).all()
     assert np.allclose(out.mi_term, 0.0)
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """t statistic and Welch–Satterthwaite df against raw numpy."""
+    row = QUERIES["welch_ttest_ab"].fn(spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    a = ev[ev.event_type == KS_A].value.dropna().to_numpy()
+    b = ev[ev.event_type == KS_B].value.dropna().to_numpy()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2 ** 2 / ((va / len(a)) ** 2 / (len(a) - 1)
+                     + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.mean_a - a.mean()) < 1e-6
+    assert abs(row.t_stat - t) < 1e-4, (row.t_stat, t)
+    assert abs(row.welch_df - df) < 1e-2, (row.welch_df, df)
+    assert min(len(a), len(b)) - 1 <= row.welch_df <= len(a) + len(b) - 2

@@ -91,3 +91,41 @@ def test_funnel_is_strictly_ordered(spark, tmp_path):
     got = {r["stage"]: r["n_users"] for r in
            QUERIES["funnel_conversion"].fn(spark, str(d)).collect()}
     assert got == {"view": 3, "view>click": 2, "view>click>purchase": 1}
+
+
+def test_kaplan_meier_matches_pure_python(spark):
+    """KM curve against a from-scratch product-limit estimator over
+    the same cohort, durations recomputed in raw microseconds."""
+    got = (QUERIES["kaplan_meier_conversion"].fn(spark, SF_DIR)
+           .toPandas().sort_values("day").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    # normalize to integer MICROseconds regardless of the unit pandas
+    # picked for the TIMESTAMP(NANOS) column
+    ns = ev.assign(us=ev.ts.astype("datetime64[us]").astype("int64"))
+    su = (ns[ns.event_type == "signup"].groupby("user_id").us.min()
+          .rename("s"))
+    pu = ns[ns.event_type == "purchase"].merge(su, on="user_id")
+    pu = pu[pu.us >= pu.s].groupby("user_id").us.min().rename("p")
+    end = ns.us.max()
+    obs = pd.concat([su, pu], axis=1)
+    day = ((obs.p.fillna(end) - obs.s) // 86_400_000_000).astype(int)
+    is_event = obs.p.notna()
+    # product-limit over the day grid
+    days = sorted(day.unique())
+    n_at_risk, surv, out = len(obs), 1.0, {}
+    for t in days:
+        d = int(((day == t) & is_event).sum())
+        c = int(((day == t) & ~is_event).sum())
+        s_prev = surv
+        if d:
+            surv = 0.0 if d >= n_at_risk else s_prev * (1 - d / n_at_risk)
+        out[t] = (n_at_risk, d, c, surv)
+        n_at_risk -= d + c
+    assert list(got.day) == days
+    for r in got.itertuples():
+        n, d, c, s = out[r.day]
+        assert (r.n_at_risk, r.n_events, r.n_censored) == (n, d, c)
+        assert abs(r.survival - s) < 1e-5, (r.day, r.survival, s)
+    # survival is monotone non-increasing and starts ≤ 1
+    assert (got.survival.diff().dropna() <= 1e-12).all()
+    assert got.survival.iloc[0] <= 1.0
