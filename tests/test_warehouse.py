@@ -477,3 +477,65 @@ def test_basket_affinity_pairs_are_real_cooccurrences(spark):
     for r in got.itertuples(index=False):
         co = sum(1 for b in baskets if r.part_a in b and r.part_b in b)
         assert co == r.n_cooccur
+
+
+def test_isotonic_matches_numpy_pav(spark):
+    """The closed-form minimax fit must equal a from-scratch
+    sequential pool-adjacent-violators pass on the same weighted
+    points, and be non-decreasing with the same weighted mean."""
+    from tests.conftest import SF_DIR
+    got = (all_queries()["isotonic_calibration"].fn(spark, SF_DIR)
+           .toPandas().sort_values("char_bin").reset_index(drop=True))
+    # sequential PAV on (w, rate)
+    blocks = [[w, p, p / w] for w, p in zip(got.n_docs, got.n_pos)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][2] > blocks[i + 1][2] + 1e-15:
+            w = blocks[i][0] + blocks[i + 1][0]
+            p = blocks[i][1] + blocks[i + 1][1]
+            blocks[i] = [w, p, p / w]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fit = []
+    bi = iter(blocks)
+    blk = next(bi)
+    remaining = blk[0]
+    for w in got.n_docs:
+        while remaining == 0:
+            blk = next(bi)
+            remaining = blk[0]
+        fit.append(blk[2])
+        remaining -= w
+    assert len(fit) == len(got)
+    for got_v, want in zip(got.iso_rate, fit):
+        assert abs(got_v - round(want, 6)) < 1e-9
+    d = got.iso_rate.diff().dropna()
+    assert (d >= -1e-12).all()
+    # pooled fit conserves the weighted mean
+    assert abs((got.iso_rate * got.n_docs).sum()
+               - got.n_pos.sum()) < 1e-3
+
+
+def test_isotonic_agrees_with_spark_ml(spark):
+    """Cross-check against Spark ML's distributed IsotonicRegression
+    on the identical weighted point set."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+    from tests.conftest import SF_DIR
+    got = (all_queries()["isotonic_calibration"].fn(spark, SF_DIR)
+           .toPandas().sort_values("char_bin").reset_index(drop=True))
+    pts = spark.createDataFrame(
+        [(float(r.char_bin), r.n_pos / r.n_docs, float(r.n_docs))
+         for r in got.itertuples()],
+        "x double, rate double, w double")
+    va = VectorAssembler(inputCols=["x"], outputCol="features")
+    iso = IsotonicRegression(labelCol="rate", weightCol="w",
+                             featuresCol="features")
+    model = iso.fit(va.transform(pts))
+    pred = (model.transform(va.transform(pts))
+            .select("x", "prediction").toPandas()
+            .sort_values("x").reset_index(drop=True))
+    for mine, ml in zip(got.iso_rate, pred.prediction):
+        assert abs(mine - ml) < 1e-6, (mine, ml)
