@@ -1,0 +1,321 @@
+"""Exact rank statistics at scale: ROC AUC (Mann-Whitney), Spearman
+rank correlation, and the decile lift/gains table — the model- and
+feature-evaluation primitives that naively need a GLOBAL sort/rank
+(every row through one task), re-expressed as tie-collapsed per-value
+count tables + prefix sums, so they obey the registry's zero-global-
+window pin and stay exact.
+
+The common trick: a rank statistic never needs the rank of each ROW —
+only, per DISTINCT value, how much mass lies below it and how much is
+tied at it. GroupBy(value) bounds the working frame by the number of
+distinct values; cumulative counts come from value-range blocks +
+triangular offset joins (the ks_two_sample pattern); every sum is
+integer (or half-integer) and accumulates in DECIMAL, so results are
+bit-identical across engines and partitionings.
+
+Reference parity: the reference evaluates its classifier with
+sklearn's roc_auc_score (`dags/classification_dag.py:118`); this is
+that evaluation computed inside the engine, exactly, at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
+
+#: the scored-binary-outcome pair: score = n_chars, outcome = document
+#: longer than ISO_TOK_CUT tokens (same pair isotonic_calibration fits).
+AUC_TOK_CUT = 56
+
+_DOC_SCORED_SQL = f"""
+        SELECT n_chars AS score,
+               CASE WHEN len(string_split(text, ' ')) > {AUC_TOK_CUT}
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+"""
+
+
+@register(
+    "exact_auc_mann_whitney",
+    survey="ext-rank,U5,A6,W1",
+    oracle=f"""
+    WITH scored AS (
+        {_DOC_SCORED_SQL}
+    ), d AS (
+        SELECT score,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM scored GROUP BY score
+    ), c AS (
+        SELECT score, pos, neg,
+               SUM(neg) OVER (ORDER BY score) - neg AS neg_below
+        FROM d
+    ), tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg
+        FROM d
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM c CROSS JOIN tot
+    GROUP BY n_pos, n_neg
+    """,
+)
+def exact_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of `n_chars` as a predictor of the long-document
+    outcome, via the Mann-Whitney U identity: AUC = P(score_pos >
+    score_neg) + ½·P(tie) = Σ_v pos(v)·(neg_below(v) + ½·neg(v)) /
+    (n_pos·n_neg). The engine never ranks rows — it tie-collapses to
+    the per-distinct-score count table (one map-combinable aggregate),
+    gets neg_below from value-range blocks + a triangular offset join
+    (the ks_two_sample pattern, zero global windows), and the
+    2×-scaled concordance sum stays INTEGER in DECIMAL until the one
+    final division — bit-identical across engines and partitionings.
+    Scale: cost = one scan + a distinct-scores-bounded frame; the
+    oracle states the same sum with a plain cumulative window."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = (spread(t["documents"], "doc_id")
+              .select(F.col("n_chars").alias("score"),
+                      (F.size(F.split("text", " ")) > AUC_TOK_CUT)
+                      .cast("int").alias("y")))
+    d = (scored.groupBy("score")
+         .agg(F.sum("y").alias("pos"),
+              F.sum(1 - F.col("y")).alias("neg"))
+         .localCheckpoint(eager=True))
+
+    lo, hi = d.agg(F.min("score"), F.max("score")).first()
+    n_blocks = 32
+    width = max((hi - lo) / n_blocks, 1e-9)
+    blk = F.least(F.floor((F.col("score") - F.lit(lo)) / F.lit(width)),
+                  F.lit(n_blocks - 1)).cast("int")
+    w_in = (W.partitionBy("blk").orderBy("score")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    in_blk = (d.withColumn("blk", blk)
+              .withColumn("neg_thru", F.sum("neg").over(w_in)))
+    blk_tot = (d.withColumn("blk", blk).groupBy("blk")
+               .agg(F.sum("neg").alias("tneg")))
+    below = (blk_tot.alias("x")
+             .join(F.broadcast(blk_tot.alias("y")),
+                   F.col("y.blk") < F.col("x.blk"), "left")
+             .groupBy(F.col("x.blk").alias("blk"))
+             .agg(F.coalesce(F.sum("y.tneg"), F.lit(0)).alias("off")))
+    tot = d.agg(F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
+    neg_below = F.col("neg_thru") + F.col("off") - F.col("neg")
+    return (in_blk.join(F.broadcast(below), "blk")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("n_pos", "n_neg")
+            .agg(F.round(
+                F.sum((F.col("pos") * (2 * neg_below + F.col("neg")))
+                      .cast("decimal(25,0)")).cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")), 6)
+                .alias("auc"))
+            .select("n_pos", "n_neg", "auc"))
+
+
+@register(
+    "spearman_correlation",
+    survey="ext-rank,A14,A6,W1",
+    oracle="""
+    WITH t AS (
+        SELECT n_chars AS a,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+        FROM documents
+    ), ra AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS c,
+               SUM(COUNT(*)) OVER (ORDER BY a) AS thru
+        FROM t GROUP BY a
+    ), rb AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c,
+               SUM(COUNT(*)) OVER (ORDER BY b) AS thru
+        FROM t GROUP BY b
+    ), ranked AS (
+        SELECT (ra.thru - ra.c + (ra.c + 1) / 2.0) AS rka,
+               (rb.thru - rb.c + (rb.c + 1) / 2.0) AS rkb
+        FROM t JOIN ra ON t.a = ra.a JOIN rb ON t.b = rb.b
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(rka * 2 AS DECIMAL(25,0))) AS DOUBLE) / 2
+                   AS sa,
+               CAST(SUM(CAST(rkb * 2 AS DECIMAL(25,0))) AS DOUBLE) / 2
+                   AS sb,
+               CAST(SUM(CAST(rka * rkb * 4 AS DECIMAL(30,0))) AS DOUBLE)
+                   / 4 AS sab,
+               CAST(SUM(CAST(rka * rka * 4 AS DECIMAL(30,0))) AS DOUBLE)
+                   / 4 AS saa,
+               CAST(SUM(CAST(rkb * rkb * 4 AS DECIMAL(30,0))) AS DOUBLE)
+                   / 4 AS sbb
+        FROM ranked
+    )
+    SELECT n,
+           ROUND((n * sab - sa * sb)
+                 / (SQRT(n * saa - sa * sa) * SQRT(n * sbb - sb * sb)),
+                 6) AS spearman_rho
+    FROM sums
+    """,
+)
+def spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between document length in
+    characters and in tokens (tie-aware average ranks) — the monotone-
+    association read Pearson (`correlation_matrix`) misses when the
+    relationship is nonlinear. Average rank of a tied value needs only
+    (cumulative count through v, tie count at v): both come from the
+    tie-collapsed per-value tables via the blocked prefix-sum pattern
+    — zero global windows, no row-level rank ever materialized. Ranks
+    live on the ½ grid and their products on the ¼ grid, so the 2×/4×
+    scaled sums are INTEGERS accumulated in DECIMAL — ρ is
+    partitioning-independent to the last bit before the 6dp round.
+    Scale: two distinct-value-bounded side tables broadcast back onto
+    one scan; everything else is one map-combinable moment aggregate."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = (spread(t["documents"], "doc_id")
+            .select(F.col("n_chars").alias("a"),
+                    F.size(F.split("text", " ")).cast("long").alias("b")))
+
+    def rank_table(df: DataFrame, col: str) -> DataFrame:
+        d = (df.groupBy(col).agg(F.count("*").alias("c"))
+             .localCheckpoint(eager=True))
+        lo, hi = d.agg(F.min(col), F.max(col)).first()
+        n_blocks = 32
+        width = max((hi - lo) / n_blocks, 1e-9)
+        blk = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
+                      F.lit(n_blocks - 1)).cast("int")
+        w_in = (W.partitionBy("blk").orderBy(col)
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+        in_blk = (d.withColumn("blk", blk)
+                  .withColumn("thru_blk", F.sum("c").over(w_in)))
+        blk_tot = d.withColumn("blk", blk).groupBy("blk") \
+                   .agg(F.sum("c").alias("tc"))
+        below = (blk_tot.alias("x")
+                 .join(F.broadcast(blk_tot.alias("y")),
+                       F.col("y.blk") < F.col("x.blk"), "left")
+                 .groupBy(F.col("x.blk").alias("blk"))
+                 .agg(F.coalesce(F.sum("y.tc"), F.lit(0)).alias("off")))
+        thru = F.col("thru_blk") + F.col("off")
+        # average rank on the ½ grid, carried 2×-scaled as an integer
+        rk2 = 2 * (thru - F.col("c")) + F.col("c") + 1
+        return (in_blk.join(F.broadcast(below), "blk")
+                .select(col, rk2.cast("long").alias(f"rk2_{col}")))
+
+    ranked = (base
+              .join(F.broadcast(rank_table(base, "a")), "a")
+              .join(F.broadcast(rank_table(base, "b")), "b"))
+    dec0 = lambda c, p: c.cast(f"decimal({p},0)")  # noqa: E731
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        (F.sum(dec0(F.col("rk2_a"), 25)).cast("double") / 2).alias("sa"),
+        (F.sum(dec0(F.col("rk2_b"), 25)).cast("double") / 2).alias("sb"),
+        (F.sum(dec0(F.col("rk2_a") * F.col("rk2_b"), 30)).cast("double")
+         / 4).alias("sab"),
+        (F.sum(dec0(F.col("rk2_a") * F.col("rk2_a"), 30)).cast("double")
+         / 4).alias("saa"),
+        (F.sum(dec0(F.col("rk2_b") * F.col("rk2_b"), 30)).cast("double")
+         / 4).alias("sbb"))
+    n = F.col("n")
+    rho = ((n * F.col("sab") - F.col("sa") * F.col("sb"))
+           / (F.sqrt(n * F.col("saa") - F.col("sa") * F.col("sa"))
+              * F.sqrt(n * F.col("sbb") - F.col("sb") * F.col("sb"))))
+    return sums.select("n", F.round(rho, 6).alias("spearman_rho"))
+
+
+@register(
+    "decile_lift_table",
+    survey="ext-rank,U5,A11,A6",
+    oracle=f"""
+    WITH scored AS (
+        {_DOC_SCORED_SQL}
+    ), edges AS (
+        SELECT ROUND(quantile_cont(score, 0.1), 6) AS e0,
+               ROUND(quantile_cont(score, 0.2), 6) AS e1,
+               ROUND(quantile_cont(score, 0.3), 6) AS e2,
+               ROUND(quantile_cont(score, 0.4), 6) AS e3,
+               ROUND(quantile_cont(score, 0.5), 6) AS e4,
+               ROUND(quantile_cont(score, 0.6), 6) AS e5,
+               ROUND(quantile_cont(score, 0.7), 6) AS e6,
+               ROUND(quantile_cont(score, 0.8), 6) AS e7,
+               ROUND(quantile_cont(score, 0.9), 6) AS e8
+        FROM scored
+    ), binned AS (
+        -- decile 1 = HIGHEST scores (model-eval convention)
+        SELECT CASE WHEN score >= e8 THEN 1 WHEN score >= e7 THEN 2
+                    WHEN score >= e6 THEN 3 WHEN score >= e5 THEN 4
+                    WHEN score >= e4 THEN 5 WHEN score >= e3 THEN 6
+                    WHEN score >= e2 THEN 7 WHEN score >= e1 THEN 8
+                    WHEN score >= e0 THEN 9 ELSE 10 END AS decile,
+               y
+        FROM scored CROSS JOIN edges
+    ), cells AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM binned GROUP BY decile
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS nr,
+               CAST(SUM(n_pos) AS BIGINT) AS np
+        FROM cells
+    ), cum AS (
+        SELECT a.decile, a.n_rows, a.n_pos,
+               CAST(SUM(b.n_rows) AS BIGINT) AS cum_rows,
+               CAST(SUM(b.n_pos) AS BIGINT) AS cum_pos
+        FROM cells a JOIN cells b ON b.decile <= a.decile
+        GROUP BY a.decile, a.n_rows, a.n_pos
+    )
+    SELECT decile, n_rows, n_pos,
+           ROUND(n_pos * 1.0 / n_rows, 6) AS pos_rate,
+           ROUND(cum_pos * 1.0 / np, 6) AS cum_capture,
+           ROUND((cum_pos * 1.0 / np) / (cum_rows * 1.0 / nr), 6)
+               AS cum_lift
+    FROM cum CROSS JOIN tot
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for the same scored outcome: rows are
+    score deciles from best (1) to worst (10); per decile the positive
+    rate, the cumulative share of all positives captured so far
+    (gains), and the cumulative lift vs random targeting — the
+    campaign/triage read of a score that AUC compresses to one number.
+    Exact decile edges come from ONE array-percentile aggregate
+    (rounded 6dp so both engines cut identically), assignment is a
+    broadcast CASE over the scan, and the cumulative columns come from
+    a triangular join on the 10-row cell table — no ntile, no global
+    window. At 100 TB the edge pass swaps to percentile_approx
+    unchanged (the quantile_binning escalation)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = (spread(t["documents"], "doc_id")
+              .select(F.col("n_chars").alias("score"),
+                      (F.size(F.split("text", " ")) > AUC_TOK_CUT)
+                      .cast("int").alias("y")))
+    qs = [i / 10 for i in range(1, 10)]
+    qarr = scored.agg(F.percentile(
+        "score", F.array(*[F.lit(q) for q in qs])).alias("qs"))
+    edges = qarr.select(*[F.round(F.col("qs")[i], 6).alias(f"e{i}")
+                          for i in range(9)])
+    s = F.col("score")
+    dec = F.when(s >= F.col("e8"), 1)
+    for rank, i in enumerate(range(7, -1, -1), start=2):
+        dec = dec.when(s >= F.col(f"e{i}"), rank)
+    dec = dec.otherwise(10)
+    cells = (scored.crossJoin(F.broadcast(edges))
+             .select(dec.alias("decile"), "y")
+             .groupBy("decile")
+             .agg(F.count("*").alias("n_rows"), F.sum("y").alias("n_pos"))
+             .localCheckpoint(eager=True))
+    tot = cells.agg(F.sum("n_rows").alias("nr"), F.sum("n_pos").alias("np"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cum = (a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+           .groupBy(F.col("a.decile").alias("decile"),
+                    F.col("a.n_rows").alias("n_rows"),
+                    F.col("a.n_pos").alias("n_pos"))
+           .agg(F.sum("b.n_rows").alias("cum_rows"),
+                F.sum("b.n_pos").alias("cum_pos")))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select("decile", "n_rows", "n_pos",
+                    F.round(F.col("n_pos") * 1.0 / F.col("n_rows"), 6)
+                    .alias("pos_rate"),
+                    F.round(F.col("cum_pos") * 1.0 / F.col("np"), 6)
+                    .alias("cum_capture"),
+                    F.round((F.col("cum_pos") * 1.0 / F.col("np"))
+                            / (F.col("cum_rows") * 1.0 / F.col("nr")), 6)
+                    .alias("cum_lift")))

@@ -59,7 +59,7 @@ def _load_modules() -> None:
         return
     from covid_weather_etl_spark.operators import (  # noqa: F401
         bucketing, corpus, dashboard, dedup, dq, drift, eventstats, frequent,
-        graph, minhash, multimodal, pq, quality, relational,
+        graph, minhash, multimodal, pq, quality, ranking, relational,
         relational_ext, scd, semdedup, similarity, sketch_rollup,
         stats, temporal, text, timeseries, warehouse, windows,
     )

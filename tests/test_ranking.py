@@ -1,0 +1,72 @@
+"""Semantic pins for the exact rank-statistics pack (AUC, Spearman,
+lift): values must match brute-force recomputations, not just the
+engine/oracle pair."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from covid_weather_etl_spark.operators.ranking import AUC_TOK_CUT
+from covid_weather_etl_spark.queries.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def _scored() -> pd.DataFrame:
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    return pd.DataFrame({
+        "score": docs.n_chars,
+        "y": (docs.text.str.split(" ").str.len() > AUC_TOK_CUT).astype(int),
+    })
+
+
+def test_auc_matches_brute_force_pairs(spark):
+    """AUC == concordant/total over ALL pos×neg pairs with ½ for
+    ties — the literal Mann-Whitney definition."""
+    row = QUERIES["exact_auc_mann_whitney"].fn(spark, SF_DIR).collect()[0]
+    s = _scored()
+    pos = s[s.y == 1].score.to_numpy()
+    neg = s[s.y == 0].score.to_numpy()
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    want = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert abs(row.auc - round(want, 6)) < 1e-9, (row.auc, want)
+    assert 0.5 < row.auc <= 1.0  # n_chars genuinely predicts length
+
+
+def test_spearman_matches_pandas_rank_corr(spark):
+    """rho == Pearson correlation of tie-averaged ranks (pandas
+    method='average'), and it must beat 0.9 on chars-vs-tokens."""
+    row = QUERIES["spearman_correlation"].fn(spark, SF_DIR).collect()[0]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.n_chars.rank(method="average")
+    b = docs.text.str.split(" ").str.len().rank(method="average")
+    want = np.corrcoef(a, b)[0, 1]
+    assert row.n == len(docs)
+    assert abs(row.spearman_rho - round(want, 6)) < 1e-6
+    assert row.spearman_rho > 0.9
+
+
+def test_lift_table_invariants_and_recount(spark):
+    """Deciles partition the corpus; capture is monotone to 1.0;
+    decile-1 lift >= 1; per-decile positives match a pandas recount
+    binned with the same rounded edges."""
+    got = (QUERIES["decile_lift_table"].fn(spark, SF_DIR)
+           .toPandas().sort_values("decile").reset_index(drop=True))
+    s = _scored()
+    assert list(got.decile) == list(range(1, 11))
+    assert got.n_rows.sum() == len(s)
+    assert got.n_pos.sum() == s.y.sum()
+    assert abs(got.cum_capture.iloc[-1] - 1.0) < 1e-9
+    assert (got.cum_capture.diff().dropna() >= -1e-12).all()
+    assert got.cum_lift.iloc[0] >= 1.0
+    edges = np.round(np.quantile(s.score, np.arange(0.1, 0.95, 0.1),
+                                 method="linear"), 6)
+    # decile 1 = highest scores: invert the searchsorted index
+    bins = 10 - np.searchsorted(edges, s.score.to_numpy(), side="right")
+    want = s.assign(d=bins).groupby("d").y.sum()
+    for r in got.itertuples():
+        assert r.n_pos == want.get(r.decile, 0), r.decile
