@@ -532,3 +532,108 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("pos") * 1.0 / F.col("w"), 6)
                     .alias("emp_rate"),
                     F.round("fit", 6).alias("iso_rate")))
+
+
+#: Poisson bootstrap: replicate count and Poisson(1) CDF cut points
+#: (deterministic md5 uniform -> weight via inverse CDF, capped at 6).
+BOOT_B = 200
+_POIS_CDF = ("0.367879441171", "0.735758882343", "0.919698602929",
+             "0.981011843124", "0.996340153173", "0.999405815182")
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF))
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    survey="ext-stats,A4,A11,F9",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), reps AS (
+        SELECT d.day, d.rev, b.b,
+               (CAST(CAST('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+                    CAST(d.day AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                + 0.5) / 4503599627370496.0 AS u
+        FROM daily d
+        CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+    ), weighted AS (
+        SELECT b, {_pois_case_sql('u')} AS w, rev FROM reps
+    ), means AS (
+        SELECT b,
+               CAST(SUM(CAST(ROUND(w * rev, 2) AS DECIMAL(25,2)))
+                    AS DOUBLE)
+               / SUM(w) AS m
+        FROM weighted GROUP BY b HAVING SUM(w) > 0
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(AVG(rev), 6) AS mean_revenue
+        FROM daily
+    )
+    SELECT base.n_days,
+           CAST(COUNT(*) AS BIGINT) AS b_reps,
+           base.mean_revenue,
+           ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means CROSS JOIN base
+    GROUP BY base.n_days, base.mean_revenue
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% CI for mean daily revenue via the
+    POISSON bootstrap — the form that actually distributes: a
+    multinomial resample needs a global row index (forbidden at
+    scale), but giving every row an independent Poisson(1) weight per
+    replicate is a narrow map and approximates the same resampling
+    distribution (the e^-1-probability-of-exclusion bootstrap used in
+    production A/B systems). Weights are DETERMINISTIC: u =
+    md5(b:day) mapped into (0,1), w = Poisson(1) inverse CDF of u
+    (CASE over 6 fixed cut points, capped) — identical across
+    engines, partitionings, and reruns, which turns a Monte-Carlo
+    method into an oracle-checkable one.
+
+    Plan: one aggregate builds the daily frame; a B=200-way
+    generator explode + one map-combinable (replicate)-keyed
+    aggregate computes every replicate mean (weighted sums on the 2dp
+    money grid → DECIMAL-exact); the CI is an exact percentile over
+    the B-row means frame. Cost at 100 TB: B× the daily frame
+    (NOT B× the raw data — resample the aggregation grain), one
+    shuffle on (b)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    daily = (spread(t["orders"])
+             .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+                  .cast("double").alias("rev"))
+             .localCheckpoint(eager=True))  # reused: base stats + reps
+    base = daily.agg(F.count("*").alias("n_days"),
+                     F.round(F.avg("rev"), 6).alias("mean_revenue"))
+    bs = F.explode(F.array(*[F.lit(i) for i in range(BOOT_B)])).alias("b")
+    raw = F.conv(F.substring(F.md5(
+        F.concat(F.col("b").cast("string"), F.lit(":"),
+                 F.col("day").cast("string"))), 1, 13), 16, 10) \
+        .cast("double")
+    u = (raw + 0.5) / float(1 << 52)
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < float(_POIS_CDF[k]), k).otherwise(w)
+    means = (daily.select("day", "rev", bs)
+             .select("b", w.alias("w"), "rev")
+             .groupBy("b")
+             .agg((F.sum(F.round(F.col("w") * F.col("rev"), 2)
+                         .cast("decimal(25,2)")).cast("double")
+                   / F.sum("w")).alias("m"),
+                  F.sum("w").alias("tw"))
+             .filter(F.col("tw") > 0))
+    return (means.agg(F.count("*").alias("b_reps"),
+                      F.round(F.percentile("m", F.lit(0.025)), 6)
+                      .alias("ci_lo"),
+                      F.round(F.percentile("m", F.lit(0.975)), 6)
+                      .alias("ci_hi"))
+            .crossJoin(F.broadcast(base))
+            .select("n_days", "b_reps", "mean_revenue", "ci_lo", "ci_hi"))

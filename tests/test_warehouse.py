@@ -539,3 +539,38 @@ def test_isotonic_agrees_with_spark_ml(spark):
             .sort_values("x").reset_index(drop=True))
     for mine, ml in zip(got.iso_rate, pred.prediction):
         assert abs(mine - ml) < 1e-6, (mine, ml)
+
+
+def test_bootstrap_ci_matches_numpy_and_brackets_mean(spark):
+    """The Poisson-bootstrap CI must equal a numpy recomputation with
+    the same md5-derived weights, bracket the plain mean, and have
+    sane width (shrinks with n)."""
+    import hashlib
+
+    import numpy as np
+
+    from covid_weather_etl_spark.operators.stats import BOOT_B, _POIS_CDF
+    from tests.conftest import SF_DIR
+    row = all_queries()["bootstrap_mean_ci"].fn(spark, SF_DIR).collect()[0]
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    daily = (od.assign(day=od.o_orderdate.dt.date)
+             .groupby("day").o_totalprice.sum().round(2))
+    cdf = np.array([float(c) for c in _POIS_CDF])
+    means = []
+    for b in range(BOOT_B):
+        us = np.array([
+            (int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[:13], 16)
+             + 0.5) / 2 ** 52 for d in daily.index])
+        ws = np.searchsorted(cdf, us, side="right")
+        if ws.sum() > 0:
+            means.append(np.round(ws * daily.to_numpy(), 2).sum() / ws.sum())
+    lo, hi = np.quantile(means, [0.025, 0.975], method="linear")
+    assert row.n_days == len(daily)
+    assert row.b_reps == len(means)
+    assert abs(row.ci_lo - round(lo, 6)) < 1e-6
+    assert abs(row.ci_hi - round(hi, 6)) < 1e-6
+    assert row.ci_lo < row.mean_revenue < row.ci_hi
+    # width ~ 2*1.96*sd/sqrt(n): sane, not degenerate
+    sd = daily.std()
+    width = row.ci_hi - row.ci_lo
+    assert 0.3 * sd / len(daily) ** 0.5 < width < 10 * sd / len(daily) ** 0.5
