@@ -802,3 +802,62 @@ def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.round("proj_sq", 6)
                             / F.round("orig_sq", 6), 6)
                     .alias("norm_ratio")))
+
+
+#: contrastive mining: anchor batch size and negatives per anchor.
+HN_ANCHORS = 10
+HN_K = 3
+
+
+@register(
+    "hard_negative_mining",
+    survey="LLM-sim,J1,W6,U5",
+    oracle=f"""
+    SELECT a_id, vec_id, a_label, label, cos_sim FROM (
+        SELECT q.vec_id AS a_id, b.vec_id AS vec_id,
+               q.label AS a_label, b.label AS label,
+               ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 6)
+                   + 0.0 AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                b.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[]), 6) DESC,
+                            b.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < {HN_ANCHORS}) q
+        JOIN embeddings b
+          ON b.vec_id <> q.vec_id AND b.label <> q.label
+    ) WHERE rn <= {HN_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: for each anchor in a deterministic
+    batch, the top-3 most-similar vectors with a DIFFERENT label —
+    the "hard negatives" that make contrastive/embedding training
+    informative (easy negatives teach nothing; the highest-similarity
+    wrong-label items carry the gradient). Same plan family as
+    knn_join — broadcast anchor batch, corpus-side scan scoring, per-
+    anchor top-k window — plus the label-disagreement predicate pushed
+    into the join, so the candidate space shrinks before ranking.
+    6dp-rounded cosine + vec_id tie-break keeps the cut deterministic
+    on both engines. Scale: anchors ≪ corpus, corpus partitioned; the
+    window partitions per anchor. The IVF/PQ variants bound the scan
+    when the corpus outgrows brute force (same escalation as ANN)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    q = (emb.filter(F.col("vec_id") < HN_ANCHORS)
+         .select(F.col("vec_id").alias("a_id"),
+                 F.col("label").alias("a_label"),
+                 F.col("v").alias("qv")))
+    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    w = W.partitionBy("a_id").orderBy(F.col("cos_sim").desc(),
+                                      F.col("vec_id"))
+    return (emb.crossJoin(F.broadcast(q))
+            .filter((F.col("vec_id") != F.col("a_id"))
+                    & (F.col("label") != F.col("a_label")))
+            .select("a_id", "vec_id", "a_label", "label",
+                    sim.alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HN_K)
+            .drop("rn"))

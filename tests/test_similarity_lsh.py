@@ -173,3 +173,31 @@ def test_random_projection_matches_numpy(spark):
         pj = terms.sum(axis=0)
         proj_sq = np.round(pj * pj, 9).sum()
         assert abs(got.loc[vid].proj_sq_norm - round(proj_sq, 6)) < 2e-6
+
+
+def test_hard_negatives_are_hardest_wrong_label(spark):
+    """Every mined negative must have a different label than its
+    anchor AND be at least as similar as every other wrong-label
+    vector outside the mined set (numpy brute-force check)."""
+    import numpy as np
+
+    from covid_weather_etl_spark.operators.similarity import (
+        HN_ANCHORS, HN_K,
+    )
+    from covid_weather_etl_spark.queries.registry import all_queries
+    got = (all_queries()["hard_negative_mining"].fn(spark, SF_DIR)
+           .toPandas())
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    M = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    labels = emb.label.to_numpy()
+    ids = emb.vec_id.to_numpy()
+    assert got.groupby("a_id").size().eq(HN_K).all()
+    assert (got.a_label != got.label).all()
+    for a_id, g in got.groupby("a_id"):
+        ai = np.where(ids == a_id)[0][0]
+        sims = np.round(M @ M[ai], 6)
+        wrong = (labels != labels[ai]) & (ids != a_id)
+        order = sorted(zip(-sims[wrong], ids[wrong]))[:HN_K]
+        want = {int(v) for _, v in order}
+        assert set(g.vec_id) == want, a_id
