@@ -130,7 +130,11 @@ _ROTATION_R4 = (
 # all locally sf0.01-parity-green): the session-3 cohort
 # (count_min_frequency, psi_drift_report, ks_two_sample,
 # mutual_information_features, pmi_collocations, shortest_path_hops,
-# dedup_clusters_star, random_projection_embed), unpivot_flag_metrics,
+# dedup_clusters_star, random_projection_embed, weighted_sample_topk,
+# welch_ttest_ab, kaplan_meier_conversion, benford_digit_profile,
+# isotonic_calibration, als_part_recommendations [rows-only],
+# exact_auc_mann_whitney, spearman_correlation, decile_lift_table,
+# bootstrap_mean_ci, hard_negative_mining), unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
 # rfm_segmentation, basket_affinity, mad_anomaly_report,
