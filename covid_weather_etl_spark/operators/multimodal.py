@@ -425,3 +425,99 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("asset_id", "n_bytes_in", "n_bytes_out",
                     F.md5("resized").alias("checksum"))
             .orderBy("asset_id"))
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection (image/audio dedup)
+# ---------------------------------------------------------------------------
+
+#: aHash geometry: 64 blocks → 64-bit hash, 4×16-bit bands. Banding is
+#: COMPLETE for hamming ≤ 3 (pigeonhole: 4 bands, ≤3 differing bits →
+#: at least one band untouched).
+PHASH_BITS = 64
+PHASH_BANDS = 4
+PHASH_HAM_MAX = 3
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """64-bit average hash of a decoded sample array: split into 64
+    equal blocks, bit = block mean above the mean of block means —
+    translation of the classic 8×8 aHash to the flat uint8 stream
+    every decoder in this module emits. Deterministic, pure numpy."""
+    if arr.size == 0:
+        return 0
+    n = max(arr.size // PHASH_BITS, 1)
+    blocks = arr[:n * PHASH_BITS].reshape(-1, n).mean(axis=1) \
+        if arr.size >= PHASH_BITS else np.resize(arr, PHASH_BITS).astype(float)
+    bits = blocks > blocks.mean()
+    val = 0
+    for b in bits[:PHASH_BITS]:
+        val = (val << 1) | int(b)
+    # two's-complement into a signed 64-bit for the LongType column
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def phash_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """mapInPandas decode→aHash: bytes stay in the executor, 8 bytes
+    of hash per asset come back (same Arrow-batch shape as
+    featurize_assets)."""
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [ahash64(decode_media(p, m))
+                      for p, m in zip(pdf["payload"], pdf["mime"])]
+            yield pd.DataFrame({"asset_id": pdf["asset_id"],
+                                "phash": pd.Series(hashes, dtype="int64")})
+
+    return (assets.select("asset_id", "payload",
+                          F.col("meta.mime").alias("mime"))
+            .mapInPandas(hash_batch, schema=PHASH_SCHEMA))
+
+
+@register("media_phash_dedup", survey="multimodal,LLM-dedup,J1")
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over the media-asset table:
+    decode → 64-bit average hash (aHash) per asset, then banded
+    Hamming search — the image-dedup analog of simhash_near_dup, and
+    the standard first pass of multimodal corpus dedup (resized /
+    re-encoded copies keep their block-luminance pattern, so their
+    aHashes sit within a few bits).
+
+    Pipeline: (1) mapInPandas decode+hash — bytes never leave the
+    executor, 8 bytes/asset return; (2) split each hash into 4×16-bit
+    bands JVM-side (shiftrightunsigned + mask, codegen) and groupBy
+    band value to generate candidates — complete for hamming ≤
+    {PHASH_HAM_MAX} by pigeonhole, never all-pairs; (3) exact verify
+    via bit_count(xor) ≤ {PHASH_HAM_MAX}. Rows-only driver check (the
+    decoder is not SQL); tests/test_multimodal.py pins planted
+    near-identical PPM recall through the REAL netpbm decoder,
+    non-dup separation, and band completeness. Scale: candidate rate
+    is governed by band width exactly as simhash — widen bands as the
+    corpus grows."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    hashes = phash_assets(media_assets(t["documents"])) \
+        .localCheckpoint(eager=True)  # decode once; reused by both sides
+    bands = hashes.select(
+        "asset_id", "phash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     (F.shiftrightunsigned(F.col("phash"), 16 * i)
+                      .bitwiseAND(F.lit(0xFFFF))).alias("bval"))
+            for i in range(PHASH_BANDS)])).alias("b")) \
+        .select("asset_id", "phash", "b.band", "b.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "bval"])
+            .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+            .select(F.col("a.asset_id").alias("asset_id_1"),
+                    F.col("b.asset_id").alias("asset_id_2"),
+                    F.col("a.phash").alias("h1"),
+                    F.col("b.phash").alias("h2"))
+            .distinct())
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (cand.select("asset_id_1", "asset_id_2",
+                        ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= PHASH_HAM_MAX))

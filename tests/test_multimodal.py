@@ -248,3 +248,55 @@ def test_png_decode_guards():
     with pytest.raises(ValueError, match="truncated"):
         MM.decode_media(bad, "")
     assert MM.decode_media(good, "").tolist() == [0, 0, 0, 0]
+
+
+def test_phash_dedup_finds_planted_ppm_near_dups(spark):
+    """Two real PPM images differing by slight pixel noise must pair
+    (hamming small); a structurally different image must not. Runs the
+    full banded pipeline on a hand-built asset frame."""
+    rng = np.random.RandomState(7)
+    base = (rng.rand(16 * 16 * 3) * 255).astype(np.uint8)
+    noisy = np.clip(base.astype(int)
+                    + rng.randint(-2, 3, size=base.size), 0, 255) \
+        .astype(np.uint8)
+    other = ((np.arange(16 * 16 * 3) * 37) % 256).astype(np.uint8)
+    rows = [(1, _ppm_bytes(base, 16, 16)),
+            (2, _ppm_bytes(noisy, 16, 16)),
+            (3, _ppm_bytes(other, 16, 16))]
+    assets = spark.createDataFrame(
+        [(i, p, len(p), "image/ppm") for i, p in rows],
+        "asset_id long, payload binary, n_bytes int, mime string",
+    ).select("asset_id", "payload",
+             F.struct("n_bytes", "mime").alias("meta"))
+    hashes = {r.asset_id: r.phash
+              for r in MM.phash_assets(assets).collect()}
+    ham = lambda a, b: bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+    assert ham(1, 2) <= MM.PHASH_HAM_MAX       # near-dup pair is close
+    assert ham(1, 3) > MM.PHASH_HAM_MAX        # distinct image is far
+    # python aHash oracle agrees with the pipeline's hash
+    want = MM.ahash64(MM.decode_media(_ppm_bytes(base, 16, 16), ""))
+    assert hashes[1] == want
+
+
+def test_phash_banding_is_complete_within_radius(spark):
+    """Pigeonhole guarantee: every pair within PHASH_HAM_MAX shares at
+    least one 16-bit band — verified on the registry query's own
+    output at sf0.001 against a brute-force numpy hash comparison."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    got = (all_queries()["media_phash_dedup"].fn(spark, SF_DIR)
+           .toPandas())
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    hashes = {}
+    for r in docs.itertuples():
+        payload = r.text.encode()
+        hashes[r.doc_id] = MM.ahash64(MM.decode_media(payload, "x/fake"))
+    want = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if d <= MM.PHASH_HAM_MAX:
+                want.add((a, b))
+    got_pairs = {(r.asset_id_1, r.asset_id_2) for r in got.itertuples()}
+    assert got_pairs == want
+    assert (got.hamming <= MM.PHASH_HAM_MAX).all()
