@@ -568,3 +568,119 @@ def debounce_stream(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
                 stateStructType=_DEBOUNCE_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# windowed drift monitor (stream twin of the drift pack)
+# ---------------------------------------------------------------------------
+
+#: reference/current split for the streaming drift monitor and the
+#: z-score alert threshold.
+DRIFT_CUTOFF = "2024-01-15"
+DRIFT_Z = 3.0
+
+
+def drift_reference(events: DataFrame) -> DataFrame:
+    """Static per-type reference moments from the pre-cutoff slice:
+    exact DECIMAL sums on the 2dp value grid (the welch_ttest_ab
+    discipline) so mean/sd are partitioning-independent."""
+    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
+    return (events
+            .filter(F.col("ts") < F.lit(DRIFT_CUTOFF).cast("timestamp"))
+            .filter(F.col("value").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count("*").alias("ref_n"),
+                 F.sum(dec(F.col("value"))).cast("double").alias("sx"),
+                 F.sum(dec(F.round(F.col("value") * F.col("value"), 6)))
+                 .cast("double").alias("sxx"))
+            .select("event_type",
+                    "ref_n",
+                    (F.col("sx") / F.col("ref_n")).alias("ref_mean"),
+                    F.sqrt((F.col("sxx")
+                            - F.col("sx") * F.col("sx") / F.col("ref_n"))
+                           / (F.col("ref_n") - 1)).alias("ref_sd")))
+
+
+def _drift_windows(cur: DataFrame, ref: DataFrame) -> DataFrame:
+    """Shared window-vs-reference comparison (batch and stream arms)."""
+    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
+    win = (cur
+           .filter(F.col("ts") >= F.lit(DRIFT_CUTOFF).cast("timestamp"))
+           .filter(F.col("value").isNotNull())
+           .groupBy(F.window("ts", "1 day"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(dec(F.col("value"))).cast("double").alias("wsx")))
+    z = ((F.col("wsx") / F.col("n_events") - F.col("ref_mean"))
+         / (F.col("ref_sd") / F.sqrt(F.col("n_events"))))
+    return (win.join(F.broadcast(ref), "event_type")
+            .select(F.col("window.start").alias("w_start"),
+                    F.col("window.end").alias("w_end"),
+                    "event_type", "n_events",
+                    F.round(F.col("wsx") / F.col("n_events"), 6)
+                    .alias("win_mean"),
+                    F.round("ref_mean", 6).alias("ref_mean"),
+                    F.round(z, 6).alias("z_score"),
+                    (F.abs(z) > DRIFT_Z).alias("alert")))
+
+
+def drift_monitor_stream(events: DataFrame, ref: DataFrame) -> DataFrame:
+    """Streaming arm: watermarked 1-day tumbling windows stream-static
+    broadcast-joined against the precomputed reference moments — the
+    production shape of distribution monitoring (reference frame
+    re-read per micro-batch, no join state, the event firehose never
+    repartitions beyond the window agg)."""
+    return _drift_windows(events.withWatermark("ts", WATERMARK), ref)
+
+
+@register(
+    "drift_monitor_windows",
+    survey="streaming,ext-drift,A4,A6",
+    oracle=f"""
+    WITH ref AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS ref_n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                   / COUNT(*) AS ref_mean,
+               SQRT((CAST(SUM(CAST(ROUND(value * value, 6)
+                                   AS DECIMAL(25,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                       / COUNT(*))
+                    / (COUNT(*) - 1)) AS ref_sd
+        FROM events
+        WHERE ts < TIMESTAMP '{DRIFT_CUTOFF}' AND value IS NOT NULL
+        GROUP BY 1
+    ), win AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS wsx
+        FROM events
+        WHERE ts >= TIMESTAMP '{DRIFT_CUTOFF}' AND value IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT w.w_start, w.w_start + INTERVAL '1 day' AS w_end,
+           w.event_type, w.n_events,
+           ROUND(w.wsx / w.n_events, 6) AS win_mean,
+           ROUND(r.ref_mean, 6) AS ref_mean,
+           ROUND((w.wsx / w.n_events - r.ref_mean)
+                 / (r.ref_sd / SQRT(w.n_events)), 6) AS z_score,
+           ABS((w.wsx / w.n_events - r.ref_mean)
+               / (r.ref_sd / SQRT(w.n_events))) > {DRIFT_Z} AS alert
+    FROM win w JOIN ref r ON w.event_type = r.event_type
+    """,
+)
+def drift_monitor_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distribution-drift monitor: per (1-day tumbling
+    window, event_type), the window mean of `value` z-scored against
+    reference moments frozen from the pre-{cutoff} training period;
+    |z| > 3 raises the alert flag — the production monitoring loop
+    closing over the drift pack (psi/ks give the deep reads, this is
+    the always-on cheap read). IDENTICAL expression runs under
+    readStream in drift_monitor_stream (stream-static broadcast join);
+    stream==batch pinned in tests/test_streaming.py. All sums ride
+    the 2dp DECIMAL grid, so window means, z-scores and alert bits
+    are partitioning-independent on both engines."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ref = drift_reference(t["events"]).localCheckpoint(eager=True)
+    return _drift_windows(t["events"], ref)

@@ -329,3 +329,23 @@ def test_debounce_stream_equals_batch_rule(spark, landing_dir, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     # the planted bursts were actually suppressed
     assert len(a) < len(full)
+
+
+def test_drift_monitor_stream_equals_batch(spark, landing_dir):
+    """The streaming drift monitor (watermarked windows + stream-
+    static reference join) must emit exactly the batch twin's rows
+    for every window it closes."""
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    ref = S.drift_reference(events).localCheckpoint(eager=True)
+    stream = S.read_event_stream(spark, landing_dir,
+                                 max_files_per_trigger=1)
+    got = _run_stream_to_memory(
+        spark, S.drift_monitor_stream(stream, ref), "t_drift", "append")
+    g = normalize(got.toPandas())
+    b = normalize(S._drift_windows(events, ref).toPandas())
+    key = ["w_start", "w_end", "event_type"]
+    merged = g.merge(b, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(g)          # every emitted row matches a batch row
+    assert len(g) > 0
+    for col in ("n_events", "win_mean", "z_score", "alert"):
+        assert (merged[f"{col}_s"] == merged[f"{col}_b"]).all(), col
