@@ -852,6 +852,25 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least("doc_id_1", "doc_id_2").alias("a"),
                 F.greatest("doc_id_1", "doc_id_2").alias("b")) \
         .distinct()
+    lbl = star_components(pairs, op_name="dedup_clusters_star")
+    lbl = lbl.withColumnRenamed("node", "doc_id")
+    return (t["documents"].select("doc_id")
+            .join(lbl, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lbl", "doc_id").alias("cluster_id"),
+                    (F.coalesce("lbl", "doc_id") == F.col("doc_id"))
+                    .alias("is_canonical")))
+
+
+def star_components(pairs: DataFrame, op_name: str = "star_components",
+                    max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+    """Reusable large-star/small-star connected components over a
+    canonical (a < b) undirected pair frame: returns (node, lbl) for
+    every NON-singleton node, where lbl is the component minimum —
+    callers left-join their node universe and coalesce for singletons.
+    One round = large-star then small-star (each one groupBy(min) +
+    one key-projected join); fixpoint detected by a (count, DECIMAL
+    xxhash sum) checksum — O(log² n) rounds on any graph shape."""
     E = pairs.localCheckpoint(eager=True)
 
     def star(E: DataFrame, large: bool) -> DataFrame:
@@ -881,7 +900,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (row.n, row.h)
 
     prev, converged = checksum(E), False
-    for _ in range(MAX_CC_ROUNDS):
+    for _ in range(max_rounds):
         E = star(star(E, large=True), large=False).localCheckpoint(eager=True)
         cur = checksum(E)
         if cur == prev:
@@ -890,15 +909,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = cur
     if not converged:
         raise RuntimeError(
-            f"dedup_clusters_star: star contraction did not reach a "
-            f"fixpoint within {MAX_CC_ROUNDS} rounds")
-    lbl = E.groupBy(F.col("b").alias("doc_id")).agg(F.min("a").alias("lbl"))
-    return (t["documents"].select("doc_id")
-            .join(lbl, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("lbl", "doc_id").alias("cluster_id"),
-                    (F.coalesce("lbl", "doc_id") == F.col("doc_id"))
-                    .alias("is_canonical")))
+            f"{op_name}: star contraction did not reach a fixpoint "
+            f"within {max_rounds} rounds")
+    return E.groupBy(F.col("b").alias("node")).agg(F.min("a").alias("lbl"))
 
 
 #: weighted sampling-without-replacement: sample size.

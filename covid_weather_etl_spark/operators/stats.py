@@ -637,3 +637,63 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("ci_hi"))
             .crossJoin(F.broadcast(base))
             .select("n_days", "b_reps", "mean_revenue", "ci_lo", "ci_hi"))
+
+
+@register(
+    "er_name_clusters",
+    survey="ext-er,J1,A6,D1",
+    oracle=f"""
+    WITH RECURSIVE names AS (
+        SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1
+    ), pairs AS (
+        SELECT a.name AS a, b.name AS b
+        FROM names a JOIN names b
+          ON a.name < b.name
+         AND levenshtein(a.name, b.name) <= {3}
+    ), edges AS (
+        SELECT a, b FROM pairs
+        UNION ALL
+        SELECT b, a FROM pairs
+    ), walk(name, label) AS (
+        SELECT name, name FROM names
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.name
+    )
+    SELECT w.name,
+           MIN(w.label) AS cluster_id,
+           w.name = MIN(w.label) AS is_canonical,
+           ANY_VALUE(n.n_parts) AS n_parts
+    FROM walk w JOIN names n ON w.name = n.name
+    GROUP BY w.name
+    """,
+)
+def er_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the fuzzy candidate pairs from
+    `name_similarity_pairs` (Levenshtein ≤ 3 over the DISTINCT name
+    table) resolved into entities by large-star/small-star connected
+    components (`corpus.star_components` — the same O(log² n) engine
+    that resolves near-dup document clusters), with the
+    lexicographically smallest name as each entity's canonical form.
+    This is the composition a real MDM/record-linkage pipeline runs:
+    block → compare → cluster → pick survivor, all vocabulary-sized
+    after the first aggregate. The oracle re-derives the same
+    clusters with recursive-CTE reachability + MIN."""
+    from covid_weather_etl_spark.operators.corpus import star_components
+    t = load_tables(spark, sf_dir, ("part",))
+    names = (t["part"].groupBy(F.col("p_name").alias("name"))
+             .agg(F.count("*").alias("n_parts"))
+             .localCheckpoint(eager=True))  # reused: pairs + universe
+    a, b = names.alias("a"), names.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    pairs = (a.join(F.broadcast(b),
+                    (F.col("a.name") < F.col("b.name")) & (lev <= 3))
+             .select(F.col("a.name").alias("a"), F.col("b.name").alias("b")))
+    lbl = star_components(pairs, op_name="er_name_clusters") \
+        .withColumnRenamed("node", "name")
+    return (names.join(lbl, "name", "left")
+            .select("name",
+                    F.coalesce("lbl", "name").alias("cluster_id"),
+                    (F.coalesce("lbl", "name") == F.col("name"))
+                    .alias("is_canonical"),
+                    "n_parts"))

@@ -205,3 +205,28 @@ def test_weighted_sample_biases_toward_heavy_weights(spark):
     assert set(got.o_orderkey) == want
     assert len(got) == WSAMPLE_K
     assert got.o_totalprice.mean() > od.o_totalprice.mean()
+
+
+def test_er_clusters_match_union_find_over_lev_pairs(spark):
+    """ER clusters == union-find over the Levenshtein pair set; the
+    canonical name is each cluster's lexicographic minimum."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    got = all_queries()["er_name_clusters"].fn(spark, SF_DIR).toPandas()
+    pairs = (all_queries()["name_similarity_pairs"].fn(spark, SF_DIR)
+             .toPandas())
+    parent = {n: n for n in got.name}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        ra, rb = find(r.name_1), find(r.name_2)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert {r.name: r.cluster_id for r in got.itertuples()} == want
+    for r in got.itertuples():
+        assert r.is_canonical == (r.name == r.cluster_id)
