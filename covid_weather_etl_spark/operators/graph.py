@@ -372,3 +372,95 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     return (visited.groupBy("dist")
             .agg(F.count("*").alias("n_nodes")))
+
+
+#: Bellman-Ford relaxation rounds (path length bound).
+BF_ROUNDS = 3
+
+_BF_EDGE_SQL = """
+        SELECT CONCAT('c:', o_custkey) AS src,
+               CONCAT('s:', l_suppkey) AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+"""
+_BF_RELAX_SQL = """
+    d{r} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{p}
+            UNION ALL
+            SELECT e.dst AS node, d{p}.dist + e.cost AS dist
+            FROM d{p} JOIN e ON e.src = d{p}.node
+        ) GROUP BY node
+    )"""
+
+
+@register(
+    "bellman_ford_costs",
+    survey="ext-graph,J1,A6,A8",
+    oracle=f"""
+    WITH pairs AS (
+        {_BF_EDGE_SQL}
+    ), e AS (
+        SELECT src, dst, CAST(CEIL(1000.0 / w) AS BIGINT) AS cost
+        FROM (
+            SELECT src, dst, w FROM pairs
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM pairs
+        )
+    ), s AS (
+        SELECT MIN(src) AS root FROM e WHERE src LIKE 's:%'
+    ), d0 AS (
+        SELECT root AS node, CAST(0 AS BIGINT) AS dist FROM s
+    ),{_BF_RELAX_SQL.format(r=1, p=0)},{_BF_RELAX_SQL.format(r=2, p=1)},{_BF_RELAX_SQL.format(r=3, p=2)}
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d3 GROUP BY dist
+    """,
+)
+def bellman_ford_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source cheapest paths over the purchase network
+    (Bellman-Ford, BF_ROUNDS=3 relaxation rounds): edge cost = ceil(1000 /
+    co-purchase strength), so strongly-connected customer↔supplier
+    hops are cheap — the weighted upgrade of `shortest_path_hops`
+    ("how commercially CLOSE is everything to this supplier", not just
+    how many hops).
+
+    One relaxation round = frontier-free min-plus product: (current
+    label frame ⋈ src-keyed edges) unioned with the frame itself, one
+    min-aggregate — exactly the iterative shape of pagerank /
+    dedup_clusters, localCheckpoint per round to keep the plan one
+    round deep. Integer costs make every distance exact; after a
+    FIXED round count the result is deterministic regardless of
+    convergence, and the oracle unrolls the same three relaxations as
+    explicit SQL stages — no recursive CTE path enumeration (which
+    would blow up on a dense bipartite graph), the oracle relaxes the
+    same node-bounded frames the engine does. Scale: round cost =
+    labels ⋈ edges (bucketed-by-src co-locates it); label frame ≤
+    nodes rows; rounds bound path length like a GNN's receptive field."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    pairs = (spread(t["lineitem"], "l_orderkey")
+             .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy(F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+                      F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"))
+             .agg(F.count("*").alias("w")))
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("src"), F.col("dst"), F.col("w")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                 F.col("w")),
+    )).alias("e"))
+        .select("e.src", "e.dst",
+                F.ceil(1000.0 / F.col("e.w")).cast("long").alias("cost"))
+        .localCheckpoint(eager=True))
+
+    root = edges.filter(F.col("src").startswith("s:")) \
+                .agg(F.min("src")).first()[0]
+    dist = spark.createDataFrame([(root, 0)], "node string, dist long") \
+                .localCheckpoint(eager=True)
+    for _ in range(BF_ROUNDS):
+        relaxed = (dist.join(edges, dist["node"] == edges["src"])
+                   .select(F.col("dst").alias("node"),
+                           (dist["dist"] + F.col("cost")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))

@@ -143,3 +143,36 @@ def test_bfs_hops_match_numpy_bfs(spark):
     for d in dist.values():
         want[d] = want.get(d, 0) + 1
     assert got == want
+
+
+def test_bellman_ford_matches_python_relaxation(spark):
+    """Distance distribution against a driver-side min-plus relaxation
+    over the same integer-cost edges and round count."""
+    import math
+    got = {r.dist: r.n_nodes
+           for r in all_queries()["bellman_ford_costs"].fn(spark, SF_DIR)
+           .collect()}
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    w = j.groupby(["o_custkey", "l_suppkey"]).size()
+    edges = {}
+    for (c, sply), cnt in w.items():
+        cost = math.ceil(1000.0 / cnt)
+        a, b = f"c:{c}", f"s:{sply}"
+        edges.setdefault(a, []).append((b, cost))
+        edges.setdefault(b, []).append((a, cost))
+    root = min(n for n in edges if n.startswith("s:"))
+    from covid_weather_etl_spark.operators.graph import BF_ROUNDS
+    dist = {root: 0}
+    for _ in range(BF_ROUNDS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, c in edges[u]:
+                if d + c < nxt.get(v, float("inf")):
+                    nxt[v] = d + c
+        dist = nxt
+    want = {}
+    for d in dist.values():
+        want[d] = want.get(d, 0) + 1
+    assert got == want
