@@ -116,6 +116,35 @@ def exact_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_pos", "n_neg", "auc"))
 
 
+def rank_table(df: DataFrame, col: str, n_blocks: int = 32) -> DataFrame:
+    """Tie-averaged rank side table for one column WITHOUT a global
+    window: tie-collapse to per-value counts, value-range blocked
+    in-block cumulative window, triangular block-offset join. Returns
+    (col, rk2_col) with the average rank carried 2×-scaled as an
+    exact integer on the ½ grid."""
+    d = (df.groupBy(col).agg(F.count("*").alias("c"))
+         .localCheckpoint(eager=True))
+    lo, hi = d.agg(F.min(col), F.max(col)).first()
+    width = max((hi - lo) / n_blocks, 1e-9)
+    blk = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
+                  F.lit(n_blocks - 1)).cast("int")
+    w_in = (W.partitionBy("blk").orderBy(col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    in_blk = (d.withColumn("blk", blk)
+              .withColumn("thru_blk", F.sum("c").over(w_in)))
+    blk_tot = d.withColumn("blk", blk).groupBy("blk") \
+               .agg(F.sum("c").alias("tc"))
+    below = (blk_tot.alias("x")
+             .join(F.broadcast(blk_tot.alias("y")),
+                   F.col("y.blk") < F.col("x.blk"), "left")
+             .groupBy(F.col("x.blk").alias("blk"))
+             .agg(F.coalesce(F.sum("y.tc"), F.lit(0)).alias("off")))
+    thru = F.col("thru_blk") + F.col("off")
+    rk2 = 2 * (thru - F.col("c")) + F.col("c") + 1
+    return (in_blk.join(F.broadcast(below), "blk")
+            .select(col, rk2.cast("long").alias(f"rk2_{col}")))
+
+
 @register(
     "spearman_correlation",
     survey="ext-rank,A14,A6,W1",
@@ -174,32 +203,6 @@ def spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (spread(t["documents"], "doc_id")
             .select(F.col("n_chars").alias("a"),
                     F.size(F.split("text", " ")).cast("long").alias("b")))
-
-    def rank_table(df: DataFrame, col: str) -> DataFrame:
-        d = (df.groupBy(col).agg(F.count("*").alias("c"))
-             .localCheckpoint(eager=True))
-        lo, hi = d.agg(F.min(col), F.max(col)).first()
-        n_blocks = 32
-        width = max((hi - lo) / n_blocks, 1e-9)
-        blk = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
-                      F.lit(n_blocks - 1)).cast("int")
-        w_in = (W.partitionBy("blk").orderBy(col)
-                .rowsBetween(W.unboundedPreceding, W.currentRow))
-        in_blk = (d.withColumn("blk", blk)
-                  .withColumn("thru_blk", F.sum("c").over(w_in)))
-        blk_tot = d.withColumn("blk", blk).groupBy("blk") \
-                   .agg(F.sum("c").alias("tc"))
-        below = (blk_tot.alias("x")
-                 .join(F.broadcast(blk_tot.alias("y")),
-                       F.col("y.blk") < F.col("x.blk"), "left")
-                 .groupBy(F.col("x.blk").alias("blk"))
-                 .agg(F.coalesce(F.sum("y.tc"), F.lit(0)).alias("off")))
-        thru = F.col("thru_blk") + F.col("off")
-        # average rank on the ½ grid, carried 2×-scaled as an integer
-        rk2 = 2 * (thru - F.col("c")) + F.col("c") + 1
-        return (in_blk.join(F.broadcast(below), "blk")
-                .select(col, rk2.cast("long").alias(f"rk2_{col}")))
-
     ranked = (base
               .join(F.broadcast(rank_table(base, "a")), "a")
               .join(F.broadcast(rank_table(base, "b")), "b"))
@@ -319,3 +322,43 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((F.col("cum_pos") * 1.0 / F.col("np"))
                             / (F.col("cum_rows") * 1.0 / F.col("nr")), 6)
                     .alias("cum_lift")))
+
+
+@register(
+    "quantile_normalize_feature",
+    survey="ext-rank,U1,W14,F9",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars FROM documents
+    ), ra AS (
+        SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c,
+               SUM(COUNT(*)) OVER (ORDER BY n_chars) AS thru
+        FROM t GROUP BY n_chars
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
+    SELECT t.doc_id, t.n_chars,
+           ROUND((2 * (ra.thru - ra.c) + ra.c + 1)
+                 / (2.0 * (nn.n + 1)), 6) AS qnorm
+    FROM t JOIN ra USING (n_chars) CROSS JOIN nn
+    """,
+)
+def quantile_normalize_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of `n_chars` to (0,1): each row
+    maps to its tie-averaged rank / (n+1) — the distribution-free
+    feature transform (rank-Gauss without the Gauss step) that makes
+    heavy-tailed features comparable across corpus snapshots. Reuses
+    `rank_table` (tie-collapsed counts + blocked prefix sums — no
+    global window, no row-level sort), broadcast back onto the scan;
+    the 2×-scaled integer rank over 2(n+1) is an exact rational, so
+    every row's qnorm is bit-identical on both engines. Scale: the
+    side table is distinct-values-bounded; the transform itself is a
+    broadcast join + narrow map over the full scan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = (spread(t["documents"], "doc_id")
+            .select("doc_id", "n_chars"))
+    rk = rank_table(base, "n_chars")
+    nn = base.agg(F.count("*").alias("n"))
+    return (base.join(F.broadcast(rk), "n_chars")
+            .crossJoin(F.broadcast(nn))
+            .select("doc_id", "n_chars",
+                    F.round(F.col("rk2_n_chars")
+                            / (2.0 * (F.col("n") + 1)), 6).alias("qnorm")))

@@ -70,3 +70,17 @@ def test_lift_table_invariants_and_recount(spark):
     want = s.assign(d=bins).groupby("d").y.sum()
     for r in got.itertuples():
         assert r.n_pos == want.get(r.decile, 0), r.decile
+
+
+def test_quantile_normalize_matches_pandas(spark):
+    """qnorm == tie-averaged rank / (n+1) from pandas; output is in
+    (0,1), monotone in the feature, and distribution-free."""
+    got = (QUERIES["quantile_normalize_feature"].fn(spark, SF_DIR)
+           .toPandas().set_index("doc_id").sort_index())
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet") \
+        .set_index("doc_id").sort_index()
+    want = docs.n_chars.rank(method="average") / (len(docs) + 1)
+    assert np.allclose(got.qnorm, np.round(want, 6), atol=1e-9)
+    assert (got.qnorm > 0).all() and (got.qnorm < 1).all()
+    srt = got.sort_values("n_chars")
+    assert (srt.qnorm.diff().dropna() >= -1e-12).all()
