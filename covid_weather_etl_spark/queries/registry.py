@@ -134,7 +134,9 @@ _ROTATION_R4 = (
 # welch_ttest_ab, kaplan_meier_conversion, benford_digit_profile,
 # isotonic_calibration, als_part_recommendations [rows-only],
 # exact_auc_mann_whitney, spearman_correlation, decile_lift_table,
-# bootstrap_mean_ci, hard_negative_mining), unpivot_flag_metrics,
+# bootstrap_mean_ci, hard_negative_mining, media_phash_dedup
+# [rows-only], drift_monitor_windows, er_name_clusters,
+# bellman_ford_costs, quantile_normalize_feature), unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
 # rfm_segmentation, basket_affinity, mad_anomaly_report,
