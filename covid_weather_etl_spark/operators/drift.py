@@ -205,6 +205,11 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
          .localCheckpoint(eager=True))
 
     lo, hi = d.agg(F.min("v"), F.max("v")).first()
+    if lo is None:
+        # empty pooled sample (e.g. a filtered-out type): a 0-row frame
+        # with the contract schema beats a driver-side crash
+        return spark.createDataFrame(
+            [], "n_a bigint, n_b bigint, ks_stat double")
     width = max((hi - lo) / KS_BLOCKS, 1e-12)
     blk = F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
                   F.lit(KS_BLOCKS - 1)).cast("int")

@@ -62,6 +62,7 @@ _DOC_SCORED_SQL = f"""
            ROUND(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
                  / (2.0 * n_pos * n_neg), 6) AS auc
     FROM c CROSS JOIN tot
+    WHERE n_pos > 0 AND n_neg > 0
     GROUP BY n_pos, n_neg
     """,
 )
@@ -88,6 +89,9 @@ def exact_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
          .localCheckpoint(eager=True))
 
     lo, hi = d.agg(F.min("score"), F.max("score")).first()
+    if lo is None:
+        return spark.createDataFrame(
+            [], "n_pos bigint, n_neg bigint, auc double")
     n_blocks = 32
     width = max((hi - lo) / n_blocks, 1e-9)
     blk = F.least(F.floor((F.col("score") - F.lit(lo)) / F.lit(width)),
@@ -107,6 +111,9 @@ def exact_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg_below = F.col("neg_thru") + F.col("off") - F.col("neg")
     return (in_blk.join(F.broadcast(below), "blk")
             .crossJoin(F.broadcast(tot))
+            # AUC is undefined for a one-class outcome: emit 0 rows
+            # (same cut in the oracle) instead of a divide-by-zero inf
+            .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
             .groupBy("n_pos", "n_neg")
             .agg(F.round(
                 F.sum((F.col("pos") * (2 * neg_below + F.col("neg")))
@@ -125,6 +132,9 @@ def rank_table(df: DataFrame, col: str, n_blocks: int = 32) -> DataFrame:
     d = (df.groupBy(col).agg(F.count("*").alias("c"))
          .localCheckpoint(eager=True))
     lo, hi = d.agg(F.min(col), F.max(col)).first()
+    if lo is None:
+        return d.select(F.col(col),
+                        F.lit(None).cast("long").alias(f"rk2_{col}"))
     width = max((hi - lo) / n_blocks, 1e-9)
     blk = F.least(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
                   F.lit(n_blocks - 1)).cast("int")

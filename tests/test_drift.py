@@ -121,3 +121,19 @@ def test_welch_ttest_matches_numpy(spark):
     assert abs(row.t_stat - t) < 1e-4, (row.t_stat, t)
     assert abs(row.welch_df - df) < 1e-2, (row.welch_df, df)
     assert min(len(a), len(b)) - 1 <= row.welch_df <= len(a) + len(b) - 2
+
+
+def test_ks_empty_sample_returns_empty_frame(spark):
+    """Degenerate input guard: with both samples filtered to nothing
+    the operator returns a 0-row frame with the contract schema
+    instead of crashing on the collected range scalars."""
+    import covid_weather_etl_spark.operators.drift as dm
+    orig = (dm.KS_A, dm.KS_B)
+    try:
+        dm.KS_A = dm.KS_B = "no_such_type"
+        out = QUERIES["ks_two_sample"].fn(spark, SF_DIR)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == \
+            ["n_a", "n_b", "ks_stat"]
+    finally:
+        dm.KS_A, dm.KS_B = orig

@@ -84,3 +84,17 @@ def test_quantile_normalize_matches_pandas(spark):
     assert (got.qnorm > 0).all() and (got.qnorm < 1).all()
     srt = got.sort_values("n_chars")
     assert (srt.qnorm.diff().dropna() >= -1e-12).all()
+
+
+def test_auc_single_class_outcome_yields_empty(spark):
+    """With a one-class outcome AUC is undefined: the operator must
+    return 0 rows (no divide-by-zero), matching what the oracle SQL
+    produces for the same degenerate cut."""
+    import covid_weather_etl_spark.operators.ranking as rk
+    orig = rk.AUC_TOK_CUT
+    try:
+        rk.AUC_TOK_CUT = 10 ** 9          # nothing is "long"
+        out = QUERIES["exact_auc_mann_whitney"].fn(spark, SF_DIR)
+        assert out.count() == 0
+    finally:
+        rk.AUC_TOK_CUT = orig
