@@ -389,3 +389,119 @@ def welch_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6)
         .alias("t_stat"),
         F.round(df, 6).alias("welch_df"))
+
+
+#: candidate features screened against the "large order" label.
+FR_FEATURES = ("segment", "priority", "nation_key", "order_month")
+
+_FR_FEAT_SQL = {
+    "segment": "c.c_mktsegment",
+    "priority": "o.o_orderpriority",
+    "nation_key": "CAST(c.c_nationkey AS VARCHAR)",
+    "order_month": "CAST(EXTRACT(month FROM o.o_orderdate) AS VARCHAR)",
+}
+
+
+def _fr_mi_sql(feat: str) -> str:
+    x = _FR_FEAT_SQL[feat]
+    return f"""
+        SELECT '{feat}' AS feature,
+               CAST(COUNT(DISTINCT x) AS BIGINT) AS n_levels,
+               ROUND(CAST(SUM(term) AS DOUBLE), 6) AS mi_nats
+        FROM (
+            WITH j AS (
+                SELECT {x} AS x,
+                       CASE WHEN o.o_totalprice > {200000.0}
+                            THEN 1 ELSE 0 END AS y
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ), cells AS (
+                SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+                FROM j GROUP BY 1, 2
+            ), mx AS (SELECT x, SUM(n_xy) AS n_x FROM cells GROUP BY 1),
+               my AS (SELECT y, SUM(n_xy) AS n_y FROM cells GROUP BY 1),
+               tt AS (SELECT SUM(n_xy) AS n FROM cells)
+            SELECT cells.x,
+                   CAST(ROUND((n_xy * 1.0 / n)
+                        * LN((n_xy * 1.0 * n) / (1.0 * n_x * n_y)), 9)
+                        AS DECIMAL(28,9)) AS term
+            FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tt
+        )
+    """
+
+
+@register(
+    "feature_relevance_ranking",
+    survey="ext-drift,A6,A14,J1",
+    oracle=f"""
+    WITH mis AS (
+        {" UNION ALL ".join(_fr_mi_sql(f) for f in FR_FEATURES)}
+    )
+    SELECT p.feature, p.n_levels, p.mi_nats,
+           CAST(1 + (SELECT COUNT(*) FROM mis q
+                     WHERE q.mi_nats > p.mi_nats
+                        OR (q.mi_nats = p.mi_nats
+                            AND q.feature < p.feature))
+                AS BIGINT) AS mi_rank
+    FROM mis p
+    """,
+)
+def feature_relevance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free feature screen: mutual information (nats) between
+    each candidate categorical feature and the large-order label, in
+    one ranked table — the filter-method feature selection a training
+    pipeline runs before committing to an encoder. Extends
+    `mutual_information_features` from one feature to a panel; each
+    feature's MI uses the same cells/marginals algebra with terms
+    rounded 9dp and summed in exact DECIMAL (chi2_independence's
+    visit-order-independence discipline), and the rank comes from a
+    features²-sized triangular count, not a global window. Plan: the
+    orders⋈customer join is computed once per feature over the same
+    broadcast dim (Catalyst reuses the scan); every downstream frame
+    is level-count-bounded."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    joined = (t["orders"]
+              .join(F.broadcast(t["customer"]),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select(F.col("c_mktsegment").alias("segment"),
+                      F.col("o_orderpriority").alias("priority"),
+                      F.col("c_nationkey").cast("string")
+                      .alias("nation_key"),
+                      F.month("o_orderdate").cast("string")
+                      .alias("order_month"),
+                      F.when(F.col("o_totalprice") > MI_PRICE_CUT, 1)
+                      .otherwise(0).alias("y"))
+              .localCheckpoint(eager=True))  # one join feeds 4 screens
+
+    def mi_one(feat: str) -> DataFrame:
+        cells = (joined.groupBy(F.col(feat).alias("x"), "y")
+                 .agg(F.count("*").alias("n_xy")))
+        mx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+        my = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+        tt = cells.agg(F.sum("n_xy").alias("n"))
+        term = F.round(
+            (F.col("n_xy") * 1.0 / F.col("n"))
+            * F.log((F.col("n_xy") * 1.0 * F.col("n"))
+                    / (1.0 * F.col("n_x") * F.col("n_y"))), 9) \
+            .cast("decimal(28,9)")
+        return (cells.join(F.broadcast(mx), "x")
+                .join(F.broadcast(my), "y")
+                .crossJoin(F.broadcast(tt))
+                .agg(F.countDistinct("x").alias("n_levels"),
+                     F.round(F.sum(term).cast("double"), 6)
+                     .alias("mi_nats"))
+                .select(F.lit(feat).alias("feature"),
+                        "n_levels", "mi_nats"))
+
+    mis = None
+    for f in FR_FEATURES:
+        mis = mi_one(f) if mis is None else mis.unionByName(mi_one(f))
+    mis = mis.localCheckpoint(eager=True)  # 4 rows; both triangular sides
+    p, q = mis.alias("p"), mis.alias("q")
+    ahead = ((F.col("q.mi_nats") > F.col("p.mi_nats"))
+             | ((F.col("q.mi_nats") == F.col("p.mi_nats"))
+                & (F.col("q.feature") < F.col("p.feature"))))
+    return (p.join(F.broadcast(q), ahead, "left")
+            .groupBy(F.col("p.feature").alias("feature"),
+                     F.col("p.n_levels").alias("n_levels"),
+                     F.col("p.mi_nats").alias("mi_nats"))
+            .agg((F.count(F.col("q.feature")) + 1).alias("mi_rank")))

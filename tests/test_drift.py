@@ -137,3 +137,36 @@ def test_ks_empty_sample_returns_empty_frame(spark):
             ["n_a", "n_b", "ks_stat"]
     finally:
         dm.KS_A, dm.KS_B = orig
+
+
+def test_feature_ranking_mi_values_and_rank_contract(spark):
+    """Each feature's MI must equal an independent numpy recount, and
+    mi_rank must be the dense ordering by (mi desc, feature)."""
+    rows = (QUERIES["feature_relevance_ranking"].fn(spark, SF_DIR)
+            .toPandas().set_index("feature"))
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cu = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    y = (j.o_totalprice > MI_PRICE_CUT).astype(int)
+    feats = {
+        "segment": j.c_mktsegment,
+        "priority": j.o_orderpriority,
+        "nation_key": j.c_nationkey.astype(str),
+        "order_month": j.o_orderdate.dt.month.astype(str),
+    }
+    n = len(j)
+    for name, x in feats.items():
+        want = 0.0
+        for xv in x.unique():
+            for lab in (0, 1):
+                nxy = int(((x == xv) & (y == lab)).sum())
+                if nxy:
+                    want += (nxy / n) * math.log(
+                        nxy * n / (int((x == xv).sum())
+                                   * int((y == lab).sum())))
+        got = rows.loc[name]
+        assert abs(got.mi_nats - want) < 1e-5, (name, got.mi_nats, want)
+        assert got.n_levels == x.nunique()
+    order = rows.sort_values(["mi_nats", "feature"],
+                             ascending=[False, True])
+    assert list(order.mi_rank) == [1, 2, 3, 4]
