@@ -475,3 +475,74 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lift.alias("lift"))
             .orderBy(F.col("lift").desc(), "part_a", "part_b")
             .limit(20))
+
+
+@register(
+    "purge_cascade_report",
+    survey="ext-warehouse,J7,A1,D2",
+    oracle="""
+    WITH subject AS (
+        SELECT MIN(o_custkey) AS k FROM orders
+    ), ords AS (
+        SELECT o_orderkey FROM orders CROSS JOIN subject
+        WHERE o_custkey = subject.k
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer CROSS JOIN subject
+            WHERE c_custkey = subject.k) AS n_removed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer CROSS JOIN subject
+            WHERE c_custkey <> subject.k) AS n_after
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ords),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders CROSS JOIN subject
+            WHERE o_custkey <> subject.k)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM ords)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ords))
+    """,
+)
+def purge_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: for one data subject (the
+    lowest customer key with orders — deterministic), the rows that a
+    compliant purge removes from each table in referential order
+    (customer → orders → lineitem via the subject's order keys), with
+    before/removed/after counts per table — the dry-run report a
+    warehouse runs before executing a GDPR/CCPA deletion, and the
+    verification query it runs after.
+
+    Engine shape: the subject is one collected scalar; the subject's
+    order-key set rides a BROADCAST left-anti/semi join pair per fact
+    table (never a shuffle of the fact side), counts are map-
+    combinable. NOT IN in the oracle is safe here because the inner
+    set is a projection of non-null keys — the dq_constraint_report
+    NULL lesson applied. At 100 TB the same anti-join drives the
+    actual rewrite (overwrite partitions that contain hits; partition
+    pruning on the date/bucket columns bounds the rewrite set)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    subject = t["orders"].agg(F.min("o_custkey")).first()[0]
+    ords = (t["orders"].filter(F.col("o_custkey") == subject)
+            .select("o_orderkey").localCheckpoint(eager=True))
+
+    def report(name: str, df: DataFrame, removed: DataFrame) -> DataFrame:
+        nb = df.count()
+        nr = removed.count()
+        return spark.createDataFrame(
+            [(name, nb, nr, nb - nr)],
+            "tbl string, n_before long, n_removed long, n_after long")
+
+    cust = report("customer", t["customer"],
+                  t["customer"].filter(F.col("c_custkey") == subject))
+    orde = report("orders", t["orders"],
+                  t["orders"].filter(F.col("o_custkey") == subject))
+    li = report("lineitem", t["lineitem"],
+                t["lineitem"].join(F.broadcast(ords),
+                                   F.col("l_orderkey") == F.col("o_orderkey"),
+                                   "leftsemi"))
+    return cust.unionByName(orde).unionByName(li)

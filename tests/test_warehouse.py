@@ -574,3 +574,20 @@ def test_bootstrap_ci_matches_numpy_and_brackets_mean(spark):
     sd = daily.std()
     width = row.ci_hi - row.ci_lo
     assert 0.3 * sd / len(daily) ** 0.5 < width < 10 * sd / len(daily) ** 0.5
+
+
+def test_purge_cascade_consistency(spark, duck):
+    """Purge accounting: n_after = n_before - n_removed everywhere;
+    the subject loses exactly 1 customer row; lineitem removals equal
+    a pandas recount of the subject's order keys."""
+    from tests.conftest import SF_DIR
+    got = (all_queries()["purge_cascade_report"].fn(spark, SF_DIR)
+           .toPandas().set_index("tbl"))
+    assert (got.n_after == got.n_before - got.n_removed).all()
+    assert got.loc["customer"].n_removed == 1
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    subject = od.o_custkey.min()
+    keys = set(od[od.o_custkey == subject].o_orderkey)
+    assert got.loc["orders"].n_removed == len(keys)
+    assert got.loc["lineitem"].n_removed == li.l_orderkey.isin(keys).sum()
