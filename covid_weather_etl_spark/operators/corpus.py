@@ -966,3 +966,64 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_totalprice", es_key.alias("es_key"))
             .orderBy(F.col("es_key").desc(), "o_orderkey")
             .limit(WSAMPLE_K))
+
+
+@register(
+    "dedup_keep_longest",
+    survey="corpus-cc,LLM-dedup,J9,W6",
+    oracle=f"""
+    WITH RECURSIVE {TX.NGRAM_PAIRS_CTES},
+    edges AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM ngram_pairs
+        UNION ALL
+        SELECT doc_id_2, doc_id_1 FROM ngram_pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.doc_id
+    ),
+    clusters AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+    ),
+    sized AS (
+        SELECT c.doc_id, c.cluster_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT s.doc_id, s.cluster_id, s.n_tokens,
+           NOT EXISTS (
+               SELECT 1 FROM sized t
+               WHERE t.cluster_id = s.cluster_id
+                 AND (t.n_tokens > s.n_tokens
+                      OR (t.n_tokens = s.n_tokens
+                          AND t.doc_id < s.doc_id))
+           ) AS keep
+    FROM sized s
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivorship with a QUALITY criterion: resolve the
+    3-gram-Jaccard near-dup graph into clusters (min-label CC, same
+    components as `dedup_clusters`) and keep each cluster's LONGEST
+    member (token count, tie → lowest doc id) instead of the arbitrary
+    minimum id — the keep/drop policy production dedup actually ships
+    (the longest near-duplicate usually subsumes the fragments).
+    Engine: clusters ⋈ token counts, one row_number window PARTITIONED
+    by cluster (never global), keep = rank 1. The oracle states the
+    same survivor via NOT EXISTS over the cluster — two independent
+    formulations of the argmax. Scale: the window partitions by
+    cluster id; cluster sizes are near-dup-group-sized, never
+    corpus-sized."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    sized = (clusters
+             .join(t["documents"].select(
+                 "doc_id",
+                 F.size(F.split("text", " ")).cast("long")
+                 .alias("n_tokens")), "doc_id"))
+    w = (W.partitionBy("cluster_id")
+         .orderBy(F.col("n_tokens").desc(), F.col("doc_id")))
+    return (sized
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .select("doc_id", "cluster_id", "n_tokens", "keep"))

@@ -230,3 +230,19 @@ def test_er_clusters_match_union_find_over_lev_pairs(spark):
     assert {r.name: r.cluster_id for r in got.itertuples()} == want
     for r in got.itertuples():
         assert r.is_canonical == (r.name == r.cluster_id)
+
+
+def test_dedup_keep_longest_survivorship(spark):
+    """Exactly one keeper per cluster; the keeper is the longest
+    member (tie -> lowest id); clusters match dedup_clusters."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    got = all_queries()["dedup_keep_longest"].fn(spark, SF_DIR).toPandas()
+    base = all_queries()["dedup_clusters"].fn(spark, SF_DIR).toPandas()
+    assert dict(zip(got.doc_id, got.cluster_id)) == \
+        dict(zip(base.doc_id, base.cluster_id))
+    for cid, g in got.groupby("cluster_id"):
+        keepers = g[g.keep]
+        assert len(keepers) == 1, cid
+        best = g.sort_values(["n_tokens", "doc_id"],
+                             ascending=[False, True]).iloc[0]
+        assert keepers.iloc[0].doc_id == best.doc_id, cid
