@@ -136,7 +136,9 @@ _ROTATION_R4 = (
 # exact_auc_mann_whitney, spearman_correlation, decile_lift_table,
 # bootstrap_mean_ci, hard_negative_mining, media_phash_dedup
 # [rows-only], drift_monitor_windows, er_name_clusters,
-# bellman_ford_costs, quantile_normalize_feature), unpivot_flag_metrics,
+# bellman_ford_costs, quantile_normalize_feature,
+# feature_relevance_ranking, purge_cascade_report,
+# stratified_kfold_summary, dedup_keep_longest), unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
 # rfm_segmentation, basket_affinity, mad_anomaly_report,
