@@ -70,7 +70,7 @@ _PSI_BIN_SQL = ("CASE " + " ".join(
 )
 def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of `o_totalprice` between the
-    pre-{cutoff} reference period and everything after: decile edges
+    pre-cutoff (1998-01-01) reference period and everything after: decile edges
     are computed ONCE on the reference slice (one array-percentile
     aggregate, edges rounded 6dp so both engines bin against
     bit-identical thresholds), broadcast back over a single full scan
@@ -164,7 +164,7 @@ KS_BLOCKS = 32
 )
 def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov distance between the
-    `value` distributions of '{KS_A}' and '{KS_B}' events — the
+    `value` distributions of 'click' and 'purchase' events — the
     distribution-shape drift test PSI's fixed bins can miss.
 
     D = max over the pooled support of |ECDF_a - ECDF_b|. The oracle
@@ -174,17 +174,17 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. tie-collapse: groupBy(v) → per-value (ca, cb) counts — the ECDF
        only changes at distinct values, and using the cumulative
        THROUGH each value handles ties in one step;
-    2. block the value axis into {KS_BLOCKS} equal-width ranges from a
+    2. block the value axis into KS_BLOCKS=32 equal-width ranges from a
        collected (min, max) scalar pair; the in-block cumulative window
        partitions on `blk`;
-    3. per-block integer totals form a {KS_BLOCKS}-row frame; the
+    3. per-block integer totals form a 32-row frame; the
        strictly-below-block offset comes from a broadcast triangular
-       self-join (blk2 < blk1 — {KS_BLOCKS}² tiny rows), NOT a window;
+       self-join (blk2 < blk1 — 32² tiny rows), NOT a window;
     4. ECDF fractions and one max-abs aggregate. Counts stay integers
        until the final two divisions, so both engines compare identical
        IEEE doubles before the 6dp round.
 
-    Scale: each block's window task sees ~distinct-values/{KS_BLOCKS}
+    Scale: each block's window task sees ~distinct-values/32
     rows (value ranges re-blockable finer at 100 TB); everything else
     is map-combinable aggregation. No all-pairs, no global sort."""
     t = load_tables(spark, sf_dir, ("events",))
@@ -276,7 +276,7 @@ MI_PRICE_CUT = 200000.0
 )
 def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between customer market segment and the
-    "large order" outcome (o_totalprice > {cut}) — the model-free
+    "large order" outcome (o_totalprice > 200000) — the model-free
     dependence screen for categorical feature selection; I(X;Y) =
     SUM(mi_term) over the output rows, 0 iff independent.
 

@@ -73,7 +73,7 @@ def mg_summarize(counts: dict[str, int], batch: dict[str, int],
     """,
 )
 def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters (support N/{K}) via Misra-Gries candidate
+    """Exact heavy hitters (support N/K, K=150) via Misra-Gries candidate
     generation + exact recount. Pass 1: per-partition K-counter
     summaries in mapInPandas (vectorized value_counts per Arrow batch,
     weighted-decrement prune — bounded memory, zero shuffle). Pass 2:

@@ -490,9 +490,9 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: (1) mapInPandas decode+hash — bytes never leave the
     executor, 8 bytes/asset return; (2) split each hash into 4×16-bit
     bands JVM-side (shiftrightunsigned + mask, codegen) and groupBy
-    band value to generate candidates — complete for hamming ≤
-    {PHASH_HAM_MAX} by pigeonhole, never all-pairs; (3) exact verify
-    via bit_count(xor) ≤ {PHASH_HAM_MAX}. Rows-only driver check (the
+    band value to generate candidates — complete for hamming ≤ 3
+    by pigeonhole, never all-pairs; (3) exact verify
+    via bit_count(xor) ≤ PHASH_HAM_MAX=3. Rows-only driver check (the
     decoder is not SQL); tests/test_multimodal.py pins planted
     near-identical PPM recall through the REAL netpbm decoder,
     non-dup separation, and band completeness. Scale: candidate rate

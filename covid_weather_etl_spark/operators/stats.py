@@ -475,7 +475,7 @@ ISO_TOK_CUT = 56
 )
 def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact isotonic regression (the PAV fit, Barlow et al. 1972) of
-    P(doc length > {cut} tokens | n_chars bin) — the calibration
+    P(doc length > 56 tokens | n_chars bin) — the calibration
     primitive behind monotone probability calibration (Zadrozny &
     Elkan 2002): empirical per-bin rates are replaced by the closest
     non-decreasing fit under weighted least squares.

@@ -673,7 +673,7 @@ def drift_monitor_stream(events: DataFrame, ref: DataFrame) -> DataFrame:
 def drift_monitor_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed distribution-drift monitor: per (1-day tumbling
     window, event_type), the window mean of `value` z-scored against
-    reference moments frozen from the pre-{cutoff} training period;
+    reference moments frozen from the pre-2024-01-15 training period;
     |z| > 3 raises the alert flag — the production monitoring loop
     closing over the drift pack (psi/ks give the deep reads, this is
     the always-on cheap read). IDENTICAL expression runs under
