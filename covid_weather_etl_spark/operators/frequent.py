@@ -194,3 +194,108 @@ def count_min_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cell").alias("est_cnt"))
             .select("bucket", "exact_cnt", "est_cnt",
                     (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount")))
+
+
+#: MinHash signature length for the Jaccard audit.
+MH_K = 64
+
+_MH_SETS_SQL = """
+        SELECT DISTINCT user_id,
+               CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS s
+        FROM events WHERE event_type IN ('click', 'purchase')
+"""
+_MH_HASH_SQL = ("CAST(CAST('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || "
+                "CAST({key} AS VARCHAR)), 1, 13) AS BIGINT) AS BIGINT)")
+
+
+@register(
+    "minhash_jaccard_audit",
+    survey="ext-sketch,A2,A6,J1",
+    oracle=f"""
+    WITH sets AS (
+        {_MH_SETS_SQL}
+    ), sizes AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN s = 'a' THEN user_id END)
+                    AS BIGINT) AS n_a,
+               CAST(COUNT(DISTINCT CASE WHEN s = 'b' THEN user_id END)
+                    AS BIGINT) AS n_b,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union
+        FROM sets
+    ), inter AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_inter FROM (
+            SELECT user_id FROM sets GROUP BY user_id
+            HAVING COUNT(DISTINCT s) = 2
+        )
+    ), sigs AS (
+        SELECT ii.i, sets.s,
+               MIN({_MH_HASH_SQL.format(i='ii.i', key='sets.user_id')})
+                   AS mh
+        FROM sets CROSS JOIN (SELECT unnest(range({MH_K})) AS i) ii
+        GROUP BY ii.i, sets.s
+    ), agree AS (
+        SELECT CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM sigs a JOIN sigs b ON a.i = b.i AND a.s = 'a' AND b.s = 'b'
+    )
+    SELECT n_a, n_b,
+           ROUND(n_inter * 1.0 / n_union, 6) AS exact_jaccard,
+           ROUND(n_agree * 1.0 / {MH_K}, 6) AS minhash_estimate,
+           ROUND(ABS(n_agree * 1.0 / {MH_K}
+                     - n_inter * 1.0 / n_union), 6) AS abs_err
+    FROM sizes CROSS JOIN inter CROSS JOIN agree
+    """,
+)
+def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash set-similarity audit: the Jaccard similarity between
+    the click-user set and the purchase-user set, computed BOTH ways —
+    exactly (distinct-count algebra) and by a 64-permutation MinHash
+    signature (P[min-hash agrees] = J, Broder 1997) — with the
+    estimation error in the open. The per-permutation minimum is a
+    map-side-combinable MIN aggregate over md5(i:key) values, so the
+    signature build is ONE pass with 2·64 output rows no matter how
+    large the sets get, and the md5 derivation makes the estimate —
+    not just its expectation — bit-reproducible in the DuckDB oracle.
+    This is the mergeable-signature scale path for set-overlap
+    questions (audience intersection, cross-snapshot churn) where the
+    exact distinct-intersection shuffle becomes the bottleneck; the
+    exact twin here is the per-round audit that sizes K.
+    tests/test_sketches.py pins the estimator's ±2σ envelope
+    (σ = √(J(1−J)/K))."""
+    t = load_tables(spark, sf_dir, ("events",))
+    sets = (t["events"]
+            .filter(F.col("event_type").isin("click", "purchase"))
+            .select("user_id",
+                    F.when(F.col("event_type") == "click", "a")
+                    .otherwise("b").alias("s"))
+            .distinct()
+            .localCheckpoint(eager=True))  # feeds sizes, inter and sigs
+    sizes = sets.agg(
+        F.countDistinct(F.when(F.col("s") == "a", F.col("user_id")))
+        .alias("n_a"),
+        F.countDistinct(F.when(F.col("s") == "b", F.col("user_id")))
+        .alias("n_b"),
+        F.countDistinct("user_id").alias("n_union"))
+    inter = (sets.groupBy("user_id")
+             .agg(F.countDistinct("s").alias("ns"))
+             .filter(F.col("ns") == 2)
+             .agg(F.count("*").alias("n_inter")))
+    ii = F.explode(F.array(*[F.lit(i) for i in range(MH_K)])).alias("i")
+    mh = F.conv(F.substring(F.md5(
+        F.concat(F.col("i").cast("string"), F.lit(":"),
+                 F.col("user_id").cast("string"))), 1, 13), 16, 10) \
+        .cast("long")
+    sigs = (sets.select("user_id", "s", ii)
+            .groupBy("i", "s").agg(F.min(mh).alias("mh")))
+    a = sigs.filter(F.col("s") == "a").select("i", F.col("mh").alias("ma"))
+    b = sigs.filter(F.col("s") == "b").select("i", F.col("mh").alias("mb"))
+    agree = (a.join(b, "i")
+             .agg(F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
+                  .alias("n_agree")))
+    ex = F.col("n_inter") * 1.0 / F.col("n_union")
+    est = F.col("n_agree") * 1.0 / MH_K
+    return (sizes.crossJoin(F.broadcast(inter))
+            .crossJoin(F.broadcast(agree))
+            .select("n_a", "n_b",
+                    F.round(ex, 6).alias("exact_jaccard"),
+                    F.round(est, 6).alias("minhash_estimate"),
+                    F.round(F.abs(est - ex), 6).alias("abs_err")))

@@ -64,3 +64,32 @@ def test_count_min_estimate_ranks_heavy_keys_first(spark):
     top_exact = {r.bucket for r in by_exact[:max(1, len(rows) // 10)]}
     top_est_half = {r.bucket for r in by_est[:len(rows) // 2]}
     assert top_exact <= top_est_half
+
+
+def test_minhash_jaccard_estimate_within_envelope(spark, duck):
+    """The MinHash estimate must equal a hashlib recomputation with
+    the same md5 minima AND sit within 3 sigma of the exact Jaccard
+    (sigma = sqrt(J(1-J)/K))."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.frequent import MH_K
+    row = all_queries()["minhash_jaccard_audit"].fn(spark, SF_DIR) \
+        .collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    A = set(ev[ev.event_type == "click"].user_id)
+    B = set(ev[ev.event_type == "purchase"].user_id)
+    j_exact = len(A & B) / len(A | B)
+    assert row.n_a == len(A) and row.n_b == len(B)
+    assert abs(row.exact_jaccard - round(j_exact, 6)) < 1e-9
+
+    def mh(i, s):
+        return min(int(hashlib.md5(f"{i}:{u}".encode()).hexdigest()[:13],
+                       16) for u in s)
+
+    agree = sum(mh(i, A) == mh(i, B) for i in range(MH_K))
+    assert abs(row.minhash_estimate - round(agree / MH_K, 6)) < 1e-9
+    sigma = math.sqrt(max(j_exact * (1 - j_exact), 1e-9) / MH_K)
+    assert row.abs_err <= 3 * sigma + 1e-6, (row.abs_err, sigma)
