@@ -22,7 +22,7 @@ well-distributed key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.queries.registry import register
@@ -521,3 +521,87 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("hit_zero") == 1, F.lit(0.0))
         .otherwise(F.round(F.exp(F.col("logsum").cast("double")), 6))
         .alias("survival"))
+
+
+#: inactivity gap that closes a session (industry-standard 30 min).
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "session_stats",
+    survey="ext-events,A6,A2,W1,W12",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                AS BIGINT) AS duration_s
+    FROM tagged
+    GROUP BY user_id, session_seq
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization — the warehouse twin of the
+    streaming `session_windows` op (streaming/streams.py): a session
+    is a maximal run of a user's events with no inactivity gap longer
+    than 30 minutes (SESSION_GAP_MIN). Classic two-window algebra: flag
+    session starts with LAG over (user, time), number sessions with a
+    running SUM of the flags over the SAME window order, then one
+    aggregate per (user, session) for start/end/size/diversity/
+    duration — the session table every product-analytics mart builds
+    first, which `debounce_events` (dedup) and `funnel_conversion`
+    (ordering) deliberately do not produce.
+
+    Engine discipline: both windows partition on user_id — the
+    natural, well-distributed key (registry pin: zero unpartitioned
+    windows); ordering is (ts, event_id), a TOTAL order, so the lag
+    and the running sum are deterministic on both engines even under
+    timestamp ties. Durations are exact integer microsecond
+    differences floored to seconds (unix_micros on Spark, epoch_us in
+    DuckDB) — no float time math. Scale: one shuffle on user_id
+    shared by both windows and the final aggregate (Catalyst reuses
+    the partitioning), map-side-combinable aggregates; a hot user
+    costs one task its own events only, never a global funnel."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = (F.when(F.lag("ts").over(w).isNull()
+                       | (gap_us > SESSION_GAP_MIN * 60 * 1000000), 1)
+                .otherwise(0))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    tagged = (t["events"]
+              .select("user_id", "ts", "event_id", "event_type",
+                      new_sess.alias("new_sess"))
+              .select("user_id", "ts", "event_type",
+                      F.sum("new_sess").over(run).alias("session_seq")))
+    dur = ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+           / F.lit(1000000)).cast("bigint")
+    return (tagged.groupBy("user_id", "session_seq")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.countDistinct("event_type").alias("n_event_types"),
+                 dur.alias("duration_s"))
+            .select("user_id", F.col("session_seq").cast("bigint")
+                    .alias("session_seq"),
+                    "session_start", "session_end", "n_events",
+                    "n_event_types", "duration_s"))

@@ -372,3 +372,76 @@ def quantile_normalize_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_chars",
                     F.round(F.col("rk2_n_chars")
                             / (2.0 * (F.col("n") + 1)), 6).alias("qnorm")))
+
+
+@register(
+    "pareto_front_parts",
+    survey="ext-rank,P7,A8,J7",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_retailprice,
+           CAST(p.p_size AS INT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size < p.p_size)
+    )
+    """,
+)
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of the part catalog: parts for which
+    no other part is both cheaper-or-equal AND smaller-or-equal with
+    at least one strict improvement — the "best tradeoff" query
+    (Börzsönyi et al., ICDE 2001) behind any
+    cheapest-smallest/fastest-freshest product search. Exact duplicates
+    on (price, size) dominate nothing and co-survive.
+
+    The naive form is the oracle's NOT-EXISTS dominance anti-join —
+    O(n²) and un-shippable at scale. The engine instead uses the
+    sort-free 2-D decomposition: a row is dominated iff
+      (a) some STRICTLY cheaper price group contains size ≤ its size, or
+      (b) its own price group contains a STRICTLY smaller size.
+    Per-price minimum sizes come from one map-combinable groupBy
+    (frame bounded by DISTINCT prices — a cents-grid-bounded domain,
+    not row count); the strict-prefix minimum over cheaper prices is
+    computed as a BLOCKED two-phase prefix min — the
+    skew_resilient_running_total pattern applied to MIN: coarse price
+    bands give a bands-sized frame for the cross-band triangular join,
+    and the within-band strict prefix is a window PARTITIONED on the
+    band (registry pin: zero unpartitioned windows, and no quadratic
+    term in distinct prices). The verdict joins back onto the scan by
+    price. Scale: the part scan shuffles once on p_retailprice; the
+    price-grain frame is band-partitioned; a denser price domain only
+    needs a finer band width — the plan shape is unchanged."""
+    t = load_tables(spark, sf_dir, ("part",))
+    part = t["part"]
+    grp = (part.groupBy("p_retailprice")
+           .agg(F.min("p_size").alias("gmin"))
+           .withColumn("blk", F.floor(F.col("p_retailprice") / 100.0))
+           .localCheckpoint(eager=True))  # price-grain; reused 3×
+    band = grp.groupBy("blk").agg(F.min("gmin").alias("bmin"))
+    ba, bb = band.alias("ba"), band.alias("bb")
+    band_prefix = (ba.join(F.broadcast(bb),
+                           F.col("bb.blk") < F.col("ba.blk"), "left")
+                   .groupBy(F.col("ba.blk").alias("blk"))
+                   .agg(F.min(F.col("bb.bmin")).alias("band_min")))
+    in_band = (W.partitionBy("blk").orderBy("p_retailprice")
+               .rowsBetween(W.unboundedPreceding, -1))
+    prefix = (grp.join(F.broadcast(band_prefix), "blk")
+              .withColumn("in_min", F.min("gmin").over(in_band))
+              .select("p_retailprice", "gmin",
+                      F.least(F.coalesce("band_min", F.lit(2 ** 31)),
+                              F.coalesce("in_min", F.lit(2 ** 31)))
+                      .alias("pmin_raw"))
+              .withColumn("pmin", F.when(F.col("pmin_raw") < 2 ** 31,
+                                         F.col("pmin_raw")))
+              .drop("pmin_raw"))
+    dominated = ((F.col("pmin").isNotNull()
+                  & (F.col("pmin") <= F.col("p_size")))
+                 | (F.col("p_size") > F.col("gmin")))
+    return (part.join(F.broadcast(prefix), "p_retailprice")
+            .filter(~dominated)
+            .select("p_partkey", "p_name", "p_retailprice",
+                    F.col("p_size").cast("int").alias("p_size")))

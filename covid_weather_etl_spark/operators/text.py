@@ -760,34 +760,20 @@ BPE_TRAIN_MERGES = 12
 BPE_MIN_PAIR_COUNT = 2
 
 
-@register("bpe_vocab_train", survey="LLM-text,A6,U2")
-def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL BPE tokenizer training (Sennrich et al. 2016) — the
-    iterative closure of bpe_merge_step: up to {BPE_TRAIN_MERGES}
-    merges, each round counting corpus-weighted adjacent symbol pairs
-    over the WORD-FREQUENCY table (per-merge cost O(vocab), never
-    O(corpus) — the property that makes 50k-merge tokenizers
-    trainable), picking the winner (count desc, then pair — fully
-    deterministic), and re-segmenting every word's symbol array with a
-    greedy left-to-right fold (`aggregate` higher-order function:
-    "aaa" + merge(a,a) → [aa, a], standard BPE scanning). Returns the
-    merge table (idx, left, right, pair_count) — the artifact a
-    tokenizer ships.
-
-    Spark-first iteration shape, same as pagerank/Lloyd: per-round
-    state is the (syms, cnt) vocab frame, localCheckpoint truncates
-    lineage each merge so round N doesn't replay rounds 1..N−1; the
-    only driver traffic per round is ONE (pair, count) scalar row.
-    Stops early when no pair clears {BPE_MIN_PAIR_COUNT}. Rows-only
-    driver check (iterative — not SQL-expressible); the merge sequence
-    is pinned against a pure-python BPE trainer in tests/test_text.py."""
+def _train_bpe(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns ``(merges, vocab)`` where
+    ``merges`` is the ordered merge list ``(idx, left, right, count)``
+    and ``vocab`` is the FINAL word segmentation frame
+    ``(word, syms, cnt)`` — i.e. every corpus word already encoded
+    under the full merge sequence (sequential greedy application,
+    exactly what an encoder replays at tokenization time)."""
     t = load_tables(spark, sf_dir, ("documents",))
     wc = (spread(t["documents"], "doc_id")
           .select(F.explode(_tokens()).alias("word"))
           .groupBy("word").agg(F.count("*").alias("cnt")))
     chars = F.expr("transform(sequence(1, length(word)), "
                    "i -> substr(word, i, 1))")
-    vocab = wc.select(chars.alias("syms"), "cnt").localCheckpoint()
+    vocab = wc.select("word", chars.alias("syms"), "cnt").localCheckpoint()
 
     pair_expr = F.expr(
         "transform(sequence(1, size(syms) - 1), "
@@ -813,10 +799,79 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.array(F.concat(la, lb)))
             ).otherwise(F.concat(acc, F.array(s))))
         old = vocab
-        vocab = old.select(fold.alias("syms"), "cnt").localCheckpoint()
+        vocab = old.select("word", fold.alias("syms"), "cnt").localCheckpoint()
         old.unpersist()
+    return merges, vocab
+
+
+@register("bpe_vocab_train", survey="LLM-text,A6,U2")
+def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016) — the
+    iterative closure of bpe_merge_step: up to BPE_TRAIN_MERGES (12)
+    merges, each round counting corpus-weighted adjacent symbol pairs
+    over the WORD-FREQUENCY table (per-merge cost O(vocab), never
+    O(corpus) — the property that makes 50k-merge tokenizers
+    trainable), picking the winner (count desc, then pair — fully
+    deterministic), and re-segmenting every word's symbol array with a
+    greedy left-to-right fold (`aggregate` higher-order function:
+    "aaa" + merge(a,a) → [aa, a], standard BPE scanning). Returns the
+    merge table (idx, left, right, pair_count) — the artifact a
+    tokenizer ships.
+
+    Spark-first iteration shape, same as pagerank/Lloyd: per-round
+    state is the (word, syms, cnt) vocab frame, localCheckpoint
+    truncates lineage each merge so round N doesn't replay rounds
+    1..N−1; the only driver traffic per round is ONE (pair, count)
+    scalar row. Stops early when no pair clears BPE_MIN_PAIR_COUNT
+    (2). Rows-only driver check (iterative — not SQL-expressible); the
+    merge sequence is pinned against a pure-python BPE trainer in
+    tests/test_text.py."""
+    merges, _ = _train_bpe(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count long")
+
+
+@register("bpe_encode_documents", survey="LLM-text,U1,J1,A6")
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply side of `bpe_vocab_train`, closing the
+    tokenizer loop (train → encode → count): per document, the number
+    of whitespace tokens, the number of BPE symbols those tokens
+    encode to under the trained merge sequence, total characters, and
+    the chars-per-symbol compression ratio — the per-document token
+    accounting a training-data pipeline needs for sequence packing and
+    compute budgeting with the REAL tokenizer, not a regex proxy
+    (`bpe_token_stats`).
+
+    Encodes the VOCABULARY, not the corpus: training already produced
+    the final segmentation of every distinct word (the same greedy
+    left-to-right fold an encoder replays, applied merge-by-merge in
+    rank order), so encoding is one join of per-document word counts
+    against that word→n_syms table — per-document cost O(distinct
+    words), the trick that makes corpus-scale tokenization a
+    vocabulary problem. An OOV word at serving time would take the
+    identical fold path over the persisted merge table.
+
+    Scale: one corpus scan into (doc_id, word) counts (map-side
+    combinable), one join against the Zipf-bounded vocab (broadcast
+    at any realistic vocab size), one doc-keyed aggregate. Rows-only
+    driver check (depends on the iterative trainer); per-document
+    totals are pinned against a pure-python BPE encoder in
+    tests/test_text.py."""
+    _, vocab = _train_bpe(spark, sf_dir)
+    enc = vocab.select("word", F.size("syms").alias("w_syms"),
+                       F.length("word").alias("w_chars"))
+    t = load_tables(spark, sf_dir, ("documents",))
+    doc_words = (spread(t["documents"], "doc_id")
+                 .select("doc_id", F.explode(_tokens()).alias("word"))
+                 .groupBy("doc_id", "word").agg(F.count("*").alias("k")))
+    return (doc_words.join(F.broadcast(enc), "word")
+            .groupBy("doc_id")
+            .agg(F.sum("k").alias("n_tokens"),
+                 F.sum(F.col("k") * F.col("w_syms")).alias("n_bpe_syms"),
+                 F.sum(F.col("k") * F.col("w_chars")).alias("n_chars"),
+                 F.round(F.sum(F.col("k") * F.col("w_chars")) * 1.0
+                         / F.sum(F.col("k") * F.col("w_syms")), 6)
+                 .alias("chars_per_sym")))
 
 
 #: collocation mining: minimum bigram support and report size.

@@ -141,3 +141,50 @@ def test_pmi_collocations_match_numpy(spark):
     # sorted by pmi desc with deterministic tie-break
     key = list(zip(-pdf.pmi, pdf.w1, pdf.w2))
     assert key == sorted(key)
+
+
+def test_bpe_encode_documents_matches_python_encoder(spark):
+    """Per-document encoded totals must equal a pure-python trainer +
+    greedy encoder replaying the identical merge sequence."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.text import (
+        BPE_MIN_PAIR_COUNT, BPE_TRAIN_MERGES)
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+    got = {r["doc_id"]: r for r in
+           all_queries()["bpe_encode_documents"].fn(spark, SF_DIR).collect()}
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    wc = Counter(tok for t in docs.text for tok in t.split(" "))
+    vocab = {w: [c for c in w] for w in wc}
+    for _ in range(BPE_TRAIN_MERGES):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < BPE_MIN_PAIR_COUNT:
+            break
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+
+    for _, row in docs.iterrows():
+        toks = row.text.split(" ")
+        n_syms = sum(len(vocab[w]) for w in toks)
+        n_chars = sum(len(w) for w in toks)
+        g = got[row.doc_id]
+        assert g["n_tokens"] == len(toks)
+        assert g["n_bpe_syms"] == n_syms
+        assert g["n_chars"] == n_chars
+        assert g["chars_per_sym"] == round(n_chars / n_syms, 6)
