@@ -962,3 +962,133 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
             .orderBy(F.col("pmi").desc(), "w1", "w2")
             .limit(PMI_TOP))
+
+
+#: naive Bayes holdout: doc_id % NB_TEST_MOD == 0 is the test fold.
+NB_TEST_MOD = 5
+
+
+@register(
+    "naive_bayes_lang_eval",
+    survey="LLM-text,U3,U5,A6,J1",
+    oracle=f"""
+    WITH doc_toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), train AS (
+        SELECT * FROM doc_toks WHERE doc_id % {NB_TEST_MOD} != 0
+    ), ct AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM train GROUP BY 1, 2
+    ), tc AS (
+        SELECT lang, CAST(SUM(cnt) AS BIGINT) AS t_c FROM ct GROUP BY 1
+    ), vv AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train
+    ), tr_docs AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM documents WHERE doc_id % {NB_TEST_MOD} != 0 GROUP BY 1
+    ), ntot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n FROM tr_docs),
+    pri AS (
+        SELECT lang, CAST(ROUND(LN(n_c * 1.0 / n), 9) AS DECIMAL(25,9))
+                 AS logprior
+        FROM tr_docs CROSS JOIN ntot
+    ), tk AS (
+        SELECT doc_id, lang AS lang_true, tok,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM doc_toks WHERE doc_id % {NB_TEST_MOD} = 0 GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT tk.doc_id, tk.lang_true, c.lang AS cls,
+               SUM(tk.k * CAST(ROUND(LN((COALESCE(ct.cnt, 0) + 1.0)
+                                        / (tc.t_c + vv.v)), 9)
+                               AS DECIMAL(25,9))) AS s_tok
+        FROM tk
+        CROSS JOIN (SELECT lang FROM tr_docs) c
+        JOIN tc ON tc.lang = c.lang
+        CROSS JOIN vv
+        LEFT JOIN ct ON ct.lang = c.lang AND ct.tok = tk.tok
+        GROUP BY 1, 2, 3
+    ), full_score AS (
+        SELECT s.doc_id, s.lang_true, s.cls,
+               s.s_tok + p.logprior AS score
+        FROM scored s JOIN pri p ON p.lang = s.cls
+    ), best AS (
+        SELECT doc_id, MAX(score) AS m FROM full_score GROUP BY 1
+    ), pred AS (
+        SELECT f.doc_id, f.lang_true, MIN(f.cls) AS pred_lang
+        FROM full_score f
+        JOIN best b ON f.doc_id = b.doc_id AND f.score = b.m
+        GROUP BY 1, 2
+    )
+    SELECT lang_true, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def naive_bayes_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language identification, trained AND
+    evaluated inside the engine with an EXACT DuckDB oracle — the
+    learned counterpart of the rule-based `lang_id`, and the one
+    classifier in the registry whose full train→score→argmax→confusion
+    pipeline is hash-checked value-for-value (the Spark-ML models are
+    rows-only by nature). Deterministic holdout: doc_id % 5 == 0 is
+    the test fold; training is pure count algebra — per-class token
+    counts, Laplace(+1) smoothing over the shared train vocabulary V,
+    log prior from class document counts.
+
+    Cross-engine exactness is the interesting part: every log term is
+    rounded to 9dp and accumulated in DECIMAL (the kaplan_meier
+    convention), so per-document scores are bit-identical regardless
+    of join order or partitioning on either engine; argmax ties break
+    to the alphabetically first class. OOV tokens contribute the
+    smoothed floor k·ln(1/(T_c+V)) via a left join's COALESCE(cnt,0),
+    never a dropped row.
+
+    Scale: training is one (lang, tok) aggregate — vocabulary-bounded,
+    map-side combinable. Scoring joins test token counts against the
+    class-conditional table on (tok, class): candidate classes fan out
+    by a 5-row broadcast, the count join shuffles on tok (Zipf-
+    distributed, well-spread), and everything after is test-doc-
+    bounded. No UDFs, no driver-side model object — the 'model' IS a
+    DataFrame, which is what makes the 100 TB version (shard the count
+    table, broadcast the priors) the same plan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = spread(t["documents"], "doc_id")
+    toks = docs.select("doc_id", "lang", F.explode(_tokens()).alias("tok"))
+    is_test = F.col("doc_id") % NB_TEST_MOD == 0
+    train = toks.filter(~is_test)
+
+    ct = (train.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+          .localCheckpoint(eager=True))  # class-conditional counts; reused
+    tc = ct.groupBy("lang").agg(F.sum("cnt").alias("t_c"))
+    vv = ct.select("tok").distinct().agg(F.count("*").alias("v"))
+    tr_docs = (docs.filter(~is_test).groupBy("lang")
+               .agg(F.count("*").alias("n_c")))
+    ntot = tr_docs.agg(F.sum("n_c").alias("n"))
+    pri = (tr_docs.crossJoin(F.broadcast(ntot))
+           .select("lang", F.round(F.log(F.col("n_c") * 1.0 / F.col("n")), 9)
+                   .cast("decimal(25,9)").alias("logprior")))
+
+    tk = (toks.filter(is_test)
+          .groupBy("doc_id", F.col("lang").alias("lang_true"), "tok")
+          .agg(F.count("*").alias("k")))
+    cls = tr_docs.select(F.col("lang").alias("cls"))
+    cond = ct.select(F.col("lang").alias("cls"), "tok", "cnt")
+    term = (F.round(F.log((F.coalesce("cnt", F.lit(0)) + 1.0)
+                          / (F.col("t_c") + F.col("v"))), 9)
+            .cast("decimal(25,9)"))
+    scored = (tk.crossJoin(F.broadcast(cls))
+              .join(F.broadcast(tc.withColumnRenamed("lang", "cls")), "cls")
+              .crossJoin(F.broadcast(vv))
+              .join(cond, ["cls", "tok"], "left")
+              .groupBy("doc_id", "lang_true", "cls")
+              .agg(F.sum(F.col("k") * term).alias("s_tok")))
+    full = (scored.join(F.broadcast(pri.withColumnRenamed("lang", "cls")),
+                        "cls")
+            .select("doc_id", "lang_true", "cls",
+                    (F.col("s_tok") + F.col("logprior")).alias("score")))
+    best = full.groupBy("doc_id").agg(F.max("score").alias("m"))
+    pred = (full.join(best, "doc_id")
+            .filter(F.col("score") == F.col("m"))
+            .groupBy("doc_id", "lang_true")
+            .agg(F.min("cls").alias("pred_lang")))
+    return (pred.groupBy("lang_true", "pred_lang")
+            .agg(F.count("*").alias("n")))

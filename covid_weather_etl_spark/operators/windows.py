@@ -490,3 +490,48 @@ def skew_resilient_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("cum_in_blk")
                  + F.coalesce(F.col("offset"), F.lit(0).cast("decimal(25,6)")))
                 .cast("double").alias("cum_spend")))
+
+
+#: per-group top-k: how many orders to keep per customer.
+GROUP_TOPK = 3
+
+
+@register(
+    "topk_orders_per_customer",
+    survey="W6,ext-rank,A6",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rk
+        FROM orders
+    )
+    SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+    FROM ranked WHERE rk <= {GROUP_TOPK}
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-K — the grouped generalization of `topk_orders`
+    (SURVEY W6, which is global): each customer's 3 largest orders by
+    value. The canonical rank-filter shape: row_number over
+    (customer, value DESC, orderkey) then rk <= K. Ordering carries
+    the key as final tie-break, so the cut is deterministic on both
+    engines even under repeated prices.
+
+    Scale: the window partitions on o_custkey — well-distributed, and
+    a hot customer costs one task only its own orders (registry pin:
+    zero unpartitioned windows). Catalyst runs this as a single
+    shuffle + per-partition sort with the rank filter applied
+    streaming (WindowGroupLimit pushes rk <= K into the sort at the
+    exec level), so no group ever materializes beyond K rows more
+    than transiently — the property that keeps per-group top-K
+    shippable when groups are millions of rows."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+    return (t["orders"]
+            .select("o_custkey",
+                    F.row_number().over(w).alias("rk"),
+                    "o_orderkey", "o_totalprice")
+            .filter(F.col("rk") <= GROUP_TOPK))
