@@ -1031,3 +1031,59 @@ def pricing_summary_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(exact_avg("l_discount"), 6).alias("avg_disc"),
              F.count("*").alias("count_order"))
     )
+
+
+#: Q10 shape: the reporting quarter and report size.
+Q10_QUARTER = ("1996-01-01", "1996-04-01")
+Q10_TOP = 20
+
+
+@register(
+    "returned_item_customers",
+    survey="J2,J6,A6,W6,P5,P7",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q10_QUARTER[0]}'
+      AND o.o_orderdate <  TIMESTAMP '{Q10_QUARTER[1]}'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT {Q10_TOP}
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the 20 customers who
+    generated the most revenue in returned items ('R' flag) for one
+    order quarter — the classic customer-care triage query, and the
+    registry's representative of the filter→join→aggregate→top-K
+    reporting shape over BOTH fact tables at once.
+
+    Plan shape: the returnflag filter and the quarter predicate push
+    into the lineitem and orders scans respectively (each kills ~2/3
+    of its fact before any join); lineitem⋈orders shuffles on the
+    order key (or goes zero-shuffle on the bucketed layout);
+    customer and nation broadcast. Revenue accumulates in exact
+    DECIMAL money algebra, so (revenue DESC, custkey) is a total
+    order on both engines and the LIMIT compiles to
+    TakeOrderedAndProject — never a global sort."""
+    t = load_tables(spark, sf_dir,
+                    ("customer", "orders", "lineitem", "nation"))
+    return (t["lineitem"].filter(F.col("l_returnflag") == "R")
+            .join(t["orders"].filter(
+                (F.col("o_orderdate") >= Q10_QUARTER[0])
+                & (F.col("o_orderdate") < Q10_QUARTER[1])),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(Q10_TOP))
