@@ -7,14 +7,16 @@ assets), metadata is columnar and prunable, and every decode /
 feature-extract / resize step is an Arrow-batched Pandas UDF so the
 Python work is vectorized per batch, never per row.
 
-`decode_media` decodes WAV PCM (stdlib `wave`) and binary PPM/PGM
-(handwritten header parse) for real — no codec libraries needed — and
-those real bytes flow through the same featurize/resize path as the
-synthetic assets (tests/test_multimodal.py). Compressed formats
-(JPEG/MP3/MP4) are stubbed behind NotImplementedError because the
-container has no codec libraries; a real deployment adds
-PIL/soundfile/ffmpeg branches in `decode_media` and nothing else
-changes.
+`decode_media` decodes WAV PCM (stdlib `wave`), binary PPM/PGM
+(handwritten header parse), baseline PNG (zlib DEFLATE + scanline
+defilter) and baseline-sequential JPEG (full Huffman + dequant + IDCT
+path, pure numpy) for real — no codec libraries needed — and those
+real bytes flow through the same featurize/resize path as the
+synthetic assets (tests/test_multimodal.py). Formats still beyond the
+pure-python decoders (MP3/MP4, progressive JPEG) are stubbed behind
+NotImplementedError because the container has no codec libraries; a
+real deployment adds PIL/soundfile/ffmpeg branches in `decode_media`
+and nothing else changes.
 
 Payloads here are derived from `documents.text` bytes (the driver
 corpus has no binary table); the operators never look at them as text.
@@ -303,17 +305,233 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(-1)
 
 
+#: JPEG zigzag scan order: zigzag position -> natural block index.
+_JPEG_ZZ = []
+for _s in range(15):
+    _lo, _hi = max(0, _s - 7), min(_s, 7)
+    _rows = range(_hi, _lo - 1, -1) if _s % 2 == 0 else range(_lo, _hi + 1)
+    _JPEG_ZZ.extend(r * 8 + (_s - r) for r in _rows)
+_JPEG_ZZ = np.array(_JPEG_ZZ)
+
+#: 8x8 DCT-II basis: _JPEG_DCT[u, x] = 0.5 c(u) cos((2x+1)uπ/16).
+_JPEG_DCT = np.array(
+    [[0.5 * (1 / np.sqrt(2) if u == 0 else 1.0)
+      * np.cos((2 * x + 1) * u * np.pi / 16)
+      for x in range(8)] for u in range(8)])
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs FF00, stops at markers,
+    and re-aligns across RSTn restart markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bits, self.nbits = data, pos, 0, 0
+
+    def _next_byte(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:                       # stuffed FF
+                self.pos += 2
+                return 0xFF
+            raise EOFError("marker in entropy data")
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.bits, self.nbits = self._next_byte(), 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker and byte-align."""
+        self.nbits = 0
+        if (self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real baseline JPEG decode, pure stdlib+numpy — the full
+    ISO/IEC 10918-1 baseline sequential path: marker walk, DQT/DHT
+    table load, canonical Huffman entropy decode with byte un-stuffing
+    and restart-marker re-alignment, DC prediction, run-length AC with
+    ZRL/EOB, dezigzag, dequantize, exact float 8x8 IDCT, per-component
+    sampling-factor placement, nearest-neighbor chroma upsample and
+    JFIF YCbCr→RGB. Supports the baseline subset: SOF0, 8-bit samples,
+    1 or 3 components, sampling factors ≤ 2 (covers 4:4:4, 4:2:2,
+    4:2:0). Progressive (SOF2), arithmetic coding and 12-bit samples
+    raise NotImplementedError. Returns the flat uint8 raster
+    (interleaved RGB for color, luma for grayscale); per-block Python
+    loops are fine because rasters are asset-sized — the Arrow batch,
+    not the row, is the unit of vectorization upstream."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None            # (H, W, [(cid, h, v, tq)])
+    restart_interval = 0
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:                                   # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                n = 64 * (2 if pq else 1)
+                raw = seg[i + 1:i + 1 + n]
+                tbl = (np.frombuffer(raw, dtype=">u2") if pq
+                       else np.frombuffer(raw, dtype=np.uint8))
+                zz = np.zeros(64, dtype=np.int64)
+                zz[_JPEG_ZZ] = tbl
+                qt[tq] = zz
+                i += 1 + n
+        elif marker == 0xC4:                                 # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = seg[i + 1:i + 17]
+                nsym = sum(bits)
+                vals = seg[i + 17:i + 17 + nsym]
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + nsym
+        elif marker == 0xC0:                                 # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG not supported")
+            comps = [(seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                      seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                     for c in range(ncomp)]
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "beyond baseline-sequential JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:                                 # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:                                 # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)]
+            return _jpeg_scan(payload, pos + 2 + seglen, frame, scan,
+                              qt, huff, restart_interval)
+        pos += 2 + seglen
+    raise ValueError("JPEG without SOS scan")
+
+
+def _jpeg_scan(payload, pos, frame, scan, qt, huff, restart_interval):
+    """Decode the (single, baseline) entropy-coded scan → raster."""
+    hgt, wid, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-wid // (8 * hmax))
+    mcus_y = -(-hgt // (8 * vmax))
+    planes = {cid: np.zeros((mcus_y * v * 8, mcus_x * h * 8))
+              for cid, h, v, _tq in comps}
+    meta = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    reader = _JpegBitReader(payload, pos)
+    pred = {cid: 0 for cid, _td, _ta in scan}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.restart()
+                pred = {cid: 0 for cid in pred}
+            n_mcu += 1
+            for cid, td, ta in scan:
+                h, v, tq = meta[cid]
+                for by in range(v):
+                    for bx in range(h):
+                        coeff = np.zeros(64)
+                        t = _jpeg_huff_decode(reader, huff[(0, td)])
+                        diff = _jpeg_extend(reader.receive(t), t)
+                        pred[cid] += diff
+                        coeff[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(reader, huff[(1, ta)])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break        # EOB
+                                k += 16          # ZRL
+                                continue
+                            k += r
+                            coeff[_JPEG_ZZ[k]] = _jpeg_extend(
+                                reader.receive(s), s)
+                            k += 1
+                        block = (coeff * qt[tq]).reshape(8, 8)
+                        px = _JPEG_DCT.T @ block @ _JPEG_DCT + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+    full = []
+    for cid, h, v, _tq in comps:
+        p = np.repeat(np.repeat(planes[cid], vmax // v, axis=0),
+                      hmax // h, axis=1)
+        full.append(p[:hgt, :wid])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8).reshape(-1)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1)
+
+
 def decode_media(payload: bytes, mime: str = "", fake: bool = False) -> np.ndarray:
     """Decode one media payload to a flat uint8 sample array.
 
     Real pure-python decoders cover WAV PCM (sniffed RIFF/WAVE),
-    binary PPM/PGM (P6/P5), and baseline PNG (zlib DEFLATE + scanline
-    defilter — a real compressed format); the synthetic `*/fake`
-    assets derived from the driver corpus use the deterministic
-    byte-identity decoder. Formats needing entropy/DCT codec libraries
-    (JPEG/MP3/MP4) remain stubbed in this environment — a production
-    build adds PIL/soundfile/ffmpeg branches here and nothing
-    downstream changes."""
+    binary PPM/PGM (P6/P5), baseline PNG (zlib DEFLATE + scanline
+    defilter) and baseline-sequential JPEG (Huffman entropy decode +
+    dequant + IDCT — the full lossy-codec path); the synthetic
+    `*/fake` assets derived from the driver corpus use the
+    deterministic byte-identity decoder. Formats still needing codec
+    libraries (progressive JPEG, MP3, MP4) remain stubbed in this
+    environment — a production build adds PIL/soundfile/ffmpeg
+    branches here and nothing downstream changes."""
     if fake or mime.endswith("/fake"):
         return _fake_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -322,10 +540,13 @@ def decode_media(payload: bytes, mime: str = "", fake: bool = False) -> np.ndarr
         return _decode_ppm(payload)
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
         "no codec for this payload: supported real formats are WAV PCM, "
-        "PPM/PGM and baseline PNG; JPEG/MP3/MP4 require codec libraries "
-        "(PIL/ffmpeg) not present in this environment")
+        "PPM/PGM, baseline PNG and baseline-sequential JPEG; MP3/MP4 and "
+        "progressive JPEG require codec libraries (PIL/ffmpeg) not "
+        "present in this environment")
 
 
 def featurize_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:

@@ -62,9 +62,10 @@ def test_frame_sample_invariants(spark):
 
 
 def test_unsupported_format_decode_is_stubbed():
-    """Compressed formats stay stubbed (no codec libs in container)."""
+    """Formats beyond the pure-python decoders stay stubbed (no codec
+    libs in container): MP3/MP4 payloads hit the documented boundary."""
     with pytest.raises(NotImplementedError, match="codec"):
-        MM.decode_media(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
+        MM.decode_media(b"ID3\x04mp3ish-payload", "audio/mpeg")
 
 
 def _wav_bytes(samples: np.ndarray, sampwidth: int = 2,
@@ -300,3 +301,177 @@ def test_phash_banding_is_complete_within_radius(spark):
     got_pairs = {(r.asset_id_1, r.asset_id_2) for r in got.itertuples()}
     assert got_pairs == want
     assert (got.hamming <= MM.PHASH_HAM_MAX).all()
+
+
+# ---------------------------------------------------------------- JPEG
+
+#: published zigzag scan order (ISO/IEC 10918-1 Figure 5) — pins the
+#: generated _JPEG_ZZ table against the spec, independent of the code.
+_SPEC_ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+            54, 47, 55, 62, 63]
+
+
+class _JpegWriter:
+    """Minimal baseline JPEG encoder for fixtures: DC-category Huffman
+    table = twelve 4-bit codes (symbol s -> code s), AC table = EOB
+    '0', 0x01 '10', 0x02 '110' (canonical). Writes real DQT/SOF0/DHT/
+    SOS segments and a byte-stuffed entropy stream, so the decoder
+    under test parses the actual format, not a mock."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc, self.nacc = 0, 0
+
+    def bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc, self.nacc = 0, 0
+
+    def flush(self) -> None:
+        while self.nacc:
+            self.bits(1, 1)
+
+    def block(self, dc_diff: int, acs: list[int]) -> None:
+        """One 8x8 block: DC diff + ACs at zigzag 1..len(acs) (values
+        in ±{1,2,3}, 0 not allowed), then EOB."""
+        t = dc_diff.bit_length() if dc_diff > 0 else abs(dc_diff).bit_length()
+        self.bits(t, 4)                       # DC symbol t -> 4-bit code t
+        if t:
+            v = dc_diff if dc_diff >= 0 else dc_diff + (1 << t) - 1
+            self.bits(v, t)
+        for a in acs:
+            s = abs(a).bit_length()
+            assert s in (1, 2)
+            self.bits({1: 0b10, 2: 0b110}[s], {1: 2, 2: 3}[s])
+            v = a if a >= 0 else a + (1 << s) - 1
+            self.bits(v, s)
+        self.bits(0, 1)                       # EOB
+
+
+def _jpeg_bytes(width, height, comps, mcu_blocks, qtab):
+    """Assemble a baseline JPEG: `comps` = [(cid, h, v)], `mcu_blocks`
+    = per-MCU list of (dc_diff, acs) block specs in scan order, `qtab`
+    = 64 quant values in NATURAL order."""
+    import struct
+    out = bytearray(b"\xff\xd8")
+    zz = bytes(qtab[_SPEC_ZZ[i]] for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + zz
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, h, v in comps:
+        sof += bytes([cid, (h << 4) | v, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + 12) + b"\x00"
+            + dc_bits + bytes(range(12)))
+    ac_bits = bytes([1, 1, 1] + [0] * 13)
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + 3) + b"\x10"
+            + ac_bits + bytes([0x00, 0x01, 0x02]))
+    sos = bytes([len(comps)])
+    for cid, _h, _v in comps:
+        sos += bytes([cid, 0x00])             # DC table 0 / AC table 0
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    w = _JpegWriter()
+    for mcu in mcu_blocks:
+        for dc_diff, acs in mcu:
+            w.block(dc_diff, acs)
+    w.flush()
+    out += w.buf + b"\xff\xd9"
+    return bytes(out)
+
+
+def _idct_ref(coeff_natural: np.ndarray) -> np.ndarray:
+    """Independent textbook IDCT (explicit cosine double sum)."""
+    out = np.zeros((8, 8))
+    c = lambda u: (1 / np.sqrt(2)) if u == 0 else 1.0
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (c(u) * c(v) * coeff_natural[u, v]
+                          * np.cos((2 * x + 1) * v * np.pi / 16)
+                          * np.cos((2 * y + 1) * u * np.pi / 16))
+            out[y, x] = s / 4.0
+    return out
+
+
+def test_jpeg_zigzag_matches_spec():
+    assert list(MM._JPEG_ZZ) == _SPEC_ZZ
+
+
+def test_jpeg_gray_dc_and_ac_blocks_decode_exactly():
+    """16x8 grayscale, two blocks: flat DC-only block, then a block
+    with DC prediction and two AC coefficients — checked against the
+    textbook IDCT, not the decoder's own basis."""
+    q = np.arange(1, 65, dtype=np.int64)      # distinct quant entries
+    blocks = [[(5, []), (-3, [2, -1])]]       # one MCU row? no: 2 MCUs
+    payload = _jpeg_bytes(16, 8, [(1, 1, 1)],
+                          [[(5, [])], [(-3, [2, -1])]], list(q))
+    got = MM.decode_media(payload).reshape(8, 16)
+    c0 = np.zeros((8, 8)); c0[0, 0] = 5 * q[0]
+    exp0 = np.clip(np.round(_idct_ref(c0) + 128), 0, 255)
+    c1 = np.zeros((8, 8))
+    c1[0, 0] = (5 - 3) * q[0]                 # DC prediction chain
+    nat1, nat2 = _SPEC_ZZ[1], _SPEC_ZZ[2]
+    c1[nat1 // 8, nat1 % 8] = 2 * q[nat1]
+    c1[nat2 // 8, nat2 % 8] = -1 * q[nat2]
+    exp1 = np.clip(np.round(_idct_ref(c1) + 128), 0, 255)
+    assert np.array_equal(got[:, :8], exp0)
+    assert np.array_equal(got[:, 8:], exp1)
+    assert got.dtype == np.uint8
+    assert blocks  # silence lint
+
+
+def test_jpeg_420_color_decodes_with_upsampling():
+    """16x16 4:2:0 color: one MCU = 4 Y blocks + Cb + Cr. Flat blocks
+    -> every pixel checked against the JFIF YCbCr->RGB formula with
+    2x2 chroma upsampling."""
+    q = [8] * 64
+    y_dcs = [16, -8, 4, -4]                   # raw DC diffs, scan order
+    mcu = [(y_dcs[0], []), (y_dcs[1], []), (y_dcs[2], []), (y_dcs[3], []),
+           (6, []), (-6, [])]
+    payload = _jpeg_bytes(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)],
+                          [mcu], q)
+    got = MM.decode_media(payload).reshape(16, 16, 3)
+    flat = lambda dc: dc * 8 / 8.0 + 128.0    # DC-only: c*Q0/8 + 128
+    y_abs = np.cumsum(y_dcs)                  # DC prediction per comp
+    yplane = np.zeros((16, 16))
+    yplane[:8, :8], yplane[:8, 8:] = flat(y_abs[0]), flat(y_abs[1])
+    yplane[8:, :8], yplane[8:, 8:] = flat(y_abs[2]), flat(y_abs[3])
+    cb, cr = flat(6), flat(-6)                # separate DC predictors
+    exp = np.zeros((16, 16, 3))
+    exp[:, :, 0] = yplane + 1.402 * (cr - 128)
+    exp[:, :, 1] = yplane - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    exp[:, :, 2] = yplane + 1.772 * (cb - 128)
+    exp = np.clip(np.round(exp), 0, 255)
+    assert np.array_equal(got, exp.astype(np.uint8))
+
+
+def test_jpeg_progressive_is_rejected():
+    import struct
+    seg = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    payload = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 2 + len(seg)) + seg)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        MM.decode_media(payload)
+
+
+def test_jpeg_flows_through_featurize(spark):
+    q = list(np.arange(1, 65))
+    payload = _jpeg_bytes(8, 8, [(1, 1, 1)], [[(5, [])]], q)
+    assets = spark.createDataFrame(
+        [(1, payload, len(payload), "image/jpeg")],
+        "asset_id long, payload binary, n_bytes int, mime string",
+    ).select("asset_id", "payload",
+             F.struct("n_bytes", "mime").alias("meta"))
+    feats = MM.featurize_assets(assets).collect()
+    arr = MM.decode_media(payload)
+    assert feats[0]["features"] == pytest.approx(MM._featurize(arr), rel=1e-6)
