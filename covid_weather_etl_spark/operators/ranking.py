@@ -445,3 +445,75 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(~dominated)
             .select("p_partkey", "p_name", "p_retailprice",
                     F.col("p_size").cast("int").alias("p_size")))
+
+
+@register(
+    "weighted_median_price",
+    survey="ext-rank,A11,A6,W1",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_extendedprice,
+               SUM(CAST(l_quantity AS DECIMAL(25,6))) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), c AS (
+        SELECT l_returnflag, l_extendedprice, w,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM g
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median_price,
+           CAST(MAX(tot) AS DOUBLE) AS total_qty
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY 1
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower / type-1): per return flag, the
+    smallest price at which the quantity-weighted cumulative mass
+    reaches half the total — the holistic statistic behind
+    "median price paid per unit", which an unweighted median of line
+    items silently gets wrong whenever quantities vary.
+
+    The engine never sorts rows globally: weights collapse onto the
+    (flag, price) grid first (price is a cents-bounded domain, so the
+    grid — not the fact — is the working frame), the cumulative mass
+    comes from the BLOCKED two-phase prefix sum (cross-band triangular
+    join over price bands + in-band window PARTITIONED on (flag,
+    band) — same pattern as skew_resilient_running_total / pareto),
+    and the median is a min-aggregate over the rows clearing the
+    half-mass line. Weights accumulate in DECIMAL, so `2·cum >= tot`
+    is an exact integer-grid comparison on both engines — no float
+    threshold wobble at the median boundary. The oracle is the plain
+    single-window SQL the blocked form must equal."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    g = (t["lineitem"]
+         .groupBy("l_returnflag", "l_extendedprice")
+         .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("w"))
+         .withColumn("blk", F.floor(F.col("l_extendedprice") / 100.0))
+         .localCheckpoint(eager=True))  # price-grain; reused 3x
+    band = g.groupBy("l_returnflag", "blk").agg(F.sum("w").alias("bw"))
+    ba, bb = band.alias("ba"), band.alias("bb")
+    band_prefix = (ba.join(F.broadcast(bb),
+                           (F.col("bb.l_returnflag")
+                            == F.col("ba.l_returnflag"))
+                           & (F.col("bb.blk") < F.col("ba.blk")), "left")
+                   .groupBy(F.col("ba.l_returnflag").alias("l_returnflag"),
+                            F.col("ba.blk").alias("blk"))
+                   .agg(F.coalesce(F.sum(F.col("bb.bw")),
+                                   F.lit(0).cast("decimal(25,6)"))
+                        .alias("bp")))
+    in_band = (W.partitionBy("l_returnflag", "blk")
+               .orderBy("l_extendedprice")
+               .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = band.groupBy("l_returnflag").agg(F.sum("bw").alias("tot"))
+    cum = (g.join(F.broadcast(band_prefix), ["l_returnflag", "blk"])
+           .withColumn("cum", F.col("bp") + F.sum("w").over(in_band))
+           .join(F.broadcast(tot), "l_returnflag"))
+    return (cum.filter(2 * F.col("cum") >= F.col("tot"))
+            .groupBy("l_returnflag")
+            .agg(F.min("l_extendedprice").alias("weighted_median_price"),
+                 F.max("tot").cast("double").alias("total_qty")))

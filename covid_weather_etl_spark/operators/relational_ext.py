@@ -421,3 +421,57 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.sum(c * F.log(c * 1.0)) / n_rows, 6)
          .alias("entropy_nats"),
     )
+
+
+@register(
+    "modal_priority_by_nation",
+    survey="ext-agg,A6,A13,J2",
+    oracle="""
+    WITH counts AS (
+        SELECT n.n_name, o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT n_name, o_orderpriority, cnt,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY cnt DESC, o_orderpriority)
+                 AS rk
+        FROM counts
+    )
+    SELECT n_name, o_orderpriority AS modal_priority, cnt AS n_orders
+    FROM ranked WHERE rk = 1
+    """,
+)
+def modal_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE per group — the holistic aggregate SQL 2023 finally named
+    (`MODE() WITHIN GROUP`), absent from both the reference and the
+    registry's A-family until now: each nation's most common order
+    priority. Two-level algebra: count per (nation, priority) — the
+    frame collapses to |nations|x|priorities| rows regardless of fact
+    size — then argmax per nation via a window over THAT tiny frame,
+    ties broken to the alphabetically first priority so the answer is
+    a total function on both engines.
+
+    Scale: the fact scan aggregates map-side into the composite-key
+    frame (one shuffle); the argmax window partitions on nation over
+    ≤|priorities| rows per group. The mode of a billion-row group
+    costs the same as a thousand-row group — the whole point of
+    count-then-argmax over sort-based mode."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    counts = (t["orders"]
+              .join(F.broadcast(t["customer"]),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .groupBy("n_name", "o_orderpriority")
+              .agg(F.count("*").alias("cnt")))
+    w = (W.partitionBy("n_name")
+         .orderBy(F.col("cnt").desc(), "o_orderpriority"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("n_name",
+                    F.col("o_orderpriority").alias("modal_priority"),
+                    F.col("cnt").alias("n_orders")))

@@ -64,3 +64,64 @@ def hll_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("month", "n_events", "approx_users_merged",
                     "approx_users_oneshot", "exact_users",
                     F.round(err, 6).alias("rel_err")))
+
+
+#: audience-overlap pair: the two behavioral cohorts to intersect.
+OVERLAP_TYPES = ("signup", "purchase")
+
+
+@register("hll_audience_overlap", survey="ext-sketch,A2,J7")
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA on top of the HLL layer: estimated overlap
+    of the signup and purchase audiences via inclusion-exclusion
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — the question ("how many
+    users did BOTH?") that plain per-cohort distinct counts cannot
+    answer and exact answers need a user-level join for. The union
+    estimate comes from hll_union_agg over the two per-cohort register
+    states — NO re-scan of events: at 100 TB the cohort sketches are
+    the persisted layer (daily_user_sketches pattern) and this whole
+    query is algebra over kilobyte payloads.
+
+    Reports approx A/B/union/overlap next to the exact ground truth
+    (count-distinct + a semi-join-counted intersection) and the
+    absolute overlap error. Rows-only driver check (estimates are
+    approximate; DataSketches HLL is deterministic for fixed input
+    VALUES, but not expressible in DuckDB); tests pin the
+    inclusion-exclusion identity exactly and an error envelope vs
+    exact. The overlap estimate inherits ~3× the union's relative
+    error when the intersection is small — a documented property of
+    inclusion-exclusion on HLL, which is why theta sketches exist;
+    the envelope test bounds it for this cohort geometry."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].filter(F.col("event_type").isin(*OVERLAP_TYPES))
+    sks = (ev.groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id", F.lit(LG_K)).alias("sk"),
+                F.countDistinct("user_id").alias("exact"))
+           .localCheckpoint(eager=True))  # 2 rows; reused 3x
+    a, b = OVERLAP_TYPES
+    est = {k: sks.filter(F.col("event_type") == k)
+           .select(F.hll_sketch_estimate("sk").alias("e"), "exact")
+           for k in (a, b)}
+    union = sks.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e_union"))
+    users = ev.select("event_type", "user_id").distinct()
+    exact_both = (users.filter(F.col("event_type") == a)
+                  .select("user_id")
+                  .join(users.filter(F.col("event_type") == b)
+                        .select("user_id"), "user_id", "semi")
+                  .agg(F.count("*").alias("exact_overlap")))
+    ea = est[a].select(F.col("e").alias("approx_signup"),
+                       F.col("exact").alias("exact_signup"))
+    eb = est[b].select(F.col("e").alias("approx_purchase"),
+                       F.col("exact").alias("exact_purchase"))
+    out = (ea.crossJoin(F.broadcast(eb))
+           .crossJoin(F.broadcast(union))
+           .crossJoin(F.broadcast(exact_both)))
+    overlap = (F.col("approx_signup") + F.col("approx_purchase")
+               - F.col("e_union"))
+    return out.select(
+        "approx_signup", "approx_purchase",
+        F.col("e_union").alias("approx_union"),
+        overlap.alias("approx_overlap"),
+        "exact_signup", "exact_purchase", "exact_overlap",
+        (overlap - F.col("exact_overlap")).alias("overlap_err"))

@@ -141,7 +141,9 @@ _ROTATION_R4 = (
 # stratified_kfold_summary, dedup_keep_longest,
 # minhash_jaccard_audit, session_stats, pareto_front_parts,
 # bpe_encode_documents, topk_orders_per_customer,
-# naive_bayes_lang_eval, returned_item_customers), unpivot_flag_metrics,
+# naive_bayes_lang_eval, returned_item_customers,
+# modal_priority_by_nation, weighted_median_price,
+# hll_audience_overlap [rows-only]), unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
 # rfm_segmentation, basket_affinity, mad_anomaly_report,

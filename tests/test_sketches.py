@@ -93,3 +93,34 @@ def test_minhash_jaccard_estimate_within_envelope(spark, duck):
     assert abs(row.minhash_estimate - round(agree / MH_K, 6)) < 1e-9
     sigma = math.sqrt(max(j_exact * (1 - j_exact), 1e-9) / MH_K)
     assert row.abs_err <= 3 * sigma + 1e-6, (row.abs_err, sigma)
+
+
+def test_hll_audience_overlap_planted(spark, tmp_path):
+    """Planted partial overlap: signup users 0..999, purchase users
+    500..1499 -> exact overlap 500, union 1500. The HLL inclusion-
+    exclusion estimate must sit within the lg_k=12 envelope of truth
+    (union error amplifies ~3x into the overlap; 5% of the union is a
+    conservative bound for this geometry), and the exact columns are
+    exact by construction."""
+    import pandas as pd
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    rows = ([("signup", u) for u in range(1000)]
+            + [("purchase", u) for u in range(500, 1500)])
+    pdf = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = pd.Timestamp("2024-01-01")
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    (spark.createDataFrame(pdf)
+     .write.parquet(f"{tmp_path}/events.parquet"))
+    row = (all_queries()["hll_audience_overlap"]
+           .fn(spark, str(tmp_path)).collect()[0])
+    assert row["exact_signup"] == 1000
+    assert row["exact_purchase"] == 1000
+    assert row["exact_overlap"] == 500
+    assert abs(row["approx_overlap"] - 500) <= 0.05 * 1500
+    assert abs(row["approx_signup"] - 1000) <= 0.03 * 1000
+    assert abs(row["approx_union"] - 1500) <= 0.03 * 1500
+    assert row["overlap_err"] == row["approx_overlap"] - 500
