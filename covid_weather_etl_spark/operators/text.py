@@ -1092,3 +1092,94 @@ def naive_bayes_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cls").alias("pred_lang")))
     return (pred.groupBy("lang_true", "pred_lang")
             .agg(F.count("*").alias("n")))
+
+
+@register(
+    "zipf_law_fit",
+    survey="LLM-text,A6,F10",
+    oracle="""
+    WITH tc AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1
+    ), ranked AS (
+        SELECT p.tok, p.cnt,
+               CAST(1 + (SELECT COUNT(*) FROM tc q
+                         WHERE q.cnt > p.cnt
+                            OR (q.cnt = p.cnt AND q.tok < p.tok))
+                    AS BIGINT) AS rk
+        FROM tc p
+    ), pts AS (
+        SELECT CAST(ROUND(LN(rk), 9) AS DECIMAL(15,9)) AS x,
+               CAST(ROUND(LN(cnt), 9) AS DECIMAL(15,9)) AS y
+        FROM ranked
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT n AS vocab_size,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic of the corpus token distribution: OLS fit
+    of ln(frequency) against ln(rank) — slope ≈ −1 on natural-language
+    corpora; a corpus whose slope drifts far from −1 (too flat:
+    templated/boilerplate text; too steep: tiny effective vocabulary)
+    fails the standard health check run before tokenizer training, so
+    this belongs beside bpe_vocab_train / vocab_coverage in the
+    tokenizer pack.
+
+    Count table and ranks are VOCABULARY-bounded (the Zipf frame is
+    never corpus-sized): one map-combinable token count, rank by
+    (count desc, token) via the broadcast triangular self-join
+    bpe_merge_step uses (no global window — registry pin), then the
+    five OLS moments in one aggregate. Exactness discipline: each log
+    point is rounded to 9dp and carried as DECIMAL(15,9); the moment
+    sums are exact DECIMAL (products at scale 18 — above DuckDB's
+    int64 width so both engines run int128); the closed-form
+    slope/intercept/r² are a handful of scalar double ops rounded 6dp
+    — identical bits on both engines regardless of partitioning."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tc = (spread(t["documents"], "doc_id")
+          .select(F.explode(_tokens()).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("cnt"))
+          .localCheckpoint(eager=True))   # vocab-bounded; both join sides
+    p, q = tc.alias("p"), tc.alias("q")
+    ahead = ((F.col("q.cnt") > F.col("p.cnt"))
+             | ((F.col("q.cnt") == F.col("p.cnt"))
+                & (F.col("q.tok") < F.col("p.tok"))))
+    ranked = (p.join(F.broadcast(q), ahead, "left")
+              .groupBy(F.col("p.tok").alias("tok"),
+                       F.col("p.cnt").alias("cnt"))
+              .agg((F.count(F.col("q.tok")) + 1).alias("rk")))
+    pts = ranked.select(
+        F.round(F.log("rk"), 9).cast("decimal(15,9)").alias("x"),
+        F.round(F.log("cnt"), 9).cast("decimal(15,9)").alias("y"))
+    s = pts.agg(F.count("*").alias("n"),
+                F.sum("x").cast("double").alias("sx"),
+                F.sum("y").cast("double").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("vocab_size"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("r2"))

@@ -453,3 +453,91 @@ def mad_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_name", "d", "y", "med", "mad",
                     F.round(dev / (MAD_SIGMA * F.col("mad")), 6)
                      .alias("robust_z")))
+
+
+#: autocorrelation diagnostic: maximum lag reported.
+ACF_MAX_LAG = 7
+
+
+@register(
+    "acf_daily_revenue",
+    survey="ext-ts,W2,A6,J1",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS x
+        FROM orders GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
+                    AS DECIMAL(16,6)) AS xbar
+        FROM daily
+    ), dev AS (
+        SELECT d, CAST(x - xbar AS DECIMAL(16,6)) AS e
+        FROM daily CROSS JOIN stats
+    ), den AS (
+        SELECT SUM(CAST(e AS DECIMAL(19,6)) * CAST(e AS DECIMAL(19,6)))
+          AS s_ee FROM dev
+    ), lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag)
+    SELECT lags.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(a.e AS DECIMAL(19,6))
+                          * CAST(b.e AS DECIMAL(19,6))) AS DOUBLE)
+                 / CAST(MAX(den.s_ee) AS DOUBLE), 6) AS acf
+    FROM lags
+    JOIN dev a ON TRUE
+    JOIN dev b ON b.d = a.d + CAST(lags.lag AS INTEGER) * INTERVAL 1 DAY
+    CROSS JOIN den
+    GROUP BY lags.lag
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series, lags 1-7
+    — the diagnostic the reference's forecasting notebook reads off
+    `plot_acf` before picking SARIMA orders (forecasting notebook
+    cells 8-9), computed exactly in-engine: r_k = Σ e_t·e_{t+k} /
+    Σ e_t² with e = x − x̄. CROSS-ENGINE EXACT by construction: x̄ is
+    DEFINED as the 6dp-rounded mean (one double division — a single
+    IEEE op, identical everywhere), deviations then live on the 1e-6
+    grid as DECIMAL(16,6), every product is exact DECIMAL(33,12) (the
+    oracle widens its multiply operands to DECIMAL(19,6) — DuckDB
+    executes width<=18 products in int64, which overflows; 19 forces
+    the int128 path at the same exact scale-12 value), and
+    the one final division is again a single double op rounded 6dp.
+    No float accumulation anywhere, so the result is independent of
+    partitioning and join order on both engines.
+
+    Plan shape: lag alignment is a self-JOIN of the day-grain frame
+    on d+k (no window at all — the frame is calendar-bounded, the
+    seven lags fan out from a 7-row broadcast), denominators and
+    means are scalar aggregates broadcast back. At 100 TB the orders
+    scan collapses to the day grain in one map-combinable shuffle and
+    everything after is calendar-sized."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    daily = (t["orders"]
+             .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(18,2)").alias("x"))
+             .localCheckpoint(eager=True))  # day-grain; reused 4x
+    stats = daily.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("x").cast("double") / F.count("*"), 6)
+         .cast("decimal(16,6)").alias("xbar"))
+    dev = (daily.crossJoin(F.broadcast(stats))
+           .select("d", (F.col("x") - F.col("xbar"))
+                   .cast("decimal(16,6)").alias("e"))
+           .localCheckpoint(eager=True))   # reused as both join sides
+    den = dev.agg(F.sum(F.col("e") * F.col("e")).alias("s_ee"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a, b = dev.alias("a"), dev.alias("b")
+    return (F.broadcast(lags)
+            .join(a, F.lit(True))
+            .join(b, F.col("b.d") == F.date_add(F.col("a.d"), F.col("lag")))
+            .crossJoin(F.broadcast(den))
+            .groupBy("lag")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.sum(F.col("a.e") * F.col("b.e")).cast("double")
+                         / F.max("s_ee").cast("double"), 6).alias("acf"))
+            .select("lag", "n_pairs", "acf"))
