@@ -1027,3 +1027,48 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sized
             .withColumn("keep", F.row_number().over(w) == 1)
             .select("doc_id", "cluster_id", "n_tokens", "keep"))
+
+
+#: exact-k sampler: rows kept per stratum.
+EXACT_K_PER_STRATUM = 5
+
+
+@register(
+    "stratified_exact_k_sample",
+    survey="corpus-sample,W6,A6,U4",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang, CAST(rk AS INT) AS rk, doc_id
+    FROM ranked WHERE rk <= {EXACT_K_PER_STRATUM}
+    """,
+)
+def stratified_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k stratified sample: precisely 5 documents per language
+    (fewer only if the stratum is smaller), selected by md5(id) order
+    — the deterministic complement of `hash_stratified_sample`, whose
+    fractional cut yields binomially-varying per-stratum counts. The
+    fixed-size guarantee is what evaluation sets and human-review
+    batches need ("exactly 5 per language, same 5 every run"): sorting
+    by a hash of the id is a uniform draw, yet membership stays a pure
+    function of the data — stable under re-runs, retries and
+    repartitioning, where reservoir sampling is not.
+
+    Plan: one window partitioned by the stratum (registry pin holds),
+    ordered by (md5(id), id) — a total order, so the cut is
+    deterministic even under hash collisions. WindowGroupLimit pushes
+    rk <= k into the per-partition sort, so a billion-row stratum
+    streams through its task without materializing beyond k more than
+    transiently. One shuffle on the stratum key, total."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (t["documents"]
+            .select("lang", F.row_number().over(w).alias("rk"), "doc_id")
+            .filter(F.col("rk") <= EXACT_K_PER_STRATUM))

@@ -1183,3 +1183,103 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         .alias("r2"))
+
+
+#: prefix-filtered similarity join threshold (tighter than the 0.2
+#: shared-shingle near-dup report: prefix filtering pays off when tau
+#: is high enough to shrink prefixes well below full sets).
+PREFIX_JACCARD_TAU = 0.5
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    survey="LLM-dedup,J7,A5,W6",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    raw_pairs AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2, n_common,
+           ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
+    FROM raw_pairs
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common)
+          >= {PREFIX_JACCARD_TAU}
+    """,
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. 2007 / Xiao et al. 2008): exact 3-gram-shingle
+    Jaccard >= 0.5 pairs, but candidates are generated ONLY from each
+    document's prefix — its (n − ⌈τ·n⌉ + 1) rarest shingles under one
+    global frequency order — instead of every shingle. The prefix
+    lemma makes this LOSSLESS: two sets with J ≥ τ must collide inside
+    their prefixes, so the oracle (the full shared-shingle join) and
+    the filtered plan return identical pairs, which the driver
+    hash-checks. This is the third candidate-pruning strategy in the
+    dedup pack, orthogonal to MinHash banding (probabilistic) and
+    IVF/SemDeDup cells (geometric) — it is exact AND pruned.
+
+    Plan: one shingle explode (the corpus-sized pass, shared with the
+    near-dup report), a global shingle document-frequency aggregate
+    (vocabulary-bounded), per-doc rarity ranks from a doc-partitioned
+    window, the candidate self-join keyed on PREFIX shingles only —
+    at τ=0.5 half of each set never enters the join, and the rarity
+    ordering makes surviving keys the LOW-frequency ones, which is
+    exactly what bounds join fan-out — then one exact verify per
+    candidate pair via array_intersect on the per-doc shingle arrays
+    (JVM higher-order function, no UDF). Skew: the hottest shingles
+    live in nobody's prefix — prefix filtering is also a skew guard."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    shingled = (
+        spread(t["documents"], "doc_id")
+        .select("doc_id",
+                F.explode(F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                )).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True))     # shared by df/prefix/verify
+    df_tab = shingled.groupBy("s").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (shingled.join(df_tab, "s")
+              .select("doc_id", "s", F.row_number().over(w).alias("pos"),
+                      F.count("*").over(W.partitionBy("doc_id")).alias("n")))
+    prefix_len = (F.col("n")
+                  - F.ceil(F.lit(PREFIX_JACCARD_TAU) * F.col("n")) + 1)
+    pref = (ranked.filter(F.col("pos") <= prefix_len)
+            .select("doc_id", "s"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"),
+                  (F.col("a.s") == F.col("b.s"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id_1"),
+                    F.col("b.doc_id").alias("doc_id_2"))
+            .distinct())
+    docsets = (shingled.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list("s")).alias("set"),
+                    F.count("*").alias("n")))
+    j = (cand
+         .join(docsets.select(F.col("doc_id").alias("doc_id_1"),
+                              F.col("set").alias("set1"),
+                              F.col("n").alias("n1")), "doc_id_1")
+         .join(docsets.select(F.col("doc_id").alias("doc_id_2"),
+                              F.col("set").alias("set2"),
+                              F.col("n").alias("n2")), "doc_id_2")
+         .withColumn("n_common",
+                     F.size(F.array_intersect("set1", "set2"))
+                     .cast("bigint")))
+    jac = (F.col("n_common") * 1.0
+           / (F.col("n1") + F.col("n2") - F.col("n_common")))
+    return (j.filter(jac >= PREFIX_JACCARD_TAU)
+            .select("doc_id_1", "doc_id_2", "n_common",
+                    F.round(jac, 6).alias("jaccard")))
