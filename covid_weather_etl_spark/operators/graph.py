@@ -464,3 +464,95 @@ def bellman_ford_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("node").agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True))
     return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
+
+
+#: link prediction: report size.
+AA_TOP = 20
+
+
+@register(
+    "adamic_adar_links",
+    survey="ext-graph,J1,J7,A6,W6",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_CO}
+    ), und AS (
+        SELECT pa AS z, pb AS x FROM e
+        UNION ALL
+        SELECT pb AS z, pa AS x FROM e
+    ), deg AS (
+        SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+    ), cand AS (
+        SELECT a.x AS pa, b.x AS pb,
+               SUM(CAST(ROUND(1.0 / LN(deg.d), 9) AS DECIMAL(20,9)))
+                 AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM und a
+        JOIN und b ON a.z = b.z AND a.x < b.x
+        JOIN deg ON deg.z = a.z
+        GROUP BY 1, 2
+    )
+    SELECT c.pa, c.pb, c.n_common,
+           CAST(c.s AS DOUBLE) AS aa_score
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM e
+                      WHERE e.pa = c.pa AND e.pb = c.pb)
+    ORDER BY c.s DESC, c.pa, c.pb
+    LIMIT {AA_TOP}
+    """,
+)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph: for
+    part pairs NOT yet co-purchased, score = Σ_z 1/ln(deg(z)) over
+    their common neighbors z — rare shared neighbors count more than
+    promiscuous ones, the classic "products likely to be bought
+    together next" signal (Adamic & Adar 2003; LibenNowell & Kleinberg
+    2007). Top 20 candidate links by score.
+
+    Exactness: every common neighbor of two DISTINCT nodes has degree
+    ≥ 2, so ln(deg) ≥ ln 2 and the 1/ln term is total; each term is
+    rounded to 9dp and summed in DECIMAL (order-independent on both
+    engines), and (score DESC, pa, pb) totally orders the cut.
+    Plan: the wedge join pairs neighbors THROUGH the shared node z —
+    fan-out is Σ_z deg(z)², bounded by the co-purchase support floor
+    (the same min-co cut the triangle census uses; raise it as the
+    corpus grows — support ∝ N); the degree table broadcasts; the
+    existing-edge exclusion is one left-anti join; the report cut is
+    TakeOrderedAndProject, never a global sort."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = (spread(t["lineitem"], "l_orderkey")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .groupBy(F.col("a.l_partkey").alias("pa"),
+                  F.col("b.l_partkey").alias("pb"))
+         .agg(F.count("*").alias("co"))
+         .filter(F.col("co") >= TRI_MIN_CO)
+         .select("pa", "pb")
+         .localCheckpoint(eager=True))     # reused: und ×2 + anti-join
+    und = (e.select(F.explode(F.array(
+        F.struct(F.col("pa").alias("z"), F.col("pb").alias("x")),
+        F.struct(F.col("pb").alias("z"), F.col("pa").alias("x")),
+    )).alias("p")).select("p.z", "p.x"))
+    deg = (und.groupBy("z").agg(F.count("*").alias("d"))
+           .select(F.col("z").alias("dz"), "d"))
+    term = F.round(1.0 / F.log(F.col("d")), 9).cast("decimal(20,9)")
+    ua, ub = und.alias("ua"), und.alias("ub")
+    cand = (ua.join(ub, (F.col("ua.z") == F.col("ub.z"))
+                    & (F.col("ua.x") < F.col("ub.x")))
+            .join(F.broadcast(deg), F.col("dz") == F.col("ua.z"))
+            .groupBy(F.col("ua.x").alias("pa"),
+                     F.col("ub.x").alias("pb"))
+            .agg(F.sum(term).alias("s"),
+                 F.count("*").alias("n_common")))
+    return (cand.join(e, ["pa", "pb"], "left_anti")
+            .orderBy(F.col("s").desc(), "pa", "pb")
+            .limit(AA_TOP)
+            .select("pa", "pb", "n_common",
+                    F.col("s").cast("double").alias("aa_score")))

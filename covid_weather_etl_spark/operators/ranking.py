@@ -517,3 +517,96 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_returnflag")
             .agg(F.min("l_extendedprice").alias("weighted_median_price"),
                  F.max("tot").cast("double").alias("total_qty")))
+
+
+@register(
+    "exact_average_precision",
+    survey="ext-rank,U5,A6,W1",
+    oracle=f"""
+    WITH scored AS (
+        {_DOC_SCORED_SQL}
+    ), d AS (
+        SELECT score,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM scored GROUP BY score
+    ), c AS (
+        SELECT score, pos, neg,
+               SUM(pos) OVER (ORDER BY score DESC) AS tp,
+               SUM(pos + neg) OVER (ORDER BY score DESC) AS pp
+        FROM d
+    ), tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg
+        FROM d
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(SUM(CAST(ROUND(pos * tp * 1.0 / (n_pos * pp), 9)
+                              AS DECIMAL(20,9))) AS DOUBLE), 6) AS ap
+    FROM c CROSS JOIN tot
+    WHERE n_pos > 0 AND pos > 0
+    GROUP BY n_pos, n_neg
+    """,
+)
+def exact_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AVERAGE PRECISION (area under the precision-recall curve,
+    sklearn's step-wise estimator): AP = Σ_k ΔR_k·P_k over descending
+    distinct score thresholds — the retrieval/imbalanced-data
+    companion to `exact_auc_mann_whitney`, and the metric that a
+    similarity-search or dedup ranking should be judged by when
+    positives are rare (AUC saturates; AP does not). Same scored pair
+    (n_chars predicting the long-document outcome), so the two
+    metrics are directly comparable in the registry.
+
+    Machinery: tie-collapse to the per-distinct-score count table,
+    cumulative TP and predicted-positive counts FROM THE TOP via the
+    blocked prefix pattern (in-block window partitioned on the value
+    block + triangular block-offset join — zero global windows), then
+    per-threshold terms pos·TP/(n_pos·PP) rounded to 9dp and summed
+    in DECIMAL: order-independent, hash-identical on both engines
+    (the oracle states the same sum with a plain descending window).
+    Thresholds with no positives contribute exactly 0 and are cut on
+    both sides. Scale: one scan + a distinct-scores-bounded frame."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = (spread(t["documents"], "doc_id")
+              .select(F.col("n_chars").alias("score"),
+                      (F.size(F.split("text", " ")) > AUC_TOK_CUT)
+                      .cast("int").alias("y")))
+    d = (scored.groupBy("score")
+         .agg(F.sum("y").alias("pos"),
+              F.sum(1 - F.col("y")).alias("neg"))
+         .localCheckpoint(eager=True))
+    lo, hi = d.agg(F.min("score"), F.max("score")).first()
+    if lo is None:
+        return spark.createDataFrame(
+            [], "n_pos bigint, n_neg bigint, ap double")
+    n_blocks = 32
+    width = max((hi - lo) / n_blocks, 1e-9)
+    blk = F.least(F.floor((F.col("score") - F.lit(lo)) / F.lit(width)),
+                  F.lit(n_blocks - 1)).cast("int")
+    w_desc = (W.partitionBy("blk").orderBy(F.col("score").desc())
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    in_blk = (d.withColumn("blk", blk)
+              .withColumn("tp_in", F.sum("pos").over(w_desc))
+              .withColumn("pp_in", F.sum(F.col("pos") + F.col("neg"))
+                          .over(w_desc)))
+    blk_tot = (d.withColumn("blk", blk).groupBy("blk")
+               .agg(F.sum("pos").alias("bpos"),
+                    F.sum(F.col("pos") + F.col("neg")).alias("ball")))
+    above = (blk_tot.alias("x")
+             .join(F.broadcast(blk_tot.alias("y")),
+                   F.col("y.blk") > F.col("x.blk"), "left")
+             .groupBy(F.col("x.blk").alias("blk"))
+             .agg(F.coalesce(F.sum("y.bpos"), F.lit(0)).alias("apos"),
+                  F.coalesce(F.sum("y.ball"), F.lit(0)).alias("aall")))
+    tot = d.agg(F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
+    tp = F.col("tp_in") + F.col("apos")
+    pp = F.col("pp_in") + F.col("aall")
+    term = (F.round(F.col("pos") * tp * 1.0 / (F.col("n_pos") * pp), 9)
+            .cast("decimal(20,9)"))
+    return (in_blk.join(F.broadcast(above), "blk")
+            .crossJoin(F.broadcast(tot))
+            .filter((F.col("n_pos") > 0) & (F.col("pos") > 0))
+            .groupBy("n_pos", "n_neg")
+            .agg(F.round(F.sum(term).cast("double"), 6).alias("ap"))
+            .select("n_pos", "n_neg", "ap"))

@@ -98,3 +98,24 @@ def test_auc_single_class_outcome_yields_empty(spark):
         assert out.count() == 0
     finally:
         rk.AUC_TOK_CUT = orig
+
+
+def test_average_precision_matches_stepwise_definition(spark):
+    """AP == sum over descending distinct thresholds of
+    (recall step) x (precision at threshold) — the literal step-wise
+    estimator sklearn's average_precision_score implements."""
+    row = QUERIES["exact_average_precision"].fn(spark, SF_DIR).collect()[0]
+    s = _scored()
+    n_pos = int(s.y.sum())
+    want = 0.0
+    for thr in sorted(s.score.unique())[::-1]:
+        at = s[s.score >= thr]
+        pos_here = int(s[s.score == thr].y.sum())
+        if pos_here == 0:
+            continue
+        precision = at.y.sum() / len(at)
+        want += round(pos_here * at.y.sum() / (n_pos * len(at)), 9)
+        assert 0.0 <= precision <= 1.0
+    assert row.n_pos == n_pos
+    assert abs(row.ap - round(want, 6)) < 1e-9, (row.ap, want)
+    assert 0.0 < row.ap <= 1.0
