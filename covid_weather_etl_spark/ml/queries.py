@@ -1440,3 +1440,97 @@ def stratified_kfold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("y").alias("n_pos"),
                  F.round(F.sum("y") * 1.0 / F.count("*"), 6)
                  .alias("pos_rate")))
+
+
+# ---------------------------------------------------------------------------
+# MASE — scale-free forecast accuracy (Hyndman & Koehler 2006)
+# ---------------------------------------------------------------------------
+
+#: seasonal-naive forecast period (weekly seasonality of daily revenue).
+MASE_SEASON = 7
+
+
+@register(
+    "mase_forecast_eval",
+    survey="W5,U5,A4,W2",
+    oracle=f"""
+    WITH {_NATION_DAILY_SQL},
+    ranked AS (
+        SELECT n_name, d, y,
+               row_number() OVER w AS rn,
+               count(*)    OVER (PARTITION BY n_name) AS n_total,
+               lag(y)    OVER w AS y_prev,
+               lag(y, {MASE_SEASON}) OVER w AS y_lag7
+        FROM nation_daily
+        WINDOW w AS (PARTITION BY n_name ORDER BY d)
+    ),
+    scal AS (
+        SELECT n_name,
+               CAST(SUM(CAST(ABS(y - y_prev) AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS s
+        FROM ranked
+        WHERE rn <= CAST(FLOOR(n_total * 0.8) AS BIGINT)
+          AND y_prev IS NOT NULL
+        GROUP BY 1
+    ),
+    test AS (
+        SELECT n_name, y - y_lag7 AS e
+        FROM ranked
+        WHERE rn > CAST(FLOOR(n_total * 0.8) AS BIGINT)
+          AND y_lag7 IS NOT NULL
+    )
+    SELECT t.n_name,
+           COUNT(*) AS n_test,
+           {fround_sql("CAST(SUM(CAST(ABS(e) AS DECIMAL(18,2))) AS DOUBLE)"
+                       " / COUNT(*)")} AS mae_snaive,
+           {fround_sql("s")} AS naive_scale,
+           {fround_sql("(CAST(SUM(CAST(ABS(e) AS DECIMAL(18,2))) AS DOUBLE)"
+                       " / COUNT(*)) / s")} AS mase
+    FROM test t JOIN scal USING (n_name)
+    GROUP BY t.n_name, s
+    """,
+)
+def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE — Mean Absolute SCALED Error (Hyndman & Koehler 2006) of a
+    weekly seasonal-naive forecast on the per-nation test split: test
+    MAE divided by the TRAIN-set MAE of the one-step naive forecast.
+    The scale-free metric the forecasting literature recommends over
+    raw MAE/RMSE (which `persistence_forecast_eval` reports): MASE < 1
+    means the model beats the naive walk it would replace, comparably
+    across series of different magnitudes — the reference compares raw
+    MAE across countries (`dags/forecasting_dag.py:274-277`), exactly
+    the comparison MASE makes valid.
+
+    Same split protocol and decimal discipline as the persistence
+    eval: chronological 80/20 per nation, errors are exact-2-decimal
+    differences summed in DECIMAL, the two divisions are scalar double
+    ops under `fround` — hash-identical on both engines. One shuffle
+    on the nation key; the windows partition on it (registry pin)."""
+    daily = nation_daily(spark, sf_dir)
+    w = W.partitionBy("n_name").orderBy("d")
+    wp = W.partitionBy("n_name")
+    ranked = daily.select(
+        "n_name", "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n_total"),
+        F.lag("y").over(w).alias("y_prev"),
+        F.lag("y", MASE_SEASON).over(w).alias("y_lag7"),
+    )
+    cut = F.floor(F.col("n_total") * 0.8).cast("long")
+    scal = (ranked
+            .filter((F.col("rn") <= cut) & F.col("y_prev").isNotNull())
+            .groupBy("n_name")
+            .agg((F.sum(F.abs(F.col("y") - F.col("y_prev")).cast(M2))
+                  .cast("double") / F.count("*")).alias("s")))
+    test = (ranked
+            .filter((F.col("rn") > cut) & F.col("y_lag7").isNotNull())
+            .withColumn("e", F.col("y") - F.col("y_lag7")))
+    mae = (F.sum(F.abs(F.col("e")).cast(M2)).cast("double")
+           / F.count("*"))
+    return (test.groupBy("n_name")
+            .agg(F.count("*").alias("n_test"), mae.alias("mae_raw"))
+            .join(scal, "n_name")
+            .select("n_name", "n_test",
+                    fround(F.col("mae_raw")).alias("mae_snaive"),
+                    fround(F.col("s")).alias("naive_scale"),
+                    fround(F.col("mae_raw") / F.col("s")).alias("mase")))

@@ -197,3 +197,78 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(obs, 6).alias("observed"),
                     F.round(benford, 6).alias("benford"),
                     F.round(obs - benford, 6).alias("deviation")))
+
+
+#: candidate inclusion dependencies probed by the FK-discovery profile:
+#: (child table, child col, parent table, parent col). The last pair is
+#: deliberately NOT an FK — the profile must report fractional
+#: containment, not assume it.
+IND_CANDIDATES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+)
+
+
+def _ind_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in IND_CANDIDATES:
+        parts.append(f"""
+    SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+           CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contained,
+           ROUND(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS containment
+    FROM (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT {pc} AS v FROM {pt}) p USING (v)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("inclusion_dependency_profile", survey="ext-dq,A2,J7",
+          oracle=_ind_oracle())
+def inclusion_dependency_profile(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key discovery) profile — the
+    schema-profiling primitive behind tools like Metanome/HoloClean:
+    for each candidate (child column ⊆ parent column) pair, the
+    fraction of DISTINCT child values contained in the parent. True
+    FKs report 1.0; the deliberately-included non-FK pair
+    (o_orderkey vs c_custkey) reports its honest fractional overlap —
+    this probe MEASURES referential structure, where
+    `dq_constraint_report` asserts it.
+
+    Per pair: distinct-project both sides (map-side combinable; the
+    frame collapses to key cardinality), one left join on the value,
+    integer containment counts — the same anti-join skeleton as the
+    DQ orphan check, run across the whole candidate set in one union
+    plan. Null child values are excluded (SQL NOT-IN null semantics
+    would poison the count — the r3 ADVICE lesson baked in). At
+    100 TB each distinct-project is the only fact-sized pass and all
+    six run in one job."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "orders", "part", "supplier",
+                     "customer", "nation"))
+    outs = []
+    for ct, cc, pt, pc in IND_CANDIDATES:
+        child = (t[ct].filter(F.col(cc).isNotNull())
+                 .select(F.col(cc).alias("v")).distinct())
+        parent = t[pt].select(F.col(pc).alias("v")).distinct()
+        joined = child.join(parent.withColumn("hit", F.lit(1)),
+                            "v", "left")
+        outs.append(joined.agg(
+            F.lit(f"{ct}.{cc}").alias("child"),
+            F.lit(f"{pt}.{pc}").alias("parent"),
+            F.count("*").alias("n_child_distinct"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+             .alias("n_contained"),
+            F.round(F.sum(F.when(F.col("hit").isNotNull(), 1)
+                          .otherwise(0)) * 1.0 / F.count("*"), 6)
+             .alias("containment")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

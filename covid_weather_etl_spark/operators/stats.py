@@ -697,3 +697,103 @@ def er_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("lbl", "name") == F.col("name"))
                     .alias("is_canonical"),
                     "n_parts"))
+
+
+#: reliability diagram: number of equal-width confidence bins.
+ECE_BINS = 10
+
+
+@register(
+    "calibration_ece_report",
+    survey="ext-stats,U5,A6,F9",
+    oracle=f"""
+    WITH scored AS (
+        SELECT n_chars AS score,
+               CASE WHEN len(string_split(text, ' ')) > {ISO_TOK_CUT}
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), mm AS (
+        SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored
+    ), conf AS (
+        SELECT CAST(ROUND((score - lo) * 1.0 / (hi - lo), 6)
+                    AS DECIMAL(10,6)) AS c, y
+        FROM scored CROSS JOIN mm
+    ), binned AS (
+        SELECT LEAST(CAST(FLOOR(c * {ECE_BINS}) AS INT), {ECE_BINS} - 1)
+                 AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(c) AS sc,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM conf GROUP BY 1
+    ), terms AS (
+        SELECT bin, n_rows, n_pos,
+               FLOOR(CAST(sc AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6
+                 AS avg_conf,
+               FLOOR(n_pos * 1.0 / n_rows * 1e6 + 0.5) / 1e6 AS frac_pos,
+               CAST(ROUND(ABS(CAST(sc AS DOUBLE) / n_rows
+                              - n_pos * 1.0 / n_rows), 9)
+                    AS DECIMAL(20,9)) AS gap9
+        FROM binned
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS n,
+               SUM(n_rows * gap9) AS wgap
+        FROM terms
+    )
+    SELECT bin, n_rows, n_pos, avg_conf, frac_pos,
+           FLOOR(CAST(wgap AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS ece
+    FROM terms CROSS JOIN tot
+    """,
+)
+def calibration_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for the
+    min-max-normalized n_chars score as a probability of the
+    long-document outcome — the calibration DIAGNOSTIC that says
+    whether scores can be read as probabilities at all, the question
+    `isotonic_calibration` then FIXES (same score/outcome pair, so the
+    before/after story is inspectable in one registry). Ten
+    equal-width confidence bins; per bin the mean claimed confidence
+    vs the observed positive rate; ECE = Σ (n_b/N)·|conf_b − acc_b|,
+    the standard one-number summary (Guo et al. 2017).
+
+    Exactness: confidences are rounded to the 1e-6 grid and summed in
+    DECIMAL (order-free); per-bin means and gaps are scalar double
+    ops; each |gap| is rounded to 9dp back into DECIMAL so the
+    N-weighted ECE sum is order-free too — every division is a single
+    IEEE op under the fround convention on both engines. Plan: one
+    scan → a 2-value min/max broadcast → one 10-group aggregate;
+    everything after is 10 rows."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = (spread(t["documents"], "doc_id")
+              .select(F.col("n_chars").alias("score"),
+                      (F.size(F.split("text", " ")) > ISO_TOK_CUT)
+                      .cast("int").alias("y")))
+    mm = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    conf = (scored.crossJoin(F.broadcast(mm))
+            .select(F.round((F.col("score") - F.col("lo")) * 1.0
+                            / (F.col("hi") - F.col("lo")), 6)
+                    .cast("decimal(10,6)").alias("c"), "y"))
+    binned = (conf.groupBy(
+        F.least(F.floor(F.col("c") * ECE_BINS).cast("int"),
+                F.lit(ECE_BINS - 1)).alias("bin"))
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("c").alias("sc"),
+             F.sum("y").alias("n_pos")))
+    avg_conf = F.floor(F.col("sc").cast("double") / F.col("n_rows")
+                       * 1e6 + 0.5) / 1e6
+    frac_pos = F.floor(F.col("n_pos") * 1.0 / F.col("n_rows")
+                       * 1e6 + 0.5) / 1e6
+    gap9 = (F.round(F.abs(F.col("sc").cast("double") / F.col("n_rows")
+                          - F.col("n_pos") * 1.0 / F.col("n_rows")), 9)
+            .cast("decimal(20,9)"))
+    terms = (binned.select("bin", "n_rows", "n_pos",
+                           avg_conf.alias("avg_conf"),
+                           frac_pos.alias("frac_pos"),
+                           gap9.alias("gap9"))
+             .localCheckpoint(eager=True))   # 10 rows; reused
+    tot = terms.agg(F.sum("n_rows").alias("n"),
+                    F.sum(F.col("n_rows") * F.col("gap9")).alias("wgap"))
+    ece = F.floor(F.col("wgap").cast("double") / F.col("n")
+                  * 1e6 + 0.5) / 1e6
+    return (terms.crossJoin(F.broadcast(tot))
+            .select("bin", "n_rows", "n_pos", "avg_conf", "frac_pos",
+                    ece.alias("ece")))

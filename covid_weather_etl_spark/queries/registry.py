@@ -146,7 +146,9 @@ _ROTATION_R4 = (
 # hll_audience_overlap [rows-only], acf_daily_revenue,
 # zipf_law_fit, prefix_filter_jaccard_join,
 # stratified_exact_k_sample, adamic_adar_links,
-# exact_average_precision), unpivot_flag_metrics,
+# exact_average_precision, mase_forecast_eval,
+# calibration_ece_report, inclusion_dependency_profile),
+# unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
 # rfm_segmentation, basket_affinity, mad_anomaly_report,
