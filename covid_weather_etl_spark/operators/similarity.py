@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from covid_weather_etl_spark.queries.registry import register
-from covid_weather_etl_spark.sources.catalog import load_tables
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -861,3 +861,111 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= HN_K)
             .drop("rn"))
+
+
+@register(
+    "embedding_gram_matrix",
+    survey="LLM-sim,A14,A6,U1",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(1, 65)) AS k),
+    cells AS (
+        SELECT i.k AS i, j.k AS j,
+               CAST(ROUND(CAST(e.embedding[i.k] AS DOUBLE)
+                          * CAST(e.embedding[j.k] AS DOUBLE), 12)
+                    AS DECIMAL(30,12)) AS p
+        FROM embeddings e
+        CROSS JOIN idx i
+        JOIN idx j ON j.k >= i.k
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(SUM(p) AS DOUBLE) AS gram
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GRAMIAN of the embedding corpus: G = XᵀX as the
+    upper triangle of a 64×64 matrix, accumulated across all vectors
+    in one pass — the linear-algebra kernel under PCA, whitening, and
+    covariance drift monitors, computed the way Spark ML's own PCA
+    does it (RowMatrix.computeGramianMatrix: the DATA-sized work is
+    this d²-per-row accumulation; the d×d eigensolve that follows is
+    model-sized). Hash-exact across engines: each elementwise product
+    is rounded to 12dp and summed in DECIMAL(30,12), so G is
+    independent of row order and partitioning; the final cast to
+    double is exact (the decimal fits a double's 53-bit mantissa at
+    this magnitude).
+
+    Plan: posexplode the vector once (d rows per vector), self-join
+    per vec_id on i≤j, one map-combinable aggregate on (i, j) — a
+    frame of d(d+1)/2 = 2 080 cells regardless of corpus size. At
+    100 TB you block the d² fan-out per partition (mapPartitions
+    accumulating a local d×d then tree-reduce) — same math, fewer
+    shuffled rows; the declarative form here IS that plan after
+    Catalyst's partial aggregation, since map-side combine collapses
+    each partition to ≤2 080 cells before the shuffle."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    ev = (spread(t["embeddings"], "vec_id")
+          .select("vec_id",
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("k", "e"))
+          .select("vec_id", (F.col("k") + 1).alias("k"), "e")
+          .localCheckpoint(eager=True))   # both sides of the self-join
+    a, b = ev.alias("a"), ev.alias("b")
+    p = (F.round(F.col("a.e") * F.col("b.e"), 12)
+         .cast("decimal(30,12)"))
+    return (a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+                   & (F.col("a.k") <= F.col("b.k")))
+            .groupBy(F.col("a.k").cast("int").alias("i"),
+                     F.col("b.k").cast("int").alias("j"))
+            .agg(F.sum(p).cast("double").alias("gram")))
+
+
+@register("pca_top_component", survey="LLM-sim,U2,A14")
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the MEAN-CENTERED embedding corpus —
+    the Spark ML PCA architecture made explicit: the corpus-sized work
+    is one distributed pass building the 64×64 covariance Gramian
+    (see embedding_gram_matrix) plus the column-mean vector; the
+    eigensolve then runs on the driver over a MODEL-sized 64×64
+    symmetric matrix (numpy eigh — deterministic), exactly as
+    spark.ml.feature.PCA solves the Gramian it computes distributed.
+    Sign is fixed by making the largest-|loading| coordinate positive,
+    so the output is a total function of the data. Returns one row per
+    dimension: (dim, loading, explained_var_ratio repeated) — the
+    artifact a whitening/compression stage ships.
+
+    Rows-only driver check (eigensolve is iterative, not SQL);
+    tests/test_similarity_lsh.py pins the whole result against a
+    straight numpy PCA of the same matrix."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    ev = (spread(t["embeddings"], "vec_id")
+          .select("vec_id",
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("k", "e"))
+          .localCheckpoint(eager=True))
+    means = {int(r["k"]): r["m"] for r in
+             ev.groupBy("k").agg(F.avg("e").alias("m")).collect()}
+    a, b = ev.alias("a"), ev.alias("b")
+    p = (F.round(F.col("a.e") * F.col("b.e"), 12)
+         .cast("decimal(30,12)"))
+    gram_rows = (a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+                        & (F.col("a.k") <= F.col("b.k")))
+                 .groupBy(F.col("a.k").alias("i"), F.col("b.k").alias("j"))
+                 .agg(F.sum(p).cast("double").alias("g"),
+                      F.count("*").alias("n"))
+                 .collect())                 # model-sized: 2 080 cells
+    d = len(means)
+    n = max(r["n"] for r in gram_rows)
+    G = np.zeros((d, d))
+    for r in gram_rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["g"]
+    mu = np.array([means[k] for k in range(d)])
+    cov = G / n - np.outer(mu, mu)           # E[xxT] - mu muT
+    vals, vecs = np.linalg.eigh(cov)
+    v, lam = vecs[:, -1], float(vals[-1])
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    evr = lam / float(vals.sum())
+    return ev.sparkSession.createDataFrame(
+        [(k, round(float(v[k]), 9), round(evr, 9)) for k in range(d)],
+        "dim int, loading double, explained_var_ratio double")

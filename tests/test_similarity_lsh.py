@@ -201,3 +201,38 @@ def test_hard_negatives_are_hardest_wrong_label(spark):
         order = sorted(zip(-sims[wrong], ids[wrong]))[:HN_K]
         want = {int(v) for _, v in order}
         assert set(g.vec_id) == want, a_id
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """Loadings and explained-variance ratio must equal a straight
+    numpy PCA (mean-centered covariance, eigh, same sign fix)."""
+    import numpy as np
+    import pandas as pd
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = (all_queries()["pca_top_component"].fn(spark, SF_DIR)
+           .toPandas().sort_values("dim").reset_index(drop=True))
+    X = np.stack(pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+                 .embedding.to_numpy()).astype(np.float64)
+    # mirror the engine's decimal-grid accumulation: 12dp-rounded
+    # elementwise products, then exact sums
+    n, d = X.shape
+    G = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            G[i, j] = G[j, i] = np.round(X[:, i] * X[:, j], 12).sum()
+    mu = X.mean(axis=0)
+    cov = G / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    evr = vals[-1] / vals.sum()
+    assert len(got) == d
+    np.testing.assert_allclose(got.loading.to_numpy(), np.round(v, 9),
+                               atol=1e-9)
+    assert got.explained_var_ratio.nunique() == 1
+    assert abs(got.explained_var_ratio[0] - round(evr, 9)) < 1e-8
+    assert 0.0 < got.explained_var_ratio[0] < 1.0
