@@ -605,3 +605,92 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("session_seq"),
                     "session_start", "session_end", "n_events",
                     "n_event_types", "duration_s"))
+
+
+#: Markov attribution: channel states (non-absorbing event types).
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+@register("markov_attribution", survey="ext-events,U2,A6,W1")
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2016) —
+    the data-driven alternative to `multi_touch_attribution`'s linear
+    rule: model user journeys as a first-order Markov chain over
+    channel states with two absorbers (purchase = conversion, journey
+    end = loss), compute the chain's conversion probability, then for
+    each channel re-solve the chain with that channel REMOVED (walks
+    entering it are lost) — its attribution share is proportional to
+    how much conversion probability its removal destroys.
+
+    Division of labor (the per-group-model pattern): the CORPUS-sized
+    work is distributed — journeys truncate at the first purchase via
+    a user-partitioned cumulative window, transitions (START→first,
+    step→step, last→END) come from one LAG pass and one map-
+    combinable count — while the (channels+1)² linear solves run on
+    the driver over a MODEL-sized transition matrix (numpy; ≤5×5
+    here), exactly like the SARIMA/OLS per-group fits. Deterministic
+    end-to-end: counts are exact, the solves are direct (no
+    iteration), ordering is (ts, event_id). Rows-only driver check
+    (matrix inversion is not SQL); tests/test_eventstats.py pins the
+    whole pipeline against a pandas+numpy recomputation."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run_before = (W.partitionBy("user_id").orderBy("ts", "event_id")
+                  .rowsBetween(W.unboundedPreceding, -1))
+    ev = (t["events"]
+          .select("user_id", "ts", "event_id", "event_type",
+                  F.coalesce(
+                      F.sum((F.col("event_type") == "purchase")
+                            .cast("int")).over(run_before),
+                      F.lit(0)).alias("conv_before"))
+          .filter(F.col("conv_before") == 0))
+    steps = ev.select(
+        "user_id", "event_type",
+        F.coalesce(F.lag("event_type").over(w), F.lit("START"))
+        .alias("src"),
+        F.lead("event_type").over(w).alias("nxt"))
+    trans = (steps.select(F.col("src"), F.col("event_type").alias("dst"))
+             .unionByName(
+                 steps.filter(F.col("nxt").isNull()
+                              & (F.col("event_type") != "purchase"))
+                 .select(F.col("event_type").alias("src"),
+                         F.lit("END").alias("dst")))
+             .groupBy("src", "dst").agg(F.count("*").alias("n")))
+    rows = trans.collect()                   # model-sized: ≤7×7 cells
+
+    import numpy as np
+    states = ["START", *MARKOV_CHANNELS]
+    idx = {s: i for i, s in enumerate(states)}
+    counts = np.zeros((len(states), len(states) + 2))
+    for r in rows:
+        if r["src"] in idx:
+            j = (idx[r["dst"]] if r["dst"] in idx
+                 else len(states) + (0 if r["dst"] == "purchase" else 1))
+            counts[idx[r["src"]], j] += r["n"]
+
+    def conv_prob(removed: str | None) -> float:
+        c = counts.copy()
+        if removed is not None:
+            k = idx[removed]
+            c[:, len(states) + 1] += c[:, k]   # entering removed -> lost
+            c[:, k] = 0
+            c[k, :] = 0
+        tot = c.sum(axis=1, keepdims=True)
+        live = tot[:, 0] > 0
+        P = np.divide(c, tot, out=np.zeros_like(c), where=tot > 0)
+        Q, b = P[:, :len(states)], P[:, len(states)]
+        sol = np.zeros(len(states))
+        sol[live] = np.linalg.solve(
+            np.eye(int(live.sum())) - Q[np.ix_(live, live)], b[live])
+        return float(sol[idx["START"]])
+
+    p_all = conv_prob(None)
+    effects = {ch: max(0.0, 1.0 - conv_prob(ch) / p_all)
+               for ch in MARKOV_CHANNELS}
+    total = sum(effects.values())
+    out = [(ch, round(p_all, 9), round(effects[ch], 9),
+            round(effects[ch] / total, 9) if total > 0 else 0.0)
+           for ch in MARKOV_CHANNELS]
+    return spark.createDataFrame(
+        out, "channel string, p_conversion double, removal_effect double, "
+             "attribution double")

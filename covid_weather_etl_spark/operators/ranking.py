@@ -610,3 +610,104 @@ def exact_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_pos", "n_neg")
             .agg(F.round(F.sum(term).cast("double"), 6).alias("ap"))
             .select("n_pos", "n_neg", "ap"))
+
+
+#: NDCG report depth.
+NDCG_K = 10
+
+
+@register(
+    "ndcg_popularity_baseline",
+    survey="ext-rank,U5,W6,A6",
+    oracle=f"""
+    WITH rel AS (
+        SELECT o.o_custkey AS c, l.l_partkey AS p,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE) AS rel
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), pop AS (
+        SELECT p, CAST(SUM(CAST(rel AS DECIMAL(18,2))) AS DOUBLE) AS pop
+        FROM rel GROUP BY 1
+    ), pred AS (
+        SELECT rel.c, rel.rel,
+               row_number() OVER (PARTITION BY rel.c
+                                  ORDER BY pop.pop DESC, rel.p) AS pos
+        FROM rel JOIN pop ON rel.p = pop.p
+    ), ideal AS (
+        SELECT c, rel,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY rel DESC, rel.p) AS pos
+        FROM rel
+    ), dcg AS (
+        SELECT c, SUM(CAST(ROUND(rel / LOG2(pos + 1), 9)
+                           AS DECIMAL(25,9))) AS dcg
+        FROM pred WHERE pos <= {NDCG_K} GROUP BY 1
+    ), idcg AS (
+        SELECT c, SUM(CAST(ROUND(rel / LOG2(pos + 1), 9)
+                           AS DECIMAL(25,9))) AS idcg
+        FROM ideal WHERE pos <= {NDCG_K} GROUP BY 1
+    ), per_cust AS (
+        SELECT dcg.c,
+               CAST(ROUND(CAST(dcg.dcg AS DOUBLE)
+                          / CAST(idcg.idcg AS DOUBLE), 9)
+                    AS DECIMAL(20,9)) AS ndcg
+        FROM dcg JOIN idcg ON dcg.c = idcg.c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           FLOOR(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+             AS mean_ndcg
+    FROM per_cust
+    """,
+)
+def ndcg_popularity_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the global-popularity recommender against each
+    customer's true purchase quantities — the graded-relevance
+    retrieval metric (Järvelin & Kekäläinen 2002) that completes the
+    registry's ranking-eval family (exact_auc: binary pairwise;
+    exact_average_precision: binary PR; NDCG: graded, position-
+    discounted), and the baseline number any ALS/kNN recommender in
+    the registry must beat. Linear gain, log2 position discount;
+    prediction ranks every customer's parts by corpus-wide
+    popularity (ties to the part key), the ideal ranking by the
+    customer's own relevance.
+
+    Exactness: relevances are exact 2-decimal DECIMAL sums cast to
+    double (clean values); each DCG term rel/log2(pos+1) is one
+    double division rounded 9dp into DECIMAL, so per-customer DCG and
+    the final mean are order-free; per-customer NDCG is again a
+    single rounded division. Windows partition on the customer
+    (registry pin); the popularity side is a part-grain broadcast.
+    One lineitem⋈orders shuffle, two customer-keyed aggregates —
+    fact-proportional work ends at the (customer, part) grain."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    rel = (t["lineitem"]
+           .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy(F.col("o_custkey").alias("c"),
+                    F.col("l_partkey").alias("p"))
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").alias("rel"))
+           .localCheckpoint(eager=True))   # reused: pop + pred + ideal
+    pop = (rel.groupBy("p")
+           .agg(F.sum(F.col("rel").cast("decimal(18,2)"))
+                .cast("double").alias("pop")))
+    w_pred = W.partitionBy("c").orderBy(F.col("pop").desc(), "p")
+    w_ideal = W.partitionBy("c").orderBy(F.col("rel").desc(), "p")
+    term = lambda: (F.round(F.col("rel") / F.log2(F.col("pos") + 1), 9)
+                    .cast("decimal(25,9)"))
+    dcg = (rel.join(F.broadcast(pop), "p")
+           .select("c", "rel", F.row_number().over(w_pred).alias("pos"))
+           .filter(F.col("pos") <= NDCG_K)
+           .groupBy("c").agg(F.sum(term()).alias("dcg")))
+    idcg = (rel.select("c", "rel",
+                       F.row_number().over(w_ideal).alias("pos"))
+            .filter(F.col("pos") <= NDCG_K)
+            .groupBy("c").agg(F.sum(term()).alias("idcg")))
+    per_cust = (dcg.join(idcg, "c")
+                .select(F.round(F.col("dcg").cast("double")
+                                / F.col("idcg").cast("double"), 9)
+                        .cast("decimal(20,9)").alias("ndcg")))
+    return (per_cust.agg(
+        F.count("*").alias("n_customers"),
+        (F.floor(F.sum("ndcg").cast("double") / F.count("*")
+                 * 1e6 + 0.5) / 1e6).alias("mean_ndcg")))

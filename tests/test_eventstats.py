@@ -129,3 +129,76 @@ def test_kaplan_meier_matches_pure_python(spark):
     # survival is monotone non-increasing and starts ≤ 1
     assert (got.survival.diff().dropna() <= 1e-12).all()
     assert got.survival.iloc[0] <= 1.0
+
+
+def test_markov_attribution_matches_numpy_chain(spark, tmp_path):
+    """Planted journeys with known structure: the engine's removal
+    effects must equal a pandas+numpy recomputation of the absorbing
+    chain, and a channel that never leads anywhere near purchase must
+    attract ~zero attribution."""
+    import numpy as np
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.eventstats import (
+        MARKOV_CHANNELS)
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    # 30 converting users via view->click->purchase, 10 via
+    # signup->purchase, 20 lost after view->error, 10 lost after error
+    journeys = ([["view", "click", "purchase"]] * 30
+                + [["signup", "purchase"]] * 10
+                + [["view", "error"]] * 20
+                + [["error"]] * 10)
+    rows = []
+    eid = 0
+    for u, j in enumerate(journeys):
+        for k, et in enumerate(j):
+            rows.append((eid, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=10 * k), u, et, 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r["channel"]: r for r in
+           all_queries()["markov_attribution"]
+           .fn(spark, str(tmp_path)).collect()}
+
+    states = ["START", *MARKOV_CHANNELS]
+    idx = {s: i for i, s in enumerate(states)}
+    counts = np.zeros((len(states), len(states) + 2))
+    for j in journeys:
+        seq = ["START"] + j
+        for a, b in zip(seq, seq[1:]):
+            col = (idx[b] if b in idx
+                   else len(states) + (0 if b == "purchase" else 1))
+            counts[idx[a], col] += 1
+        if j[-1] != "purchase":
+            counts[idx[j[-1]], len(states) + 1] += 1
+
+    def conv(removed=None):
+        c = counts.copy()
+        if removed is not None:
+            k = idx[removed]
+            c[:, len(states) + 1] += c[:, k]
+            c[:, k] = 0
+            c[k, :] = 0
+        tot = c.sum(axis=1, keepdims=True)
+        live = tot[:, 0] > 0
+        P = np.divide(c, tot, out=np.zeros_like(c), where=tot > 0)
+        Q, b = P[:, :len(states)], P[:, len(states)]
+        sol = np.zeros(len(states))
+        sol[live] = np.linalg.solve(
+            np.eye(int(live.sum())) - Q[np.ix_(live, live)], b[live])
+        return float(sol[idx["START"]])
+
+    p_all = conv()
+    eff = {ch: max(0.0, 1.0 - conv(ch) / p_all) for ch in MARKOV_CHANNELS}
+    tot = sum(eff.values())
+    for ch in MARKOV_CHANNELS:
+        assert got[ch]["p_conversion"] == round(p_all, 9)
+        assert got[ch]["removal_effect"] == round(eff[ch], 9)
+        assert got[ch]["attribution"] == round(eff[ch] / tot, 9)
+    # error never precedes purchase in any journey -> no removal effect
+    assert got["error"]["removal_effect"] == 0.0
+    # click carries all 30 of the main converting path's conversions
+    assert got["click"]["attribution"] > got["signup"]["attribution"]
