@@ -535,3 +535,87 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("rk"),
                     "o_orderkey", "o_totalprice")
             .filter(F.col("rk") <= GROUP_TOPK))
+
+
+@register(
+    "longest_increase_streak",
+    survey="ext-window,W1,W3,A8",
+    oracle="""
+    WITH daily AS (
+        SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6)))
+                    AS DOUBLE) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), flagged AS (
+        SELECT n_name, d, y,
+               row_number() OVER w AS rn,
+               CASE WHEN y > lag(y) OVER w THEN 1 ELSE 0 END AS up
+        FROM daily
+        WINDOW w AS (PARTITION BY n_name ORDER BY d)
+    ), islands AS (
+        SELECT n_name, d, rn,
+               rn - row_number() OVER (PARTITION BY n_name, up
+                                       ORDER BY rn) AS grp
+        FROM flagged WHERE up = 1
+    ), runs AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(d) AS streak_start, MAX(d) AS streak_end
+        FROM islands GROUP BY n_name, grp
+    ), best AS (
+        SELECT n_name, len, streak_start, streak_end,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY len DESC, streak_start) AS rk
+        FROM runs
+    )
+    SELECT n_name, len AS longest_up_days, streak_start, streak_end
+    FROM best WHERE rk = 1
+    """,
+)
+def longest_increase_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each nation's LONGEST run of consecutive
+    observations with day-over-day revenue increases — the classic
+    streak query (monitoring asks it as "how long has this metric been
+    climbing"), and the island-identification technique
+    (`rn − row_number() within the flag` is constant exactly along a
+    run) that sessionization's time-gap trick cannot express, because
+    the island boundary here is a VALUE comparison, not a gap.
+
+    Three windows, all partitioned on the nation (registry pin):
+    flag increases with LAG, group islands by the rn-difference
+    constant, rank runs by (length DESC, start) so ties resolve to
+    the earliest streak — a total order, hash-stable on both engines.
+    Revenue is an exact DECIMAL sum cast to double, so the `y >
+    y_prev` flag is deterministic. The fact scan collapses to the
+    (nation, day) grain in one map-combinable shuffle; every window
+    runs on that calendar-bounded frame."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    daily = (t["orders"]
+             .join(F.broadcast(t["customer"]),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(t["nation"]),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+             .groupBy("n_name", F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                  .cast("double").alias("y")))
+    w = W.partitionBy("n_name").orderBy("d")
+    flagged = daily.select(
+        "n_name", "d",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.col("y") > F.lag("y").over(w), 1).otherwise(0).alias("up"))
+    wi = W.partitionBy("n_name", "up").orderBy("rn")
+    islands = (flagged.filter(F.col("up") == 1)
+               .select("n_name", "d", "rn",
+                       (F.col("rn") - F.row_number().over(wi)).alias("grp")))
+    runs = (islands.groupBy("n_name", "grp")
+            .agg(F.count("*").alias("len"),
+                 F.min("d").alias("streak_start"),
+                 F.max("d").alias("streak_end")))
+    wb = W.partitionBy("n_name").orderBy(F.col("len").desc(), "streak_start")
+    return (runs.select("n_name", "len", "streak_start", "streak_end",
+                        F.row_number().over(wb).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .select("n_name", F.col("len").alias("longest_up_days"),
+                    "streak_start", "streak_end"))

@@ -350,7 +350,7 @@ def sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                    WHEN ts >= lag(ts) OVER w + INTERVAL '{GAP}' THEN 1
+                    WHEN ts > lag(ts) OVER w + INTERVAL '{GAP}' THEN 1
                     ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -378,8 +378,10 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     `session_window` expression — sessions merge while events arrive
     within the gap; window end = last event + gap. The oracle derives
     the identical sessions with a gaps-and-islands lag/cumsum (Spark's
-    session merge condition is `ts < prev_ts + gap`, so a new session
-    starts at diff >= gap — mirrored exactly)."""
+    session merge condition is INCLUSIVE — an event landing exactly at
+    prev_ts + gap still merges, empirically pinned in
+    tests/test_eventstats.py — so a new session
+    starts only at diff > gap — mirrored exactly)."""
     t = load_tables(spark, sf_dir, ("events",))
     return (t["events"]
             .groupBy(F.session_window("ts", GAP), "user_id")

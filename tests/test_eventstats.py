@@ -202,3 +202,41 @@ def test_markov_attribution_matches_numpy_chain(spark, tmp_path):
     assert got["error"]["removal_effect"] == 0.0
     # click carries all 30 of the main converting path's conversions
     assert got["click"]["attribution"] > got["signup"]["attribution"]
+
+
+def test_session_stats_agrees_with_native_session_window(spark, tmp_path):
+    """Two independent sessionizers — session_stats (lag/cumsum window
+    algebra, new session at gap > 30min) and session_windows (Spark's
+    native session_window expression, new session at gap >= 30min) —
+    must agree on real data AND at the exact-30-minute boundary:
+    Spark's session_window merge condition is inclusive (an event at
+    prev + gap still merges), pinned here with a planted boundary gap
+    — the detail the session_windows oracle must mirror with a STRICT
+    `> gap` new-session test."""
+    import pandas as pd
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    QUERIES = all_queries()
+    from tests.conftest import SF_DIR
+    stats = (QUERIES["session_stats"].fn(spark, SF_DIR)
+             .select("user_id", "session_start", "n_events"))
+    native = (QUERIES["session_windows"].fn(spark, SF_DIR)
+              .select("user_id", F.col("s_start").alias("session_start"),
+                      "n_events"))
+    a = {tuple(r) for r in stats.collect()}
+    b = {tuple(r) for r in native.collect()}
+    assert a == b, (len(a), len(b), list(a ^ b)[:4])
+
+    # planted exact-30min gap: BOTH sessionizers merge (inclusive)
+    pdf = pd.DataFrame({
+        "event_id": [0, 1], "user_id": [1, 1],
+        "ts": [pd.Timestamp("2024-01-01 00:00:00"),
+               pd.Timestamp("2024-01-01 00:30:00")],
+        "event_type": ["view", "click"], "value": [1.0, 1.0],
+        "props": ["{}", "{}"],
+    })
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/events.parquet")
+    n_stats = QUERIES["session_stats"].fn(spark, str(tmp_path)).count()
+    n_native = QUERIES["session_windows"].fn(spark, str(tmp_path)).count()
+    assert n_stats == 1 and n_native == 1
