@@ -478,41 +478,61 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "median price paid per unit", which an unweighted median of line
     items silently gets wrong whenever quantities vary.
 
-    The engine never sorts rows globally: weights collapse onto the
-    (flag, price) grid first (price is a cents-bounded domain, so the
-    grid — not the fact — is the working frame), the cumulative mass
-    comes from the BLOCKED two-phase prefix sum (cross-band triangular
-    join over price bands + in-band window PARTITIONED on (flag,
-    band) — same pattern as skew_resilient_running_total / pareto),
-    and the median is a min-aggregate over the rows clearing the
-    half-mass line. Weights accumulate in DECIMAL, so `2·cum >= tot`
-    is an exact integer-grid comparison on both engines — no float
-    threshold wobble at the median boundary. The oracle is the plain
-    single-window SQL the blocked form must equal."""
+    BUCKET-THEN-REFINE, never a global sort (the same family as
+    distributed_exact_median's rank refinement — and unlike the
+    blocked-prefix ops, no price-grain frame is ever materialized,
+    because extended prices are nearly unique and that frame would be
+    fact-sized): pass 1 aggregates quantity mass per (flag, price
+    BAND) — a bands-sized frame; a triangular join over it finds each
+    flag's CROSSING band (where cumulative mass first reaches half)
+    plus the mass below it; pass 2 re-scans ONLY the crossing bands
+    (a 3-row broadcast filter that prunes with the scan), builds the
+    in-band price-grain cumulative on a few hundred rows, and takes
+    the min qualifying price. Weights accumulate in DECIMAL, so
+    `2·cum >= tot` is an exact grid comparison on both engines — no
+    float threshold wobble at the median boundary. The oracle is the
+    plain single-window SQL the refinement must equal. At 100 TB:
+    two fact scans with map-combinable aggregates, one tiny
+    broadcast — band width tunes pass-2 size exactly like the rank
+    refinement's bracket."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    g = (t["lineitem"]
-         .groupBy("l_returnflag", "l_extendedprice")
-         .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("w"))
-         .withColumn("blk", F.floor(F.col("l_extendedprice") / 100.0))
-         .localCheckpoint(eager=True))  # price-grain; reused 3x
-    band = g.groupBy("l_returnflag", "blk").agg(F.sum("w").alias("bw"))
-    ba, bb = band.alias("ba"), band.alias("bb")
-    band_prefix = (ba.join(F.broadcast(bb),
-                           (F.col("bb.l_returnflag")
-                            == F.col("ba.l_returnflag"))
-                           & (F.col("bb.blk") < F.col("ba.blk")), "left")
-                   .groupBy(F.col("ba.l_returnflag").alias("l_returnflag"),
-                            F.col("ba.blk").alias("blk"))
-                   .agg(F.coalesce(F.sum(F.col("bb.bw")),
-                                   F.lit(0).cast("decimal(25,6)"))
-                        .alias("bp")))
-    in_band = (W.partitionBy("l_returnflag", "blk")
-               .orderBy("l_extendedprice")
-               .rowsBetween(W.unboundedPreceding, W.currentRow))
+    li = t["lineitem"].select(
+        "l_returnflag", "l_extendedprice",
+        F.col("l_quantity").cast("decimal(25,6)").alias("qd"),
+        F.floor(F.col("l_extendedprice") / 100.0).alias("blk"))
+    band = (li.groupBy("l_returnflag", "blk")
+            .agg(F.sum("qd").alias("bw"))
+            .localCheckpoint(eager=True))    # bands-sized; reused 3x
     tot = band.groupBy("l_returnflag").agg(F.sum("bw").alias("tot"))
-    cum = (g.join(F.broadcast(band_prefix), ["l_returnflag", "blk"])
-           .withColumn("cum", F.col("bp") + F.sum("w").over(in_band))
-           .join(F.broadcast(tot), "l_returnflag"))
+    ba, bb = band.alias("ba"), band.alias("bb")
+    below = (ba.join(F.broadcast(bb),
+                     (F.col("bb.l_returnflag") == F.col("ba.l_returnflag"))
+                     & (F.col("bb.blk") < F.col("ba.blk")), "left")
+             .groupBy(F.col("ba.l_returnflag").alias("l_returnflag"),
+                      F.col("ba.blk").alias("blk"),
+                      F.col("ba.bw").alias("bw"))
+             .agg(F.coalesce(F.sum(F.col("bb.bw")),
+                             F.lit(0).cast("decimal(25,6)")).alias("bp")))
+    # the crossing band: first (lowest) band whose through-mass
+    # reaches half the total
+    crossing = (below.join(F.broadcast(tot), "l_returnflag")
+                .filter(2 * (F.col("bp") + F.col("bw")) >= F.col("tot"))
+                .groupBy("l_returnflag")
+                .agg(F.min("blk").alias("cblk")))
+    cross_info = (crossing.join(below.withColumnRenamed("blk", "cblk"),
+                                ["l_returnflag", "cblk"])
+                  .join(tot, "l_returnflag")
+                  .select("l_returnflag", "cblk", "bp", "tot"))
+    in_band = (li.join(F.broadcast(cross_info),
+                       (li["l_returnflag"] == cross_info["l_returnflag"])
+                       & (li["blk"] == cross_info["cblk"]))
+               .drop(cross_info["l_returnflag"])
+               .groupBy("l_returnflag", "l_extendedprice", "bp", "tot")
+               .agg(F.sum("qd").alias("w")))
+    w_in = (W.partitionBy("l_returnflag")
+            .orderBy("l_extendedprice")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = in_band.withColumn("cum", F.col("bp") + F.sum("w").over(w_in))
     return (cum.filter(2 * F.col("cum") >= F.col("tot"))
             .groupBy("l_returnflag")
             .agg(F.min("l_extendedprice").alias("weighted_median_price"),
