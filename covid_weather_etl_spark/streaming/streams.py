@@ -202,6 +202,79 @@ def attribution_join_stream(events: DataFrame) -> DataFrame:
                  / F.lit(1_000_000.0)).alias("secs_before")))
 
 
+def unattributed_purchases_stream(events: DataFrame) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join — the semantics the
+    inner attribution join cannot express: purchases with NO click in
+    the preceding hour. Outer rows are held in state until the
+    watermark proves no matching click can still arrive, THEN emitted
+    with nulls — the state-expiry contract unique to outer
+    stream-stream joins (an inner join emits eagerly; a left-outer
+    must wait out the horizon). Downstream filters to the null-match
+    rows, yielding the streaming anti-join. Stream==batch equality
+    (after a watermark-advancing flush) is pinned in
+    tests/test_streaming.py against `unattributed_purchases`."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", WATERMARK))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id",
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", WATERMARK))
+    joined = purchases.join(
+        clicks,
+        F.expr(f"""c_user = user_id AND
+                   click_ts BETWEEN purchase_ts - INTERVAL {ATTRIB_WINDOW}
+                                AND purchase_ts"""),
+        "left_outer")
+    return (joined.filter(F.col("click_id").isNull())
+            .select("purchase_id", "user_id", "purchase_ts"))
+
+
+@register(
+    "unattributed_purchases",
+    survey="streaming,J7,ext-range",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+      )
+    """,
+)
+def unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of unattributed_purchases_stream: purchases with no
+    same-user click in the preceding hour — the interval ANTI-join
+    (the attribution join's complement, and the question a marketing
+    funnel asks about its dark traffic). Planned as a left join on
+    the user key with the time-range residual, filtered to the
+    null-match rows — Catalyst keeps it a single shuffled hash join;
+    the NOT-EXISTS oracle states the same set."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    return (purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & F.col("click_ts").between(
+            F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW}"),
+            F.col("purchase_ts")),
+        "left_outer")
+        .filter(F.col("click_id").isNull())
+        .select("purchase_id", "user_id", "purchase_ts"))
+
+
 @register(
     "click_attribution_window",
     survey="streaming,ext-range,J1",

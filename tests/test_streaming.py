@@ -349,3 +349,55 @@ def test_drift_monitor_stream_equals_batch(spark, landing_dir):
     assert len(g) > 0
     for col in ("n_events", "win_mean", "z_score", "alert"):
         assert (merged[f"{col}_s"] == merged[f"{col}_b"]).all(), col
+
+
+def test_left_outer_stream_join_equals_batch_anti(spark, landing_dir,
+                                                  tmp_path):
+    """The LEFT-OUTER stream-stream join's null-match rows (streaming
+    anti-join) must equal the batch interval anti-join once the
+    watermark has flushed every real purchase: outer rows are held in
+    state until no matching click can still arrive, so the fixture
+    lands time-ordered chunks plus a far-future sentinel pair (one
+    click, one purchase — each side's watermark advances on its OWN
+    filtered stream) to push the watermark past all real data."""
+    import time
+
+    d = tmp_path / "landing_outer"
+    d.mkdir()
+    events = spark.read.parquet(landing_dir)
+    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = len(pdf)
+    base = time.time() - 100
+    import os
+    for i in range(3):
+        f = f"{d}/a_{i}.parquet"
+        pdf.iloc[i * n // 3:(i + 1) * n // 3].to_parquet(f, index=False)
+        os.utime(f, (base + i, base + i))
+    sentinel_ts = pdf.ts.max() + pd.Timedelta(days=30)
+    sent = pd.DataFrame({
+        "event_id": [10 ** 12, 10 ** 12 + 1],
+        "ts": [sentinel_ts, sentinel_ts],
+        "user_id": [10 ** 9, 10 ** 9 + 1],
+        "event_type": ["purchase", "click"],
+        "value": [0.0, 0.0], "props": ["{}", "{}"],
+    })
+    sent["ts"] = sent["ts"].astype("datetime64[us]")
+    f = f"{d}/z_sentinel.parquet"
+    sent.to_parquet(f, index=False)
+    os.utime(f, (base + 10, base + 10))
+
+    stream = S.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    got = _run_stream_to_memory(
+        spark, S.unattributed_purchases_stream(stream),
+        "t_outer_anti", "append")
+    got_pdf = (got.filter(F.col("user_id") < 10 ** 9).toPandas()
+               .sort_values("purchase_id").reset_index(drop=True))
+    from covid_weather_etl_spark.queries.registry import all_queries
+    batch = (all_queries()["unattributed_purchases"].fn(spark, SF_DIR)
+             .toPandas().sort_values("purchase_id")
+             .reset_index(drop=True))
+    got_pdf["purchase_ts"] = got_pdf["purchase_ts"].astype("datetime64[us]")
+    batch["purchase_ts"] = batch["purchase_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got_pdf, batch)
+    assert len(batch) > 0  # the anti-join is non-degenerate on sf0.001
