@@ -150,7 +150,8 @@ _ROTATION_R4 = (
 # calibration_ece_report, inclusion_dependency_profile,
 # embedding_gram_matrix, pca_top_component [rows-only],
 # ndcg_popularity_baseline, markov_attribution [rows-only],
-# longest_increase_streak, unattributed_purchases),
+# longest_increase_streak, unattributed_purchases,
+# bitmap_audience_intersection),
 # unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,

@@ -124,3 +124,9 @@ def test_hll_audience_overlap_planted(spark, tmp_path):
     assert abs(row["approx_signup"] - 1000) <= 0.03 * 1000
     assert abs(row["approx_union"] - 1500) <= 0.03 * 1500
     assert row["overlap_err"] == row["approx_overlap"] - 500
+    # the bitmap index computes the same intersection EXACTLY
+    brow = (all_queries()["bitmap_audience_intersection"]
+            .fn(spark, str(tmp_path)).collect()[0])
+    assert (brow["n_signup"], brow["n_purchase"], brow["n_both"]) == \
+        (1000, 1000, 500)
+    assert brow["jaccard"] == round(500 / 1500, 6)
