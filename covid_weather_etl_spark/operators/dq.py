@@ -272,3 +272,72 @@ def inclusion_dependency_profile(spark: SparkSession,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity privacy audit
+# ---------------------------------------------------------------------------
+
+#: minimum acceptable quasi-identifier group size.
+K_ANON = 5
+#: account-balance banding width for the quasi-identifier tuple.
+K_ANON_BAND = 1000.0
+
+
+@register(
+    "k_anonymity_report",
+    survey="ext-privacy,A6,A8,F9",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {K_ANON_BAND}) AS BIGINT) AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST({K_ANON} AS BIGINT)           AS k,
+           CAST(SUM(cnt) AS BIGINT)           AS n_rows,
+           CAST(COUNT(*) AS BIGINT)           AS n_groups,
+           CAST(MIN(cnt) AS BIGINT)           AS min_group_size,
+           CAST(SUM(CASE WHEN cnt < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(SUM(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           FLOOR(SUM(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END) * 1.0
+                 / SUM(cnt) * 1e6 + 0.5) / 1e6 AS pct_at_risk
+    FROM g
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer dimension's
+    quasi-identifier tuple (nation, market segment, account-balance
+    band): any combination shared by fewer than k individuals
+    re-identifies them under linkage attacks — the privacy gate a
+    training-data pipeline must pass before releasing per-user
+    aggregates or retaining PII-adjacent columns (complements
+    `pii_redaction`, which scrubs direct identifiers; k-anonymity
+    catches the INDIRECT ones). Reports group count, the worst group
+    size, how many groups violate k and how many rows they expose.
+
+    Plan: one map-combinable aggregate to the QI-tuple frame, then a
+    one-row summary over it — the cheapest possible full audit; at
+    100 TB the QI frame is |distinct tuples|, never row count. The
+    banding FLOOR is a single deterministic IEEE op on both engines,
+    and every output but the final ratio is integer-exact."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    g = (t["customer"]
+         .groupBy("c_nationkey", "c_mktsegment",
+                  F.floor(F.col("c_acctbal") / K_ANON_BAND)
+                  .alias("bal_band"))
+         .agg(F.count("*").alias("cnt")))
+    cnt = F.col("cnt")
+    viol = F.when(cnt < K_ANON, cnt).otherwise(F.lit(0))
+    return g.agg(
+        F.lit(K_ANON).cast("long").alias("k"),
+        F.sum(cnt).alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.min(cnt).alias("min_group_size"),
+        F.sum(F.when(cnt < K_ANON, 1).otherwise(0)).cast("long")
+         .alias("n_violating_groups"),
+        F.sum(viol).alias("rows_at_risk"),
+        (F.floor(F.sum(viol) * 1.0 / F.sum(cnt) * 1e6 + 0.5) / 1e6)
+        .alias("pct_at_risk"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from covid_weather_etl_spark.functions.numeric import fround
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
@@ -505,3 +506,104 @@ def feature_relevance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("p.n_levels").alias("n_levels"),
                      F.col("p.mi_nats").alias("mi_nats"))
             .agg((F.count(F.col("q.feature")) + 1).alias("mi_rank")))
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (experimentation)
+# ---------------------------------------------------------------------------
+
+#: pre/post experiment split over the 30-day events window.
+CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "cuped_adjusted_metric",
+    survey="ext-experiment,A9,J1,F9",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(FLOOR(
+                 CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                          THEN CAST(value AS DECIMAL(25,6)) END) AS DOUBLE)
+                 / COUNT(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}' THEN 1 END)
+                 * 1e6 + 0.5) / 1e6 AS DECIMAL(14,6)) AS x,
+               CAST(FLOOR(
+                 CAST(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                          THEN CAST(value AS DECIMAL(25,6)) END) AS DOUBLE)
+                 / COUNT(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}' THEN 1 END)
+                 * 1e6 + 0.5) / 1e6 AS DECIMAL(14,6)) AS y
+        FROM events GROUP BY user_id
+        HAVING COUNT(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}' THEN 1 END) > 0
+           AND COUNT(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}' THEN 1 END) > 0
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM per_user
+    )
+    SELECT user_id,
+           CAST(x AS DOUBLE) AS pre_mean,
+           CAST(y AS DOUBLE) AS post_mean,
+           FLOOR((CAST(y AS DOUBLE)
+                  - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                    * (CAST(x AS DOUBLE) - sx / n)) * 1e6 + 0.5) / 1e6
+               AS post_adj,
+           FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6 + 0.5)
+               / 1e6 AS theta
+    FROM per_user CROSS JOIN stats
+    """,
+)
+def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    user's post-period metric with their own pre-period covariate,
+    y_adj = y − θ·(x − x̄), θ = Cov(x,y)/Var(x) — the industry-standard
+    trick that cuts A/B-test variance by however much the pre-period
+    predicts the post-period, tightening confidence intervals without
+    touching the treatment. Here x = the user's mean event value in
+    the first half of the window, y = in the second half; only users
+    observed in BOTH periods are adjustable (CUPED's own requirement).
+
+    Exactness: per-user sums ride DECIMAL (2-decimal values — exact);
+    each mean is one double division fround-rounded onto the 1e-6 grid
+    and re-entered into DECIMAL(14,6), so the cross-user moment sums
+    (Σx, Σy, Σx², Σxy) are exact decimal arithmetic — θ is then a
+    single deterministic double expression both engines evaluate
+    identically. Plan: one user-keyed aggregate (map-combinable), a
+    1-row moment frame broadcast back — two passes over nothing but
+    the per-user frame. At 100 TB the fact is touched once."""
+    t = load_tables(spark, sf_dir, ("events",))
+    pre = F.col("ts") < CUPED_SPLIT
+    post = F.col("ts") >= CUPED_SPLIT
+    val = F.col("value").cast("decimal(25,6)")
+    per_user = (t["events"]
+                .groupBy("user_id")
+                .agg(F.sum(F.when(pre, val)).alias("pre_sum"),
+                     F.count(F.when(pre, 1)).alias("pre_cnt"),
+                     F.sum(F.when(post, val)).alias("post_sum"),
+                     F.count(F.when(post, 1)).alias("post_cnt"))
+                .filter((F.col("pre_cnt") > 0) & (F.col("post_cnt") > 0))
+                .select(
+                    "user_id",
+                    fround(F.col("pre_sum").cast("double")
+                           / F.col("pre_cnt"))
+                    .cast("decimal(14,6)").alias("x"),
+                    fround(F.col("post_sum").cast("double")
+                           / F.col("post_cnt"))
+                    .cast("decimal(14,6)").alias("y")))
+    stats = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    theta = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    return (per_user.crossJoin(F.broadcast(stats))
+            .select("user_id",
+                    xd.alias("pre_mean"),
+                    yd.alias("post_mean"),
+                    fround(yd - theta * (xd - sx / n)).alias("post_adj"),
+                    fround(theta).alias("theta")))

@@ -27,7 +27,7 @@ These two operators are those scale paths, both oracle-checked:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.functions.numeric import dsum_sql
@@ -546,3 +546,73 @@ def purge_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("l_orderkey") == F.col("o_orderkey"),
                                    "leftsemi"))
     return cust.unionByName(orde).unionByName(li)
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning
+# ---------------------------------------------------------------------------
+
+#: target compacted output size (bytes) — files pack into bins of this
+#: size, per table-partition (year), mirroring Iceberg/Delta OPTIMIZE
+#: bin-packing defaults scaled to the synthetic inventory.
+COMPACT_TARGET_BYTES = 256 * 1024
+#: synthetic bytes-per-row for the derived file inventory.
+COMPACT_ROW_BYTES = 150
+
+
+@register(
+    "compaction_plan",
+    survey="ext-lakehouse,A7,W1,P12",
+    oracle=f"""
+    WITH files AS (
+        SELECT date_trunc('month', o_orderdate) AS file_month,
+               CAST(COUNT(*) * {COMPACT_ROW_BYTES} AS BIGINT) AS size_bytes
+        FROM orders GROUP BY 1
+    ), planned AS (
+        SELECT file_month, size_bytes,
+               CAST(EXTRACT(year FROM file_month) AS INT) AS part_year,
+               COALESCE(SUM(size_bytes) OVER (
+                   PARTITION BY EXTRACT(year FROM file_month)
+                   ORDER BY file_month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS offset_bytes
+        FROM files
+    )
+    SELECT file_month, part_year, size_bytes,
+           CAST(offset_bytes AS BIGINT) AS offset_bytes,
+           CAST(offset_bytes // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
+    FROM planned
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/bin-packing step
+    every parquet lakehouse runs (Delta OPTIMIZE, Iceberg
+    rewrite_data_files): given a file inventory (derived here as one
+    'file' per order month, sized at rows × {COMPACT_ROW_BYTES}B;
+    against a real metastore the same plan runs off the file listing),
+    assign files to target-size output bins by running offset —
+    files whose cumulative start offset falls in the same
+    {COMPACT_TARGET_BYTES}-byte stripe rewrite together.
+
+    The running offset partitions by the table's partition column
+    (year): compaction NEVER merges across partition boundaries (it
+    would break partition pruning), which is also exactly what keeps
+    the prefix-sum window partitioned — no global sort at any scale,
+    ≤12 file rows per window partition here, |files-per-partition| in
+    general. Everything is integer arithmetic; the plan is
+    deterministic and auditable (offset + bin per file)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    files = (t["orders"]
+             .groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                      .alias("file_month"))
+             .agg((F.count("*") * COMPACT_ROW_BYTES).alias("size_bytes")))
+    part_year = F.year("file_month").cast("int")
+    w = (W.partitionBy(part_year).orderBy("file_month")
+         .rowsBetween(W.unboundedPreceding, -1))
+    planned = files.select(
+        "file_month", part_year.alias("part_year"), "size_bytes",
+        F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+         .alias("offset_bytes"))
+    return planned.select(
+        "file_month", "part_year", "size_bytes", "offset_bytes",
+        F.expr(f"offset_bytes div {COMPACT_TARGET_BYTES}").alias("bin_id"))

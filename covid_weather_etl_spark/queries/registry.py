@@ -58,10 +58,10 @@ def _load_modules() -> None:
     if _LOADED:
         return
     from covid_weather_etl_spark.operators import (  # noqa: F401
-        bucketing, corpus, dashboard, dedup, dq, drift, eventstats, frequent,
-        graph, minhash, multimodal, pq, quality, ranking, relational,
-        relational_ext, scd, semdedup, similarity, sketch_rollup,
-        stats, temporal, text, timeseries, warehouse, windows,
+        bucketing, corpus, dashboard, decision_support, dedup, dq, drift,
+        eventstats, frequent, graph, minhash, multimodal, pq, quality,
+        ranking, relational, relational_ext, scd, semdedup, similarity,
+        sketch_rollup, stats, temporal, text, timeseries, warehouse, windows,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
@@ -151,7 +151,11 @@ _ROTATION_R4 = (
 # embedding_gram_matrix, pca_top_component [rows-only],
 # ndcg_popularity_baseline, markov_attribution [rows-only],
 # longest_increase_streak, unattributed_purchases,
-# bitmap_audience_intersection),
+# bitmap_audience_intersection, and the session-4 cohort:
+# order_count_distribution, small_quantity_revenue,
+# large_volume_customers, late_sole_supplier, prospect_balance_report,
+# gini_revenue_by_nation, hhi_supplier_concentration,
+# cuped_adjusted_metric, k_anonymity_report, compaction_plan),
 # unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
