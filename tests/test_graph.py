@@ -176,3 +176,56 @@ def test_bellman_ford_matches_python_relaxation(spark):
     for d in dist.values():
         want[d] = want.get(d, 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+def _brute_kcore(edges: set[tuple[str, str]], k: int) -> dict[str, int]:
+    """Reference peel: repeatedly delete nodes with < k distinct
+    neighbours; return surviving node → within-core degree."""
+    nbrs: dict[str, set[str]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, s in nbrs.items() if len(s) < k]:
+            for m in nbrs[n]:
+                nbrs[m].discard(n)
+            del nbrs[n]
+            changed = True
+    return {n: len(s) for n, s in nbrs.items()}
+
+
+def test_kcore_matches_brute_force_and_is_maximal(spark):
+    from covid_weather_etl_spark.operators import graph as G
+
+    t = load_tables(spark, SF_DIR, ("lineitem", "orders"))
+    raw = G.purchase_edges(t).select("src", "dst").distinct().collect()
+    undirected = {tuple(sorted((r.src, r.dst))) for r in raw}
+    expected = _brute_kcore(undirected, G.KCORE_K)
+
+    out = {f"{'c:' if r.side == 'customer' else 's:'}{r.key}": r.degree
+           for r in G.kcore_purchase_network(spark, SF_DIR).collect()}
+    assert out == expected
+    # every survivor keeps >= k neighbours inside the core
+    assert all(d >= G.KCORE_K for d in out.values()) or not out
+    # maximality: every dropped node has < k core neighbours
+    all_nodes = {n for e in undirected for n in e}
+    core = set(out)
+    for n in all_nodes - core:
+        deg_in_core = sum(1 for a, b in undirected
+                          if (a == n and b in core)
+                          or (b == n and a in core))
+        assert deg_in_core < G.KCORE_K or n in core
+
+
+def test_kcore_deterministic(spark):
+    from covid_weather_etl_spark.operators import graph as G
+
+    a = sorted(map(tuple, G.kcore_purchase_network(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, G.kcore_purchase_network(spark, SF_DIR).collect()))
+    assert a == b
