@@ -1544,3 +1544,104 @@ def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fround(F.col("mae_raw")).alias("mae_snaive"),
                     fround(F.col("s")).alias("naive_scale"),
                     fround(F.col("mae_raw") / F.col("s")).alias("mase")))
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction intervals for the persistence forecast
+# ---------------------------------------------------------------------------
+
+#: conformal miscoverage level — intervals target 1-alpha coverage.
+CONF_ALPHA = 0.1
+
+
+@register(
+    "conformal_forecast_intervals",
+    survey="ext-mlops,U5,W5,A11",
+    oracle=f"""
+    WITH {_NATION_DAILY_SQL},
+    ranked AS (
+        SELECT n_name, y,
+               row_number() OVER (PARTITION BY n_name ORDER BY d) AS rn,
+               count(*)    OVER (PARTITION BY n_name) AS n_total,
+               lag(y) OVER (PARTITION BY n_name ORDER BY d) AS y_prev
+        FROM nation_daily
+    ),
+    cal AS (
+        SELECT n_name, ABS(y - y_prev) AS abs_e,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY ABS(y - y_prev), rn) AS rk,
+               count(*) OVER (PARTITION BY n_name) AS n_cal
+        FROM ranked
+        WHERE rn > 1 AND rn <= CAST(FLOOR(n_total * 0.8) AS BIGINT)
+    ),
+    q AS (
+        SELECT n_name, CAST(n_cal AS BIGINT) AS n_cal, abs_e AS q_alpha
+        FROM cal
+        WHERE rk = (9 * (n_cal + 1) + 9) // 10
+    ),
+    test AS (
+        SELECT n_name, ABS(y - y_prev) AS abs_e
+        FROM ranked WHERE rn > CAST(FLOOR(n_total * 0.8) AS BIGINT)
+    )
+    SELECT t.n_name, q.n_cal, q.q_alpha,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.abs_e <= q.q_alpha THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           FLOOR(SUM(CASE WHEN t.abs_e <= q.q_alpha THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 AS coverage
+    FROM test t JOIN q ON t.n_name = q.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def conformal_forecast_intervals(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018)
+    around the per-nation lag-1 persistence forecast: the calibration
+    window's absolute residuals yield the exact order-statistic
+    radius q = the ⌈(n+1)(1−α)⌉-th smallest |e| — the
+    distribution-free guarantee that future |y − ŷ| ≤ q with
+    probability ≥ 1−α under exchangeability (the honest uncertainty
+    wrapper the reference's forecasting DAG never had). Reports per
+    nation the radius and the realized test coverage.
+
+    Exactness: |e| values are differences of exact decimal daily sums
+    (clean 2-decimal doubles), so the rank selection picks bit-equal
+    values on both engines; the rank index is pure integer ceil
+    arithmetic ((9·(n+1)+9) div 10 for α=0.1); coverage is an integer
+    count over deterministic comparisons, fround-rounded once.
+    Plan: the nation_daily aggregate (one shuffle), nation-partitioned
+    windows (bounded state), a 25-row quantile frame broadcast back
+    onto the test slice. At 100 TB the only fact-sized pass is the
+    daily aggregate; conformal calibration itself is per-group
+    order-statistics — embarrassingly partitionable."""
+    daily = nation_daily(spark, sf_dir)
+    w = W.partitionBy("n_name").orderBy("d")
+    wp = W.partitionBy("n_name")
+    ranked = daily.select(
+        "n_name", "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n_total"),
+        F.lag("y").over(w).alias("y_prev"))
+    cut = F.floor(F.col("n_total") * 0.8).cast("long")
+    abs_e = F.abs(F.col("y") - F.col("y_prev"))
+    cal = (ranked.filter((F.col("rn") > 1) & (F.col("rn") <= cut))
+           .select("n_name", abs_e.alias("abs_e"), "rn")
+           .withColumn("rk", F.row_number().over(
+               W.partitionBy("n_name").orderBy("abs_e", "rn")))
+           .withColumn("n_cal", F.count("*").over(wp)))
+    # exact conformal rank: ceil((n_cal+1)·(1−α)) via integer ceil-div
+    q = (cal.filter(F.col("rk")
+                    == F.expr("(9 * (n_cal + 1) + 9) div 10"))
+         .select("n_name", F.col("n_cal").cast("long").alias("n_cal"),
+                 F.col("abs_e").alias("q_alpha")))
+    test = (ranked.filter(F.col("rn") > cut)
+            .select(F.col("n_name").alias("t_name"),
+                    abs_e.alias("abs_e")))
+    covered = F.sum(F.when(F.col("abs_e") <= F.col("q_alpha"), 1)
+                    .otherwise(0)).cast("long")
+    return (test.join(F.broadcast(q), F.col("t_name") == F.col("n_name"))
+            .groupBy("n_name", "n_cal", "q_alpha")
+            .agg(F.count("*").alias("n_test"),
+                 covered.alias("n_covered"),
+                 (F.floor(covered * 1.0 / F.count("*") * 1e6 + 0.5)
+                  / 1e6).alias("coverage")))

@@ -607,3 +607,86 @@ def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yd.alias("post_mean"),
                     fround(yd - theta * (xd - sx / n)).alias("post_adj"),
                     fround(theta).alias("theta")))
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+#: deterministic treatment assignment — odd user_ids are "treated".
+DID_TREAT_MOD = 2
+
+
+@register(
+    "did_revenue_uplift",
+    survey="ext-experiment,A3,A9,F9",
+    oracle=f"""
+    WITH cells AS (
+        SELECT (user_id % {DID_TREAT_MOD} = 1)              AS treated,
+               (ts >= TIMESTAMP '{CUPED_SPLIT}')            AS post,
+               CAST(COUNT(*) AS BIGINT)                     AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                   / COUNT(*)                               AS m
+        FROM events GROUP BY 1, 2
+    )
+    SELECT
+        MAX(CASE WHEN treated AND NOT post THEN n END)      AS n_treat_pre,
+        MAX(CASE WHEN treated AND post THEN n END)          AS n_treat_post,
+        MAX(CASE WHEN NOT treated AND NOT post THEN n END)  AS n_ctrl_pre,
+        MAX(CASE WHEN NOT treated AND post THEN n END)      AS n_ctrl_post,
+        FLOOR(MAX(CASE WHEN treated AND NOT post THEN m END)
+              * 1e6 + 0.5) / 1e6                            AS m_treat_pre,
+        FLOOR(MAX(CASE WHEN treated AND post THEN m END)
+              * 1e6 + 0.5) / 1e6                            AS m_treat_post,
+        FLOOR(MAX(CASE WHEN NOT treated AND NOT post THEN m END)
+              * 1e6 + 0.5) / 1e6                            AS m_ctrl_pre,
+        FLOOR(MAX(CASE WHEN NOT treated AND post THEN m END)
+              * 1e6 + 0.5) / 1e6                            AS m_ctrl_post,
+        FLOOR(((MAX(CASE WHEN treated AND post THEN m END)
+                - MAX(CASE WHEN treated AND NOT post THEN m END))
+               - (MAX(CASE WHEN NOT treated AND post THEN m END)
+                  - MAX(CASE WHEN NOT treated AND NOT post THEN m END)))
+              * 1e6 + 0.5) / 1e6                            AS did
+    FROM cells
+    """,
+)
+def did_revenue_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift estimate over the events
+    stream: treated = odd user ids (a deterministic stand-in for the
+    rollout flag), post = the second half of the window — DiD =
+    (treated post − treated pre) − (control post − control pre), the
+    workhorse causal estimator when randomization isn't available and
+    both groups share a parallel trend. Companion to
+    `cuped_adjusted_metric` (same split; CUPED tightens a randomized
+    test, DiD de-biases an observational one).
+
+    Exactness: the four cell means are exact decimal sums over the
+    2-decimal value column divided once; the estimator is pure scalar
+    double algebra fround-rounded at the end. Plan: ONE map-combinable
+    aggregate to 4 cells, then a 1-row pivot — the fact is scanned
+    once; at 100 TB nothing else moves."""
+    t = load_tables(spark, sf_dir, ("events",))
+    cells = (t["events"]
+             .groupBy((F.col("user_id") % DID_TREAT_MOD == 1)
+                      .alias("treated"),
+                      (F.col("ts") >= CUPED_SPLIT).alias("post"))
+             .agg(F.count("*").alias("n"),
+                  (F.sum(F.col("value").cast("decimal(25,6)"))
+                   .cast("double") / F.count("*")).alias("m")))
+
+    def cell(col: str, tr: bool, po: bool):
+        return F.max(F.when((F.col("treated") == tr)
+                            & (F.col("post") == po), F.col(col)))
+
+    m_tp, m_tq = cell("m", True, False), cell("m", True, True)
+    m_cp, m_cq = cell("m", False, False), cell("m", False, True)
+    return cells.agg(
+        cell("n", True, False).alias("n_treat_pre"),
+        cell("n", True, True).alias("n_treat_post"),
+        cell("n", False, False).alias("n_ctrl_pre"),
+        cell("n", False, True).alias("n_ctrl_post"),
+        fround(m_tp).alias("m_treat_pre"),
+        fround(m_tq).alias("m_treat_post"),
+        fround(m_cp).alias("m_ctrl_pre"),
+        fround(m_cq).alias("m_ctrl_post"),
+        fround((m_tq - m_tp) - (m_cq - m_cp)).alias("did"))

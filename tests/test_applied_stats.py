@@ -1,0 +1,79 @@
+"""Behavioral pins for the applied-stats trio: difference-in-
+differences, split-conformal intervals, and WoE/IV binning —
+closed-form identities and guarantees their oracles don't state.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from covid_weather_etl_spark.ml.queries import (
+    CONF_ALPHA, conformal_forecast_intervals,
+)
+from covid_weather_etl_spark.operators.drift import (
+    CUPED_SPLIT, DID_TREAT_MOD, did_revenue_uplift,
+)
+from covid_weather_etl_spark.operators.stats import (
+    WOE_BAD_CUT, woe_iv_binning,
+)
+from tests.conftest import SF_DIR
+
+
+def test_did_matches_pandas_cells(spark):
+    out = did_revenue_uplift(spark, SF_DIR).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    ev["ts"] = pd.to_datetime(ev.ts)
+    split = pd.Timestamp(CUPED_SPLIT)
+    t, p = ev.user_id % DID_TREAT_MOD == 1, ev.ts >= split
+    cells = {
+        "m_treat_pre": ev.loc[t & ~p, "value"].mean(),
+        "m_treat_post": ev.loc[t & p, "value"].mean(),
+        "m_ctrl_pre": ev.loc[~t & ~p, "value"].mean(),
+        "m_ctrl_post": ev.loc[~t & p, "value"].mean(),
+    }
+    for k, v in cells.items():
+        assert abs(out[k] - v) < 1e-5, k
+    did = ((cells["m_treat_post"] - cells["m_treat_pre"])
+           - (cells["m_ctrl_post"] - cells["m_ctrl_pre"]))
+    assert abs(out.did - did) < 1e-5
+    assert (out.n_treat_pre + out.n_treat_post
+            + out.n_ctrl_pre + out.n_ctrl_post) == len(ev)
+
+
+def test_conformal_radius_is_exact_order_statistic(spark):
+    out = conformal_forecast_intervals(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        # the conformal rank must be a feasible index
+        k = math.ceil((r.n_cal + 1) * (1 - CONF_ALPHA))
+        assert 1 <= k <= r.n_cal
+        assert r.q_alpha >= 0
+        assert 0.0 <= r.coverage <= 1.0
+        assert r.n_covered <= r.n_test
+    # finite-sample guarantee holds in aggregate on exchangeable-ish
+    # data: overall coverage should not sit far below 1 - alpha
+    overall = out.n_covered.sum() / out.n_test.sum()
+    assert overall > 1 - CONF_ALPHA - 0.15
+
+
+def test_woe_iv_identities(spark):
+    out = woe_iv_binning(spark, SF_DIR).toPandas()
+    assert len(out) == 4
+    b, g = out.n_bad.sum(), out.n_good.sum()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").toPandas()
+    assert b == int((li.l_discount > WOE_BAD_CUT).sum())
+    assert b + g == len(li)
+    # recompute WoE / IV in numpy
+    woe = np.log((out.n_bad / b) / (out.n_good / g))
+    assert np.allclose(out.woe, woe, atol=1e-5)
+    iv = ((out.n_bad / b - out.n_good / g) * woe).sum()
+    assert abs(out.iv.iloc[0] - iv) < 1e-4
+    assert (out.iv == out.iv.iloc[0]).all()
+    # signs line up: a bin with WoE > 0 is bad-heavy relative to base
+    base_rate = b / (b + g)
+    heavy = out[out.woe > 0]
+    assert ((heavy.n_bad / (heavy.n_bad + heavy.n_good))
+            > base_rate - 1e-12).all()
