@@ -541,3 +541,131 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("a.e") * F.col("b.e")).cast("double")
                          / F.max("s_ee").cast("double"), 6).alias("acf"))
             .select("lag", "n_pairs", "acf"))
+
+
+# ---------------------------------------------------------------------------
+# robust trend: Theil-Sen slope + Mann-Kendall test (pairwise algebra)
+# ---------------------------------------------------------------------------
+
+@register(
+    "theilsen_mannkendall_trend",
+    survey="ext-robust,A9,J1,W1,F9",
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name,
+               (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                 + EXTRACT(month FROM o.o_orderdate) AS mx,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.n_name,
+               (b.y - a.y) / (b.mx - a.mx) AS slope,
+               CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM monthly a JOIN monthly b
+          ON a.n_name = b.n_name AND a.mx < b.mx
+    ), ties AS (
+        SELECT n_name,
+               CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_corr
+        FROM (SELECT n_name, y, CAST(COUNT(*) AS BIGINT) AS c
+              FROM monthly GROUP BY 1, 2)
+        GROUP BY 1
+    ), per_nation AS (
+        SELECT p.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(sgn) AS BIGINT) AS s_stat,
+               FLOOR(quantile_cont(slope, 0.5) * 1e6 + 0.5) / 1e6
+                   AS theil_sen_slope
+        FROM pairs p GROUP BY 1
+    ), sized AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_months
+        FROM monthly GROUP BY 1
+    )
+    SELECT pn.n_name, sz.n_months, pn.n_pairs, pn.s_stat,
+           pn.theil_sen_slope,
+           FLOOR((CASE
+               WHEN pn.s_stat > 0 THEN (pn.s_stat - 1) / SQRT(
+                   (sz.n_months * (sz.n_months - 1.0)
+                    * (2 * sz.n_months + 5) - t.tie_corr) / 18.0)
+               WHEN pn.s_stat < 0 THEN (pn.s_stat + 1) / SQRT(
+                   (sz.n_months * (sz.n_months - 1.0)
+                    * (2 * sz.n_months + 5) - t.tie_corr) / 18.0)
+               ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS mk_z
+    FROM per_nation pn
+    JOIN sized sz ON pn.n_name = sz.n_name
+    JOIN ties t   ON pn.n_name = t.n_name
+    """,
+)
+def theilsen_mannkendall_trend(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Robust trend pack per nation over the monthly revenue series:
+    the Theil-Sen estimator (median of all pairwise slopes — 29%
+    breakdown point, immune to the outlier months that wreck OLS;
+    complements `ols_trend_per_group`) and the Mann-Kendall trend
+    test (S = Σ sign(y_j − y_i), the distribution-free 'is there ANY
+    monotone trend' hypothesis test hydrology/climatology runs before
+    fitting anything), with the standard tie-corrected variance and
+    continuity-corrected z.
+
+    Pairwise algebra is O(m²) per group — fatal on daily grain at
+    scale, bounded and CHEAP on the monthly pre-aggregate (m ≈ 80
+    months ⇒ ~3k pairs per nation, forever, regardless of fact size:
+    the aggregate-then-pair pattern is the scale story). The self-join
+    keys on nation so pairs never cross groups; slopes are single
+    exact-input divisions (decimal-exact monthly sums, integer month
+    index); S and the tie correction are pure integers; only the
+    median slope and z are floats, fround-rounded once each."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    monthly = (t["orders"]
+               .join(F.broadcast(t["customer"]),
+                     F.col("o_custkey") == F.col("c_custkey"))
+               .join(F.broadcast(t["nation"]),
+                     F.col("c_nationkey") == F.col("n_nationkey"))
+               .groupBy("n_name",
+                        ((F.year("o_orderdate") - 1995) * 12
+                         + F.month("o_orderdate")).alias("mx"))
+               .agg(dsum("o_totalprice", "y"))
+               .localCheckpoint(eager=True))  # reused by pairs/ties/size
+    a = monthly.select(F.col("n_name").alias("ln"),
+                       F.col("mx").alias("ax"), F.col("y").alias("ay"))
+    b = monthly.select(F.col("n_name").alias("rn"),
+                       F.col("mx").alias("bx"), F.col("y").alias("by"))
+    pairs = (a.join(b, (F.col("ln") == F.col("rn"))
+                    & (F.col("ax") < F.col("bx")))
+             .select(F.col("ln").alias("n_name"),
+                     ((F.col("by") - F.col("ay"))
+                      / (F.col("bx") - F.col("ax"))).alias("slope"),
+                     F.when(F.col("by") > F.col("ay"), 1)
+                      .when(F.col("by") < F.col("ay"), -1)
+                      .otherwise(0).alias("sgn")))
+    per_nation = (pairs.groupBy("n_name")
+                  .agg(F.count("*").alias("n_pairs"),
+                       F.sum("sgn").cast("long").alias("s_stat"),
+                       (F.floor(F.percentile("slope", F.lit(0.5))
+                                * 1e6 + 0.5) / 1e6)
+                       .alias("theil_sen_slope")))
+    c = F.col("c")
+    ties = (monthly.groupBy("n_name", "y")
+            .agg(F.count("*").alias("c"))
+            .groupBy("n_name")
+            .agg(F.sum(c * (c - 1) * (2 * c + 5)).cast("long")
+                 .alias("tie_corr")))
+    sized = (monthly.groupBy(F.col("n_name").alias("s_name"))
+             .agg(F.count("*").alias("n_months")))
+    m = F.col("n_months")
+    var_s = (m * (m - 1.0) * (2 * m + 5) - F.col("tie_corr")) / 18.0
+    s = F.col("s_stat")
+    z = (F.when(s > 0, (s - 1) / F.sqrt(var_s))
+          .when(s < 0, (s + 1) / F.sqrt(var_s))
+          .otherwise(F.lit(0.0)))
+    return (per_nation
+            .join(F.broadcast(sized), F.col("n_name") == F.col("s_name"))
+            .join(F.broadcast(ties.withColumnRenamed("n_name", "t_name")),
+                  F.col("n_name") == F.col("t_name"))
+            .select("n_name", "n_months", "n_pairs", "s_stat",
+                    "theil_sen_slope",
+                    (F.floor(z * 1e6 + 0.5) / 1e6).alias("mk_z")))

@@ -77,3 +77,37 @@ def test_woe_iv_identities(spark):
     heavy = out[out.woe > 0]
     assert ((heavy.n_bad / (heavy.n_bad + heavy.n_good))
             > base_rate - 1e-12).all()
+
+
+def test_theilsen_mannkendall_numpy_parity(spark):
+    from covid_weather_etl_spark.operators.timeseries import (
+        theilsen_mannkendall_trend,
+    )
+
+    out = theilsen_mannkendall_trend(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").toPandas()
+    cu = spark.read.parquet(f"{SF_DIR}/customer.parquet").toPandas()
+    na = spark.read.parquet(f"{SF_DIR}/nation.parquet").toPandas()
+    df = od.merge(cu, left_on="o_custkey", right_on="c_custkey") \
+           .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+    df["mx"] = ((pd.to_datetime(df.o_orderdate).dt.year - 1995) * 12
+                + pd.to_datetime(df.o_orderdate).dt.month)
+    monthly = df.groupby(["n_name", "mx"]).o_totalprice.sum()
+    for _, r in out.iterrows():
+        s = monthly[r.n_name].sort_index()
+        x, y = s.index.to_numpy(float), s.to_numpy()
+        n = len(y)
+        assert r.n_months == n
+        assert r.n_pairs == n * (n - 1) // 2
+        slopes, sgn = [], 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                slopes.append((y[j] - y[i]) / (x[j] - x[i]))
+                sgn += int(np.sign(y[j] - y[i]))
+        assert r.s_stat == sgn
+        assert abs(r.theil_sen_slope - np.median(slopes)) < 1e-4
+        var_s = n * (n - 1) * (2 * n + 5) / 18.0  # no ties expected
+        expect_z = ((sgn - 1) / math.sqrt(var_s) if sgn > 0
+                    else (sgn + 1) / math.sqrt(var_s) if sgn < 0 else 0.0)
+        assert abs(r.mk_z - expect_z) < 1e-4
