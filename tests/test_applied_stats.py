@@ -111,3 +111,26 @@ def test_theilsen_mannkendall_numpy_parity(spark):
         expect_z = ((sgn - 1) / math.sqrt(var_s) if sgn > 0
                     else (sgn + 1) / math.sqrt(var_s) if sgn < 0 else 0.0)
         assert abs(r.mk_z - expect_z) < 1e-4
+
+
+def test_ips_snips_identities(spark):
+    """With empirical-MLE propensities, Σw = N exactly, so SNIPS ==
+    IPS; ESS is bounded by N and by the support size of the target
+    policy's actions."""
+    from covid_weather_etl_spark.operators.drift import (
+        OPE_TARGET, ips_offpolicy_eval,
+    )
+
+    out = ips_offpolicy_eval(spark, SF_DIR).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    assert out.n_logged == len(ev)
+    assert abs(out.ips_value - out.snips_value) < 2e-6
+    # numpy recompute
+    cnt = ev.event_type.value_counts()
+    n = len(ev)
+    w = ev.event_type.map(
+        lambda a: OPE_TARGET.get(a, 0.0) * n / cnt[a])
+    assert abs(out.ips_value - (w * ev.value).mean()) < 1e-4
+    ess = w.sum() ** 2 / (w * w).sum()
+    assert abs(out.effective_sample_size - ess) < 1e-3
+    assert out.effective_sample_size <= n
