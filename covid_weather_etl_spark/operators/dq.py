@@ -341,3 +341,88 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(viol).alias("rows_at_risk"),
         (F.floor(F.sum(viol) * 1.0 / F.sum(cnt) * 1e6 + 0.5) / 1e6)
         .alias("pct_at_risk"))
+
+
+# ---------------------------------------------------------------------------
+# differentially-private release mechanism (seeded Laplace counts)
+# ---------------------------------------------------------------------------
+
+#: privacy budget for the counting query (sensitivity 1 → scale 1/eps).
+DP_EPSILON = 1.0
+_HEXD = "0123456789abcdef"
+
+
+def _md5_uniform_sql(key_expr: str) -> str:
+    """DuckDB: first 8 md5-hex chars of `key_expr` → uniform in (0,1)."""
+    h = f"md5({key_expr})"
+    terms = " + ".join(
+        f"(strpos('{_HEXD}', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}" for i in range(8))
+    return f"(({terms}) + 0.5) / {16 ** 8}"
+
+
+@register(
+    "dp_noisy_counts",
+    survey="ext-privacy,A6,F9",
+    oracle=f"""
+    WITH counts AS (
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM customer GROUP BY 1
+    ), noised AS (
+        SELECT segment, true_count,
+               {_md5_uniform_sql("segment")} AS u
+        FROM counts
+    )
+    SELECT segment,
+           {DP_EPSILON} AS epsilon,
+           FLOOR((true_count
+                  - (1.0 / {DP_EPSILON})
+                    * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+                    * ln(1.0 - 2.0 * ABS(u - 0.5)))
+                 * 1e6 + 0.5) / 1e6 AS noisy_count
+    FROM noised
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism counting query (Dwork et al. 2006): per-
+    segment customer counts released with Laplace(1/ε) noise — a
+    COUNT has sensitivity 1, so adding Lap(1/ε) noise makes the
+    release ε-differentially private. The noise is drawn by inverse
+    CDF x = −(1/ε)·sign(u−½)·ln(1−2|u−½|) from a uniform u derived
+    deterministically from the md5 of the group key, so engine and
+    oracle release identical values and the test suite can pin the
+    mechanism's algebra.
+
+    ``NOT PRIVATE AS SEEDED``: a md5-of-key "seed" is reproducible by
+    anyone, which is exactly what DP forbids — in production swap u
+    for a secure RNG draw per release (one line); everything else
+    (sensitivity accounting, inverse-CDF transform, per-group
+    independence) carries over unchanged. The deterministic seam is
+    the same honesty trade the repo makes for RNG-free sampling
+    (corpus.hash_stratified_sample).
+
+    Plan: one map-combinable count aggregate to |segments| rows; the
+    noise transform is per-group scalar algebra. The true counts
+    never leave the engine in the released frame (only the noised
+    value and ε do)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    counts = (t["customer"]
+              .groupBy(F.col("c_mktsegment").alias("segment"))
+              .agg(F.count("*").alias("true_count")))
+    h = F.md5(F.col("segment"))
+    u_int = None
+    for i in range(8):
+        # cast before the scale-up: instr yields INT and 15·16^7
+        # overflows 32 bits under ANSI arithmetic
+        term = ((F.instr(F.lit(_HEXD), F.substring(h, i + 1, 1)) - 1)
+                .cast("long") * (16 ** (7 - i)))
+        u_int = term if u_int is None else u_int + term
+    u = (u_int + 0.5) / (16 ** 8)
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    lap = -(1.0 / DP_EPSILON) * sign * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return counts.select(
+        "segment",
+        F.lit(DP_EPSILON).alias("epsilon"),
+        (F.floor((F.col("true_count") + lap) * 1e6 + 0.5) / 1e6)
+        .alias("noisy_count"))

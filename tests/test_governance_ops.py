@@ -63,3 +63,27 @@ def test_compaction_bins_respect_partitions_and_target(spark):
     # every (year, bin) holds at least one file and bins never span years
     pairs = out.groupby(["part_year", "bin_id"]).size()
     assert (pairs >= 1).all()
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """The Laplace mechanism's algebra: noise = noisy - true follows
+    the inverse-CDF of Lap(1/eps) at the md5-derived uniform, and
+    |noise| is bounded by (1/eps)·ln(1/u_min) for 8-hex-char grids."""
+    import hashlib
+    import math
+
+    from covid_weather_etl_spark.operators.dq import (
+        DP_EPSILON, dp_noisy_counts,
+    )
+
+    out = dp_noisy_counts(spark, SF_DIR).toPandas()
+    cu = spark.read.parquet(f"{SF_DIR}/customer.parquet").toPandas()
+    true = cu.c_mktsegment.value_counts()
+    assert set(out.segment) == set(true.index)
+    for _, r in out.iterrows():
+        u = (int(hashlib.md5(r.segment.encode()).hexdigest()[:8], 16)
+             + 0.5) / 16 ** 8
+        lap = -(1 / DP_EPSILON) * math.copysign(1, u - 0.5) \
+            * math.log(1 - 2 * abs(u - 0.5))
+        assert abs(r.noisy_count - (true[r.segment] + lap)) < 1e-4
+        assert r.epsilon == DP_EPSILON
