@@ -616,3 +616,91 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planned.select(
         "file_month", "part_year", "size_bytes", "offset_bytes",
         F.expr(f"offset_bytes div {COMPACT_TARGET_BYTES}").alias("bin_id"))
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: mergeSchema read across snapshot generations
+# ---------------------------------------------------------------------------
+
+def _evolution_dir(sf_dir: str) -> str:
+    """Per-corpus scratch dir for the two snapshot generations (same
+    path-hash keying as the IVF/PQ artifacts: basename for
+    readability, abspath hash for uniqueness)."""
+    import hashlib
+    import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    abspath = os.path.abspath(os.path.normpath(sf_dir))
+    base = os.path.basename(abspath).replace(".", "_")
+    digest = hashlib.md5(abspath.encode()).hexdigest()[:10]
+    return os.path.join(repo_root, "spark-warehouse",
+                        f"schema_evo_{base}_{digest}")
+
+
+@register(
+    "schema_evolution_merge",
+    survey="ext-lakehouse,S4,P12,A12",
+    oracle="""
+    WITH v1 AS (
+        SELECT c_custkey, c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0
+    ), v2 AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal AS balance
+        FROM customer WHERE c_custkey % 2 = 1
+    ), unioned AS (
+        SELECT c_custkey, c_mktsegment, NULL AS balance, 1 AS gen FROM v1
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, balance, 2 AS gen FROM v2
+    )
+    SELECT CAST(gen AS INT) AS gen,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(balance) AS BIGINT) AS n_balance_present,
+           CAST(COUNT(*) - COUNT(balance) AS BIGINT) AS n_balance_null
+    FROM unioned GROUP BY gen
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — the lakehouse reality that a table's
+    parquet files span generations with DIFFERENT schemas (a column
+    added mid-stream) and the reader must widen old files with nulls
+    instead of failing: generation 1 (even customer keys) is written
+    WITHOUT the balance column, generation 2 (odd keys) WITH it, into
+    one directory; `spark.read.option("mergeSchema", true)` then
+    reconciles the footers into the union schema. The report proves
+    the null-fill contract: every gen-1 row reads balance as NULL,
+    every gen-2 row keeps its value.
+
+    The snapshot files are derived deterministically from the
+    customer dim and written once per corpus under spark-warehouse
+    (path-hash keyed; idempotent re-use, like the IVF/PQ artifacts).
+    Scale: mergeSchema is footer-only work at planning time — the
+    data path still prunes columns per file; at 100 TB you cap footer
+    sampling via spark.sql.files.* or keep the canonical schema in a
+    metastore and pass it explicitly (both shapes read the same)."""
+    import os
+    out_dir = _evolution_dir(sf_dir)
+    t = load_tables(spark, sf_dir, ("customer",))
+    cust = t["customer"]
+    if not os.path.isdir(os.path.join(out_dir, "gen=2")):
+        (cust.filter(F.col("c_custkey") % 2 == 0)
+         .select("c_custkey", "c_mktsegment")
+         .coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "gen=1")))
+        (cust.filter(F.col("c_custkey") % 2 == 1)
+         .select("c_custkey", "c_mktsegment",
+                 F.col("c_acctbal").alias("balance"))
+         .coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "gen=2")))
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("basePath", out_dir)
+              .parquet(os.path.join(out_dir, "gen=1"),
+                       os.path.join(out_dir, "gen=2")))
+    gen = (F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(2)
+           .cast("int"))
+    return (merged
+            .select(gen.alias("gen"), "balance")
+            .groupBy("gen")
+            .agg(F.count("*").alias("n_rows"),
+                 F.count("balance").alias("n_balance_present"),
+                 (F.count("*") - F.count("balance")).cast("long")
+                 .alias("n_balance_null")))

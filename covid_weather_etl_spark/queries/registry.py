@@ -155,7 +155,10 @@ _ROTATION_R4 = (
 # order_count_distribution, small_quantity_revenue,
 # large_volume_customers, late_sole_supplier, prospect_balance_report,
 # gini_revenue_by_nation, hhi_supplier_concentration,
-# cuped_adjusted_metric, k_anonymity_report, compaction_plan),
+# cuped_adjusted_metric, k_anonymity_report, compaction_plan,
+# did_revenue_uplift, conformal_forecast_intervals, woe_iv_binning,
+# theilsen_mannkendall_trend, ips_offpolicy_eval, dp_noisy_counts,
+# kcore_purchase_network [rows-only]),
 # unpivot_flag_metrics,
 # temperature_mix_weights, time_to_convert_stats, user_growth_curve,
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,

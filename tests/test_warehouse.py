@@ -591,3 +591,23 @@ def test_purge_cascade_consistency(spark, duck):
     keys = set(od[od.o_custkey == subject].o_orderkey)
     assert got.loc["orders"].n_removed == len(keys)
     assert got.loc["lineitem"].n_removed == li.l_orderkey.isin(keys).sum()
+
+
+def test_schema_evolution_null_fill_contract(spark):
+    """Gen-1 files lack the balance column entirely; the mergeSchema
+    read must null-fill them and keep every gen-2 value."""
+    from covid_weather_etl_spark.operators.warehouse import (
+        schema_evolution_merge,
+    )
+
+    out = {r.gen: r for r in
+           schema_evolution_merge(spark, SF_DIR).collect()}
+    cu = spark.read.parquet(f"{SF_DIR}/customer.parquet").toPandas()
+    n_even = int((cu.c_custkey % 2 == 0).sum())
+    n_odd = len(cu) - n_even
+    assert out[1].n_rows == n_even
+    assert out[1].n_balance_present == 0
+    assert out[1].n_balance_null == n_even
+    assert out[2].n_rows == n_odd
+    assert out[2].n_balance_present == n_odd
+    assert out[2].n_balance_null == 0
