@@ -34,12 +34,15 @@ def main() -> None:
     # it all lands on whichever ML query happens to run first and
     # distorts its per-query timing)
     from pyspark.ml.classification import GBTClassifier, LogisticRegression
+    from pyspark.ml.fpm import FPGrowth
     from pyspark.ml.linalg import Vectors
     warm = spark.createDataFrame(
         [(0.0, Vectors.dense([0.0])), (1.0, Vectors.dense([1.0]))],
         ["label", "features"])
     LogisticRegression(maxIter=1).fit(warm)
     GBTClassifier(maxIter=1, maxDepth=1).fit(warm)
+    FPGrowth(itemsCol="items", minSupport=0.5).fit(
+        spark.createDataFrame([(["a"],), (["a"],)], ["items"]))
 
     timings: dict[str, float] = {}
     t_total = time.perf_counter()

@@ -1653,3 +1653,103 @@ def conformal_forecast_intervals(spark: SparkSession,
                  covered.alias("n_covered"),
                  (F.floor(covered * 1.0 / F.count("*") * 1e6 + 0.5)
                   / 1e6).alias("coverage")))
+
+
+# ---------------------------------------------------------------------------
+# frequent-pattern mining: FP-Growth itemsets + PrefixSpan sequences
+# ---------------------------------------------------------------------------
+
+#: FP-Growth support floor (fraction of baskets) at type granularity
+#: (6 part types over ~4-line orders keep the itemset lattice dense —
+#: brand granularity spreads 25 items so thin that only singletons
+#: survive any workable floor).
+FPG_MIN_SUPPORT = 0.05
+#: PrefixSpan support floor (fraction of user sequences) and length cap.
+PSPAN_MIN_SUPPORT = 0.3
+PSPAN_MAX_LEN = 3
+#: per-user event-sequence truncation (bounds pattern-growth work).
+PSPAN_SEQ_CAP = 20
+
+
+@register("fpgrowth_type_itemsets", survey="ext-ml,A6,U2")
+def fpgrowth_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part-type itemsets over order baskets via distributed
+    FP-Growth (Han et al. 2000; Spark's parallel PFP variant, Li et
+    al. 2008) — the classic market-basket miner, upgraded from
+    `basket_affinity`'s pairs-only lift table to arbitrary-size
+    itemsets. Baskets are the DISTINCT part-type sets per order (type
+    granularity keeps the lattice dense enough to be interesting);
+    the itemset column is emitted sorted and joined to one string so
+    the output is canonical and hashable.
+
+    Spark-first: FPGrowth is the canonical distributed
+    frequent-pattern algorithm — group-dependent projections of the
+    FP-tree are mined per partition, no candidate-generation joins
+    (that's Apriori's weakness). Rows-only driver check (unbounded
+    itemset size is not ANSI-SQL-expressible without recursion);
+    tests/test_ml.py pins equality against a brute-force Apriori over
+    the collected baskets at sf0.001 plus the anti-monotone support
+    property."""
+    from pyspark.ml.fpm import FPGrowth
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    # no spread() ahead of this: the basket aggregate is itself the
+    # parallelizing shuffle, and a pre-repartition just moves the same
+    # 600k rows twice (measured +2.5 s)
+    baskets = (t["lineitem"]
+               .join(F.broadcast(t["part"]),
+                     F.col("l_partkey") == F.col("p_partkey"))
+               .groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("p_type")).alias("items")))
+    # 8 mining partitions: the conditional-transaction flatMap defaults
+    # to the input partition count; 6 items need no such fan-out
+    # (fit 1.2->0.3 s measured; scales back up with the item universe)
+    fp = FPGrowth(itemsCol="items", minSupport=FPG_MIN_SUPPORT,
+                  minConfidence=0.5, numPartitions=8)
+    model = fp.fit(baskets)
+    return (model.freqItemsets
+            .select(F.concat_ws(",", F.array_sort("items"))
+                    .alias("itemset"),
+                    F.size("items").alias("n_items"),
+                    F.col("freq").cast("long").alias("freq")))
+
+
+@register("prefixspan_event_patterns", survey="ext-ml,W1,U2")
+def prefixspan_event_patterns(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Frequent sequential event-type patterns per user via
+    distributed PrefixSpan (Pei et al. 2001): each user's first
+    PSPAN_SEQ_CAP events (chronological, event_id tie-break) form a
+    sequence of single-item itemsets; patterns up to length
+    PSPAN_MAX_LEN with support ≥ PSPAN_MIN_SUPPORT of users are
+    mined by recursive database projection — the behavioral-motif
+    counterpart of `event_transition_matrix` (which sees only
+    adjacent pairs; PrefixSpan finds GAPPED subsequences).
+
+    The sequence build is one user-partitioned window + one
+    aggregate; the cap bounds projection depth at any scale. Rows-only
+    driver check (sequential pattern mining is not SQL-expressible);
+    tests/test_ml.py pins equality against a brute-force subsequence
+    counter over the collected sequences at sf0.001."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (t["events"]
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= PSPAN_SEQ_CAP)
+            .groupBy("user_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("rn", "event_type"))),
+                lambda s: F.array(s["event_type"])).alias("sequence")))
+    ps = PrefixSpan(minSupport=PSPAN_MIN_SUPPORT,
+                    maxPatternLength=PSPAN_MAX_LEN,
+                    maxLocalProjDBSize=32_000_000)
+    return (ps.findFrequentSequentialPatterns(seqs)
+            .select(F.concat_ws(
+                ">", F.transform(F.col("sequence"),
+                                 lambda x: F.element_at(x, 1)))
+                .alias("pattern"),
+                F.size("sequence").alias("n_steps"),
+                F.col("freq").cast("long").alias("freq")))

@@ -486,3 +486,70 @@ def test_stratified_kfold_balance_and_determinism(spark):
             assert (abs(g.n_rows - mean) <= 0.5 * mean + 3).all(), stratum
             overall = g.n_pos.sum() / g.n_rows.sum()
             assert ((g.pos_rate - overall).abs() < 0.3).all(), stratum
+
+
+def test_fpgrowth_matches_bruteforce_apriori(spark):
+    from itertools import combinations
+
+    from covid_weather_etl_spark.ml.queries import (
+        FPG_MIN_SUPPORT, fpgrowth_type_itemsets,
+    )
+
+    out = {(r.itemset, r.n_items): r.freq
+           for r in fpgrowth_type_itemsets(spark, SF_DIR).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").toPandas()
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet").toPandas()
+    brand = dict(zip(pt.p_partkey, pt.p_type))
+    baskets = (li.assign(b=li.l_partkey.map(brand))
+               .groupby("l_orderkey").b.apply(lambda s: frozenset(s)))
+    n = len(baskets)
+    floor = FPG_MIN_SUPPORT * n
+    expected = {}
+    # exhaustive count for all possible sizes (six part types bound
+    # the basket width at 6)
+    for size in (1, 2, 3, 4, 5, 6):
+        counts: dict[tuple, int] = {}
+        for bk in baskets:
+            for combo in combinations(sorted(bk), size):
+                counts[combo] = counts.get(combo, 0) + 1
+        for combo, c in counts.items():
+            if c >= floor:
+                expected[(",".join(combo), size)] = c
+    assert out == expected
+    # anti-monotonicity: every subset of a frequent itemset is frequent
+    for (items, sz), freq in out.items():
+        parts = items.split(",")
+        for sub in combinations(parts, sz - 1):
+            if sub:
+                assert (",".join(sub), sz - 1) in out
+
+
+def test_prefixspan_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from covid_weather_etl_spark.ml.queries import (
+        PSPAN_MAX_LEN, PSPAN_MIN_SUPPORT, PSPAN_SEQ_CAP,
+        prefixspan_event_patterns,
+    )
+
+    out = {(r.pattern, r.n_steps): r.freq
+           for r in prefixspan_event_patterns(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    seqs = [g.event_type.tolist()[:PSPAN_SEQ_CAP]
+            for _, g in ev.groupby("user_id")]
+    floor = PSPAN_MIN_SUPPORT * len(seqs)
+    # support of a pattern = #sequences containing it as a (gapped)
+    # subsequence — count each candidate once per sequence
+    from collections import Counter
+
+    cand: Counter = Counter()
+    for s in seqs:
+        seen = set()
+        for ln in range(1, PSPAN_MAX_LEN + 1):
+            for idx in combinations(range(len(s)), ln):
+                seen.add(tuple(s[i] for i in idx))
+        cand.update(seen)
+    expected = {(">".join(p), len(p)): c
+                for p, c in cand.items() if c >= floor}
+    assert out == expected
