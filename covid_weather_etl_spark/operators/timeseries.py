@@ -669,3 +669,81 @@ def theilsen_mannkendall_trend(spark: SparkSession,
             .select("n_name", "n_months", "n_pairs", "s_stat",
                     "theil_sen_slope",
                     (F.floor(z * 1e6 + 0.5) / 1e6).alias("mk_z")))
+
+
+# ---------------------------------------------------------------------------
+# calendar date spine + LOCF gap fill
+# ---------------------------------------------------------------------------
+
+@register(
+    "date_spine_fill",
+    survey="ext-warehouse,W1,W9,J4,P10",
+    oracle="""
+    WITH daily AS (
+        SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT n_name, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT n_name,
+               CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                    AS DATE) AS d
+        FROM bounds
+    )
+    SELECT s.n_name, s.d, daily.y,
+           daily.y IS NULL AS is_missing,
+           LAST_VALUE(daily.y IGNORE NULLS) OVER (
+               PARTITION BY s.n_name ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS y_locf
+    FROM spine s LEFT JOIN daily
+      ON s.n_name = daily.n_name AND s.d = daily.d
+    """,
+)
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar date-spine densification + last-observation-carried-
+    forward fill: the warehouse step every daily-grain report needs
+    before window math is trusted — a groupBy over transactions emits
+    NO row for a day with no orders, so rolling means silently span
+    gaps (the `range_frame_revenue` docstring's warning, solved here).
+    Per nation: generate the complete day calendar between that
+    nation's first and last order date (`sequence()` + explode — the
+    rows are CREATED engine-side, distinguishing this from
+    `interpolate_gaps`, which fills null VALUES at existing rows),
+    left-join the daily revenue, flag the holes, and LOCF-fill via an
+    IGNORE NULLS running last().
+
+    Scale: the spine is |nations × days| rows built from a
+    nation-count-sized bounds aggregate — never fact-sized; the join
+    keys on (nation, day) like the aggregate before it; the LOCF
+    window partitions by nation. All values are exact decimal daily
+    sums; no float ever crosses an aggregation boundary."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    daily = (t["orders"]
+             .join(F.broadcast(t["customer"]),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(t["nation"]),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+             .groupBy("n_name", F.to_date("o_orderdate").alias("d"))
+             .agg(dsum("o_totalprice", "y")))
+    bounds = (daily.groupBy(F.col("n_name").alias("s_name"))
+              .agg(F.min("d").alias("lo"), F.max("d").alias("hi")))
+    spine = bounds.select(
+        "s_name",
+        F.explode(F.sequence("lo", "hi")).alias("d"))
+    joined = spine.join(
+        daily, (F.col("s_name") == F.col("n_name"))
+        & (spine["d"] == daily["d"]), "left")
+    w = (W.partitionBy("s_name").orderBy(spine["d"])
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return joined.select(
+        F.col("s_name").alias("n_name"),
+        spine["d"].alias("d"),
+        "y",
+        F.col("y").isNull().alias("is_missing"),
+        F.last("y", ignorenulls=True).over(w).alias("y_locf"))
