@@ -1,0 +1,580 @@
+"""The remaining classic TPC-H query shapes (Q2/Q6/Q7/Q8/Q9/Q12/Q14/
+Q15/Q19 analogs) — the half of the decision-support canon that
+``decision_support.py`` (Q13/Q17/Q18/Q21/Q22) doesn't cover.
+
+The reference's SQL surface (`streamlit/etl_logs.py`,
+`streamlit/weather_analysis.py`) is joins + group-bys; these shapes
+extend it with the patterns a warehouse engine is actually graded on:
+
+- **Q6**: pure filter-aggregate — the predicate-pushdown litmus test
+  (every predicate must reach the parquet scan; the plan is ONE scan,
+  ONE partial+final agg, zero joins).
+- **Q7**: bidirectional nation-pair revenue — a join graph where the
+  pair filter must be applied at the DIM level (2 rows each side)
+  before the fact join, never as a post-join filter.
+- **Q8**: market share — two fact scans' worth of textbook SQL folded
+  into one scan + conditional aggregation (SUM(CASE)/SUM).
+- **Q9**: product-type profit by nation×year (adapted: the schema
+  carries no ``partsupp``, so supply cost is modeled as a fixed
+  fraction of ``p_retailprice`` — the plan shape, a 5-way star join
+  with two derived group keys, is what matters).
+- **Q12**: late-shipment priority audit — join + CASE-WHEN priority
+  counting, with the date arithmetic in the predicate.
+- **Q14**: promo revenue share — conditional/total ratio over one
+  month, the canonical SUM(CASE)/SUM percentage.
+- **Q15**: top supplier — the scalar-subquery MAX re-joined against
+  the aggregate that produced it (kept in exact DECIMAL so the
+  equality cannot flip between engines).
+- **Q19**: disjunctive OR-of-ANDs over dim+fact attributes — the
+  predicate-normalization test (Catalyst pushes the common
+  conjuncts; the disjunction evaluates post-join, JVM-side).
+- **Q2** (adapted): cheapest-supplier-per-part — the correlated-MIN
+  decorrelated into a keyed aggregate joined back on exact DECIMAL
+  equality.
+
+Exactness: every money sum goes through DECIMAL
+(``functions.numeric.dsum``); ratios divide two exact doubles and are
+fround-rounded onto the 1e-6 grid; MIN/MAX equality predicates
+(Q2/Q15) compare unrounded DECIMALs so within-engine selection is
+exact. Scale (100 TB): each query is 1-2 key-hashed shuffles of
+narrow projections; all dims (nation, part-subset, supplier) are
+explicit broadcasts; no windows, no correlated per-row work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from covid_weather_etl_spark.functions.numeric import (
+    dsum, dsum_sql, fround, fround_sql,
+)
+from covid_weather_etl_spark.queries.registry import register
+from covid_weather_etl_spark.sources.catalog import load_tables
+
+#: Q6 analog — one ship year, a narrow discount band, small quantities.
+Q6_YEAR = 1996
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY_MAX = 24
+
+#: Q7 analog — the two trading nations (either direction counts).
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_7"
+
+#: Q8 analog — customer region under study, the part type, and the
+#: supplier nation whose market share is measured.
+Q8_REGION = "EUROPE"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_5"
+
+#: Q9 analog — product-name family, and the modeled supply-cost
+#: fraction of retail price (schema has no partsupp.ps_supplycost).
+Q9_NAME_FRAGMENT = "widget"
+Q9_COST_FRACTION = 0.6
+
+#: Q12 analog — a line ships "late" this many days after the order.
+Q12_LATE_DAYS = 90
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+#: Q14 analog — promo type and the ship month under study.
+Q14_TYPE = "PROMO"
+Q14_MONTH_LO, Q14_MONTH_HI = "1996-03-01", "1996-04-01"
+
+#: Q15 analog — the top-supplier quarter.
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+#: Q19 analog — three (brand, size-band, quantity-band) disjuncts.
+Q19_ARMS = (
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+)
+
+#: Q2 analog — the part family whose cheapest supplier is sought.
+Q2_TYPE = "STANDARD"
+Q2_SIZE_MAX = 10
+
+
+@register(
+    "forecast_revenue_change",
+    survey="ext-dss,P5,P7,A1",
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '{Q6_YEAR}-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '{Q6_YEAR + 1}-01-01'
+      AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND l_quantity < {Q6_QTY_MAX}
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that disappears if a discount band is
+    dropped — a pure filter-aggregate with NO join. This is the
+    predicate-pushdown litmus test: all three predicates (ship-year
+    range, discount band, quantity cap) and the 3-column ReadSchema
+    must reach the parquet scan, so the plan is scan → partial agg →
+    single-row exchange → final agg. At 100 TB a date-partitioned
+    layout additionally prunes to one year of files before any row is
+    read; nothing else about the plan changes."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    d = F.to_date("l_shipdate")
+    return (t["lineitem"]
+            .filter((d >= F.lit(f"{Q6_YEAR}-01-01"))
+                    & (d < F.lit(f"{Q6_YEAR + 1}-01-01"))
+                    & F.col("l_discount").between(Q6_DISC_LO, Q6_DISC_HI)
+                    & (F.col("l_quantity") < Q6_QTY_MAX))
+            .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"),
+                      "revenue_delta"),
+                 F.count("*").alias("n_lines")))
+
+
+@register(
+    "volume_shipping_pair",
+    survey="ext-dss,J2,A3,A7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+        OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, split by
+    direction and ship year. The textbook WHERE holds a disjunction
+    over BOTH nation dims; the efficient plan filters each nation dim
+    to the 2-row pair FIRST (broadcast), joins supplier/customer down
+    to the pair's members, and leaves only the cross-direction
+    disjunction as a post-join residual. The fact is never joined to
+    a row that cannot survive. At 100 TB: two broadcast-pruned dim
+    edges, one orders↔lineitem key shuffle, then a tiny (2×2×years)
+    aggregate."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "orders", "customer", "supplier", "nation"))
+    pair = t["nation"].filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+    supp = (t["supplier"]
+            .join(F.broadcast(pair.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("sn_key"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (t["customer"]
+            .join(F.broadcast(pair.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"))),
+                F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey", "cust_nation"))
+    return (t["lineitem"]
+            .select("l_orderkey", "l_suppkey", "l_shipdate",
+                    "l_extendedprice", "l_discount")
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(t["orders"].select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .filter(((F.col("supp_nation") == Q7_NATION_A)
+                     & (F.col("cust_nation") == Q7_NATION_B))
+                    | ((F.col("supp_nation") == Q7_NATION_B)
+                       & (F.col("cust_nation") == Q7_NATION_A)))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(dsum(F.col("l_extendedprice")
+                      * (F.lit(1) - F.col("l_discount")), "revenue")))
+
+
+@register(
+    "national_market_share",
+    survey="ext-dss,J3,A3,A5",
+    oracle=f"""
+    WITH all_sales AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(25,6)) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n2.n_regionkey
+        WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
+    )
+    SELECT o_year,
+           {fround_sql(
+               "CAST(SUM(CASE WHEN supp_nation = '" + Q8_NATION + "' "
+               "THEN volume ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)"
+               " / CAST(SUM(volume) AS DOUBLE)")} AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue in one
+    part type, by order year. The textbook formulation reads like two
+    scans (nation volume / total volume); the real plan is ONE star
+    join producing (year, volume, supp_nation) and a conditional
+    aggregate SUM(CASE)/SUM — the share is computed map-side-combined
+    in a single pass. Both sums stay DECIMAL until the final division;
+    the ratio is fround-rounded onto the 1e-6 grid on both engines.
+    At 100 TB: part/supplier/customer-region dims broadcast, one
+    orders↔lineitem shuffle, |years| result rows."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer",
+                                    "supplier", "nation", "part", "region"))
+    region_nations = (t["nation"]
+                      .join(F.broadcast(t["region"].filter(
+                          F.col("r_name") == Q8_REGION)),
+                          F.col("n_regionkey") == F.col("r_regionkey"))
+                      .select(F.col("n_nationkey").alias("cn_key")))
+    cust = (t["customer"]
+            .join(F.broadcast(region_nations),
+                  F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey"))
+    parts = (t["part"].filter(F.col("p_type") == Q8_TYPE)
+             .select("p_partkey"))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"].select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("sn_key"))
+            .select("s_suppkey", "supp_nation"))
+    dec = "decimal(25,6)"
+    vol = (F.col("l_extendedprice")
+           * (F.lit(1) - F.col("l_discount"))).cast(dec)
+    sales = (t["lineitem"]
+             .select("l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount")
+             .join(F.broadcast(parts),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .join(F.broadcast(supp),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(t["orders"].select("o_orderkey", "o_custkey",
+                                      "o_orderdate"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(F.broadcast(cust),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                     vol.alias("volume"), "supp_nation"))
+    zero = F.lit(0).cast(dec)
+    return (sales.groupBy("o_year")
+            .agg(fround(
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION,
+                             F.col("volume")).otherwise(zero))
+                .cast("double")
+                / F.sum("volume").cast("double")).alias("mkt_share")))
+
+
+@register(
+    "product_type_profit",
+    survey="ext-dss,J3,A7,P10",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount) - "
+                     + str(Q9_COST_FRACTION)
+                     + " * p.p_retailprice * l.l_quantity")} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+    GROUP BY 1, 2
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted): profit on one product-name family by
+    supplier nation and order year. The schema carries no
+    ``partsupp``, so supply cost is modeled as a fixed fraction of
+    ``p_retailprice`` — the judged artifact is the PLAN: a 5-way star
+    join where the name LIKE prunes the part dim before broadcast,
+    profit is a derived column computed pre-aggregation, and the
+    group keys (nation, extracted year) both come from broadcast-side
+    or derived values. Profit goes through DECIMAL per line, so the
+    sum is accumulation-order-exact. At 100 TB: two broadcast edges
+    (filtered part, supplier×nation), one orders↔lineitem shuffle,
+    |nations×years| result rows."""
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "orders", "supplier", "nation", "part"))
+    parts = (t["part"]
+             .filter(F.col("p_name").contains(Q9_NAME_FRAGMENT))
+             .select("p_partkey", "p_retailprice"))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"].select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("nation"))),
+                F.col("s_nationkey") == F.col("sn_key"))
+            .select("s_suppkey", "nation"))
+    profit = (F.col("l_extendedprice")
+              * (F.lit(1) - F.col("l_discount"))
+              - F.lit(Q9_COST_FRACTION)
+              * F.col("p_retailprice") * F.col("l_quantity"))
+    return (t["lineitem"]
+            .select("l_orderkey", "l_partkey", "l_suppkey",
+                    "l_quantity", "l_extendedprice", "l_discount")
+            .join(F.broadcast(parts),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(t["orders"].select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(dsum(profit, "sum_profit")))
+
+
+@register(
+    "late_shipment_priority",
+    survey="ext-dss,J1,A3,F5",
+    oracle=f"""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                    ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                    ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE)
+          > CAST(o.o_orderdate AS DATE) + {Q12_LATE_DAYS}
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted): how many high- vs low-priority
+    orders sat in each line status among lines shipped more than
+    ``Q12_LATE_DAYS`` after ordering. The schema has no
+    commitdate/receiptdate/shipmode, so "late" is ship-vs-order-date
+    and the group key is ``l_linestatus`` — the judged shape survives:
+    fact-fact equi-join, a date-arithmetic predicate evaluated
+    POST-join (it references both sides, so it cannot push down — the
+    projection does instead), and dual CASE-WHEN priority counters in
+    one aggregate pass. At 100 TB: one orderkey-hashed shuffle of
+    3-column projections, |statuses| result rows."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    hi = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (t["orders"].select("o_orderkey", "o_orderdate",
+                               "o_orderpriority")
+            .join(t["lineitem"].select("l_orderkey", "l_shipdate",
+                                       "l_linestatus"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter(F.to_date("l_shipdate")
+                    > F.date_add(F.to_date("o_orderdate"), Q12_LATE_DAYS))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).cast("bigint")
+                 .alias("low_line_count")))
+
+
+@register(
+    "promo_revenue_share",
+    survey="ext-dss,J1,A3,A5",
+    oracle=f"""
+    SELECT {fround_sql(
+        "100.0 * CAST(SUM(CASE WHEN p.p_type = '" + Q14_TYPE + "' THEN "
+        "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)) "
+        "ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) / "
+        "CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) "
+        "AS DECIMAL(25,6))) AS DOUBLE)")} AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '{Q14_MONTH_LO}'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '{Q14_MONTH_HI}'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the percentage of one ship-month's revenue
+    earned by promo-type parts — the canonical SUM(CASE)/SUM ratio.
+    The month predicate pushes to the fact scan; the part type rides
+    the broadcast dim; numerator and denominator accumulate as
+    DECIMAL in the same single aggregate pass and divide once as
+    doubles, fround-rounded. At 100 TB the month filter prunes a
+    date-partitioned layout to ~1/84th of files before any join."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    d = F.to_date("l_shipdate")
+    dec = "decimal(25,6)"
+    vol = (F.col("l_extendedprice")
+           * (F.lit(1) - F.col("l_discount"))).cast(dec)
+    zero = F.lit(0).cast(dec)
+    return (t["lineitem"]
+            .filter((d >= F.lit(Q14_MONTH_LO)) & (d < F.lit(Q14_MONTH_HI)))
+            .select("l_partkey", "l_extendedprice", "l_discount")
+            .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .agg(fround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == Q14_TYPE, vol)
+                        .otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double")).alias("promo_revenue_pct")))
+
+
+@register(
+    "top_supplier_quarter",
+    survey="ext-dss,J1,A6,A8",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,6))) AS total_revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '{Q15_LO}'
+          AND CAST(l_shipdate AS DATE) <  DATE '{Q15_HI}'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in
+    one ship quarter — the scalar-subquery MAX joined back against
+    the aggregate that produced it. The per-supplier revenue is an
+    exact DECIMAL sum and the MAX/equality comparison happens on the
+    unrounded DECIMAL, so the within-engine selection cannot flip on
+    accumulation order (the textbook trap: a double revenue can make
+    ``=`` miss the max row that produced it). Implementation: one
+    supplier-keyed aggregate, a 1-row broadcast of its MAX, an
+    equality join back, then the supplier dim joined on. At 100 TB:
+    one quarter-pruned fact scan, one suppkey shuffle, 1-row
+    broadcast, done."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    d = F.to_date("l_shipdate")
+    dec = "decimal(25,6)"
+    rev = (t["lineitem"]
+           .filter((d >= F.lit(Q15_LO)) & (d < F.lit(Q15_HI)))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (F.lit(1) - F.col("l_discount"))).cast(dec))
+                .alias("rev_dec")))
+    top = rev.agg(F.max("rev_dec").alias("max_rev"))
+    return (rev.join(F.broadcast(top),
+                     F.col("rev_dec") == F.col("max_rev"))
+            .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("rev_dec").cast("double").alias("total_revenue")))
+
+
+@register(
+    "disjunctive_brand_revenue",
+    survey="ext-dss,J1,P7,A1",
+    oracle=f"""
+    SELECT {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE ({" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1} "
+        f"AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in Q19_ARMS)})
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjoint (brand, size-band,
+    quantity-band) market segments — an OR of ANDs mixing dim and
+    fact attributes. What the optimizer must do (and Catalyst does):
+    derive the dim-only implication of the disjunction
+    (brand ∈ {{...}} ∧ size ≤ max) to prune the part dim BEFORE the
+    broadcast, push the fact-only implication (quantity ≤ global max)
+    into the scan, and evaluate the full disjunction as a post-join
+    residual inside whole-stage codegen. Expressed here exactly that
+    way — the dim prune is explicit, so the broadcast carries only
+    candidate parts. At 100 TB: pruned-dim broadcast join, zero
+    shuffles before the single-row aggregate."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    brands = [b for b, *_ in Q19_ARMS]
+    max_size = max(s1 for _, _, s1, _, _ in Q19_ARMS)
+    max_qty = max(q1 for *_, q1 in Q19_ARMS)
+    parts = (t["part"]
+             .filter(F.col("p_brand").isin(*brands)
+                     & (F.col("p_size") <= max_size))
+             .select("p_partkey", "p_brand", "p_size"))
+    arm = None
+    for b, s0, s1, q0, q1 in Q19_ARMS:
+        clause = ((F.col("p_brand") == b)
+                  & F.col("p_size").between(s0, s1)
+                  & F.col("l_quantity").between(q0, q1))
+        arm = clause if arm is None else (arm | clause)
+    return (t["lineitem"]
+            .filter(F.col("l_quantity") <= max_qty)
+            .select("l_partkey", "l_quantity",
+                    "l_extendedprice", "l_discount")
+            .join(F.broadcast(parts),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .filter(arm)
+            .agg(dsum(F.col("l_extendedprice")
+                      * (F.lit(1) - F.col("l_discount")), "revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@register(
+    "cheapest_supplier_per_part",
+    survey="ext-dss,J1,A8,J8",
+    oracle=f"""
+    WITH spend AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS spend_dec
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = '{Q2_TYPE}' AND p.p_size <= {Q2_SIZE_MAX}
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT l_partkey, MIN(spend_dec) AS min_spend FROM spend GROUP BY 1
+    )
+    SELECT sp.l_partkey AS p_partkey, s.s_name,
+           CAST(sp.spend_dec AS DOUBLE) AS total_spend
+    FROM spend sp
+    JOIN best b ON b.l_partkey = sp.l_partkey
+              AND sp.spend_dec = b.min_spend
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted): for every part in one (type, size)
+    family, the supplier(s) with the LOWEST total spend on it. The
+    schema has no ``partsupp.ps_supplycost``, so "cost" is each
+    supplier's observed lineitem spend — the judged shape survives
+    intact: a correlated MIN subquery decorrelated into a keyed
+    aggregate (per part-supplier spend → per-part min) joined back on
+    exact DECIMAL equality (double spend here is the classic
+    min-row-misses-its-own-min trap, same as Q15). Plan: part family
+    broadcast-prunes the fact, one (part,supp) shuffle aggregate, a
+    part-keyed min re-join (AQE turns it into a broadcast at this
+    selectivity), supplier dim broadcast. At 100 TB nothing is
+    all-pairs; every frame after the first aggregate is
+    candidate-sized."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    family = (t["part"]
+              .filter((F.col("p_type") == Q2_TYPE)
+                      & (F.col("p_size") <= Q2_SIZE_MAX))
+              .select("p_partkey"))
+    spend = (t["lineitem"]
+             .select("l_partkey", "l_suppkey", "l_extendedprice")
+             .join(F.broadcast(family),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_partkey", "l_suppkey")
+             .agg(F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+                  .alias("spend_dec")))
+    best = (spend.groupBy(F.col("l_partkey").alias("b_partkey"))
+            .agg(F.min("spend_dec").alias("min_spend")))
+    return (spend
+            .join(best, (F.col("l_partkey") == F.col("b_partkey"))
+                  & (F.col("spend_dec") == F.col("min_spend")))
+            .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("l_partkey").alias("p_partkey"), "s_name",
+                    F.col("spend_dec").cast("double").alias("total_spend")))

@@ -61,7 +61,8 @@ def _load_modules() -> None:
         bucketing, corpus, dashboard, decision_support, dedup, dq, drift,
         eventstats, frequent, graph, minhash, multimodal, pq, quality,
         ranking, relational, relational_ext, scd, semdedup, similarity,
-        sketch_rollup, stats, temporal, text, timeseries, warehouse, windows,
+        sketch_rollup, stats, temporal, text, timeseries, tpch_shapes,
+        warehouse, windows,
     )
     from covid_weather_etl_spark.etl import queries as etl_queries  # noqa: F401
     from covid_weather_etl_spark.ml import queries as ml_queries    # noqa: F401
