@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from covid_weather_etl_spark.functions.numeric import fround
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
@@ -349,3 +350,71 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(neg, 6).alias("avg_neg_logprob"),
                  F.when(neg <= 3.45, "keep").otherwise("filter")
                   .alias("lm_route")))
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+@register(
+    "char_entropy_quality",
+    survey="ext-quality,A6,F10,P10",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, n_chars,
+               substring(text, CAST(unnest(range(1, length(text) + 1))
+                               AS INT), 1) AS ch
+        FROM documents
+    ), freq AS (
+        SELECT doc_id, n_chars, ch, COUNT(*) AS cnt
+        FROM chars GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           FLOOR(-CAST(SUM(CAST(
+               (cnt / CAST(n_chars AS DOUBLE))
+               * log2(cnt / CAST(n_chars AS DOUBLE))
+               AS DECIMAL(25,12))) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS char_entropy_bits
+    FROM freq
+    GROUP BY doc_id, n_chars
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy in bits — the
+    cheap degenerate-text detector every pretraining filter stack
+    carries: boilerplate, repeated-character spam, and base64 blobs
+    all sit far from natural text's ~4.0-4.5 bits/char, so a band
+    filter on this one number removes whole failure classes before
+    any model-based scoring. (Quality signals beyond the reference's
+    scope; complements `gopher_repetition_signals`' token-level view
+    with a sub-token one.)
+
+    Plan: explode the text into single characters (JVM-side
+    `split`), count per (doc, char), then fold -Σp·log2(p) in a
+    second doc-keyed aggregate. Each p·log2(p) term is one
+    deterministic IEEE expression; terms accumulate as
+    DECIMAL(25,12) — ~dozens of distinct-char terms per doc would
+    otherwise sum in partition order and diverge engines at the
+    1e-15 level — and the final value is fround-rounded onto the
+    1e-6 grid.
+
+    Scale: two shuffles, both on keys whose cardinality grows with
+    the corpus ((doc,char) then doc) — no hot key, no driver-side
+    work, no UDF. The char explosion is |total characters| rows of a
+    3-column projection; at 100 TB that is exactly the corpus size
+    again, the same cost class as any tokenizing pass."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    chars = (t["documents"]
+             .select("doc_id", "n_chars",
+                     F.explode(F.split("text", "")).alias("ch"))
+             .filter(F.col("ch") != ""))
+    freq = chars.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count("*").alias("cnt"))
+    p = F.col("cnt") / F.col("n_chars").cast("double")
+    term = (p * F.log2(p)).cast("decimal(25,12)")
+    return (freq.groupBy("doc_id", "n_chars")
+            .agg(F.count("*").alias("n_distinct_chars"),
+                 fround(-F.sum(term).cast("double"))
+                 .alias("char_entropy_bits"))
+            .select("doc_id", "n_distinct_chars", "char_entropy_bits"))

@@ -193,3 +193,67 @@ def interval_proximity(events: DataFrame) -> DataFrame:
              / F.count("*") / F.lit(1_000_000.0)).alias("avg_abs_delta_secs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average over irregular observations
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_weighted_average",
+    survey="ext-timeseries,W1,W2,A9",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, value,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(dt_us) AS BIGINT) AS n_segments,
+           FLOOR(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS twa_value
+    FROM seg
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled series — each
+    observation's value held until the NEXT observation, weighted by
+    how long it was in force (the standard TWAP/sensor-mean, which a
+    plain AVG gets wrong the moment sampling is uneven: a burst of
+    identical readings must not outvote one long-lived one). Beyond
+    the reference's daily-grid model (`database/schema.py:67-100`,
+    one row per country-day needs no weighting) but required the
+    moment data arrives event-at-a-time.
+
+    Per user: LEAD(ts) over (user, ts, event_id) — the id tiebreak
+    makes the segment order deterministic on ties — gives each
+    observation's holding interval in exact integer microseconds;
+    the last observation has no successor and drops out (standard
+    right-open convention). value·Δt accumulates as DECIMAL so the
+    weighted sum is accumulation-order-exact; the single division
+    happens once per user.
+
+    Scale: one user-keyed shuffle for the window, then the aggregate
+    reuses the same partitioning (no second exchange); per-user series
+    are bounded, so no window skew. Weights are BIGINT micros — no
+    float time math anywhere."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (t["events"]
+           .select("user_id", "value", "ts", "event_id")
+           .withColumn("dt_us",
+                       F.unix_micros(F.lead("ts").over(w))
+                       - F.unix_micros("ts"))
+           .filter(F.col("dt_us").isNotNull()))
+    return (seg.groupBy("user_id")
+            .agg(F.count("dt_us").alias("n_segments"),
+                 (F.floor(F.sum((F.col("value") * F.col("dt_us"))
+                                .cast("decimal(38,6)")).cast("double")
+                          / F.sum("dt_us").cast("double")
+                          * F.lit(1_000_000.0) + F.lit(0.5))
+                  / F.lit(1_000_000.0)).alias("twa_value")))
