@@ -904,3 +904,102 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / 1e6).alias("iv"))
     return (scored.crossJoin(F.broadcast(ivf))
             .select("bin", "n_bad", "n_good", "woe", "iv"))
+
+
+# ---------------------------------------------------------------------------
+# ridge regression by one-pass distributed normal equations
+# ---------------------------------------------------------------------------
+
+#: L2 penalty added to every diagonal entry of the Gram matrix.
+RIDGE_LAMBDA = 1.0
+
+#: Shared 3x3 Cramer's-rule solve over the 9 sufficient statistics.
+#: The SAME expression text runs on both engines (Spark SQL and
+#: DuckDB parse identical precedence), so given bit-identical inputs
+#: the determinant arithmetic is bit-identical too.
+_RIDGE_SOLVE_SQL = """
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           FLOOR((b0*(a11*a22 - a12*a21) - a01*(b1*a22 - a12*b2)
+                  + a02*(b1*a21 - a11*b2)) / det * 1e6 + 5e-1)
+               / 1e6 AS beta_intercept,
+           FLOOR((a00*(b1*a22 - a12*b2) - b0*(a10*a22 - a12*a20)
+                  + a02*(a10*b2 - b1*a20)) / det * 1e6 + 5e-1)
+               / 1e6 AS beta_quantity,
+           FLOOR((a00*(a11*b2 - b1*a21) - a01*(a10*b2 - b1*a20)
+                  + b0*(a10*a21 - a11*a20)) / det * 1e6 + 5e-1)
+               / 1e6 AS beta_discount
+    FROM (
+        SELECT n, sq, sd, sy,
+               n + {lam} AS a00, sq AS a01, sd AS a02,
+               sq AS a10, sqq + {lam} AS a11, sqd AS a12,
+               sd AS a20, sqd AS a21, sdd + {lam} AS a22,
+               sy AS b0, sqy AS b1, sdy AS b2,
+               (n + {lam})*((sqq + {lam})*(sdd + {lam}) - sqd*sqd)
+                 - sq*(sq*(sdd + {lam}) - sqd*sd)
+                 + sd*(sq*sqd - (sqq + {lam})*sd) AS det
+        FROM sums
+    )
+"""
+
+
+@register(
+    "ridge_normal_equations",
+    survey="ext-ml,U2,A1,A4",
+    oracle=("""
+    WITH sums AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sqd,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(l_quantity * l_extendedprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sqy,
+               CAST(SUM(CAST(l_discount * l_extendedprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sdy
+        FROM lineitem
+    )
+    """ + _RIDGE_SOLVE_SQL).format(lam=float(RIDGE_LAMBDA)),
+)
+def ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression of line price on (quantity, discount) solved
+    in CLOSED FORM by distributed normal equations: one map-side-
+    combinable aggregate computes the 9 sufficient statistics
+    (Gram matrix X'X and moment vector X'y for the design
+    [1, quantity, discount]), then a 3x3 Cramer's-rule solve runs as
+    plain column arithmetic on the single aggregate row — no driver
+    numpy, no iterations, no Spark-ML fit. This is the canonical
+    "learn a linear model in one pass" pattern: at 100 TB the ENTIRE
+    training cost is one scan + a 9-number combine tree; executors
+    never see the model, the model never sees a second pass.
+
+    Exactness: every sufficient statistic is an exact DECIMAL sum of
+    per-row IEEE products, so both engines hand the SAME nine doubles
+    to the SAME determinant expression text — the solve is
+    bit-identical and only display-rounded (1e-6 grid). The L2
+    penalty (lambda on every Gram diagonal including the intercept;
+    documented choice, keeps the matrix well-conditioned even on
+    degenerate slices) is what guarantees det != 0.
+
+    Semantic pin: tests/test_applied_stats.py checks the coefficients
+    against numpy's explicit (X'X + lambda*I)^-1 X'y on the same rows."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    dec = "decimal(38,6)"
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), \
+        F.col("l_extendedprice")
+
+    def s(col, alias):
+        return F.sum(col.cast(dec)).cast("double").alias(alias)
+
+    sums = t["lineitem"].agg(
+        F.count("*").cast("double").alias("n"),
+        s(q, "sq"), s(d, "sd"), s(y, "sy"),
+        s(q * q, "sqq"), s(q * d, "sqd"), s(d * d, "sdd"),
+        s(q * y, "sqy"), s(d * y, "sdy"))
+    sums.createOrReplaceTempView("sums")
+    return spark.sql(_RIDGE_SOLVE_SQL.format(lam=float(RIDGE_LAMBDA)))

@@ -619,3 +619,44 @@ def longest_increase_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("n_name", F.col("len").alias("longest_up_days"),
                     "streak_start", "streak_end"))
+
+
+# ---------------------------------------------------------------------------
+# relative-standing window functions: percent_rank + cume_dist
+# ---------------------------------------------------------------------------
+
+@register(
+    "price_relative_standing",
+    survey="ext-windows,W6,A13,P10",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           PERCENT_RANK() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice) AS pct_rank,
+           CUME_DIST() OVER (PARTITION BY p_brand
+                             ORDER BY p_retailprice) AS cume_dist
+    FROM part
+    """,
+)
+def price_relative_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every part's price within its brand —
+    PERCENT_RANK (fraction of peers strictly cheaper, tie-aware) and
+    CUME_DIST (fraction at-or-below). The two window functions the
+    rest of the registry's ranking surface (row_number / ntile /
+    rank) doesn't cover, and the pair analysts actually reach for
+    when "is this price high FOR ITS BRAND?" must be answered without
+    hardcoding bin edges. Both are pure rank ratios — (rank-1)/(n-1)
+    and peers_at_or_below/n — so ties resolve identically on any
+    engine and the doubles are exact rationals: no rounding grid is
+    needed for cross-engine parity.
+
+    Scale: one brand-keyed shuffle; |brands| partitions process
+    independently with bounded per-brand cardinality. A global
+    (unpartitioned) ORDER BY here would be the classic single-task
+    sink — the brand partition key is what makes the window
+    distribute."""
+    t = load_tables(spark, sf_dir, ("part",))
+    w = W.partitionBy("p_brand").orderBy("p_retailprice")
+    return t["part"].select(
+        "p_brand", "p_partkey", "p_retailprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"))

@@ -134,3 +134,23 @@ def test_ips_snips_identities(spark):
     ess = w.sum() ** 2 / (w * w).sum()
     assert abs(out.effective_sample_size - ess) < 1e-3
     assert out.effective_sample_size <= n
+
+
+def test_ridge_normal_equations_matches_numpy(spark):
+    from covid_weather_etl_spark.operators.stats import (
+        RIDGE_LAMBDA, ridge_normal_equations,
+    )
+
+    out = ridge_normal_equations(spark, SF_DIR).toPandas().iloc[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").toPandas()
+    X = np.column_stack([np.ones(len(li)), li.l_quantity, li.l_discount])
+    y = li.l_extendedprice.to_numpy()
+    beta = np.linalg.solve(
+        X.T @ X + RIDGE_LAMBDA * np.eye(3), X.T @ y)
+    assert out.n_rows == len(li)
+    # decimal-exact sums vs numpy float sums: agreement to ~1e-6 rel
+    for got, want in zip(
+            [out.beta_intercept, out.beta_quantity, out.beta_discount],
+            beta):
+        assert math.isclose(got, want, rel_tol=1e-6, abs_tol=1e-6), \
+            (got, want)
