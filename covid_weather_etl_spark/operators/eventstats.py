@@ -694,3 +694,69 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "channel string, p_conversion double, removal_effect double, "
              "attribution double")
+
+
+# ---------------------------------------------------------------------------
+# exponential time-decay engagement scoring
+# ---------------------------------------------------------------------------
+
+#: Engagement half-life: an event's weight halves every 30 days.
+DECAY_HALF_LIFE_DAYS = 30.0
+
+
+@register(
+    "time_decay_engagement",
+    survey="ext-eventstats,A6,F10,W1",
+    oracle=f"""
+    WITH anchor AS (
+        SELECT MAX(ts) AS t_max FROM events
+    ), weighted AS (
+        SELECT e.user_id,
+               CAST(e.value * EXP(-LN(2e0) / {DECAY_HALF_LIFE_DAYS!r}
+                    * ((epoch_us(a.t_max) - epoch_us(e.ts)) / 86400e6))
+                    AS DECIMAL(25,6)) AS term
+        FROM events e CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(CAST(SUM(term) AS DOUBLE) * 1e6 + 5e-1) / 1e6
+               AS decayed_score
+    FROM weighted GROUP BY user_id
+    """,
+)
+def time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement scored with exponential recency decay —
+    each event contributes value·2^(-age/half-life), so a burst last
+    week outranks the same burst last year. The feature-store staple
+    the plain aggregates (A4/A6) and the sequential EWMA can't
+    express: the weight is anchored to a single corpus-wide "now"
+    (MAX(ts) — deterministic, unlike wall-clock), not to the previous
+    observation.
+
+    Exactness: age is exact integer microseconds scaled by constants;
+    each weight is one EXP of that scalar — per-row IEEE work both
+    engines perform on identical inputs (libm vs JVM exp can differ
+    in the last ulp, which sits ~8 orders below the 1e-6 output grid
+    the decimal accumulation + floor-rounding quantizes onto, the
+    same tolerance argument as fround everywhere else). Weighted
+    terms accumulate as DECIMAL, so partition order cannot move the
+    sum.
+
+    Scale: the anchor is a 1-row broadcast (all-column MAX combine);
+    the score is one user-keyed aggregate — map-side combinable,
+    one shuffle, no window, no per-row Python."""
+    t = load_tables(spark, sf_dir, ("events",))
+    anchor = t["events"].agg(F.max("ts").alias("t_max"))
+    age_days = ((F.unix_micros("t_max") - F.unix_micros("ts"))
+                / F.lit(86400e6))
+    term = (F.col("value")
+            * F.exp(F.lit(-0.6931471805599453 / DECAY_HALF_LIFE_DAYS)
+                    * age_days)).cast("decimal(25,6)")
+    return (t["events"]
+            .crossJoin(F.broadcast(anchor))
+            .select("user_id", term.alias("term"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 (F.floor(F.sum("term").cast("double") * F.lit(1e6)
+                          + F.lit(0.5)) / F.lit(1e6))
+                 .alias("decayed_score")))
