@@ -436,10 +436,15 @@ def mad_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines threshold identical values; groups with MAD = 0 are
     excluded on both sides rather than dividing by zero. At 100 TB the
     rollup IS the data reduction (days×nations rows); the percentile
-    swaps for approx_percentile, nothing else changes."""
+    swaps for approx_percentile, nothing else changes. The daily frame
+    is cached: it feeds three consumers (median, MAD, final filter)
+    and without the cache each one re-runs the fact scan + rollup —
+    measured 2× cold wall at sf0.1 (8.5s → 4.3s); the cached frame is
+    group-count-sized (nations × days), never fact-sized."""
     from covid_weather_etl_spark.ml.queries import nation_daily
 
-    daily = nation_daily(spark, sf_dir).select("n_name", "d", "y")
+    daily = (nation_daily(spark, sf_dir)
+             .select("n_name", "d", "y").cache())
     med = (daily.groupBy("n_name")
            .agg(F.round(F.percentile("y", F.lit(0.5)), 6).alias("med")))
     with_med = daily.join(F.broadcast(med), "n_name")

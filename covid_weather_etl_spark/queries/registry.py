@@ -165,7 +165,15 @@ _ROTATION_R4 = (
 # name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
 # rfm_segmentation, basket_affinity, mad_anomaly_report,
 # holt_winters_forecast_eval, triangle_count, pricing_summary_q1,
-# distributed_exact_median, bpe_vocab_train.
+# distributed_exact_median, bpe_vocab_train, fpgrowth_itemsets,
+# prefixspan_sequences, mergeschema_generations, and the session-5
+# close-out cohort (all sf0.01-parity-green locally on day one):
+# date_spine_fill, forecast_revenue_change, volume_shipping_pair,
+# national_market_share, product_type_profit, late_shipment_priority,
+# promo_revenue_share, top_supplier_quarter, disjunctive_brand_revenue,
+# cheapest_supplier_per_part, time_weighted_average,
+# char_entropy_quality, price_relative_standing,
+# ridge_normal_equations, time_decay_engagement.
 
 
 def all_queries() -> dict[str, Query]:
