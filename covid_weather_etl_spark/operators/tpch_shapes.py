@@ -552,11 +552,13 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (per part-supplier spend → per-part min) joined back on
     exact DECIMAL equality (double spend here is the classic
     min-row-misses-its-own-min trap, same as Q15). Plan: part family
-    broadcast-prunes the fact, one (part,supp) shuffle aggregate, a
-    part-keyed min re-join (AQE turns it into a broadcast at this
-    selectivity), supplier dim broadcast. At 100 TB nothing is
-    all-pairs; every frame after the first aggregate is
-    candidate-sized."""
+    broadcast-prunes the fact, one (part,supp) shuffle aggregate, then
+    the per-part MIN as a part-keyed WINDOW over the aggregate (one
+    exchange; the textbook agg+join-back costs two more), supplier
+    dim broadcast. At 100 TB nothing is all-pairs; every frame after
+    the first aggregate is candidate-sized."""
+    from pyspark.sql import Window as W
+
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
     family = (t["part"]
               .filter((F.col("p_type") == Q2_TYPE)
@@ -569,11 +571,10 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("l_partkey", "l_suppkey")
              .agg(F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
                   .alias("spend_dec")))
-    best = (spend.groupBy(F.col("l_partkey").alias("b_partkey"))
-            .agg(F.min("spend_dec").alias("min_spend")))
+    min_spend = F.min("spend_dec").over(W.partitionBy("l_partkey"))
     return (spend
-            .join(best, (F.col("l_partkey") == F.col("b_partkey"))
-                  & (F.col("spend_dec") == F.col("min_spend")))
+            .withColumn("min_spend", min_spend)
+            .filter(F.col("spend_dec") == F.col("min_spend"))
             .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .select(F.col("l_partkey").alias("p_partkey"), "s_name",
