@@ -475,3 +475,50 @@ def modal_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_name",
                     F.col("o_orderpriority").alias("modal_priority"),
                     F.col("cnt").alias("n_orders")))
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation (STRING_AGG / ordered collect_list)
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_priority_journey",
+    survey="ext-relational,A6,W1,F1",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           STRING_AGG(o_orderpriority, ','
+                      ORDER BY o_orderdate, o_orderkey) AS journey
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def order_priority_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's chronological priority journey as one
+    comma-joined string — the ORDERED string aggregation
+    (``STRING_AGG ... ORDER BY``) that reporting layers and
+    sequence-mining exports both need, and that naive
+    ``collect_list`` gets WRONG: collect_list order is partition
+    arrival order, nondeterministic across runs and layouts. The
+    deterministic Spark form collects (date, key, value) structs and
+    ``array_sort``s them BEFORE joining — the sort happens inside
+    each group's aggregated array (bounded per-customer cardinality),
+    never as a global ordering, and the (date, orderkey) tiebreak
+    makes same-day orders stable on both engines.
+
+    Scale: one customer-keyed shuffle with map-side partial
+    collect; per-group arrays are order-count-sized. At 100 TB the
+    only caveat is pathological single-customer hot keys, the same
+    skew class every collect carries — the salting pattern from
+    `skew_resilient_running_total` applies unchanged if one appears."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    item = F.struct(F.col("o_orderdate"), F.col("o_orderkey"),
+                    F.col("o_orderpriority"))
+    return (t["orders"]
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(item)),
+                         lambda s: s["o_orderpriority"]),
+                     ",").alias("journey")))
