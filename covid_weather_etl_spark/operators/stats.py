@@ -1011,3 +1011,65 @@ def ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         s(q * y, "sqy"), s(d * y, "sdy"))
     sums.createOrReplaceTempView("sums")
     return spark.sql(_RIDGE_SOLVE_SQL.format(lam=float(RIDGE_LAMBDA)))
+
+
+# ---------------------------------------------------------------------------
+# log-space and reciprocal-space means (geometric / harmonic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pythagorean_means_prices",
+    survey="ext-stats,A4,A6,F10",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                      AS DOUBLE) / COUNT(*) * 1e6 + 5e-1) / 1e6
+               AS arith_mean,
+           FLOOR(EXP(CAST(SUM(CAST(LN(l_extendedprice)
+                                   AS DECIMAL(25,12))) AS DOUBLE)
+                     / COUNT(*)) * 1e6 + 5e-1) / 1e6 AS geom_mean,
+           FLOOR(COUNT(*) / CAST(SUM(CAST(1e0 / l_extendedprice
+                                          AS DECIMAL(25,18))) AS DOUBLE)
+                 * 1e6 + 5e-1) / 1e6 AS harm_mean
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def pythagorean_means_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three Pythagorean means of price per return flag — the
+    aggregates a built-in-only engine user would otherwise reach for
+    a UDAF to get: geometric mean as exp(mean(ln x)) (the only
+    correct average for ratios/growth rates), harmonic mean as
+    n/Σ(1/x) (the only correct average for rates), next to the
+    arithmetic baseline. Each is expressed as a sum in the
+    TRANSFORMED space — so all three remain ordinary map-side-
+    combinable aggregates, one shuffle for all nine columns, no UDAF,
+    no second pass.
+
+    Exactness: the transformed per-row terms (ln x, 1/x) are single
+    IEEE ops; they accumulate as DECIMAL (12/18 fractional digits —
+    the reciprocals of 5-digit prices need the headroom) so the sums
+    are order-free, and each mean is floor-rounded onto the 1e-6
+    grid after one deterministic division/EXP. Guarded on x > 0 on
+    both engines: ln/reciprocal are undefined at 0 and the guard is
+    the documented domain of both means."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    x = F.col("l_extendedprice")
+
+    def grid(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (t["lineitem"]
+            .filter(x > 0)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_rows"),
+                 grid(F.sum(x.cast("decimal(25,6)")).cast("double")
+                      / F.count("*")).alias("arith_mean"),
+                 grid(F.exp(F.sum(F.log(x).cast("decimal(25,12)"))
+                            .cast("double") / F.count("*")))
+                 .alias("geom_mean"),
+                 grid(F.count("*")
+                      / F.sum((F.lit(1.0) / x).cast("decimal(25,18)"))
+                      .cast("double")).alias("harm_mean")))
