@@ -704,3 +704,58 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("balance").alias("n_balance_present"),
                  (F.count("*") - F.count("balance")).cast("long")
                  .alias("n_balance_null")))
+
+
+# ---------------------------------------------------------------------------
+# order-independent table checksum (anti-entropy verification)
+# ---------------------------------------------------------------------------
+
+@register(
+    "table_checksum_orders",
+    survey="ext-warehouse,A1,F1,D1",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(25,2)) AS VARCHAR)
+               || '|' ||
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+               o_orderpriority), 1, 15)) AS BIGINT)) AS xor_checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of the orders table, one
+    per status partition — the anti-entropy primitive every
+    replicated/migrated warehouse needs: two sides compute XOR of a
+    per-row digest and compare ONE number per partition; any
+    dropped, duplicated, or bit-flipped row flips the checksum
+    (XOR is commutative/associative, so row order, partitioning, and
+    merge topology are all irrelevant — the property a SUM-based
+    checksum only gets modulo overflow, and a collected sort would
+    get at driver-size cost). This engine↔DuckDB hash-match IS the
+    cross-system migration check run for real.
+
+    Determinism plumbing: each row serializes through a canonical
+    form first — money via DECIMAL(25,2) text (double→string
+    formatting differs between engines), dates via DATE text, keys
+    via integer text — then md5, then the first 15 hex digits as a
+    60-bit int (the repo's conv/md5 convention, always positive in
+    an int64). Scale: one map-side-combinable aggregate, 3 result
+    rows, zero joins; the digest work is embarrassingly parallel."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_totalprice").cast("decimal(25,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"))
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (t["orders"]
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.bit_xor(h).alias("xor_checksum")))
