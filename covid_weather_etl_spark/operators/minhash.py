@@ -244,3 +244,165 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SIMHASH_MAX_DIST)
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup ingest: new batch vs existing corpus, band-indexed
+# ---------------------------------------------------------------------------
+
+#: md5-permutation MinHash for the INCREMENTAL path: unlike the
+#: xxhash64 signatures above (faster, but rows-only — DuckDB lacks the
+#: hash), md5 exists on both engines, so this variant's whole
+#: band-index construction is driver-hash-checked end to end.
+INC_PERMS = 16
+INC_BANDS = 8
+INC_ROWS = INC_PERMS // INC_BANDS
+#: first-2-hex-chars cutoff splitting the corpus into the already-
+#: ingested "old" set (~80%) and the arriving "new" batch (~20%).
+INC_OLD_CUT = "cc"
+#: exact-Jaccard acceptance threshold for verified pairs.
+INC_TAU = 0.5
+
+_INC_SHINGLES = (
+    "transform(sequence(0, size(split(text, ' ')) - 3), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")
+
+
+@register(
+    "incremental_minhash_ingest",
+    survey="ext-dedup,D2,J1,A6",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ), flags AS (
+        SELECT DISTINCT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{INC_OLD_CUT}'
+                   AS is_new
+        FROM sh
+    ), mh AS (
+        SELECT doc_id, p,
+               MIN(md5(CAST(p AS VARCHAR) || '|' || s)) AS h
+        FROM sh CROSS JOIN UNNEST(generate_series(0, {INC_PERMS - 1}))
+                 AS g(p)
+        GROUP BY 1, 2
+    ), bands AS (
+        SELECT doc_id, CAST(p / {INC_ROWS} AS INT) AS band,
+               STRING_AGG(h, '|' ORDER BY p) AS key
+        FROM mh GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key
+         AND a.doc_id < b.doc_id
+        JOIN flags f1 ON f1.doc_id = a.doc_id
+        JOIN flags f2 ON f2.doc_id = b.doc_id
+        WHERE f1.is_new OR f2.is_new
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    )
+    SELECT c.doc_id_1, c.doc_id_2,
+           COUNT(*) * 1e0 / (s1.n + s2.n - COUNT(*)) AS jaccard,
+           CASE WHEN f1.is_new AND f2.is_new THEN 'intra-batch'
+                ELSE 'backfill' END AS pair_kind
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_id_1
+    JOIN sh b ON b.doc_id = c.doc_id_2 AND a.s = b.s
+    JOIN sizes s1 ON s1.doc_id = c.doc_id_1
+    JOIN sizes s2 ON s2.doc_id = c.doc_id_2
+    JOIN flags f1 ON f1.doc_id = c.doc_id_1
+    JOIN flags f2 ON f2.doc_id = c.doc_id_2
+    GROUP BY 1, 2, s1.n, s2.n, f1.is_new, f2.is_new
+    HAVING COUNT(*) * 1e0 / (s1.n + s2.n - COUNT(*)) >= {INC_TAU}
+    """,
+)
+def incremental_minhash_ingest(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup ingest — the production shape of MinHash
+    dedup at 100 TB: when a new batch arrives, nobody re-pairs the
+    whole corpus; the existing documents' band index is a persisted
+    artifact and the new batch only joins new×(old ∪ new) band
+    collisions, skipping the old×old pairs that were resolved in
+    every previous ingest. Here the corpus splits deterministically
+    (md5 bucket of doc_id, ~80% "old"/20% "new") so the driver can
+    hash-check the whole construction; the candidate filter
+    `is_new(a) OR is_new(b)` is exactly the index-reuse contract —
+    old×old never re-verifies.
+
+    Unlike `minhash_near_dup` (xxhash64, rows-only), the permutations
+    here are md5-keyed (`md5(p || '|' || shingle)`, minimum as a
+    fixed-width hex string, where lexicographic MIN == numeric MIN),
+    which both engines share — making this the only LSH operator in
+    the registry whose banding is itself driver-hash-verified, not
+    just pytest-pinned. Candidates get the exact-Jaccard re-check at
+    τ={INC_TAU} on the shared shingle sets, so the (identical)
+    banding recall on both sides cancels out of the comparison.
+
+    Scale: shingle explode (corpus-sized, shared thrice via
+    localCheckpoint), a (doc, perm)-keyed MIN aggregate ({INC_PERMS}×
+    shingle rows, map-combinable), a (doc, band) string fold, the
+    band-bucket self-join (bounded by bucket occupancy, the LSH
+    point), then per-candidate intersection counts. In steady state
+    the old side's `sh`→`bands` chain is read from the persisted
+    index instead of recomputed — the plan after that line is
+    unchanged."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = (spread(t["documents"], "doc_id")
+          .select("doc_id", F.explode(F.expr(_INC_SHINGLES)).alias("s"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    is_new = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+              >= INC_OLD_CUT)
+    flags = sh.select("doc_id").distinct().select(
+        "doc_id", is_new.alias("is_new"))
+    mh = (sh.select("doc_id", "s",
+                    F.explode(F.sequence(
+                        F.lit(0), F.lit(INC_PERMS - 1))).alias("p"))
+          .groupBy("doc_id", "p")
+          .agg(F.min(F.md5(F.concat_ws(
+              "|", F.col("p").cast("string"), F.col("s")))).alias("h")))
+    bands = (mh.groupBy("doc_id",
+                        (F.col("p") / INC_ROWS).cast("int").alias("band"))
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("p", "h"))),
+                     lambda r: r["h"]), "|").alias("key")))
+    a = bands.alias("a").join(flags.withColumnRenamed(
+        "doc_id", "fa_id").withColumnRenamed("is_new", "a_new"),
+        F.col("a.doc_id") == F.col("fa_id"))
+    b = bands.alias("b").join(flags.withColumnRenamed(
+        "doc_id", "fb_id").withColumnRenamed("is_new", "b_new"),
+        F.col("b.doc_id") == F.col("fb_id"))
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .filter(F.col("a_new") | F.col("b_new"))
+            .select(F.col("a.doc_id").alias("doc_id_1"),
+                    F.col("b.doc_id").alias("doc_id_2"),
+                    "a_new", "b_new")
+            .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # intersection counts: pair-keyed joins on the shared shingle text
+    sh1 = sh.select(F.col("doc_id").alias("doc_id_1"),
+                    F.col("s").alias("s1"))
+    sh2 = sh.select(F.col("doc_id").alias("doc_id_2"),
+                    F.col("s").alias("s2"))
+    left = cand.join(sh1, "doc_id_1")
+    common = (left
+              .join(sh2, (left["doc_id_2"] == sh2["doc_id_2"])
+                    & (left["s1"] == sh2["s2"]))
+              .drop(sh2["doc_id_2"])
+              .groupBy("doc_id_1", "doc_id_2", "a_new", "b_new")
+              .agg(F.count("*").alias("n_common")))
+    jac = (F.col("n_common")
+           / (F.col("n1") + F.col("n2") - F.col("n_common")))
+    return (common
+            .join(sizes.select(F.col("doc_id").alias("doc_id_1"),
+                               F.col("n").alias("n1")), "doc_id_1")
+            .join(sizes.select(F.col("doc_id").alias("doc_id_2"),
+                               F.col("n").alias("n2")), "doc_id_2")
+            .filter(jac >= INC_TAU)
+            .select("doc_id_1", "doc_id_2", jac.alias("jaccard"),
+                    F.when(F.col("a_new") & F.col("b_new"), "intra-batch")
+                     .otherwise("backfill").alias("pair_kind")))

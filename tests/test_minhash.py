@@ -114,3 +114,55 @@ def test_simhash_near_dup_is_exact_close_pair_set(spark):
     got = {(r["doc_id_1"], r["doc_id_2"])
            for r in M.simhash_near_dup(spark, SF_DIR).collect()}
     assert got == truth
+
+
+def test_incremental_ingest_matches_bruteforce_and_skips_old_pairs(spark):
+    """hashlib reimplementation of the md5-permutation banding +
+    exact-Jaccard verify; the incremental result must equal the
+    brute-force pair set MINUS the old×old pairs (the index-reuse
+    contract), and backfill/intra-batch labels must match the split.
+    """
+    import hashlib
+
+    from covid_weather_etl_spark.operators.minhash import (
+        INC_OLD_CUT, INC_PERMS, INC_ROWS, INC_TAU,
+        incremental_minhash_ingest,
+    )
+
+    out = incremental_minhash_ingest(spark, "/root/testdata/sf0.001")
+    got = {(r.doc_id_1, r.doc_id_2): (round(r.jaccard, 9), r.pair_kind)
+           for r in out.collect()}
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").toPandas())
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    sets, bands, new = {}, {}, {}
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        sets[r.doc_id] = sh
+        mh = [min(md5(f"{p}|{s}") for s in sh) for p in range(INC_PERMS)]
+        bands[r.doc_id] = ["|".join(mh[b * INC_ROWS:(b + 1) * INC_ROWS])
+                           for b in range(INC_PERMS // INC_ROWS)]
+        new[r.doc_id] = md5(str(r.doc_id))[:2] >= INC_OLD_CUT
+
+    ids = sorted(sets)
+    want = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            if not (new[d1] or new[d2]):
+                continue                       # old×old: never re-checked
+            if not any(a == b for a, b in zip(bands[d1], bands[d2])):
+                continue
+            inter = len(sets[d1] & sets[d2])
+            j = inter / (len(sets[d1]) + len(sets[d2]) - inter)
+            if j >= INC_TAU:
+                kind = ("intra-batch" if new[d1] and new[d2]
+                        else "backfill")
+                want[(d1, d2)] = (round(j, 9), kind)
+
+    assert got == want
+    assert len(got) > 0                        # fixture has planted dups
