@@ -747,12 +747,18 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     an int64). Scale: one map-side-combinable aggregate, 3 result
     rows, zero joins; the digest work is embarrassingly parallel."""
     t = load_tables(spark, sf_dir, ("orders",))
-    row = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_totalprice").cast("decimal(25,2)").cast("string"),
-        F.col("o_orderdate").cast("date").cast("string"),
+    # F.concat, not concat_ws: the oracle's `||` NULL-propagates, and
+    # concat_ws silently SKIPS nulls — on a dirty row the two sides
+    # would checksum different serializations. concat makes a null
+    # column null out the digest identically on both engines (bit_xor
+    # ignores nulls on both), so a dirty row degrades loudly via the
+    # n_rows/xor mismatch instead of silently diverging.
+    sep = F.lit("|")
+    row = F.concat(
+        F.col("o_orderkey").cast("string"), sep,
+        F.col("o_custkey").cast("string"), sep,
+        F.col("o_totalprice").cast("decimal(25,2)").cast("string"), sep,
+        F.col("o_orderdate").cast("date").cast("string"), sep,
         F.col("o_orderpriority"))
     h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
     return (t["orders"]
