@@ -752,3 +752,115 @@ def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.col("y").isNull().alias("is_missing"),
         F.last("y", ignorenulls=True).over(w).alias("y_locf"))
+
+
+# ---------------------------------------------------------------------------
+# quantile persistence forecast scored by pinball loss
+# ---------------------------------------------------------------------------
+
+#: trailing history length for the empirical quantile forecast.
+PINBALL_LOOKBACK = 28
+#: forecast quantiles under evaluation.
+PINBALL_TAUS = (0.1, 0.5, 0.9)
+
+
+@register(
+    "pinball_quantile_forecast_eval",
+    survey="ext-timeseries,W4,A11,U5",
+    oracle=f"""
+    WITH daily AS (
+        SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), fc AS (
+        SELECT n_name, d, y,
+               COUNT(y) OVER w AS hist,
+               quantile_cont(y, 0.1) OVER w AS q10,
+               quantile_cont(y, 0.5) OVER w AS q50,
+               quantile_cont(y, 0.9) OVER w AS q90
+        FROM daily
+        WINDOW w AS (PARTITION BY n_name ORDER BY d
+                     ROWS BETWEEN {PINBALL_LOOKBACK} PRECEDING
+                              AND 1 PRECEDING)
+    ), scored AS (
+        SELECT n_name, 0.1 AS tau, y, q10 AS q FROM fc
+        WHERE hist = {PINBALL_LOOKBACK}
+        UNION ALL
+        SELECT n_name, 0.5 AS tau, y, q50 AS q FROM fc
+        WHERE hist = {PINBALL_LOOKBACK}
+        UNION ALL
+        SELECT n_name, 0.9 AS tau, y, q90 AS q FROM fc
+        WHERE hist = {PINBALL_LOOKBACK}
+    )
+    SELECT n_name, CAST(tau AS DOUBLE) AS tau,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR(CAST(SUM(CAST(GREATEST(tau * (y - q),
+                                        (tau - 1e0) * (y - q))
+                               AS DECIMAL(25,9))) AS DOUBLE)
+                 / COUNT(*) * 1e6 + 5e-1) / 1e6 AS avg_pinball,
+           CAST(SUM(CASE WHEN y <= q THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def pinball_quantile_forecast_eval(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Probabilistic forecast evaluation: a trailing-{PINBALL_LOOKBACK}-day
+    EMPIRICAL QUANTILE persistence forecast (q10/q50/q90 of the recent
+    history, the standard naive baseline every probabilistic model
+    must beat) scored by PINBALL LOSS — the strictly proper scoring
+    rule for quantiles (max(τ·e, (τ−1)·e)), completing the forecast-
+    eval family next to MASE (point), ECE (calibration) and
+    split-conformal (intervals). `n_covered`/`n_days` exposes
+    empirical coverage per τ, the companion calibration read.
+
+    Engine notes: the rolling quantiles are EXACT interpolated
+    percentiles over a row-frame window EXCLUDING the current day
+    (no leakage); days without a full lookback are dropped on both
+    sides (the repo's null-until-full rolling convention). Both
+    engines interpolate identically from identical history, so the
+    per-day loss terms are bit-equal; they accumulate as
+    DECIMAL(25,9) and the mean lands on the 1e-6 grid.
+
+    Scale: one (nation, day) rollup shuffle, one nation-keyed window
+    pass computing all three quantiles + history count, then an
+    explode-to-(τ, q) and a tiny aggregate. Per-nation series are
+    bounded; the window's percentile buffer is lookback-sized, not
+    series-sized."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    daily = (t["orders"]
+             .join(F.broadcast(t["customer"]),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(t["nation"]),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+             .groupBy("n_name", F.to_date("o_orderdate").alias("d"))
+             .agg(dsum("o_totalprice", "y")))
+    w = (W.partitionBy("n_name").orderBy("d")
+         .rowsBetween(-PINBALL_LOOKBACK, -1))
+    fc = (daily
+          .select("n_name", "d", "y",
+                  F.count("y").over(w).alias("hist"),
+                  *[F.percentile("y", F.lit(tau)).over(w)
+                    .alias(f"q{int(tau * 100)}")
+                    for tau in PINBALL_TAUS])
+          .filter(F.col("hist") == PINBALL_LOOKBACK))
+    scored = fc.select(
+        "n_name", "y",
+        F.explode(F.array(*[
+            F.struct(F.lit(float(tau)).alias("tau"),
+                     F.col(f"q{int(tau * 100)}").alias("q"))
+            for tau in PINBALL_TAUS])).alias("fq"))
+    tau, q, y = F.col("fq.tau"), F.col("fq.q"), F.col("y")
+    loss = F.greatest(tau * (y - q), (tau - F.lit(1.0)) * (y - q))
+    return (scored.groupBy("n_name", tau.alias("tau"))
+            .agg(F.count("*").alias("n_days"),
+                 (F.floor(F.sum(loss.cast("decimal(25,9)"))
+                          .cast("double") / F.count("*")
+                          * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                 .alias("avg_pinball"),
+                 F.sum(F.when(y <= q, 1).otherwise(0)).cast("bigint")
+                 .alias("n_covered")))
