@@ -93,3 +93,36 @@ def test_shuffle_budgets_hold(spark, name, max_shuffles):
     not at 100 TB."""
     df = QUERIES[name].fn(spark, SF_DIR)
     assert I.count_shuffles(df) <= max_shuffles, I.physical_plan(df)
+
+
+def test_q6_predicates_and_pruning_reach_scan(spark):
+    """forecast_revenue_change is the pushdown litmus: all three
+    predicates AND the 4-column projection must reach the parquet
+    scan, and the plan must contain no join and exactly one shuffle
+    (the single-row final aggregate exchange)."""
+    df = QUERIES["forecast_revenue_change"].fn(spark, SF_DIR)
+    assert I.has_pushed_filters(df), I.physical_plan(df)
+    cols = I.scan_read_columns(df)
+    assert cols and all(len(c) <= 4 for c in cols), cols
+    plan = I.physical_plan(df)
+    assert "Join" not in plan, plan
+    assert I.count_shuffles(df) <= 1, plan
+
+
+def test_q19_dim_prune_feeds_broadcast(spark):
+    """disjunctive_brand_revenue must broadcast the PRUNED part dim
+    (never shuffle the fact for the join) and push the fact-only
+    quantity bound into the lineitem scan."""
+    df = QUERIES["disjunctive_brand_revenue"].fn(spark, SF_DIR)
+    assert I.broadcast_join_count(df) >= 1, I.physical_plan(df)
+    assert I.has_pushed_filters(df), I.physical_plan(df)
+
+
+def test_incremental_ingest_has_no_cartesian(spark):
+    """The band self-join must be an equi-join on (band, key) — any
+    CartesianProduct/BroadcastNestedLoop here means the LSH bucketing
+    failed to become the join key."""
+    df = QUERIES["incremental_minhash_ingest"].fn(spark, SF_DIR)
+    plan = I.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
