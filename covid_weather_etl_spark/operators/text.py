@@ -1283,3 +1283,91 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.filter(jac >= PREFIX_JACCARD_TAU)
             .select("doc_id_1", "doc_id_2", "n_common",
                     F.round(jac, 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# containment (overlap-coefficient) near-dup — catches subset duplicates
+# ---------------------------------------------------------------------------
+
+#: containment acceptance threshold (|A∩B| / min(|A|,|B|)).
+CONTAINMENT_TAU = 0.8
+#: Jaccard below which a high-containment pair is a true SUBSET case
+#: (small doc swallowed by a large one) rather than a near-identical
+#: pair the Jaccard pass already reports.
+CONTAINMENT_JACCARD_CAP = 0.5
+
+
+@register(
+    "containment_near_dup",
+    survey="LLM-dedup,J7,A5,P7",
+    oracle=f"""
+    WITH {NGRAM_PAIRS_CTES}
+    SELECT doc_id_1, doc_id_2, n_common,
+           n_common * 1e0 / LEAST(s1.n, s2.n) AS containment,
+           n_common * 1e0 / (s1.n + s2.n - n_common) AS jaccard,
+           CASE WHEN s1.n <= s2.n THEN doc_id_1 ELSE doc_id_2 END
+               AS contained_doc,
+           n_common * 1e0 / (s1.n + s2.n - n_common)
+               < {CONTAINMENT_JACCARD_CAP} AS is_subset_case
+    FROM raw_pairs
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE n_common * 1e0 / LEAST(s1.n, s2.n) >= {CONTAINMENT_TAU}
+    """,
+)
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection by CONTAINMENT (overlap coefficient,
+    |A∩B| / min(|A|,|B|)) — the dedup case Jaccard structurally
+    misses: a short document wholly embedded in a much longer one
+    (quoted articles, concatenated crawls, doc+boilerplate wrappers)
+    has Jaccard ≈ |A|/|B| → 0 as the host grows, but containment ≈ 1.
+    Reports every pair with containment ≥ {CONTAINMENT_TAU}, which
+    side is the contained (strike-candidate) document, and an
+    `is_subset_case` flag (Jaccard < {CONTAINMENT_JACCARD_CAP}) that
+    isolates the asymmetric cases the `ngram_jaccard_near_dup` pass
+    does NOT emit. (The synthetic corpus's planted duplicates are all
+    symmetric — subset rows appear exactly when a real corpus has
+    them, and the flag keeps the two populations separable.)
+
+    Plan: identical machinery to the Jaccard pass (shingle explode →
+    shingle-keyed self-join → per-pair intersection counts → size
+    join), one more derived column — at 100 TB it rides the SAME
+    LSH-bounded candidate set; only the acceptance predicate differs.
+    All ratios are exact-integer divisions, identical on both
+    engines."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    shingled = (
+        spread(t["documents"], "doc_id")
+        .select("doc_id",
+                F.explode(F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                )).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True))
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"),
+                 F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count("*").alias("n_common")))
+    containment = (F.col("n_common") * F.lit(1.0)
+                   / F.least(F.col("n1"), F.col("n2")))
+    jaccard = (F.col("n_common") * F.lit(1.0)
+               / (F.col("n1") + F.col("n2") - F.col("n_common")))
+    return (
+        pairs
+        .join(sizes.select(F.col("doc_id").alias("doc_id_1"),
+                           F.col("n").alias("n1")), "doc_id_1")
+        .join(sizes.select(F.col("doc_id").alias("doc_id_2"),
+                           F.col("n").alias("n2")), "doc_id_2")
+        .filter(containment >= CONTAINMENT_TAU)
+        .select("doc_id_1", "doc_id_2", "n_common",
+                containment.alias("containment"),
+                jaccard.alias("jaccard"),
+                F.when(F.col("n1") <= F.col("n2"), F.col("doc_id_1"))
+                 .otherwise(F.col("doc_id_2")).alias("contained_doc"),
+                (jaccard < CONTAINMENT_JACCARD_CAP)
+                .alias("is_subset_case")))
