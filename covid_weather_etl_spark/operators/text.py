@@ -1371,3 +1371,59 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.col("doc_id_2")).alias("contained_doc"),
                 (jaccard < CONTAINMENT_JACCARD_CAP)
                 .alias("is_subset_case")))
+
+
+# ---------------------------------------------------------------------------
+# shingle document-frequency spectrum (corpus boilerplate profile)
+# ---------------------------------------------------------------------------
+
+#: spectrum cap: DF values at or above this collapse into one bucket.
+SPECTRUM_CAP = 10
+
+
+@register(
+    "shingle_df_spectrum",
+    survey="LLM-text,A6,A15",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ), df AS (
+        SELECT s, COUNT(*) AS df FROM sh GROUP BY 1
+    )
+    SELECT CAST(LEAST(df, {SPECTRUM_CAP}) AS INT) AS df_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS occurrence_mass
+    FROM df GROUP BY 1
+    """,
+)
+def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency spectrum of 3-gram shingles — the corpus
+    boilerplate-health read that decides every dedup threshold above:
+    DF=1 mass is unique content, DF=2..k mass is the near-dup signal
+    the Jaccard/MinHash passes feed on, and the ≥{SPECTRUM_CAP}
+    bucket is boilerplate (`dup_chunk_removal`'s target). Watching
+    this spectrum drift between crawl snapshots is how a pipeline
+    notices template pollution BEFORE the dedup bill arrives —
+    `occurrence_mass` per bucket is exactly the row count each dedup
+    stage will have to move.
+
+    Plan: the standard shingle explode, a shingle-keyed DF aggregate
+    (vocabulary-sized output), then a {SPECTRUM_CAP + 1}-row histogram
+    — both aggregates map-side combinable, no joins, integer-exact
+    everywhere. At 100 TB this is the cheapest whole-corpus health
+    query in the text pack (one pass, two combine trees)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = (spread(t["documents"], "doc_id")
+          .select("doc_id",
+                  F.explode(F.expr(
+                      "transform(sequence(0, size(split(text, ' ')) - 3), "
+                      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                  )).alias("s"))
+          .distinct())
+    df = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return (df.groupBy(F.least("df", F.lit(SPECTRUM_CAP)).cast("int")
+                       .alias("df_bucket"))
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum("df").cast("bigint").alias("occurrence_mass")))
