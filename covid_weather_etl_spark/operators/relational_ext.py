@@ -522,3 +522,131 @@ def order_priority_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.array_sort(F.collect_list(item)),
                          lambda s: s["o_orderpriority"]),
                      ",").alias("journey")))
+
+
+# ---------------------------------------------------------------------------
+# bag-semantics set operation: EXCEPT ALL (multiplicity-preserving)
+# ---------------------------------------------------------------------------
+
+#: the two compared periods (first vs second half of one year).
+BAG_YEAR = 1996
+
+
+@register(
+    "priority_mix_except_all",
+    survey="ext-relational,D3,A6,P5",
+    oracle=f"""
+    WITH h1 AS (
+        SELECT o_orderpriority FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '{BAG_YEAR}-01-01'
+          AND CAST(o_orderdate AS DATE) <  DATE '{BAG_YEAR}-07-01'
+    ), h2 AS (
+        SELECT o_orderpriority FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '{BAG_YEAR}-07-01'
+          AND CAST(o_orderdate AS DATE) <  DATE '{BAG_YEAR + 1}-01-01'
+    ), leftover AS (
+        SELECT o_orderpriority FROM h1
+        EXCEPT ALL
+        SELECT o_orderpriority FROM h2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS surplus_h1
+    FROM leftover GROUP BY 1
+    """,
+)
+def priority_mix_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — the BAG-semantics set difference the registry's
+    DISTINCT-based INTERSECT/EXCEPT pair (`repeat_buyers_intersect`,
+    `lapsed_buyers_except`) deliberately does not exercise: each H1
+    row of a priority survives only if H2 has FEWER copies left to
+    cancel it, so the result counts the per-priority order SURPLUS of
+    the first half-year over the second — multiplicities matter, a
+    DISTINCT difference would return rows only for priorities absent
+    from H2 entirely (usually none). Spark's `exceptAll` implements
+    the multiset semantics directly (a count-difference aggregate
+    under the hood — replicated-row generation, no join explosion).
+
+    Scale: two pushdown-pruned scans of one projected column, one
+    hash aggregate per side inside exceptAll, and a final tiny
+    rollup; only priorities with positive surplus appear, identical
+    on both engines by the SQL standard's max(m−n, 0) rule."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = F.to_date("o_orderdate")
+    h1 = (t["orders"]
+          .filter((d >= F.lit(f"{BAG_YEAR}-01-01"))
+                  & (d < F.lit(f"{BAG_YEAR}-07-01")))
+          .select("o_orderpriority"))
+    h2 = (t["orders"]
+          .filter((d >= F.lit(f"{BAG_YEAR}-07-01"))
+                  & (d < F.lit(f"{BAG_YEAR + 1}-01-01")))
+          .select("o_orderpriority"))
+    return (h1.exceptAll(h2)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("surplus_h1")))
+
+
+# ---------------------------------------------------------------------------
+# repeat-purchase interval distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "repurchase_interval_stats",
+    survey="ext-relational,W2,A11,A6",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               datediff('day',
+                        LAG(CAST(o_orderdate AS DATE)) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                        CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT CAST(COUNT(gap_days) AS BIGINT) AS n_intervals,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_repeat_custs,
+           ROUND(quantile_cont(gap_days, 0.25), 6) AS p25_days,
+           ROUND(quantile_cont(gap_days, 0.50), 6) AS median_days,
+           ROUND(quantile_cont(gap_days, 0.75), 6) AS p75_days,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+)
+def repurchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders — the retention metric behind every
+    'when to re-engage' decision, and the empirical input to the
+    kaplan_meier / time_to_convert family (those measure event→event
+    within a funnel; this measures purchase→purchase across the whole
+    relationship). LAG per customer (orderkey tiebreak for same-day
+    orders), integer day gaps, then one global summary of exact
+    quartiles over the gap population.
+
+    Scale: one customer-keyed window shuffle; the summary aggregates
+    |orders − customers| integer gaps — the exact-percentile buffer
+    holds small ints and flips to approx_percentile at 100 TB (A11
+    convention) with no other plan change."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (t["orders"]
+            .select("o_custkey",
+                    F.datediff(F.to_date("o_orderdate"),
+                               F.lag(F.to_date("o_orderdate")).over(w))
+                    .alias("gap_days"))
+            .filter(F.col("gap_days").isNotNull()))
+    # ONE array-percentile buffer for all three quartiles (the
+    # woe_iv_binning lesson: separate percentile expressions each
+    # buffer the whole column)
+    agg = gaps.agg(
+        F.count("gap_days").alias("n_intervals"),
+        F.countDistinct("o_custkey").alias("n_repeat_custs"),
+        F.percentile("gap_days", F.array(
+            F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"))
+    return agg.select(
+        "n_intervals", "n_repeat_custs",
+        F.round(F.col("qs")[0], 6).alias("p25_days"),
+        F.round(F.col("qs")[1], 6).alias("median_days"),
+        F.round(F.col("qs")[2], 6).alias("p75_days"),
+        "min_days", "max_days")
