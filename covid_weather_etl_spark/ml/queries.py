@@ -1585,7 +1585,7 @@ CONF_ALPHA = 0.1
     q AS (
         SELECT n_name, CAST(n_cal AS BIGINT) AS n_cal, abs_e AS q_alpha
         FROM cal
-        WHERE rk = (9 * (n_cal + 1) + 9) // 10
+        WHERE rk = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)
     ),
     test AS (
         SELECT n_name, ABS(y - y_prev) AS abs_e
@@ -1637,9 +1637,14 @@ def conformal_forecast_intervals(spark: SparkSession,
            .withColumn("rk", F.row_number().over(
                W.partitionBy("n_name").orderBy("abs_e", "rn")))
            .withColumn("n_cal", F.count("*").over(wp)))
-    # exact conformal rank: ceil((n_cal+1)·(1−α)) via integer ceil-div
+    # exact conformal rank: ceil((n_cal+1)·(1−α)) via integer ceil-div,
+    # clamped to n_cal — for n_cal < ceil(1/α)-1 the conformal rank
+    # n_cal+1 matches no order statistic and the group would silently
+    # vanish (advice r4); the clamp emits the MAX calibration residual
+    # as a conservative radius so every nation stays visible (the
+    # exchangeability guarantee is vacuous at that n anyway)
     q = (cal.filter(F.col("rk")
-                    == F.expr("(9 * (n_cal + 1) + 9) div 10"))
+                    == F.expr("least((9 * (n_cal + 1) + 9) div 10, n_cal)"))
          .select("n_name", F.col("n_cal").cast("long").alias("n_cal"),
                  F.col("abs_e").alias("q_alpha")))
     test = (ranked.filter(F.col("rn") > cut)

@@ -564,9 +564,14 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: minimum degree for k-core membership over the purchase network.
 KCORE_K = 4
-#: hard cap on peel rounds (each round removes at least one node or
-#: the loop has converged; real graphs converge in a handful).
-KCORE_MAX_ROUNDS = 30
+#: runaway-loop guard on peel rounds. Termination is guaranteed
+#: regardless (every non-final round strictly removes >=1 node, so the
+#: peel reaches fixpoint in <= |V| rounds) -- this cap only exists to
+#: bound a pathological/adversarial input, and hitting it RAISES
+#: rather than silently returning a non-core (peel depth is
+#: graph-dependent: chain-like structures shed one layer per round,
+#: so no small constant is a safe bound at 100TB scale).
+KCORE_MAX_ROUNDS = 10_000
 
 #: rounds executed by the most recent kcore() call (test introspection,
 #: same convention as LAST_ROUNDS for pagerank).
@@ -611,6 +616,14 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
              .join(keep, e["dst"] == keep["node"], "leftsemi")
              .coalesce(8)
              .localCheckpoint(eager=True))
+    else:
+        # Cap exhausted with violators still present: the frame in hand
+        # is NOT the k-core, and the contract promises the unique
+        # maximal k-core unconditionally -- fail loudly instead of
+        # returning it (advice r4: silent non-convergence).
+        raise RuntimeError(
+            f"kcore: no fixpoint after {max_rounds} rounds "
+            f"(k={k}); raise max_rounds")
     return e.groupBy(F.col("src").alias("node")) \
             .agg(F.count("*").alias("degree"))
 

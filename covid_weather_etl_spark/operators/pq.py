@@ -155,14 +155,36 @@ def encode_pq(emb: DataFrame, rows: list) -> DataFrame:
     return emb.withColumn("codes", enc(F.col("v")))
 
 
-@register("pq_codebook_train", survey="LLM-sim,U2")
+def _pq_codebook_oracle() -> str:
+    """DuckDB oracle over the PERSISTED sf0.01 PQ codebook (same
+    contract as similarity._ivf_codebook_oracle: the k-means is not
+    SQL-expressible, the deterministic artifact is; scalar rows keep
+    the driver's pandas canonicalizer happy)."""
+    path = pq_codebook_path("/root/testdata/sf0.01")
+    return f"""
+    SELECT sub_id,
+           code,
+           CAST(g.i - 1 AS INT) AS dim,
+           cv[g.i] AS val
+    FROM read_parquet('{path}/*.parquet'),
+         LATERAL (SELECT unnest(generate_series(1, len(cv))) AS i) g
+    """
+
+
+@register("pq_codebook_train", survey="LLM-sim,U2",
+          oracle=_pq_codebook_oracle())
 def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training half of the PQ seam: per-subspace k-means codebooks,
-    persisted to the warehouse. Rows-only driver check (iterative
-    k-means is not SQL-expressible); determinism and reconstruction-
-    error contraction are pinned in tests/test_pq.py."""
+    persisted to the warehouse. Output exploded to scalar
+    (sub_id, code, dim, val) rows — array columns crash the driver's
+    canonicalizer — and checked against a DuckDB read of the persisted
+    artifact; determinism and reconstruction-error contraction are
+    pinned in tests/test_pq.py."""
     rows = ensure_pq_codebook(spark, sf_dir)
-    return spark.createDataFrame(rows, schema=_PQ_SCHEMA)
+    flat = [(int(r["sub_id"]), int(r["code"]), d, float(x))
+            for r in rows for d, x in enumerate(r["cv"])]
+    return spark.createDataFrame(
+        flat, schema="sub_id int, code int, dim int, val double")
 
 
 @register("pq_ann_topk", survey="LLM-sim,J1,A6")

@@ -291,15 +291,37 @@ def assign_cells_literal(emb: DataFrame, rows: list) -> DataFrame:
     return emb.withColumn("c_id", (-best["neg_id"]).cast("int"))
 
 
-@register("ivf_codebook_train", survey="LLM-sim,U2")
+def _ivf_codebook_oracle() -> str:
+    """DuckDB oracle over the PERSISTED sf0.01 codebook parquet (the
+    driver's correctness SF). Iterative k-means itself is not
+    ANSI-SQL-expressible; the artifact IS deterministic and persisted
+    before the Spark result is returned, so the oracle verifies the
+    persistence round-trip + the per-dimension explode shape. Scalar
+    rows only — array-valued output columns crash the driver's pandas
+    canonicalizer (CORRECTNESS_r04 TypeError on ndarray)."""
+    path = ivf_codebook_path("/root/testdata/sf0.01")
+    return f"""
+    SELECT c_id,
+           CAST(g.i - 1 AS INT) AS dim,
+           cv[g.i] AS val
+    FROM read_parquet('{path}/*.parquet'),
+         LATERAL (SELECT unnest(generate_series(1, len(cv))) AS i) g
+    """
+
+
+@register("ivf_codebook_train", survey="LLM-sim,U2",
+          oracle=_ivf_codebook_oracle())
 def ivf_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training half of the IVF seam: 3 Lloyd rounds (RNG-free,
     seeded from the first k vec_ids) build the k=8 codebook, persisted
-    to the warehouse for every later search. Rows-only driver check
-    (iterative k-means is not ANSI-SQL-expressible); determinism is
-    pinned in tests/test_similarity_lsh.py."""
+    to the warehouse for every later search. Output is exploded to
+    scalar (c_id, dim, val) rows — driver-canon-safe — and checked
+    against a DuckDB read of the persisted artifact; k-means
+    determinism itself is pinned in tests/test_similarity_lsh.py."""
     rows = ensure_ivf_codebook(spark, sf_dir)
-    return spark.createDataFrame(rows, schema=_CENTROID_SCHEMA)
+    flat = [(int(r["c_id"]), d, float(x))
+            for r in rows for d, x in enumerate(r["cv"])]
+    return spark.createDataFrame(flat, schema="c_id int, dim int, val double")
 
 
 @register("ivf_kmeans_topk", survey="LLM-sim,U2,J1")

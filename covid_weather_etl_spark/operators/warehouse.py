@@ -622,17 +622,21 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # schema evolution: mergeSchema read across snapshot generations
 # ---------------------------------------------------------------------------
 
-def _evolution_dir(sf_dir: str) -> str:
+def _evolution_dir(sf_dir: str, fingerprint: str = "") -> str:
     """Per-corpus scratch dir for the two snapshot generations (same
     path-hash keying as the IVF/PQ artifacts: basename for
-    readability, abspath hash for uniqueness)."""
+    readability, abspath hash for uniqueness). `fingerprint` is a
+    cheap CONTENT key (row count + max custkey) folded into the hash
+    so a regenerated dataset at the same path never reuses stale
+    snapshots (advice r4: path-only keying diverged from the live
+    table after a regen)."""
     import hashlib
     import os
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     abspath = os.path.abspath(os.path.normpath(sf_dir))
     base = os.path.basename(abspath).replace(".", "_")
-    digest = hashlib.md5(abspath.encode()).hexdigest()[:10]
+    digest = hashlib.md5(f"{abspath}|{fingerprint}".encode()).hexdigest()[:10]
     return os.path.join(repo_root, "spark-warehouse",
                         f"schema_evo_{base}_{digest}")
 
@@ -678,9 +682,13 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling via spark.sql.files.* or keep the canonical schema in a
     metastore and pass it explicitly (both shapes read the same)."""
     import os
-    out_dir = _evolution_dir(sf_dir)
     t = load_tables(spark, sf_dir, ("customer",))
     cust = t["customer"]
+    # content fingerprint from parquet footer stats (count/max are
+    # metadata-only aggregates -- no data scan at any scale)
+    fp = cust.agg(F.count("*").alias("n"),
+                  F.max("c_custkey").alias("mx")).first()
+    out_dir = _evolution_dir(sf_dir, f"n{fp['n']}mx{fp['mx']}")
     if not os.path.isdir(os.path.join(out_dir, "gen=2")):
         (cust.filter(F.col("c_custkey") % 2 == 0)
          .select("c_custkey", "c_mktsegment")

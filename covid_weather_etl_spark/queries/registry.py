@@ -73,7 +73,50 @@ def _load_modules() -> None:
 # The correctness driver evaluates the first N=50 queries of the dict
 # order, so the dict leads with whichever cohort most needs a fresh
 # driver row this round (rotated each round; module import order no
-# longer matters). Round 4 window:
+# longer matters).
+#
+# Round 5 window (50): slots 1-2 are the two r4-ERR codebook queries,
+# re-shaped to scalar (id, dim, val) rows with DuckDB oracles over the
+# persisted sf0.01 artifact (r4 verdict directive #1); slot 3 is
+# schema_evolution_merge — S4's only registry query, never in a window
+# (directive "What's missing" #3); slots 4-50 are the never-driver-
+# checked queue below in its documented order, oracle-equipped names
+# first (directive #2) plus woe_iv_binning from the session-4 cohort
+# (named in the directive). Never-checked rows-only queries
+# (als_part_recommendations, media_phash_dedup, bpe_encode_documents,
+# hll_audience_overlap, pca_top_component, markov_attribution, ...)
+# plus the session-4/5 remainder are next in line for round 6.
+_ROTATION_R5 = (
+    # repaired r4 ERRs — first hash-checkable rows
+    "ivf_codebook_train", "pq_codebook_train",
+    # S4's only query — first driver row
+    "schema_evolution_merge",
+    # session-3 cohort, oracle-equipped, in queue order
+    "count_min_frequency", "psi_drift_report", "ks_two_sample",
+    "mutual_information_features", "pmi_collocations",
+    "shortest_path_hops", "dedup_clusters_star",
+    "random_projection_embed", "weighted_sample_topk", "welch_ttest_ab",
+    "kaplan_meier_conversion", "benford_digit_profile",
+    "isotonic_calibration", "exact_auc_mann_whitney",
+    "spearman_correlation", "decile_lift_table", "bootstrap_mean_ci",
+    "hard_negative_mining", "drift_monitor_windows", "er_name_clusters",
+    "bellman_ford_costs", "quantile_normalize_feature",
+    "feature_relevance_ranking", "purge_cascade_report",
+    "stratified_kfold_summary", "dedup_keep_longest",
+    "minhash_jaccard_audit", "session_stats", "pareto_front_parts",
+    "topk_orders_per_customer", "naive_bayes_lang_eval",
+    "returned_item_customers", "modal_priority_by_nation",
+    "weighted_median_price", "acf_daily_revenue", "zipf_law_fit",
+    "prefix_filter_jaccard_join", "stratified_exact_k_sample",
+    "adamic_adar_links", "exact_average_precision",
+    "mase_forecast_eval", "calibration_ece_report",
+    "inclusion_dependency_profile", "embedding_gram_matrix",
+    "ndcg_popularity_baseline", "longest_increase_streak",
+    # session-4 cohort representative named in the r4 directive
+    "woe_iv_binning",
+)
+
+# Round 4 window (superseded — kept for the audit trail):
 #   1-23: the 23 round-3 additions that have NEVER had a driver
 #         CORRECTNESS row (16 oracle-equipped, 7 rows-only);
 #  24-46: the 23 round-4 additions (incl. debounce + RAG chunking) (first driver rows) — including
@@ -127,60 +170,44 @@ _ROTATION_R4 = (
     "grouping_sets_margins",
     "local_supplier_revenue",
 )
-# Still never driver-checked after this window (queued first for r5,
-# all locally sf0.01-parity-green): the session-3 cohort
-# (count_min_frequency, psi_drift_report, ks_two_sample,
-# mutual_information_features, pmi_collocations, shortest_path_hops,
-# dedup_clusters_star, random_projection_embed, weighted_sample_topk,
-# welch_ttest_ab, kaplan_meier_conversion, benford_digit_profile,
-# isotonic_calibration, als_part_recommendations [rows-only],
-# exact_auc_mann_whitney, spearman_correlation, decile_lift_table,
-# bootstrap_mean_ci, hard_negative_mining, media_phash_dedup
-# [rows-only], drift_monitor_windows, er_name_clusters,
-# bellman_ford_costs, quantile_normalize_feature,
-# feature_relevance_ranking, purge_cascade_report,
-# stratified_kfold_summary, dedup_keep_longest,
-# minhash_jaccard_audit, session_stats, pareto_front_parts,
-# bpe_encode_documents, topk_orders_per_customer,
-# naive_bayes_lang_eval, returned_item_customers,
-# modal_priority_by_nation, weighted_median_price,
-# hll_audience_overlap [rows-only], acf_daily_revenue,
-# zipf_law_fit, prefix_filter_jaccard_join,
-# stratified_exact_k_sample, adamic_adar_links,
-# exact_average_precision, mase_forecast_eval,
-# calibration_ece_report, inclusion_dependency_profile,
-# embedding_gram_matrix, pca_top_component [rows-only],
-# ndcg_popularity_baseline, markov_attribution [rows-only],
-# longest_increase_streak, unattributed_purchases,
-# bitmap_audience_intersection, and the session-4 cohort:
+# Still never driver-checked after the r5 window (queued first for
+# r6; all locally sf0.01-parity-green). Oracle-equipped (54):
+# containment_near_dup, shingle_df_spectrum, temperature_mix_weights,
 # order_count_distribution, small_quantity_revenue,
 # large_volume_customers, late_sole_supplier, prospect_balance_report,
 # gini_revenue_by_nation, hhi_supplier_concentration,
-# cuped_adjusted_metric, k_anonymity_report, compaction_plan,
-# did_revenue_uplift, conformal_forecast_intervals, woe_iv_binning,
-# theilsen_mannkendall_trend, ips_offpolicy_eval, dp_noisy_counts,
-# kcore_purchase_network [rows-only]),
-# unpivot_flag_metrics,
-# temperature_mix_weights, time_to_convert_stats, user_growth_curve,
-# name_similarity_pairs, target_encoding_segment, rolling_median_revenue,
-# rfm_segmentation, basket_affinity, mad_anomaly_report,
-# holt_winters_forecast_eval, triangle_count, pricing_summary_q1,
-# distributed_exact_median, bpe_vocab_train, fpgrowth_itemsets,
-# prefixspan_sequences, mergeschema_generations, and the session-5
-# close-out cohort (all sf0.01-parity-green locally on day one):
-# date_spine_fill, forecast_revenue_change, volume_shipping_pair,
-# national_market_share, product_type_profit, late_shipment_priority,
-# promo_revenue_share, top_supplier_quarter, disjunctive_brand_revenue,
-# cheapest_supplier_per_part, time_weighted_average,
-# char_entropy_quality, price_relative_standing,
-# ridge_normal_equations, time_decay_engagement.
+# k_anonymity_report, dp_noisy_counts, cuped_adjusted_metric,
+# did_revenue_uplift, ips_offpolicy_eval, time_to_convert_stats,
+# user_growth_curve, time_decay_engagement, triangle_count,
+# incremental_minhash_ingest, char_entropy_quality,
+# unpivot_flag_metrics, pricing_summary_q1, order_priority_journey,
+# priority_mix_except_all, repurchase_interval_stats,
+# bitmap_audience_intersection, name_similarity_pairs,
+# target_encoding_segment, distributed_exact_median,
+# ridge_normal_equations, pythagorean_means_prices,
+# time_weighted_average, rolling_median_revenue, mad_anomaly_report,
+# theilsen_mannkendall_trend, date_spine_fill,
+# pinball_quantile_forecast_eval, forecast_revenue_change,
+# volume_shipping_pair, national_market_share, product_type_profit,
+# late_shipment_priority, promo_revenue_share, top_supplier_quarter,
+# disjunctive_brand_revenue, cheapest_supplier_per_part,
+# rfm_segmentation, basket_affinity, compaction_plan,
+# table_checksum_orders, price_relative_standing,
+# conformal_forecast_intervals, unattributed_purchases.
+# Rows-only (11): bpe_vocab_train, bpe_encode_documents,
+# markov_attribution, kcore_purchase_network, media_phash_dedup,
+# pca_top_component, hll_audience_overlap,
+# holt_winters_forecast_eval, als_part_recommendations,
+# fpgrowth_type_itemsets, prefixspan_event_patterns.
+# That is 65 names -- one more 50-query window (r6) plus refresh
+# slots closes the queue entirely.
 
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    missing = [n for n in _ROTATION_R4 if n not in _REGISTRY]
+    missing = [n for n in _ROTATION_R5 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _ROTATION_R4}
+    ordered = {n: _REGISTRY[n] for n in _ROTATION_R5}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered

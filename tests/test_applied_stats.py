@@ -47,8 +47,11 @@ def test_conformal_radius_is_exact_order_statistic(spark):
     out = conformal_forecast_intervals(spark, SF_DIR).toPandas()
     assert len(out) > 0
     for _, r in out.iterrows():
-        # the conformal rank must be a feasible index
-        k = math.ceil((r.n_cal + 1) * (1 - CONF_ALPHA))
+        # the conformal rank, clamped to n_cal (advice r4: for
+        # n_cal < ceil(1/alpha)-1 the raw rank n_cal+1 matches no
+        # order statistic; the clamp keeps the group visible with the
+        # max residual as a conservative radius), is a feasible index
+        k = min(math.ceil((r.n_cal + 1) * (1 - CONF_ALPHA)), int(r.n_cal))
         assert 1 <= k <= r.n_cal
         assert r.q_alpha >= 0
         assert 0.0 <= r.coverage <= 1.0

@@ -229,3 +229,21 @@ def test_kcore_deterministic(spark):
     a = sorted(map(tuple, G.kcore_purchase_network(spark, SF_DIR).collect()))
     b = sorted(map(tuple, G.kcore_purchase_network(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_kcore_raises_when_round_cap_exhausted(spark):
+    """A chain sheds exactly one layer (its two endpoints) per peel
+    round, so a 7-node path needs 3 rounds to empty at k=2; with
+    max_rounds=1 the frame in hand is NOT the k-core and kcore must
+    raise rather than silently return it (advice r4)."""
+    import pytest
+
+    from covid_weather_etl_spark.operators import graph as G
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    both = chain + [(b, a) for a, b in chain]
+    edges = spark.createDataFrame(both, "src string, dst string")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        G.kcore(edges, k=2, max_rounds=1)
+    # with room to converge the same graph peels to the empty core
+    assert G.kcore(edges, k=2, max_rounds=10).count() == 0

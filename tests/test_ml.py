@@ -553,3 +553,51 @@ def test_prefixspan_matches_bruteforce(spark):
     expected = {(">".join(p), len(p)): c
                 for p, c in cand.items() if c >= floor}
     assert out == expected
+
+
+def test_pipeline_model_save_load_rescores_identically(spark, tmp_path):
+    """S9 closure (model binary sink/source): a fitted pyspark.ml
+    PipelineModel (assembler → train-fitted scaler → seeded GBT — the
+    stack gbt_classifier_eval uses) persists to disk and reloads to
+    BIT-IDENTICAL scores, mirroring the reference's joblib
+    dump→load→predict round trip (`dags/classification_dag.py:109-121`
+    / `dags/forecasting_dag.py:186-190`). Spark-first: save() writes a
+    metadata+parquet directory readable by any cluster, no pickle."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.sql import functions as F
+
+    df = ML._labeled_lineitem(spark, SF_DIR).cache()
+    split_key = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10
+    train, test = df.filter(split_key < 7), df.filter(split_key >= 7)
+
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=ML.FEATURES, outputCol="features_raw"),
+        StandardScaler(inputCol="features_raw", outputCol="features",
+                       withMean=True, withStd=True),
+        # small protocol: persistence semantics, not anchor metrics
+        # (those are pinned by test_gbt_* at XGB_PROTOCOL depth)
+        GBTClassifier(featuresCol="features", labelCol="label",
+                      maxIter=5, maxDepth=3, seed=7),
+    ])
+    model = pipe.fit(train)
+    path = str(tmp_path / "gbt_pipeline_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+
+    cols = ["l_orderkey", "l_linenumber", "prediction", "probability"]
+    a = (model.transform(test).select(*cols).toPandas()
+         .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True))
+    b = (reloaded.transform(test).select(*cols).toPandas()
+         .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True))
+    df.unpersist()
+    assert len(a) == len(b) > 0
+    assert (a.prediction == b.prediction).all()
+    # probability vectors bit-equal, not just argmax-equal
+    assert all(list(x) == list(y) for x, y in zip(a.probability,
+                                                  b.probability))
+    # the reloaded GBT carries the same trees (weights + structure)
+    g0, g1 = model.stages[-1], reloaded.stages[-1]
+    assert g0.getNumTrees == g1.getNumTrees
+    assert list(g0.treeWeights) == list(g1.treeWeights)

@@ -53,6 +53,12 @@ def test_time_weighted_average_matches_pandas(spark):
         dt = (g.ts.shift(-1) - g.ts).dt.total_seconds().to_numpy() * 1e6
         v = g.value.to_numpy()
         mask = ~np.isnan(dt)
+        if mask.sum() == 0:
+            # a single-event user has no LEAD segment: the operator's
+            # right-open convention legitimately omits them (advice
+            # r4: don't KeyError on a denser/sparser fixture)
+            assert uid not in out.index
+            continue
         want = float((v[mask] * dt[mask]).sum() / dt[mask].sum())
         got = out.loc[uid]
         assert got.n_segments == mask.sum()

@@ -15,7 +15,7 @@ from covid_weather_etl_spark.operators.corpus import (
     CHUNK_DUP_DF, CHUNK_TOKENS,
 )
 from covid_weather_etl_spark.operators.text import HASH_DIM, VOCAB_SIZE
-from covid_weather_etl_spark.operators.warehouse import ZFILES
+from covid_weather_etl_spark.operators.warehouse import ZBITS, ZFILES
 from covid_weather_etl_spark.queries.registry import all_queries
 from covid_weather_etl_spark.sources.catalog import load_tables
 from tests.conftest import SF_DIR
@@ -58,8 +58,9 @@ def test_zorder_envelopes_beat_single_column_sort(spark):
     assert len(z) <= ZFILES
     assert (z["n_rows"] > 0).all()
     # ZBITS-wide plane cut into ZFILES quad-tree cells → per-dim tile
-    # width = 2^(ZBITS - ZFILE_BITS//2)
-    tile_w = 1 << (8 - (ZFILES.bit_length() - 1) // 2)
+    # width = 2^(ZBITS - ZFILE_BITS//2) (advice r4: derive from ZBITS,
+    # not a literal 8, so a ZBITS change keeps the bound honest)
+    tile_w = 1 << (ZBITS - (ZFILES.bit_length() - 1) // 2)
     z_cust_w = z["max_cust_bucket"] - z["min_cust_bucket"] + 1
     z_date_w = z["max_date_bucket"] - z["min_date_bucket"] + 1
     assert (z_cust_w <= tile_w).all()
