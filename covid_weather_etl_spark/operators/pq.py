@@ -187,7 +187,69 @@ def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat, schema="sub_id int, code int, dim int, val double")
 
 
-@register("pq_ann_topk", survey="LLM-sim,J1,A6")
+def _pq_ann_topk_oracle() -> str:
+    """DuckDB twin of the FULL ADC pipeline over the persisted sf0.01
+    codebook: re-encode every vector (per-subspace argmin, ties to the
+    lowest code — numpy argmin keeps the first minimum, the ORDER BY
+    d2, code twin of it), rebuild the probe's distance table, score by
+    summed lookups, shortlist RERANK_R, exact-L2 re-rank to top-5.
+    Upgrades the query from rows-only to full hash parity. The encode
+    argmin is recomputed with direct (x-c)^2 sums vs the engine's
+    BLAS x^2-2xc+c^2 decomposition; they can only disagree on
+    sub-1e-12 near-ties between distinct trained centroids, and exact
+    duplicate centroids (empty-cluster carryover) tie-break to the
+    same lowest code on both engines."""
+    path = pq_codebook_path("/root/testdata/sf0.01")
+    sub = SUB
+    return f"""
+    WITH cb AS (
+        SELECT sub_id, code, cv FROM read_parquet('{path}/*.parquet')
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), d2 AS (
+        SELECT e.vec_id, c.sub_id, c.code,
+               SUM((e.embedding[c.sub_id * {sub} + g.i]::DOUBLE
+                    - c.cv[g.i]) ^ 2) AS d2
+        FROM embeddings e
+        CROSS JOIN cb c
+        CROSS JOIN generate_series(1, {sub}) AS g(i)
+        WHERE e.vec_id <> 0
+        GROUP BY 1, 2, 3
+    ), enc AS (
+        SELECT vec_id, sub_id, code FROM (
+            SELECT vec_id, sub_id, code,
+                   row_number() OVER (PARTITION BY vec_id, sub_id
+                                      ORDER BY d2, code) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ), dtab AS (
+        SELECT c.sub_id, c.code,
+               SUM((q.qv[c.sub_id * {sub} + g.i] - c.cv[g.i]) ^ 2) AS d
+        FROM cb c CROSS JOIN q
+        CROSS JOIN generate_series(1, {sub}) AS g(i)
+        GROUP BY 1, 2
+    ), shortlist AS (
+        SELECT enc.vec_id, ROUND(SUM(d.d), 6) + 0.0 AS adc_dist
+        FROM enc JOIN dtab d USING (sub_id, code)
+        GROUP BY 1
+        ORDER BY ROUND(SUM(d.d), 6), enc.vec_id
+        LIMIT __RERANK_R__
+    ), rerank AS (
+        SELECT s.vec_id, s.adc_dist,
+               ROUND((SELECT SUM((e.embedding[g.i]::DOUBLE - q.qv[g.i]) ^ 2)
+                      FROM generate_series(1, {sub * PQ_M}) AS g(i)), 6)
+                 + 0.0 AS l2_dist
+        FROM shortlist s
+        JOIN embeddings e USING (vec_id)
+        CROSS JOIN q
+    )
+    SELECT vec_id, adc_dist, l2_dist
+    FROM rerank ORDER BY l2_dist, vec_id LIMIT 5
+    """.replace("__RERANK_R__", str(RERANK_R))
+
+
+@register("pq_ann_topk", survey="LLM-sim,J1,A6",
+          oracle=_pq_ann_topk_oracle())
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search + exact re-rank through the trained PQ codebook:
     encode the corpus with a narrow vectorized map, build the probe's
@@ -197,8 +259,10 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the R candidates with exact L2 against the raw vectors (the
     standard IVFADC+rerank pipeline). The full corpus is touched only
     through its 8-byte codes (the 100 TB win PQ exists for); exact
-    math runs on R rows. Rows-only driver check; planted-cluster
-    recall and determinism are pinned in tests/test_pq.py."""
+    math runs on R rows. Driver check: full hash parity vs a DuckDB
+    replay of encode + ADC + re-rank over the persisted codebook
+    (upgraded from rows-only); planted-cluster recall and determinism
+    are pinned in tests/test_pq.py."""
     rows = ensure_pq_codebook(spark, sf_dir)
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = _vecs(t["embeddings"])

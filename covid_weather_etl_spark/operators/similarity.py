@@ -324,15 +324,49 @@ def ivf_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(flat, schema="c_id int, dim int, val double")
 
 
-@register("ivf_kmeans_topk", survey="LLM-sim,U2,J1")
+def _ivf_kmeans_topk_oracle() -> str:
+    """DuckDB twin of the full IVF search path — nearest-centroid
+    assignment (rounded-sim argmax, ties to lowest c_id, matching
+    assign_cells_literal's struct-max tie-break) over the persisted
+    sf0.01 codebook, then exact cosine top-5 INSIDE the probe's cell.
+    Upgrades the query from rows-only to full hash parity: the oracle
+    independently recomputes cell membership and in-cell ranking."""
+    path = ivf_codebook_path("/root/testdata/sf0.01")
+    return f"""
+    WITH cb AS (
+        SELECT c_id, cv FROM read_parquet('__CBPATH__/*.parquet')
+    ), asg AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               (SELECT c.c_id FROM cb c
+                ORDER BY ROUND(list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.c_id
+                LIMIT 1) AS cell
+        FROM embeddings e
+    ), probe AS (
+        SELECT cell AS p_cell, v AS pv FROM asg WHERE vec_id = 0
+    )
+    SELECT a.vec_id, a.cell,
+           ROUND(list_cosine_similarity(a.v, p.pv), 6) + 0.0 AS cos_sim
+    FROM asg a, probe p
+    WHERE a.cell = p.p_cell AND a.vec_id <> 0
+    ORDER BY ROUND(list_cosine_similarity(a.v, p.pv), 6) DESC, a.vec_id
+    LIMIT 5
+    """.replace("__CBPATH__", path)
+
+
+@register("ivf_kmeans_topk", survey="LLM-sim,U2,J1",
+          oracle=_ivf_kmeans_topk_oracle())
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 through the TRAINED IVF codebook (vs ivf_ann_topk's
     fixed stand-in): reads the persisted codebook (training it on first
     use — see ensure_ivf_codebook), assigns cells with a narrow map over
     the literal codebook, and searches ONLY the probe's cell. The plan
     is scan → narrow assign → broadcast-probe join → TakeOrdered: zero
-    wide shuffles. Rows-only driver check; recall vs the brute-force
-    baseline is pinned in tests/test_similarity_lsh.py."""
+    wide shuffles. Driver check: full hash parity vs a DuckDB replay
+    of assignment + in-cell ranking over the persisted codebook
+    (upgraded from rows-only); recall vs the brute-force baseline is
+    pinned in tests/test_similarity_lsh.py."""
     rows = ensure_ivf_codebook(spark, sf_dir)
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = _vecs(t["embeddings"])

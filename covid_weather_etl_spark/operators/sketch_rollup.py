@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from covid_weather_etl_spark.functions.numeric import fround, fround_sql
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables
 
@@ -37,94 +38,280 @@ def daily_user_sketches(ev: DataFrame) -> DataFrame:
                  F.count("*").alias("n_events")))
 
 
-@register("hll_monthly_rollup", survey="ext-sketch,A2,A7")
+# ---------------------------------------------------------------------------
+# portable deterministic HLL: md5-derived registers as exact integer
+# column algebra, reproducible bit-for-bit on any engine
+# ---------------------------------------------------------------------------
+#
+# The native DataSketches path above (daily_user_sketches) is the pure-
+# Spark production layer; these registered queries instead build the
+# registers EXPLICITLY so the whole sketch — hash, bucket, rho, merge,
+# estimate — is portable column algebra with a full DuckDB twin (the
+# BigQuery/Druid "portable sketch format" idea, done as SQL):
+#
+# - 60-bit hash H = first 15 hex chars of md5(value)  (cross-engine:
+#   Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT, verified);
+#   at 100 TB swap md5 for xxhash64 — same algebra, engine-local hash
+# - bucket = H >> 48 (p=12, m=4096 registers); r = low 48 bits;
+#   rho = 49 - bitlength(r) (exact integer math via bin()-string
+#   length on both engines; r=0 -> 49)
+# - register state = MAX(rho) per (group, bucket): merge/rollup is an
+#   integer MAX — associative, commutative, order-free, so daily ->
+#   monthly union is lossless BY CONSTRUCTION and the driver's hash
+#   compare against the one-shot DuckDB twin proves it
+# - estimate: Z-sum accumulated as the exact integer
+#   sum(2^(49-rho)) (every term a power of two; BIGINT, order-free)
+#   so the only floating math is a handful of single-value IEEE ops
+#   identical on both engines, plus one ln() in the linear-counting
+#   branch (fround-rounded; see functions.numeric)
+
+HLL_P = 12                       #: bucket bits -> m = 4096 registers
+HLL_M = 1 << HLL_P
+HLL_RBITS = 60 - HLL_P           #: rank bits below the bucket field
+_HLL_MASK = (1 << HLL_RBITS) - 1
+_HLL_RHO0 = HLL_RBITS + 1        #: rho scale: empty register term 2^49
+_HLL_EMPTY = 1 << _HLL_RHO0
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_NUM = float(HLL_M) * float(HLL_M) * float(_HLL_EMPTY)  # m^2 * 2^49
+
+
+def hll_register_cols(value):
+    """(bucket, rho) columns of the portable sketch for one value
+    expression — pure JVM-side column algebra, no UDF."""
+    h = (F.conv(F.substring(F.md5(value.cast("string").cast("binary")),
+                            1, 15), 16, 10).cast("long"))
+    bucket = F.shiftright(h, HLL_RBITS).cast("int")
+    r = h.bitwiseAND(F.lit(_HLL_MASK))
+    rho = (F.when(r == 0, F.lit(_HLL_RHO0))
+           .otherwise(F.lit(_HLL_RHO0) - F.length(F.bin(r)))).cast("int")
+    return bucket, rho
+
+
+def hll_estimate(regs: DataFrame, group_cols: list) -> DataFrame:
+    """Registers (group..., bucket, mx) -> (group..., hll_est). The
+    Z-sum is an exact BIGINT (shiftleft terms), so the estimate is a
+    deterministic function of the register STATE, independent of
+    partitioning/accumulation order."""
+    scaled = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO0} - mx AS INT))")
+    agg = (regs.groupBy(*group_cols)
+           .agg(F.sum(scaled).alias("s_present"),
+                F.count("*").alias("n_present")))
+    v = F.lit(HLL_M) - F.col("n_present")
+    s_total = (F.col("s_present") + v * F.lit(_HLL_EMPTY)).cast("double")
+    e_raw = F.lit(HLL_ALPHA) * F.lit(_HLL_NUM) / s_total
+    est = (F.when((e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+                  F.lit(float(HLL_M))
+                  * F.log(F.lit(float(HLL_M)) / v.cast("double")))
+           .otherwise(e_raw))
+    return agg.select(*group_cols, est.alias("hll_est"))
+
+
+def _hll_sql(group_expr: str, group_alias: str, source_sql: str) -> str:
+    """DuckDB twin of hll_register_cols + hll_estimate: CTE text
+    producing (group_alias, e) from `source_sql` (must expose user_id
+    and the group expression's inputs)."""
+    e_raw = (f"((0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {_HLL_NUM!r} "
+             f"/ CAST(s_present + ({HLL_M} - n_present) * {_HLL_EMPTY} "
+             f"AS DOUBLE))")
+    return f"""
+    hashed AS (
+        SELECT {group_expr} AS {group_alias},
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM {source_sql}
+    ), regs AS (
+        SELECT {group_alias}, h >> {HLL_RBITS} AS bucket,
+               MAX(CASE WHEN (h & {_HLL_MASK}) = 0 THEN {_HLL_RHO0}
+                        ELSE {_HLL_RHO0} - length(bin(h & {_HLL_MASK}))
+                   END) AS mx
+        FROM hashed GROUP BY 1, 2
+    ), acc AS (
+        SELECT {group_alias},
+               SUM(1::BIGINT << CAST({_HLL_RHO0} - mx AS INT)) AS s_present,
+               COUNT(*) AS n_present
+        FROM regs GROUP BY 1
+    ), est AS (
+        SELECT {group_alias},
+               CASE WHEN {e_raw} <= {2.5 * HLL_M!r}
+                         AND ({HLL_M} - n_present) > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))
+                    ELSE {e_raw} END AS e
+        FROM acc
+    )"""
+
+
+@register(
+    "hll_monthly_rollup",
+    survey="ext-sketch,A2,A7",
+    oracle=f"""
+    WITH {_hll_sql("date_trunc('month', ts)", "month", "events")},
+    rounded AS (
+        SELECT month, {fround_sql('e')} AS hll_users FROM est
+    ), ex AS (
+        SELECT date_trunc('month', ts) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events GROUP BY 1
+    )
+    SELECT ex.month, ex.n_events, ex.exact_users, r.hll_users,
+           {fround_sql('ABS(r.hll_users - ex.exact_users)'
+                       ' / ex.exact_users')} AS rel_err
+    FROM ex JOIN rounded r USING (month)
+    """,
+)
 def hll_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly distinct users three ways: sketch-union of the daily
-    layer (the incremental path — touches only day-level register
-    states), a one-shot monthly sketch (what a full re-scan would
-    build), and the exact COUNT(DISTINCT) ground truth, with the
-    relative error. Union vs one-shot must agree exactly (HLL merge is
-    lossless on register states); both sit within the lg_k=12 error
-    envelope of exact."""
+    """Monthly distinct users via the PORTABLE HLL register layer: the
+    daily register states (the only pass over raw events — at 100 TB
+    this layer is what you persist) merge into monthly states by an
+    integer MAX per bucket, and the estimate is evaluated on the
+    merged state. The DuckDB oracle builds the same sketch ONE-SHOT
+    (direct monthly registers): the driver's hash match therefore
+    PROVES the daily->monthly merge is lossless (max is associative),
+    upgrading the old rows-only check to full value parity. Exact
+    COUNT(DISTINCT) ground truth and the relative error ride along.
+    The native-DataSketches twin of this layer (daily_user_sketches,
+    hll_sketch_agg/hll_union_agg) stays the production fast path and
+    is pinned against this portable sketch in tests/test_semdedup.py."""
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"]
-    daily = daily_user_sketches(ev)
-    merged = (daily.groupBy(F.date_trunc("month", "day").alias("month"))
-              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                   .alias("approx_users_merged"),
-                   F.sum("n_events").alias("n_events")))
-    oneshot = (ev.groupBy(F.date_trunc("month", "ts").alias("month"))
-               .agg(F.hll_sketch_estimate(
-                        F.hll_sketch_agg("user_id", F.lit(LG_K)))
-                    .alias("approx_users_oneshot"),
-                    F.countDistinct("user_id").alias("exact_users")))
-    err = (F.abs(F.col("approx_users_merged") - F.col("exact_users"))
+    bucket, rho = hll_register_cols(F.col("user_id"))
+    base = ev.select(F.date_trunc("month", "ts").alias("month"),
+                     F.date_trunc("day", "ts").alias("day"),
+                     bucket.alias("bucket"), rho.alias("rho"))
+    daily = (base.groupBy("month", "day", "bucket")
+             .agg(F.max("rho").alias("mx")))          # persisted layer
+    monthly = (daily.groupBy("month", "bucket")
+               .agg(F.max("mx").alias("mx")))         # lossless union
+    est = hll_estimate(monthly, ["month"]) \
+        .select("month", fround(F.col("hll_est")).alias("hll_users"))
+    exact = (ev.groupBy(F.date_trunc("month", "ts").alias("month"))
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user_id").alias("exact_users")))
+    err = (F.abs(F.col("hll_users") - F.col("exact_users"))
            / F.col("exact_users"))
-    return (merged.join(oneshot, "month")
-            .select("month", "n_events", "approx_users_merged",
-                    "approx_users_oneshot", "exact_users",
-                    F.round(err, 6).alias("rel_err")))
+    return (exact.join(F.broadcast(est), "month")
+            .select("month", "n_events", "exact_users", "hll_users",
+                    fround(err).alias("rel_err")))
 
 
 #: audience-overlap pair: the two behavioral cohorts to intersect.
 OVERLAP_TYPES = ("signup", "purchase")
 
+_OVERLAP_SRC = ("(SELECT event_type, user_id FROM events "
+                "WHERE event_type IN ('signup', 'purchase'))")
 
-@register("hll_audience_overlap", survey="ext-sketch,A2,J7")
+
+@register(
+    "hll_audience_overlap",
+    survey="ext-sketch,A2,J7",
+    oracle=f"""
+    WITH {_hll_sql("event_type", "event_type", _OVERLAP_SRC)},
+    uacc AS (
+        SELECT SUM(1::BIGINT << CAST({_HLL_RHO0} - mx AS INT)) AS s_present,
+               COUNT(*) AS n_present
+        FROM (SELECT bucket, MAX(mx) AS mx FROM regs GROUP BY 1)
+    ), uest AS (
+        SELECT CASE WHEN ((0.7213 / (1.0 + 1.079 / {HLL_M}.0))
+                          * {_HLL_NUM!r}
+                          / CAST(s_present + ({HLL_M} - n_present)
+                                 * {_HLL_EMPTY} AS DOUBLE))
+                         <= {2.5 * HLL_M!r}
+                         AND ({HLL_M} - n_present) > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))
+                    ELSE ((0.7213 / (1.0 + 1.079 / {HLL_M}.0))
+                          * {_HLL_NUM!r}
+                          / CAST(s_present + ({HLL_M} - n_present)
+                                 * {_HLL_EMPTY} AS DOUBLE)) END AS e
+        FROM uacc
+    ), rounded AS (
+        SELECT {fround_sql("(SELECT e FROM est WHERE event_type = 'signup')")}
+                   AS approx_signup,
+               {fround_sql("(SELECT e FROM est WHERE event_type = 'purchase')")}
+                   AS approx_purchase,
+               {fround_sql("(SELECT e FROM uest)")} AS approx_union
+    ), ex AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'signup'
+                                        THEN user_id END) AS BIGINT)
+                   AS exact_signup,
+               CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                        THEN user_id END) AS BIGINT)
+                   AS exact_purchase
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ), exb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+    )
+    SELECT approx_signup, approx_purchase, approx_union,
+           {fround_sql('approx_signup + approx_purchase - approx_union')}
+               AS approx_overlap,
+           exact_signup, exact_purchase, exact_overlap,
+           {fround_sql('(approx_signup + approx_purchase - approx_union)'
+                       ' - exact_overlap')} AS overlap_err
+    FROM rounded CROSS JOIN ex CROSS JOIN exb
+    """,
+)
 def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch SET ALGEBRA on top of the HLL layer: estimated overlap
+    """Sketch SET ALGEBRA on the portable HLL layer: estimated overlap
     of the signup and purchase audiences via inclusion-exclusion
     (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — the question ("how many
-    users did BOTH?") that plain per-cohort distinct counts cannot
-    answer and exact answers need a user-level join for. The union
-    estimate comes from hll_union_agg over the two per-cohort register
-    states — NO re-scan of events: at 100 TB the cohort sketches are
-    the persisted layer (daily_user_sketches pattern) and this whole
-    query is algebra over kilobyte payloads.
+    users did BOTH?") that per-cohort distinct counts cannot answer
+    and exact answers need a user-level join for. The union state is
+    an integer MAX over the two cohorts' registers — NO re-scan of
+    events: at 100 TB the cohort registers are the persisted layer
+    and this whole query is algebra over kilobyte payloads.
 
     Reports approx A/B/union/overlap next to the exact ground truth
-    (count-distinct + a semi-join-counted intersection) and the
-    absolute overlap error. Rows-only driver check (estimates are
-    approximate; DataSketches HLL is deterministic for fixed input
-    VALUES, but not expressible in DuckDB); tests pin the
-    inclusion-exclusion identity exactly and an error envelope vs
-    exact. The overlap estimate inherits ~3× the union's relative
-    error when the intersection is small — a documented property of
+    (count-distinct + an INTERSECT-counted intersection) and the
+    signed overlap error. The portable register algebra makes the
+    estimates bit-reproducible in DuckDB, so this is a full
+    hash-compare driver check (upgraded from rows-only). The overlap
+    estimate inherits ~3× the union's relative error when the
+    intersection is small — a documented property of
     inclusion-exclusion on HLL, which is why theta sketches exist;
-    the envelope test bounds it for this cohort geometry."""
+    the planted-overlap test bounds it for this cohort geometry."""
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"].filter(F.col("event_type").isin(*OVERLAP_TYPES))
-    sks = (ev.groupBy("event_type")
-           .agg(F.hll_sketch_agg("user_id", F.lit(LG_K)).alias("sk"),
-                F.countDistinct("user_id").alias("exact"))
-           .localCheckpoint(eager=True))  # 2 rows; reused 3x
+    bucket, rho = hll_register_cols(F.col("user_id"))
+    regs = (ev.select("event_type", bucket.alias("bucket"),
+                      rho.alias("rho"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("mx"))
+            .localCheckpoint(eager=True))   # ≤ 2·4096 rows; reused 2×
     a, b = OVERLAP_TYPES
-    est = {k: sks.filter(F.col("event_type") == k)
-           .select(F.hll_sketch_estimate("sk").alias("e"), "exact")
-           for k in (a, b)}
-    union = sks.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e_union"))
+    per = hll_estimate(regs, ["event_type"]).localCheckpoint(eager=True)
+    union_regs = (regs.groupBy("bucket").agg(F.max("mx").alias("mx"))
+                  .withColumn("g", F.lit(1)))
+    uni = (hll_estimate(union_regs, ["g"])
+           .select(fround(F.col("hll_est")).alias("approx_union")))
+    ea = (per.filter(F.col("event_type") == a)
+          .select(fround(F.col("hll_est")).alias("approx_signup")))
+    eb = (per.filter(F.col("event_type") == b)
+          .select(fround(F.col("hll_est")).alias("approx_purchase")))
+    exact = ev.agg(
+        F.countDistinct(F.when(F.col("event_type") == a,
+                               F.col("user_id"))).alias("exact_signup"),
+        F.countDistinct(F.when(F.col("event_type") == b,
+                               F.col("user_id"))).alias("exact_purchase"))
     users = ev.select("event_type", "user_id").distinct()
     exact_both = (users.filter(F.col("event_type") == a)
                   .select("user_id")
                   .join(users.filter(F.col("event_type") == b)
                         .select("user_id"), "user_id", "semi")
                   .agg(F.count("*").alias("exact_overlap")))
-    ea = est[a].select(F.col("e").alias("approx_signup"),
-                       F.col("exact").alias("exact_signup"))
-    eb = est[b].select(F.col("e").alias("approx_purchase"),
-                       F.col("exact").alias("exact_purchase"))
     out = (ea.crossJoin(F.broadcast(eb))
-           .crossJoin(F.broadcast(union))
+           .crossJoin(F.broadcast(uni))
+           .crossJoin(F.broadcast(exact))
            .crossJoin(F.broadcast(exact_both)))
     overlap = (F.col("approx_signup") + F.col("approx_purchase")
-               - F.col("e_union"))
+               - F.col("approx_union"))
     return out.select(
-        "approx_signup", "approx_purchase",
-        F.col("e_union").alias("approx_union"),
-        overlap.alias("approx_overlap"),
+        "approx_signup", "approx_purchase", "approx_union",
+        fround(overlap).alias("approx_overlap"),
         "exact_signup", "exact_purchase", "exact_overlap",
-        (overlap - F.col("exact_overlap")).alias("overlap_err"))
+        fround(overlap - F.col("exact_overlap")).alias("overlap_err"))
 
 
 #: bitmap bucket width: 62 id-bits per signed BIGINT word keeps

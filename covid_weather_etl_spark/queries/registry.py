@@ -84,7 +84,7 @@ def _load_modules() -> None:
 # first (directive #2) plus woe_iv_binning from the session-4 cohort
 # (named in the directive). Never-checked rows-only queries
 # (als_part_recommendations, media_phash_dedup, bpe_encode_documents,
-# hll_audience_overlap, pca_top_component, markov_attribution, ...)
+# pca_top_component, markov_attribution, ...)
 # plus the session-4/5 remainder are next in line for round 6.
 _ROTATION_R5 = (
     # repaired r4 ERRs — first hash-checkable rows
@@ -111,7 +111,10 @@ _ROTATION_R5 = (
     "adamic_adar_links", "exact_average_precision",
     "mase_forecast_eval", "calibration_ece_report",
     "inclusion_dependency_profile", "embedding_gram_matrix",
-    "ndcg_popularity_baseline", "longest_increase_streak",
+    "ndcg_popularity_baseline",
+    # never-checked AND newly hash-checkable this round (portable-HLL
+    # rewrite graduated it from rows-only — see sketch_rollup.py)
+    "hll_audience_overlap",
     # session-4 cohort representative named in the r4 directive
     "woe_iv_binning",
 )
@@ -194,11 +197,12 @@ _ROTATION_R4 = (
 # rfm_segmentation, basket_affinity, compaction_plan,
 # table_checksum_orders, price_relative_standing,
 # conformal_forecast_intervals, unattributed_purchases.
-# Rows-only (11): bpe_vocab_train, bpe_encode_documents,
+# Rows-only (10): bpe_vocab_train, bpe_encode_documents,
 # markov_attribution, kcore_purchase_network, media_phash_dedup,
-# pca_top_component, hll_audience_overlap,
-# holt_winters_forecast_eval, als_part_recommendations,
-# fpgrowth_type_itemsets, prefixspan_event_patterns.
+# pca_top_component, holt_winters_forecast_eval,
+# als_part_recommendations, fpgrowth_type_itemsets,
+# prefixspan_event_patterns. Plus longest_increase_streak
+# (oracle-equipped; displaced by the graduated hll_audience_overlap).
 # That is 65 names -- one more 50-query window (r6) plus refresh
 # slots closes the queue entirely.
 

@@ -80,10 +80,43 @@ def test_semdedup_drops_planted_duplicates(spark, tmp_path):
 
 
 def test_hll_rollup_envelope_and_lossless_merge(spark):
+    """The registered query goes through the DAILY register layer; a
+    direct one-shot monthly build of the same portable sketch must be
+    bit-equal (register MAX is associative — lossless merge), the
+    estimate must sit in the p=12 envelope of exact, and the native
+    DataSketches layer (daily_user_sketches) must land in the same
+    envelope — pinning the portable and production paths together."""
+    from pyspark.sql import functions as F
+
+    from covid_weather_etl_spark.operators import sketch_rollup as SR
+    from covid_weather_etl_spark.sources.catalog import load_tables
+
     rows = QUERIES["hll_monthly_rollup"].fn(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        # merged == one-shot: HLL union is lossless on register states
-        assert r["approx_users_merged"] == r["approx_users_oneshot"], r
         assert r["rel_err"] <= 0.05, r
+        assert abs(r["hll_users"] - r["exact_users"]) \
+            <= max(2.0, 0.05 * r["exact_users"]), r
         assert r["exact_users"] > 0 and r["n_events"] > 0
+
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    # one-shot monthly portable sketch == via-daily (lossless merge)
+    bucket, rho = SR.hll_register_cols(F.col("user_id"))
+    oneshot = (ev.select(F.date_trunc("month", "ts").alias("month"),
+                         bucket.alias("bucket"), rho.alias("rho"))
+               .groupBy("month", "bucket").agg(F.max("rho").alias("mx")))
+    est = {r["month"]: r["hll_est"]
+           for r in SR.hll_estimate(oneshot, ["month"]).collect()}
+    for r in rows:
+        import math
+        assert math.isclose(r["hll_users"], est[r["month"]],
+                            rel_tol=0, abs_tol=1e-6), r
+    # native DataSketches layer stays inside the same envelope
+    merged = (SR.daily_user_sketches(ev)
+              .groupBy(F.date_trunc("month", "day").alias("month"))
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("ds_est")).collect())
+    exact = {r["month"]: r["exact_users"] for r in rows}
+    for m in merged:
+        assert abs(m["ds_est"] - exact[m["month"]]) \
+            <= max(2.0, 0.05 * exact[m["month"]]), m

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from covid_weather_etl_spark.queries.registry import all_queries
 from tests.conftest import SF_DIR
 
@@ -123,7 +125,10 @@ def test_hll_audience_overlap_planted(spark, tmp_path):
     assert abs(row["approx_overlap"] - 500) <= 0.05 * 1500
     assert abs(row["approx_signup"] - 1000) <= 0.03 * 1000
     assert abs(row["approx_union"] - 1500) <= 0.03 * 1500
-    assert row["overlap_err"] == row["approx_overlap"] - 500
+    # overlap_err is fround(overlap - exact); inputs sit on the 1e-6
+    # grid so the identity holds to representation error
+    assert math.isclose(row["overlap_err"],
+                        row["approx_overlap"] - 500, abs_tol=1e-6)
     # the bitmap index computes the same intersection EXACTLY
     brow = (all_queries()["bitmap_audience_intersection"]
             .fn(spark, str(tmp_path)).collect()[0])
