@@ -689,7 +689,53 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
             .agg(F.count("*").alias("degree"))
 
 
-@register("kcore_purchase_network", survey="ext-graph,J7,A6,U2")
+_KCORE_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT 'c:' || o.o_custkey AS cust,
+                        's:' || l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), base AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL
+        SELECT supp, cust FROM pairs
+    ),
+    -- sentinel row '#' keeps the working table non-empty when a peel
+    -- round deletes the last real edge, so an EMPTY k-core surfaces
+    -- as (max-it = sentinel only) instead of the pre-deletion layer
+    peel(it, src, dst) AS (
+        (SELECT 0, src, dst FROM base
+         UNION ALL
+         SELECT 0, '#', '#')
+        UNION ALL
+        (WITH cur AS (SELECT * FROM peel),
+         deg AS (
+            SELECT src AS node, COUNT(*) AS degree
+            FROM cur WHERE src <> '#' GROUP BY 1
+         ),
+         surv AS (SELECT node FROM deg WHERE degree >= {KCORE_K}),
+         nviol AS (
+            SELECT COUNT(*) AS nv FROM deg WHERE degree < {KCORE_K}
+         )
+         SELECT c.it + 1, c.src, c.dst
+         FROM cur c
+         WHERE (SELECT nv FROM nviol) > 0
+           AND (c.src = '#'
+                OR (c.src IN (SELECT node FROM surv)
+                    AND c.dst IN (SELECT node FROM surv)))
+        )
+    )
+    SELECT CASE WHEN src LIKE 'c:%' THEN 'customer'
+                ELSE 'supplier' END AS side,
+           CAST(substr(src, 3) AS BIGINT) AS key,
+           CAST(COUNT(*) AS BIGINT) AS degree
+    FROM peel
+    WHERE it = (SELECT MAX(it) FROM peel) AND src <> '#'
+    GROUP BY 1, 2
+"""
+
+
+@register("kcore_purchase_network", survey="ext-graph,J7,A6,U2",
+          oracle=_KCORE_ORACLE)
 def kcore_purchase_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-core of the customer↔supplier purchase network (k=KCORE_K=4):
     the maximal subgraph where every surviving customer still buys
@@ -698,8 +744,11 @@ def kcore_purchase_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     used for graph-embedding pretraining corpora and fraud-ring
     triage (Seidman 1983 coreness; peel loop in kcore()). Output:
     per surviving node its side ('customer'/'supplier'), key, and
-    within-core degree. Rows-only driver check (iterative fixpoint,
-    not ANSI-SQL-expressible); tests/test_graph.py pins parity with a
+    within-core degree. Driver check: FULL hash parity against a
+    DuckDB recursive-CTE peel running the identical simultaneous
+    deletion rule — exact because the whole operator is integer
+    algebra and the k-core is unique/confluent (upgraded from
+    rows-only). tests/test_graph.py additionally pins parity with a
     brute-force pandas peel, the ≥k invariant, maximality (every
     dropped node would still fall below k against the core), and
     determinism."""
