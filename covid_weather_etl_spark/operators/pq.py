@@ -172,7 +172,8 @@ def _pq_codebook_oracle() -> str:
 
 
 @register("pq_codebook_train", survey="LLM-sim,U2",
-          oracle=_pq_codebook_oracle())
+          oracle=_pq_codebook_oracle(),
+          tags=("oracle-at-sf0.01",))
 def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training half of the PQ seam: per-subspace k-means codebooks,
     persisted to the warehouse. Output exploded to scalar
@@ -249,7 +250,8 @@ def _pq_ann_topk_oracle() -> str:
 
 
 @register("pq_ann_topk", survey="LLM-sim,J1,A6",
-          oracle=_pq_ann_topk_oracle())
+          oracle=_pq_ann_topk_oracle(),
+          tags=("oracle-at-sf0.01",))
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search + exact re-rank through the trained PQ codebook:
     encode the corpus with a narrow vectorized map, build the probe's

@@ -310,7 +310,8 @@ def _ivf_codebook_oracle() -> str:
 
 
 @register("ivf_codebook_train", survey="LLM-sim,U2",
-          oracle=_ivf_codebook_oracle())
+          oracle=_ivf_codebook_oracle(),
+          tags=("oracle-at-sf0.01",))
 def ivf_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training half of the IVF seam: 3 Lloyd rounds (RNG-free,
     seeded from the first k vec_ids) build the k=8 codebook, persisted
@@ -356,7 +357,8 @@ def _ivf_kmeans_topk_oracle() -> str:
 
 
 @register("ivf_kmeans_topk", survey="LLM-sim,U2,J1",
-          oracle=_ivf_kmeans_topk_oracle())
+          oracle=_ivf_kmeans_topk_oracle(),
+          tags=("oracle-at-sf0.01",))
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 through the TRAINED IVF codebook (vs ivf_ann_topk's
     fixed stand-in): reads the persisted codebook (training it on first
