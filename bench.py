@@ -61,6 +61,14 @@ def main() -> None:
     nat.groupBy("n_regionkey").applyInPandas(
         lambda pdf: pdf[["n_nationkey"]],
         "n_nationkey long").count()
+    # scalar pandas_udf (Arrow batch serializer) loads a DIFFERENT
+    # eval path than applyInPandas — without this the first
+    # vectorized-kernel query (rp_lsh/pq encode) absorbs the Arrow
+    # first-use cost (measured: 7.95 s cold vs 1.6 s warm at sf0.1)
+    _pd_warm = _F.pandas_udf("long")(lambda s: s + 1)
+    nat.select(_pd_warm(_F.col("n_nationkey"))).count()
+    # mapInPandas is a third distinct path (iterator protocol)
+    nat.mapInPandas(lambda it: it, nat.schema).count()
 
     timings: dict[str, float] = {}
     t_total = time.perf_counter()

@@ -1427,3 +1427,94 @@ def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("df_bucket"))
             .agg(F.count("*").alias("n_shingles"),
                  F.sum("df").cast("bigint").alias("occurrence_mass")))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span coverage (ExactSubstr dedup)
+# ---------------------------------------------------------------------------
+
+#: duplicated-span length in tokens. Lee et al. 2022 use 50 BPE tokens
+#: on web corpora; the driver corpus averages ~54 whitespace tokens per
+#: doc, so 8 keeps the same "span ≪ document" geometry.
+SPAN_L = 8
+
+
+@register(
+    "exact_substring_spans",
+    survey="LLM-dedup,A2,A6,J1",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), base AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk
+        FROM toks WHERE len(tk) >= {SPAN_L}
+    ), spans AS (
+        SELECT doc_id, n_tokens, g.i AS pos,
+               array_to_string(tk[g.i : g.i + {SPAN_L - 1}], ' ') AS span
+        FROM base, LATERAL (
+            SELECT unnest(generate_series(1, CAST(n_tokens AS INT)
+                                             - {SPAN_L - 1})) AS i) g
+    ), dup AS (
+        SELECT span FROM spans
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+        SELECT DISTINCT s.doc_id, s.n_tokens, t.j
+        FROM spans s JOIN dup USING (span), LATERAL (
+            SELECT unnest(generate_series(s.pos, s.pos + {SPAN_L - 1})) AS j) t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+           FLOOR(COUNT(*) * 1.0 / n_tokens * 1000000.0 + 0.5) / 1000000.0
+               AS dup_fraction
+    FROM cov GROUP BY 1, 2
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr deduplication report (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its tokens covered by some
+    SPAN_L-token span that also appears VERBATIM in at least one OTHER
+    document — the span-level duplication signal that doc-level
+    (docs_exact_dedup) and set-level (ngram_jaccard, minhash) dedup
+    both miss: two long documents sharing one boilerplate paragraph
+    are near-zero Jaccard yet exactly what span dedup exists to cut.
+    Within-doc repeats are deliberately excluded (cross-doc spans
+    only); self-repetition is gopher_repetition_signals' job.
+
+    Plan: token arrays once per doc, the span list as a narrow
+    transform+slice (no per-token explode until the span explode
+    itself), ONE shuffle to group spans (map-side combinable distinct
+    doc count), a semi-join of spans against the duplicated set, and
+    an interval-union coverage count via position explode + distinct.
+    Scale: at 100 TB you group by xxhash64(span) instead of the span
+    string (8-byte shuffle keys, exact-verify the few hash buckets
+    that collide) and cap per-span fan-out by doc-frequency (hot
+    boilerplate spans are top-k reported, not joined back) — same
+    plan shape, documented here because the driver-SF form groups the
+    string directly so the DuckDB oracle can replay it exactly."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (spread(t["documents"], "doc_id")
+            .select("doc_id", F.split("text", " ").alias("tk"))
+            .withColumn("n_tokens", F.size("tk").cast("long"))
+            .filter(F.col("n_tokens") >= SPAN_L))
+    spans = toks.select(
+        "doc_id", "n_tokens",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, CAST(n_tokens AS INT) - {SPAN_L}), "
+            f"i -> concat_ws(' ', slice(tk, i + 1, {SPAN_L})))"
+        )).alias("pos", "span"))
+    dup = (spans.groupBy("span")
+           .agg(F.countDistinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_docs") >= 2)
+           .select("span"))
+    cov = (spans.join(dup, "span", "semi")
+           .select("doc_id", "n_tokens",
+                   F.explode(F.sequence(
+                       F.col("pos"), F.col("pos") + SPAN_L - 1)).alias("j"))
+           .distinct())
+    frac = F.col("dup_tokens") * 1.0 / F.col("n_tokens")
+    return (cov.groupBy("doc_id", "n_tokens")
+            .agg(F.count("*").alias("dup_tokens"))
+            .select("doc_id", "n_tokens", "dup_tokens",
+                    (F.floor(frac * 1e6 + F.lit(0.5)) / F.lit(1e6))
+                    .alias("dup_fraction")))

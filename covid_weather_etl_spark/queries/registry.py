@@ -203,7 +203,9 @@ _ROTATION_R4 = (
 # als_part_recommendations, fpgrowth_type_itemsets,
 # prefixspan_event_patterns. Plus longest_increase_streak
 # (oracle-equipped; displaced by the graduated hll_audience_overlap).
-# That is 65 names -- one more 50-query window (r6) plus refresh
+# Round-5 session additions, also queued for r6:
+# exact_substring_spans (oracle-equipped, ExactSubstr span dedup).
+# That is 66 names -- one more 50-query window (r6) plus refresh
 # slots closes the queue entirely.
 
 

@@ -5,6 +5,8 @@ the registry-wide oracle sweep covers the corpus itself.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 
@@ -188,3 +190,71 @@ def test_bpe_encode_documents_matches_python_encoder(spark):
         assert g["n_bpe_syms"] == n_syms
         assert g["n_chars"] == n_chars
         assert g["chars_per_sym"] == round(n_chars / n_syms, 6)
+
+
+def test_exact_substring_spans_matches_python_recount(spark):
+    """Brute-force recount of the cross-doc duplicated-span coverage
+    in pure python sets — independent of both the engine's window
+    algebra and the oracle's SQL."""
+    from covid_weather_etl_spark.operators.text import SPAN_L
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {r["doc_id"]: r for r in
+           all_queries()["exact_substring_spans"].fn(spark, SF_DIR)
+           .collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    span_docs: dict[tuple, set] = {}
+    toks_by_doc = {}
+    for _, row in docs.iterrows():
+        tk = row.text.split(" ")
+        toks_by_doc[row.doc_id] = tk
+        for i in range(len(tk) - SPAN_L + 1):
+            span_docs.setdefault(tuple(tk[i:i + SPAN_L]),
+                                 set()).add(row.doc_id)
+    dup = {s for s, ds in span_docs.items() if len(ds) >= 2}
+    want = {}
+    for doc_id, tk in toks_by_doc.items():
+        covered = set()
+        for i in range(len(tk) - SPAN_L + 1):
+            if tuple(tk[i:i + SPAN_L]) in dup:
+                covered.update(range(i, i + SPAN_L))
+        if covered:
+            want[doc_id] = (len(tk), len(covered))
+    assert set(got) == set(want)
+    for doc_id, (n_tok, n_cov) in want.items():
+        g = got[doc_id]
+        assert g["n_tokens"] == n_tok
+        assert g["dup_tokens"] == n_cov
+        import math
+        assert math.isclose(
+            g["dup_fraction"],
+            math.floor(n_cov / n_tok * 1e6 + 0.5) / 1e6, abs_tol=1e-12)
+
+
+def test_exact_substring_spans_planted_boilerplate(spark, tmp_path):
+    """Two long, otherwise-disjoint documents sharing one verbatim
+    SPAN_L+2-token paragraph: doc-level dedup misses them (different
+    texts), set-Jaccard is tiny, but span coverage must flag EXACTLY
+    the shared paragraph's tokens in both docs — and a third document
+    with no cross-doc span must be absent."""
+    from covid_weather_etl_spark.operators.text import SPAN_L
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    boiler = [f"b{i}" for i in range(SPAN_L + 2)]
+    d0 = [f"x{i}" for i in range(20)] + boiler + [f"y{i}" for i in range(20)]
+    d1 = [f"z{i}" for i in range(10)] + boiler + [f"w{i}" for i in range(30)]
+    d2 = [f"u{i}" for i in range(40)]
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [" ".join(d0), " ".join(d1), " ".join(d2)],
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+        "n_chars": [len(" ".join(d)) for d in (d0, d1, d2)],
+    })
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           all_queries()["exact_substring_spans"].fn(spark, str(tmp_path))
+           .collect()}
+    assert set(out) == {0, 1}
+    for doc_id in (0, 1):
+        assert out[doc_id]["dup_tokens"] == len(boiler)
