@@ -1,5 +1,8 @@
 """Batch connectors beyond parquet (SURVEY.md S5-S8).
 
+- ORC sink/source: the second columnar interchange format (Hive/Trino
+  consumers); footer-schema'd, pushdown-capable, same engine contract
+  as parquet.
 - CSV sink/source (reference exports forecasts/predictions to CSV,
   `dags/forecasting_dag.py:265-266`): header'd, schema-on-read-back.
 - JDBC scan + vectorized append (reference reads `load.weather` via
@@ -28,6 +31,22 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     """Schema-declared CSV read-back (never infer in production paths —
     inference is an extra full scan and type-unstable)."""
     return (spark.read.option("header", "true").schema(schema).csv(path))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format warehouses
+    (Hive/Trino ecosystems) expect alongside parquet. Same predicate
+    pushdown / column pruning / min-max stripe statistics contract as
+    the parquet path; ZLIB-by-default stripes. Use when a downstream
+    Hive-first consumer can't take parquet; everything else in this
+    engine stays parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — schema comes from the ORC footer (self-describing,
+    like parquet; no inference scan)."""
+    return spark.read.orc(path)
 
 
 def read_jdbc_table(spark: SparkSession, url: str, table: str,

@@ -162,3 +162,27 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     got = {(r["id"], r["v"], r["tag"]) for r in back.collect()}
     want = {(i, float(i % 100 % 7), f"c{i % 100 % 3}") for i in range(200)}
     assert got == want
+
+
+def test_orc_roundtrip_preserves_schema_and_pushdown(spark, tmp_path):
+    """ORC sink/source: exact schema + values back, and the engine's
+    pushdown contract holds — the read plan shows the filter reaching
+    the ORC scan (PushedFilters) and the projection pruning columns."""
+    from pyspark.sql import functions as F
+
+    from covid_weather_etl_spark.sources.io import read_orc, write_orc
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert back.count() == df.count()
+    a = sorted(df.select("o_orderkey", "o_totalprice").collect())
+    b = sorted(back.select("o_orderkey", "o_totalprice").collect())
+    assert a == b
+    plan = (back.filter(F.col("o_orderkey") == 1)
+            .select("o_orderstatus")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan
+    assert "o_totalprice" not in plan.split("ReadSchema")[-1]
