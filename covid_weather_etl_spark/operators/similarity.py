@@ -1027,3 +1027,135 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sparkSession.createDataFrame(
         [(k, round(float(v[k]), 9), round(evr, 9)) for k in range(d)],
         "dim int, loading double, explained_var_ratio double")
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of the sparse + dense channels
+# ---------------------------------------------------------------------------
+
+RRF_K = 60      #: standard RRF damping constant (Cormack et al. 2009)
+RRF_POOL = 50   #: per-channel candidate pool fed into the fusion
+RRF_TOP = 10    #: fused results returned
+
+
+def _rrf_oracle() -> str:
+    from covid_weather_etl_spark.operators.text import (
+        BM25_B, BM25_K1, BM25_QUERY,
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, dl, COUNT(*) AS tf
+        FROM tok WHERE term IN {BM25_QUERY!r} GROUP BY 1, 2, 3
+    ), df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS avgdl
+        FROM documents
+    ), bm25 AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                 ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * ({BM25_K1} + 1.0))
+                 / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                         + {BM25_B} * tf.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ), sparse AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS sparse_rank
+        FROM bm25 WHERE doc_id <> 0 ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL}
+    ), dense AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(
+                       b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                       DESC, vec_id) AS dense_rank
+        FROM embeddings b,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE b.vec_id <> 0
+        ORDER BY ROUND(list_cosine_similarity(
+            b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC, vec_id
+        LIMIT {RRF_POOL}
+    ), fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               CAST(COALESCE(s.sparse_rank, 0) AS BIGINT) AS sparse_rank,
+               CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank,
+               COALESCE(1.0 / ({RRF_K} + s.sparse_rank), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + d.dense_rank), 0.0) AS rrf
+        FROM sparse s FULL OUTER JOIN dense d USING (doc_id)
+    )
+    SELECT doc_id, sparse_rank, dense_rank,
+           FLOOR(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+@register("rrf_hybrid_retrieval", survey="LLM-sim,W6,J4,A6",
+          oracle=_rrf_oracle())
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): fuse the engine's SPARSE channel (Okapi BM25 over
+    the fixed lexical query, text.bm25_doc_scores) with its DENSE
+    channel (cosine against probe vec 0) by summing 1/(K + rank) per
+    channel — the rank-only combiner production hybrid search uses
+    because it needs NO score calibration between channels. A document
+    missing from a channel's top-{RRF_POOL} contributes 0 from that
+    channel (rank sentinel 0 in the output).
+
+    Plan: both channel rankings are top-{RRF_POOL} TakeOrdered results
+    (driver-bounded), fused with one full-outer join on doc_id and
+    re-ranked — at 100 TB each channel prunes corpus-side exactly as
+    its standalone operator does (posting-list streaming for BM25, ANN
+    cells for dense), and fusion cost stays O(pool). Ranks computed on
+    6dp-rounded scores with doc_id tiebreak on BOTH engines, so rank
+    parity is exact."""
+    from covid_weather_etl_spark.operators.text import bm25_doc_scores
+
+    # each channel's pool is a TakeOrdered top-RRF_POOL — already a
+    # driver-bounded artifact, so ranks are assigned by enumerating
+    # the collected pool (the codebook/model-artifact pattern) instead
+    # of a global row_number window (zero-global-window invariant,
+    # tests/test_plans.py)
+    def ranked(df_ordered, alias: str) -> DataFrame:
+        rows = df_ordered.collect()          # ≤ RRF_POOL rows by LIMIT
+        return spark.createDataFrame(
+            [(r["doc_id"], i + 1) for i, r in enumerate(rows)],
+            schema=f"doc_id bigint, {alias} int")
+
+    sp = ranked(
+        bm25_doc_scores(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(RRF_POOL).select("doc_id"), "sparse_rank")
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    de = ranked(
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(RRF_POOL).select("doc_id", "cos")
+        .drop("cos"), "dense_rank")
+    rrf = (F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sparse_rank")),
+                      F.lit(0.0))
+           + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("dense_rank")),
+                        F.lit(0.0)))
+    fused = (sp.join(de, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.coalesce("sparse_rank", F.lit(0)).cast("long")
+                     .alias("sparse_rank"),
+                     F.coalesce("dense_rank", F.lit(0)).cast("long")
+                     .alias("dense_rank"),
+                     rrf.alias("rrf")))
+    from covid_weather_etl_spark.functions.numeric import fround
+    return (fused.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+            .limit(RRF_TOP)
+            .select("doc_id", "sparse_rank", "dense_rank",
+                    fround(F.col("rrf")).alias("rrf_score")))

@@ -203,10 +203,11 @@ _ROTATION_R4 = (
 # als_part_recommendations, fpgrowth_type_itemsets,
 # prefixspan_event_patterns. Plus longest_increase_streak
 # (oracle-equipped; displaced by the graduated hll_audience_overlap).
-# Round-5 session additions, also queued for r6:
-# exact_substring_spans (oracle-equipped, ExactSubstr span dedup).
-# That is 66 names -- one more 50-query window (r6) plus refresh
-# slots closes the queue entirely.
+# Round-5 session additions, also queued for r6 (all oracle-equipped
+# and driver-sim green on day one): exact_substring_spans (ExactSubstr
+# span dedup), rrf_hybrid_retrieval (sparse+dense reciprocal-rank
+# fusion). That is 67 names -- one more 50-query window (r6) plus
+# refresh slots closes the queue entirely.
 
 
 def all_queries() -> dict[str, Query]:

@@ -236,3 +236,56 @@ def test_pca_top_component_matches_numpy(spark):
     assert got.explained_var_ratio.nunique() == 1
     assert abs(got.explained_var_ratio[0] - round(evr, 9)) < 1e-8
     assert 0.0 < got.explained_var_ratio[0] < 1.0
+
+
+def test_rrf_fusion_matches_python_recount(spark):
+    """Rebuild both channel rankings independently (bm25 scores from
+    the oracle-checked sparse query; dense cosine in numpy) and fuse
+    them in pure python — the engine's top-10 must match exactly,
+    including the rank-sentinel-0 convention for docs absent from a
+    channel's pool."""
+    import numpy as np
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.similarity import (
+        RRF_K, RRF_POOL, RRF_TOP,
+    )
+    from covid_weather_etl_spark.operators.text import bm25_doc_scores
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = (all_queries()["rrf_hybrid_retrieval"].fn(spark, SF_DIR)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == RRF_TOP
+
+    bm = bm25_doc_scores(spark, SF_DIR).toPandas()
+    bm = bm[bm.doc_id != 0].sort_values(
+        ["bm25", "doc_id"], ascending=[False, True]).head(RRF_POOL)
+    sp_rank = {d: i + 1 for i, d in enumerate(bm.doc_id)}
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    qv = V[emb.vec_id.tolist().index(0)]
+    cos = V @ qv / (np.linalg.norm(V, axis=1) * np.linalg.norm(qv))
+    de = pd.DataFrame({"doc_id": emb.vec_id, "cos": np.round(cos, 6)})
+    de = de[de.doc_id != 0].sort_values(
+        ["cos", "doc_id"], ascending=[False, True]).head(RRF_POOL)
+    de_rank = {d: i + 1 for i, d in enumerate(de.doc_id)}
+
+    fused = {}
+    for d in set(sp_rank) | set(de_rank):
+        fused[d] = ((1.0 / (RRF_K + sp_rank[d]) if d in sp_rank else 0.0)
+                    + (1.0 / (RRF_K + de_rank[d]) if d in de_rank else 0.0))
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOP]
+    want = pd.DataFrame(
+        [(d, sp_rank.get(d, 0), de_rank.get(d, 0), s) for d, s in top],
+        columns=["doc_id", "sparse_rank", "dense_rank", "score"]
+    ).sort_values("doc_id").reset_index(drop=True)
+
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.sparse_rank) == list(want.sparse_rank)
+    assert list(got.dense_rank) == list(want.dense_rank)
+    import math
+    for a, b in zip(got.rrf_score, want.score):
+        assert math.isclose(a, math.floor(b * 1e6 + 0.5) / 1e6,
+                            abs_tol=1e-12)
