@@ -1159,3 +1159,134 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(RRF_TOP)
             .select("doc_id", "sparse_rank", "dense_rank",
                     fround(F.col("rrf")).alias("rrf_score")))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking over the dense candidate pool
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7   #: relevance weight; 1-λ penalizes redundancy
+MMR_POOL = 20      #: candidate pool (cosine top-k for the probe)
+MMR_K = 5          #: diversified results returned
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: sel1..sel{MMR_K} CTEs each pick
+    argmax(λ·rel − (1−λ)·max-sim-to-selected) over the remaining pool,
+    ties to the lowest doc_id — every comparison on 6dp-rounded sims,
+    so the greedy chain is deterministic and engine-identical."""
+    lam = MMR_LAMBDA
+    steps = []
+    prev_sel = "sel1"
+    steps.append(f"""
+    sel1 AS (
+        SELECT 1 AS step, doc_id, rel, 0.0 AS div,
+               {lam} * rel - {1.0 - lam!r} * 0.0 AS mmr
+        FROM cand ORDER BY rel DESC, doc_id LIMIT 1
+    )""")
+    for k in range(2, MMR_K + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT doc_id FROM sel{i}" for i in range(1, k))
+        steps.append(f"""
+    sel{k} AS (
+        SELECT {k} AS step, c.doc_id, c.rel,
+               (SELECT MAX(p.sim) FROM pairs p
+                WHERE p.a = c.doc_id
+                  AND p.b IN ({sel_union})) AS div,
+               {lam} * c.rel - {1.0 - lam!r}
+                 * (SELECT MAX(p.sim) FROM pairs p
+                    WHERE p.a = c.doc_id
+                      AND p.b IN ({sel_union})) AS mmr
+        FROM cand c
+        WHERE c.doc_id NOT IN ({sel_union})
+        ORDER BY mmr DESC, c.doc_id LIMIT 1
+    )""")
+        prev_sel = f"sel{k}"
+    union_all = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1))
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+        SELECT b.vec_id AS doc_id, b.embedding::DOUBLE[] AS v,
+               ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+                                            q.qv), 6) AS rel
+        FROM embeddings b, q
+        WHERE b.vec_id <> 0
+        ORDER BY ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+                                              q.qv), 6) DESC, b.vec_id
+        LIMIT {MMR_POOL}
+    ), pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+    ), {",".join(steps)}
+    SELECT step, doc_id,
+           rel + 0.0 AS rel,
+           div + 0.0 AS div,
+           FLOOR(mmr * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+    FROM ({union_all})
+    """
+
+
+@register("mmr_diverse_topk", survey="LLM-sim,W6,U1",
+          oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the probe's cosine top-{MMR_POOL} pool, greedily pick
+    {MMR_K} results maximizing λ·rel(q,d) − (1−λ)·max_sim(d, selected)
+    — the diversity-aware re-rank RAG retrievers run so the context
+    window isn't {MMR_K} near-copies of one passage. Complements
+    rrf_hybrid_retrieval (channel fusion) and semantic_dedup
+    (corpus-side diversity).
+
+    Division of labor: relevance scan + pool pruning + the pool's
+    pairwise sim matrix are DISTRIBUTED column algebra (broadcast
+    probe, TakeOrdered pool, pool×pool join — at 100 TB the corpus is
+    touched once, everything after is O(pool²)); the greedy chain
+    itself runs on the collected {MMR_POOL}×{MMR_POOL} rounded-sim
+    matrix — a model-sized artifact (the codebook pattern), inherently
+    sequential like any greedy selection. Every comparison uses
+    6dp-rounded sims with doc_id tie-break, so the DuckDB oracle's
+    unrolled greedy replays it exactly."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    rel = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    cand = (emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(F.col("vec_id").alias("doc_id"), "v",
+                    rel.alias("rel"))
+            .orderBy(F.col("rel").desc(), F.col("doc_id"))
+            .limit(MMR_POOL)
+            .localCheckpoint(eager=True))       # pool reused twice
+    a = cand.select(F.col("doc_id").alias("a"), F.col("v").alias("va"))
+    b = cand.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"))
+    psim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    pair_rows = (a.join(F.broadcast(b), F.col("a") != F.col("b"))
+                 .select("a", "b", psim.alias("sim")).collect())
+    pool = [(r["doc_id"], r["rel"])
+            for r in cand.select("doc_id", "rel")
+            .orderBy(F.col("rel").desc(), F.col("doc_id")).collect()]
+    sims = {(r["a"], r["b"]): r["sim"] for r in pair_rows}
+
+    lam = MMR_LAMBDA
+    selected: list = []
+    out = []
+    remaining = dict(pool)
+    for step in range(1, MMR_K + 1):
+        best = None
+        for d, r in remaining.items():
+            div = max((sims[(d, s)] for s, _ in selected), default=0.0)
+            score = lam * r - (1.0 - lam) * div
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, r, div, score)
+        _, d, r, div, score = best
+        selected.append((d, r))
+        del remaining[d]
+        out.append((step, d, r, float(div),
+                    __import__("math").floor(score * 1e6 + 0.5) / 1e6))
+    return spark.createDataFrame(
+        out, schema="step int, doc_id bigint, rel double, div double, "
+                    "mmr_score double")

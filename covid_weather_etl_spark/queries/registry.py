@@ -206,8 +206,9 @@ _ROTATION_R4 = (
 # Round-5 session additions, also queued for r6 (all oracle-equipped
 # and driver-sim green on day one): exact_substring_spans (ExactSubstr
 # span dedup), rrf_hybrid_retrieval (sparse+dense reciprocal-rank
-# fusion). That is 67 names -- one more 50-query window (r6) plus
-# refresh slots closes the queue entirely.
+# fusion), mmr_diverse_topk (MMR diversity re-rank). That is 68
+# names -- one more 50-query window (r6) plus refresh slots closes
+# the queue entirely.
 
 
 def all_queries() -> dict[str, Query]:

@@ -289,3 +289,57 @@ def test_rrf_fusion_matches_python_recount(spark):
     for a, b in zip(got.rrf_score, want.score):
         assert math.isclose(a, math.floor(b * 1e6 + 0.5) / 1e6,
                             abs_tol=1e-12)
+
+
+def test_mmr_skips_near_copies_plain_topk_keeps(spark, tmp_path):
+    """Planted geometry: three near-copies sit closest to the query
+    (cos 0.85 to q, ≈0.9996 mutually — redundant), five diverse docs
+    at cos 0.80 (their div to a picked copy is 0.8·0.85 = 0.68).
+    Plain top-5 returns all three copies first; MMR(λ=0.7) must keep
+    ONE copy (step 1: 0.595) and fill with diverse docs — copy₂
+    scores 0.595 − 0.3·0.9996 ≈ 0.295 < diverse 0.56 − 0.204 =
+    0.356."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.similarity import MMR_K
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    dim = 8
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    q = unit([1, 0, 0, 0, 0, 0, 0, 0])
+    vecs = {0: q}
+    # three near-copies: 0.85·q + 0.527·(u ± tiny tilt)
+    for i, eps in enumerate((0.0, 0.02, -0.02), start=1):
+        tilt = unit([0, 1, eps, 0, 0, 0, 0, 0])
+        vecs[i] = unit(0.85 * q + math.sqrt(1 - 0.85 ** 2) * tilt)
+    # five diverse docs at cos 0.80 to q, mutually spread axes
+    for j in range(5):
+        axis = np.zeros(dim)
+        axis[3 + j] = 1.0
+        vecs[4 + j] = unit(0.8 * q + math.sqrt(1 - 0.64) * axis)
+    pdf = pd.DataFrame({
+        "vec_id": list(vecs),
+        "label": ["x"] * len(vecs),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs.values()],
+    })
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/embeddings.parquet")
+    out = (all_queries()["mmr_diverse_topk"].fn(spark, str(tmp_path))
+           .collect())
+    assert len(out) == MMR_K
+    picked = [r["doc_id"] for r in sorted(out, key=lambda r: r["step"])]
+    # step 1 = most relevant copy; copies 2,3 never selected
+    assert picked[0] in (1, 2, 3)
+    assert len([d for d in picked if d in (1, 2, 3)]) == 1
+    assert set(picked[1:]) <= {4, 5, 6, 7, 8}
+    # scores strictly follow the greedy objective ordering
+    steps = sorted(out, key=lambda r: r["step"])
+    for r in steps[1:]:
+        assert r["mmr_score"] <= steps[0]["mmr_score"] + 1e-9
