@@ -334,62 +334,75 @@ def _exact_quantile_distributed(df: DataFrame, col: str,
     """Exact interpolated quantile WITHOUT buffering the column: the
     driver-coordinated iterative rank-refinement selection. Each round
     histograms the current value range into {REFINE_BUCKETS} buckets
-    (one map-combinable aggregate; only bucket counts reach the
-    driver), locates the bucket containing the target ranks, and
-    narrows to it; when ≤{REFINE_COLLECT_LIMIT} candidates remain they
-    are fetched sorted and indexed exactly. Memory is O(buckets) per
-    round everywhere — the scalable EXACT alternative to both
+    (ONE map-combinable aggregate; only bucket counts reach the
+    driver — the in-range count is the histogram's own sum, not a
+    separate job), narrows to the bucket span covering BOTH
+    interpolation ranks k0=floor((n-1)q) and k1=ceil((n-1)q) in the
+    same descent (adjacent ranks share a bucket until the very end,
+    so one descent does the work the old two-call form paid twice
+    for), and when ≤{REFINE_COLLECT_LIMIT} candidates remain fetches
+    them sorted and indexes both ranks exactly. Memory is O(buckets)
+    per round everywhere — the scalable EXACT alternative to both
     `percentile` (buffers every value) and `approx_percentile`
     (sketched, inexact). Converges in ~2 rounds on real data
     (range / buckets^rounds shrinks below float resolution fast).
-    Ties/duplicates are handled by the rank arithmetic (a bucket that
-    cannot shrink — all remaining values equal — short-circuits)."""
-    n = df.count()
+    Ties/duplicates are handled by the rank arithmetic (a range that
+    cannot shrink — all remaining values equal, or float-resolution
+    floor — short-circuits to a bounded sorted fetch)."""
+    first = df.agg(F.count("*"), F.min(col), F.max(col)).first()
+    n = first[0]
     if n == 0:
         return 0, float("nan")
     r = (n - 1) * q
     k0, k1 = int(np.floor(r)), int(np.ceil(r))
     frac = r - k0
 
-    def value_at(k: int) -> float:
-        lo_hi = df.agg(F.min(col), F.max(col)).first()
-        lo, hi = float(lo_hi[0]), float(lo_hi[1])
-        below = 0                       # values strictly < lo overall
-        cur = df
-        while True:
-            if lo == hi:
-                return lo
-            cur = cur.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-            cnt = cur.count()
-            if cnt <= REFINE_COLLECT_LIMIT:
-                vals = [row[0] for row in
-                        cur.select(col).orderBy(col).collect()]
-                return float(vals[k - below])
-            width = (hi - lo) / REFINE_BUCKETS
-            b = F.least(
-                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
-                F.lit(REFINE_BUCKETS - 1)).cast("int")
-            hist = dict(cur.groupBy(b.alias("b")).count()
-                        .collect())
-            acc = below
-            for i in range(REFINE_BUCKETS):
-                c = hist.get(i, 0)
-                if acc + c > k:
-                    new_lo = lo + i * width
-                    new_hi = hi if i == REFINE_BUCKETS - 1 \
-                        else lo + (i + 1) * width
-                    # float-resolution floor: range can stop shrinking
-                    if (new_lo, new_hi) == (lo, hi):
-                        vals = [row[0] for row in
-                                cur.select(col).orderBy(col)
-                                .limit(k - below + 1).collect()]
-                        return float(vals[k - below])
-                    lo, hi, below = new_lo, new_hi, acc
-                    break
-                acc += c
+    lo, hi = float(first[1]), float(first[2])
+    below = 0                           # values strictly < lo overall
+    cur = df
+    while True:
+        if lo == hi:
+            v0 = v1 = lo
+            break
+        cur = cur.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        width = (hi - lo) / REFINE_BUCKETS
+        b = F.least(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
+            F.lit(REFINE_BUCKETS - 1)).cast("int")
+        hist = dict(cur.groupBy(b.alias("b")).count().collect())
+        cnt = sum(hist.values())
+        if cnt <= REFINE_COLLECT_LIMIT:
+            vals = [row[0] for row in
+                    cur.select(col).orderBy(col).collect()]
+            v0 = float(vals[k0 - below])
+            v1 = float(vals[k1 - below])
+            break
+        # locate the buckets holding ranks k0 and k1 (i1 >= i0; for
+        # adjacent ranks usually the same bucket) in one scan
+        acc = below
+        i0 = below0 = None
+        i1 = None
+        for i in range(REFINE_BUCKETS):
+            c = hist.get(i, 0)
+            if i0 is None and acc + c > k0:
+                i0, below0 = i, acc
+            if acc + c > k1:
+                i1 = i
+                break
+            acc += c
+        new_lo = lo + i0 * width
+        new_hi = hi if i1 == REFINE_BUCKETS - 1 \
+            else lo + (i1 + 1) * width
+        # float-resolution floor: range can stop shrinking
+        if (new_lo, new_hi) == (lo, hi):
+            vals = [row[0] for row in
+                    cur.select(col).orderBy(col)
+                    .limit(k1 - below + 1).collect()]
+            v0 = float(vals[k0 - below])
+            v1 = float(vals[k1 - below])
+            break
+        lo, hi, below = new_lo, new_hi, below0
 
-    v0 = value_at(k0)
-    v1 = v0 if k1 == k0 else value_at(k1)
     return n, v0 + (v1 - v0) * frac
 
 
