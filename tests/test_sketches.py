@@ -135,3 +135,64 @@ def test_hll_audience_overlap_planted(spark, tmp_path):
     assert (brow["n_signup"], brow["n_purchase"], brow["n_both"]) == \
         (1000, 1000, 500)
     assert brow["jaccard"] == round(500 / 1500, 6)
+
+
+def _py_portable_hll(values) -> float:
+    """Pure-python third implementation of the portable HLL
+    (sketch_rollup.hll_register_cols + hll_estimate): md5-derived
+    60-bit hash, p=12 registers, exact integer Z-sum, linear-counting
+    fallback — independent of both Spark and DuckDB."""
+    import hashlib
+
+    from covid_weather_etl_spark.operators.sketch_rollup import (
+        HLL_ALPHA, HLL_M, HLL_RBITS, _HLL_EMPTY, _HLL_MASK, _HLL_NUM,
+    )
+    regs: dict[int, int] = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        b, r = h >> HLL_RBITS, h & _HLL_MASK
+        rho = (HLL_RBITS + 1) - r.bit_length() if r else HLL_RBITS + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    s_total = (sum(1 << (HLL_RBITS + 1 - mx) for mx in regs.values())
+               + (HLL_M - len(regs)) * _HLL_EMPTY)
+    e_raw = HLL_ALPHA * _HLL_NUM / float(s_total)
+    v0 = HLL_M - len(regs)
+    if e_raw <= 2.5 * HLL_M and v0 > 0:
+        import math
+        return float(HLL_M) * math.log(float(HLL_M) / v0)
+    return e_raw
+
+
+def test_portable_hll_matches_python_reference(spark):
+    """Three-way pin: the Spark column-algebra estimate must equal the
+    pure-python twin bit-for-bit on the integer register state (only
+    the final ln may differ by libm ulps — compared at 1e-9 rel), on
+    adversarial shapes: tiny sets (linear counting), dense sets, heavy
+    duplicates, and values crossing the rho=49 edge structure."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from covid_weather_etl_spark.operators.sketch_rollup import (
+        hll_estimate, hll_register_cols,
+    )
+
+    cases = [
+        list(range(5)),                                    # tiny
+        list(range(2000)),                                 # dense
+        [1, 1, 1, 2, 2, 3] * 50,                           # duplicates
+        [10 ** 12 + i for i in range(300)],                # big ints
+        list(range(50000, 50000 + 7000)),                  # > m values
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(int(v),) for v in vals], "v long")
+        bucket, rho = hll_register_cols(F.col("v"))
+        regs = (df.select(bucket.alias("bucket"), rho.alias("rho"))
+                .groupBy("bucket").agg(F.max("rho").alias("mx"))
+                .withColumn("g", F.lit(1)))
+        got = hll_estimate(regs, ["g"]).collect()[0]["hll_est"]
+        want = _py_portable_hll(vals)
+        assert math.isclose(got, want, rel_tol=1e-9), (len(vals), got, want)
+        # estimate within the p=12 envelope of the true cardinality
+        exact = len(set(vals))
+        assert abs(got - exact) <= max(3.0, 0.05 * exact), (exact, got)
