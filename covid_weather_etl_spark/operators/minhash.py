@@ -232,7 +232,14 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in range(_SIMHASH_BANDS)
     ])
     banded = (fps.select("doc_id", "simhash", F.explode(bands_arr).alias("b"))
-              .select("doc_id", "simhash", "b.q", "b.qh"))
+              .select("doc_id", "simhash", "b.q", "b.qh")
+              # materialize before the self-join: self-referenced
+              # frames are not auto-reused, so without this the 64-vote
+              # fingerprint aggregate runs TWICE (same pitfall as
+              # graph.purchase_edges). Remaining cost is output-bound:
+              # the driver corpus' shared vocabulary makes ~41% of all
+              # pairs land within Hamming 7 (1.03M pairs at sf0.1)
+              .localCheckpoint(eager=True))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qh") == F.col("b.qh"))
