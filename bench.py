@@ -66,9 +66,13 @@ def main() -> None:
     # vectorized-kernel query (rp_lsh/pq encode) absorbs the Arrow
     # first-use cost (measured: 7.95 s cold vs 1.6 s warm at sf0.1)
     _pd_warm = _F.pandas_udf("long")(lambda s: s + 1)
-    nat.select(_pd_warm(_F.col("n_nationkey"))).count()
+    # run the Arrow warmers on a WIDE frame: Python workers spin up
+    # lazily per core, so a 25-row warm only starts a few — the first
+    # heavy vectorized query then pays worker startup on the rest
+    wide = spark.range(int(cpus) * 1000).repartition(int(cpus))
+    wide.select(_pd_warm(_F.col("id"))).count()
     # mapInPandas is a third distinct path (iterator protocol)
-    nat.mapInPandas(lambda it: it, nat.schema).count()
+    wide.mapInPandas(lambda it: it, wide.schema).count()
 
     timings: dict[str, float] = {}
     t_total = time.perf_counter()
