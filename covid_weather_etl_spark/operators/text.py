@@ -1518,3 +1518,79 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "dup_tokens",
                     (F.floor(frac * 1e6 + F.lit(0.5)) / F.lit(1e6))
                     .alias("dup_fraction")))
+
+
+# ---------------------------------------------------------------------------
+# regex (BPE-style pre-tokenizer) token profile
+# ---------------------------------------------------------------------------
+
+#: simplified GPT-2-style pre-tokenization classes: letter runs,
+#: digit runs, single punctuation marks. Same RE2/Java-regex text on
+#: both engines (verified token-for-token identical).
+_RX_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_RX_LETTER = r"[A-Za-z]+"
+_RX_NUMBER = r"[0-9]+"
+_RX_PUNCT = r"[^A-Za-z0-9\s]"
+
+
+@register(
+    "regex_token_profile",
+    survey="LLM-text,A6,A7,F9",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_RX_TOKEN}')))
+                AS BIGINT) AS regex_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_RX_LETTER}')))
+                AS BIGINT) AS letter_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_RX_NUMBER}')))
+                AS BIGINT) AS number_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_RX_PUNCT}')))
+                AS BIGINT) AS punct_tokens,
+           FLOOR(SUM(len(regexp_extract_all(text, '{_RX_TOKEN}'))) * 1.0
+                 / SUM(len(string_split(text, ' '))) * 1000000.0 + 0.5)
+               / 1000000.0 AS fertility
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def regex_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token accounting per (lang, source) cohort — the
+    'BPE-ish regex' counting half of the token-stats pair (whitespace
+    half: token_stats): a simplified GPT-2 pre-tokenization (letter
+    runs | digit runs | single punctuation) whose token count is what
+    a subword tokenizer's merge loop actually starts from, plus the
+    class mix and the regex/whitespace fertility ratio — the
+    pre-training budget numbers (how many trainable tokens a cohort
+    yields per 'word') that raw whitespace counts misstate on
+    punctuation-heavy or numeric text.
+
+    One narrow map (four JVM regex passes per doc, no explode — counts
+    only, so the token arrays never materialize into a shuffle), one
+    map-combinable aggregate; integer-exact everywhere, one fround
+    ratio. The SAME regex text runs on both engines (Java regex vs
+    RE2 agree on this class-only pattern; verified token-identical)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    cnt = lambda pat: F.size(F.regexp_extract_all(F.col("text"),
+                                                  F.lit(pat), F.lit(0)))
+    per_doc = spread(t["documents"], "doc_id").select(
+        "lang", "source",
+        F.size(F.split("text", " ")).alias("ws"),
+        cnt(_RX_TOKEN).alias("rx"),
+        cnt(_RX_LETTER).alias("lt"),
+        cnt(_RX_NUMBER).alias("nm"),
+        cnt(_RX_PUNCT).alias("pn"))
+    fert = F.col("regex_tokens") * 1.0 / F.col("ws_tokens")
+    return (per_doc.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws").cast("long").alias("ws_tokens"),
+                 F.sum("rx").cast("long").alias("regex_tokens"),
+                 F.sum("lt").cast("long").alias("letter_tokens"),
+                 F.sum("nm").cast("long").alias("number_tokens"),
+                 F.sum("pn").cast("long").alias("punct_tokens"))
+            .select("lang", "source", "n_docs", "ws_tokens",
+                    "regex_tokens", "letter_tokens", "number_tokens",
+                    "punct_tokens",
+                    (F.floor(fert * 1e6 + F.lit(0.5)) / F.lit(1e6))
+                    .alias("fertility")))

@@ -206,7 +206,8 @@ _ROTATION_R4 = (
 # Round-5 session additions, also queued for r6 (all oracle-equipped
 # and driver-sim green on day one): exact_substring_spans (ExactSubstr
 # span dedup), rrf_hybrid_retrieval (sparse+dense reciprocal-rank
-# fusion), mmr_diverse_topk (MMR diversity re-rank). That is 68
+# fusion), mmr_diverse_topk (MMR diversity re-rank),
+# regex_token_profile (BPE-style pre-tokenizer accounting). That is 69
 # names -- one more 50-query window (r6) plus refresh slots closes
 # the queue entirely.
 

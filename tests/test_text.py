@@ -258,3 +258,44 @@ def test_exact_substring_spans_planted_boilerplate(spark, tmp_path):
     assert set(out) == {0, 1}
     for doc_id in (0, 1):
         assert out[doc_id]["dup_tokens"] == len(boiler)
+
+
+def test_regex_token_profile_matches_python_re(spark):
+    """Recount every class with python's re module — a third regex
+    engine — plus the accounting identity regex = letter+number+punct
+    (the three classes partition the pattern's alternatives)."""
+    import re
+
+    from covid_weather_etl_spark.operators.text import (
+        _RX_LETTER, _RX_NUMBER, _RX_PUNCT, _RX_TOKEN,
+    )
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {(r["lang"], r["source"]): r for r in
+           all_queries()["regex_token_profile"].fn(spark, SF_DIR)
+           .collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    agg: dict = {}
+    for _, row in docs.iterrows():
+        k = (row.lang, row.source)
+        a = agg.setdefault(k, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(row.text.split(" "))
+        a[2] += len(re.findall(_RX_TOKEN, row.text))
+        a[3] += len(re.findall(_RX_LETTER, row.text))
+        a[4] += len(re.findall(_RX_NUMBER, row.text))
+        a[5] += len(re.findall(_RX_PUNCT, row.text))
+    assert set(got) == set(agg)
+    for k, (nd, ws, rx, lt, nm, pn) in agg.items():
+        g = got[k]
+        assert (g["n_docs"], g["ws_tokens"], g["regex_tokens"],
+                g["letter_tokens"], g["number_tokens"],
+                g["punct_tokens"]) == (nd, ws, rx, lt, nm, pn), k
+        assert g["regex_tokens"] == (g["letter_tokens"]
+                                     + g["number_tokens"]
+                                     + g["punct_tokens"])
+        import math
+        assert math.isclose(g["fertility"],
+                            math.floor(rx / ws * 1e6 + 0.5) / 1e6,
+                            abs_tol=1e-12)
