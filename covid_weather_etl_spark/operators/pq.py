@@ -95,13 +95,20 @@ def pq_codebook_path(sf_dir: str) -> str:
     """Deterministic warehouse location for a corpus' trained codebook,
     keyed by the FULL absolute corpus path (basename kept for
     readability, path hash for uniqueness) so two corpora that share a
-    directory name never share an artifact — same keying as the memo."""
+    directory name never share an artifact — same keying as the memo.
+    The corpus content fingerprint (footer row count + byte size) is
+    folded in so regenerated data invalidates the artifact instead of
+    silently reusing a stale codebook (advice r5)."""
     import hashlib
+    from covid_weather_etl_spark.operators.similarity import (
+        corpus_fingerprint,
+    )
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     abspath = os.path.abspath(os.path.normpath(sf_dir))
     base = os.path.basename(abspath).replace(".", "_")
-    digest = hashlib.md5(abspath.encode()).hexdigest()[:10]
+    digest = hashlib.md5(
+        f"{abspath}|{corpus_fingerprint(sf_dir)}".encode()).hexdigest()[:10]
     return os.path.join(repo_root, "spark-warehouse",
                         f"pq_codebook_{base}_{digest}")
 

@@ -229,19 +229,40 @@ def train_ivf_codebook(emb: DataFrame, k: int = KMEANS_K,
 _CODEBOOK_MEMO: dict[str, list] = {}
 
 
+def corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap CONTENT key for the embeddings corpus: parquet-footer row
+    count + file byte size (metadata + stat only — no data scan, no
+    SparkSession, so oracle SQL builders can call it at import time).
+    Folded into the IVF/PQ artifact paths so a REGENERATED dataset at
+    the same path trains a fresh codebook instead of silently reusing
+    a stale persisted one (advice r5 — same content-keying the
+    schema-evolution snapshots adopted in r4). Empty when the corpus
+    file isn't present (unit tests that never touch the artifact)."""
+    import os
+    p = os.path.join(os.path.abspath(os.path.normpath(sf_dir)),
+                     "embeddings.parquet")
+    try:
+        import pyarrow.parquet as _pq
+        return f"n{_pq.ParquetFile(p).metadata.num_rows}b{os.path.getsize(p)}"
+    except Exception:
+        return ""
+
+
 def ivf_codebook_path(sf_dir: str) -> str:
     """Deterministic warehouse location for a corpus' trained codebook,
     keyed by the FULL absolute corpus path (basename for readability,
     path hash for uniqueness) so two corpora sharing a directory name
     never share — or corrupt — each other's artifact; matches the
-    memo's full-path keying."""
+    memo's full-path keying. The corpus content fingerprint is folded
+    into the hash so regenerated data invalidates the artifact."""
     import hashlib
     import os
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     abspath = os.path.abspath(os.path.normpath(sf_dir))
     base = os.path.basename(abspath).replace(".", "_")
-    digest = hashlib.md5(abspath.encode()).hexdigest()[:10]
+    digest = hashlib.md5(
+        f"{abspath}|{corpus_fingerprint(sf_dir)}".encode()).hexdigest()[:10]
     return os.path.join(repo_root, "spark-warehouse",
                         f"ivf_codebook_{base}_{digest}")
 
@@ -1275,6 +1296,11 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     remaining = dict(pool)
     for step in range(1, MMR_K + 1):
+        if not remaining:
+            # Tiny corpora (pool < MMR_K) legitimately exhaust the
+            # pool; return the shorter ranking — the oracle's sel_k
+            # CTEs go empty past the pool size in exactly the same way.
+            break
         best = None
         for d, r in remaining.items():
             div = max((sims[(d, s)] for s, _ in selected), default=0.0)

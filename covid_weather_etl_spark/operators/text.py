@@ -1526,11 +1526,16 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: simplified GPT-2-style pre-tokenization classes: letter runs,
 #: digit runs, single punctuation marks. Same RE2/Java-regex text on
-#: both engines (verified token-for-token identical).
-_RX_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: both engines (verified token-for-token identical). Whitespace is an
+#: EXPLICIT character class, not \s: Java's \s includes \x0B (vertical
+#: tab) while RE2's does not, so a document containing \x0B would
+#: classify it as punct in DuckDB but whitespace in Spark and break
+#: hash parity (advice r5).
+_RX_WS = r" \t\n\r\f\x0B"
+_RX_TOKEN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_RX_WS}]"
 _RX_LETTER = r"[A-Za-z]+"
 _RX_NUMBER = r"[0-9]+"
-_RX_PUNCT = r"[^A-Za-z0-9\s]"
+_RX_PUNCT = rf"[^A-Za-z0-9{_RX_WS}]"
 
 
 @register(

@@ -75,7 +75,67 @@ def _load_modules() -> None:
 # driver row this round (rotated each round; module import order no
 # longer matters).
 #
-# Round 5 window (50): slots 1-2 are the two r4-ERR codebook queries,
+# Round 6 window (50), per the r5 verdict directive #1: the window is
+# drawn entirely from the never-driver-checked queue plus the two
+# explicit swap-ins. Slot 1 is pricing_summary_q1 (TPC-H Q1, the
+# most-cited query in the corpus); slots 2-10 the tpch_shapes.py pack;
+# 11-14 the round-5 session additions (exact_substring_spans,
+# rrf_hybrid_retrieval, mmr_diverse_topk, regex_token_profile);
+# 15-16 kcore_purchase_network and pagerank_suppliers — the verdict's
+# named swap-ins whose new recursive-CTE oracles upgrade them from
+# rows-only to hash-green (pagerank already has an r4 rows-only row,
+# so it costs one queue slot: 11 oracle-equipped names are held for
+# r7 instead of the directive's 9+2 arithmetic, which had counted
+# kcore as rows-only before its graduation); slot 17
+# longest_increase_streak (displaced from r5); slots 18-50 the rest
+# of the oracle-equipped never-checked queue. Held for r7 (all
+# locally sf0.01-parity-green, families already hash-green via close
+# twins): gini_revenue_by_nation, hhi_supplier_concentration,
+# pythagorean_means_prices, price_relative_standing,
+# unpivot_flag_metrics, char_entropy_quality, user_growth_curve,
+# time_decay_engagement, date_spine_fill, repurchase_interval_stats,
+# mad_anomaly_report — plus the rows-only cohort (bpe_vocab_train,
+# bpe_encode_documents, markov_attribution, media_phash_dedup,
+# pca_top_component, holt_winters_forecast_eval,
+# als_part_recommendations, fpgrowth_type_itemsets,
+# prefixspan_event_patterns).
+_ROTATION_R6 = (
+    # TPC-H Q1 first — the verdict's named lead
+    "pricing_summary_q1",
+    # the tpch_shapes.py decision-support pack
+    "forecast_revenue_change", "volume_shipping_pair",
+    "national_market_share", "product_type_profit",
+    "late_shipment_priority", "promo_revenue_share",
+    "top_supplier_quarter", "disjunctive_brand_revenue",
+    "cheapest_supplier_per_part",
+    # round-5 session additions
+    "exact_substring_spans", "rrf_hybrid_retrieval", "mmr_diverse_topk",
+    "regex_token_profile",
+    # verdict swap-ins: recursive-CTE oracles landed in r5, so fresh
+    # rows upgrade both from rows-only to hash-green
+    "kcore_purchase_network", "pagerank_suppliers",
+    # displaced from the r5 window
+    "longest_increase_streak",
+    # remainder of the oracle-equipped never-checked queue
+    "containment_near_dup", "shingle_df_spectrum",
+    "temperature_mix_weights", "order_count_distribution",
+    "small_quantity_revenue", "large_volume_customers",
+    "late_sole_supplier", "prospect_balance_report",
+    "k_anonymity_report", "dp_noisy_counts", "cuped_adjusted_metric",
+    "did_revenue_uplift", "ips_offpolicy_eval", "time_to_convert_stats",
+    "triangle_count", "incremental_minhash_ingest",
+    "order_priority_journey", "priority_mix_except_all",
+    "bitmap_audience_intersection", "name_similarity_pairs",
+    "target_encoding_segment", "distributed_exact_median",
+    "ridge_normal_equations", "time_weighted_average",
+    "rolling_median_revenue", "theilsen_mannkendall_trend",
+    "pinball_quantile_forecast_eval", "rfm_segmentation",
+    "basket_affinity", "compaction_plan", "table_checksum_orders",
+    "conformal_forecast_intervals", "unattributed_purchases",
+)
+
+# Round 5 window (superseded — kept for the audit trail): slots 1-2
+# are the two r4-ERR codebook queries,
 # re-shaped to scalar (id, dim, val) rows with DuckDB oracles over the
 # persisted sf0.01 artifact (r4 verdict directive #1); slot 3 is
 # schema_evolution_merge — S4's only registry query, never in a window
@@ -173,50 +233,26 @@ _ROTATION_R4 = (
     "grouping_sets_margins",
     "local_supplier_revenue",
 )
-# Still never driver-checked after the r5 window (queued first for
-# r6; all locally sf0.01-parity-green). Oracle-equipped (54):
-# containment_near_dup, shingle_df_spectrum, temperature_mix_weights,
-# order_count_distribution, small_quantity_revenue,
-# large_volume_customers, late_sole_supplier, prospect_balance_report,
+# Still never driver-checked after the r6 window (queued first for
+# r7; all locally sf0.01-parity-green). Oracle-equipped (11, held
+# because a close hash-green twin already covers each family):
 # gini_revenue_by_nation, hhi_supplier_concentration,
-# k_anonymity_report, dp_noisy_counts, cuped_adjusted_metric,
-# did_revenue_uplift, ips_offpolicy_eval, time_to_convert_stats,
-# user_growth_curve, time_decay_engagement, triangle_count,
-# incremental_minhash_ingest, char_entropy_quality,
-# unpivot_flag_metrics, pricing_summary_q1, order_priority_journey,
-# priority_mix_except_all, repurchase_interval_stats,
-# bitmap_audience_intersection, name_similarity_pairs,
-# target_encoding_segment, distributed_exact_median,
-# ridge_normal_equations, pythagorean_means_prices,
-# time_weighted_average, rolling_median_revenue, mad_anomaly_report,
-# theilsen_mannkendall_trend, date_spine_fill,
-# pinball_quantile_forecast_eval, forecast_revenue_change,
-# volume_shipping_pair, national_market_share, product_type_profit,
-# late_shipment_priority, promo_revenue_share, top_supplier_quarter,
-# disjunctive_brand_revenue, cheapest_supplier_per_part,
-# rfm_segmentation, basket_affinity, compaction_plan,
-# table_checksum_orders, price_relative_standing,
-# conformal_forecast_intervals, unattributed_purchases.
-# Rows-only (10): bpe_vocab_train, bpe_encode_documents,
-# markov_attribution, kcore_purchase_network, media_phash_dedup,
+# pythagorean_means_prices, price_relative_standing,
+# unpivot_flag_metrics, char_entropy_quality, user_growth_curve,
+# time_decay_engagement, date_spine_fill, repurchase_interval_stats,
+# mad_anomaly_report. Rows-only (9): bpe_vocab_train,
+# bpe_encode_documents, markov_attribution, media_phash_dedup,
 # pca_top_component, holt_winters_forecast_eval,
 # als_part_recommendations, fpgrowth_type_itemsets,
-# prefixspan_event_patterns. Plus longest_increase_streak
-# (oracle-equipped; displaced by the graduated hll_audience_overlap).
-# Round-5 session additions, also queued for r6 (all oracle-equipped
-# and driver-sim green on day one): exact_substring_spans (ExactSubstr
-# span dedup), rrf_hybrid_retrieval (sparse+dense reciprocal-rank
-# fusion), mmr_diverse_topk (MMR diversity re-rank),
-# regex_token_profile (BPE-style pre-tokenizer accounting). That is 69
-# names -- one more 50-query window (r6) plus refresh slots closes
-# the queue entirely.
+# prefixspan_event_patterns. One r7 window of 20 + 30 refresh slots
+# closes the queue entirely.
 
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    missing = [n for n in _ROTATION_R5 if n not in _REGISTRY]
+    missing = [n for n in _ROTATION_R6 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _ROTATION_R5}
+    ordered = {n: _REGISTRY[n] for n in _ROTATION_R6}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered

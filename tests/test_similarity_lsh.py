@@ -343,3 +343,64 @@ def test_mmr_skips_near_copies_plain_topk_keeps(spark, tmp_path):
     steps = sorted(out, key=lambda r: r["step"])
     for r in steps[1:]:
         assert r["mmr_score"] <= steps[0]["mmr_score"] + 1e-9
+
+
+def test_mmr_tiny_pool_returns_short_ranking(spark, tmp_path):
+    """A corpus with fewer than MMR_K non-probe vectors must yield a
+    SHORT ranking, not a crash: the greedy loop exhausts the pool and
+    stops (advice r5 — it previously unpacked best=None into a
+    TypeError). The oracle's sel_k CTEs go empty past the pool size in
+    the same way."""
+    import numpy as np
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.similarity import MMR_K
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    n_docs = MMR_K - 3  # 2 non-probe vectors
+    vecs = {0: [1.0] + [0.0] * 7}
+    for i in range(1, n_docs + 1):
+        v = [1.0] + [0.0] * 7
+        v[i] = 0.5
+        vecs[i] = list(np.asarray(v) / np.linalg.norm(v))
+    pdf = pd.DataFrame({
+        "vec_id": list(vecs),
+        "label": ["x"] * len(vecs),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs.values()],
+    })
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/embeddings.parquet")
+    out = (all_queries()["mmr_diverse_topk"].fn(spark, str(tmp_path))
+           .collect())
+    assert len(out) == n_docs
+    assert sorted(r["step"] for r in out) == list(range(1, n_docs + 1))
+    assert {r["doc_id"] for r in out} == set(range(1, n_docs + 1))
+
+
+def test_codebook_paths_are_content_keyed(tmp_path):
+    """Regenerating a corpus at the SAME path must move the IVF/PQ
+    artifact location (content fingerprint in the digest — advice r5),
+    so a stale persisted codebook is never silently reused."""
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.pq import pq_codebook_path
+    from covid_weather_etl_spark.operators.similarity import (
+        corpus_fingerprint, ivf_codebook_path)
+
+    corpus = tmp_path / "sf_tiny"
+    corpus.mkdir()
+    assert corpus_fingerprint(str(corpus)) == ""  # no embeddings yet
+
+    pd.DataFrame({"vec_id": [0, 1], "embedding": [[1.0, 0.0], [0.0, 1.0]]}
+                 ).to_parquet(corpus / "embeddings.parquet")
+    fp1 = corpus_fingerprint(str(corpus))
+    ivf1, pq1 = ivf_codebook_path(str(corpus)), pq_codebook_path(str(corpus))
+    assert fp1
+
+    pd.DataFrame({"vec_id": [0, 1, 2],
+                  "embedding": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]}
+                 ).to_parquet(corpus / "embeddings.parquet")
+    fp2 = corpus_fingerprint(str(corpus))
+    assert fp2 != fp1
+    assert ivf_codebook_path(str(corpus)) != ivf1
+    assert pq_codebook_path(str(corpus)) != pq1
