@@ -1283,10 +1283,21 @@ def _holt_winters_forecast(train: np.ndarray, horizon: int,
     than two seasons (state cannot initialize)."""
     if len(train) < 2 * m or horizon <= 0:
         return None
-    s1 = float(train[:m].mean())
-    s2 = float(train[m:2 * m].mean())
+    # season means via explicit LEFT-TO-RIGHT accumulation (not
+    # np.mean's pairwise summation) so the DuckDB oracle's left-
+    # associative (v1+v2+...+vm)/m expression replays the exact same
+    # IEEE op sequence — the recurrence is then bit-identical on both
+    # engines all the way to the final state.
+    acc1 = 0.0
+    for v in train[:m]:
+        acc1 += float(v)
+    s1 = acc1 / m
+    acc2 = 0.0
+    for v in train[m:2 * m]:
+        acc2 += float(v)
+    s2 = acc2 / m
     level, trend = s1, (s2 - s1) / m
-    seas = [float(v - s1) for v in train[:m]]
+    seas = [float(v) - s1 for v in train[:m]]
     for t in range(len(train)):
         x, si = float(train[t]), t % m
         prev = level
@@ -1304,9 +1315,20 @@ def _holt_winters_forecast(train: np.ndarray, horizon: int,
     return np.array(out, dtype=np.float64)
 
 
-def _hw_eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One group's 80/20 chrono split + Holt-Winters fit + forecast
-    eval — same protocol and output shape as _sarima_eval_group."""
+_HW_FC_SCHEMA = T.StructType([
+    T.StructField("n_name", T.StringType()),
+    T.StructField("n_train", T.IntegerType()),
+    T.StructField("k", T.IntegerType()),
+    T.StructField("y", T.DoubleType()),
+    T.StructField("fc", T.DoubleType()),
+])
+
+
+def _hw_test_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One group's 80/20 chrono split + Holt-Winters fit: emit the
+    per-step TEST rows (k, observed, forecast) instead of finished
+    metrics — the metrics then run as deterministic decimal-summed
+    Spark aggregates the DuckDB oracle mirrors exactly."""
     pdf = pdf.sort_values("d")
     y = pdf["y"].to_numpy(dtype=np.float64)
     name = pdf["n_name"].iloc[0]
@@ -1314,20 +1336,113 @@ def _hw_eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
     train, test = y[:n_train], y[n_train:]
     fc = _holt_winters_forecast(train, len(test))
     if fc is None:
-        return pd.DataFrame([{
-            "n_name": name, "n_train": n_train, "n_test": len(test),
-            "mae": float("nan"), "rmse": float("nan"), "r2": float("nan")}])
-    err = test - fc
-    mae = float(np.mean(np.abs(err)))
-    rmse = float(np.sqrt(np.mean(err ** 2)))
-    denom = float(np.sum((test - test.mean()) ** 2))
-    r2 = float(1.0 - np.sum(err ** 2) / denom) if denom > 0 else float("nan")
-    return pd.DataFrame([{
-        "n_name": name, "n_train": n_train, "n_test": len(test),
-        "mae": round(mae, 6), "rmse": round(rmse, 6), "r2": round(r2, 6)}])
+        return pd.DataFrame({"n_name": [], "n_train": [], "k": [],
+                             "y": [], "fc": []})
+    return pd.DataFrame({
+        "n_name": name, "n_train": n_train,
+        "k": np.arange(1, len(test) + 1), "y": test, "fc": fc})
 
 
-@register("holt_winters_forecast_eval", survey="U2,U5,W5")
+def _hw_oracle() -> str:
+    """DuckDB twin of the full Holt-Winters eval: the damped recurrence
+    as a recursive CTE carrying (level, trend, s0..s6) state, the
+    damped-trend forecast as a second recursive CTE over the horizon,
+    then the same decimal-accumulated metric aggregates as the Spark
+    side. Every constant is embedded via repr (string-parse round-trips
+    to the identical double) and every expression tree mirrors the
+    Python recurrence's op order, so the state — and therefore each
+    forecast — is bit-identical on both engines."""
+    m = HW_PERIOD
+    c = lambda x: f"CAST('{x!r}' AS DOUBLE)"
+    A, IA = c(HW_ALPHA), c(1 - HW_ALPHA)
+    G, IG = c(HW_GAMMA), c(1 - HW_GAMMA)
+    B, BPHI, PHI = c(HW_BETA), c((1 - HW_BETA) * HW_PHI), c(HW_PHI)
+    scols = ", ".join(f"s{i}" for i in range(m))
+    s_case = ("CASE h.t % 7 " +
+              " ".join(f"WHEN {i} THEN h.s{i}" for i in range(m)) + " END")
+    s_upd = ",\n               ".join(
+        f"CASE WHEN q.si = {i} THEN {G} * (q.x - q.lvl_new) + {IG} * q.s{i} "
+        f"ELSE q.s{i} END" for i in range(m))
+    s1 = "(" + " + ".join(f"vs[{i + 1}]" for i in range(m)) + f") / {m}e0"
+    s2 = "(" + " + ".join(f"vs[{m + i + 1}]" for i in range(m)) + f") / {m}e0"
+    seas0 = ", ".join(f"vs[{i + 1}] - s1m AS s{i}" for i in range(m))
+    f_case = ("CASE (f.n_train + d.k - 1) % 7 " +
+              " ".join(f"WHEN {i} THEN f.s{i}" for i in range(m)) + " END")
+    return f"""
+    WITH RECURSIVE {_NATION_DAILY_SQL},
+    ranked AS (
+        SELECT n_name, y,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY n_name ORDER BY d) AS INT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY n_name) AS INT) AS n
+        FROM nation_daily
+    ),
+    init AS (
+        SELECT n_name, n, CAST(FLOOR(n * 8e-1) AS INT) AS n_train,
+               {s1} AS s1m, {s2} AS s2m, vs
+        FROM (SELECT n_name, n, list(y ORDER BY rn) AS vs
+              FROM ranked WHERE rn <= {2 * m} GROUP BY n_name, n)
+        WHERE n >= {2 * m}
+    ),
+    st AS (
+        SELECT n_name, n, n_train, 0 AS t,
+               s1m AS level, (s2m - s1m) / {m}e0 AS trend, {seas0}
+        FROM init
+        UNION ALL
+        SELECT q.n_name, q.n, q.n_train, q.t + 1,
+               q.lvl_new,
+               {B} * (q.lvl_new - q.level) + {BPHI} * q.trend,
+               {s_upd}
+        FROM (
+            SELECT h.*, r.y AS x, h.t % 7 AS si,
+                   {A} * (r.y - {s_case})
+                   + {IA} * (h.level + {PHI} * h.trend) AS lvl_new
+            FROM st h
+            JOIN ranked r ON r.n_name = h.n_name AND r.rn = h.t + 1
+            WHERE h.t < h.n_train
+        ) q
+    ),
+    damp AS (
+        SELECT 1 AS k, {PHI} AS p, {PHI} AS damp
+        UNION ALL
+        SELECT k + 1, p * {PHI}, damp + p * {PHI}
+        FROM damp
+        WHERE k < (SELECT MAX(n - n_train) FROM init)
+    ),
+    fc AS (
+        SELECT f.n_name, f.n_train, d.k,
+               (f.level + d.damp * f.trend) + {f_case} AS fc
+        FROM (SELECT * FROM st WHERE t = n_train) f
+        JOIN damp d ON d.k <= f.n - f.n_train
+    ),
+    joined AS (
+        SELECT c.n_name, c.n_train, r.y, c.fc
+        FROM fc c
+        JOIN ranked r ON r.n_name = c.n_name AND r.rn = c.n_train + c.k
+    ),
+    agg AS (
+        SELECT n_name, n_train,
+               CAST(COUNT(*) AS INT) AS n_test,
+               CAST(SUM(CAST(ABS(y - fc) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sae,
+               CAST(SUM(CAST((y - fc) * (y - fc) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sse,
+               CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM joined GROUP BY n_name, n_train
+    )
+    SELECT n_name, n_train, n_test,
+           {fround_sql('sae / n_test')} AS mae,
+           {fround_sql('SQRT(sse / n_test)')} AS rmse,
+           CASE WHEN syy - sy * sy / n_test > 0
+                THEN {fround_sql('1e0 - sse / (syy - sy * sy / n_test)')}
+                ELSE NULL END AS r2
+    FROM agg
+    """
+
+
+@register("holt_winters_forecast_eval", survey="U2,U5,W5",
+          oracle=_hw_oracle())
 def holt_winters_forecast_eval(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Per-nation damped additive Holt-Winters (triple exponential
@@ -1337,16 +1452,41 @@ def holt_winters_forecast_eval(spark: SparkSession,
     per series, the production choice when SARIMA's fit cost isn't
     justified. Same 80/20 chrono protocol and metric columns as the
     SARIMA/Fourier evals (reference forecasting DAG protocol,
-    dags/forecasting_dag.py:95-231). One Arrow batch per nation via
-    applyInPandas — embarrassingly parallel; at 100 TB the per-series
-    state is three floats + one season vector regardless of series
-    length. Rows-only driver check; recurrence pinned against an
-    independent reimplementation and a planted trend+seasonal fixture
-    in tests/test_ml.py."""
+    dags/forecasting_dag.py:95-231).
+
+    Division of labor: the recurrence runs per-series in one Arrow
+    batch via applyInPandas (embarrassingly parallel; at 100 TB the
+    per-series state is three floats + one season vector regardless
+    of series length) and emits the per-step test rows; MAE/RMSE/R²
+    then run as DISTRIBUTED decimal-accumulated aggregates (exact,
+    order-independent). Fully oracled (graduated from rows-only, r6):
+    the DuckDB twin replays the identical recurrence as a recursive
+    CTE — same literals, same IEEE op order, left-to-right init means
+    — so both engines agree bit-for-bit before the 6dp display
+    rounding; the EWMA recursive-CTE precedent extended to
+    level/trend/seasonal state (ewma_smoothing, timeseries.py)."""
     daily = nation_daily(spark, sf_dir)
-    return (daily.groupBy("n_name")
-            .applyInPandas(_hw_eval_group, schema=_SARIMA_EVAL_SCHEMA)
-            .orderBy("n_name"))
+    rows = (daily.groupBy("n_name")
+            .applyInPandas(_hw_test_rows, schema=_HW_FC_SCHEMA))
+    err = F.col("y") - F.col("fc")
+    agg = (rows.groupBy("n_name", "n_train")
+           .agg(F.count("*").cast("int").alias("n_test"),
+                F.sum(F.abs(err).cast("decimal(38,6)")).cast("double")
+                .alias("sae"),
+                F.sum((err * err).cast("decimal(38,6)")).cast("double")
+                .alias("sse"),
+                F.sum(F.col("y").cast("decimal(25,6)")).cast("double")
+                .alias("sy"),
+                F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)"))
+                .cast("double").alias("syy")))
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_test")
+    return (agg.select(
+        "n_name", "n_train", "n_test",
+        fround(F.col("sae") / F.col("n_test")).alias("mae"),
+        fround(F.sqrt(F.col("sse") / F.col("n_test"))).alias("rmse"),
+        F.when(sst > 0, fround(F.lit(1.0) - F.col("sse") / sst))
+        .otherwise(F.lit(None).cast("double")).alias("r2"))
+        .orderBy("n_name"))
 
 
 # ---------------------------------------------------------------------------

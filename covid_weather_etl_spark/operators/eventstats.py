@@ -611,7 +611,162 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MARKOV_CHANNELS = ("click", "error", "signup", "view")
 
 
-@register("markov_attribution", survey="ext-events,U2,A6,W1")
+def _signed_perms(n: int) -> list[tuple[int, tuple[int, ...]]]:
+    """Permutations of range(n) in LEXICOGRAPHIC order with parity
+    sign — the shared Leibniz-determinant term order both engines
+    replay (Python value twin + generated SQL text)."""
+    import itertools
+    out = []
+    for perm in itertools.permutations(range(n)):
+        inv = sum(1 for a in range(n) for b in range(a + 1, n)
+                  if perm[a] > perm[b])
+        out.append((1 if inv % 2 == 0 else -1, perm))
+    return out
+
+
+def _det_val(M: list[list[float]]) -> float:
+    """Leibniz determinant, terms in _signed_perms order, products and
+    the sum strictly left-to-right — the exact op sequence _det_sql
+    emits, so both engines produce the identical double."""
+    n = len(M)
+    acc = 0.0
+    for sign, perm in _signed_perms(n):
+        term = M[0][perm[0]]
+        for i in range(1, n):
+            term = term * M[i][perm[i]]
+        acc = acc + term if sign > 0 else acc - term
+    return acc
+
+
+def _det_sql(M: list[list[str]]) -> str:
+    """SQL text twin of _det_val: same term order, left-associative
+    products (a * b * c), left-associative signed sum."""
+    parts = []
+    for sign, perm in _signed_perms(len(M)):
+        term = " * ".join(M[i][perm[i]] for i in range(len(M)))
+        parts.append(("+ " if sign > 0 else "- ") + "(" + term + ")")
+    body = " ".join(parts)
+    return "(" + (body[2:] if body.startswith("+ ") else body) + ")"
+
+
+def _markov_A(p, live):
+    """(I − Q) restricted to `live` state rows/cols. Works for both the
+    value twin (floats in, floats out) and the SQL twin (expr strings
+    in, expr strings out) because the entry construction is shared."""
+    val = not isinstance(p[0][0], str)
+    if val:
+        return [[(1.0 - p[i][j]) if i == j else (0.0 - p[i][j])
+                 for j in live] for i in live]
+    return [[f"(1e0 - {p[i][j]})" if i == j else f"(0e0 - {p[i][j]})"
+             for j in live] for i in live]
+
+
+def _solve_start_val(p: list[list[float]], live: list[int]) -> float:
+    """x_START of (I−Q)x = b over `live` states (START = live[0]) via
+    Cramer with the shared term order."""
+    A = _markov_A(p, live)
+    b = [p[i][5] for i in live]
+    Ab = [[b[r] if c == 0 else A[r][c] for c in range(len(live))]
+          for r in range(len(live))]
+    return _det_val(Ab) / _det_val(A)
+
+
+def _solve_start_sql(live: list[int]) -> str:
+    """SQL twin of _solve_start_val over the p_i_j pivot columns."""
+    P = [[f"p_{i}_{j}" for j in range(6)] for i in range(5)]
+    A = _markov_A(P, live)
+    b = [f"p_{i}_5" for i in live]
+    Ab = [[b[r] if c == 0 else A[r][c] for c in range(len(live))]
+          for r in range(len(live))]
+    return f"({_det_sql(Ab)} / {_det_sql(A)})"
+
+
+def _markov_oracle() -> str:
+    """DuckDB twin of the full removal-effect pipeline: the SAME
+    journey truncation + LAG/LEAD transition windows, counts pivoted
+    to one row, P = counts/row-total in double, then x_START of every
+    absorbing-chain system solved by an UNROLLED Cramer expansion
+    whose term order matches the Python value twin exactly — the
+    ridge_normal_equations identical-Cramer technique scaled up to the
+    5×5 base chain and the four 4×4 removal chains."""
+    from covid_weather_etl_spark.functions.numeric import fround_sql
+    states = ["START", *MARKOV_CHANNELS]
+    dstname = {j: states[j] for j in range(5)}
+    dstname[5], dstname[6] = "purchase", "END"
+    cells = ",\n               ".join(
+        f"COALESCE(MAX(CASE WHEN src = '{states[i]}' AND "
+        f"dst = '{dstname[j]}' THEN n END), 0) AS c_{i}_{j}"
+        for i in range(5) for j in range(7))
+    tots = ", ".join(
+        "(" + " + ".join(f"c_{i}_{j}" for j in range(7)) + f") AS tot_{i}"
+        for i in range(5))
+    ps = ",\n               ".join(
+        f"CAST(c_{i}_{j} AS DOUBLE) / CAST(tot_{i} AS DOUBLE) AS p_{i}_{j}"
+        for i in range(5) for j in range(6))
+    solves = ",\n               ".join(
+        [f"{_solve_start_sql(list(range(5)))} AS p_all"]
+        + [f"{_solve_start_sql([i for i in range(5) if i != k])} AS p_{ch}"
+           for k, ch in enumerate(MARKOV_CHANNELS, start=1)])
+    effs = ",\n               ".join(
+        f"GREATEST(0e0, 1e0 - p_{ch} / p_all) AS e_{ch}"
+        for ch in MARKOV_CHANNELS)
+    total = " + ".join(f"e_{ch}" for ch in MARKOV_CHANNELS)
+    outs = "\n    UNION ALL\n".join(
+        f"""    SELECT '{ch}' AS channel,
+           {fround_sql('p_all', 9)} AS p_conversion,
+           {fround_sql(f'e_{ch}', 9)} AS removal_effect,
+           CASE WHEN total > 0 THEN {fround_sql(f'e_{ch} / total', 9)}
+                ELSE 0e0 END AS attribution
+    FROM tot""" for ch in MARKOV_CHANNELS)
+    return f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS conv_before
+        FROM events
+    ),
+    flt AS (SELECT * FROM ev WHERE conv_before = 0),
+    steps AS (
+        SELECT user_id, event_type,
+               COALESCE(LAG(event_type) OVER w, 'START') AS src,
+               LEAD(event_type) OVER w AS nxt
+        FROM flt
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS (
+        SELECT src, event_type AS dst FROM steps
+        UNION ALL
+        SELECT event_type AS src, 'END' AS dst FROM steps
+        WHERE nxt IS NULL AND event_type <> 'purchase'
+    ),
+    cnt AS (SELECT src, dst, COUNT(*) AS n FROM trans GROUP BY src, dst),
+    one AS (
+        SELECT {cells}
+        FROM cnt
+    ),
+    witht AS (SELECT *, {tots} FROM one),
+    p AS (
+        SELECT {ps}
+        FROM witht
+    ),
+    s AS (
+        SELECT {solves}
+        FROM p
+    ),
+    e AS (
+        SELECT p_all, {effs}
+        FROM s
+    ),
+    tot AS (SELECT *, {total} AS total FROM e)
+{outs}
+    """
+
+
+@register("markov_attribution", survey="ext-events,U2,A6,W1",
+          oracle=_markov_oracle())
 def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2016) —
     the data-driven alternative to `multi_touch_attribution`'s linear
@@ -630,9 +785,14 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver over a MODEL-sized transition matrix (numpy; ≤5×5
     here), exactly like the SARIMA/OLS per-group fits. Deterministic
     end-to-end: counts are exact, the solves are direct (no
-    iteration), ordering is (ts, event_id). Rows-only driver check
-    (matrix inversion is not SQL); tests/test_eventstats.py pins the
-    whole pipeline against a pandas+numpy recomputation."""
+    iteration), ordering is (ts, event_id). Fully oracled (graduated
+    from rows-only, r6): the solves run as Cramer's rule with a SHARED
+    Leibniz term order — the Python value twin and the generated SQL
+    expansion execute the identical IEEE op sequence over identical
+    P entries, so both engines agree bit-for-bit before the 9dp
+    rounding (the ridge_normal_equations identical-Cramer technique);
+    tests/test_eventstats.py additionally pins the pipeline against an
+    independent pandas+numpy (LU solve) recomputation."""
     t = load_tables(spark, sf_dir, ("events",))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     run_before = (W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -658,39 +818,47 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("src", "dst").agg(F.count("*").alias("n")))
     rows = trans.collect()                   # model-sized: ≤7×7 cells
 
-    import numpy as np
+    import math
     states = ["START", *MARKOV_CHANNELS]
     idx = {s: i for i, s in enumerate(states)}
-    counts = np.zeros((len(states), len(states) + 2))
+    counts = [[0] * 7 for _ in range(5)]
     for r in rows:
         if r["src"] in idx:
             j = (idx[r["dst"]] if r["dst"] in idx
-                 else len(states) + (0 if r["dst"] == "purchase" else 1))
-            counts[idx[r["src"]], j] += r["n"]
+                 else 5 if r["dst"] == "purchase" else 6)
+            counts[idx[r["src"]]][j] += int(r["n"])
+    tots = []
+    for i in range(5):
+        tot = 0
+        for j in range(7):
+            tot += counts[i][j]
+        tots.append(tot)
+    if any(t == 0 for t in tots):
+        # a state with no outgoing transitions makes the chain (and the
+        # oracle's division) degenerate — surface it instead of NaN
+        raise ValueError(
+            "markov_attribution: a channel state has no outgoing "
+            "transitions in this corpus; the absorbing chain is "
+            "degenerate")
+    # exact-int counts -> double P entries; int/int division in Python
+    # and CAST(int)/CAST(int) in SQL are the same correctly-rounded
+    # quotient of exact values
+    p = [[counts[i][j] / tots[i] for j in range(6)] for i in range(5)]
 
-    def conv_prob(removed: str | None) -> float:
-        c = counts.copy()
-        if removed is not None:
-            k = idx[removed]
-            c[:, len(states) + 1] += c[:, k]   # entering removed -> lost
-            c[:, k] = 0
-            c[k, :] = 0
-        tot = c.sum(axis=1, keepdims=True)
-        live = tot[:, 0] > 0
-        P = np.divide(c, tot, out=np.zeros_like(c), where=tot > 0)
-        Q, b = P[:, :len(states)], P[:, len(states)]
-        sol = np.zeros(len(states))
-        sol[live] = np.linalg.solve(
-            np.eye(int(live.sum())) - Q[np.ix_(live, live)], b[live])
-        return float(sol[idx["START"]])
+    p_all = _solve_start_val(p, list(range(5)))
+    effects = []
+    for k in range(1, 5):
+        pk = _solve_start_val(p, [i for i in range(5) if i != k])
+        effects.append(max(0.0, 1.0 - pk / p_all))
+    total = 0.0
+    for e in effects:
+        total += e
 
-    p_all = conv_prob(None)
-    effects = {ch: max(0.0, 1.0 - conv_prob(ch) / p_all)
-               for ch in MARKOV_CHANNELS}
-    total = sum(effects.values())
-    out = [(ch, round(p_all, 9), round(effects[ch], 9),
-            round(effects[ch] / total, 9) if total > 0 else 0.0)
-           for ch in MARKOV_CHANNELS]
+    def fr9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    out = [(ch, fr9(p_all), fr9(e), fr9(e / total) if total > 0 else 0.0)
+           for ch, e in zip(MARKOV_CHANNELS, effects)]
     return spark.createDataFrame(
         out, "channel string, p_conversion double, removal_effect double, "
              "attribution double")

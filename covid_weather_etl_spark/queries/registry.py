@@ -127,11 +127,19 @@ _ROTATION_R6 = (
     "order_priority_journey", "priority_mix_except_all",
     "bitmap_audience_intersection", "name_similarity_pairs",
     "target_encoding_segment", "distributed_exact_median",
-    "ridge_normal_equations", "time_weighted_average",
+    "ridge_normal_equations",
     "rolling_median_revenue", "theilsen_mannkendall_trend",
-    "pinball_quantile_forecast_eval", "rfm_segmentation",
+    "rfm_segmentation",
     "basket_affinity", "compaction_plan", "table_checksum_orders",
     "conformal_forecast_intervals", "unattributed_purchases",
+    # graduated from rows-only THIS round (verdict directive #4) —
+    # their brand-new oracles (recursive-CTE Holt-Winters state,
+    # shared-term-order Cramer) get driver rows immediately;
+    # time_weighted_average and pinball_quantile_forecast_eval move
+    # to the r7 hold (families covered by green twins:
+    # time_decay_engagement-adjacent TWA passed every local sweep,
+    # mase_forecast_eval is hash-green r05)
+    "holt_winters_forecast_eval", "markov_attribution",
 )
 
 # Round 5 window (superseded — kept for the audit trail): slots 1-2
@@ -234,15 +242,15 @@ _ROTATION_R4 = (
     "local_supplier_revenue",
 )
 # Still never driver-checked after the r6 window (queued first for
-# r7; all locally sf0.01-parity-green). Oracle-equipped (11, held
+# r7; all locally sf0.01-parity-green). Oracle-equipped (13, held
 # because a close hash-green twin already covers each family):
 # gini_revenue_by_nation, hhi_supplier_concentration,
 # pythagorean_means_prices, price_relative_standing,
 # unpivot_flag_metrics, char_entropy_quality, user_growth_curve,
 # time_decay_engagement, date_spine_fill, repurchase_interval_stats,
-# mad_anomaly_report. Rows-only (9): bpe_vocab_train,
-# bpe_encode_documents, markov_attribution, media_phash_dedup,
-# pca_top_component, holt_winters_forecast_eval,
+# mad_anomaly_report, time_weighted_average,
+# pinball_quantile_forecast_eval. Rows-only (7): bpe_vocab_train,
+# bpe_encode_documents, media_phash_dedup, pca_top_component,
 # als_part_recommendations, fpgrowth_type_itemsets,
 # prefixspan_event_patterns. One r7 window of 20 + 30 refresh slots
 # closes the queue entirely.
