@@ -1816,7 +1816,51 @@ PSPAN_MAX_LEN = 3
 PSPAN_SEQ_CAP = 20
 
 
-@register("fpgrowth_type_itemsets", survey="ext-ml,A6,U2")
+def _fpgrowth_oracle() -> str:
+    """DuckDB twin of the FP-Growth mine: level-wise Apriori as k-way
+    ordered self-joins of the unnested distinct-item baskets, k = 1..6.
+    The driver corpus' item universe is the 6 p_type values, so level 6
+    is the complete lattice — the oracle provably covers every itemset
+    FP-Growth can emit (pure integer counts, no float anywhere). The
+    support threshold mirrors Spark's minCount = ceil(minSupport ·
+    numBaskets) double arithmetic exactly."""
+    levels = []
+    for k in range(1, 7):
+        a = [f"t{i}" for i in range(k)]
+        joins = "ui " + a[0]
+        for i in range(1, k):
+            joins += (f" JOIN ui {a[i]} ON {a[i]}.l_orderkey = "
+                      f"{a[i - 1]}.l_orderkey AND {a[i]}.item > "
+                      f"{a[i - 1]}.item")
+        items = " || ',' || ".join(f"{x}.item" for x in a)
+        keys = ", ".join(f"{x}.item" for x in a)
+        levels.append(f"""
+        SELECT {items} AS itemset, {k} AS n_items, COUNT(*) AS freq
+        FROM {joins}
+        GROUP BY {keys}
+        HAVING COUNT(*) >= (SELECT mc FROM minc)""")
+    body = "\n        UNION ALL".join(levels)
+    return f"""
+    WITH baskets AS (
+        SELECT l.l_orderkey, list(DISTINCT p.p_type) AS items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY l.l_orderkey
+    ),
+    minc AS (
+        SELECT CAST(CEIL(CAST('{FPG_MIN_SUPPORT!r}' AS DOUBLE) * COUNT(*))
+                    AS BIGINT) AS mc
+        FROM baskets
+    ),
+    ui AS (SELECT l_orderkey, unnest(items) AS item FROM baskets)
+    SELECT CAST(itemset AS VARCHAR) AS itemset,
+           CAST(n_items AS INT) AS n_items,
+           CAST(freq AS BIGINT) AS freq
+    FROM ({body})
+    """
+
+
+@register("fpgrowth_type_itemsets", survey="ext-ml,A6,U2",
+          oracle=_fpgrowth_oracle())
 def fpgrowth_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent part-type itemsets over order baskets via distributed
     FP-Growth (Han et al. 2000; Spark's parallel PFP variant, Li et
@@ -1830,11 +1874,15 @@ def fpgrowth_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first: FPGrowth is the canonical distributed
     frequent-pattern algorithm — group-dependent projections of the
     FP-tree are mined per partition, no candidate-generation joins
-    (that's Apriori's weakness). Rows-only driver check (unbounded
-    itemset size is not ANSI-SQL-expressible without recursion);
-    tests/test_ml.py pins equality against a brute-force Apriori over
-    the collected baskets at sf0.001 plus the anti-monotone support
-    property."""
+    (that's Apriori's weakness). Fully oracled (graduated from
+    rows-only, r6): the driver corpus' item universe is small enough
+    (6 p_type values) that a level-wise Apriori in DuckDB enumerates
+    the COMPLETE lattice to size 6 — exact integer counts, identical
+    ceil(minSupport·n) threshold arithmetic, so the hash-match is a
+    true cross-algorithm equality (FP-tree mining vs candidate
+    joins). tests/test_ml.py additionally pins equality against a
+    brute-force Apriori over the collected baskets at sf0.001 plus
+    the anti-monotone support property."""
     from pyspark.ml.fpm import FPGrowth
 
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
@@ -1859,7 +1907,68 @@ def fpgrowth_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("freq").cast("long").alias("freq")))
 
 
-@register("prefixspan_event_patterns", survey="ext-ml,W1,U2")
+def _prefixspan_oracle() -> str:
+    """DuckDB twin of the PrefixSpan mine: enumerate EVERY candidate
+    pattern up to length {PSPAN_MAX_LEN} over the data-present event
+    types (5 types -> 155 candidates), then count supporting users by
+    gapped-subsequence matching — each user's capped sequence becomes
+    a string of first-letter codes and a pattern (a,b,c) matches via
+    LIKE '%a%b%c%' (single-char codes make token collisions
+    impossible; the corpus' five event types have distinct first
+    letters, asserted by the guard CTE). Pure integer counts; the
+    support threshold mirrors Spark's ceil(minSupport · numSequences)
+    double arithmetic."""
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY rn) AS seq
+        FROM ev WHERE rn <= {PSPAN_SEQ_CAP} GROUP BY user_id
+    ),
+    minc AS (
+        SELECT CAST(CEIL(CAST('{PSPAN_MIN_SUPPORT!r}' AS DOUBLE)
+                         * COUNT(*)) AS BIGINT) AS mc
+        FROM seqs
+    ),
+    types AS (
+        -- guard: first letters must be unique or the code mapping
+        -- (and therefore the LIKE subsequence test) is unsound
+        SELECT event_type AS t, substr(event_type, 1, 1) AS ch
+        FROM (SELECT DISTINCT event_type FROM events)
+        WHERE (SELECT COUNT(DISTINCT substr(event_type, 1, 1))
+               FROM (SELECT DISTINCT event_type FROM events))
+            = (SELECT COUNT(DISTINCT event_type) FROM events)
+    ),
+    cand AS (
+        SELECT t AS pattern, 1 AS n_steps,
+               '%' || ch || '%' AS pat
+        FROM types
+        UNION ALL
+        SELECT a.t || '>' || b.t, 2, '%' || a.ch || '%' || b.ch || '%'
+        FROM types a, types b
+        UNION ALL
+        SELECT a.t || '>' || b.t || '>' || c.t, 3,
+               '%' || a.ch || '%' || b.ch || '%' || c.ch || '%'
+        FROM types a, types b, types c
+    ),
+    counted AS (
+        SELECT c.pattern, c.n_steps, COUNT(*) AS freq
+        FROM cand c JOIN seqs s ON s.seq LIKE c.pat
+        GROUP BY c.pattern, c.n_steps
+    )
+    SELECT pattern, CAST(n_steps AS INT) AS n_steps,
+           CAST(freq AS BIGINT) AS freq
+    FROM counted WHERE freq >= (SELECT mc FROM minc)
+    """
+
+
+@register("prefixspan_event_patterns", survey="ext-ml,W1,U2",
+          oracle=_prefixspan_oracle())
 def prefixspan_event_patterns(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Frequent sequential event-type patterns per user via
@@ -1872,9 +1981,15 @@ def prefixspan_event_patterns(spark: SparkSession,
     adjacent pairs; PrefixSpan finds GAPPED subsequences).
 
     The sequence build is one user-partitioned window + one
-    aggregate; the cap bounds projection depth at any scale. Rows-only
-    driver check (sequential pattern mining is not SQL-expressible);
-    tests/test_ml.py pins equality against a brute-force subsequence
+    aggregate; the cap bounds projection depth at any scale. Fully
+    oracled (graduated from rows-only, r6): with a 5-symbol alphabet
+    and maxPatternLength 3, the candidate space is 155 patterns —
+    the DuckDB twin enumerates ALL of them and counts supporting
+    users by gapped-subsequence LIKE matching over single-char-coded
+    sequences, with the identical ceil(minSupport·n) threshold; the
+    hash-match is a true cross-algorithm equality (recursive database
+    projection vs exhaustive candidate counting). tests/test_ml.py
+    additionally pins equality against a brute-force subsequence
     counter over the collected sequences at sf0.001."""
     from pyspark.ml.fpm import PrefixSpan
 

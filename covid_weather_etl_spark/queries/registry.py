@@ -249,11 +249,18 @@ _ROTATION_R4 = (
 # unpivot_flag_metrics, char_entropy_quality, user_growth_curve,
 # time_decay_engagement, date_spine_fill, repurchase_interval_stats,
 # mad_anomaly_report, time_weighted_average,
-# pinball_quantile_forecast_eval. Rows-only (7): bpe_vocab_train,
-# bpe_encode_documents, media_phash_dedup, pca_top_component,
-# als_part_recommendations, fpgrowth_type_itemsets,
-# prefixspan_event_patterns. One r7 window of 20 + 30 refresh slots
-# closes the queue entirely.
+# pinball_quantile_forecast_eval, and — graduated to full oracles in
+# the same r6 session, driver rows pending — fpgrowth_type_itemsets
+# (complete Apriori-lattice twin) and prefixspan_event_patterns
+# (exhaustive candidate-counting twin). Rows-only (5):
+# bpe_vocab_train, bpe_encode_documents, media_phash_dedup,
+# pca_top_component, als_part_recommendations.
+# One r7 window of 20 + 30 refresh slots
+# closes the queue entirely. The r7 refresh slots should LEAD with the
+# three remaining stale-evidence oracle upgrades the r5 verdict named
+# (rows-only driver rows predating their oracles):
+# hll_monthly_rollup, ivf_kmeans_topk, pq_ann_topk — a fresh row makes
+# each hash-green, as r6 did for kcore/pagerank.
 
 
 def all_queries() -> dict[str, Query]:
