@@ -679,6 +679,198 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# token-budget allocation (data-mixing water-filling with epoch caps)
+# ---------------------------------------------------------------------------
+
+BUDGET_X = 1.3   #: training budget = floor(BUDGET_X · total corpus tokens)
+EPOCH_CAP = 1.4  #: max epochs any cohort may be repeated (cap_i = 1.4·avail)
+
+
+def _wf_grid(x: float) -> int:
+    """6dp micro-units: the shared grid both engines water-fill on."""
+    import math
+    return int(math.floor(x * 1e6 + 0.5))
+
+
+def _token_budget_oracle() -> str:
+    """DuckDB twin of the exact water-filling allocator: identical
+    census, identical 6dp-grid weights/caps, ordered prefix sums on
+    exact micro-unit integers, the same candidate-k boundary scan, the
+    same MIN-k choice, and the same grid-rounded outputs — so the
+    discrete capped-set selection and every emitted double match the
+    driver-side Python solve bit-for-bit."""
+    fl = "1000000.0"
+    return f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    AS BIGINT) AS avail
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(FLOOR(CAST('{BUDGET_X!r}' AS DOUBLE) * SUM(avail))
+                    AS BIGINT) AS b
+        FROM counts
+    ),
+    grid AS (
+        SELECT lang, n_docs, avail,
+               CAST(FLOOR(POWER(avail, CAST('{MIX_ALPHA!r}' AS DOUBLE))
+                          * {fl} + 0.5) AS BIGINT) AS w_u,
+               CAST(FLOOR((CAST('{EPOCH_CAP!r}' AS DOUBLE) * avail)
+                          * {fl} + 0.5) AS BIGINT) AS cap_u
+        FROM counts
+    ),
+    priced AS (
+        SELECT *, CAST(w_u AS DOUBLE) / {fl} AS w_d,
+               CAST(cap_u AS DOUBLE) / {fl} AS cap_d,
+               (CAST(cap_u AS DOUBLE) / {fl})
+                   / (CAST(w_u AS DOUBLE) / {fl}) AS price
+        FROM grid
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY price, lang) AS BIGINT)
+                   AS rk,
+               SUM(cap_u) OVER (ORDER BY price, lang
+                                ROWS UNBOUNDED PRECEDING) AS pcap_u,
+               SUM(w_u) OVER (ORDER BY price, lang
+                              ROWS UNBOUNDED PRECEDING) AS pw_u,
+               COALESCE(LEAD(price) OVER (ORDER BY price, lang),
+                        CAST('inf' AS DOUBLE)) AS p_next,
+               SUM(w_u) OVER () AS tw_u,
+               COUNT(*) OVER () AS n
+        FROM priced
+    ),
+    cand AS (
+        SELECT 0 AS k, CAST(0 AS DOUBLE) AS p_k,
+               (SELECT price FROM ranked WHERE rk = 1) AS p_next,
+               CAST(0 AS BIGINT) AS pcap_u, CAST(0 AS BIGINT) AS pw_u
+        FROM (SELECT 1)
+        UNION ALL
+        SELECT rk, price, p_next, pcap_u, pw_u
+        FROM ranked WHERE rk < n
+    ),
+    lam AS (
+        SELECT c.k,
+               (CAST(t.b AS DOUBLE) - CAST(c.pcap_u AS DOUBLE) / {fl})
+                   / (CAST((SELECT tw_u FROM ranked WHERE rk = 1)
+                           - c.pw_u AS DOUBLE) / {fl}) AS lam,
+               c.p_k, c.p_next
+        FROM cand c CROSS JOIN tot t
+    ),
+    chosen AS (
+        SELECT k, lam FROM lam
+        WHERE (k = 0 OR p_k <= lam) AND lam <= p_next
+        ORDER BY k LIMIT 1
+    )
+    SELECT r.lang, r.n_docs, r.avail AS avail_tokens,
+           r.w_d AS weight, r.cap_d AS cap_tokens,
+           CASE WHEN r.rk <= c.k THEN r.cap_d
+                ELSE FLOOR(c.lam * r.w_d * {fl} + 0.5) / {fl}
+           END AS alloc_tokens,
+           FLOOR(CASE WHEN r.rk <= c.k THEN r.cap_d
+                      ELSE FLOOR(c.lam * r.w_d * {fl} + 0.5) / {fl}
+                 END / r.avail * {fl} + 0.5) / {fl} AS epochs,
+           CAST(CASE WHEN r.rk <= c.k THEN 1 ELSE 0 END AS INT) AS capped,
+           FLOOR(c.lam * {fl} + 0.5) / {fl} AS fill_level
+    FROM ranked r CROSS JOIN chosen c
+    """
+
+
+@register("token_budget_allocation", survey="corpus-mix,A5,A6,W6",
+          oracle=_token_budget_oracle())
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing token-budget allocator — the planning table that
+    turns temperature weights into an actual training mix under an
+    epoch cap (the LLaMA/Gopher question: "how many epochs of each
+    source fit a {BUDGET_X:g}×-corpus token budget if nothing may
+    repeat more than {EPOCH_CAP:g}×?"). Exact WATER-FILLING, not a
+    one-round cap-and-renormalize: alloc_i = min(cap_i, λ·w_i) with λ
+    solving Σ alloc = budget — cohorts cap in increasing price
+    (cap/weight) order; the closed form needs one sorted prefix-sum
+    scan, no iteration.
+
+    Division of labor (the markov/codebook pattern): the corpus-sized
+    census is one map-combinable distributed aggregate; the
+    water-filling runs on the collected LANGUAGE-count-sized table
+    (driver arithmetic on 6dp micro-unit integers, so prefix sums are
+    exact and the DuckDB oracle — identical grid, identical candidate
+    scan, identical MIN-k tie rule — reproduces the discrete capped
+    set and every output double bit-for-bit). At 100 TB nothing
+    changes: the census shrinks to one row per cohort before any
+    driver math. Constants are chosen so the budget is always
+    feasible (Σ cap = {EPOCH_CAP:g}·T > {BUDGET_X:g}·T ≥ budget)."""
+    import math
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    census = (spread(t["documents"], "doc_id")
+              .groupBy("lang")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum(F.size(F.split("text", " ")).cast("long"))
+                   .alias("avail"))
+              .collect())                 # ≤ #languages rows: model-sized
+    total = 0
+    for r in census:
+        total += int(r["avail"])
+    budget = int(math.floor(BUDGET_X * total))
+    items = []
+    for r in census:
+        avail = int(r["avail"])
+        w_u = _wf_grid(avail ** MIX_ALPHA)
+        cap_u = _wf_grid((EPOCH_CAP * avail))
+        w_d, cap_d = w_u / 1e6, cap_u / 1e6
+        items.append({"lang": r["lang"], "n_docs": int(r["n_docs"]),
+                      "avail": avail, "w_u": w_u, "cap_u": cap_u,
+                      "w_d": w_d, "cap_d": cap_d,
+                      "price": cap_d / w_d})
+    items.sort(key=lambda d: (d["price"], d["lang"]))
+    n = len(items)
+    tw_u = 0
+    for d in items:
+        tw_u += d["w_u"]
+    total_cap_u = 0
+    for d in items:
+        total_cap_u += d["cap_u"]
+    if budget * 1e6 > total_cap_u:
+        raise ValueError("token_budget_allocation: infeasible budget "
+                         "(cannot happen with BUDGET_X < EPOCH_CAP)")
+    chosen_k, lam = None, None
+    pcap_u, pw_u = 0, 0
+    for k in range(0, n):
+        # state BEFORE item k+1: first k items capped
+        lam_k = ((float(budget) - pcap_u / 1e6)
+                 / ((tw_u - pw_u) / 1e6))
+        p_k = items[k - 1]["price"] if k > 0 else 0.0
+        p_next = items[k]["price"]
+        if (k == 0 or p_k <= lam_k) and lam_k <= p_next:
+            chosen_k, lam = k, lam_k
+            break
+        pcap_u += items[k]["cap_u"]
+        pw_u += items[k]["w_u"]
+    if chosen_k is None:
+        # unreachable while budget <= total cap (the k = n-1 candidate
+        # is always valid then); surface loudly rather than diverge
+        # from the oracle's empty-chosen behavior
+        raise RuntimeError("token_budget_allocation: no valid water "
+                           "level found despite a feasible budget")
+
+    def fr6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    out = []
+    for rk, d in enumerate(items, start=1):
+        capped = 1 if rk <= chosen_k else 0
+        alloc = d["cap_d"] if capped else fr6(lam * d["w_d"])
+        out.append((d["lang"], d["n_docs"], d["avail"], d["w_d"],
+                    d["cap_d"], alloc, fr6(alloc / d["avail"]),
+                    capped, fr6(lam)))
+    return spark.createDataFrame(
+        out, "lang string, n_docs bigint, avail_tokens bigint, "
+             "weight double, cap_tokens double, alloc_tokens double, "
+             "epochs double, capped int, fill_level double")
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling")
 

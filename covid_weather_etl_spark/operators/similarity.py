@@ -1316,3 +1316,94 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="step int, doc_id bigint, rel double, div double, "
                     "mmr_score double")
+
+
+# ---------------------------------------------------------------------------
+# binary (sign-bit) embedding codes + exact Hamming top-k
+# ---------------------------------------------------------------------------
+
+BIN_TOPK = 10      #: results returned for the probe
+BIN_WORD = 32      #: dims packed per code word (64-dim -> 2 words)
+
+
+def _pack_word(col_name: str, lo_dim: int) -> Column:
+    """Sign bits of dims [lo_dim, lo_dim+BIN_WORD) packed into one
+    BIGINT — exact integer construction, identical on both engines.
+    (SQL-expr form: the Python shiftleft API takes a literal bit
+    count, but the packer needs the loop variable as the shift.)"""
+    return F.expr(
+        f"aggregate(sequence(0, {BIN_WORD - 1}), CAST(0 AS BIGINT), "
+        f"(acc, d) -> acc + IF(element_at({col_name}, d + {lo_dim + 1}) "
+        f">= 0, shiftleft(CAST(1 AS BIGINT), d), CAST(0 AS BIGINT)))")
+
+
+def _bin_code_sql(col: str, lo: int) -> str:
+    return (f"(SELECT SUM(CASE WHEN {col}[d + {lo + 1}] >= 0 "
+            f"THEN (CAST(1 AS BIGINT) << d) ELSE CAST(0 AS BIGINT) END) "
+            f"FROM (SELECT unnest(generate_series(0, {BIN_WORD - 1})) AS d))")
+
+
+@register(
+    "binary_hamming_topk",
+    survey="LLM-sim,W6,P10",
+    oracle=f"""
+    WITH codes AS (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS v,
+               {_bin_code_sql('embedding', 0)} AS lo,
+               {_bin_code_sql('embedding', BIN_WORD)} AS hi
+        FROM embeddings
+    ), probe AS (
+        SELECT lo AS plo, hi AS phi, v AS pv FROM codes WHERE vec_id = 0
+    ), scored AS (
+        SELECT c.vec_id,
+               CAST(bit_count(xor(c.lo, p.plo))
+                    + bit_count(xor(c.hi, p.phi)) AS INT) AS hamming,
+               ROUND(list_cosine_similarity(c.v, p.pv), 6) + 0.0 AS cos_sim
+        FROM codes c CROSS JOIN probe p
+        WHERE c.vec_id <> 0
+    )
+    SELECT vec_id, hamming, cos_sim
+    FROM scored
+    ORDER BY hamming, vec_id
+    LIMIT {BIN_TOPK}
+    """,
+)
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding search — the 32×-compression ANN
+    path production retrieval stacks run before exact re-ranking
+    (one bit per dimension; Hamming distance via XOR + popcount):
+    every vector packs into two 32-dim BIGINT code words, the probe's
+    top-{BIN_TOPK} neighbors rank by exact Hamming distance with
+    deterministic (hamming, vec_id) tie-break, and the float cosine
+    of each hit rides along as the re-rank signal. Completes the
+    compression ladder next to embedding_int8_quantize (8-bit
+    scalar), pq_ann_topk (product codes) and rp_lsh_near_dup
+    (projection buckets): sign-bit codes are the cheapest rung —
+    no training, no codebook artifact.
+
+    Plan: packing is a NARROW per-row aggregate over the array (pure
+    JVM integer ops, no shuffle, whole-stage codegen); the probe code
+    broadcasts as a 1-row dimension; scoring is bit_count(xor) per
+    candidate — at 100 TB this is the shape that streams from disk at
+    I/O speed (16 bytes/vector vs 256 for the floats), with the exact
+    top-k a TakeOrdered, never a global sort. The oracle rebuilds the
+    identical integer codes and replays the ranking."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    codes = emb.select(
+        "vec_id", "v",
+        _pack_word("v", 0).alias("lo"),
+        _pack_word("v", BIN_WORD).alias("hi"))
+    probe = (codes.filter(F.col("vec_id") == 0)
+             .select(F.col("lo").alias("plo"), F.col("hi").alias("phi"),
+                     F.col("v").alias("pv")))
+    ham = (F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
+           + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))).cast("int")
+    scored = (codes.filter(F.col("vec_id") != 0)
+              .crossJoin(F.broadcast(probe))
+              .select("vec_id", ham.alias("hamming"),
+                      F.round(cosine(F.col("v"), F.col("pv")), 6)
+                      .alias("cos_sim")))
+    # TakeOrdered path: orderBy+limit, never a full global sort at scale
+    return scored.orderBy("hamming", "vec_id").limit(BIN_TOPK)

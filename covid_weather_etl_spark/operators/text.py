@@ -1521,6 +1521,121 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8     #: verbatim n-gram length that counts as a hit
+DECON_EVAL_MOD = 7  #: doc_id % MOD == 0 plays the held-out benchmark
+
+
+@register(
+    "benchmark_decontamination",
+    survey="LLM-text,J7,A5,A6",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+        FROM documents
+    ), base AS (
+        SELECT doc_id, lang, source, tk
+        FROM toks WHERE len(tk) >= {DECON_NGRAM}
+    ), grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               array_to_string(tk[g.i : g.i + {DECON_NGRAM - 1}], ' ')
+                   AS gram
+        FROM base, LATERAL (
+            SELECT unnest(generate_series(1, len(tk)
+                                             - {DECON_NGRAM - 1})) AS i) g
+    ), ev AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0
+    ), tr AS (
+        SELECT * FROM grams WHERE doc_id % {DECON_EVAL_MOD} <> 0
+    ), doc AS (
+        SELECT tr.doc_id, tr.lang, tr.source,
+               COUNT(*) AS total_grams,
+               COUNT(ev.gram) AS shared
+        FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT lang, source, shared,
+               FLOOR(CAST(shared AS DOUBLE) / total_grams * 1000000.0
+                     + 0.5) / 1000000.0 AS contam
+        FROM doc
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS contaminated_docs,
+           CAST(SUM(shared) AS BIGINT) AS shared_grams,
+           FLOOR(CAST(SUM(CAST(contam AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+               AS mean_contamination,
+           MAX(contam) AS max_contamination
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def benchmark_decontamination(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Train/eval contamination report — the decontamination gate every
+    serious pre-training pipeline runs before the data ships (GPT-3
+    appendix C's 13-gram rule, Gopher's n-gram overlap filter): with
+    doc_id % {DECON_EVAL_MOD} == 0 standing in for the held-out
+    benchmark, a training document is CONTAMINATED when any of its
+    {DECON_NGRAM}-token n-grams appears verbatim in the benchmark set.
+    Per (lang, source) cohort: document counts, verbatim-hit counts,
+    and the mean/max per-doc contaminated-n-gram fraction — the
+    numbers that decide whether a cohort is quarantined or shipped.
+
+    Plan shape (and the 100 TB story): n-gram lists are a narrow
+    transform+slice per doc (no per-token explode), the benchmark
+    gram set is DISTINCT-reduced then BROADCAST into a left-semi probe
+    (benchmarks are model-sized next to a training corpus — exactly
+    the asymmetry the broadcast exploits; at 100 TB you'd hash the
+    grams to 8-byte keys first, same shape), and the report is one
+    map-combinable aggregate. Per-doc fractions are 6dp-floor-rounded
+    BEFORE the decimal mean accumulation so both engines sum identical
+    grid values. Companion of exact_substring_spans (this module):
+    that one finds intra-corpus boilerplate, this one finds train/eval
+    leakage."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (spread(t["documents"], "doc_id")
+            .select("doc_id", "lang", "source",
+                    F.split("text", " ").alias("tk"))
+            .filter(F.size("tk") >= DECON_NGRAM))
+    grams = (toks.select(
+        "doc_id", "lang", "source",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(tk) - {DECON_NGRAM}), "
+            f"i -> concat_ws(' ', slice(tk, i + 1, {DECON_NGRAM})))"
+        )).alias("gram"))
+        .distinct())
+    ev = (grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+          .select("gram").distinct())
+    tr = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    shared = (tr.join(F.broadcast(ev), "gram", "semi")
+              .groupBy("doc_id").agg(F.count("*").alias("shared")))
+    doc = (tr.groupBy("doc_id", "lang", "source")
+           .agg(F.count("*").alias("total_grams"))
+           .join(shared, "doc_id", "left")
+           .withColumn("shared", F.coalesce("shared", F.lit(0))))
+    contam = (F.floor(F.col("shared").cast("double")
+                      / F.col("total_grams") * 1e6 + F.lit(0.5))
+              / F.lit(1e6))
+    scored = doc.select("lang", "source", "shared",
+                        contam.alias("contam"))
+    mean_c = (F.sum(F.col("contam").cast("decimal(25,6)")).cast("double")
+              / F.count("*"))
+    return (scored.groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum((F.col("shared") > 0).cast("int")).cast("long")
+                 .alias("contaminated_docs"),
+                 F.sum("shared").cast("long").alias("shared_grams"),
+                 (F.floor(mean_c * 1e6 + F.lit(0.5)) / F.lit(1e6))
+                 .alias("mean_contamination"),
+                 F.max("contam").alias("max_contamination")))
+
+
+# ---------------------------------------------------------------------------
 # regex (BPE-style pre-tokenizer) token profile
 # ---------------------------------------------------------------------------
 

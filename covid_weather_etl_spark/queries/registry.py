@@ -249,10 +249,14 @@ _ROTATION_R4 = (
 # unpivot_flag_metrics, char_entropy_quality, user_growth_curve,
 # time_decay_engagement, date_spine_fill, repurchase_interval_stats,
 # mad_anomaly_report, time_weighted_average,
-# pinball_quantile_forecast_eval, and — graduated to full oracles in
-# the same r6 session, driver rows pending — fpgrowth_type_itemsets
+# pinball_quantile_forecast_eval; graduated to full oracles in the
+# same r6 session, driver rows pending — fpgrowth_type_itemsets
 # (complete Apriori-lattice twin) and prefixspan_event_patterns
-# (exhaustive candidate-counting twin). Rows-only (5):
+# (exhaustive candidate-counting twin); and the three r6 session
+# additions, oracle-equipped and driver-sim green on day one —
+# benchmark_decontamination, token_budget_allocation,
+# binary_hamming_topk (these five lead the r7 queue: newest parity
+# claims deserve driver rows first). Rows-only (5):
 # bpe_vocab_train, bpe_encode_documents, media_phash_dedup,
 # pca_top_component, als_part_recommendations.
 # One r7 window of 20 + 30 refresh slots

@@ -246,3 +246,49 @@ def test_dedup_keep_longest_survivorship(spark):
         best = g.sort_values(["n_tokens", "doc_id"],
                              ascending=[False, True]).iloc[0]
         assert keepers.iloc[0].doc_id == best.doc_id, cid
+
+
+def test_token_budget_allocation_water_filling(spark, tmp_path):
+    """Planted cohorts with a dominant language: water-filling must
+    cap every boosted small cohort at EPOCH_CAP, give the head the
+    remaining budget at a uniform fill level, and conserve the budget
+    exactly (up to the 6dp grid)."""
+    import math
+
+    from covid_weather_etl_spark.operators.corpus import (
+        BUDGET_X, EPOCH_CAP)
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    rows = []
+    did = 1
+    # one big cohort (60 docs x 50 tokens) + two small ones (10 x 50)
+    for lang, n in (("en", 60), ("fr", 10), ("de", 10)):
+        for _ in range(n):
+            rows.append((did, " ".join(f"t{did}w{j}" for j in range(50)),
+                         lang, "web"))
+            did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = (all_queries()["token_budget_allocation"]
+           .fn(spark, str(tmp_path)).toPandas()
+           .set_index("lang"))
+    total = int(got.avail_tokens.sum())
+    budget = math.floor(BUDGET_X * total)
+    # temperature boost caps the small cohorts; the head stays under
+    assert got.loc["fr", "capped"] == 1 and got.loc["de", "capped"] == 1
+    assert got.loc["en", "capped"] == 0
+    assert abs(got.loc["fr", "epochs"] - EPOCH_CAP) < 1e-6
+    assert got.loc["en", "epochs"] < EPOCH_CAP
+    # exact budget conservation on the grid (one rounding per cohort)
+    assert abs(got.alloc_tokens.sum() - budget) < len(got) * 1e-6 + 1e-9
+    # fill level is uniform and consistent with the uncapped alloc
+    lam = got.fill_level.iloc[0]
+    assert (got.fill_level == lam).all()
+    # fill_level is reported 6dp-rounded while the alloc used the
+    # unrounded water level -> reconstruct within half a grid step
+    # scaled by the weight
+    en_w = got.loc["en", "weight"]
+    en_alloc = math.floor(lam * en_w * 1e6 + 0.5) / 1e6
+    assert abs(got.loc["en", "alloc_tokens"] - en_alloc) <= en_w * 1e-6

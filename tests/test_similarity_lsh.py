@@ -404,3 +404,33 @@ def test_codebook_paths_are_content_keyed(tmp_path):
     assert fp2 != fp1
     assert ivf_codebook_path(str(corpus)) != ivf1
     assert pq_codebook_path(str(corpus)) != pq1
+
+
+def test_binary_hamming_topk_matches_numpy(spark):
+    """Independent numpy recount: sign-bit codes, exact Hamming to the
+    probe, (hamming, vec_id) ordering — and the packed two-word codes
+    must reproduce the per-dimension sign disagreement count exactly."""
+    import numpy as np
+
+    from covid_weather_etl_spark.operators.similarity import BIN_TOPK
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = (all_queries()["binary_hamming_topk"].fn(spark, SF_DIR)
+           .collect())
+    assert len(got) == BIN_TOPK
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+    probe_bits = vecs[0] >= 0
+    ham = {vid: int((probe_bits != (v >= 0)).sum())
+           for vid, v in vecs.items() if vid != 0}
+    want = sorted(ham.items(), key=lambda kv: (kv[1], kv[0]))[:BIN_TOPK]
+    assert [(r["vec_id"], r["hamming"]) for r in got] == want
+    # cosine rides along for re-ranking and must be the real cosine
+    for r in got:
+        v = vecs[r["vec_id"]]
+        p = vecs[0]
+        cos = float(v @ p / (np.linalg.norm(v) * np.linalg.norm(p)))
+        assert abs(r["cos_sim"] - cos) < 1e-5

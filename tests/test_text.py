@@ -299,3 +299,43 @@ def test_regex_token_profile_matches_python_re(spark):
         assert math.isclose(g["fertility"],
                             math.floor(rx / ws * 1e6 + 0.5) / 1e6,
                             abs_tol=1e-12)
+
+
+def test_benchmark_decontamination_planted(spark, tmp_path):
+    """Planted leakage: doc 7 (eval: 7 % 7 == 0) shares one verbatim
+    8-gram with train doc 1; train doc 2 shares nothing. The report
+    must flag exactly doc 1's cohort with one hit, correct fraction."""
+    from covid_weather_etl_spark.operators.text import (
+        DECON_EVAL_MOD, DECON_NGRAM)
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    leak = " ".join(f"w{i}" for i in range(DECON_NGRAM))  # the 8-gram
+    rows = [
+        # eval doc (id % 7 == 0) carrying the leaked span
+        (7, f"{leak} evalish tail tokens here now right", "en", "web"),
+        # contaminated train doc: 10 tokens -> 3 total 8-grams, 1 shared
+        (1, f"{leak} aaa bbb", "en", "web"),
+        # clean train doc, same cohort
+        (2, " ".join(f"c{i}" for i in range(12)), "en", "web"),
+        # clean train doc, other cohort
+        (3, " ".join(f"d{i}" for i in range(12)), "fr", "books"),
+    ]
+    assert all(r[0] % DECON_EVAL_MOD != 0 for r in rows[1:])
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {(r["lang"], r["source"]): r for r in
+           all_queries()["benchmark_decontamination"]
+           .fn(spark, str(tmp_path)).collect()}
+    web = got[("en", "web")]
+    assert web["n_docs"] == 2
+    assert web["contaminated_docs"] == 1
+    assert web["shared_grams"] == 1
+    # doc 1: 10 tokens -> 3 distinct 8-grams, 1 shared -> 1/3 floored
+    third = int(1 / 3 * 1e6 + 0.5) / 1e6
+    assert web["max_contamination"] == third
+    assert abs(web["mean_contamination"] - third / 2) < 2e-6
+    books = got[("fr", "books")]
+    assert books["contaminated_docs"] == 0 and books["shared_grams"] == 0
+    assert books["mean_contamination"] == 0.0
