@@ -871,6 +871,95 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# context-window packing accounting (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+CTX_LEN = 512  #: training context window, in whitespace tokens
+
+
+@register(
+    "context_packing_stats",
+    survey="corpus-mix,A6,W1,P10",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), placed AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok
+                   AS tok_start,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS tok_end
+        FROM toks
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tok) + {CTX_LEN - 1}) // {CTX_LEN} AS BIGINT)
+               AS n_windows,
+           CAST((SUM(n_tok) + {CTX_LEN - 1}) // {CTX_LEN} * {CTX_LEN}
+                - SUM(n_tok) AS BIGINT) AS pad_tokens,
+           FLOOR(CAST((SUM(n_tok) + {CTX_LEN - 1}) // {CTX_LEN}
+                      * {CTX_LEN} - SUM(n_tok) AS DOUBLE)
+                 / CAST((SUM(n_tok) + {CTX_LEN - 1}) // {CTX_LEN}
+                        * {CTX_LEN} AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pad_fraction,
+           CAST(SUM(CASE WHEN tok_start // {CTX_LEN}
+                              <> (tok_end - 1) // {CTX_LEN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_split
+    FROM placed
+    GROUP BY lang
+    """,
+)
+def context_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing accounting for the concat-and-chunk pipeline
+    (the GPT pre-training packing: concatenate a cohort's documents in
+    a fixed order, slice into {CTX_LEN}-token windows): per language —
+    window count for the token budget, tail-padding waste, and how
+    many documents straddle a window boundary (the attention-bleed /
+    document-masking population). Pure integer math end-to-end
+    (cumulative token offsets, integer division for window ids), so
+    the oracle is exact by construction.
+
+    Plan: ONE shuffle on lang shared by the ordered prefix-sum window
+    and the final aggregate; the window partitions on the cohort key
+    (never global). At 100 TB the same shape holds per (lang, shard)
+    with shard-local offsets — packing is embarrassingly parallel
+    across shards by design, documented here because the single-key
+    ordering is what the driver-SF oracle replays exactly."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (spread(t["documents"], "doc_id")
+            .select("doc_id", "lang",
+                    F.size(F.split("text", " ")).cast("long")
+                    .alias("n_tok")))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    placed = toks.select(
+        "lang", "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("tok_start"),
+        F.sum("n_tok").over(w).alias("tok_end"))
+    total = F.sum("n_tok")
+    n_win = F.floor((total + F.lit(CTX_LEN - 1)) / F.lit(CTX_LEN))
+    pad = n_win * CTX_LEN - total
+    split = F.sum(
+        F.when(F.floor(F.col("tok_start") / CTX_LEN)
+               != F.floor((F.col("tok_end") - 1) / CTX_LEN), 1)
+        .otherwise(0))
+    return (placed.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 total.cast("long").alias("total_tokens"),
+                 n_win.cast("long").alias("n_windows"),
+                 pad.cast("long").alias("pad_tokens"),
+                 (F.floor(pad.cast("double")
+                          / (n_win * CTX_LEN).cast("double")
+                          * 1e6 + F.lit(0.5)) / F.lit(1e6))
+                 .alias("pad_fraction"),
+                 split.cast("long").alias("docs_split")))
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling")
 

@@ -1636,6 +1636,94 @@ def benchmark_decontamination(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# n-gram novelty profile (first-occurrence attribution per source)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 5  #: n-gram length for the novelty attribution
+
+
+@register(
+    "ngram_novelty_profile",
+    survey="LLM-text,A2,A6,J1",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk
+        FROM documents
+    ), base AS (
+        SELECT doc_id, source, tk
+        FROM toks WHERE len(tk) >= {NOVELTY_N}
+    ), grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(tk[g.i : g.i + {NOVELTY_N - 1}], ' ')
+                   AS gram
+        FROM base, LATERAL (
+            SELECT unnest(generate_series(1, len(tk)
+                                             - {NOVELTY_N - 1})) AS i) g
+    ), owner AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    ), doc AS (
+        SELECT g.doc_id, g.source,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM grams g JOIN owner o ON g.gram = o.gram
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+           FLOOR(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams)
+                 * 1000000.0 + 0.5) / 1000000.0 AS novelty_rate
+    FROM doc
+    GROUP BY source
+    """,
+)
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth novelty curve per source — for every document,
+    which of its distinct {NOVELTY_N}-gram shingles appear HERE FIRST
+    (global first-occurrence by doc_id order)? A source whose
+    novelty_rate is low adds mostly content the corpus already has —
+    the acquisition-priority signal dedup reports don't give (a doc
+    can be 0.3 Jaccard to everything yet contribute zero new
+    shingles). First-occurrence attribution is deterministic by the
+    doc_id total order.
+
+    Plan: distinct grams per doc (narrow transform + one explode),
+    ONE shuffle to elect each gram's first owner (map-combinable
+    MIN), the ownership join re-uses the same gram partitioning
+    (Catalyst keeps the hash partitioning across the join), then one
+    aggregate. Integer-exact until the final 6dp ratio. At 100 TB the
+    gram key becomes xxhash64(gram) (8-byte shuffle keys; collisions
+    only merge novelty conservatively) — same plan shape."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (spread(t["documents"], "doc_id")
+            .select("doc_id", "source", F.split("text", " ").alias("tk"))
+            .filter(F.size("tk") >= NOVELTY_N))
+    grams = (toks.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(tk) - {NOVELTY_N}), "
+            f"i -> concat_ws(' ', slice(tk, i + 1, {NOVELTY_N})))"
+        )).alias("gram"))
+        .distinct())
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    doc = (grams.join(owner, "gram")
+           .groupBy("doc_id", "source")
+           .agg(F.count("*").alias("n_grams"),
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                .alias("n_novel")))
+    rate = F.col("novel_grams").cast("double") / F.col("total_grams")
+    return (doc.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_grams").cast("long").alias("total_grams"),
+                 F.sum("n_novel").cast("long").alias("novel_grams"))
+            .select("source", "n_docs", "total_grams", "novel_grams",
+                    (F.floor(rate * 1e6 + F.lit(0.5)) / F.lit(1e6))
+                    .alias("novelty_rate")))
+
+
+# ---------------------------------------------------------------------------
 # regex (BPE-style pre-tokenizer) token profile
 # ---------------------------------------------------------------------------
 

@@ -255,8 +255,9 @@ _ROTATION_R4 = (
 # (exhaustive candidate-counting twin); and the three r6 session
 # additions, oracle-equipped and driver-sim green on day one —
 # benchmark_decontamination, token_budget_allocation,
-# binary_hamming_topk (these five lead the r7 queue: newest parity
-# claims deserve driver rows first). Rows-only (5):
+# binary_hamming_topk, context_packing_stats,
+# ngram_novelty_profile (these seven lead the r7 queue: newest
+# parity claims deserve driver rows first). Rows-only (5):
 # bpe_vocab_train, bpe_encode_documents, media_phash_dedup,
 # pca_top_component, als_part_recommendations.
 # One r7 window of 20 + 30 refresh slots

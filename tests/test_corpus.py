@@ -292,3 +292,29 @@ def test_token_budget_allocation_water_filling(spark, tmp_path):
     en_w = got.loc["en", "weight"]
     en_alloc = math.floor(lam * en_w * 1e6 + 0.5) / 1e6
     assert abs(got.loc["en", "alloc_tokens"] - en_alloc) <= en_w * 1e-6
+
+
+def test_context_packing_stats_planted(spark, tmp_path):
+    """Planted cohort with hand-computable packing: 3 docs of 300
+    tokens -> 900 total, 2 windows of 512, 124 pad tokens; the middle
+    doc straddles the boundary at 512."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    rows = []
+    for did in (1, 2, 3):
+        rows.append((did, " ".join(f"x{did}_{j}" for j in range(300)),
+                     "en", "web"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = (all_queries()["context_packing_stats"]
+           .fn(spark, str(tmp_path)).collect())
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_docs"] == 3 and r["total_tokens"] == 900
+    assert r["n_windows"] == 2 and r["pad_tokens"] == 2 * 512 - 900
+    # doc 2 occupies [300, 600) -> crosses 512; docs 1 and 3 do not
+    # (doc 3 occupies [600, 900), entirely inside window 2)
+    assert r["docs_split"] == 1
+    assert abs(r["pad_fraction"] - (124 / 1024)) < 1e-6

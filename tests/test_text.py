@@ -339,3 +339,34 @@ def test_benchmark_decontamination_planted(spark, tmp_path):
     books = got[("fr", "books")]
     assert books["contaminated_docs"] == 0 and books["shared_grams"] == 0
     assert books["mean_contamination"] == 0.0
+
+
+def test_ngram_novelty_profile_planted(spark, tmp_path):
+    """Planted ownership: doc 1 introduces a span, doc 2 repeats it
+    verbatim plus fresh content, doc 3 is entirely fresh — novelty
+    attribution must follow first-occurrence by doc_id."""
+    from covid_weather_etl_spark.operators.text import NOVELTY_N
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    span = " ".join(f"s{i}" for i in range(NOVELTY_N))  # one shared gram
+    rows = [
+        (1, span, "en", "web"),                                   # 1 gram
+        (2, f"{span} z0", "en", "web"),     # 2 grams: 1 copied, 1 novel
+        (3, " ".join(f"f{i}" for i in range(NOVELTY_N + 1)),
+         "en", "books"),                                         # 2 novel
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r["source"]: r for r in
+           all_queries()["ngram_novelty_profile"]
+           .fn(spark, str(tmp_path)).collect()}
+    web = got["web"]
+    # web: doc1 (1 gram, novel) + doc2 (2 grams, 1 novel)
+    assert web["n_docs"] == 2
+    assert web["total_grams"] == 3 and web["novel_grams"] == 2
+    assert abs(web["novelty_rate"] - round(2 / 3, 6)) < 2e-6
+    books = got["books"]
+    assert books["total_grams"] == 2 and books["novel_grams"] == 2
+    assert books["novelty_rate"] == 1.0
