@@ -1610,14 +1610,17 @@ def benchmark_decontamination(spark: SparkSession,
         )).alias("gram"))
         .distinct())
     ev = (grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
-          .select("gram").distinct())
+          .select("gram").distinct()
+          .withColumn("hit", F.lit(1)))
     tr = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-    shared = (tr.join(F.broadcast(ev), "gram", "semi")
-              .groupBy("doc_id").agg(F.count("*").alias("shared")))
-    doc = (tr.groupBy("doc_id", "lang", "source")
-           .agg(F.count("*").alias("total_grams"))
-           .join(shared, "doc_id", "left")
-           .withColumn("shared", F.coalesce("shared", F.lit(0))))
+    # ONE broadcast left join tags each train gram with its benchmark
+    # membership, so total and shared come out of a single per-doc
+    # aggregate — no separate semi-join aggregate + per-doc rejoin
+    # (one fewer shuffle, audited in PLANS.md)
+    doc = (tr.join(F.broadcast(ev), "gram", "left")
+           .groupBy("doc_id", "lang", "source")
+           .agg(F.count("*").alias("total_grams"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("shared")))
     contam = (F.floor(F.col("shared").cast("double")
                       / F.col("total_grams") * 1e6 + F.lit(0.5))
               / F.lit(1e6))
