@@ -1,0 +1,39 @@
+"""Registry / driver-window contract pins: the invariants the per-round
+rotation edits must never break (the driver checks exactly the first 50
+entries of ``all_queries()``; a name collision or an oracle-less window
+slot silently burns a correctness row)."""
+
+from __future__ import annotations
+
+from covid_weather_etl_spark.queries import registry as R
+
+
+def test_rotation_window_contract():
+    qs = R.all_queries()
+    window = list(qs)[:50]
+    assert window == list(R._ROTATION_R6)
+    assert len(set(R._ROTATION_R6)) == 50
+    # every window slot must be hash-checkable — a rows-only slot
+    # wastes the round's scarcest evidence resource
+    missing = [n for n in window if not qs[n].oracle]
+    assert not missing, missing
+
+
+def test_registry_names_unique_and_callable():
+    qs = R.all_queries()
+    assert len(qs) >= 271
+    for name, q in qs.items():
+        assert q.name == name
+        assert callable(q.fn)
+        # oracle, when present, is non-trivial SQL text
+        assert q.oracle is None or "SELECT" in q.oracle.upper()
+
+
+def test_entry_module_exposes_registry():
+    import __spark_entry__ as e
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    reg = R.all_queries()
+    assert set(qs) == set(reg)
+    assert set(oracles) == {n for n, q in reg.items() if q.oracle}
