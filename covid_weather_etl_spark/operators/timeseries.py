@@ -252,6 +252,107 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ewma", F.round("ewma", 6)))
 
 
+#: 1-D Kalman local-level constants. The gain recursion only sees the
+#: Q/R RATIO, so unit variances make the filter scale-free over the
+#: revenue series; literals mirrored into the oracle via repr.
+KAL_Q, KAL_R, KAL_P0 = 0.1, 1.0, 1.0
+
+
+def _kalman_oracle() -> str:
+    q, r, p0 = repr(KAL_Q), repr(KAL_R), repr(KAL_P0)
+    rev = "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE m AS (
+        SELECT o_orderpriority AS priority,
+               date_trunc('month', o_orderdate) AS month,
+               {rev} AS rev,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY date_trunc('month', o_orderdate)) AS INT) AS rn
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    kf AS (
+        SELECT priority, month, rev, rn,
+               rev AS x, CAST('{p0}' AS DOUBLE) AS p,
+               CAST('1.0' AS DOUBLE) AS gain
+        FROM m WHERE rn = 1
+        UNION ALL
+        SELECT s.priority, s.month, s.rev, s.rn,
+               s.x_prior + s.k * (s.rev - s.x_prior),
+               (1e0 - s.k) * s.p_prior,
+               s.k
+        FROM (
+            SELECT m.priority, m.month, m.rev, m.rn,
+                   kf.x AS x_prior,
+                   kf.p + CAST('{q}' AS DOUBLE) AS p_prior,
+                   (kf.p + CAST('{q}' AS DOUBLE))
+                       / ((kf.p + CAST('{q}' AS DOUBLE))
+                          + CAST('{r}' AS DOUBLE)) AS k
+            FROM m JOIN kf ON m.priority = kf.priority
+                          AND m.rn = kf.rn + 1
+        ) s
+    )
+    SELECT priority, month, rev, rn,
+           FLOOR(x * 1000000.0 + 0.5) / 1000000.0 AS kalman,
+           FLOOR(gain * 1000000.0 + 0.5) / 1000000.0 AS gain
+    FROM kf
+    """
+
+
+@register(
+    "kalman_level_smooth",
+    survey="ext-timeseries,W4,U2,A6",
+    oracle=_kalman_oracle(),
+)
+def kalman_level_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level model) over the monthly revenue
+    series per order priority — the adaptive-gain member of the
+    smoothing family: where `ewma_smoothing` trusts every observation
+    with a FIXED α, the Kalman gain starts high (new series, wide
+    prior) and converges to the steady-state α implied by the
+    process/measurement variance ratio Q/R — the principled warm-up
+    EWMA lacks. With unit variances the gain sequence is scale-free;
+    the reported `gain` column shows the convergence. Same recursion
+    discipline as EWMA/Holt-Winters: per-series applyInPandas with
+    the exact IEEE op tree (predict variance, gain, update, variance
+    contraction) the DuckDB recursive-CTE twin replays — constants
+    embedded via repr, so both engines are bit-identical before the
+    6dp display rounding (PARITY.md §5)."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    monthly = (t["orders"]
+               .groupBy(F.col("o_orderpriority").alias("priority"),
+                        F.date_trunc("month", "o_orderdate").alias("month"))
+               .agg(dsum("o_totalprice", "rev")))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        z = pdf["rev"].to_numpy()
+        xs, gs = [], []
+        x, p = float(z[0]), KAL_P0
+        xs.append(x)
+        gs.append(1.0)
+        for i in range(1, len(z)):
+            p_prior = p + KAL_Q
+            k = p_prior / (p_prior + KAL_R)
+            x = x + k * (float(z[i]) - x)
+            p = (1.0 - k) * p_prior
+            xs.append(x)
+            gs.append(k)
+        fr6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        pdf["rn"] = range(1, len(pdf) + 1)
+        pdf["kalman"] = [fr6(v) for v in xs]
+        pdf["gain"] = [fr6(v) for v in gs]
+        return pdf
+
+    schema = ("priority string, month timestamp, rev double, "
+              "rn int, kalman double, gain double")
+    return monthly.groupBy("priority").applyInPandas(smooth, schema=schema)
+
+
 @register(
     "cusum_changepoint",
     survey="ext-timeseries,W1,A6,A9",

@@ -256,8 +256,8 @@ _ROTATION_R4 = (
 # additions, oracle-equipped and driver-sim green on day one —
 # benchmark_decontamination, token_budget_allocation,
 # binary_hamming_topk, context_packing_stats,
-# ngram_novelty_profile (these seven lead the r7 queue: newest
-# parity claims deserve driver rows first). Rows-only (5):
+# ngram_novelty_profile, kalman_level_smooth (these eight lead the
+# r7 queue: newest parity claims deserve driver rows first). Rows-only (5):
 # bpe_vocab_train, bpe_encode_documents, media_phash_dedup,
 # pca_top_component, als_part_recommendations.
 # One r7 window of 20 + 30 refresh slots

@@ -125,3 +125,37 @@ def test_mad_anomalies_match_pandas_recount(spark):
     assert len(got) == len(exp)
     assert (got["n_name"] == exp["n_name"]).all()
     assert np.allclose(got["robust_z"], exp["robust_z"], atol=1e-6)
+
+
+def test_kalman_gain_converges_and_tracks(spark):
+    """Kalman invariants: gain starts at 1 (fully trusting the first
+    observation), decreases monotonically toward the steady state
+    implied by Q/R, and the filtered level is a convex combination of
+    past observations (stays inside the running min/max envelope)."""
+    import math
+
+    from covid_weather_etl_spark.operators.timeseries import (
+        KAL_Q, KAL_R)
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    pdf = (all_queries()["kalman_level_smooth"].fn(spark, SF_DIR)
+           .toPandas())
+    # steady-state gain of the local-level model:
+    # k* = (p*+q)/(p*+q+r) with p* = (1-k*)(p*+q)
+    q, r = KAL_Q, KAL_R
+    pstar = (q + math.sqrt(q * q + 4 * q * r)) / 2
+    kstar = (pstar) / (pstar + r)
+    for pri, grp in pdf.groupby("priority"):
+        grp = grp.sort_values("rn")
+        gains = grp["gain"].to_numpy()
+        assert gains[0] == 1.0
+        assert all(gains[i + 1] <= gains[i] + 1e-9
+                   for i in range(len(gains) - 1))
+        assert abs(gains[-1] - kstar) < 0.02
+        # filtered level stays inside the observation envelope
+        z = grp["rev"].to_numpy()
+        x = grp["kalman"].to_numpy()
+        for i in range(len(z)):
+            lo, hi = z[:i + 1].min(), z[:i + 1].max()
+            assert lo - 1e-6 <= x[i] <= hi + 1e-6
