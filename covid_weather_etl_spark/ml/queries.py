@@ -1378,11 +1378,15 @@ def _hw_oracle() -> str:
         FROM nation_daily
     ),
     init AS (
+        -- guard mirrors the Python side exactly: the TRAIN slice
+        -- (floor(0.8·n) rows), not the full series, must hold two
+        -- seasons, else the state cannot initialize and the series
+        -- is dropped (a 14 <= n <= 17 series has n_train < 14)
         SELECT n_name, n, CAST(FLOOR(n * 8e-1) AS INT) AS n_train,
                {s1} AS s1m, {s2} AS s2m, vs
         FROM (SELECT n_name, n, list(y ORDER BY rn) AS vs
               FROM ranked WHERE rn <= {2 * m} GROUP BY n_name, n)
-        WHERE n >= {2 * m}
+        WHERE CAST(FLOOR(n * 8e-1) AS INT) >= {2 * m}
     ),
     st AS (
         SELECT n_name, n, n_train, 0 AS t,

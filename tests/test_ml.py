@@ -601,3 +601,56 @@ def test_pipeline_model_save_load_rescores_identically(spark, tmp_path):
     g0, g1 = model.stages[-1], reloaded.stages[-1]
     assert g0.getNumTrees == g1.getNumTrees
     assert list(g0.treeWeights) == list(g1.treeWeights)
+
+
+def test_holt_winters_short_series_guard_parity(spark, tmp_path):
+    """The r6 oracle guard must mirror the Python guard exactly: the
+    TRAIN slice (floor(0.8·n)), not the full series, needs two
+    seasons. A 15-day series (n_train = 12) is dropped by BOTH
+    engines; an 18-day series (n_train = 14) survives on both with
+    identical metrics."""
+    import duckdb
+    import pandas as pd
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    q = all_queries()["holt_winters_forecast_eval"]
+    nation = pd.DataFrame({"n_nationkey": [0], "n_name": ["NATION_X"],
+                           "n_regionkey": [0], "n_comment": ["x"]})
+    cust = pd.DataFrame({"c_custkey": [1], "c_name": ["a"],
+                         "c_address": ["x"], "c_nationkey": [0],
+                         "c_phone": ["p"], "c_acctbal": [1.0],
+                         "c_mktsegment": ["B"], "c_comment": ["c"]})
+
+    def orders_df(n_days: int) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": range(1, n_days + 1),
+            "o_custkey": [1] * n_days,
+            "o_orderstatus": ["O"] * n_days,
+            "o_totalprice": [float(100 + i) for i in range(n_days)],
+            "o_orderdate": pd.to_datetime(
+                [f"1995-01-{d:02d}" for d in range(1, n_days + 1)]),
+            "o_orderpriority": ["1-URGENT"] * n_days,
+            "o_clerk": ["c"] * n_days,
+            "o_shippriority": [0] * n_days,
+            "o_comment": ["o"] * n_days})
+
+    spark.createDataFrame(nation).write.parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(cust).write.parquet(f"{tmp_path}/customer.parquet")
+    con = duckdb.connect()
+    for t in ("nation", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')")
+
+    for n_days, expect in ((15, 0), (18, 1)):
+        spark.createDataFrame(orders_df(n_days)).write.mode(
+            "overwrite").parquet(f"{tmp_path}/orders.parquet")
+        con.execute(f"CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/orders.parquet/*.parquet')")
+        sdf = q.fn(spark, str(tmp_path)).toPandas()
+        odf = con.execute(q.oracle).fetchdf()
+        assert len(sdf) == len(odf) == expect, (n_days, len(sdf), len(odf))
+        if expect:
+            s = sdf[sorted(sdf.columns)].reset_index(drop=True)
+            o = odf[sorted(odf.columns)].reset_index(drop=True)
+            pd.testing.assert_frame_equal(s, o, check_dtype=False)
