@@ -55,3 +55,31 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"n_name", "n_customers", "n_orders"} <= set(df.columns)
+
+
+def test_parity_harness_detects_mismatches(spark, duck):
+    """Canary for the gate itself: assert_parity must FAIL loudly on a
+    deliberately corrupted oracle (off-by-one values, dropped rows,
+    renamed columns) — otherwise a green sweep proves nothing."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    base = QUERIES["pricing_summary_q1"]
+
+    wrong_vals = dataclasses.replace(
+        base, oracle=f"SELECT * REPLACE (sum_qty + 1 AS sum_qty) "
+                     f"FROM ({base.oracle})")
+    with _pytest.raises(AssertionError):
+        assert_parity(spark, duck, wrong_vals)
+
+    fewer_rows = dataclasses.replace(
+        base, oracle=f"SELECT * FROM ({base.oracle}) LIMIT 1")
+    with _pytest.raises(AssertionError):
+        assert_parity(spark, duck, fewer_rows)
+
+    renamed = dataclasses.replace(
+        base, oracle=f"SELECT * EXCLUDE (sum_qty), sum_qty AS qty_sum "
+                     f"FROM ({base.oracle})")
+    with _pytest.raises(AssertionError):
+        assert_parity(spark, duck, renamed)
