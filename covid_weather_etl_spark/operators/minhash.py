@@ -15,12 +15,18 @@ candidate set first:
   exact-matching 16-bit quarters (any pair within 3 bits must agree on
   ≥1 of 4 quarters).
 
-Everything is JVM-side column algebra over `xxhash64` — no Python UDFs,
-no mllib dependency — so signatures are deterministic across runs and
-cluster layouts (test oracle: plain-numpy reimplementation in
-tests/test_minhash.py). Registered as rows-only driver checks: the
-banding join is not expressible in ANSI SQL without the same hash
-function, which DuckDB lacks.
+Everything is JVM-side column algebra — no Python UDFs, no mllib
+dependency — so signatures are deterministic across runs and cluster
+layouts (independent plain-Python reimplementation in
+tests/test_minhash.py). The base hash is the PORTABLE md5-derived
+60-bit integer (Spark `conv(substr(md5(x),1,15),16,10)` ==
+DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`, the sketch_rollup.py
+technique), so both minhash_near_dup and simhash_near_dup carry full
+DuckDB replay oracles: the SAME banding runs on both engines and the
+recall of the (identical) candidate stage cancels out of the compare.
+At 100 TB swap md5 for xxhash64 — identical algebra, engine-local
+hash, ~3× cheaper per token; the oracle then becomes engine-specific,
+which is why the checked-in variant stays portable.
 """
 
 from __future__ import annotations
@@ -78,9 +84,20 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             .distinct())
 
 
+def _md5_int(col: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5.
+
+    Cross-engine identity (verified): Spark
+    ``conv(substr(md5(x),1,15),16,10)`` equals DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` for any UTF-8 string.
+    """
+    return (F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10)
+            .cast("bigint"))
+
+
 def _token_hash() -> Column:
-    """Non-negative 31-bit base hash of a shingle (xxhash64 folded)."""
-    return F.pmod(F.xxhash64(F.col("token")), F.lit(MERSENNE))
+    """Non-negative 31-bit base hash of a shingle (portable md5 fold)."""
+    return F.pmod(_md5_int(F.col("token")), F.lit(MERSENNE))
 
 
 def minhash_signatures(docs: DataFrame, k: int = N_HASHES,
@@ -103,13 +120,20 @@ def minhash_signatures(docs: DataFrame, k: int = N_HASHES,
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash)."""
+    """Band the signatures and self-join on (band, band_key).
+
+    The band key is the '|'-joined decimal signature pair rather than a
+    hash of it — byte-identical to the oracle's STRING_AGG, and a
+    16-byte-ish string key shuffles no worse than a long at this
+    fan-out. (At 100 TB, hash the key with xxhash64 to shrink shuffle
+    width; collisions only add candidates, which the exact re-check
+    removes.)"""
     bands = []
     for band in range(N_BANDS):
-        cols = [F.col(f"sig_{band * ROWS_PER_BAND + r}")
+        cols = [F.col(f"sig_{band * ROWS_PER_BAND + r}").cast("string")
                 for r in range(ROWS_PER_BAND)]
         bands.append(F.struct(F.lit(band).alias("band"),
-                              F.xxhash64(*cols).alias("bh")))
+                              F.concat_ws("|", *cols).alias("bh")))
     banded = (sigs.select("doc_id", F.explode(F.array(*bands)).alias("b"))
               .select("doc_id", "b.band", "b.bh"))
     a, b = banded.alias("a"), banded.alias("b")
@@ -140,11 +164,55 @@ def exact_jaccard(docs: DataFrame, pairs: DataFrame,
                     (inter * 1.0 / union).alias("jaccard")))
 
 
-@register("minhash_near_dup", survey="LLM-dedup", bench=True)
+#: the 32 affine permutation params, embedded in the oracle SQL so
+#: DuckDB replays the exact signature algebra.
+_MH_PARAM_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_perm_params()))
+
+
+@register(
+    "minhash_near_dup", survey="LLM-dedup", bench=True,
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ), h AS (
+        SELECT doc_id, s,
+               ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE} AS h0
+        FROM sh
+    ), params(i, a, b) AS (VALUES {_MH_PARAM_VALUES}),
+    sig AS (
+        SELECT doc_id, p.i, MIN((p.a * h.h0 + p.b) % {MERSENNE}) AS sig
+        FROM h CROSS JOIN params p
+        GROUP BY 1, 2
+    ), bands AS (
+        SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+               STRING_AGG(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
+        FROM sig GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    )
+    SELECT c.doc_id_1, c.doc_id_2,
+           COUNT(*) * 1e0 / (s1.n + s2.n - COUNT(*)) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_id_1
+    JOIN sh b ON b.doc_id = c.doc_id_2 AND a.s = b.s
+    JOIN sizes s1 ON s1.doc_id = c.doc_id_1
+    JOIN sizes s2 ON s2.doc_id = c.doc_id_2
+    GROUP BY 1, 2, s1.n, s2.n
+    HAVING COUNT(*) * 1e0 / (s1.n + s2.n - COUNT(*)) >= 5e-1
+    """,
+)
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash→band→bucket-join→exact-recheck near-dup pairs with
-    3-gram-shingle Jaccard ≥ 0.5. Rows-only driver check; numpy-oracle
-    tested in tests/test_minhash.py."""
+    3-gram-shingle Jaccard ≥ 0.5. Full DuckDB replay oracle (md5
+    permutations — see module docstring); independent plain-Python
+    reimplementation in tests/test_minhash.py."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     # ONE aggregation pass computes the signature mins AND the exact
@@ -178,16 +246,22 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """doc_id → 64-bit simhash: per-bit majority vote over token hashes.
+#: fingerprint width — 60 bits, the full width of the portable md5
+#: integer (15 hex chars), so the oracle replays every vote.
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """doc_id → 60-bit simhash: per-bit majority vote over token hashes.
 
     sum(±1) per bit position across tokens, assembled with shift/or —
-    pure column algebra, one groupBy.
+    pure column algebra, one groupBy. The token hash is the portable
+    md5 60-bit integer, so fingerprints are engine-reproducible.
     """
     tokens = (spread(docs, "doc_id")
               .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
               .distinct()
-              .withColumn("h", F.xxhash64("token")))
+              .withColumn("h", _md5_int(F.col("token"))))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
                      1).otherwise(-1)).alias(f"v_{i}")
@@ -206,26 +280,61 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-# 8 bands × 8 bits: by pigeonhole, any pair at Hamming distance ≤ 7
-# must agree exactly on ≥1 band, so the ≤7 output set is COMPLETE (not
-# recall-bounded). The earlier 4×16-bit banding only guaranteed d ≤ 3
+# 6 bands × 10 bits: by pigeonhole, any pair at Hamming distance ≤ 5
+# must agree exactly on ≥1 band, so the ≤5 output set is COMPLETE (not
+# recall-bounded). An earlier 4×16-bit banding only guaranteed d ≤ 3
 # while the query filtered at d ≤ 12 — silently missing pairs whose
 # differing bits spread across all four quarters.
-_SIMHASH_BANDS = 8
-_BAND_BITS = 64 // _SIMHASH_BANDS
+_SIMHASH_BANDS = 6
+_BAND_BITS = SIMHASH_BITS // _SIMHASH_BANDS
 _SIMHASH_MAX_DIST = _SIMHASH_BANDS - 1
 
 
-@register("simhash_near_dup", survey="LLM-dedup")
+@register(
+    "simhash_near_dup", survey="LLM-dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+    ), h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM toks
+    ), votes AS (
+        SELECT doc_id, g.b,
+               SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN UNNEST(generate_series(0, {SIMHASH_BITS - 1}))
+                 AS g(b)
+        GROUP BY 1, 2
+    ), fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                        ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        FROM votes GROUP BY 1
+    ), bands AS (
+        SELECT doc_id, simhash, u.q,
+               (simhash >> (u.q * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}
+                   AS qh
+        FROM fp CROSS JOIN UNNEST(generate_series(0, {_SIMHASH_BANDS - 1}))
+                 AS u(q)
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_DIST}
+    """,
+)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: ALL pairs within Hamming distance ≤ 7 of the
-    64-bit fingerprint. Candidates = exact match on any of eight 8-bit
+    """SimHash near-dup: ALL pairs within Hamming distance ≤ 5 of the
+    60-bit fingerprint. Candidates = exact match on any of six 10-bit
     bands (pigeonhole: d ≤ bands−1 guarantees a shared band, so the
-    result is the complete ≤7 set, verified in tests/test_minhash.py).
+    result is the complete ≤5 set, verified in tests/test_minhash.py
+    and by the full DuckDB vote-replay oracle).
     Scale note (100 TB): band width trades completeness for bucket
-    size — 8-bit bands give ~N/256 docs per bucket; at extreme corpus
-    sizes widen to 16-bit bands and accept the d ≤ 3 guarantee, or
-    band a 128-bit fingerprint. Rows-only driver check."""
+    size — 10-bit bands give ~N/1024 docs per bucket; at extreme
+    corpus sizes widen the bands and accept a smaller d guarantee, or
+    band a 128-bit fingerprint."""
     t = load_tables(spark, sf_dir, ("documents",))
     fps = simhash(t["documents"])
     bands_arr = F.array(*[
@@ -237,11 +346,11 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = (fps.select("doc_id", "simhash", F.explode(bands_arr).alias("b"))
               .select("doc_id", "simhash", "b.q", "b.qh")
               # materialize before the self-join: self-referenced
-              # frames are not auto-reused, so without this the 64-vote
+              # frames are not auto-reused, so without this the 60-vote
               # fingerprint aggregate runs TWICE (same pitfall as
               # graph.purchase_edges). Remaining cost is output-bound:
-              # the driver corpus' shared vocabulary makes ~41% of all
-              # pairs land within Hamming 7 (1.03M pairs at sf0.1)
+              # the driver corpus' shared vocabulary puts a large
+              # fraction of all pairs within small Hamming distance
               .localCheckpoint(eager=True))
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -249,7 +358,8 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_id_1"),
                 F.col("b.doc_id").alias("doc_id_2"),
-                hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
+                hamming(F.col("a.simhash"), F.col("b.simhash"))
+                .cast("int").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= _SIMHASH_MAX_DIST)
         .orderBy("doc_id_1", "doc_id_2")
@@ -342,12 +452,13 @@ def incremental_minhash_ingest(spark: SparkSession,
     `is_new(a) OR is_new(b)` is exactly the index-reuse contract —
     old×old never re-verifies.
 
-    Unlike `minhash_near_dup` (xxhash64, rows-only), the permutations
-    here are md5-keyed (`md5(p || '|' || shingle)`, minimum as a
-    fixed-width hex string, where lexicographic MIN == numeric MIN),
-    which both engines share — making this the only LSH operator in
-    the registry whose banding is itself driver-hash-verified, not
-    just pytest-pinned. Candidates get the exact-Jaccard re-check at
+    Unlike `minhash_near_dup` (affine permutations over one base
+    hash), the permutations here are md5-keyed per permutation index
+    (`md5(p || '|' || shingle)`, minimum as a fixed-width hex string,
+    where lexicographic MIN == numeric MIN) — k independent hashes
+    rather than k affine images of one hash, the higher-quality/
+    higher-cost end of the same family, and equally driver-hash-
+    verified. Candidates get the exact-Jaccard re-check at
     τ={INC_TAU} on the shared shingle sets, so the (identical)
     banding recall on both sides cancels out of the comparison.
 

@@ -88,17 +88,26 @@ def _load_modules() -> None:
 # r7 instead of the directive's 9+2 arithmetic, which had counted
 # kcore as rows-only before its graduation); slot 17
 # longest_increase_streak (displaced from r5); slots 18-50 the rest
-# of the oracle-equipped never-checked queue. Held for r7 (all
-# locally sf0.01-parity-green, families already hash-green via close
-# twins): gini_revenue_by_nation, hhi_supplier_concentration,
-# pythagorean_means_prices, price_relative_standing,
-# unpivot_flag_metrics, char_entropy_quality, user_growth_curve,
-# time_decay_engagement, date_spine_fill, repurchase_interval_stats,
-# mad_anomaly_report — plus the rows-only cohort (bpe_vocab_train,
-# bpe_encode_documents, markov_attribution, media_phash_dedup,
-# pca_top_component, holt_winters_forecast_eval,
-# als_part_recommendations, fpgrowth_type_itemsets,
-# prefixspan_event_patterns).
+# of the oracle-equipped never-checked queue.
+#
+# R7 queue (all locally sf0.01-parity-green). LEAD with the stale-
+# evidence oracle upgrades whose rows-only driver rows predate their
+# oracles: hll_monthly_rollup, ivf_kmeans_topk, pq_ann_topk,
+# minhash_near_dup, simhash_near_dup (the last two graduated to full
+# md5-replay oracles in the r6 session). Then the never-checked
+# oracle-equipped holds: gini_revenue_by_nation,
+# hhi_supplier_concentration, pythagorean_means_prices,
+# price_relative_standing, unpivot_flag_metrics, char_entropy_quality,
+# user_growth_curve, time_decay_engagement, date_spine_fill,
+# repurchase_interval_stats, mad_anomaly_report, time_weighted_average,
+# pinball_quantile_forecast_eval — and the r6-session additions
+# (fpgrowth_type_itemsets, prefixspan_event_patterns,
+# benchmark_decontamination, token_budget_allocation,
+# binary_hamming_topk, context_packing_stats, ngram_novelty_profile,
+# kalman_level_smooth, plus anything newer; see QUERIES.md "never").
+# Remaining rows-only for weaker rows checks: bpe_vocab_train,
+# bpe_encode_documents, media_phash_dedup, pca_top_component,
+# als_part_recommendations.
 _ROTATION_R6 = (
     # TPC-H Q1 first — the verdict's named lead
     "pricing_summary_q1",

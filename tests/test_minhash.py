@@ -1,18 +1,25 @@
-"""Numpy-oracle tests for the MinHash / SimHash operators — these are
-rows-only for the driver (DuckDB has no xxhash64), so correctness is
-pinned here instead: an independent plain-Python reimplementation of
-the same hash algebra must agree exactly, and the LSH pipeline's recall
-vs brute-force shingle Jaccard must match its banding calibration.
+"""Independent-oracle tests for the MinHash / SimHash operators: a
+plain-Python (hashlib) reimplementation of the same hash algebra must
+agree exactly — no Spark expression is trusted to test itself — and
+the LSH pipeline's recall vs brute-force shingle Jaccard must match
+its banding calibration. (The operators additionally carry full DuckDB
+replay oracles for the driver; these tests are the third engine.)
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.operators import minhash as M
 from tests.conftest import SF_DIR
+
+
+def md5_int(s: str) -> int:
+    """Python twin of minhash._md5_int (60-bit md5 prefix)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 def shingle_set(text: str, n: int = 3) -> set[str]:
@@ -50,15 +57,10 @@ def test_minhash_signature_matches_python(spark, docs, docs_pdf):
     sigs = {r["doc_id"]: [r[f"sig_{i}"] for i in range(M.N_HASHES)]
             for r in M.minhash_signatures(docs).collect()}
     params = M._perm_params()
-    # xxhash64 is Spark-side; fetch shingle→hash once from the JVM and
-    # recompute the permutation algebra in python.
-    tok_hash = {r["token"]: r["h"] for r in
-                M.shingles(docs).withColumn(
-                    "h", F.pmod(F.xxhash64("token"), F.lit(M.MERSENNE)))
-                .collect()}
     for row in docs_pdf.head(25).itertuples():
         toks = shingle_set(row.text)
-        expected = [min((a * tok_hash[t] + b) % M.MERSENNE for t in toks)
+        hs = [md5_int(t) % M.MERSENNE for t in toks]
+        expected = [min((a * h + b) % M.MERSENNE for h in hs)
                     for a, b in params]
         assert sigs[row.doc_id] == expected, f"doc {row.doc_id}"
 
@@ -81,27 +83,22 @@ def test_lsh_recall_and_precision(spark, docs, docs_pdf):
 
 
 def test_simhash_matches_python(spark, docs, docs_pdf):
-    """Spark simhash == python majority-vote over the same token hashes."""
+    """Spark simhash == python majority-vote over hashlib token hashes."""
     fps = {r["doc_id"]: r["simhash"] for r in M.simhash(docs).collect()}
-    tok_hash = {r["token"]: r["h"] for r in (
-        docs.select(F.explode(F.split("text", " ")).alias("token")).distinct()
-        .withColumn("h", F.xxhash64("token")).collect())}
     for row in docs_pdf.head(25).itertuples():
         toks = set(row.text.split(" "))
+        hs = [md5_int(t) for t in toks]
         fp = 0
-        for i in range(64):
-            vote = sum(1 if (tok_hash[t] >> i) & 1 else -1 for t in toks)
+        for i in range(M.SIMHASH_BITS):
+            vote = sum(1 if (h >> i) & 1 else -1 for h in hs)
             if vote > 0:
                 fp |= 1 << i
-        # Spark long is signed 64-bit; normalize python int the same way
-        if fp >= 1 << 63:
-            fp -= 1 << 64
         assert fps[row.doc_id] == fp, f"doc {row.doc_id}"
 
 
 def test_simhash_near_dup_is_exact_close_pair_set(spark):
     """The operator returns EXACTLY the brute-force pair set at
-    Hamming ≤ 7 (8-band pigeonhole guarantees completeness, the
+    Hamming ≤ 5 (6-band pigeonhole guarantees completeness, the
     residual filter guarantees precision)."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     fps = sorted((r["doc_id"], r["simhash"])
@@ -109,7 +106,7 @@ def test_simhash_near_dup_is_exact_close_pair_set(spark):
     truth = set()
     for i in range(len(fps)):
         for j in range(i + 1, len(fps)):
-            if bin((fps[i][1] ^ fps[j][1]) & ((1 << 64) - 1)).count("1") <= 7:
+            if bin(fps[i][1] ^ fps[j][1]).count("1") <= M._SIMHASH_MAX_DIST:
                 truth.add((fps[i][0], fps[j][0]))
     got = {(r["doc_id_1"], r["doc_id_2"])
            for r in M.simhash_near_dup(spark, SF_DIR).collect()}
