@@ -79,3 +79,56 @@ def fround_sql(expr: str, scale: int = 6) -> str:
     """Oracle-side twin of ``fround``."""
     p = float(10 ** scale)
     return f"FLOOR(({expr}) * {p!r} + 0.5) / {p!r}"
+
+
+# ---------------------------------------------------------------------------
+# shared-term-order linear algebra (cross-engine Cramer solves)
+# ---------------------------------------------------------------------------
+
+def signed_perms(n: int) -> list[tuple[int, tuple[int, ...]]]:
+    """Permutations of range(n) in LEXICOGRAPHIC order with parity
+    sign — the shared Leibniz-determinant term order both engines
+    replay (Python value twin + generated SQL text)."""
+    import itertools
+    out = []
+    for perm in itertools.permutations(range(n)):
+        inv = sum(1 for a in range(n) for b in range(a + 1, n)
+                  if perm[a] > perm[b])
+        out.append((1 if inv % 2 == 0 else -1, perm))
+    return out
+
+
+def det_val(M: list[list[float]]) -> float:
+    """Leibniz determinant, terms in signed_perms order, products and
+    the sum strictly left-to-right — the exact op sequence det_sql
+    emits, so both engines produce the identical double."""
+    n = len(M)
+    acc = 0.0
+    for sign, perm in signed_perms(n):
+        term = M[0][perm[0]]
+        for i in range(1, n):
+            term = term * M[i][perm[i]]
+        acc = acc + term if sign > 0 else acc - term
+    return acc
+
+
+def det_sql(M: list[list[str]]) -> str:
+    """SQL text twin of det_val: same term order, left-associative
+    products (a * b * c), left-associative signed sum. The emitted
+    text parses identically in Spark SQL and DuckDB (only * + - and
+    parentheses), so it can run on BOTH engines."""
+    parts = []
+    for sign, perm in signed_perms(len(M)):
+        term = " * ".join(M[i][perm[i]] for i in range(len(M)))
+        parts.append(("+ " if sign > 0 else "- ") + "(" + term + ")")
+    body = " ".join(parts)
+    return "(" + (body[2:] if body.startswith("+ ") else body) + ")"
+
+
+def cramer_sql(A: list[list[str]], b: list[str], k: int) -> str:
+    """x_k of A·x = b via Cramer's rule as shared SQL text: the k-th
+    column of A replaced by b, both determinants in det_sql term
+    order."""
+    Ab = [[b[r] if c == k else A[r][c] for c in range(len(A))]
+          for r in range(len(A))]
+    return f"({det_sql(Ab)} / {det_sql(A)})"

@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from covid_weather_etl_spark.functions.numeric import (
-    dsum, fround, fround_sql,
+    cramer_sql, dsum, fround, fround_sql,
 )
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables
@@ -300,64 +300,172 @@ def standard_scaler_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# U2 — per-group AR(p) forecast via applyInPandas (rows-only check)
+# U2 — per-group AR(p) forecast by closed-form normal equations
 # ---------------------------------------------------------------------------
 
 AR_ORDER = 3
 HORIZON = 7
 
-_AR_SCHEMA = T.StructType([
-    T.StructField("n_name", T.StringType()),
-    T.StructField("step", T.IntegerType()),
-    T.StructField("forecast", T.DoubleType()),
-    T.StructField("mae_insample", T.DoubleType()),
-])
+#: X'X / X'y entry names over the design [1, y_{t-1}, y_{t-2}, y_{t-3}]
+#: — the sufficient statistics one grouped aggregate produces.
+_AR_A = [["n", "s1", "s2", "s3"],
+         ["s1", "s11", "s12", "s13"],
+         ["s2", "s12", "s22", "s23"],
+         ["s3", "s13", "s23", "s33"]]
+_AR_B = ["sy", "s1y", "s2y", "s3y"]
+
+#: exact accumulator for the Gram sums: second-order products of
+#: ~1e6-scale daily revenues reach ~1e13 per row / ~1e17 per group —
+#: DECIMAL(38,6) holds 1e32 with headroom and stays map-combinable.
+_D38 = "CAST(SUM(CAST(({e}) AS DECIMAL(38,6))) AS DOUBLE)"
 
 
-def _fit_ar_forecast(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Fit AR(p) by least squares on one group's series; forecast
-    HORIZON steps recursively. Pure numpy — independently reimplemented
-    in tests/test_ml.py as the oracle."""
-    pdf = pdf.sort_values("d")
-    y = pdf["y"].to_numpy(dtype=np.float64)
-    p = AR_ORDER
-    name = pdf["n_name"].iloc[0]
-    if len(y) <= p + 1:
-        return pd.DataFrame({"n_name": [name], "step": [0],
-                             "forecast": [float("nan")],
-                             "mae_insample": [float("nan")]})
-    # design matrix: y_t ~ [1, y_{t-1} .. y_{t-p}]
-    X = np.column_stack([np.ones(len(y) - p)]
-                        + [y[p - k - 1:len(y) - k - 1] for k in range(p)])
-    target = y[p:]
-    coef, *_ = np.linalg.lstsq(X, target, rcond=None)
-    fitted = X @ coef
-    mae = float(np.mean(np.abs(target - fitted)))
-    hist = list(y)
-    out = []
-    for step in range(1, HORIZON + 1):
-        nxt = float(coef[0] + sum(coef[k + 1] * hist[-k - 1]
-                                  for k in range(p)))
-        out.append((name, step, nxt, mae))
-        hist.append(nxt)
-    return pd.DataFrame(out, columns=["n_name", "step", "forecast",
-                                      "mae_insample"])
+# The fit+forecast is built from SHARED SQL TEXT FRAGMENTS that parse
+# and evaluate identically on Spark SQL and DuckDB (only LAG /
+# ROW_NUMBER / SUM / CASE / + - * / FLOOR ABS). The oracle composes
+# them into one WITH chain; the Spark side evaluates the same
+# fragments in STAGES over temp views, materializing the tiny
+# (one-row-per-nation) coefficient frame in between — without the
+# stage cut, Catalyst inlines the 120-term determinant expressions
+# into every level of the 7-step forecast chain and analysis time
+# explodes (~3^7 duplications); DuckDB's CTE planner doesn't, so the
+# single-text form stays fine oracle-side. Fragment sharing keeps the
+# IEEE op sequence identical either way.
+
+def _ar_design_sql(src: str) -> str:
+    return f"""
+    SELECT * FROM (
+        SELECT n_name, d, y,
+               LAG(y, 1) OVER (PARTITION BY n_name ORDER BY d) AS y1,
+               LAG(y, 2) OVER (PARTITION BY n_name ORDER BY d) AS y2,
+               LAG(y, 3) OVER (PARTITION BY n_name ORDER BY d) AS y3
+        FROM {src}
+    ) lagged WHERE y3 IS NOT NULL
+    """
 
 
-@register("ar_forecast_per_group", survey="U2")
+def _ar_sums_sql(design_src: str) -> str:
+    d = _D38.format
+    return f"""
+    SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS n,
+           {d(e='y1')} AS s1, {d(e='y2')} AS s2, {d(e='y3')} AS s3,
+           {d(e='y')} AS sy,
+           {d(e='y1 * y1')} AS s11, {d(e='y1 * y2')} AS s12,
+           {d(e='y1 * y3')} AS s13, {d(e='y2 * y2')} AS s22,
+           {d(e='y2 * y3')} AS s23, {d(e='y3 * y3')} AS s33,
+           {d(e='y1 * y')} AS s1y, {d(e='y2 * y')} AS s2y,
+           {d(e='y3 * y')} AS s3y
+    FROM {design_src} GROUP BY n_name
+    HAVING COUNT(*) >= 5
+    """
+
+
+def _ar_coef_sql(sums_src: str) -> str:
+    c = {f"c{k}": cramer_sql(_AR_A, _AR_B, k) for k in range(4)}
+    return f"""
+    SELECT n_name, {c['c0']} AS c0, {c['c1']} AS c1,
+           {c['c2']} AS c2, {c['c3']} AS c3
+    FROM {sums_src}
+    """
+
+
+def _ar_final_sql(src: str, design_src: str, coef_src: str) -> str:
+    d = _D38.format
+    g = "FLOOR(({e}) * 1e6 + 5e-1) / 1e6".format
+    return f"""
+    mae AS (
+        SELECT dd.n_name,
+               {d(e='ABS(dd.y - (c.c0 + c.c1 * dd.y1 + c.c2 * dd.y2'
+                  ' + c.c3 * dd.y3))')} / COUNT(*) AS mae_raw
+        FROM {design_src} dd JOIN {coef_src} c ON c.n_name = dd.n_name
+        GROUP BY dd.n_name
+    ), last3 AS (
+        SELECT n_name,
+               MAX(CASE WHEN rn = 1 THEN y END) AS l1,
+               MAX(CASE WHEN rn = 2 THEN y END) AS l2,
+               MAX(CASE WHEN rn = 3 THEN y END) AS l3
+        FROM (SELECT n_name, y,
+                     ROW_NUMBER() OVER (PARTITION BY n_name
+                                        ORDER BY d DESC) AS rn
+              FROM {src}) ranked
+        WHERE rn <= 3 GROUP BY n_name
+    ), f1t AS (
+        SELECT c.n_name, c0, c1, c2, c3, l1, l2, l3,
+               c0 + c1 * l1 + c2 * l2 + c3 * l3 AS f1
+        FROM {coef_src} c JOIN last3 t ON t.n_name = c.n_name
+    ),
+    f2t AS (SELECT *, c0 + c1 * f1 + c2 * l1 + c3 * l2 AS f2 FROM f1t),
+    f3t AS (SELECT *, c0 + c1 * f2 + c2 * f1 + c3 * l1 AS f3 FROM f2t),
+    f4t AS (SELECT *, c0 + c1 * f3 + c2 * f2 + c3 * f1 AS f4 FROM f3t),
+    f5t AS (SELECT *, c0 + c1 * f4 + c2 * f3 + c3 * f2 AS f5 FROM f4t),
+    f6t AS (SELECT *, c0 + c1 * f5 + c2 * f4 + c3 * f3 AS f6 FROM f5t),
+    f7t AS (SELECT *, c0 + c1 * f6 + c2 * f5 + c3 * f4 AS f7 FROM f6t),
+    steps AS (
+                  SELECT n_name, 1 AS step, f1 AS fc FROM f7t
+        UNION ALL SELECT n_name, 2 AS step, f2 AS fc FROM f7t
+        UNION ALL SELECT n_name, 3 AS step, f3 AS fc FROM f7t
+        UNION ALL SELECT n_name, 4 AS step, f4 AS fc FROM f7t
+        UNION ALL SELECT n_name, 5 AS step, f5 AS fc FROM f7t
+        UNION ALL SELECT n_name, 6 AS step, f6 AS fc FROM f7t
+        UNION ALL SELECT n_name, 7 AS step, f7 AS fc FROM f7t
+    )
+    SELECT s.n_name, CAST(s.step AS INT) AS step,
+           {g(e='s.fc')} AS forecast,
+           {g(e='m.mae_raw')} AS mae_insample
+    FROM steps s JOIN mae m ON m.n_name = s.n_name
+    """
+
+
+def _ar_oracle_sql() -> str:
+    """Single-text DuckDB composition of the shared fragments."""
+    return (f"WITH {_NATION_DAILY_SQL}, "
+            f"design AS ({_ar_design_sql('nation_daily')}), "
+            f"sums AS ({_ar_sums_sql('design')}), "
+            f"coef AS ({_ar_coef_sql('sums')}), "
+            + _ar_final_sql("nation_daily", "design", "coef"))
+
+
+@register(
+    "ar_forecast_per_group",
+    survey="U2,W2,A6",
+    oracle=_ar_oracle_sql(),
+)
 def ar_forecast_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation AR(3) fit + 7-step recursive forecast via
-    `groupBy.applyInPandas` — the Spark restatement of the reference's
-    per-country SARIMAX tasks (`dags/forecasting_dag.py:127-231`): one
-    Arrow batch per group, model fit where the data lives, forecasts
-    come back as ordinary rows. Rows-only driver check; numpy oracle in
-    tests/test_ml.py."""
+    """Per-nation AR(3) fit + 7-step recursive forecast in CLOSED
+    FORM — the Spark restatement of the reference's per-country
+    SARIMAX tasks (`dags/forecasting_dag.py:127-231`), done the way a
+    100 TB engine should: no per-group model object, no Python. Lag
+    features via a partitioned window, ONE grouped aggregate for the
+    14 sufficient statistics (exact DECIMAL sums, map-combinable),
+    the 4x4 normal equations solved by a Leibniz/Cramer expansion
+    whose term order is SHARED SQL TEXT (functions/numeric.cramer_sql
+    — the markov_attribution technique), the in-sample MAE re-scored
+    distributed, and the 7 recursive steps unrolled as chained CTEs.
+    The identical fragments run on Spark (staged over temp views,
+    with the one-row-per-nation coefficient frame localCheckpointed
+    so Catalyst never inlines the 120-term determinants into the
+    forecast chain) and on DuckDB (one WITH chain), so every double —
+    coefficients, forecasts, MAE — is bit-identical before the final
+    1e-6 display grid. Groups with < 5 design rows are excluded (a
+    4-parameter fit is underdetermined below that).
+
+    Semantics pinned against an independent numpy normal-equations
+    solve in tests/test_ml.py (np.linalg.solve, tolerance-banded —
+    different factorization, same model)."""
     daily = nation_daily(spark, sf_dir)
-    return (daily.groupBy("n_name")
-            .applyInPandas(_fit_ar_forecast, schema=_AR_SCHEMA)
-            .withColumn("forecast", F.round("forecast", 6))
-            .withColumn("mae_insample", F.round("mae_insample", 6))
-            .orderBy("n_name", "step"))
+    # nations x days — bounded small; read by design, last3 and mae
+    daily.localCheckpoint(eager=False).createOrReplaceTempView("ar_nd_v")
+    design = spark.sql(_ar_design_sql("ar_nd_v"))
+    design.localCheckpoint(eager=False).createOrReplaceTempView("ar_design_v")
+    sums = spark.sql(_ar_sums_sql("ar_design_v"))
+    sums.createOrReplaceTempView("ar_sums_v")
+    # one row per nation: materializing here is what cuts the
+    # determinant expressions out of downstream analysis
+    coef = spark.sql(_ar_coef_sql("ar_sums_v"))
+    coef.localCheckpoint(eager=False).createOrReplaceTempView("ar_coef_v")
+    return spark.sql(
+        "WITH " + _ar_final_sql("ar_nd_v", "ar_design_v", "ar_coef_v")) \
+        .orderBy("n_name", "step")
 
 
 # ---------------------------------------------------------------------------

@@ -611,42 +611,14 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MARKOV_CHANNELS = ("click", "error", "signup", "view")
 
 
-def _signed_perms(n: int) -> list[tuple[int, tuple[int, ...]]]:
-    """Permutations of range(n) in LEXICOGRAPHIC order with parity
-    sign — the shared Leibniz-determinant term order both engines
-    replay (Python value twin + generated SQL text)."""
-    import itertools
-    out = []
-    for perm in itertools.permutations(range(n)):
-        inv = sum(1 for a in range(n) for b in range(a + 1, n)
-                  if perm[a] > perm[b])
-        out.append((1 if inv % 2 == 0 else -1, perm))
-    return out
-
-
-def _det_val(M: list[list[float]]) -> float:
-    """Leibniz determinant, terms in _signed_perms order, products and
-    the sum strictly left-to-right — the exact op sequence _det_sql
-    emits, so both engines produce the identical double."""
-    n = len(M)
-    acc = 0.0
-    for sign, perm in _signed_perms(n):
-        term = M[0][perm[0]]
-        for i in range(1, n):
-            term = term * M[i][perm[i]]
-        acc = acc + term if sign > 0 else acc - term
-    return acc
-
-
-def _det_sql(M: list[list[str]]) -> str:
-    """SQL text twin of _det_val: same term order, left-associative
-    products (a * b * c), left-associative signed sum."""
-    parts = []
-    for sign, perm in _signed_perms(len(M)):
-        term = " * ".join(M[i][perm[i]] for i in range(len(M)))
-        parts.append(("+ " if sign > 0 else "- ") + "(" + term + ")")
-    body = " ".join(parts)
-    return "(" + (body[2:] if body.startswith("+ ") else body) + ")"
+# shared-term-order Leibniz determinant twins: hoisted to
+# functions/numeric.py so other Cramer solves (ar_forecast_per_group)
+# reuse the identical op sequence; aliased here for the local call
+# sites and the test imports.
+from covid_weather_etl_spark.functions.numeric import (  # noqa: E402
+    det_sql as _det_sql,
+    det_val as _det_val,
+)
 
 
 def _markov_A(p, live):

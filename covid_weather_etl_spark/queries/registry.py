@@ -93,8 +93,10 @@ def _load_modules() -> None:
 # R7 queue (all locally sf0.01-parity-green). LEAD with the stale-
 # evidence oracle upgrades whose rows-only driver rows predate their
 # oracles: hll_monthly_rollup, ivf_kmeans_topk, pq_ann_topk,
-# minhash_near_dup, simhash_near_dup (the last two graduated to full
-# md5-replay oracles in the r6 session). Then the never-checked
+# minhash_near_dup, simhash_near_dup, ar_forecast_per_group (the last
+# three graduated to full replay oracles in the r6 session — md5
+# banding for the LSH pair, shared-fragment Cramer normal equations
+# for the AR fit). Then the never-checked
 # oracle-equipped holds: gini_revenue_by_nation,
 # hhi_supplier_concentration, pythagorean_means_prices,
 # price_relative_standing, unpivot_flag_metrics, char_entropy_quality,

@@ -20,11 +20,14 @@ def daily_pdf(spark) -> pd.DataFrame:
 
 
 def _ar_oracle(y: np.ndarray, p: int, horizon: int):
-    """Independent reimplementation of the AR(p) fit+forecast."""
+    """Independent normal-equations reimplementation of the AR(p)
+    fit+forecast (np.linalg.solve — a DIFFERENT factorization from the
+    query's Cramer expansion, so agreement is tolerance-banded, not
+    bit-exact: same model, independent arithmetic)."""
     X = np.column_stack([np.ones(len(y) - p)]
                         + [y[p - k - 1:len(y) - k - 1] for k in range(p)])
     target = y[p:]
-    coef, *_ = np.linalg.lstsq(X, target, rcond=None)
+    coef = np.linalg.solve(X.T @ X, X.T @ target)
     mae = float(np.mean(np.abs(target - X @ coef)))
     hist = list(y)
     fc = []
@@ -40,19 +43,22 @@ def test_ar_forecast_matches_numpy(spark, daily_pdf):
     got = ML.ar_forecast_per_group(spark, SF_DIR).toPandas()
     for name, grp in daily_pdf.groupby("n_name"):
         y = grp.sort_values("d")["y"].to_numpy(dtype=np.float64)
-        if len(y) <= ML.AR_ORDER + 1:
+        if len(y) < ML.AR_ORDER + 5:
             continue
         fc, mae = _ar_oracle(y, ML.AR_ORDER, ML.HORIZON)
         sub = got[got.n_name == name].sort_values("step")
         assert len(sub) == ML.HORIZON, name
-        np.testing.assert_allclose(sub["forecast"].to_numpy(),
-                                   np.round(fc, 6), rtol=1e-9)
-        assert (sub["mae_insample"] == round(mae, 6)).all(), name
+        np.testing.assert_allclose(sub["forecast"].to_numpy(), fc,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(sub["mae_insample"].to_numpy(),
+                                   mae, rtol=1e-6)
 
 
 def test_ar_forecast_every_group_present(spark, daily_pdf):
     got = ML.ar_forecast_per_group(spark, SF_DIR).toPandas()
-    assert set(got.n_name) == set(daily_pdf.n_name)
+    big_enough = {name for name, grp in daily_pdf.groupby("n_name")
+                  if len(grp) >= ML.AR_ORDER + 5}
+    assert set(got.n_name) == big_enough
 
 
 def test_stratified_split_proportions(spark):
