@@ -173,6 +173,128 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_eval",
+    survey="ext-sim,U5,J1,A6,W6",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id < 8),
+    assigned AS (
+        SELECT e.vec_id, e.v, c.c_id
+        FROM emb e JOIN centroids c ON TRUE
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                     c.c_id) = 1
+    ),
+    queries AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 16),
+    exact AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6)
+                                DESC, e.vec_id) AS rn
+            FROM emb e JOIN queries q ON e.vec_id <> q.q_id) x
+        WHERE rn <= 10
+    ),
+    probes AS (
+        SELECT q_id, qv, c_id FROM (
+            SELECT q.q_id, q.qv, c.c_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6)
+                                DESC, c.c_id) AS rn
+            FROM queries q JOIN centroids c ON TRUE) x
+        WHERE rn <= 2
+    ),
+    cands AS (
+        SELECT p.q_id, p.qv, a.vec_id, a.v
+        FROM assigned a JOIN probes p
+          ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+    ),
+    ann AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(list_cosine_similarity(v, qv), 6)
+                                DESC, vec_id) AS rn
+            FROM cands) x
+        WHERE rn <= 10
+    ),
+    scanned AS (SELECT q_id, COUNT(*) AS n_scanned FROM cands GROUP BY 1),
+    hits AS (
+        SELECT e.q_id, COUNT(*) AS n_hits
+        FROM exact e JOIN ann a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        GROUP BY 1
+    )
+    SELECT q.q_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) / 1e1 AS recall_at_10,
+           CAST(COALESCE(s.n_scanned, 0) AS BIGINT) AS n_scanned
+    FROM queries q
+    LEFT JOIN hits h ON h.q_id = q.q_id
+    LEFT JOIN scanned s ON s.q_id = q.q_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF search against exact brute force — the
+    standard ANN quality gate: before trusting an approximate index at
+    100 TB you measure, per query, how many of the true top-10 the
+    cell-pruned search returns, and what fraction of the corpus it had
+    to scan to get them. 16 query vectors, 8-centroid coarse codebook
+    (vectors 0..7, as in ivf_ann_topk), nprobe=2 cells.
+
+    Plan: both the ground truth and the ANN side broadcast the
+    bounded query/codebook frames and make ONE pass over the corpus
+    each (ground truth scores all N, the ANN side only its probed
+    cells — the n_scanned column IS the measured speedup); recall is
+    a join of two 10-row-per-query id sets. Nothing driver-side. The
+    oracle replays assignment, probing, both rankings and the
+    intersection; all similarity ranking uses the shared
+    deterministic zip_with/aggregate cosine (= DuckDB
+    list_cosine_similarity on DOUBLE[])."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    centroids = (emb.filter(F.col("vec_id") < 8)
+                 .select(F.col("vec_id").alias("c_id"),
+                         F.col("v").alias("cv")))
+    assigned = _assign_cells(emb, centroids)
+    queries = (emb.filter(F.col("vec_id") < 16)
+               .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
+    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    w = W.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    exact = (emb.crossJoin(F.broadcast(queries))
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select("q_id", "vec_id", sim.alias("s"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 10)
+             .select("q_id", "vec_id"))
+    sim_c = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    wq = W.partitionBy("q_id").orderBy(F.col("cs").desc(), F.col("c_id"))
+    probes = (queries.crossJoin(F.broadcast(centroids))
+              .select("q_id", "qv", "c_id", sim_c.alias("cs"))
+              .withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= 2)
+              .select("q_id", "qv", "c_id"))
+    cands = (assigned.join(F.broadcast(probes), "c_id")
+             .filter(F.col("vec_id") != F.col("q_id")))
+    ann = (cands.select("q_id", "vec_id", sim.alias("s"))
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 10)
+           .select("q_id", "vec_id"))
+    scanned = cands.groupBy("q_id").agg(F.count("*").alias("ns"))
+    hits = (exact.join(ann, ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count("*").alias("nh")))
+    nh = F.coalesce(F.col("nh"), F.lit(0)).cast("bigint")
+    ns = F.coalesce(F.col("ns"), F.lit(0)).cast("bigint")
+    return (queries.select("q_id")
+            .join(hits, "q_id", "left")
+            .join(scanned, "q_id", "left")
+            .select("q_id", nh.alias("n_hits"),
+                    (nh / F.lit(10.0)).alias("recall_at_10"),
+                    ns.alias("n_scanned"))
+            .orderBy("q_id"))
+
+
 # ---------------------------------------------------------------------------
 # k-means-trained IVF (the production codebook path)
 # ---------------------------------------------------------------------------

@@ -434,3 +434,41 @@ def test_binary_hamming_topk_matches_numpy(spark):
         p = vecs[0]
         cos = float(v @ p / (np.linalg.norm(v) * np.linalg.norm(p)))
         assert abs(r["cos_sim"] - cos) < 1e-5
+
+
+def test_ann_recall_eval_matches_numpy(spark):
+    """Independent numpy replay of the whole recall harness: centroid
+    assignment, nprobe=2 probing, exact and ANN top-10 sets, hit
+    counts and scanned-candidate counts per query."""
+    import numpy as np
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {r["q_id"]: (r["n_hits"], r["recall_at_10"], r["n_scanned"])
+           for r in all_queries()["ann_recall_eval"].fn(spark, SF_DIR)
+           .collect()}
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))),
+                     6)
+
+    cents = {c: vecs[c] for c in range(8)}
+    cell = {vid: max(cents, key=lambda c: (cos(v, cents[c]), -c))
+            for vid, v in vecs.items()}
+    for q in range(16):
+        qv = vecs[q]
+        exact = sorted(((vid, cos(v, qv)) for vid, v in vecs.items()
+                        if vid != q), key=lambda t: (-t[1], t[0]))[:10]
+        probe = sorted(cents, key=lambda c: (-cos(qv, cents[c]), c))[:2]
+        cands = [vid for vid, v in vecs.items()
+                 if cell[vid] in probe and vid != q]
+        ann = sorted(((vid, cos(vecs[vid], qv)) for vid in cands),
+                     key=lambda t: (-t[1], t[0]))[:10]
+        hits = len({v for v, _ in exact} & {v for v, _ in ann})
+        assert got[q] == (hits, hits / 10.0, len(cands)), q
+    assert set(got) == set(range(16))
