@@ -453,10 +453,12 @@ def ar_forecast_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     solve in tests/test_ml.py (np.linalg.solve, tolerance-banded —
     different factorization, same model)."""
     daily = nation_daily(spark, sf_dir)
-    # nations x days — bounded small; read by design, last3 and mae
+    # nations x days — bounded small; read by design (twice: sums and
+    # mae — one cheap window pass each over the checkpointed rows) and
+    # by last3
     daily.localCheckpoint(eager=False).createOrReplaceTempView("ar_nd_v")
-    design = spark.sql(_ar_design_sql("ar_nd_v"))
-    design.localCheckpoint(eager=False).createOrReplaceTempView("ar_design_v")
+    spark.sql(_ar_design_sql("ar_nd_v")) \
+        .createOrReplaceTempView("ar_design_v")
     sums = spark.sql(_ar_sums_sql("ar_design_v"))
     sums.createOrReplaceTempView("ar_sums_v")
     # one row per nation: materializing here is what cuts the
