@@ -319,6 +319,28 @@ _AR_B = ["sy", "s1y", "s2y", "s3y"]
 #: DECIMAL(38,6) holds 1e32 with headroom and stays map-combinable.
 _D38 = "CAST(SUM(CAST(({e}) AS DECIMAL(38,6))) AS DOUBLE)"
 
+#: PRODUCT terms accumulate as exact centi-unit INTEGERS, not as a
+#: double→DECIMAL(p,6) cast. Reason (measured at sf0.001: 61 of 350
+#: Gram sums off in the last digits): casting a ~1e12-magnitude
+#: double to DECIMAL(38,6) is engine-divergent — Spark goes through
+#: exact shortest-repr BigDecimal, DuckDB multiplies by 10^6 in
+#: double (ulp ≈ 512 at 1e18) before rounding to integer. The
+#: portable form: FLOOR(x·1e2 + 0.5) is three IEEE ops both engines
+#: execute identically and yields an integral double < 2^63 that
+#: casts to BIGINT exactly on both (truncation == rounding on
+#: integral values); BIGINTs widen to DECIMAL(38,0) losslessly and
+#: sum exactly; ONE cast-to-double of the (< 2^63) integer sum is
+#: correctly rounded on both engines; ONE division by 1e2 finishes.
+#: Bounds: per-term |x|·1e2 ≲ 1.6e15 and group sums ≲ 4e18 < 2^63 up
+#: to sf 1 — far above the checked-in SFs; the 1e-2 grid is 1e-15
+#: relative resolution on ~1e13 terms.
+_D38G = ("CAST(SUM(CAST(CAST(FLOOR(({e}) * 1e2 + 5e-1) AS BIGINT) "
+         "AS DECIMAL(38,0))) AS DOUBLE) / 1e2")
+
+
+def _d38_snap(e: str) -> str:
+    return _D38G.format(e=e)
+
 
 # The fit+forecast is built from SHARED SQL TEXT FRAGMENTS that parse
 # and evaluate identically on Spark SQL and DuckDB (only LAG /
@@ -345,16 +367,16 @@ def _ar_design_sql(src: str) -> str:
 
 
 def _ar_sums_sql(design_src: str) -> str:
-    d = _D38.format
+    d, p = _D38.format, _d38_snap
     return f"""
     SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS n,
            {d(e='y1')} AS s1, {d(e='y2')} AS s2, {d(e='y3')} AS s3,
            {d(e='y')} AS sy,
-           {d(e='y1 * y1')} AS s11, {d(e='y1 * y2')} AS s12,
-           {d(e='y1 * y3')} AS s13, {d(e='y2 * y2')} AS s22,
-           {d(e='y2 * y3')} AS s23, {d(e='y3 * y3')} AS s33,
-           {d(e='y1 * y')} AS s1y, {d(e='y2 * y')} AS s2y,
-           {d(e='y3 * y')} AS s3y
+           {p('y1 * y1')} AS s11, {p('y1 * y2')} AS s12,
+           {p('y1 * y3')} AS s13, {p('y2 * y2')} AS s22,
+           {p('y2 * y3')} AS s23, {p('y3 * y3')} AS s33,
+           {p('y1 * y')} AS s1y, {p('y2 * y')} AS s2y,
+           {p('y3 * y')} AS s3y
     FROM {design_src} GROUP BY n_name
     HAVING COUNT(*) >= 5
     """
@@ -370,13 +392,13 @@ def _ar_coef_sql(sums_src: str) -> str:
 
 
 def _ar_final_sql(src: str, design_src: str, coef_src: str) -> str:
-    d = _D38.format
     g = "FLOOR(({e}) * 1e6 + 5e-1) / 1e6".format
     return f"""
     mae AS (
         SELECT dd.n_name,
-               {d(e='ABS(dd.y - (c.c0 + c.c1 * dd.y1 + c.c2 * dd.y2'
-                  ' + c.c3 * dd.y3))')} / COUNT(*) AS mae_raw
+               {_d38_snap('ABS(dd.y - (c.c0 + c.c1 * dd.y1'
+                          ' + c.c2 * dd.y2 + c.c3 * dd.y3))')}
+                   / COUNT(*) AS mae_raw
         FROM {design_src} dd JOIN {coef_src} c ON c.n_name = dd.n_name
         GROUP BY dd.n_name
     ), last3 AS (
