@@ -1561,10 +1561,13 @@ def _hw_oracle() -> str:
                CAST(COUNT(*) AS INT) AS n_test,
                CAST(SUM(CAST(ABS(y - fc) AS DECIMAL(38,6)))
                     AS DOUBLE) AS sae,
-               CAST(SUM(CAST((y - fc) * (y - fc) AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sse,
+               CAST(SUM(CAST(CAST(FLOOR((y - fc) * (y - fc) * 1e4 + 5e-1)
+                                  AS BIGINT) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1e4 AS sse,
                CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+               CAST(SUM(CAST(CAST(FLOOR(y * y * 1e4 + 5e-1)
+                                  AS BIGINT) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1e4 AS syy
         FROM joined GROUP BY n_name, n_train
     )
     SELECT n_name, n_train, n_test,
@@ -1605,16 +1608,24 @@ def holt_winters_forecast_eval(spark: SparkSession,
     rows = (daily.groupBy("n_name")
             .applyInPandas(_hw_test_rows, schema=_HW_FC_SCHEMA))
     err = F.col("y") - F.col("fc")
+
+    # PRODUCT terms (squares, ~1e10-1e11 scale) accumulate as exact
+    # 1e-4-grid integers, not via a double→DECIMAL(38,6) cast — that
+    # cast is engine-divergent above ~2^53·10^-6 (PARITY.md §3b).
+    # ABS(err) stays under the safe-cast bound and keeps the exact
+    # decimal path.
+    def isum(col):
+        return (F.sum(F.floor(col * F.lit(1e4) + F.lit(0.5))
+                      .cast("decimal(38,0)")).cast("double") / F.lit(1e4))
+
     agg = (rows.groupBy("n_name", "n_train")
            .agg(F.count("*").cast("int").alias("n_test"),
                 F.sum(F.abs(err).cast("decimal(38,6)")).cast("double")
                 .alias("sae"),
-                F.sum((err * err).cast("decimal(38,6)")).cast("double")
-                .alias("sse"),
+                isum(err * err).alias("sse"),
                 F.sum(F.col("y").cast("decimal(25,6)")).cast("double")
                 .alias("sy"),
-                F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)"))
-                .cast("double").alias("syy")))
+                isum(F.col("y") * F.col("y")).alias("syy")))
     sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_test")
     return (agg.select(
         "n_name", "n_train", "n_test",

@@ -212,7 +212,9 @@ def interval_proximity(events: DataFrame) -> DataFrame:
     )
     SELECT user_id,
            CAST(COUNT(dt_us) AS BIGINT) AS n_segments,
-           FLOOR(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+           FLOOR(CAST(SUM(CAST(CAST(FLOOR(value * dt_us * 1e2 + 5e-1)
+                                    AS BIGINT) AS DECIMAL(38,0)))
+                      AS DOUBLE) / 1e2
                  / CAST(SUM(dt_us) AS DOUBLE) * 1000000.0 + 0.5)
                / 1000000.0 AS twa_value
     FROM seg
@@ -250,10 +252,15 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.unix_micros(F.lead("ts").over(w))
                        - F.unix_micros("ts"))
            .filter(F.col("dt_us").isNotNull()))
+    # value·Δt reaches ~1.7e14 — a double→DECIMAL(38,6) cast there is
+    # engine-divergent (PARITY.md §3b), so the weighted sum
+    # accumulates as exact centi-unit integers instead.
+    wsum = (F.sum(F.floor(F.col("value") * F.col("dt_us") * F.lit(1e2)
+                          + F.lit(0.5)).cast("decimal(38,0)"))
+            .cast("double") / F.lit(1e2))
     return (seg.groupBy("user_id")
             .agg(F.count("dt_us").alias("n_segments"),
-                 (F.floor(F.sum((F.col("value") * F.col("dt_us"))
-                                .cast("decimal(38,6)")).cast("double")
+                 (F.floor(wsum
                           / F.sum("dt_us").cast("double")
                           * F.lit(1_000_000.0) + F.lit(0.5))
                   / F.lit(1_000_000.0)).alias("twa_value")))
