@@ -527,6 +527,72 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(5))
 
 
+def _ivf_cell_balance_oracle() -> str:
+    """DuckDB replay over the persisted sf0.01 codebook: identical
+    argmax assignment (sim DESC, c_id tiebreak), counts per cell with
+    empty cells kept, single-division ratios."""
+    path = ivf_codebook_path("/root/testdata/sf0.01")
+    return f"""
+    WITH cb AS (
+        SELECT c_id, cv FROM read_parquet('{path}/*.parquet')
+    ), asg AS (
+        SELECT e.vec_id,
+               (SELECT c.c_id FROM cb c
+                ORDER BY ROUND(list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.c_id
+                LIMIT 1) AS c_id
+        FROM embeddings e
+    ), counts AS (
+        SELECT c_id, COUNT(*) AS n FROM asg GROUP BY 1
+    ), tot AS (SELECT COUNT(*) AS total FROM asg)
+    SELECT cb.c_id AS cell,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(c.n, 0) AS BIGINT) * 1e0 / t.total AS share,
+           CAST(COALESCE(c.n, 0) AS BIGINT) * {KMEANS_K} * 1e0 / t.total
+               AS skew
+    FROM cb LEFT JOIN counts c ON c.c_id = cb.c_id
+    CROSS JOIN tot t
+    """
+
+
+@register("ivf_cell_balance_profile", survey="ext-sim,A6,J4,A1",
+          oracle=_ivf_cell_balance_oracle(),
+          tags=("oracle-at-sf0.01",))
+def ivf_cell_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy profile of the trained IVF index — the
+    operational health metric of ANN at 100 TB: cells ARE partitions,
+    so a skewed codebook (skew = n_cell · k / N ≫ 1) means hot
+    partitions, long probe tails and an imbalanced nprobe cost; the
+    standard remedies (re-train on a fresher sample, split hot cells,
+    or add a second quantization level) all key off exactly this
+    profile. Completes the IVF family: train (ivf_codebook_train) →
+    search (ivf_kmeans_topk) → quality (ann_recall_eval) → balance.
+
+    Plan: one narrow literal-codebook assignment pass (zero wide
+    shuffles), a k-row aggregate, and a broadcast 1-row total join;
+    empty cells are kept via the left join (an empty cell is itself a
+    balance signal). Oracle replays assignment + counts over the
+    persisted artifact; ratios are single divisions of exact ints."""
+    rows = ensure_ivf_codebook(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    assigned = assign_cells_literal(emb, rows)
+    counts = assigned.groupBy("c_id").agg(F.count("*").alias("n"))
+    cells = spark.createDataFrame(
+        [(int(r["c_id"]),) for r in rows], "c_id int")
+    total = assigned.agg(F.count("*").alias("total"))
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    return (cells.join(counts, "c_id", "left")
+            .crossJoin(F.broadcast(total))
+            .select(F.col("c_id").alias("cell"),
+                    n.alias("n_vecs"),
+                    (n * F.lit(1.0) / F.col("total")).alias("share"),
+                    (n * F.lit(KMEANS_K) * F.lit(1.0) / F.col("total"))
+                    .alias("skew"))
+            .orderBy("cell"))
+
+
 # ---------------------------------------------------------------------------
 # embedding near-duplicate detection
 # ---------------------------------------------------------------------------

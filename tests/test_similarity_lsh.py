@@ -472,3 +472,26 @@ def test_ann_recall_eval_matches_numpy(spark):
         hits = len({v for v, _ in exact} & {v for v, _ in ann})
         assert got[q] == (hits, hits / 10.0, len(cands)), q
     assert set(got) == set(range(16))
+
+
+def test_ivf_cell_balance_profile_invariants(spark):
+    """k rows (one per centroid, empty cells kept), counts partition
+    the corpus exactly, shares sum to 1, skew = share * k."""
+    import math
+
+    from covid_weather_etl_spark.operators.similarity import KMEANS_K
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = (all_queries()["ivf_cell_balance_profile"].fn(spark, SF_DIR)
+           .toPandas())
+    n_corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(got) == KMEANS_K
+    assert sorted(got.cell) == list(range(KMEANS_K))
+    assert got.n_vecs.sum() == n_corpus
+    assert math.isclose(got.share.sum(), 1.0, rel_tol=1e-12)
+    for _, r in got.iterrows():
+        # r["skew"], not r.skew — pandas shadows the column with the
+        # Series.skew method
+        assert math.isclose(r["skew"], r["share"] * KMEANS_K,
+                            rel_tol=1e-12)
