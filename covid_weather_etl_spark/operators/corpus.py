@@ -1353,3 +1353,192 @@ def stratified_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t["documents"]
             .select("lang", F.row_number().over(w).alias("rk"), "doc_id")
             .filter(F.col("rk") <= EXACT_K_PER_STRATUM))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation funnel: the whole pipeline as one accountable query
+# ---------------------------------------------------------------------------
+
+#: quality gate: minimum document length in whitespace tokens.
+FUNNEL_MIN_TOKENS = 25
+#: quality gate: max single-token share as an INTEGER rule —
+#: top_cnt * DEN <= n_tok  ⟺  share <= 1/DEN (no float anywhere).
+FUNNEL_TOP_SHARE_DEN = 6
+
+
+def _funnel_oracle() -> str:
+    m, g = TX.DECON_EVAL_MOD, TX.DECON_NGRAM
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents WHERE doc_id % {m} <> 0
+    ), s1 AS (
+        SELECT b.* FROM base b
+        JOIN (SELECT text, MIN(doc_id) AS doc_id
+              FROM base GROUP BY text) k
+          ON k.doc_id = b.doc_id
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2] AS s
+        FROM s1 t, UNNEST(generate_series(1, len(t.tk) - 2)) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1
+    ), pcommon AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), drops AS (
+        SELECT DISTINCT c.d2 AS doc_id
+        FROM pcommon c
+        JOIN sizes n1 ON n1.doc_id = c.d1
+        JOIN sizes n2 ON n2.doc_id = c.d2
+        WHERE c.c * 3 >= n1.ns + n2.ns
+    ), s2 AS (
+        SELECT s1.* FROM s1
+        WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = s1.doc_id)
+    ), tcnt AS (
+        SELECT doc_id, MAX(c) AS top_cnt FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(tk) AS tok FROM s2) x
+            GROUP BY 1, 2) y
+        GROUP BY 1
+    ), s3 AS (
+        SELECT s2.* FROM s2 JOIN tcnt ON tcnt.doc_id = s2.doc_id
+        WHERE s2.n_tok >= {FUNNEL_MIN_TOKENS}
+          AND tcnt.top_cnt * {FUNNEL_TOP_SHARE_DEN} <= s2.n_tok
+    ), ev AS (
+        SELECT DISTINCT array_to_string(tk[i : i + {g - 1}], ' ') AS gram
+        FROM (SELECT string_split(text, ' ') AS tk FROM documents
+              WHERE doc_id % {m} = 0) t,
+             UNNEST(generate_series(1, len(t.tk) - {g - 1})) AS u(i)
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM (SELECT doc_id, array_to_string(tk[i : i + {g - 1}], ' ')
+                     AS gram
+              FROM s3, UNNEST(generate_series(1, len(tk) - {g - 1}))
+                   AS u(i)) s
+        JOIN ev ON ev.gram = s.gram
+    ), s4 AS (
+        SELECT s3.* FROM s3
+        WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+                          WHERE c.doc_id = s3.doc_id)
+    )
+    SELECT stage, source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+        SELECT '0_train' AS stage, source,
+               COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+        FROM base GROUP BY 2
+        UNION ALL
+        SELECT '1_exact_dedup', source, COUNT(*), SUM(n_tok)
+        FROM s1 GROUP BY 2
+        UNION ALL
+        SELECT '2_near_dedup', source, COUNT(*), SUM(n_tok)
+        FROM s2 GROUP BY 2
+        UNION ALL
+        SELECT '3_quality', source, COUNT(*), SUM(n_tok)
+        FROM s3 GROUP BY 2
+        UNION ALL
+        SELECT '4_decontaminated', source, COUNT(*), SUM(n_tok)
+        FROM s4 GROUP BY 2
+    ) f
+    """
+
+
+@register("corpus_curation_funnel",
+          survey="LLM-dedup,LLM-text,A1,A3,A6,J7,D2",
+          oracle=_funnel_oracle())
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one accountable query — the
+    per-source document/token funnel after each stage every
+    large-scale pretraining run reports:
+
+      0_train           eval slice held out (doc_id % 7, the
+                        benchmark_decontamination convention)
+      1_exact_dedup     keep MIN(doc_id) per identical text
+      2_near_dedup      drop the greater id of every 3-gram-shingle
+                        Jaccard >= 0.5 pair (integer rule:
+                        3·|∩| >= |A|+|B|; pair-pruning — the
+                        transitive-closure variant is
+                        dedup_clusters/near_dup_canonical)
+      3_quality         length >= 25 tokens AND top-token share
+                        <= 1/6 (integer rule: 6·top_cnt <= n_tok)
+      4_decontaminated  drop docs sharing any verbatim 8-gram with
+                        the eval slice
+
+    Every stage decision and every reported number is INTEGER
+    arithmetic — no float appears anywhere, so the DuckDB replay is
+    exact by construction.
+
+    Scale: one checkpointed base scan feeds all stages; the near-dup
+    stage is the exact shared-shingle join (swap in the minhash
+    banding from operators/minhash.py as the candidate stage at
+    100 TB — the verify rule is unchanged); quality is per-row array
+    algebra (no shuffle); decontamination is two distinct-gram
+    explodes and a semi-join, broadcast-sized on the eval side. The
+    funnel itself is five map-side-combinable aggregates over frames
+    the plan already has."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = (spread(t["documents"], "doc_id")
+            .filter(F.col("doc_id") % TX.DECON_EVAL_MOD != 0)
+            .select("doc_id", "source", "text",
+                    F.split("text", " ").alias("tk"))
+            .withColumn("n_tok", F.size("tk"))
+            .localCheckpoint(eager=True))
+    keep1 = base.groupBy("text").agg(F.min("doc_id").alias("doc_id")) \
+                .select("doc_id")
+    s1 = base.join(keep1, "doc_id")
+    sh = (s1.select("doc_id", F.explode(F.expr(
+              "transform(sequence(0, size(tk) - 3), "
+              "i -> concat_ws(' ', slice(tk, i + 1, 3)))")).alias("s"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    pa = sh.select(F.col("doc_id").alias("d1"), "s")
+    pb = sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"))
+    common = (pa.join(pb, (pa["s"] == pb["s2"]) & (pa["d1"] < pb["d2"]))
+              .groupBy("d1", "d2").agg(F.count("*").alias("c")))
+    drops = (common
+             .join(sizes.select(F.col("doc_id").alias("d1"),
+                                F.col("ns").alias("n1")), "d1")
+             .join(sizes.select(F.col("doc_id").alias("d2"),
+                                F.col("ns").alias("n2")), "d2")
+             .filter(F.col("c") * 3 >= F.col("n1") + F.col("n2"))
+             .select(F.col("d2").alias("doc_id")).distinct())
+    s2 = s1.join(drops, "doc_id", "left_anti").localCheckpoint(eager=True)
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(F.col("tk")),
+        lambda tok: F.size(F.filter(F.col("tk"), lambda x: x == tok))))
+    s3 = (s2.withColumn("top_cnt", top_cnt)
+          .filter((F.col("n_tok") >= FUNNEL_MIN_TOKENS)
+                  & (F.col("top_cnt") * FUNNEL_TOP_SHARE_DEN
+                     <= F.col("n_tok")))
+          .drop("top_cnt")
+          .localCheckpoint(eager=True))
+    g8 = (f"transform(sequence(0, size(tk) - {TX.DECON_NGRAM}), "
+          f"i -> concat_ws(' ', slice(tk, i + 1, {TX.DECON_NGRAM})))")
+    ev = (t["documents"]
+          .filter(F.col("doc_id") % TX.DECON_EVAL_MOD == 0)
+          .select(F.split("text", " ").alias("tk"))
+          .filter(F.size("tk") >= TX.DECON_NGRAM)
+          .select(F.explode(F.expr(g8)).alias("gram")).distinct())
+    tr_g = (s3.filter(F.size("tk") >= TX.DECON_NGRAM)
+            .select("doc_id", F.explode(F.expr(g8)).alias("gram"))
+            .distinct())
+    contaminated = tr_g.join(ev, "gram").select("doc_id").distinct()
+    s4 = s3.join(contaminated, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return (df.groupBy("source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tok").alias("n_tokens"))
+                .select(F.lit(label).alias("stage"), "source",
+                        "n_docs", "n_tokens"))
+
+    return (stage(base, "0_train")
+            .unionByName(stage(s1, "1_exact_dedup"))
+            .unionByName(stage(s2, "2_near_dedup"))
+            .unionByName(stage(s3, "3_quality"))
+            .unionByName(stage(s4, "4_decontaminated"))
+            .orderBy("stage", "source"))

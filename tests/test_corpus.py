@@ -318,3 +318,62 @@ def test_context_packing_stats_planted(spark, tmp_path):
     # (doc 3 occupies [600, 900), entirely inside window 2)
     assert r["docs_split"] == 1
     assert abs(r["pad_fraction"] - (124 / 1024)) < 1e-6
+
+
+def test_corpus_curation_funnel_matches_python_replay(spark):
+    """Independent pure-python replay of all five funnel stages: the
+    per-(stage, source) doc and token counts must match exactly, and
+    the funnel must be monotonically non-increasing."""
+    from collections import Counter
+
+    got = {(r["stage"], r["source"]): (r["n_docs"], r["n_tokens"])
+           for r in C.corpus_curation_funnel(spark, SF_DIR).collect()}
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    m, g = TX.DECON_EVAL_MOD, TX.DECON_NGRAM
+    train = docs[docs.doc_id % m != 0].copy()
+    ev = docs[docs.doc_id % m == 0]
+    toks = {int(r.doc_id): r.text.split(" ") for r in train.itertuples()}
+
+    def grams(t, n):
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    # stage 1: exact dedup (min doc_id per text)
+    keep = set(train.groupby("text").doc_id.min())
+    s1 = sorted(keep)
+    # stage 2: pair-pruned near dedup, 3*|∩| >= |A|+|B|
+    sh = {d: grams(toks[d], 3) for d in s1}
+    dropped = set()
+    for i, d1 in enumerate(s1):
+        for d2 in s1[i + 1:]:
+            c = len(sh[d1] & sh[d2])
+            if 3 * c >= len(sh[d1]) + len(sh[d2]):
+                dropped.add(d2)
+    s2 = [d for d in s1 if d not in dropped]
+    # stage 3: quality gates (integer rules)
+    s3 = [d for d in s2
+          if len(toks[d]) >= C.FUNNEL_MIN_TOKENS
+          and max(Counter(toks[d]).values()) * C.FUNNEL_TOP_SHARE_DEN
+          <= len(toks[d])]
+    # stage 4: 8-gram decontamination vs the eval slice
+    ev_g = set()
+    for r in ev.itertuples():
+        ev_g |= grams(r.text.split(" "), g)
+    s4 = [d for d in s3 if not (grams(toks[d], g) & ev_g)]
+
+    stages = {"0_train": list(toks), "1_exact_dedup": s1,
+              "2_near_dedup": s2, "3_quality": s3,
+              "4_decontaminated": s4}
+    src = {int(r.doc_id): r.source for r in train.itertuples()}
+    want = {}
+    for label, ids in stages.items():
+        per = {}
+        for d in ids:
+            nd, nt = per.get(src[d], (0, 0))
+            per[src[d]] = (nd + 1, nt + len(toks[d]))
+        for s, v in per.items():
+            want[(label, s)] = v
+    assert got == want
+    totals = [sum(v[0] for k, v in got.items() if k[0] == lab)
+              for lab in sorted(stages)]
+    assert totals == sorted(totals, reverse=True)
