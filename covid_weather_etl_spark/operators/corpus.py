@@ -1211,9 +1211,12 @@ WSAMPLE_K = 100
         FROM orders
     )
     SELECT o_orderkey, o_totalprice,
-           ROUND(LN(u) / o_totalprice * 1e6, 6) AS es_key
+           -- + 0.0 drops DuckDB's -0.0 (Spark ROUND returns +0.0; a
+           -- u within 1e-13 of 1 rounds the key to signed zero —
+           -- first observed at sf0.1)
+           ROUND(LN(u) / o_totalprice * 1e6, 6) + 0.0 AS es_key
     FROM keyed
-    ORDER BY es_key DESC, o_orderkey
+    ORDER BY ROUND(LN(u) / o_totalprice * 1e6, 6) DESC, o_orderkey
     LIMIT {WSAMPLE_K}
     """,
 )
@@ -1448,6 +1451,7 @@ def _funnel_oracle() -> str:
 
 @register("corpus_curation_funnel",
           survey="LLM-dedup,LLM-text,A1,A3,A6,J7,D2",
+          bench=True,
           oracle=_funnel_oracle())
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE curation pipeline as one accountable query — the

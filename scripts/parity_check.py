@@ -57,6 +57,14 @@ def main() -> None:
     results, failed = {}, []
     for name in names:
         q = qs[name]
+        # sf0.01-pinned oracles (persisted-artifact replays) are only
+        # meaningful at the driver's correctness SF
+        if ("oracle-at-sf0.01" in q.tags
+                and not args.sf_dir.rstrip("/").endswith("sf0.01")):
+            results[name] = {"ok": True, "mode": "skipped-sf-pinned",
+                             "sec": 0.0}
+            print(f"SKIP {name} (oracle pinned to sf0.01)", flush=True)
+            continue
         t0 = time.time()
         try:
             if q.oracle:
