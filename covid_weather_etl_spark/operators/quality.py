@@ -424,3 +424,139 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                  fround(-F.sum(term).cast("double"))
                  .alias("char_entropy_bits"))
             .select("doc_id", "n_distinct_chars", "char_entropy_bits"))
+
+
+# ---------------------------------------------------------------------------
+# weak supervision: labeling-function diagnostics (data-centric AI)
+# ---------------------------------------------------------------------------
+
+#: votes are {+1, -1, 0=abstain} for a latent "high-quality document"
+#: label; thresholds are INTEGER rules so both engines agree exactly.
+LF_LONG_POS = 50    #: lf_length: +1 at >= LONG_POS tokens
+LF_LONG_NEG = 25    #: lf_length: -1 below LONG_NEG tokens
+LF_REP_NEG = 5      #: lf_repetition: -1 when top_cnt * 5 > n_tok
+LF_REP_POS = 9      #: lf_repetition: +1 when top_cnt * 9 <= n_tok
+LF_KEYWORD = "spark"  #: lf_keyword: +1 when the token appears
+
+
+@register(
+    "labeling_function_report",
+    survey="ext-quality,A1,A3,A6,F8",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), tcnt AS (
+        SELECT doc_id, MAX(c) AS top_cnt FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(tk) AS tok FROM base) x
+            GROUP BY 1, 2) y
+        GROUP BY 1
+    ), votes AS (
+        SELECT b.doc_id,
+               CASE WHEN b.n_tok >= {LF_LONG_POS} THEN 1
+                    WHEN b.n_tok < {LF_LONG_NEG} THEN -1
+                    ELSE 0 END AS lf_length,
+               CASE WHEN t.top_cnt * {LF_REP_NEG} > b.n_tok THEN -1
+                    WHEN t.top_cnt * {LF_REP_POS} <= b.n_tok THEN 1
+                    ELSE 0 END AS lf_repetition,
+               CASE WHEN list_contains(b.tk, '{LF_KEYWORD}') THEN 1
+                    ELSE 0 END AS lf_keyword
+        FROM base b JOIN tcnt t ON t.doc_id = b.doc_id
+    ), long_votes AS (
+        SELECT doc_id, 'lf_length' AS rule, lf_length AS v,
+               lf_repetition AS o1, lf_keyword AS o2 FROM votes
+        UNION ALL
+        SELECT doc_id, 'lf_repetition', lf_repetition,
+               lf_length, lf_keyword FROM votes
+        UNION ALL
+        SELECT doc_id, 'lf_keyword', lf_keyword,
+               lf_length, lf_repetition FROM votes
+    ), tot AS (SELECT COUNT(*) AS n_docs FROM votes)
+    SELECT rule,
+           CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_labeled,
+           CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           CAST(SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg,
+           CAST(SUM(CASE WHEN v <> 0 AND (o1 <> 0 OR o2 <> 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN v <> 0 AND (v = -o1 AND o1 <> 0
+                                          OR v = -o2 AND o2 <> 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+           CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1e0 / t.n_docs AS coverage
+    FROM long_votes CROSS JOIN tot t
+    GROUP BY rule, t.n_docs
+    """,
+)
+def labeling_function_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style labeling-function diagnostics — the report a
+    weak-supervision pipeline reads before training a label model:
+    per rule, how much of the corpus it labels (coverage), how often
+    it fires alongside another rule (overlap), and how often it
+    DISAGREES with another non-abstaining rule (conflict — the signal
+    that a rule is noisy or the latent label is ambiguous). Three
+    rules vote +1/-1/0 (abstain) on a latent "high-quality document" label:
+    length (>= 50 tokens up / < 25 down), repetition (top-token share
+    via integer rules: *5 > n down, *9 <= n up), and a keyword
+    indicator.
+
+    All votes and counts are integer arithmetic; coverage is one
+    division by the corpus size — the oracle is exact. Plan: one
+    token-count aggregate (the only shuffle), per-row vote
+    expressions, a 3-way unpivot of (vote, other-votes) triples, and
+    one grouped aggregate over 3·N rows; the corpus-size total joins
+    as a broadcast literal row. At 100 TB this is the shape of every
+    rule-ensemble quality audit: per-row expressions plus one
+    map-combinable rollup."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = (spread(t["documents"], "doc_id")
+            .select("doc_id", F.split("text", " ").alias("tk"))
+            .withColumn("n_tok", F.size("tk")))
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(F.col("tk")),
+        lambda tok: F.size(F.filter(F.col("tk"), lambda x: x == tok))))
+    votes = base.select(
+        "doc_id",
+        F.when(F.col("n_tok") >= LF_LONG_POS, 1)
+         .when(F.col("n_tok") < LF_LONG_NEG, -1)
+         .otherwise(0).alias("lf_length"),
+        F.when(top_cnt * LF_REP_NEG > F.col("n_tok"), -1)
+         .when(top_cnt * LF_REP_POS <= F.col("n_tok"), 1)
+         .otherwise(0).alias("lf_repetition"),
+        F.when(F.array_contains("tk", LF_KEYWORD), 1)
+         .otherwise(0).alias("lf_keyword"),
+    ).localCheckpoint(eager=True)
+
+    def row(rule: str, others: tuple[str, str]) -> DataFrame:
+        return votes.select(
+            F.lit(rule).alias("rule"), F.col(rule).alias("v"),
+            F.col(others[0]).alias("o1"), F.col(others[1]).alias("o2"))
+
+    lv = (row("lf_length", ("lf_repetition", "lf_keyword"))
+          .unionByName(row("lf_repetition", ("lf_length", "lf_keyword")))
+          .unionByName(row("lf_keyword", ("lf_length", "lf_repetition"))))
+    labeled = (F.col("v") != 0).cast("long")
+    return (lv.crossJoin(F.broadcast(
+                votes.agg(F.count("*").alias("n_docs"))))
+            .groupBy("rule", "n_docs")
+            .agg(F.sum(labeled).alias("n_labeled"),
+                 F.sum((F.col("v") == 1).cast("long")).alias("n_pos"),
+                 F.sum((F.col("v") == -1).cast("long")).alias("n_neg"),
+                 F.sum(((F.col("v") != 0)
+                        & ((F.col("o1") != 0) | (F.col("o2") != 0)))
+                       .cast("long")).alias("n_overlap"),
+                 F.sum(((F.col("v") != 0)
+                        & (((F.col("v") == -F.col("o1"))
+                            & (F.col("o1") != 0))
+                           | ((F.col("v") == -F.col("o2"))
+                              & (F.col("o2") != 0))))
+                       .cast("long")).alias("n_conflict"))
+            .select("rule", "n_labeled", "n_pos", "n_neg",
+                    "n_overlap", "n_conflict",
+                    (F.col("n_labeled") * F.lit(1.0) / F.col("n_docs"))
+                    .alias("coverage"))
+            .orderBy("rule"))

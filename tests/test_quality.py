@@ -54,3 +54,50 @@ def test_unigram_score_orders_ood_text(spark):
     assert stats["lo"] < stats["hi"]
     # scores are positive (negative log-probs) and finite
     assert df.filter(~F.col("avg_neg_logprob").between(0.001, 50)).count() == 0
+
+
+def test_labeling_function_report_matches_python(spark):
+    """Pure-python replay of all three labeling functions and the
+    coverage/overlap/conflict accounting."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators import quality as Q
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {r["rule"]: r.asDict() for r in
+           all_queries()["labeling_function_report"].fn(spark, SF_DIR)
+           .collect()}
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    votes = {}
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        n, top = len(tk), max(Counter(tk).values())
+        votes[r.doc_id] = {
+            "lf_length": 1 if n >= Q.LF_LONG_POS
+            else (-1 if n < Q.LF_LONG_NEG else 0),
+            "lf_repetition": -1 if top * Q.LF_REP_NEG > n
+            else (1 if top * Q.LF_REP_POS <= n else 0),
+            "lf_keyword": 1 if Q.LF_KEYWORD in tk else 0,
+        }
+    rules = ("lf_length", "lf_repetition", "lf_keyword")
+    for rule in rules:
+        others = [x for x in rules if x != rule]
+        vs = [(v[rule], v[others[0]], v[others[1]])
+              for v in votes.values()]
+        want = {
+            "rule": rule,
+            "n_labeled": sum(1 for v, *_ in vs if v != 0),
+            "n_pos": sum(1 for v, *_ in vs if v == 1),
+            "n_neg": sum(1 for v, *_ in vs if v == -1),
+            "n_overlap": sum(1 for v, a, b in vs
+                             if v != 0 and (a != 0 or b != 0)),
+            "n_conflict": sum(1 for v, a, b in vs
+                              if v != 0 and ((v == -a and a != 0)
+                                             or (v == -b and b != 0))),
+        }
+        want["coverage"] = want["n_labeled"] / len(vs)
+        assert got[rule] == want, rule
