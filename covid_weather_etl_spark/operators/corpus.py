@@ -1546,3 +1546,125 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(stage(s3, "3_quality"))
             .unionByName(stage(s4, "4_decontaminated"))
             .orderBy("stage", "source"))
+
+
+# ---------------------------------------------------------------------------
+# objective construction: T5-style span-corruption accounting
+# ---------------------------------------------------------------------------
+
+#: span corruption layout: one SPAN-token mask per BLOCK-token block,
+#: placed by a portable md5 offset — ~15% corruption rate, non-
+#: overlapping spans by construction (the T5/UL2 denoising shape made
+#: deterministic: no RNG, reproducible across engines and layouts).
+CORRUPT_BLOCK = 20
+CORRUPT_SPAN = 3
+
+
+@register(
+    "span_corruption_plan",
+    survey="ext-corpus,A1,A6,F9",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), blocks AS (
+        SELECT doc_id, source, tk, n_tok, u.i AS blk,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                        || CAST(u.i AS VARCHAR)), 1, 15))
+                    ::BIGINT % {CORRUPT_BLOCK - CORRUPT_SPAN + 1}
+                    AS BIGINT) AS off
+        FROM base,
+             UNNEST(generate_series(0, CAST(FLOOR(n_tok * 1e0
+                                                  / {CORRUPT_BLOCK})
+                                            AS BIGINT) - 1)) AS u(i)
+    ), masked AS (
+        SELECT doc_id, source, n_tok, blk,
+               CAST(len(tk[CAST(blk * {CORRUPT_BLOCK} + off + 1 AS BIGINT)
+                         : CAST(blk * {CORRUPT_BLOCK} + off
+                                + {CORRUPT_SPAN} AS BIGINT)]) AS BIGINT)
+                   AS span_toks,
+               CAST(list_sum(list_transform(
+                        tk[CAST(blk * {CORRUPT_BLOCK} + off + 1 AS BIGINT)
+                         : CAST(blk * {CORRUPT_BLOCK} + off
+                                + {CORRUPT_SPAN} AS BIGINT)],
+                        t -> length(t))) AS BIGINT) AS span_chars
+        FROM blocks
+    ), per_doc AS (
+        SELECT doc_id, source, n_tok,
+               COUNT(*) AS n_spans,
+               SUM(span_toks) AS n_masked,
+               SUM(span_chars) AS masked_chars
+        FROM masked GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(n_masked) AS BIGINT) AS n_masked_tokens,
+           CAST(SUM(masked_chars) AS BIGINT) AS n_masked_chars,
+           CAST(SUM(n_masked) AS BIGINT) * 1e0
+               / CAST(SUM(n_tok) AS BIGINT) AS mask_ratio
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption LAYOUT accounting — before a
+    denoising pretraining run, the pipeline must place corruption
+    spans and account for the mask budget (tokens and sentinels per
+    source feed the loss-weighting and budget math). Spans here are
+    DETERMINISTIC: one 3-token span per full 20-token block, offset
+    by a portable md5 of (doc_id, block) — ~15% corruption,
+    non-overlapping by construction, reproducible across engines,
+    partitionings and reruns (the same no-RNG discipline as
+    hash_stratified_sample); documents shorter than one block carry
+    no span and drop from the plan.
+
+    Per source: docs planned, spans (== sentinels), masked tokens and
+    characters, and the realized mask ratio (one division of exact
+    integer sums). Plan: one explode to block granularity (bounded at
+    n_tok/20 rows per doc), per-row slice arithmetic, one grouped
+    rollup — no joins, no windows; at 100 TB this is a single
+    map-side-combinable pass."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    b, s = CORRUPT_BLOCK, CORRUPT_SPAN
+    base = (spread(t["documents"], "doc_id")
+            .select("doc_id", "source", F.split("text", " ").alias("tk"))
+            .withColumn("n_tok", F.size("tk"))
+            .filter(F.col("n_tok") >= b))
+    # FLOOR explicitly: a bare CAST(double AS BIGINT) truncates in
+    # Spark but ROUNDS in DuckDB — n_tok/20 = 2.85 would plan 2 vs 3
+    # blocks (caught by the oracle on first run)
+    blocks = (base.select(
+        "doc_id", "source", "tk", "n_tok",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.floor(F.col("n_tok") / b).cast("bigint") - 1)).alias("blk")))
+    off = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("blk").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(b - s + 1))
+    span = F.slice(F.col("tk"),
+                   (F.col("blk") * b + F.col("off") + 1).cast("int"), s)
+    masked = (blocks.withColumn("off", off)
+              .select("doc_id", "source", "n_tok",
+                      F.size(span).cast("bigint").alias("span_toks"),
+                      F.aggregate(F.transform(span,
+                                              lambda tk: F.length(tk)),
+                                  F.lit(0),
+                                  lambda acc, x: acc + x)
+                      .cast("bigint").alias("span_chars")))
+    per_doc = (masked.groupBy("doc_id", "source", "n_tok")
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum("span_toks").alias("n_masked"),
+                    F.sum("span_chars").alias("masked_chars")))
+    return (per_doc.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_spans").alias("n_spans"),
+                 F.sum("n_masked").alias("n_masked_tokens"),
+                 F.sum("masked_chars").alias("n_masked_chars"),
+                 (F.sum("n_masked") * F.lit(1.0) / F.sum("n_tok"))
+                 .alias("mask_ratio"))
+            .orderBy("source"))

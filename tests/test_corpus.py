@@ -377,3 +377,40 @@ def test_corpus_curation_funnel_matches_python_replay(spark):
     totals = [sum(v[0] for k, v in got.items() if k[0] == lab)
               for lab in sorted(stages)]
     assert totals == sorted(totals, reverse=True)
+
+
+def test_span_corruption_plan_matches_python_replay(spark):
+    """hashlib replay of the deterministic span layout: per-source
+    doc/span/masked-token/char totals and the realized mask ratio."""
+    got = {r["source"]: r.asDict() for r in
+           C.span_corruption_plan(spark, SF_DIR).collect()}
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    b, s = C.CORRUPT_BLOCK, C.CORRUPT_SPAN
+    per = {}
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        n = len(tk)
+        nb = n // b
+        if nb < 1:
+            continue
+        spans = masked = chars = 0
+        for i in range(nb):
+            off = int(hashlib.md5(f"{r.doc_id}:{i}".encode())
+                      .hexdigest()[:15], 16) % (b - s + 1)
+            seg = tk[i * b + off: i * b + off + s]
+            spans += 1
+            masked += len(seg)
+            chars += sum(len(t) for t in seg)
+        d = per.setdefault(r.source, [0, 0, 0, 0, 0])
+        d[0] += 1
+        d[1] += spans
+        d[2] += masked
+        d[3] += chars
+        d[4] += n
+    for src, (nd, ns, nm, nc, nt) in per.items():
+        g = got[src]
+        assert (g["n_docs"], g["n_spans"], g["n_masked_tokens"],
+                g["n_masked_chars"]) == (nd, ns, nm, nc), src
+        assert g["mask_ratio"] == nm * 1.0 / nt, src
+    assert set(got) == set(per)
