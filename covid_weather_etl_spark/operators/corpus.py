@@ -1668,3 +1668,79 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("n_masked") * F.lit(1.0) / F.sum("n_tok"))
                  .alias("mask_ratio"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# training order: deterministic source-interleaved shuffle
+# ---------------------------------------------------------------------------
+
+#: rows returned from the head of the interleaved order (driver-sized
+#: demo slice; the full ordering is a write-time sort key).
+INTERLEAVE_HEAD = 40
+
+
+@register(
+    "source_interleave_order",
+    survey="ext-corpus,W6,A6,J1",
+    oracle=f"""
+    WITH srcs AS (SELECT DISTINCT source FROM documents),
+    sidx AS (
+        SELECT a.source, COUNT(*) - 1 AS s_idx
+        FROM srcs a JOIN srcs b ON b.source <= a.source
+        GROUP BY a.source
+    ), nsrc AS (SELECT COUNT(*) AS n_sources FROM srcs),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('il:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) - 1 AS r
+        FROM documents
+    )
+    SELECT CAST((r.r * n.n_sources + s.s_idx) AS BIGINT) AS pos,
+           r.source, r.doc_id
+    FROM ranked r
+    JOIN sidx s ON s.source = r.source
+    CROSS JOIN nsrc n
+    ORDER BY pos
+    LIMIT {INTERLEAVE_HEAD}
+    """,
+)
+def source_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING ORDER with source interleaving — the
+    data-ordering step of a pretraining pipeline: within each source
+    the documents are shuffled by a keyed md5 (no RNG — identical
+    across engines, partitionings and epochs-with-different-keys),
+    and the streams are round-robin interleaved so every consecutive
+    batch window sees all sources (position = within-source rank ×
+    n_sources + source index — a closed FORMULA, so no global window
+    ever materializes; the only window partitions by source). Returns
+    the head of the order; at 100 TB the same position expression is
+    the write-time sort key (repartitionByRange(pos) +
+    sortWithinPartitions), giving a fully shuffled, source-balanced
+    training stream without a driver-side permutation.
+
+    The source index comes from a tiny dim×dim inequality join (≤
+    |sources|² rows) rather than an unpartitioned window — the
+    zero-global-windows rule holds even for the 20-row frame."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = spread(t["documents"], "doc_id")
+    srcs = docs.select("source").distinct()
+    a, bq = srcs.alias("a"), srcs.alias("b")
+    sidx = (a.join(bq, F.col("b.source") <= F.col("a.source"))
+            .groupBy(F.col("a.source").alias("source"))
+            .agg((F.count("*") - 1).alias("s_idx")))
+    nsrc = srcs.agg(F.count("*").alias("n_sources"))
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("il:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"))
+    ranked = docs.select("doc_id", "source",
+                         (F.row_number().over(w) - 1).alias("r"))
+    return (ranked
+            .join(F.broadcast(sidx), "source")
+            .crossJoin(F.broadcast(nsrc))
+            .select((F.col("r") * F.col("n_sources") + F.col("s_idx"))
+                    .cast("bigint").alias("pos"),
+                    "source", "doc_id")
+            .orderBy("pos")
+            .limit(INTERLEAVE_HEAD))

@@ -414,3 +414,26 @@ def test_span_corruption_plan_matches_python_replay(spark):
                 g["n_masked_chars"]) == (nd, ns, nm, nc), src
         assert g["mask_ratio"] == nm * 1.0 / nt, src
     assert set(got) == set(per)
+
+
+def test_source_interleave_order_matches_python_replay(spark):
+    """hashlib replay: within-source md5 shuffle, round-robin formula,
+    head-of-order slice; consecutive positions rotate sources."""
+    got = [(r["pos"], r["source"], r["doc_id"]) for r in
+           C.source_interleave_order(spark, SF_DIR).collect()]
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    srcs = sorted(docs.source.unique())
+    s_idx = {s: i for i, s in enumerate(srcs)}
+    want = []
+    for s, g in docs.groupby("source"):
+        order = sorted(g.doc_id,
+                       key=lambda d: (hashlib.md5(f"il:{d}".encode())
+                                      .hexdigest(), d))
+        for r, d in enumerate(order):
+            want.append((r * len(srcs) + s_idx[s], s, int(d)))
+    want = sorted(want)[:C.INTERLEAVE_HEAD]
+    assert got == want
+    # the head is perfectly source-balanced in rotation
+    seen = [s for _, s, _ in got]
+    assert seen[:len(srcs)] == srcs
