@@ -83,3 +83,44 @@ def test_parity_harness_detects_mismatches(spark, duck):
                      f"FROM ({base.oracle})")
     with _pytest.raises(AssertionError):
         assert_parity(spark, duck, renamed)
+
+
+def test_decimal_cast_tie_hazard_canary(spark, duck):
+    """Canary for PARITY.md §3b: proves the hazard is REAL on this
+    engine pair — on exact .5 ties of the cast grid, Spark's
+    double→DECIMAL rounds HALF_UP (repr-based BigDecimal) while
+    DuckDB rounds half-EVEN, so `(2k+1)/2e6` values diverge for even
+    k — and that the integer-accumulation / FLOOR(x·p + 0.5) form
+    used by ar_forecast / holt_winters / time_weighted_average does
+    not. If the naive assertion starts passing, the engines changed
+    their cast paths and §3b can be revisited."""
+    from pyspark.sql import functions as F
+
+    # doubles sitting exactly ON the 1e-6 cast-rounding boundary
+    vals = [(2 * k + 1) / 2e6
+            for k in range(1_000_000_000_000, 1_000_000_000_040)]
+    sdf = spark.createDataFrame([(v,) for v in vals], "y double")
+    naive_s = [str(r[0]) for r in
+               sdf.select(F.col("y").cast("decimal(38,6)")).collect()]
+    exact_s = [r[0] for r in sdf.select(
+        F.floor(F.col("y") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    ).collect()]
+
+    duck.execute("CREATE OR REPLACE TEMP TABLE canary_y(y DOUBLE)")
+    duck.executemany("INSERT INTO canary_y VALUES (?)",
+                     [(v,) for v in vals])
+    rows = duck.execute(
+        "SELECT CAST(y AS DECIMAL(38,6)), "
+        "       CAST(CAST(FLOOR(y * 1e6 + 5e-1) AS BIGINT) "
+        "            AS DECIMAL(38,0)) "
+        "FROM canary_y ORDER BY y").fetchall()
+    duck.execute("DROP TABLE canary_y")
+    naive_d = [str(r[0]) for r in rows]
+    exact_d = [r[1] for r in rows]
+
+    assert [int(x) for x in exact_s] == [int(x) for x in exact_d]
+    n_div = sum(1 for a, b in zip(sorted(naive_s), sorted(naive_d))
+                if a.rstrip("0") != b.rstrip("0"))
+    assert n_div > 0, (
+        "the engines' double->DECIMAL cast paths now agree on .5 "
+        "ties — revisit PARITY.md §3b")
