@@ -106,7 +106,10 @@ def _load_modules() -> None:
 # (fpgrowth_type_itemsets, prefixspan_event_patterns,
 # benchmark_decontamination, token_budget_allocation,
 # binary_hamming_topk, context_packing_stats, ngram_novelty_profile,
-# kalman_level_smooth, plus anything newer; see QUERIES.md "never").
+# kalman_level_smooth, ann_recall_eval, ivf_cell_balance_profile,
+# corpus_curation_funnel, labeling_function_report,
+# span_corruption_plan, source_interleave_order, plus anything newer;
+# see QUERIES.md "never").
 # Remaining rows-only for weaker rows checks: bpe_vocab_train,
 # bpe_encode_documents, media_phash_dedup, pca_top_component,
 # als_part_recommendations.
