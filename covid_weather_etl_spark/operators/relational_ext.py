@@ -650,3 +650,90 @@ def repurchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qs")[1], 6).alias("median_days"),
         F.round(F.col("qs")[2], 6).alias("p75_days"),
         "min_days", "max_days")
+
+
+# ---------------------------------------------------------------------------
+# optimizer statistics: sampled join-cardinality estimation vs truth
+# ---------------------------------------------------------------------------
+
+#: key-level Bernoulli sampling rate denominator: keys with
+#: md5(key) % RATE == 0 are sampled, the sum of squared frequencies
+#: scales back by RATE (unbiased for self-equi-join size).
+JOINEST_RATE = 16
+
+
+def _joinest_pair_sql(table: str, key: str) -> str:
+    """One (key-column, actual, estimated) row: self-equi-join size
+    Σ f(k)² exactly, and its key-sampled estimate — all integers."""
+    return f"""
+        SELECT '{key}' AS join_key,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS actual_pairs,
+               CAST({JOINEST_RATE} * SUM(
+                   CASE WHEN ('0x' || substr(md5(CAST(k AS VARCHAR)),
+                                             1, 15))::BIGINT
+                             % {JOINEST_RATE} = 0
+                        THEN cnt * cnt ELSE 0 END) AS BIGINT)
+                   AS estimated_pairs
+        FROM (SELECT {key} AS k, COUNT(*) AS cnt
+              FROM {table} GROUP BY 1) g
+    """
+
+
+@register(
+    "join_size_estimate",
+    survey="ext-stats,A1,A3,A6,F9",
+    oracle=f"""
+    SELECT join_key, actual_pairs, estimated_pairs,
+           FLOOR((estimated_pairs - actual_pairs) * 1e6 * 1e0
+                 / actual_pairs + 5e-1) / 1e6 AS rel_err
+    FROM (
+        {_joinest_pair_sql('lineitem', 'l_partkey')}
+        UNION ALL
+        {_joinest_pair_sql('lineitem', 'l_suppkey')}
+        UNION ALL
+        {_joinest_pair_sql('orders', 'o_custkey')}
+    ) u
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based JOIN-CARDINALITY estimation next to ground
+    truth — the statistic a cost-based optimizer needs before picking
+    a join strategy at 100 TB, where computing the true size is as
+    expensive as the join itself. Self-equi-join size is Σ f(k)² over
+    the key histogram; the estimator samples KEYS (not rows — row
+    sampling biases f² estimates) with a deterministic md5 Bernoulli
+    at rate 1/{JOINEST_RATE} and scales back: unbiased, no RNG,
+    reproducible. Reported for two skewed fact keys and one dimension
+    FK, with the realized relative error.
+
+    Everything is integer arithmetic off one groupBy per key (the
+    histogram an engine keeps as statistics anyway); the estimate
+    needs only the SAMPLED keys' counts — at scale the histogram scan
+    prunes to the sample with a pushed md5-bucket predicate. rel_err
+    is the single division, display-rounded."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+
+    def pair(df: DataFrame, key: str) -> DataFrame:
+        g = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
+        sampled = F.when(
+            F.pmod(F.conv(F.substring(F.md5(F.col("k").cast("string")
+                                            .cast("binary")), 1, 15),
+                          16, 10).cast("bigint"),
+                   F.lit(JOINEST_RATE)) == 0,
+            F.col("cnt") * F.col("cnt")).otherwise(F.lit(0))
+        return g.agg(
+            F.lit(key).alias("join_key"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("bigint")
+            .alias("actual_pairs"),
+            (F.lit(JOINEST_RATE) * F.sum(sampled)).cast("bigint")
+            .alias("estimated_pairs"))
+
+    out = (pair(t["lineitem"], "l_partkey")
+           .unionByName(pair(t["lineitem"], "l_suppkey"))
+           .unionByName(pair(t["orders"], "o_custkey")))
+    rel = ((F.col("estimated_pairs") - F.col("actual_pairs"))
+           * F.lit(1e6) * F.lit(1.0) / F.col("actual_pairs"))
+    return (out.select("join_key", "actual_pairs", "estimated_pairs",
+                       (F.floor(rel + F.lit(0.5)) / F.lit(1e6))
+                       .alias("rel_err"))
+            .orderBy("join_key"))

@@ -89,3 +89,37 @@ def test_range_frame_spans_values_not_rows(spark):
         assert diff == 0
     finally:
         df.unpersist()
+
+
+def test_join_size_estimate_matches_python_and_is_unbiased_shape(spark):
+    """hashlib replay of the exact Σf² and the key-sampled estimate;
+    the actual must equal the true self-join row count."""
+    import hashlib
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.relational_ext import (
+        JOINEST_RATE, join_size_estimate,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r["join_key"]: r.asDict()
+           for r in join_size_estimate(spark, SF_DIR).collect()}
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    for key, col in (("l_partkey", li.l_partkey),
+                     ("l_suppkey", li.l_suppkey),
+                     ("o_custkey", od.o_custkey)):
+        f = col.value_counts()
+        actual = int((f ** 2).sum())
+        est = JOINEST_RATE * int(sum(
+            c * c for k, c in f.items()
+            if int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            % JOINEST_RATE == 0))
+        g = got[key]
+        assert g["actual_pairs"] == actual, key
+        assert g["estimated_pairs"] == est, key
+        # rel_err is the 1e-6-grid image of (est-actual)/actual
+        assert abs(g["rel_err"]
+                   - (est - actual) / actual) < 2e-6, key
