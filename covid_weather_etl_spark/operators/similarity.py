@@ -1595,3 +1595,109 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("cos_sim")))
     # TakeOrdered path: orderBy+limit, never a full global sort at scale
     return scored.orderBy("hamming", "vec_id").limit(BIN_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation: recall of prefix-dim embeddings vs full-dim
+# ---------------------------------------------------------------------------
+
+#: prefix widths evaluated against the full 64-dim ground truth.
+MRL_WIDTHS = (8, 16, 32)
+MRL_QUERIES = 16
+MRL_K = 10
+
+
+def _mrl_width_sql(d: int) -> str:
+    return f"""
+        SELECT {d} AS trunc_dims, t.q_id, t.vec_id
+        FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    e.v[1:{d}], q.qv[1:{d}]), 6) DESC,
+                                e.vec_id) AS rn
+            FROM emb e JOIN queries q ON e.vec_id <> q.q_id) t
+        WHERE t.rn <= {MRL_K}
+    """
+
+
+@register(
+    "matryoshka_recall_eval",
+    survey="ext-sim,U5,A6,W6",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    queries AS (SELECT vec_id AS q_id, v AS qv FROM emb
+                WHERE vec_id < {MRL_QUERIES}),
+    exact AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6)
+                                DESC, e.vec_id) AS rn
+            FROM emb e JOIN queries q ON e.vec_id <> q.q_id) x
+        WHERE rn <= {MRL_K}
+    ),
+    trunc AS (
+        {" UNION ALL ".join(_mrl_width_sql(d) for d in MRL_WIDTHS)}
+    ),
+    hits AS (
+        SELECT t.trunc_dims, COUNT(*) AS n_hits
+        FROM trunc t JOIN exact e
+          ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+        GROUP BY 1
+    )
+    SELECT CAST(trunc_dims AS INT) AS trunc_dims,
+           CAST({MRL_QUERIES} AS BIGINT) AS n_queries,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS BIGINT) * 1e0
+               / {MRL_QUERIES * MRL_K} AS recall_at_10
+    FROM hits
+    """,
+)
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/prefix-truncation recall curve — the eval behind
+    embedding COMPRESSION decisions (Kusupati et al. 2022): when the
+    first d of 64 dimensions replace the full vector (cheaper
+    storage, faster scans), how much of the true cosine top-10
+    survives? Reported as aggregate recall@10 over 16 queries for
+    d in 8/16/32 (MRL_WIDTHS) — the curve that picks the serving width, next
+    to ann_recall_eval's index-pruning recall (compression and
+    pruning are the two orthogonal ANN cost levers).
+
+    Plan: the query batch broadcasts; the corpus is scanned once per
+    width with a narrow sliced-cosine expression (slice() of the
+    already-loaded array — no extra I/O); each ranking is a
+    partitioned window over q_id; the hit join is MRL_K rows per
+    query per width. All counts integer; recall is one division."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    queries = (emb.filter(F.col("vec_id") < MRL_QUERIES)
+               .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
+    scored = emb.crossJoin(F.broadcast(queries)) \
+                .filter(F.col("vec_id") != F.col("q_id"))
+    w = W.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+
+    def topk(sim_col, extra):
+        return (scored.select("q_id", "vec_id", sim_col.alias("s"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= MRL_K)
+                .select(F.lit(extra).alias("trunc_dims"),
+                        "q_id", "vec_id"))
+
+    exact = topk(F.round(cosine(F.col("v"), F.col("qv")), 6), 0) \
+        .select("q_id", "vec_id")
+    trunc = None
+    for d in MRL_WIDTHS:
+        sim = F.round(cosine(F.slice(F.col("v"), 1, d),
+                             F.slice(F.col("qv"), 1, d)), 6)
+        part = topk(sim, d)
+        trunc = part if trunc is None else trunc.unionByName(part)
+    return (trunc.join(exact, ["q_id", "vec_id"])
+            .groupBy("trunc_dims")
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.col("trunc_dims").cast("int"),
+                    F.lit(MRL_QUERIES).cast("bigint").alias("n_queries"),
+                    F.col("n_hits").cast("bigint"),
+                    (F.col("n_hits").cast("bigint") * F.lit(1.0)
+                     / F.lit(MRL_QUERIES * MRL_K)).alias("recall_at_10"))
+            .orderBy("trunc_dims"))

@@ -495,3 +495,50 @@ def test_ivf_cell_balance_profile_invariants(spark):
         # Series.skew method
         assert math.isclose(r["skew"], r["share"] * KMEANS_K,
                             rel_tol=1e-12)
+
+
+def test_matryoshka_recall_eval_matches_numpy(spark):
+    """numpy replay: full-dim ground truth, prefix-truncated top-10
+    per width, aggregate hit counts; recall must be non-decreasing in
+    width (more dims can only better approximate the full metric on
+    this corpus's curve)."""
+    import numpy as np
+
+    from covid_weather_etl_spark.operators.similarity import (
+        MRL_K, MRL_QUERIES, MRL_WIDTHS,
+    )
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {r["trunc_dims"]: r.asDict() for r in
+           all_queries()["matryoshka_recall_eval"].fn(spark, SF_DIR)
+           .collect()}
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))),
+                     6)
+
+    def top10(d):
+        out = {}
+        for q in range(MRL_QUERIES):
+            qv = vecs[q][:d] if d else vecs[q]
+            ranked = sorted(
+                ((vid, cos(v[:d] if d else v, qv))
+                 for vid, v in vecs.items() if vid != q),
+                key=lambda t: (-t[1], t[0]))[:MRL_K]
+            out[q] = {v for v, _ in ranked}
+        return out
+
+    exact = top10(0)
+    for d in MRL_WIDTHS:
+        tr = top10(d)
+        hits = sum(len(exact[q] & tr[q]) for q in range(MRL_QUERIES))
+        g = got[d]
+        assert g["n_hits"] == hits, d
+        assert g["recall_at_10"] == hits / (MRL_QUERIES * MRL_K), d
+    recalls = [got[d]["recall_at_10"] for d in MRL_WIDTHS]
+    assert recalls == sorted(recalls)
