@@ -156,6 +156,56 @@ _ROTATION_R6 = (
     "holt_winters_forecast_eval", "markov_attribution",
 )
 
+# Round 7 window (50), per the r6 verdict directive #1. Slots 1-6: the
+# stale-evidence oracle upgrades — each carries a full replay oracle
+# newer than its last driver row (rows-only r02-r04), so a fresh row
+# flips it rows-only -> hash-green, as r6 did for kcore/pagerank.
+# Slots 7-35: the 29 oracle-equipped never-driver-checked queries
+# (newest parity claims first: the 6 late-r6 additions, then the 14
+# r6-session ops, then the 13 held family twins + the two lattice
+# graduations — order within the cohort follows the registry-comment
+# queue). Slots 36-40: the 5 never-checked rows-only-by-nature queries
+# (weaker rows-only driver evidence is still evidence; reasons per
+# PARITY.md §11). Slots 41-50: the oldest rows-only refreshes — all
+# seven r02 rows (sarima, logreg, both gbt, adf, fourier, rp_lsh) and
+# three of the four r03 rows — so after this round no driver evidence
+# predates r04 except media_resize (queued r8). This window closes the
+# never-checked queue entirely.
+_ROTATION_R7 = (
+    # stale-evidence oracle upgrades (rows-only rows predate oracles)
+    "hll_monthly_rollup", "ivf_kmeans_topk", "pq_ann_topk",
+    "minhash_near_dup", "simhash_near_dup", "ar_forecast_per_group",
+    # oracle-equipped never-checked: late-r6 additions
+    "benchmark_decontamination", "token_budget_allocation",
+    "binary_hamming_topk", "context_packing_stats",
+    "ngram_novelty_profile", "kalman_level_smooth",
+    # oracle-equipped never-checked: r6-session ops
+    "corpus_curation_funnel", "ann_recall_eval",
+    "ivf_cell_balance_profile", "matryoshka_recall_eval",
+    "labeling_function_report", "span_corruption_plan",
+    "source_interleave_order", "join_size_estimate",
+    # oracle-equipped never-checked: lattice graduations + held twins
+    "fpgrowth_type_itemsets", "prefixspan_event_patterns",
+    "gini_revenue_by_nation", "hhi_supplier_concentration",
+    "pythagorean_means_prices", "price_relative_standing",
+    "unpivot_flag_metrics", "char_entropy_quality",
+    "user_growth_curve", "time_decay_engagement", "date_spine_fill",
+    "repurchase_interval_stats", "mad_anomaly_report",
+    "time_weighted_average", "pinball_quantile_forecast_eval",
+    # never-checked rows-only-by-nature (PARITY.md §11)
+    "bpe_vocab_train", "bpe_encode_documents", "media_phash_dedup",
+    "pca_top_component", "als_part_recommendations",
+    # oldest rows-only refreshes: all seven r02 rows ...
+    "sarima_forecast_eval", "logreg_classifier_eval",
+    "gbt_classifier_eval", "gbt_regressor_eval", "adf_stationarity",
+    "fourier_trend_forecast_eval", "rp_lsh_near_dup",
+    # ... and three of the four r03 rows (media_resize queued r8)
+    "approx_distinct_profile", "approx_quantile_profile",
+    "media_features",
+)
+
+# Round 6 window (superseded — kept for the audit trail).
+
 # Round 5 window (superseded — kept for the audit trail): slots 1-2
 # are the two r4-ERR codebook queries,
 # re-shaped to scalar (id, dim, val) rows with DuckDB oracles over the
@@ -284,9 +334,9 @@ _ROTATION_R4 = (
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    missing = [n for n in _ROTATION_R6 if n not in _REGISTRY]
+    missing = [n for n in _ROTATION_R7 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _ROTATION_R6}
+    ordered = {n: _REGISTRY[n] for n in _ROTATION_R7}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered
