@@ -1490,7 +1490,7 @@ def _hw_oracle() -> str:
     G, IG = c(HW_GAMMA), c(1 - HW_GAMMA)
     B, BPHI, PHI = c(HW_BETA), c((1 - HW_BETA) * HW_PHI), c(HW_PHI)
     scols = ", ".join(f"s{i}" for i in range(m))
-    s_case = ("CASE h.t % 7 " +
+    s_case = (f"CASE h.t % {m} " +
               " ".join(f"WHEN {i} THEN h.s{i}" for i in range(m)) + " END")
     s_upd = ",\n               ".join(
         f"CASE WHEN q.si = {i} THEN {G} * (q.x - q.lvl_new) + {IG} * q.s{i} "
@@ -1498,7 +1498,7 @@ def _hw_oracle() -> str:
     s1 = "(" + " + ".join(f"vs[{i + 1}]" for i in range(m)) + f") / {m}e0"
     s2 = "(" + " + ".join(f"vs[{m + i + 1}]" for i in range(m)) + f") / {m}e0"
     seas0 = ", ".join(f"vs[{i + 1}] - s1m AS s{i}" for i in range(m))
-    f_case = ("CASE (f.n_train + d.k - 1) % 7 " +
+    f_case = (f"CASE (f.n_train + d.k - 1) % {m} " +
               " ".join(f"WHEN {i} THEN f.s{i}" for i in range(m)) + " END")
     return f"""
     WITH RECURSIVE {_NATION_DAILY_SQL},
@@ -1530,7 +1530,7 @@ def _hw_oracle() -> str:
                {B} * (q.lvl_new - q.level) + {BPHI} * q.trend,
                {s_upd}
         FROM (
-            SELECT h.*, r.y AS x, h.t % 7 AS si,
+            SELECT h.*, r.y AS x, h.t % {m} AS si,
                    {A} * (r.y - {s_case})
                    + {IA} * (h.level + {PHI} * h.trend) AS lvl_new
             FROM st h
@@ -1968,7 +1968,9 @@ def _fpgrowth_oracle() -> str:
     ordered self-joins of the unnested distinct-item baskets, k = 1..6.
     The driver corpus' item universe is the 6 p_type values, so level 6
     is the complete lattice — the oracle provably covers every itemset
-    FP-Growth can emit (pure integer counts, no float anywhere). The
+    FP-Growth can emit (pure integer counts, no float anywhere). A
+    guard CTE empties the oracle loudly (driver rows mismatch, not an
+    opaque hash mismatch) if the universe ever exceeds 6 items. The
     support threshold mirrors Spark's minCount = ceil(minSupport ·
     numBaskets) double arithmetic exactly."""
     levels = []
@@ -1998,7 +2000,14 @@ def _fpgrowth_oracle() -> str:
                     AS BIGINT) AS mc
         FROM baskets
     ),
-    ui AS (SELECT l_orderkey, unnest(items) AS item FROM baskets)
+    ui0 AS (SELECT l_orderkey, unnest(items) AS item FROM baskets),
+    -- guard: the level-wise lattice below is complete only to itemset
+    -- size 6. If the item universe ever outgrows 6 distinct types,
+    -- FP-Growth could emit itemsets this oracle cannot enumerate, so
+    -- empty the oracle LOUDLY (rows-count mismatch in the driver)
+    -- instead of surfacing an opaque hash mismatch.
+    ui AS (SELECT * FROM ui0
+           WHERE (SELECT COUNT(DISTINCT item) FROM ui0) <= 6)
     SELECT CAST(itemset AS VARCHAR) AS itemset,
            CAST(n_items AS INT) AS n_items,
            CAST(freq AS BIGINT) AS freq

@@ -799,7 +799,13 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     set and every output double bit-for-bit). At 100 TB nothing
     changes: the census shrinks to one row per cohort before any
     driver math. Constants are chosen so the budget is always
-    feasible (Σ cap = {EPOCH_CAP:g}·T > {BUDGET_X:g}·T ≥ budget)."""
+    feasible (Σ cap = {EPOCH_CAP:g}·T > {BUDGET_X:g}·T ≥ budget).
+
+    Parity caveat (PARITY.md §4): the single non-integer op is
+    pow(avail, α), assumed to agree between CPython and DuckDB libm —
+    it is evaluated ONCE per cohort and snapped to the 1e-6 grid
+    immediately, so a hypothetical last-ulp libm divergence surfaces
+    as one flipped grid cell in the driver hash, never as drift."""
     import math
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -1476,13 +1482,20 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact by construction.
 
     Scale: one checkpointed base scan feeds all stages; the near-dup
-    stage is the exact shared-shingle join (swap in the minhash
-    banding from operators/minhash.py as the candidate stage at
-    100 TB — the verify rule is unchanged); quality is per-row array
-    algebra (no shuffle); decontamination is two distinct-gram
-    explodes and a semi-join, broadcast-sized on the eval side. The
-    funnel itself is five map-side-combinable aggregates over frames
-    the plan already has."""
+    candidate stage is LOSSLESS prefix filtering (AllPairs/PPJoin,
+    Xiao et al. 2008) — only each doc's floor(n/2)+1 rarest shingles
+    under one global (df, s) order enter the candidate join, so a
+    shingle shared by k documents no longer emits k^2 pairs unless it
+    is rare enough to sit in prefixes (the hot-token blowup is
+    structurally excluded; the exact verify rule 3c >= n1+n2, i.e.
+    Jaccard >= 1/2, is unchanged and the prefix lemma guarantees the
+    identical drop set). The DuckDB twin deliberately keeps the
+    EXHAUSTIVE shared-shingle join, so the driver hash-match is a
+    cross-strategy equality proof of the pruning's losslessness.
+    Quality is per-row array algebra (no shuffle); decontamination is
+    two distinct-gram explodes and a semi-join, broadcast-sized on
+    the eval side. The funnel itself is five map-side-combinable
+    aggregates over frames the plan already has."""
     t = load_tables(spark, sf_dir, ("documents",))
     base = (spread(t["documents"], "doc_id")
             .filter(F.col("doc_id") % TX.DECON_EVAL_MOD != 0)
@@ -1493,21 +1506,55 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1 = base.groupBy("text").agg(F.min("doc_id").alias("doc_id")) \
                 .select("doc_id")
     s1 = base.join(keep1, "doc_id")
-    sh = (s1.select("doc_id", F.explode(F.expr(
+    # guard: a doc with <3 tokens shingles to nothing (and Spark's
+    # descending sequence(0, size-3) would throw); it stays in the
+    # s1/s2 counts, it just can never be a near-dup candidate — the
+    # oracle's generate_series(1, len-2) is naturally empty for it
+    sh = (s1.filter(F.size("tk") >= 3)
+          .select("doc_id", F.explode(F.expr(
               "transform(sequence(0, size(tk) - 3), "
               "i -> concat_ws(' ', slice(tk, i + 1, 3)))")).alias("s"))
           .distinct()
           .localCheckpoint(eager=True))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
-    pa = sh.select(F.col("doc_id").alias("d1"), "s")
-    pb = sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"))
-    common = (pa.join(pb, (pa["s"] == pb["s2"]) & (pa["d1"] < pb["d2"]))
-              .groupBy("d1", "d2").agg(F.count("*").alias("c")))
-    drops = (common
-             .join(sizes.select(F.col("doc_id").alias("d1"),
-                                F.col("ns").alias("n1")), "d1")
-             .join(sizes.select(F.col("doc_id").alias("d2"),
-                                F.col("ns").alias("n2")), "d2")
+    # LOSSLESS prefix-filtered candidate stage (AllPairs/PPJoin) at
+    # the funnel's own threshold: the verify rule 3c >= n1+n2 is
+    # exactly Jaccard >= 1/2, so a qualifying pair shares c >=
+    # ceil(n_i/2) shingles with EACH side and must therefore collide
+    # inside both docs' (floor(n/2)+1)-shingle prefixes under one
+    # global (df, s) order — the prefix lemma (Xiao et al. 2008).
+    # This replaces the raw shared-shingle self-join, whose k^2
+    # fan-out on a shingle shared by k docs is the classic hot-token
+    # blowup at 100 TB; the hottest shingles live in nobody's prefix,
+    # so prefix filtering is also the skew guard. Integer-only rule:
+    # pos <= floor(ns/2)+1  ⟺  2*pos <= ns+2.
+    df_tab = sh.groupBy("s").agg(F.count("*").alias("df"))
+    wpos = W.partitionBy("doc_id").orderBy("df", "s")
+    pref = (sh.join(df_tab, "s")
+            .select("doc_id", "s",
+                    F.row_number().over(wpos).alias("pos"),
+                    F.count("*").over(W.partitionBy("doc_id"))
+                    .alias("ns"))
+            .filter(F.col("pos") * 2 <= F.col("ns") + 2)
+            .select("doc_id", "s"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"),
+                  (F.col("a.s") == F.col("b.s"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
+    docsets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("sset"),
+        F.count("*").alias("ns"))
+    drops = (cand
+             .join(docsets.select(F.col("doc_id").alias("d1"),
+                                  F.col("sset").alias("set1"),
+                                  F.col("ns").alias("n1")), "d1")
+             .join(docsets.select(F.col("doc_id").alias("d2"),
+                                  F.col("sset").alias("set2"),
+                                  F.col("ns").alias("n2")), "d2")
+             .withColumn("c", F.size(F.array_intersect("set1", "set2"))
+                         .cast("long"))
              .filter(F.col("c") * 3 >= F.col("n1") + F.col("n2"))
              .select(F.col("d2").alias("doc_id")).distinct())
     s2 = s1.join(drops, "doc_id", "left_anti").localCheckpoint(eager=True)

@@ -77,6 +77,9 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             # split once into a column (inline split re-tokenizes the
             # document per shingle -- quadratic in doc length)
             .select("doc_id", F.split("text", " ").alias("tk"))
+            # guard: a doc with < n tokens shingles to nothing; without
+            # this, sequence(0, size-n) goes descending and slice throws
+            .filter(F.size("tk") >= n)
             .select("doc_id", F.explode(F.expr(
                 f"transform(sequence(0, size(tk) - {n}), "
                 f"i -> concat_ws(' ', slice(tk, i + 1, {n})))"
@@ -473,6 +476,7 @@ def incremental_minhash_ingest(spark: SparkSession,
     t = load_tables(spark, sf_dir, ("documents",))
     sh = (spread(t["documents"], "doc_id")
           .select("doc_id", F.split("text", " ").alias("tk"))
+          .filter(F.size("tk") >= 3)   # <3-token docs shingle to nothing
           .select("doc_id", F.explode(F.expr(_INC_SHINGLES)).alias("s"))
           .distinct()
           .localCheckpoint(eager=True))

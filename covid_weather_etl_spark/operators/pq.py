@@ -117,9 +117,11 @@ def ensure_pq_codebook(spark: SparkSession, sf_dir: str) -> list:
     """Train-once seam (same contract as ensure_ivf_codebook): first
     call per corpus trains + persists; later calls load. The artifact
     is M·C rows of SUB doubles — model-sized, like a PipelineModel."""
-    if sf_dir in _PQ_MEMO:
-        return _PQ_MEMO[sf_dir]
+    # memo keyed by artifact path (abspath + content fingerprint) so an
+    # in-process corpus regeneration invalidates the memo (advice r6)
     path = pq_codebook_path(sf_dir)
+    if path in _PQ_MEMO:
+        return _PQ_MEMO[path]
     if os.path.isdir(path):
         rows = spark.read.parquet(path).collect()
     else:
@@ -128,7 +130,7 @@ def ensure_pq_codebook(spark: SparkSession, sf_dir: str) -> list:
         (spark.createDataFrame(rows, schema=_PQ_SCHEMA)
          .coalesce(1).write.mode("overwrite").parquet(path))
     rows = sorted(rows, key=lambda r: (r["sub_id"], r["code"]))
-    _PQ_MEMO[sf_dir] = rows
+    _PQ_MEMO[path] = rows
     return rows
 
 
@@ -179,7 +181,7 @@ def _pq_codebook_oracle() -> str:
 
 
 @register("pq_codebook_train", survey="LLM-sim,U2",
-          oracle=_pq_codebook_oracle(),
+          oracle=_pq_codebook_oracle,
           tags=("oracle-at-sf0.01",))
 def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training half of the PQ seam: per-subspace k-means codebooks,
@@ -257,7 +259,7 @@ def _pq_ann_topk_oracle() -> str:
 
 
 @register("pq_ann_topk", survey="LLM-sim,J1,A6",
-          oracle=_pq_ann_topk_oracle(),
+          oracle=_pq_ann_topk_oracle,
           tags=("oracle-at-sf0.01",))
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search + exact re-rank through the trained PQ codebook:

@@ -396,9 +396,12 @@ def ensure_ivf_codebook(spark: SparkSession, sf_dir: str) -> list:
     Keyed by the full corpus path; regenerating the test data
     invalidates the artifact (delete the warehouse dir to retrain)."""
     import os
-    if sf_dir in _CODEBOOK_MEMO:
-        return _CODEBOOK_MEMO[sf_dir]
+    # memo keyed by the ARTIFACT path (abspath + content fingerprint),
+    # not the raw sf_dir string: regenerating the corpus in-process
+    # changes the fingerprint and must invalidate the memo too
     path = ivf_codebook_path(sf_dir)
+    if path in _CODEBOOK_MEMO:
+        return _CODEBOOK_MEMO[path]
     if os.path.isdir(path):
         rows = spark.read.parquet(path).collect()
     else:
@@ -407,7 +410,7 @@ def ensure_ivf_codebook(spark: SparkSession, sf_dir: str) -> list:
         (spark.createDataFrame(rows, schema=_CENTROID_SCHEMA)
          .coalesce(1).write.mode("overwrite").parquet(path))
     rows = sorted(rows, key=lambda r: r["c_id"])
-    _CODEBOOK_MEMO[sf_dir] = rows
+    _CODEBOOK_MEMO[path] = rows
     return rows
 
 
@@ -453,7 +456,7 @@ def _ivf_codebook_oracle() -> str:
 
 
 @register("ivf_codebook_train", survey="LLM-sim,U2",
-          oracle=_ivf_codebook_oracle(),
+          oracle=_ivf_codebook_oracle,
           tags=("oracle-at-sf0.01",))
 def ivf_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training half of the IVF seam: 3 Lloyd rounds (RNG-free,
@@ -500,7 +503,7 @@ def _ivf_kmeans_topk_oracle() -> str:
 
 
 @register("ivf_kmeans_topk", survey="LLM-sim,U2,J1",
-          oracle=_ivf_kmeans_topk_oracle(),
+          oracle=_ivf_kmeans_topk_oracle,
           tags=("oracle-at-sf0.01",))
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 through the TRAINED IVF codebook (vs ivf_ann_topk's
@@ -557,7 +560,7 @@ def _ivf_cell_balance_oracle() -> str:
 
 
 @register("ivf_cell_balance_profile", survey="ext-sim,A6,J4,A1",
-          oracle=_ivf_cell_balance_oracle(),
+          oracle=_ivf_cell_balance_oracle,
           tags=("oracle-at-sf0.01",))
 def ivf_cell_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-occupancy profile of the trained IVF index — the

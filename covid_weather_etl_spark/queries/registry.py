@@ -29,7 +29,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class Query:
     name: str
     fn: QueryFn
-    oracle: Optional[str]
+    # str, or a zero-arg callable returning str for oracles whose text
+    # depends on mutable external state (persisted-artifact paths keyed
+    # by corpus content fingerprint) — resolved at every all_queries()
+    # call, i.e. at CHECK time, never frozen at import (advice r6)
+    oracle: Optional["str | Callable[[], str]"]
     survey: str = ""          # SURVEY.md §2 operator ids this query covers
     doc: str = ""
     bench: bool = False       # include in bench.py headline set
@@ -332,11 +336,23 @@ _ROTATION_R4 = (
 # each hash-green, as r6 did for kcore/pagerank.
 
 
+def _resolved(q: Query) -> Query:
+    """Materialize a callable oracle into SQL text NOW — at the call
+    site's moment, not at module import — so artifact-path oracles
+    (IVF/PQ codebooks keyed by corpus content fingerprint) always
+    point at the artifact for the corpus AS IT CURRENTLY EXISTS."""
+    if callable(q.oracle):
+        from dataclasses import replace
+        return replace(q, oracle=q.oracle())
+    return q
+
+
 def all_queries() -> dict[str, Query]:
     _load_modules()
     missing = [n for n in _ROTATION_R7 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _ROTATION_R7}
-    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R7}
+    ordered.update((n, _resolved(q)) for n, q in _REGISTRY.items()
+                   if n not in ordered)
     return ordered

@@ -437,3 +437,43 @@ def test_source_interleave_order_matches_python_replay(spark):
     # the head is perfectly source-balanced in rotation
     seen = [s for _, s, _ in got]
     assert seen[:len(srcs)] == srcs
+
+
+def test_curation_funnel_short_docs_survive(spark, tmp_path):
+    """Docs with <3 tokens (no 3-gram shingles) must flow through the
+    near-dup stage unharmed instead of crashing the shingle transform
+    (Spark's sequence(0, size-3) goes descending for size<3), and
+    must still be counted in every stage they survive on merit."""
+    rows = [
+        (1, "solo", "en", "web"),                      # 1 token
+        (2, "two tokens", "en", "web"),                # 2 tokens
+        (3, " ".join(f"w{j}" for j in range(40)), "en", "web"),
+        (4, " ".join(f"w{j}" for j in range(40)), "en", "web"),  # exact dup
+        (6, " ".join(f"v{j}" for j in range(40)), "en", "web"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["stage"]: r["n_docs"]
+           for r in C.corpus_curation_funnel(spark, str(tmp_path)).collect()}
+    assert got["0_train"] == 5
+    assert got["1_exact_dedup"] == 4          # doc 4 deduped
+    assert got["2_near_dedup"] == 4           # short docs NOT dropped
+    # quality gate drops the two short docs (min-token rule), which is
+    # the correct stage for them to exit at
+    assert got["3_quality"] == 2
+
+
+def test_minhash_shingles_short_doc_guard(spark):
+    """shingles() must not throw on sub-n-token docs and must emit
+    zero shingles for them (they can never be near-dup candidates)."""
+    from covid_weather_etl_spark.operators.minhash import shingles
+
+    pdf = pd.DataFrame(
+        [(1, "a", "en", "web", 1), (2, "a b", "en", "web", 3),
+         (3, "a b c d", "en", "web", 7)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    out = shingles(spark.createDataFrame(pdf)).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {3}
+    assert {r["token"] for r in out} == {"a b c", "b c d"}

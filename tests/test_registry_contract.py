@@ -11,12 +11,25 @@ from covid_weather_etl_spark.queries import registry as R
 def test_rotation_window_contract():
     qs = R.all_queries()
     window = list(qs)[:50]
-    assert window == list(R._ROTATION_R6)
-    assert len(set(R._ROTATION_R6)) == 50
-    # every window slot must be hash-checkable — a rows-only slot
-    # wastes the round's scarcest evidence resource
-    missing = [n for n in window if not qs[n].oracle]
-    assert not missing, missing
+    assert window == list(R._ROTATION_R7)
+    assert len(set(R._ROTATION_R7)) == 50
+    # r7 closes the never-checked queue, so this window deliberately
+    # spends slots on the rows-only-by-nature queries (weaker driver
+    # evidence is still evidence) and the oldest rows-only refreshes —
+    # but ONLY on that documented set; any other oracle-less slot is
+    # a burnt correctness row
+    allowed_rows_only = {
+        "bpe_vocab_train", "bpe_encode_documents", "media_phash_dedup",
+        "pca_top_component", "als_part_recommendations",
+        "sarima_forecast_eval", "logreg_classifier_eval",
+        "gbt_classifier_eval", "gbt_regressor_eval", "adf_stationarity",
+        "fourier_trend_forecast_eval", "rp_lsh_near_dup",
+        "approx_distinct_profile", "approx_quantile_profile",
+        "media_features",
+    }
+    unexpected = [n for n in window
+                  if not qs[n].oracle and n not in allowed_rows_only]
+    assert not unexpected, unexpected
 
 
 def test_registry_names_unique_and_callable():
