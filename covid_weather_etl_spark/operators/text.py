@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from covid_weather_etl_spark.functions.numeric import fround
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
@@ -808,7 +809,102 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
     return merges, vocab
 
 
-@register("bpe_vocab_train", survey="LLM-text,A6,U2")
+
+def _bpe_st_ctes() -> str:
+    """Shared recursive-CTE replay of the full BPE training loop (the
+    DuckDB twin of `_train_bpe`): state rows (round, word, syms, cnt)
+    plus the merge (l, r, c) that produced each round. The greedy
+    left-to-right re-segmentation is expressed as leftmost
+    non-overlapping string REPLACE over \x1f-BOUNDARY-WRAPPED symbols
+    (pattern \x1fL\x1f\x1fR\x1f -> \x1fLR\x1f): wrapping makes a
+    symbol-boundary false substring match impossible, and REPLACE's
+    continue-after-replacement scan IS the BPE greedy fold ("aaa" +
+    merge(a,a) -> [aa, a]). Assumes \x1f never occurs in corpus
+    tokens (space-split printable text). The winner subquery keeps
+    only pairs clearing BPE_MIN_PAIR_COUNT, so an empty `win` ends
+    the recursion exactly where the Spark loop breaks."""
+    d = chr(0x1F)
+    wrapped = f"'{d}' || array_to_string(cur.syms, '{d}{d}') || '{d}'"
+    replaced = (f"replace({wrapped}, "
+                f"'{d}' || win.l || '{d}{d}' || win.r || '{d}', "
+                f"'{d}' || win.l || win.r || '{d}')")
+    return f"""
+    wc AS MATERIALIZED (
+        SELECT tok AS word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1
+    ),
+    st(round, word, syms, cnt, l, r, c) AS (
+        SELECT 0, word,
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)),
+               cnt, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+        FROM wc
+        UNION ALL
+        (WITH cur AS (SELECT * FROM st),
+         pc AS (
+            SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS c
+            FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                           i -> struct_pack(l := syms[i],
+                                            r := syms[i+1]))) AS p,
+                         cnt
+                  FROM cur WHERE len(syms) >= 2) x
+            GROUP BY 1, 2
+         ),
+         win AS (
+            SELECT l, r, c FROM pc
+            WHERE c >= {BPE_MIN_PAIR_COUNT}
+            ORDER BY c DESC, l ASC, r ASC LIMIT 1
+         )
+         SELECT cur.round + 1, cur.word,
+                string_split(substr({replaced}, 2,
+                                    length({replaced}) - 2), '{d}{d}'),
+                cur.cnt, win.l, win.r, win.c
+         FROM cur, win
+         WHERE cur.round < {BPE_TRAIN_MERGES})
+    )"""
+
+
+def _bpe_vocab_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_bpe_st_ctes()}
+    SELECT CAST(round AS INT) AS merge_idx,
+           any_value(l) AS left, any_value(r) AS right,
+           CAST(any_value(c) AS BIGINT) AS pair_count
+    FROM st WHERE round >= 1
+    GROUP BY 1
+    """
+
+
+def _bpe_encode_oracle() -> str:
+    from covid_weather_etl_spark.functions.numeric import fround_sql
+    ratio = fround_sql("SUM(k * w_chars) * 1e0 / SUM(k * w_syms)")
+    return f"""
+    WITH RECURSIVE {_bpe_st_ctes()},
+    fin AS (
+        SELECT word, CAST(len(syms) AS INT) AS w_syms,
+               CAST(length(word) AS INT) AS w_chars
+        FROM st WHERE round = (SELECT MAX(round) FROM st)
+    ),
+    dw AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY 1, 2
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(SUM(k * w_syms) AS BIGINT) AS n_bpe_syms,
+           CAST(SUM(k * w_chars) AS BIGINT) AS n_chars,
+           {ratio} AS chars_per_sym
+    FROM dw JOIN fin ON dw.word = fin.word
+    GROUP BY 1
+    """
+
+
+@register("bpe_vocab_train", survey="LLM-text,A6,U2",
+          oracle=_bpe_vocab_oracle())
 def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL BPE tokenizer training (Sennrich et al. 2016) — the
     iterative closure of bpe_merge_step: up to BPE_TRAIN_MERGES (12)
@@ -827,15 +923,18 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates lineage each merge so round N doesn't replay rounds
     1..N−1; the only driver traffic per round is ONE (pair, count)
     scalar row. Stops early when no pair clears BPE_MIN_PAIR_COUNT
-    (2). Rows-only driver check (iterative — not SQL-expressible); the
-    merge sequence is pinned against a pure-python BPE trainer in
-    tests/test_text.py."""
+    (2). GRADUATED to a full DuckDB oracle (r7): the whole training
+    loop is integer/string algebra, so a recursive CTE replays it
+    exactly — see _bpe_st_ctes for the boundary-wrapped-REPLACE
+    re-segmentation trick. The merge sequence is additionally pinned
+    against a pure-python BPE trainer in tests/test_text.py."""
     merges, _ = _train_bpe(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count long")
 
 
-@register("bpe_encode_documents", survey="LLM-text,U1,J1,A6")
+@register("bpe_encode_documents", survey="LLM-text,U1,J1,A6",
+          oracle=_bpe_encode_oracle())
 def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODING — the apply side of `bpe_vocab_train`, closing the
     tokenizer loop (train → encode → count): per document, the number
@@ -853,7 +952,9 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     against that word→n_syms table — per-document cost O(distinct
     words), the trick that makes corpus-scale tokenization a
     vocabulary problem. An OOV word at serving time would take the
-    identical fold path over the persisted merge table.
+    identical fold path over the persisted merge table. GRADUATED to
+    a full DuckDB oracle (r7) together with the trainer: the shared
+    recursive CTE's final-round segmentation is the encode table.
 
     Scale: one corpus scan into (doc_id, word) counts (map-side
     combinable), one join against the Zipf-bounded vocab (broadcast
@@ -873,8 +974,8 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("k").alias("n_tokens"),
                  F.sum(F.col("k") * F.col("w_syms")).alias("n_bpe_syms"),
                  F.sum(F.col("k") * F.col("w_chars")).alias("n_chars"),
-                 F.round(F.sum(F.col("k") * F.col("w_chars")) * 1.0
-                         / F.sum(F.col("k") * F.col("w_syms")), 6)
+                 fround(F.sum(F.col("k") * F.col("w_chars")) * 1.0
+                        / F.sum(F.col("k") * F.col("w_syms")))
                  .alias("chars_per_sym")))
 
 

@@ -114,9 +114,9 @@ def _load_modules() -> None:
 # corpus_curation_funnel, labeling_function_report,
 # span_corruption_plan, source_interleave_order, plus anything newer;
 # see QUERIES.md "never").
-# Remaining rows-only for weaker rows checks: bpe_vocab_train,
-# bpe_encode_documents, media_phash_dedup, als_part_recommendations
-# (pca_top_component graduated to a full oracle during r7).
+# Remaining rows-only for weaker rows checks: media_phash_dedup,
+# als_part_recommendations (pca_top_component and both bpe queries
+# graduated to full oracles during r7).
 _ROTATION_R6 = (
     # TPC-H Q1 first — the verdict's named lead
     "pricing_summary_q1",
@@ -196,10 +196,11 @@ _ROTATION_R7 = (
     "user_growth_curve", "time_decay_engagement", "date_spine_fill",
     "repurchase_interval_stats", "mad_anomaly_report",
     "time_weighted_average", "pinball_quantile_forecast_eval",
-    # never-checked rows-only-by-nature (PARITY.md §11) — except
-    # pca_top_component, which graduated to a full recursive-CTE
-    # power-iteration oracle DURING r7 (verdict directive #5), so its
-    # slot yields a hash row instead of the planned rows-only row
+    # never-checked, planned rows-only-by-nature (PARITY.md §11) —
+    # but pca_top_component (recursive-CTE power iteration) and both
+    # bpe queries (recursive-CTE merge replay) graduated to FULL
+    # oracles DURING r7 (verdict directive #5), so three of these
+    # five slots yield hash rows instead of the planned rows-only rows
     "bpe_vocab_train", "bpe_encode_documents", "media_phash_dedup",
     "pca_top_component", "als_part_recommendations",
     # oldest rows-only refreshes: all seven r02 rows ...

@@ -19,8 +19,7 @@ def test_rotation_window_contract():
     # but ONLY on that documented set; any other oracle-less slot is
     # a burnt correctness row
     allowed_rows_only = {
-        "bpe_vocab_train", "bpe_encode_documents", "media_phash_dedup",
-        "als_part_recommendations",
+        "media_phash_dedup", "als_part_recommendations",
         "sarima_forecast_eval", "logreg_classifier_eval",
         "gbt_classifier_eval", "gbt_regressor_eval", "adf_stationarity",
         "fourier_trend_forecast_eval", "rp_lsh_near_dup",
