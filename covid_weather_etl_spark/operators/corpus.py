@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from covid_weather_etl_spark.functions.numeric import fround
 from covid_weather_etl_spark.operators import text as TX
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
@@ -1814,3 +1815,211 @@ def source_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "source", "doc_id")
             .orderBy("pos")
             .limit(INTERLEAVE_HEAD))
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking — the storage-dedup unit under the documents
+# ---------------------------------------------------------------------------
+
+#: expected chunk length in tokens: a token ends a chunk when its
+#: portable 60-bit md5 hash ≡ 0 (mod CDC_MOD). Pure content-defined
+#: (no min/max clamps), so a boundary depends ONLY on the token —
+#: insertions shift at most one chunk on each side (the CDC property
+#: rsync/LBFS/FastCDC exploit), and the whole chunking is stateless
+#: per token, hence embarrassingly parallel AND SQL-replayable.
+CDC_MOD = 16
+
+
+@register(
+    "cdc_chunk_stats",
+    survey="ext-dedup,A6,J1,W6",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, d.source, u.i AS pos, d.tk[u.i] AS t
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+              FROM documents) d,
+             UNNEST(generate_series(1, len(d.tk))) AS u(i)
+    ),
+    flagged AS (
+        SELECT doc_id, source, pos, t,
+               CASE WHEN ('0x' || substr(md5(t), 1, 15))::BIGINT
+                         % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+        FROM tok
+    ),
+    numbered AS (
+        SELECT doc_id, source, pos, t,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) - b AS chunk_no
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, any_value(source) AS source, chunk_no,
+               md5(string_agg(t, ' ' ORDER BY pos)) AS h,
+               CAST(COUNT(*) AS BIGINT) AS len
+        FROM numbered GROUP BY doc_id, chunk_no
+    ),
+    firsts AS (
+        SELECT h, MIN(doc_id * 1000000 + chunk_no) AS first_key
+        FROM chunks GROUP BY h
+    ),
+    marked AS (
+        SELECT c.source, c.len,
+               (c.doc_id * 1000000 + c.chunk_no <> f.first_key) AS dup
+        FROM chunks c JOIN firsts f ON f.h = c.h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(len) AS BIGINT) AS n_tokens,
+           FLOOR(SUM(len) * 1e0 / COUNT(*) * 1e6 + 0.5) / 1e6
+               AS avg_chunk_tokens,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+           CAST(SUM(CASE WHEN dup THEN len ELSE 0 END) AS BIGINT)
+               AS tokens_savable,
+           FLOOR(SUM(CASE WHEN dup THEN len ELSE 0 END) * 1e0
+                 / SUM(len) * 1e6 + 0.5) / 1e6 AS savable_share
+    FROM marked
+    GROUP BY source
+    """,
+)
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup accounting (LBFS/rsync/FastCDC
+    family): split every document into chunks at content-determined
+    boundaries (a token ends its chunk when its portable md5 ≡ 0 mod
+    {CDC_MOD}, expected chunk ≈ {CDC_MOD} tokens), fingerprint each
+    chunk, and report per source how many tokens a chunk-store would
+    save by keeping one copy per distinct chunk. CDC is the dedup unit
+    UNDER document granularity: a one-token edit shifts fixed-size
+    blocks unboundedly but perturbs at most the two chunks around the
+    edit here — which is why 100 TB blob stores chunk this way. A
+    chunk occurrence is "savable" if it is not the corpus-first
+    occurrence of its fingerprint (first = lowest (doc_id, chunk_no)).
+
+    Plan: one corpus scan -> posexplode tokens, a narrow md5 boundary
+    flag, a DOC-partitioned running sum to number chunks (no global
+    window), one groupBy (doc, chunk_no) to build fingerprints, a
+    vocabulary-sized groupBy(h) for first-occurrence keys, and one
+    per-source aggregate. All integer/string algebra -> exact oracle.
+    At 100 TB every stage is map-side-combinable or keyed on doc/hash;
+    nothing is corpus-cross-product."""
+    from covid_weather_etl_spark.operators.minhash import _md5_int
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = (spread(t["documents"], "doc_id")
+           .select("doc_id", "source",
+                   F.posexplode(F.split("text", " ")).alias("p0", "t"))
+           .select("doc_id", "source", (F.col("p0") + 1).alias("pos"), "t"))
+    b = F.when(F.pmod(_md5_int(F.col("t")), F.lit(CDC_MOD)) == 0,
+               F.lit(1)).otherwise(F.lit(0))
+    wrun = (W.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, 0))
+    numbered = (tok.withColumn("b", b)
+                .withColumn("chunk_no",
+                            F.sum("b").over(wrun) - F.col("b")))
+    chunks = (numbered.groupBy("doc_id", "chunk_no")
+              .agg(F.any_value("source").alias("source"),
+                   F.md5(F.concat_ws(
+                       " ",
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("pos", "t"))),
+                           lambda x: x["t"])).cast("binary")).alias("h"),
+                   F.count("*").alias("len")))
+    key = F.col("doc_id") * F.lit(1000000) + F.col("chunk_no")
+    firsts = (chunks.select("h", key.alias("k"))
+              .groupBy("h").agg(F.min("k").alias("first_key")))
+    marked = (chunks.withColumn("k", key)
+              .join(firsts, "h")
+              .select("source", "len",
+                      (F.col("k") != F.col("first_key")).alias("dup")))
+    dup_len = F.sum(F.when(F.col("dup"), F.col("len")).otherwise(F.lit(0)))
+    return (marked.groupBy("source")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("len").alias("n_tokens"),
+                 fround(F.sum("len") * F.lit(1.0) / F.count("*"))
+                 .alias("avg_chunk_tokens"),
+                 F.sum(F.when(F.col("dup"), 1).otherwise(0))
+                 .cast("long").alias("dup_chunks"),
+                 dup_len.cast("long").alias("tokens_savable"),
+                 fround(dup_len * F.lit(1.0) / F.sum("len"))
+                 .alias("savable_share")))
+
+
+# ---------------------------------------------------------------------------
+# domain-mix divergence — how far each source's unigram mix sits from
+# the corpus mix (the DoReMi-style reweighting diagnostic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "domain_mix_kl_report",
+    survey="corpus-mix,A5,A6,F10",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    sc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts,
+                  CAST(COUNT(*) AS BIGINT) AS nd
+           FROM sc GROUP BY 1),
+    gc AS (SELECT t, CAST(SUM(c) AS BIGINT) AS g FROM sc GROUP BY 1),
+    gt AS (SELECT CAST(SUM(g) AS BIGINT) AS tg FROM gc),
+    terms AS (
+        SELECT sc.source,
+               CAST(FLOOR((sc.c * 1e0 / st.ts)
+                          * LN((sc.c * 1e0 / st.ts)
+                               / (gc.g * 1e0 / gt.tg)) * 1e12 + 0.5)
+                    AS DECIMAL(38,0)) AS u
+        FROM sc
+        JOIN st ON st.source = sc.source
+        JOIN gc ON gc.t = sc.t
+        CROSS JOIN gt
+    )
+    SELECT t2.source, t2.ts AS n_tokens, t2.nd AS n_distinct_tokens,
+           FLOOR(CAST(SUM(u) AS DOUBLE) / 1e12 * 1e9 + 0.5) / 1e9 + 0.0
+               AS kl_nats
+    FROM terms JOIN st t2 ON t2.source = terms.source
+    GROUP BY 1, 2, 3
+    """,
+)
+def domain_mix_kl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus-wide mix —
+    the domain-reweighting diagnostic (DoReMi, Xie et al. 2023, reads
+    exactly this gap): KL(p_source || p_corpus) = Σ p ln(p/q) over the
+    source's tokens (p > 0 only where the source has the token, and
+    every source token exists globally, so no zero q). A source with
+    near-zero KL is redundant with the mix; a high-KL source is what
+    temperature reweighting (token_budget_allocation) trades against.
+
+    Parity: counts are exact integers; each term does ONE ln (the
+    PARITY.md §4 single-transcendental contract, same as gini's), the
+    two probability ratios and the product are deterministic IEEE
+    ops, each term snaps to the 1e-12 grid and accumulates in
+    DECIMAL(38,0); the final value snaps to 1e-9. Scale: two
+    map-side-combinable aggregates (source×token, token), a broadcast
+    1-row total, and a (source,token)-keyed join — the per-source
+    report is cohort-sized."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sc = (spread(t["documents"], "doc_id")
+          .select("source", F.explode(F.split("text", " ")).alias("t"))
+          .groupBy("source", "t").agg(F.count("*").alias("c"))
+          .localCheckpoint(eager=True))
+    st = sc.groupBy("source").agg(F.sum("c").alias("ts"),
+                                  F.count("*").alias("nd"))
+    gc = sc.groupBy("t").agg(F.sum("c").alias("g"))
+    gt = gc.agg(F.sum("g").alias("tg"))
+    p = F.col("c") * F.lit(1.0) / F.col("ts")
+    q = F.col("g") * F.lit(1.0) / F.col("tg")
+    u = F.floor(p * F.log(p / q) * F.lit(1e12) + F.lit(0.5)) \
+         .cast("decimal(38,0)")
+    terms = (sc.join(F.broadcast(st), "source")
+             .join(gc, "t")
+             .crossJoin(F.broadcast(gt))
+             .select("source", u.alias("u")))
+    agg = terms.groupBy("source").agg(
+        (F.floor(F.sum("u").cast("double") / F.lit(1e12) * F.lit(1e9)
+                 + F.lit(0.5)) / F.lit(1e9) + F.lit(0.0)).alias("kl_nats"))
+    return (agg.join(st, "source")
+            .select("source", F.col("ts").alias("n_tokens"),
+                    F.col("nd").alias("n_distinct_tokens"), "kl_nats"))

@@ -1867,3 +1867,144 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_hits").cast("bigint") * F.lit(1.0)
                      / F.lit(MRL_QUERIES * MRL_K)).alias("recall_at_10"))
             .orderBy("trunc_dims"))
+
+
+# ---------------------------------------------------------------------------
+# scalar (int8) quantization — the fourth compression point in the family
+# ---------------------------------------------------------------------------
+
+#: SQ8 evaluation: candidates kept by the quantized score and the
+#: exact-baseline list depth (recall@SQ8_K).
+SQ8_K = 10
+
+
+@register(
+    "sq8_recall_eval",
+    survey="ext-sim,U5,W6,A8",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, u.k - 1 AS k,
+               CAST(embedding[u.k] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(generate_series(1, 64)) AS u(k)
+    ),
+    stats AS (
+        SELECT k, MIN(x) AS mn, MAX(x) AS mx FROM ev GROUP BY 1
+    ),
+    q AS (
+        SELECT e.vec_id, e.k,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE CAST(FLOOR((e.x - s.mn) / (s.mx - s.mn) * 255e0
+                                    + 0.5) AS BIGINT) END AS qv
+        FROM ev e JOIN stats s ON s.k = e.k
+    ),
+    probe AS (SELECT k, qv AS pv FROM q WHERE vec_id = 0),
+    scores AS (
+        SELECT q.vec_id, CAST(SUM(q.qv * p.pv) AS BIGINT) AS sq8_score
+        FROM q JOIN probe p ON p.k = q.k
+        WHERE q.vec_id <> 0
+        GROUP BY 1
+    ),
+    sq8_top AS (
+        SELECT vec_id, sq8_score,
+               CAST(row_number() OVER (
+                   ORDER BY sq8_score DESC, vec_id) AS INT) AS rank
+        FROM scores
+        ORDER BY sq8_score DESC, vec_id LIMIT {SQ8_K}
+    ),
+    exact_top AS (
+        SELECT b.vec_id FROM embeddings b,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+        WHERE b.vec_id <> 0
+        ORDER BY FLOOR(list_cosine_similarity(b.embedding::DOUBLE[],
+                           p.embedding::DOUBLE[]) * 1e6 + 0.5) DESC,
+                 b.vec_id
+        LIMIT {SQ8_K}
+    ),
+    hits AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM sq8_top s JOIN exact_top e ON e.vec_id = s.vec_id
+    )
+    SELECT s.rank, s.vec_id, s.sq8_score,
+           e.vec_id IS NOT NULL AS in_exact_topk,
+           h.n_hits * 1e0 / {SQ8_K} AS recall_at_k
+    FROM sq8_top s
+    LEFT JOIN exact_top e ON e.vec_id = s.vec_id
+    CROSS JOIN hits h
+    """,
+)
+def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization (per-dimension min/max affine grid, the
+    SQ8 every vector store ships as its cheapest compression) with its
+    quality gate in one query: quantize the corpus to 64 bytes/vector,
+    rank by the INTEGER quantized dot product against query vector 0,
+    and report the top-{SQ8_K} with per-rank membership in the exact
+    float top-{SQ8_K} plus recall@{SQ8_K}. Completes the compression
+    family's coverage: PQ (codebook), matryoshka (prefix truncation),
+    binary (sign bits), SQ8 (scalar grid) — four operating points on
+    the same memory/recall curve.
+
+    Parity: quantization is floor((x-mn)/(mx-mn)*255 + 0.5) — min/max
+    are exact selections (no accumulation), the affine map is three
+    deterministic IEEE ops, and everything after is INTEGER algebra,
+    so the oracle replays bit-for-bit; the exact baseline uses the
+    same floor-snapped cosine as cosine_topk.
+
+    Scale: per-dim stats are one 64-row aggregate; quantization is a
+    narrow map against the broadcast stats; scoring is a broadcast
+    64-row probe join + map-side-combinable integer sum per vector;
+    the top-k is TakeOrdered. ZERO wide shuffles — the same plan shape
+    at 100 TB, where SQ8's 4x memory cut is the difference between an
+    in-RAM and a spilled index."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    ev = (spread(t["embeddings"], "vec_id")
+          .select("vec_id",
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("k", "x"))
+          .localCheckpoint(eager=True))
+    stats = ev.groupBy("k").agg(F.min("x").alias("mn"),
+                                F.max("x").alias("mx"))
+    qv = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")) \
+          .otherwise(F.floor((F.col("x") - F.col("mn"))
+                             / (F.col("mx") - F.col("mn")) * F.lit(255.0)
+                             + F.lit(0.5)).cast("long"))
+    q = (ev.join(F.broadcast(stats), "k")
+         .select("vec_id", "k", qv.alias("qv")))
+    probe = (q.filter(F.col("vec_id") == 0)
+             .select("k", F.col("qv").alias("pv")))
+    scores = (q.filter(F.col("vec_id") != 0)
+              .join(F.broadcast(probe), "k")
+              .groupBy("vec_id")
+              .agg(F.sum(F.col("qv") * F.col("pv")).alias("sq8_score")))
+    topk = scores.orderBy(F.col("sq8_score").desc(), "vec_id") \
+                 .limit(SQ8_K).localCheckpoint(eager=True)
+    # rank without a global window (the registry pins zero): a
+    # broadcast triangular count over the k-row frame, as
+    # bpe_merge_step does for its merge ranks
+    tt, uu = topk.alias("t"), topk.alias("u")
+    ahead = ((F.col("u.sq8_score") > F.col("t.sq8_score"))
+             | ((F.col("u.sq8_score") == F.col("t.sq8_score"))
+                & (F.col("u.vec_id") < F.col("t.vec_id"))))
+    sq8_top = (tt.join(F.broadcast(uu), ahead, "left")
+               .groupBy(F.col("t.vec_id").alias("vec_id"),
+                        F.col("t.sq8_score").alias("sq8_score"))
+               .agg((F.count(F.col("u.vec_id")) + 1).cast("int")
+                    .alias("rank")))
+    emb = _vecs(t["embeddings"])
+    pv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
+    exact_top = (emb.crossJoin(F.broadcast(pv))
+                 .filter(F.col("vec_id") != 0)
+                 .orderBy(F.floor(cosine(F.col("v"), F.col("p"))
+                                  * F.lit(1e6) + F.lit(0.5)).desc(),
+                          "vec_id")
+                 .limit(SQ8_K)
+                 .select("vec_id", F.lit(True).alias("hit")))
+    joined = sq8_top.join(F.broadcast(exact_top), "vec_id", "left")
+    hits = joined.agg(F.count("hit").alias("n_hits"))
+    return (joined
+            .crossJoin(F.broadcast(hits))
+            .select("rank", "vec_id", "sq8_score",
+                    F.coalesce(F.col("hit"), F.lit(False))
+                    .alias("in_exact_topk"),
+                    (F.col("n_hits") * F.lit(1.0) / F.lit(SQ8_K))
+                    .alias("recall_at_k"))
+            .orderBy("rank"))

@@ -1918,3 +1918,65 @@ def regex_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "punct_tokens",
                     (F.floor(fert * 1e6 + F.lit(0.5)) / F.lit(1e6))
                     .alias("fertility")))
+
+
+def _bpe_fertility_oracle() -> str:
+    from covid_weather_etl_spark.functions.numeric import fround_sql
+    fert = fround_sql("SUM(k * w_syms) * 1e0 / SUM(k)")
+    cps = fround_sql("SUM(k * w_chars) * 1e0 / SUM(k * w_syms)")
+    return f"""
+    WITH RECURSIVE {_bpe_st_ctes()},
+    fin AS (
+        SELECT word, CAST(len(syms) AS INT) AS w_syms,
+               CAST(length(word) AS INT) AS w_chars
+        FROM st WHERE round = (SELECT MAX(round) FROM st)
+    ),
+    lw AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(k) AS BIGINT) AS n_words,
+           CAST(SUM(k * w_syms) AS BIGINT) AS n_syms,
+           {fert} AS fertility,
+           {cps} AS chars_per_sym
+    FROM lw JOIN fin ON lw.word = fin.word
+    GROUP BY 1
+    """
+
+
+@register("bpe_fertility_by_lang", survey="LLM-text,A5,A6,J1",
+          oracle=_bpe_fertility_oracle())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — BPE symbols emitted per
+    whitespace word, the standard cross-lingual tokenizer-equity
+    metric (a language with 2x fertility pays 2x the context budget
+    per sentence, the imbalance mT5/XLM-R's temperature mixing and
+    modern vocab allocation both correct for). Uses the SAME trained
+    merge sequence as bpe_vocab_train, so the number is the real
+    tokenizer's, not a proxy; chars-per-symbol per language comes
+    along for free.
+
+    Spark-first: training already produced the final segmentation of
+    every distinct word, so fertility is one corpus scan into
+    (lang, word) counts joined against the broadcast Zipf-bounded
+    vocab — per-language cost O(distinct words). Full DuckDB oracle
+    via the shared recursive-CTE trainer replay (_bpe_st_ctes)."""
+    _, vocab = _train_bpe(spark, sf_dir)
+    enc = vocab.select("word", F.size("syms").alias("w_syms"),
+                       F.length("word").alias("w_chars"))
+    t = load_tables(spark, sf_dir, ("documents",))
+    lw = (spread(t["documents"], "doc_id")
+          .select("lang", F.explode(_tokens()).alias("word"))
+          .groupBy("lang", "word").agg(F.count("*").alias("k")))
+    return (lw.join(F.broadcast(enc), "word")
+            .groupBy("lang")
+            .agg(F.sum("k").alias("n_words"),
+                 F.sum(F.col("k") * F.col("w_syms")).alias("n_syms"),
+                 fround(F.sum(F.col("k") * F.col("w_syms")) * 1.0
+                        / F.sum("k")).alias("fertility"),
+                 fround(F.sum(F.col("k") * F.col("w_chars")) * 1.0
+                        / F.sum(F.col("k") * F.col("w_syms")))
+                 .alias("chars_per_sym")))

@@ -12,6 +12,7 @@ import pandas as pd
 import pytest
 
 from covid_weather_etl_spark.operators import corpus as C
+from covid_weather_etl_spark.operators.corpus import CDC_MOD
 from covid_weather_etl_spark.operators import text as TX
 from tests.conftest import SF_DIR
 
@@ -477,3 +478,59 @@ def test_minhash_shingles_short_doc_guard(spark):
     ids = {r["doc_id"] for r in out}
     assert ids == {3}
     assert {r["token"] for r in out} == {"a b c", "b c d"}
+
+
+def test_cdc_chunk_stats_planted_duplicates(spark, tmp_path):
+    """Two docs sharing a long token run must dedupe every shared
+    chunk except its first occurrence; chunk boundaries must be
+    content-defined (identical runs chunk identically regardless of
+    position), and totals must conserve tokens."""
+    shared = " ".join(f"s{j}" for j in range(64))
+    rows = [
+        (1, "a0 a1 " + shared, "web"),
+        (2, shared + " b0 b1 b2", "web"),     # shifted: CDC realigns
+        (3, "c0 c1 c2 c3", "lab"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["lang"] = "en"
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["source"]: r
+           for r in C.cdc_chunk_stats(spark, str(tmp_path)).collect()}
+    # token conservation per source
+    assert got["web"]["n_tokens"] == (64 + 2) + (64 + 3)
+    assert got["lab"]["n_tokens"] == 4
+    assert got["lab"]["dup_chunks"] == 0
+    # the shared 64-token run yields interior chunks whose boundaries
+    # depend only on content -> doc 2's copies of doc 1's interior
+    # chunks are duplicates (the leading/trailing chunks differ
+    # because of the distinct prefixes/suffixes)
+    assert got["web"]["dup_chunks"] >= 1
+    assert got["web"]["tokens_savable"] >= 1
+    assert 0.0 < got["web"]["savable_share"] < 1.0
+
+
+def test_domain_mix_kl_planted(spark, tmp_path):
+    """A source whose unigram mix equals the global mix has KL 0; a
+    disjoint-vocabulary source has KL = ln(total/own) exactly (its p/q
+    ratio is the same constant for every token)."""
+    import math
+
+    # source A: 30 tokens of vocab {x, y}; source B: 10 tokens {z}
+    rows = [
+        (1, " ".join(["x"] * 15), "A"),
+        (2, " ".join(["y"] * 15), "A"),
+        (3, " ".join(["z"] * 10), "B"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["lang"] = "en"
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["source"]: r
+           for r in C.domain_mix_kl_report(spark, str(tmp_path)).collect()}
+    assert got["A"]["n_tokens"] == 30 and got["B"]["n_tokens"] == 10
+    assert got["A"]["n_distinct_tokens"] == 2
+    # B's every token: p = 1, q = 10/40 -> KL = ln(4)
+    assert abs(got["B"]["kl_nats"] - math.log(4.0)) < 1e-8
+    # A: p(x) = .5 vs q(x) = 15/40 -> KL = ln(4/3)
+    assert abs(got["A"]["kl_nats"] - math.log(4.0 / 3.0)) < 1e-8

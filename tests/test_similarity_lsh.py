@@ -557,3 +557,46 @@ def test_matryoshka_recall_eval_matches_numpy(spark):
         assert g["recall_at_10"] == hits / (MRL_QUERIES * MRL_K), d
     recalls = [got[d]["recall_at_10"] for d in MRL_WIDTHS]
     assert recalls == sorted(recalls)
+
+
+def test_sq8_recall_eval_matches_numpy_replay(spark):
+    """SQ8 pipeline replayed in numpy: per-dim min/max grid, integer
+    quantized dot scores, top-k by (score desc, vec_id), recall vs the
+    floor-snapped exact cosine top-k — exact equality end to end."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.similarity import SQ8_K
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = (all_queries()["sq8_recall_eval"].fn(spark, SF_DIR)
+           .toPandas().sort_values("rank").reset_index(drop=True))
+    df = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    ids = df.vec_id.to_numpy()
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    span = np.where(mx > mn, mx - mn, 1.0)
+    Q = np.floor((X - mn) / span * 255.0 + 0.5).astype(np.int64)
+    Q[:, mx == mn] = 0
+    probe = Q[ids == 0][0]
+    scores = {int(i): int(Q[j] @ probe)
+              for j, i in enumerate(ids) if i != 0}
+    order = sorted(scores, key=lambda i: (-scores[i], i))[:SQ8_K]
+    # exact baseline: floor-snapped cosine
+    p = X[ids == 0][0]
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    exact = sorted((int(i) for i in ids if i != 0),
+                   key=lambda i: (-math.floor(
+                       cos(X[list(ids).index(i)], p) * 1e6 + 0.5), i))[:SQ8_K]
+    hits = len(set(order) & set(exact))
+    assert got.vec_id.tolist() == order
+    assert got.sq8_score.tolist() == [scores[i] for i in order]
+    assert got.in_exact_topk.tolist() == [i in set(exact) for i in order]
+    assert (got.recall_at_k == hits / SQ8_K).all()
+    assert got["rank"].tolist() == list(range(1, SQ8_K + 1))

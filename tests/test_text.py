@@ -370,3 +370,59 @@ def test_ngram_novelty_profile_planted(spark, tmp_path):
     books = got["books"]
     assert books["total_grams"] == 2 and books["novel_grams"] == 2
     assert books["novelty_rate"] == 1.0
+
+
+def test_bpe_fertility_by_lang_matches_python(spark):
+    """Per-language fertility must equal a pure-python recount: train
+    BPE (reusing the trainer pinned above), encode every distinct
+    word, and aggregate syms/words per language on the exact grid."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.text import (
+        BPE_MIN_PAIR_COUNT, BPE_TRAIN_MERGES)
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {r["lang"]: r for r in
+           all_queries()["bpe_fertility_by_lang"].fn(spark, SF_DIR)
+           .collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    wc = Counter(tok for t in docs["text"] for tok in t.split(" "))
+    vocab = {w: [c for c in w] for w in wc}
+    for _ in range(BPE_TRAIN_MERGES):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < BPE_MIN_PAIR_COUNT:
+            break
+        nv = {}
+        for w, syms in vocab.items():
+            acc = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(s)
+            nv[w] = acc
+        vocab = nv
+    per_lang: dict = {}
+    for row in docs.itertuples():
+        st = per_lang.setdefault(row.lang, [0, 0, 0])
+        for tok in row.text.split(" "):
+            st[0] += 1
+            st[1] += len(vocab[tok])
+            st[2] += len(tok)
+    assert set(got) == set(per_lang)
+    for lang, (nw, ns, nc) in per_lang.items():
+        r = got[lang]
+        assert r["n_words"] == nw and r["n_syms"] == ns
+        assert r["fertility"] == math.floor(ns / nw * 1e6 + 0.5) / 1e6
+        assert r["chars_per_sym"] == math.floor(nc / ns * 1e6 + 0.5) / 1e6
+        assert r["fertility"] >= 1.0
