@@ -300,9 +300,14 @@ def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentile for percentile_approx and the plan is unchanged."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     price = F.col("l_extendedprice")
+    # ONE percentile buffer for both cut points (each F.percentile
+    # call sorts its own copy of the group; the array form halves the
+    # aggregate cost — same single-buffer fix woe_iv/mad got in r6)
+    qs = F.percentile(price, F.array(F.lit(WINSOR_LO), F.lit(WINSOR_HI)))
     thr = (t["lineitem"].groupBy(F.col("l_returnflag").alias("rf"))
-           .agg(F.round(F.percentile(price, F.lit(WINSOR_LO)), 2).alias("lo"),
-                F.round(F.percentile(price, F.lit(WINSOR_HI)), 2).alias("hi")))
+           .agg(qs.alias("q"))
+           .select("rf", F.round(F.element_at("q", 1), 2).alias("lo"),
+                   F.round(F.element_at("q", 2), 2).alias("hi")))
     lo, hi = F.col("lo"), F.col("hi")
     return (t["lineitem"]
             .join(F.broadcast(thr), F.col("l_returnflag") == F.col("rf"))
