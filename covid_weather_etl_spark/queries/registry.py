@@ -211,6 +211,16 @@ _ROTATION_R7 = (
     "approx_distinct_profile", "approx_quantile_profile",
     "media_features",
 )
+# R8 queue: after the r7 driver run the never-checked set is exactly
+# the r7-session additions — sq8_recall_eval, cdc_chunk_stats,
+# domain_mix_kl_report, bpe_fertility_by_lang (all oracle-equipped,
+# all driver-sim green at sf0.01 and spot-verified at sf0.1 on day
+# one) — plus media_resize (rows-only r03 refresh displaced from the
+# r7 window). Lead r8 with those five; the remaining ~45 slots should
+# refresh the oldest evidence rows (the r04 cohort first), and the
+# three r7 oracle graduations whose r7 driver rows will predate their
+# oracles by zero rounds need no special handling (they are in the r7
+# window itself).
 
 # Round 6 window (superseded — kept for the audit trail).
 
