@@ -31,9 +31,12 @@ which is why the checked-in variant stays portable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from covid_weather_etl_spark.functions.numeric import fround
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
@@ -534,3 +537,151 @@ def incremental_minhash_ingest(spark: SparkSession,
             .select("doc_id_1", "doc_id_2", jac.alias("jaccard"),
                     F.when(F.col("a_new") & F.col("b_new"), "intra-batch")
                      .otherwise("backfill").alias("pair_kind")))
+
+
+# ---------------------------------------------------------------------------
+# banding calibration — the S-curve tuning table for (b, r)
+# ---------------------------------------------------------------------------
+
+#: deterministic doc sample for the calibration pair census: first md5
+#: hex char < '4' = 25% of docs. Calibration needs pair STATISTICS,
+#: not every pair — the sample bound is what keeps the exact
+#: all-shared-shingle census runnable at any corpus size.
+CALIB_CUT = "4"
+
+
+def _calib_theory() -> dict[int, float]:
+    """P(candidate | J = bucket midpoint) = 1 - (1 - s^r)^b for the
+    configured banding — computed ONCE in Python and embedded as
+    literals on both sides (no runtime transcendental)."""
+    out = {}
+    for bkt in range(10):
+        s = (bkt + 0.5) / 10.0
+        p = 1.0 - (1.0 - s ** ROWS_PER_BAND) ** N_BANDS
+        out[bkt] = math.floor(p * 1e6 + 0.5) / 1e6
+    return out
+
+
+def _calib_oracle() -> str:
+    theory = " ".join(f"WHEN {k} THEN CAST('{v!r}' AS DOUBLE)"
+                      for k, v in _calib_theory().items())
+    return f"""
+    WITH docs_s AS (
+        SELECT doc_id, text FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{CALIB_CUT}'
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs_s) d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), h AS (
+        SELECT doc_id, s,
+               ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE} AS h0
+        FROM sh
+    ), params(i, a, b) AS (VALUES {_MH_PARAM_VALUES}),
+    sig AS (
+        SELECT doc_id, p.i, MIN((p.a * h.h0 + p.b) % {MERSENNE}) AS sig
+        FROM h CROSS JOIN params p GROUP BY 1, 2
+    ), bands AS (
+        SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+               STRING_AGG(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
+        FROM sig GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), bucketed AS (
+        SELECT LEAST(CAST(FLOOR(p.c * 10e0 / (s1.n + s2.n - p.c))
+                          AS BIGINT), 9) AS bucket,
+               (c.d1 IS NOT NULL) AS is_cand
+        FROM pairs p
+        JOIN sizes s1 ON s1.doc_id = p.d1
+        JOIN sizes s2 ON s2.doc_id = p.d2
+        LEFT JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           bucket / 1e1 AS j_lo, (bucket + 1) / 1e1 AS j_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+           FLOOR(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) * 1e0
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS observed_rate,
+           CASE bucket {theory} END AS theoretical_rate
+    FROM bucketed
+    GROUP BY bucket
+    """
+
+
+@register("minhash_banding_calibration", survey="ext-dedup,A6,J1,U5",
+          oracle=_calib_oracle())
+def minhash_banding_calibration(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The LSH S-CURVE, measured: per exact-Jaccard decile, the
+    fraction of document pairs the configured banding
+    ({N_BANDS} bands x {ROWS_PER_BAND} rows) actually emitted as
+    candidates, against the analytic 1-(1-s^r)^b at the bucket
+    midpoint. This is THE tuning table for (b, r): before running
+    minhash dedup on 100 TB you check that the measured curve's knee
+    sits at your dedup threshold (here: ~0.46 for b=16, r=2) and that
+    low-J buckets stay near zero (wasted verify work) while high-J
+    buckets saturate (recall). Completes the minhash family:
+    signatures -> banding -> incremental ingest -> audit -> CALIBRATE.
+
+    Scale: calibration needs pair statistics, not every pair, so the
+    census runs on a deterministic 25% md5 doc sample — the exact
+    shared-shingle join is BOUNDED BY CONSTRUCTION regardless of
+    corpus size (sampling is the scale story; the banding side reuses
+    the one-pass signature aggregate). Theoretical probabilities are
+    Python-computed literals — no runtime transcendental (PARITY.md
+    section 4). Pairs sharing zero shingles (J = 0 exactly) are out of
+    census scope on both sides; bucket arithmetic is pure integers."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs_s = (t["documents"]
+              .filter(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                  1, 1) < CALIB_CUT))
+    sh = shingles(docs_s).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = (sh.select(F.col("doc_id").alias("d1"),
+                      F.col("token").alias("s")),
+            sh.select(F.col("doc_id").alias("d2"),
+                      F.col("token").alias("s2")))
+    pairs = (a.join(b, (a["s"] == b["s2"]) & (a["d1"] < b["d2"]))
+             .groupBy("d1", "d2").agg(F.count("*").alias("c")))
+    sigs = minhash_signatures(docs_s, shing=sh)
+    cands = (lsh_candidate_pairs(sigs)
+             .select(F.col("doc_id_1").alias("d1"),
+                     F.col("doc_id_2").alias("d2"),
+                     F.lit(True).alias("is_cand")))
+    bucket = F.least(F.floor(F.col("c") * F.lit(10.0)
+                             / (F.col("n1") + F.col("n2") - F.col("c")))
+                     .cast("long"), F.lit(9).cast("long"))
+    bucketed = (pairs
+                .join(sizes.select(F.col("doc_id").alias("d1"),
+                                   F.col("n").alias("n1")), "d1")
+                .join(sizes.select(F.col("doc_id").alias("d2"),
+                                   F.col("n").alias("n2")), "d2")
+                .join(cands, ["d1", "d2"], "left")
+                .select(bucket.alias("bucket"),
+                        F.coalesce(F.col("is_cand"), F.lit(False))
+                        .alias("is_cand")))
+    theory = _calib_theory()
+    tcol = F.col("bucket")
+    texpr = F.lit(None).cast("double")
+    for k, v in theory.items():
+        texpr = F.when(tcol == k, F.lit(v)).otherwise(texpr)
+    n_cand = F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+    return (bucketed.groupBy("bucket")
+            .agg(F.count("*").alias("n_pairs"),
+                 n_cand.cast("long").alias("n_candidates"),
+                 fround(n_cand * F.lit(1.0) / F.count("*"))
+                 .alias("observed_rate"))
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    (F.col("bucket") / F.lit(1e1)).alias("j_lo"),
+                    ((F.col("bucket") + 1) / F.lit(1e1)).alias("j_hi"),
+                    "n_pairs", "n_candidates", "observed_rate",
+                    texpr.alias("theoretical_rate")))

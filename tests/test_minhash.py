@@ -163,3 +163,83 @@ def test_incremental_ingest_matches_bruteforce_and_skips_old_pairs(spark):
 
     assert got == want
     assert len(got) > 0                        # fixture has planted dups
+
+
+def test_banding_calibration_planted_midrange(spark, tmp_path):
+    """Planted docs with engineered mid-range Jaccard overlaps (shared
+    token prefixes of varying length) must populate middle buckets and
+    match an independent python recount of both the exact-Jaccard
+    census and the banding candidacy; the theoretical column must be
+    the analytic S-curve at bucket midpoints."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.minhash import (
+        CALIB_CUT, MERSENNE, N_BANDS, ROWS_PER_BAND, _perm_params)
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    base = [f"w{j}" for j in range(40)]
+    # ids chosen to FALL IN the md5 doc sample (first hex char < '4')
+    # so the planted ladder is actually censused
+    import hashlib as _h
+    ids = [i for i in range(100)
+           if _h.md5(str(i).encode()).hexdigest()[0] < "4"][:12]
+    rows = []
+    for rank, did in enumerate(ids):
+        # each doc shares a shrinking token prefix with the first —
+        # a ladder of pairwise overlaps across the Jaccard range
+        toks = (base[: 40 - 2 * rank]
+                + [f"u{did}_{j}" for j in range(2 * rank)])
+        rows.append((did, " ".join(toks), "en", "web"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["bucket"]: r for r in
+           all_queries()["minhash_banding_calibration"]
+           .fn(spark, str(tmp_path)).collect()}
+
+    # python recount over the same md5 sample
+    def md5i(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    sample = {r[0]: r[1] for r in rows
+              if hashlib.md5(str(r[0]).encode()).hexdigest()[0] < CALIB_CUT}
+    sh = {d: {" ".join(t.split()[i:i + 3])
+              for i in range(len(t.split()) - 2)}
+          for d, t in sample.items()}
+    params = _perm_params()
+
+    def sig(tokens):
+        hs = [md5i(s) % MERSENNE for s in tokens]
+        return [min((a * h + b) % MERSENNE for h in hs) for a, b in params]
+
+    sigs = {d: sig(s) for d, s in sh.items()}
+
+    def bands(v):
+        return {(i, "|".join(str(x) for x in
+                             v[i * ROWS_PER_BAND:(i + 1) * ROWS_PER_BAND]))
+                for i in range(N_BANDS)}
+
+    expect: dict = {}
+    ds = sorted(sh)
+    for i, d1 in enumerate(ds):
+        for d2 in ds[i + 1:]:
+            c = len(sh[d1] & sh[d2])
+            if c == 0:
+                continue
+            u = len(sh[d1] | sh[d2])
+            bkt = min(int(math.floor(c * 10.0 / u)), 9)
+            is_cand = bool(bands(sigs[d1]) & bands(sigs[d2]))
+            n, k = expect.get(bkt, (0, 0))
+            expect[bkt] = (n + 1, k + (1 if is_cand else 0))
+    assert set(got) == set(expect)
+    assert any(0 < b < 9 for b in expect), expect   # midrange populated
+    for bkt, (n, k) in expect.items():
+        r = got[bkt]
+        assert r["n_pairs"] == n and r["n_candidates"] == k
+        assert r["observed_rate"] == math.floor(k / n * 1e6 + 0.5) / 1e6
+        s_mid = (bkt + 0.5) / 10.0
+        p = 1.0 - (1.0 - s_mid ** ROWS_PER_BAND) ** N_BANDS
+        assert r["theoretical_rate"] == math.floor(p * 1e6 + 0.5) / 1e6
