@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from covid_weather_etl_spark.functions.numeric import fround, fround_sql
 from covid_weather_etl_spark.queries.registry import register
@@ -407,3 +408,133 @@ def bitmap_audience_intersection(spark: SparkSession,
     return (sizes.crossJoin(F.broadcast(inter))
             .select("n_signup", "n_purchase", "n_both",
                     F.round(jac, 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary + its error gate — the third sketch family
+# ---------------------------------------------------------------------------
+
+#: fixed-grid histogram: bin width in price cents and bin count.
+#: 1024 x $512 covers o_totalprice's [1k, 500k] domain with the top
+#: bin as a clamp; the worst-case quantile error is ONE BIN WIDTH by
+#: construction (the bound the eval below measures).
+QSK_BIN_CENTS = 51200
+QSK_BINS = 1024
+#: evaluated quantiles (per mille, integer grid).
+QSK_QS = (500, 900, 990)
+
+
+@register(
+    "quantile_sketch_error_eval",
+    survey="ext-sketch,A11,A6,U5",
+    oracle=f"""
+    WITH v AS (
+        SELECT o_orderpriority AS pri,
+               CAST(FLOOR(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    hist AS (
+        SELECT pri, LEAST(cents // {QSK_BIN_CENTS}, {QSK_BINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT pri, bin, c,
+               SUM(c) OVER (PARTITION BY pri ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(c) OVER (PARTITION BY pri) AS n
+        FROM hist
+    ),
+    qs(q) AS (VALUES {", ".join(f"({q})" for q in QSK_QS)}),
+    est AS (
+        SELECT pri, q,
+               MIN(bin) AS qbin, MIN(n) AS n
+        FROM cum, qs
+        WHERE cc * 1000 >= q * n
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT pri, cents,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY pri) AS nn
+        FROM v
+    ),
+    exact AS (
+        -- the k-th order statistic at k = ceil(q*n/1000): the SAME
+        -- rank rule the histogram covers, so the one-bin bound is a
+        -- theorem, not a hope
+        SELECT r.pri, qs.q, r.cents AS xc
+        FROM ranked r, qs
+        WHERE r.rn = (qs.q * r.nn + 999) // 1000
+    )
+    SELECT e.pri, CAST(e.q AS INT) AS q_permille,
+           CAST(e.n AS BIGINT) AS n,
+           ((e.qbin + 1) * {QSK_BIN_CENTS} - 1) / 1e2 AS est_price,
+           x.xc / 1e2 AS exact_price,
+           (((e.qbin + 1) * {QSK_BIN_CENTS} - 1) - x.xc) / 1e2 AS abs_err,
+           {QSK_BIN_CENTS} / 1e2 AS err_bound
+    FROM est e JOIN exact x ON x.pri = e.pri AND x.q = e.q
+    """,
+)
+def quantile_sketch_error_eval(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SUMMARY with its error gate — the third
+    sketch family beside cardinality (portable HLL) and frequency
+    (count-min): a fixed-grid histogram of order prices per priority
+    (integer bin counts — the summary that merges across
+    partitions/days/tables by pure addition, the property that makes
+    it a 100 TB rollup primitive), quantile estimates read off the
+    merged histogram as bin upper edges, and — the gate — the measured
+    absolute error against the EXACT k-th order statistic at the SAME
+    ceiling-rank rule (k = ceil(q*n/1000)) — which makes the one-bin
+    bound a THEOREM: the order statistic lies inside the chosen bin,
+    so 0 <= est - exact < bin width, always. Before shipping
+    grid-sketch quantiles at scale you check est within err_bound per
+    group per quantile (the planted test asserts exactly that).
+
+    Plan: one scan -> integer cents (exact: the money column carries
+    2 decimals) -> (group, bin) counts (map-side combinable, ≤
+    groups x {QSK_BINS} rows), a GROUP-partitioned running sum, the
+    smallest-bin-covering-rank aggregation per quantile, and a
+    group-partitioned rank window for the exact order statistic. The
+    ENTIRE query is integer arithmetic (cc*1000 >= q*n avoids any
+    float rank; prices live in exact cents) — parity is free. The
+    baseline's per-group sort is the expensive exact path the sketch
+    replaces at 100 TB; it is here precisely to measure what the
+    cheap path gives up."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)) \
+             .cast("long")
+    v = t["orders"].select(F.col("o_orderpriority").alias("pri"),
+                           cents.alias("cents"))
+    hist = (v.groupBy("pri",
+                      F.least(F.floor(F.col("cents") / QSK_BIN_CENTS),
+                              F.lit(QSK_BINS - 1)).cast("long")
+                      .alias("bin"))
+            .agg(F.count("*").alias("c")))
+    wc = (W.partitionBy("pri").orderBy("bin")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wn = W.partitionBy("pri")
+    cum = (hist.withColumn("cc", F.sum("c").over(wc))
+           .withColumn("n", F.sum("c").over(wn)))
+    qs = spark.createDataFrame([(q,) for q in QSK_QS], "q int")
+    est = (cum.crossJoin(F.broadcast(qs))
+           .filter(F.col("cc") * 1000 >= F.col("q") * F.col("n"))
+           .groupBy("pri", "q")
+           .agg(F.min("bin").alias("qbin"), F.min("n").alias("n")))
+    wr = W.partitionBy("pri").orderBy("cents")
+    ranked = (v.withColumn("rn", F.row_number().over(wr))
+              .withColumn("nn", F.count("*").over(W.partitionBy("pri"))))
+    exact = (ranked.crossJoin(F.broadcast(qs))
+             .filter(F.col("rn")
+                     == F.floor((F.col("q") * F.col("nn") + 999) / 1000))
+             .select("pri", "q", F.col("cents").alias("xc")))
+    est_price = ((F.col("qbin") + 1) * F.lit(QSK_BIN_CENTS) - 1) / F.lit(1e2)
+    return (est.join(exact, ["pri", "q"])
+            .select("pri", F.col("q").cast("int").alias("q_permille"),
+                    F.col("n").cast("long").alias("n"),
+                    est_price.alias("est_price"),
+                    (F.col("xc") / F.lit(1e2)).alias("exact_price"),
+                    ((((F.col("qbin") + 1) * F.lit(QSK_BIN_CENTS) - 1)
+                      - F.col("xc")) / F.lit(1e2)).alias("abs_err"),
+                    (F.lit(QSK_BIN_CENTS) / F.lit(1e2)).alias("err_bound")))

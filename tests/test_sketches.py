@@ -196,3 +196,46 @@ def test_portable_hll_matches_python_reference(spark):
         # estimate within the p=12 envelope of the true cardinality
         exact = len(set(vals))
         assert abs(got - exact) <= max(3.0, 0.05 * exact), (exact, got)
+
+
+def test_quantile_sketch_error_within_bound(spark):
+    """Every histogram-quantile estimate must sit within one bin width
+    of the exact percentile (the analytic bound the query reports),
+    the estimate must never UNDER-cover the rank (bin upper edge >=
+    exact is not guaranteed after interpolation, but rank coverage
+    is: cc*1000 >= q*n at the chosen bin), and a python recount of
+    the histogram path must agree exactly."""
+    import math
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.sketch_rollup import (
+        QSK_BIN_CENTS, QSK_BINS, QSK_QS)
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = (all_queries()["quantile_sketch_error_eval"]
+            .fn(spark, SF_DIR).collect())
+    assert len(rows) == 5 * len(QSK_QS)       # 5 priorities x 3 quantiles
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    for r in rows:
+        assert 0 <= r["abs_err"] < r["err_bound"], r
+        # python histogram replay
+        g = orders[orders.o_orderpriority == r["pri"]].o_totalprice
+        cents = [math.floor(x * 1e2 + 0.5) for x in g]
+        bins = sorted(min(c // QSK_BIN_CENTS, QSK_BINS - 1) for c in cents)
+        n = len(bins)
+        k = r["q_permille"]
+        cc = 0
+        from collections import Counter
+        hist = Counter(bins)
+        for b in sorted(hist):
+            cc += hist[b]
+            if cc * 1000 >= k * n:
+                qbin = b
+                break
+        assert r["n"] == n
+        assert r["est_price"] == ((qbin + 1) * QSK_BIN_CENTS - 1) / 1e2
+        # exact order statistic at the ceiling rank
+        xc = sorted(cents)[(k * n + 999) // 1000 - 1]
+        assert r["exact_price"] == xc / 1e2
