@@ -44,9 +44,12 @@ _REGISTRY: dict[str, Query] = {}
 _LOADED = False
 
 
-def register(name: str, oracle: Optional[str] = None, survey: str = "",
-             bench: bool = False, tags: tuple[str, ...] = ()):
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a named query."""
+def register(name: str, oracle: "Optional[str | Callable[[], str]]" = None,
+             survey: str = "", bench: bool = False,
+             tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a named
+    query. ``oracle`` may be SQL text or a zero-arg callable returning
+    it (resolved at every all_queries() call — see Query.oracle)."""
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
