@@ -1834,14 +1834,43 @@ def source_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_MOD = 16
 
 
-@register(
-    "cdc_chunk_stats",
-    survey="ext-dedup,A6,J1,W6",
-    oracle=f"""
-    WITH tok AS (
+
+def _cdc_chunks(docs) -> "DataFrame":
+    """(doc_id, source, chunk_no, h, len) chunk table under the CDC
+    boundary rule — shared by the stats report and the incremental
+    ingest (one definition, one oracle CTE twin)."""
+    from covid_weather_etl_spark.operators.minhash import _md5_int
+
+    tok = (spread(docs, "doc_id")
+           .select("doc_id", "source",
+                   F.posexplode(F.split("text", " ")).alias("p0", "t"))
+           .select("doc_id", "source", (F.col("p0") + 1).alias("pos"), "t"))
+    b = F.when(F.pmod(_md5_int(F.col("t")), F.lit(CDC_MOD)) == 0,
+               F.lit(1)).otherwise(F.lit(0))
+    wrun = (W.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, 0))
+    numbered = (tok.withColumn("b", b)
+                .withColumn("chunk_no",
+                            F.sum("b").over(wrun) - F.col("b")))
+    return (numbered.groupBy("doc_id", "chunk_no")
+            .agg(F.any_value("source").alias("source"),
+                 F.md5(F.concat_ws(
+                     " ",
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "t"))),
+                         lambda x: x["t"])).cast("binary")).alias("h"),
+                 F.count("*").alias("len")))
+
+
+#: shared CDC chunk CTE for the DuckDB twins (the SQL mirror of
+#: ``_cdc_chunks``): expects a ``docs_src`` CTE with (doc_id, source,
+#: text) to be defined above it.
+CDC_CHUNK_CTES = f"""
+    tok AS (
         SELECT d.doc_id, d.source, u.i AS pos, d.tk[u.i] AS t
         FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
-              FROM documents) d,
+              FROM docs_src) d,
              UNNEST(generate_series(1, len(d.tk))) AS u(i)
     ),
     flagged AS (
@@ -1861,7 +1890,15 @@ CDC_MOD = 16
                md5(string_agg(t, ' ' ORDER BY pos)) AS h,
                CAST(COUNT(*) AS BIGINT) AS len
         FROM numbered GROUP BY doc_id, chunk_no
-    ),
+    )"""
+
+
+@register(
+    "cdc_chunk_stats",
+    survey="ext-dedup,A6,J1,W6",
+    oracle=f"""
+    WITH docs_src AS (SELECT doc_id, source, text FROM documents),
+    {CDC_CHUNK_CTES},
     firsts AS (
         SELECT h, MIN(doc_id * 1000000 + chunk_no) AS first_key
         FROM chunks GROUP BY h
@@ -1906,29 +1943,8 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source aggregate. All integer/string algebra -> exact oracle.
     At 100 TB every stage is map-side-combinable or keyed on doc/hash;
     nothing is corpus-cross-product."""
-    from covid_weather_etl_spark.operators.minhash import _md5_int
-
     t = load_tables(spark, sf_dir, ("documents",))
-    tok = (spread(t["documents"], "doc_id")
-           .select("doc_id", "source",
-                   F.posexplode(F.split("text", " ")).alias("p0", "t"))
-           .select("doc_id", "source", (F.col("p0") + 1).alias("pos"), "t"))
-    b = F.when(F.pmod(_md5_int(F.col("t")), F.lit(CDC_MOD)) == 0,
-               F.lit(1)).otherwise(F.lit(0))
-    wrun = (W.partitionBy("doc_id").orderBy("pos")
-            .rowsBetween(W.unboundedPreceding, 0))
-    numbered = (tok.withColumn("b", b)
-                .withColumn("chunk_no",
-                            F.sum("b").over(wrun) - F.col("b")))
-    chunks = (numbered.groupBy("doc_id", "chunk_no")
-              .agg(F.any_value("source").alias("source"),
-                   F.md5(F.concat_ws(
-                       " ",
-                       F.transform(
-                           F.array_sort(F.collect_list(
-                               F.struct("pos", "t"))),
-                           lambda x: x["t"])).cast("binary")).alias("h"),
-                   F.count("*").alias("len")))
+    chunks = _cdc_chunks(t["documents"])
     key = F.col("doc_id") * F.lit(1000000) + F.col("chunk_no")
     firsts = (chunks.select("h", key.alias("k"))
               .groupBy("h").agg(F.min("k").alias("first_key")))
@@ -2027,3 +2043,122 @@ def domain_mix_kl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.join(st, "source")
             .select("source", F.col("ts").alias("n_tokens"),
                     F.col("nd").alias("n_distinct_tokens"), "kl_nats"))
+
+
+#: incremental ingest split: docs whose md5(doc_id) 2-hex prefix is >=
+#: this cut are the arriving batch (~20%); the rest are the already-
+#: ingested store (same convention as incremental_minhash_ingest).
+CDC_INC_CUT = "cc"
+
+
+@register(
+    "cdc_incremental_ingest",
+    survey="ext-dedup,D2,J1,A6",
+    oracle=f"""
+    WITH docs_src AS (SELECT doc_id, source, text FROM documents),
+    {{CDC_CHUNK_CTES}},
+    flags AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{CDC_INC_CUT}'
+                   AS is_new
+        FROM docs_src
+    ),
+    store AS (
+        SELECT DISTINCT c.h
+        FROM chunks c JOIN flags f ON f.doc_id = c.doc_id
+        WHERE NOT f.is_new
+    ),
+    newch AS (
+        SELECT c.doc_id, c.chunk_no, c.h, c.len
+        FROM chunks c JOIN flags f ON f.doc_id = c.doc_id
+        WHERE f.is_new
+    ),
+    bfirst AS (
+        SELECT h, MIN(doc_id * 1000000 + chunk_no) AS first_key
+        FROM newch GROUP BY h
+    ),
+    cls AS (
+        SELECT n.doc_id, n.len,
+               (s.h IS NOT NULL) AS hit_store,
+               (s.h IS NULL AND
+                n.doc_id * 1000000 + n.chunk_no <> b.first_key)
+                   AS hit_batch
+        FROM newch n
+        LEFT JOIN store s ON s.h = n.h
+        JOIN bfirst b ON b.h = n.h
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(len) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN hit_store THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_store,
+           CAST(SUM(CASE WHEN hit_batch THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_batch,
+           CAST(SUM(CASE WHEN hit_store OR hit_batch THEN 0 ELSE 1 END)
+                AS BIGINT) AS chunks_written,
+           CAST(SUM(CASE WHEN hit_store OR hit_batch THEN 0 ELSE len END)
+                AS BIGINT) AS tokens_written,
+           FLOOR((1e0 - SUM(CASE WHEN hit_store OR hit_batch
+                                 THEN 0 ELSE len END) * 1e0 / SUM(len))
+                 * 1e6 + 0.5) / 1e6 AS dedup_ratio
+    FROM cls GROUP BY doc_id
+    """.format(CDC_CHUNK_CTES=CDC_CHUNK_CTES),
+)
+def cdc_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL chunk-store ingest — the shape CDC dedup actually
+    runs in production: a ~20% arriving batch (md5 doc split, same
+    convention as incremental_minhash_ingest) is chunked and looked up
+    against the already-ingested store's fingerprints; each new-doc
+    chunk is a STORE HIT (referenced, zero bytes written), a BATCH HIT
+    (duplicate within the arriving batch — only the batch-first
+    occurrence by (doc_id, chunk_no) is written), or NEW (written).
+    Per new doc: chunk/token counts, hit breakdown, tokens actually
+    written, and the dedup ratio — the write-amplification report an
+    ingest pipeline emits per batch.
+
+    Scale: ONLY the arriving batch is chunked at ingest (the store is
+    a persisted fingerprint table in steady state — here it is derived
+    from the old split to stay self-contained, exactly like the
+    minhash twin); the lookup is a hash-keyed LEFT join new x store,
+    never old x old. All integer/md5 algebra — exact oracle via the
+    shared CDC_CHUNK_CTES twin of _cdc_chunks."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    chunks = _cdc_chunks(t["documents"]).localCheckpoint(eager=True)
+    is_new = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+              >= CDC_INC_CUT)
+    flags = (t["documents"].select("doc_id")
+             .select("doc_id", is_new.alias("is_new")))
+    ch = chunks.join(flags, "doc_id")
+    store = (ch.filter(~F.col("is_new")).select("h").distinct())
+    newch = ch.filter(F.col("is_new"))
+    key = F.col("doc_id") * F.lit(1000000) + F.col("chunk_no")
+    bfirst = (newch.select("h", key.alias("k"))
+              .groupBy("h").agg(F.min("k").alias("first_key")))
+    cls = (newch.withColumn("k", key)
+           .join(store.withColumn("in_store", F.lit(True)), "h", "left")
+           .join(bfirst, "h")
+           .select("doc_id", "len",
+                   F.coalesce(F.col("in_store"), F.lit(False))
+                   .alias("hit_store"),
+                   (F.coalesce(F.col("in_store"), F.lit(False)) == False)
+                   .alias("_miss"),
+                   (F.col("k") != F.col("first_key")).alias("_notfirst"))
+           .select("doc_id", "len", "hit_store",
+                   (F.col("_miss") & F.col("_notfirst"))
+                   .alias("hit_batch")))
+    written = F.when(F.col("hit_store") | F.col("hit_batch"), 0)
+    return (cls.groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("len").alias("n_tokens"),
+                 F.sum(F.when(F.col("hit_store"), 1).otherwise(0))
+                 .cast("long").alias("hits_store"),
+                 F.sum(F.when(F.col("hit_batch"), 1).otherwise(0))
+                 .cast("long").alias("hits_batch"),
+                 F.sum(written.otherwise(1)).cast("long")
+                 .alias("chunks_written"),
+                 F.sum(written.otherwise(F.col("len"))).cast("long")
+                 .alias("tokens_written"),
+                 fround(F.lit(1.0)
+                        - F.sum(written.otherwise(F.col("len")))
+                        * F.lit(1.0) / F.sum("len"))
+                 .alias("dedup_ratio")))

@@ -217,8 +217,8 @@ _ROTATION_R7 = (
 # R8 queue: after the r7 driver run the never-checked set is exactly
 # the r7-session additions — sq8_recall_eval, cdc_chunk_stats,
 # domain_mix_kl_report, bpe_fertility_by_lang,
-# minhash_banding_calibration, quantile_sketch_error_eval (all
-# oracle-equipped,
+# minhash_banding_calibration, quantile_sketch_error_eval,
+# cdc_incremental_ingest (all oracle-equipped,
 # all driver-sim green at sf0.01 and spot-verified at sf0.1 on day
 # one) — plus media_resize (rows-only r03 refresh displaced from the
 # r7 window). Lead r8 with those five; the remaining ~45 slots should

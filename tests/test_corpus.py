@@ -534,3 +534,45 @@ def test_domain_mix_kl_planted(spark, tmp_path):
     assert abs(got["B"]["kl_nats"] - math.log(4.0)) < 1e-8
     # A: p(x) = .5 vs q(x) = 15/40 -> KL = ln(4/3)
     assert abs(got["A"]["kl_nats"] - math.log(4.0 / 3.0)) < 1e-8
+
+
+def test_cdc_incremental_ingest_classification(spark, tmp_path):
+    """Planted batch/store split (ids chosen on both sides of the md5
+    cut): a new doc equal to a stored doc must be fully store-hit
+    (zero tokens written); two identical new docs must write only the
+    first copy's chunks (batch hits on the second); totals conserve."""
+    import hashlib
+
+    from covid_weather_etl_spark.operators.corpus import CDC_INC_CUT
+
+    def is_new(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] >= CDC_INC_CUT
+
+    olds = [i for i in range(200) if not is_new(i)]
+    news = [i for i in range(200) if is_new(i)]
+    assert len(olds) >= 1 and len(news) >= 3
+    text_a = " ".join(f"a{j}" for j in range(30))
+    text_b = " ".join(f"b{j}" for j in range(30))
+    rows = [
+        (olds[0], text_a, "en", "web"),   # store holds A's chunks
+        (news[0], text_a, "en", "web"),   # new copy of stored doc
+        (news[1], text_b, "en", "web"),   # fresh content, first copy
+        (news[2], text_b, "en", "web"),   # duplicate within the batch
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r
+           for r in C.cdc_incremental_ingest(spark, str(tmp_path)).collect()}
+    assert set(got) == {news[0], news[1], news[2]}
+    r0 = got[news[0]]                      # copy of stored doc
+    assert r0["hits_store"] == r0["n_chunks"]
+    assert r0["tokens_written"] == 0 and r0["dedup_ratio"] == 1.0
+    first, second = sorted((news[1], news[2]))
+    r1, r2 = got[first], got[second]       # batch-first wins by doc_id
+    assert r1["tokens_written"] == r1["n_tokens"] and r1["hits_batch"] == 0
+    assert r2["hits_batch"] == r2["n_chunks"]
+    assert r2["tokens_written"] == 0 and r2["dedup_ratio"] == 1.0
+    for r in got.values():
+        assert (r["hits_store"] + r["hits_batch"] + r["chunks_written"]
+                == r["n_chunks"])
