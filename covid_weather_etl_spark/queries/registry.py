@@ -163,6 +163,51 @@ _ROTATION_R6 = (
     "holt_winters_forecast_eval", "markov_attribution",
 )
 
+# Round 8 window (50), per the r7 verdict directive #2. Slots 1-7:
+# the only never-driver-checked queries left — the 7 r7-session
+# additions (all oracle-equipped day one, judge-verified 7/7 PASS at
+# sf0.01); a fresh row takes never-checked to 0 for the first time.
+# Slot 8: media_resize, the rows-only r03 refresh displaced from r7
+# (oldest evidence row in the registry). Slots 9-10: the two approx_*
+# profiles graduated from rows-only THIS round via bound-gate oracles
+# (verdict directive #4, quantile_sketch_error_eval precedent) —
+# their r7 rows-only rows predate the new oracles, so fresh rows flip
+# them to hash-green. Slots 11-50: the entire r02 hash-row cohort (40
+# queries, the oldest green evidence in the registry) — after this
+# round no driver evidence predates r03.
+_ROTATION_R8 = (
+    # never-checked: the 7 r7-session additions
+    "sq8_recall_eval", "cdc_chunk_stats", "cdc_incremental_ingest",
+    "domain_mix_kl_report", "bpe_fertility_by_lang",
+    "minhash_banding_calibration", "quantile_sketch_error_eval",
+    # oldest evidence row anywhere: rows-only r03
+    "media_resize",
+    # graduated rows-only -> bound-gate oracle this round
+    "approx_distinct_profile", "approx_quantile_profile",
+    # the full r02 hash-row cohort, oldest green evidence
+    "asof_join_attribution", "backfill_file_counts",
+    "bpe_token_stats", "bucketed_colocated_join",
+    "click_attribution_window", "contamination_check", "corpus_mix",
+    "cosine_topk", "dedup_clusters", "distinct_pairs",
+    "doc_fingerprint", "embedding_near_dup", "etl_time_trend",
+    "extract_logs_table", "hash_stratified_sample",
+    "interpolate_gaps", "interval_join_proximity", "ivf_ann_topk",
+    "knn_join", "lang_id", "load_logs_table",
+    "ngram_jaccard_near_dup", "ols_trend_per_group",
+    "persistence_forecast_eval", "quality_filter_funnel",
+    "quality_score", "rule_classifier_confusion",
+    "salted_join_revenue", "seasonal_decompose", "sequence_packing",
+    "session_windows", "sliding_window_avg",
+    "standard_scaler_transform", "stratified_split_summary",
+    "tfidf_top_terms", "token_stats", "transform_logs_table",
+    "tumbling_window_counts", "validation_routing",
+    "winnowing_fingerprint",
+)
+# R9 queue: refresh the r03 cohort next (44 hash rows + the oldest
+# remaining rows-only rows media_features/als_part_recommendations
+# at r07); never-checked should stay at 0 — any new op added in r8+
+# sessions leads the next window.
+
 # Round 7 window (50), per the r6 verdict directive #1. Slots 1-6: the
 # stale-evidence oracle upgrades — each carries a full replay oracle
 # newer than its last driver row (rows-only r02-r04), so a fresh row
@@ -368,10 +413,10 @@ def _resolved(q: Query) -> Query:
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    missing = [n for n in _ROTATION_R7 if n not in _REGISTRY]
+    missing = [n for n in _ROTATION_R8 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R7}
+    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R8}
     ordered.update((n, _resolved(q)) for n, q in _REGISTRY.items()
                    if n not in ordered)
     return ordered
