@@ -81,55 +81,200 @@ def dedup_on_load(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataF
     )
 
 
-@register("approx_distinct_profile", survey="A2-scale,A1")
+#: HLL++ relative-error gate: Spark's approx_count_distinct default
+#: rsd is 5% (standard error); the driver gate is 3×rsd. A single-run
+#: HLL estimate is DETERMINISTIC for fixed input (md-hash based), so
+#: the gate either always holds or never holds at a given SF — it is
+#: verified green at sf0.001/0.01/0.1 by tests + driver-sim.
+ADP_REL_BOUND_PCT = 15
+
+_ADP_METRICS = (
+    ("user_id", "user_id"),
+    ("event_type", "event_type"),
+    ("event_id", "event_id"),
+    ("user_type_pair", "concat(user_id, '|', event_type)"),
+)
+
+_ADP_ORACLE = f"""
+    WITH e AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d_user_id,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d_event_type,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d_event_id,
+               CAST(COUNT(DISTINCT (user_id || '|' || event_type))
+                    AS BIGINT) AS d_user_type_pair
+        FROM events
+    )
+    SELECT m.metric, e.n_rows,
+           CASE m.metric
+               WHEN 'user_id' THEN e.d_user_id
+               WHEN 'event_type' THEN e.d_event_type
+               WHEN 'event_id' THEN e.d_event_id
+               ELSE e.d_user_type_pair
+           END AS exact_distinct,
+           CAST({ADP_REL_BOUND_PCT} AS BIGINT) AS rel_err_bound_pct,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM e, (VALUES ('user_id'), ('event_type'), ('event_id'),
+                    ('user_type_pair')) AS m(metric)
+"""
+
+
+@register("approx_distinct_profile", survey="A2-scale,A1,U5",
+          oracle=_ADP_ORACLE)
 def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ cardinality profile — the 100 TB scale-up of the
-    dashboard's COUNT(DISTINCT) (SURVEY.md §2.4 note): approximate
-    distinct counts are map-side mergeable sketches, so the profile
-    costs ONE pass and one tiny shuffle regardless of key cardinality,
-    where exact distinct counting shuffles every distinct value.
-    Rows-only driver check (sketch estimates are engine-specific);
-    tests/test_sketches.py pins estimates within 5% of exact."""
+    """HyperLogLog++ cardinality profile WITH its error gate — the
+    100 TB scale-up of the dashboard's COUNT(DISTINCT) (SURVEY.md §2.4
+    note): approximate distinct counts are map-side mergeable sketches,
+    so the estimate costs ONE pass and one tiny shuffle regardless of
+    key cardinality, where exact distinct counting shuffles every
+    distinct value.
+
+    Graduated from rows-only via the bound-gate pattern
+    (quantile_sketch_error_eval precedent, r7 verdict directive #4):
+    the output carries the EXACT distinct counts (computed by both
+    engines — the expensive audit path the sketch replaces at scale)
+    plus an integer gate `within_bound` = [|est − exact| ≤ 3·rsd·exact]
+    with rsd = 5% (Spark's default). The raw estimate is engine-
+    specific and deliberately NOT emitted; the DuckDB twin asserts the
+    gate is 1, so a driver hash-match PROVES the sketch estimate landed
+    inside its published 3-sigma envelope on real distributed data.
+    tests/test_sketches.py additionally pins the (tighter) 1-rsd 5%
+    tolerance locally."""
     t = load_tables(spark, sf_dir, ("events",))
     e = t["events"]
-    return e.agg(
-        F.count("*").alias("n_rows"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_type").alias("approx_types"),
-        F.approx_count_distinct("event_id").alias("approx_events"),
-        F.expr("approx_count_distinct(concat(user_id, '|', event_type))")
-         .alias("approx_user_type_pairs"),
-    )
-
-
-@register("approx_quantile_profile", survey="A11-scale,A16")
-def approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-error-bounded quantile sketch — the 100 TB scale-up of the
-    exact `percentile` used by summary_stats / monthly_boxplot_stats
-    (reference `df.describe()` / boxplots, SURVEY.md §2.4 A11/A16).
-    Exact percentiles need all values of a group collected to one
-    reducer; `percentile_approx` (Greenwald-Khanna sketch) is map-side
-    mergeable, so the profile is one pass + a tiny shuffle of fixed-size
-    sketches regardless of group size. accuracy=10000 bounds rank error
-    to n/10000 per group. Rows-only driver check (sketch picks are
-    engine-specific); tests/test_sketches.py pins each estimate inside
-    the exact [p-eps, p+eps] quantile envelope."""
-    t = load_tables(spark, sf_dir, ("lineitem",))
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-            ).alias("q"),
-        )
+    aggs = [F.count("*").alias("n_rows")]
+    for name, expr in _ADP_METRICS:
+        aggs.append(F.count_distinct(F.expr(expr)).alias(f"d_{name}"))
+        aggs.append(F.expr(f"approx_count_distinct({expr})")
+                    .alias(f"a_{name}"))
+    one = e.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', d_{name}, a_{name}" for name, _ in _ADP_METRICS)
+    return (one.selectExpr(
+        "n_rows",
+        f"stack({len(_ADP_METRICS)}, {stack})"
+        " AS (metric, exact_distinct, approx_distinct)")
         .select(
-            "l_returnflag", "n_rows",
-            F.col("q")[0].alias("p25"), F.col("q")[1].alias("p50"),
-            F.col("q")[2].alias("p75"), F.col("q")[3].alias("p95"),
-        )
+            "metric",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.lit(ADP_REL_BOUND_PCT).cast("long")
+             .alias("rel_err_bound_pct"),
+            (F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+             * 100 <= F.lit(ADP_REL_BOUND_PCT) * F.col("exact_distinct"))
+            .cast("long").alias("within_bound"),
+        ))
+
+
+#: percentile_approx accuracy: rank error ≤ n/AQP_ACC (deterministic
+#: Greenwald-Khanna guarantee, not probabilistic). Quantiles on an
+#: integer basis-point grid; envelope ranks carry ±1 slack for the
+#: boundary-inclusive rank convention.
+AQP_ACC = 10000
+AQP_QS_BP = (2500, 5000, 7500, 9500)
+
+_AQP_ORACLE = f"""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 1e2 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT flag, cents,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM v
+    ),
+    qs(q_bp) AS (VALUES {", ".join(f"({q})" for q in AQP_QS_BP)}),
+    bounds AS (
+        SELECT r.flag, qs.q_bp, r.n,
+               GREATEST(1, (qs.q_bp - 1) * r.n // {AQP_ACC} - 1) AS lo_rn,
+               LEAST(r.n, ((qs.q_bp + 1) * r.n + {AQP_ACC - 1})
+                          // {AQP_ACC} + 1) AS hi_rn
+        FROM (SELECT DISTINCT flag, n FROM ranked) r, qs
     )
+    SELECT b.flag, CAST(b.q_bp AS INT) AS q_bp,
+           CAST(b.n AS BIGINT) AS n_rows,
+           lo.cents / 1e2 AS env_lo, hi.cents / 1e2 AS env_hi,
+           CAST(1 AS BIGINT) AS within_envelope
+    FROM bounds b
+    JOIN ranked lo ON lo.flag = b.flag AND lo.rn = b.lo_rn
+    JOIN ranked hi ON hi.flag = b.flag AND hi.rn = b.hi_rn
+"""
+
+
+@register("approx_quantile_profile", survey="A11-scale,A16,U5",
+          oracle=_AQP_ORACLE)
+def approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error-bounded quantile sketch WITH its error gate — the
+    100 TB scale-up of the exact `percentile` used by summary_stats /
+    monthly_boxplot_stats (reference `df.describe()` / boxplots,
+    SURVEY.md §2.4 A11/A16). Exact percentiles need all values of a
+    group on one reducer; `percentile_approx` (Greenwald-Khanna) is a
+    map-side-mergeable fixed-size sketch — one pass + a tiny shuffle
+    regardless of group size.
+
+    Graduated from rows-only via the bound-gate pattern (r7 verdict
+    directive #4). GK's guarantee is DETERMINISTIC: with
+    accuracy=10000 the returned value's rank is within n/10000
+    of the target rank — so the gate is a theorem, not a tolerance.
+    Both engines compute the exact order-statistic ENVELOPE
+    [value@rank((q−eps)·n − 1), value@rank((q+eps)·n + 1)] in pure
+    integer basis-point arithmetic (cents domain; ±1 rank slack covers
+    the boundary-inclusive rank convention), and the Spark side gates
+    the sketch estimate inside it. The engine-specific estimate is NOT
+    emitted; the hash-match on (envelope, gate=1) proves the sketch
+    honored its published bound. tests/test_sketches.py pins the same
+    envelope locally via DuckDB quantile_disc."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    cents = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5)) \
+             .cast("long")
+    v = t["lineitem"].select(F.col("l_returnflag").alias("flag"),
+                             cents.alias("cents"))
+    wr = W.partitionBy("flag").orderBy("cents")
+    ranked = (v.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count("*").over(W.partitionBy("flag"))))
+    qs = spark.createDataFrame([(q,) for q in AQP_QS_BP], "q_bp int")
+    bounds = (ranked.select("flag", "n").distinct()
+              .crossJoin(F.broadcast(qs))
+              .select(
+                  "flag", "q_bp", "n",
+                  F.greatest(
+                      F.lit(1),
+                      F.floor((F.col("q_bp") - 1) * F.col("n") / AQP_ACC)
+                      .cast("long") - 1).alias("lo_rn"),
+                  F.least(
+                      F.col("n"),
+                      F.floor(((F.col("q_bp") + 1) * F.col("n")
+                               + (AQP_ACC - 1)) / AQP_ACC)
+                      .cast("long") + 1).alias("hi_rn")))
+    est = (v.groupBy("flag")
+           .agg(F.percentile_approx(
+               "cents", [q / 10000.0 for q in AQP_QS_BP], AQP_ACC)
+               .alias("est")))
+    est_long = (est.crossJoin(F.broadcast(qs.select(
+        "q_bp", F.expr(f"array({', '.join(str(q) for q in AQP_QS_BP)})")
+        .alias("_qs"))))
+        .select("flag", "q_bp",
+                F.expr("est[array_position(_qs, q_bp) - 1]")
+                .alias("est_cents")))
+    lo = ranked.select("flag", F.col("rn").alias("lo_rn"),
+                       F.col("cents").alias("lo_cents"))
+    hi = ranked.select("flag", F.col("rn").alias("hi_rn"),
+                       F.col("cents").alias("hi_cents"))
+    return (bounds
+            .join(lo, ["flag", "lo_rn"])
+            .join(hi, ["flag", "hi_rn"])
+            .join(est_long, ["flag", "q_bp"])
+            .select(
+                "flag", F.col("q_bp").cast("int").alias("q_bp"),
+                F.col("n").cast("long").alias("n_rows"),
+                (F.col("lo_cents") / F.lit(1e2)).alias("env_lo"),
+                (F.col("hi_cents") / F.lit(1e2)).alias("env_hi"),
+                ((F.col("est_cents") >= F.col("lo_cents"))
+                 & (F.col("est_cents") <= F.col("hi_cents")))
+                .cast("long").alias("within_envelope"),
+            ))
 
 
 @register(

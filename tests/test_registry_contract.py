@@ -11,21 +11,14 @@ from covid_weather_etl_spark.queries import registry as R
 def test_rotation_window_contract():
     qs = R.all_queries()
     window = list(qs)[:50]
-    assert window == list(R._ROTATION_R7)
-    assert len(set(R._ROTATION_R7)) == 50
-    # r7 closes the never-checked queue, so this window deliberately
-    # spends slots on the rows-only-by-nature queries (weaker driver
-    # evidence is still evidence) and the oldest rows-only refreshes —
-    # but ONLY on that documented set; any other oracle-less slot is
-    # a burnt correctness row
-    allowed_rows_only = {
-        "media_phash_dedup", "als_part_recommendations",
-        "sarima_forecast_eval", "logreg_classifier_eval",
-        "gbt_classifier_eval", "gbt_regressor_eval", "adf_stationarity",
-        "fourier_trend_forecast_eval", "rp_lsh_near_dup",
-        "approx_distinct_profile", "approx_quantile_profile",
-        "media_features",
-    }
+    assert window == list(R._ROTATION_R8)
+    assert len(set(R._ROTATION_R8)) == 50
+    # r8's only deliberate rows-only slot is media_resize (the oldest
+    # evidence row in the registry, rows-only by documented nature —
+    # PARITY.md §11); the approx_* profiles graduated to bound-gate
+    # oracles this round, so any other oracle-less slot is a burnt
+    # correctness row
+    allowed_rows_only = {"media_resize"}
     unexpected = [n for n in window
                   if not qs[n].oracle and n not in allowed_rows_only]
     assert not unexpected, unexpected
