@@ -390,10 +390,16 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Iteration shape: level-synchronous frontier expansion — each round
     joins ONLY the previous frontier (never the full visited set)
-    against the src-keyed edge frame, anti-joins the visited frame to
-    keep first-discovery distances (first touch == min dist in BFS),
-    and localCheckpoints the accumulated frame so the plan stays one
-    round deep. The per-round driver scalar (frontier count) is the
+    against the src-keyed edge frame and localCheckpoints the new
+    frontier so the plan stays one round deep. First-discovery dedup
+    exploits the graph being STRICTLY BIPARTITE (edges only ever join
+    c:↔s: by construction): a neighbor of a hop-(h−1) node sits at
+    hop h−2 or h — never h−1 or earlier — so anti-joining frontier
+    (h−2) ALONE yields exactly the new hop-h nodes. That removes the
+    per-round visited-union checkpoint entirely (r8: 4.69→~3.4 s warm,
+    job count ~20→~12) and, more importantly at 100 TB, shrinks the
+    anti-join's build side from |visited| (grows every round) to one
+    frontier. The per-round driver scalar (frontier emptiness) is the
     loop's stopping test — same discipline as pagerank/dedup_clusters.
     The oracle is a recursive CTE over the identical edge set; UNION
     dedup bounds its working set at nodes × hops rows.
@@ -417,20 +423,24 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = edges.filter(F.col("src").startswith("s:")) \
                 .agg(F.min("src")).first()[0]
-    visited = spark.createDataFrame([(root, 0)], "node string, dist int") \
-                   .localCheckpoint()
-    frontier = visited
+    frontiers = [spark.createDataFrame([(root, 0)],
+                                       "node string, dist int")]
     for hop in range(1, BFS_MAX_HOPS + 1):
-        nxt = (frontier
-               .join(edges, frontier["node"] == edges["src"])
-               .select(F.col("dst").alias("node")).distinct()
-               .join(visited, "node", "left_anti")
-               .withColumn("dist", F.lit(hop))
-               .localCheckpoint())
-        if not nxt.take(1):
+        nxt = (frontiers[-1]
+               .join(edges, frontiers[-1]["node"] == edges["src"])
+               .select(F.col("dst").alias("node")).distinct())
+        if hop >= 2:  # bipartite: dst of hop-(h-1) is at h-2 or h
+            nxt = nxt.join(frontiers[hop - 2].select("node"),
+                           "node", "left_anti")
+        nxt = nxt.withColumn("dist", F.lit(hop)).localCheckpoint()
+        # the emptiness probe on the FINAL hop is dead weight (the
+        # loop ends regardless; an empty frame unions harmlessly)
+        if hop < BFS_MAX_HOPS and not nxt.take(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+        frontiers.append(nxt)
+    visited = frontiers[0]
+    for f in frontiers[1:]:
+        visited = visited.unionByName(f)
     return (visited.groupBy("dist")
             .agg(F.count("*").alias("n_nodes")))
 
