@@ -1900,12 +1900,12 @@ CDC_CHUNK_CTES = f"""
     WITH docs_src AS (SELECT doc_id, source, text FROM documents),
     {CDC_CHUNK_CTES},
     firsts AS (
-        SELECT h, MIN(doc_id * 1000000 + chunk_no) AS first_key
+        SELECT h, MIN(ROW(doc_id, chunk_no)) AS first_key
         FROM chunks GROUP BY h
     ),
     marked AS (
         SELECT c.source, c.len,
-               (c.doc_id * 1000000 + c.chunk_no <> f.first_key) AS dup
+               (ROW(c.doc_id, c.chunk_no) <> f.first_key) AS dup
         FROM chunks c JOIN firsts f ON f.h = c.h
     )
     SELECT source,
@@ -1945,7 +1945,7 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing is corpus-cross-product."""
     t = load_tables(spark, sf_dir, ("documents",))
     chunks = _cdc_chunks(t["documents"])
-    key = F.col("doc_id") * F.lit(1000000) + F.col("chunk_no")
+    key = F.struct("doc_id", "chunk_no")
     firsts = (chunks.select("h", key.alias("k"))
               .groupBy("h").agg(F.min("k").alias("first_key")))
     marked = (chunks.withColumn("k", key)
@@ -2074,14 +2074,14 @@ CDC_INC_CUT = "cc"
         WHERE f.is_new
     ),
     bfirst AS (
-        SELECT h, MIN(doc_id * 1000000 + chunk_no) AS first_key
+        SELECT h, MIN(ROW(doc_id, chunk_no)) AS first_key
         FROM newch GROUP BY h
     ),
     cls AS (
         SELECT n.doc_id, n.len,
                (s.h IS NOT NULL) AS hit_store,
                (s.h IS NULL AND
-                n.doc_id * 1000000 + n.chunk_no <> b.first_key)
+                ROW(n.doc_id, n.chunk_no) <> b.first_key)
                    AS hit_batch
         FROM newch n
         LEFT JOIN store s ON s.h = n.h
@@ -2131,7 +2131,7 @@ def cdc_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunks.join(flags, "doc_id")
     store = (ch.filter(~F.col("is_new")).select("h").distinct())
     newch = ch.filter(F.col("is_new"))
-    key = F.col("doc_id") * F.lit(1000000) + F.col("chunk_no")
+    key = F.struct("doc_id", "chunk_no")
     bfirst = (newch.select("h", key.alias("k"))
               .groupBy("h").agg(F.min("k").alias("first_key")))
     cls = (newch.withColumn("k", key)

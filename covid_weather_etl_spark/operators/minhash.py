@@ -639,7 +639,9 @@ def minhash_banding_calibration(spark: SparkSession,
     the one-pass signature aggregate). Theoretical probabilities are
     Python-computed literals — no runtime transcendental (PARITY.md
     section 4). Pairs sharing zero shingles (J = 0 exactly) are out of
-    census scope on both sides; bucket arithmetic is pure integers."""
+    census scope on both sides; the decile bucket is a single
+    mirrored IEEE divide (FLOOR(c*10e0/(n1+n2-c)) — deterministic on
+    both engines, though not pure-integer) over exact integer counts."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs_s = (t["documents"]
               .filter(F.substring(F.md5(F.col("doc_id").cast("string")),

@@ -415,11 +415,15 @@ def bitmap_audience_intersection(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 #: fixed-grid histogram: bin width in price cents and bin count.
-#: 1024 x $512 covers o_totalprice's [1k, 500k] domain with the top
-#: bin as a clamp; the worst-case quantile error is ONE BIN WIDTH by
-#: construction (the bound the eval below measures).
+#: 2048 x $512 covers o_totalprice to $1,048,575.99 — comfortably past
+#: the column's TPC-H spec-max (~$555k at large SFs; advice r7: the
+#: old 1024-bin clamp at $524,287.99 could be EXCEEDED by real data,
+#: which would flip abs_err negative and break the one-bin theorem).
+#: The top bin stays a clamp only for out-of-spec data; the worst-case
+#: quantile error is ONE BIN WIDTH by construction (the bound the eval
+#: below measures), and tests pin max(o_totalprice) under the clamp.
 QSK_BIN_CENTS = 51200
-QSK_BINS = 1024
+QSK_BINS = 2048
 #: evaluated quantiles (per mille, integer grid).
 QSK_QS = (500, 900, 990)
 

@@ -239,6 +239,10 @@ def test_quantile_sketch_error_within_bound(spark):
             .fn(spark, SF_DIR).collect())
     assert len(rows) == 5 * len(QSK_QS)       # 5 priorities x 3 quantiles
     orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    # advice r7: the one-bin theorem requires the data to fit UNDER the
+    # top-bin clamp — pin it (grid sized to the column's spec-max)
+    assert (math.floor(orders.o_totalprice.max() * 1e2 + 0.5)
+            < QSK_BIN_CENTS * QSK_BINS), "o_totalprice exceeds QSK clamp"
     for r in rows:
         assert 0 <= r["abs_err"] < r["err_bound"], r
         # python histogram replay
