@@ -697,24 +697,48 @@ RP_BITS = N_PLANES // RP_BANDS
 RP_THRESHOLD = 0.9  # design point: true near-dups (the 100 TB use case)
 
 
-def _hyperplanes(dim: int = 64):
-    return np.random.RandomState(42).standard_normal((N_PLANES, dim))
+#: quantization grid for the sign projection: embeddings land on the
+#: 1e-6 integer grid first (floor(x*1e6+0.5) — the repo-standard
+#: fround grid), so every plane projection is an EXACT int64 sum.
+RP_Q = 1_000_000
+
+
+def _hyperplanes(dim: int = 64) -> np.ndarray:
+    """±1 (Rademacher) hyperplanes derived from md5 — portable across
+    engines: s(p,d) = +1 iff the first hex nibble of md5('rp:p:d') is
+    even. Sign-LSH with ±1 planes is the Achlioptas-style integer
+    variant of Gaussian random projection (same collision-probability
+    geometry for sign bits); combined with the RP_Q integer grid it
+    makes the whole signature pipeline order-free integer algebra,
+    hence bit-replayable in DuckDB (the r8 graduation of this family
+    from rows-only — same quantize-first trade pca_top_component
+    made in r7)."""
+    import hashlib
+    s = np.empty((N_PLANES, dim), dtype=np.int64)
+    for p in range(N_PLANES):
+        for d in range(dim):
+            h = hashlib.md5(f"rp:{p}:{d}".encode()).hexdigest()
+            s[p, d] = 1 if int(h[0], 16) % 2 == 0 else -1
+    return s
 
 
 def rp_band_hashes(emb: DataFrame, dim: int = 64) -> DataFrame:
     """vec_id → (band, band_hash) rows via a vectorized pandas_udf:
-    the 64×64 sign-projection is one BLAS matmul per Arrow batch —
+    the 64×64 sign-projection is one integer matmul per Arrow batch —
     the documented exception to 'stay JVM-side' (per-element
     zip_with/aggregate over 64 planes would defeat codegen anyway).
-    Planes are seeded constants, so signatures are reproducible
-    across runs and cluster layouts."""
+    int64 matmul over the RP_Q-quantized vectors is EXACT (integer
+    addition is associative — no summation-order hazard, unlike the
+    float BLAS it replaced), so signatures are bit-reproducible
+    across runs, cluster layouts, and engines."""
     planes = _hyperplanes(dim)
     weights = (1 << np.arange(RP_BITS)).astype("int64")
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_hash(vs: pd.Series) -> pd.Series:
         X = np.stack(vs.to_numpy())          # (batch, dim) float64
-        bits = (X @ planes.T) > 0            # (batch, n_planes)
+        Q = np.floor(X * RP_Q + 0.5).astype("int64")
+        bits = (Q @ planes.T) > 0            # (batch, n_planes) exact
         bands = bits.reshape(len(X), RP_BANDS, RP_BITS)
         hashes = (bands * weights).sum(axis=2)   # (batch, bands)
         return pd.Series(list(hashes))
@@ -724,7 +748,62 @@ def rp_band_hashes(emb: DataFrame, dim: int = 64) -> DataFrame:
                         .alias("band", "bh")))
 
 
-@register("rp_lsh_near_dup", survey="LLM-dedup")
+#: shared DuckDB replay of the signature pipeline: (vec_id, band, bh)
+#: from the same md5 ±1 planes over the same RP_Q grid. Expects an
+#: ``emb`` relation with (vec_id, embedding).
+RP_BAND_CTES = f"""
+    q AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {RP_Q}
+                          + 0.5) AS BIGINT) AS x
+        FROM emb
+    ),
+    planes AS (
+        SELECT p.p, d.d,
+               CASE WHEN strpos('02468ace',
+                    substr(md5('rp:' || p.p || ':' || d.d), 1, 1)) > 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range({N_PLANES}) p(p), range(64) d(d)
+    ),
+    proj AS (
+        SELECT q.vec_id, pl.p,
+               CASE WHEN SUM(q.x * pl.s) > 0 THEN 1 ELSE 0 END AS bit
+        FROM q JOIN planes pl ON pl.d = q.d
+        GROUP BY q.vec_id, pl.p
+    ),
+    sig AS (
+        SELECT vec_id, p // {RP_BITS} AS band,
+               CAST(SUM(bit * (1::BIGINT << (p % {RP_BITS}))) AS BIGINT)
+                   AS bh
+        FROM proj GROUP BY vec_id, p // {RP_BITS}
+    )"""
+
+
+@register(
+    "rp_lsh_near_dup",
+    survey="LLM-dedup",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    {RP_BAND_CTES},
+    cands AS (
+        SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
+        FROM sig s1 JOIN sig s2
+          ON s1.band = s2.band AND s1.bh = s2.bh
+         AND s1.vec_id < s2.vec_id
+    )
+    SELECT c.v1 AS vec_id_1, c.v2 AS vec_id_2,
+           ROUND(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) + 0.0
+               AS cos_sim
+    FROM cands c
+    JOIN emb ea ON ea.vec_id = c.v1
+    JOIN emb eb ON eb.vec_id = c.v2
+    WHERE ROUND(list_cosine_similarity(
+              ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+          >= {RP_THRESHOLD}
+    """,
+)
 def rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup (the 100 TB path): sign-bit
     signatures, band-bucket self-join on (band, band_hash), exact
@@ -733,7 +812,14 @@ def rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos ≥ 0.95). The driver corpus has no pairs that similar (max
     ≈ 0.51) so this returns empty there; recall is pinned on planted
     near-dups in tests/test_similarity_lsh.py. Candidate volume is
-    ~3% of the brute-force pair count on unrelated data."""
+    ~3% of the brute-force pair count on unrelated data.
+
+    Graduated from rows-only in r8: the RP_Q integer grid + md5 ±1
+    planes make every signature an exact integer computation, so the
+    DuckDB twin replays the FULL pipeline (quantize → 64 plane signs →
+    8×8 banding → bucket join → exact cosine re-check); the companion
+    rp_lsh_band_profile carries the non-empty hash evidence at driver
+    SFs."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = _vecs(t["embeddings"])
     banded = rp_band_hashes(emb)
@@ -749,6 +835,57 @@ def rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cands.select("vec_id_1", "vec_id_2", sim.alias("cos_sim"))
             .filter(F.col("cos_sim") >= RP_THRESHOLD)
             .orderBy("vec_id_1", "vec_id_2"))
+
+
+@register(
+    "rp_lsh_band_profile",
+    survey="LLM-dedup,A6,A8",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    {RP_BAND_CTES},
+    buckets AS (
+        SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sig GROUP BY band, bh
+    )
+    SELECT CAST(band AS INT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS singleton_buckets,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+)
+def rp_lsh_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy profile of the sign-LSH banding — the tuning
+    table that justifies the 8×8 banding before running the pair join
+    at scale (same role minhash_banding_calibration plays for the
+    MinHash side): per band, how many buckets the corpus hashes into,
+    the biggest bucket (the skew the candidate join must survive — a
+    hot bucket is a c² blowup), singleton share, and the exact number
+    of candidate pairs the band contributes (Σ c·(c−1)/2). Because the
+    whole signature pipeline is integer algebra on the RP_Q grid with
+    md5 ±1 planes, the DuckDB twin replays it bit-for-bit — a
+    hash-match PROVES the distributed Arrow-batch matmul signatures
+    equal the sequential SQL replay, the evidence rp_lsh_near_dup's
+    (correctly) empty driver-SF output cannot carry.
+
+    Plan: one embeddings scan → Arrow integer matmul → explode to
+    (vec_id, band, bh) → two integer aggregates. No joins, no skew
+    exposure; the profile is what DECIDES whether the pair join is
+    safe to run."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    banded = rp_band_hashes(emb)
+    buckets = (banded.groupBy("band", "bh")
+               .agg(F.count("*").alias("c")))
+    return (buckets.groupBy(F.col("band").cast("int").alias("band"))
+            .agg(F.count("*").alias("n_buckets"),
+                 F.max("c").alias("max_bucket"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("long").alias("singleton_buckets"),
+                 F.sum(F.floor(F.col("c") * (F.col("c") - 1) / 2))
+                 .cast("long").alias("candidate_pairs")))
 
 
 # ---------------------------------------------------------------------------
