@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from covid_weather_etl_spark.functions.numeric import fround
+from covid_weather_etl_spark.functions.numeric import fround, fround_sql
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
@@ -1980,3 +1980,345 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  fround(F.sum(F.col("k") * F.col("w_chars")) * 1.0
                         / F.sum(F.col("k") * F.col("w_syms")))
                  .alias("chars_per_sym")))
+
+
+# ---------------------------------------------------------------------------
+# serving-side corpus economics: prefix caching + speculative decoding
+# ---------------------------------------------------------------------------
+
+#: prompt-prefix lengths (tokens) evaluated by the cache-reuse report.
+PCR_KS = (4, 8, 16)
+
+
+@register(
+    "prefix_cache_reuse_stats",
+    survey="LLM-text,A6,A2,F1",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in PCR_KS)}),
+    pref AS (
+        SELECT ks.k, d.doc_id, len(d.t) AS n_tok,
+               md5(array_to_string(d.t[1:ks.k], ' ')) AS ph
+        FROM docs d JOIN ks ON len(d.t) >= ks.k
+    ),
+    grp AS (
+        SELECT k, ph, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pref GROUP BY k, ph
+    ),
+    tot AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        FROM pref GROUP BY k
+    )
+    SELECT g.k AS prefix_len,
+           t.n_docs, t.total_tokens,
+           CAST(SUM(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_groups,
+           CAST(SUM(CASE WHEN g.c >= 2 THEN g.c ELSE 0 END) AS BIGINT)
+               AS docs_sharing,
+           CAST(SUM(CASE WHEN g.c >= 2 THEN (g.c - 1) * g.k ELSE 0 END)
+                AS BIGINT) AS tokens_saved,
+           {fround_sql("SUM(CASE WHEN g.c >= 2 THEN (g.c - 1) * g.k "
+                       "ELSE 0 END) * 1e0 / MIN(t.total_tokens)")}
+               AS save_ratio
+    FROM grp g JOIN tot t ON t.k = g.k
+    GROUP BY g.k, t.n_docs, t.total_tokens
+    """,
+)
+def prefix_cache_reuse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROMPT-PREFIX CACHE reuse accounting — the serving-side twin of
+    dedup: KV-cache prefix caching only pays when requests share their
+    leading tokens, so before provisioning a prefix cache you measure,
+    per candidate prefix length k, how many documents share their
+    first-k tokens with at least one other document and how many
+    prefill tokens a shared-prefix cache would skip
+    (Σ over shared groups of (count−1)·k). Reported per k in PCR_KS
+    with the save ratio against total prompt tokens.
+
+    Plan: one corpus scan fans out over the |PCR_KS| lengths (a
+    broadcast literal join, not re-scans), the prefix key is the md5
+    of the joined first-k slice — 16 bytes shuffle instead of the
+    prefix text, the docs_exact_dedup hash-first discipline — then
+    two integer aggregates. Everything is integer/string algebra; the
+    one ratio is fround-snapped. At 100 TB: group cardinality is
+    bounded by doc count, no stage is corpus-cross-product."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    ks = spark.createDataFrame([(k,) for k in PCR_KS], "k int")
+    pref = (spread(t["documents"], "doc_id")
+            .select("doc_id", _tokens().alias("t"))
+            .select("doc_id", F.size("t").alias("n_tok"), "t")
+            .join(F.broadcast(ks), F.size("t") >= F.col("k"))
+            .select("k", "doc_id", "n_tok",
+                    F.md5(F.array_join(F.slice("t", 1, F.col("k")), " "))
+                    .alias("ph")))
+    grp = pref.groupBy("k", "ph").agg(F.count("*").alias("c"))
+    tot = (pref.groupBy("k")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("total_tokens")))
+    shared = F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+    saved = F.when(F.col("c") >= 2,
+                   (F.col("c") - 1) * F.col("k")).otherwise(F.lit(0))
+    agg = (grp.groupBy("k")
+           .agg(F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                .cast("long").alias("shared_groups"),
+                F.sum(shared).cast("long").alias("docs_sharing"),
+                F.sum(saved).cast("long").alias("tokens_saved")))
+    return (agg.join(tot, "k")
+            .select(F.col("k").alias("prefix_len"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("total_tokens").cast("long")
+                    .alias("total_tokens"),
+                    "shared_groups", "docs_sharing", "tokens_saved",
+                    fround(F.col("tokens_saved") * F.lit(1.0)
+                           / F.col("total_tokens")).alias("save_ratio")))
+
+
+@register(
+    "speculative_decoding_acceptance",
+    survey="LLM-text,A5,A6,J1",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(t) AS tok,
+               generate_subscripts(t, 1) AS i
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents) d
+    ),
+    big AS (
+        SELECT a.source, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM big GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ),
+    uni AS (
+        SELECT tok AS w2, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM toks GROUP BY tok
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    srcb AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+        FROM big GROUP BY source, w1, w2
+    ),
+    terms AS (
+        SELECT s.source, s.k,
+               CAST({fround_sql("LEAST(c12.c12 * 1e0 / c1.c1, "
+                                "uni.cu * 1e0 / nn.n)")}
+                    AS DECIMAL(25,6)) AS v
+        FROM srcb s
+        JOIN c12 ON c12.w1 = s.w1 AND c12.w2 = s.w2
+        JOIN c1 ON c1.w1 = s.w1
+        JOIN uni ON uni.w2 = s.w2
+        CROSS JOIN nn
+    )
+    SELECT source,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           {fround_sql("CAST(SUM(k * v) AS DOUBLE) / SUM(k)")} AS alpha,
+           {fround_sql("1e0 + CAST(SUM(k * v) AS DOUBLE) / SUM(k)")}
+               AS expected_tokens_per_step
+    FROM terms GROUP BY source
+    """,
+)
+def speculative_decoding_acceptance(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """SPECULATIVE-DECODING acceptance simulation over the corpus —
+    before pairing a draft model with a target model you estimate the
+    expected acceptance rate α = E[min(p_target, p_draft)] (the
+    published speculative-sampling acceptance probability); here the
+    target is the corpus bigram LM and the draft the unigram LM, both
+    MLE, and the expectation runs over every bigram occurrence, so
+    α_s per source says how "draftable" each slice of the mix is (and
+    1+α is the expected tokens emitted per target step at draft
+    length 1 — the serving speedup bound).
+
+    Exactness: both conditional probabilities are single mirrored
+    IEEE divides of exact integer counts, the min is LEAST of two
+    identically-computed doubles, each term is fround-snapped to the
+    1e-6 grid and carried as DECIMAL (§3a grid-snap-then-accumulate),
+    and the per-source weighted mean divides two exact sums once.
+    Plan: token counts are vocab-bounded map-side-combinable
+    aggregates; the per-source bigram table joins the three count
+    tables hash-keyed (broadcast-sized at any corpus: vocab², not
+    corpus²)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (spread(t["documents"], "doc_id")
+            .select("doc_id", "source",
+                    F.posexplode(_tokens()).alias("i", "tok")))
+    nxt = toks.select(F.col("doc_id").alias("d2"),
+                      (F.col("i") - 1).alias("i2"),
+                      F.col("tok").alias("w2"))
+    big = (toks.join(nxt, (F.col("doc_id") == F.col("d2"))
+                     & (F.col("i") == F.col("i2")))
+           .select("source", F.col("tok").alias("w1"), "w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = toks.groupBy(F.col("tok").alias("w2")) \
+              .agg(F.count("*").alias("cu"))
+    n_total = toks.agg(F.count("*").alias("n"))
+    srcb = big.groupBy("source", "w1", "w2").agg(F.count("*").alias("k"))
+    v = fround(F.least(F.col("c12") * F.lit(1.0) / F.col("c1"),
+                       F.col("cu") * F.lit(1.0) / F.col("n"))) \
+        .cast("decimal(25,6)")
+    terms = (srcb.join(c12, ["w1", "w2"])
+             .join(c1, "w1")
+             .join(uni, "w2")
+             .crossJoin(F.broadcast(n_total))
+             .select("source", "k", v.alias("v")))
+    return (terms.groupBy("source")
+            .agg(F.sum("k").cast("long").alias("n_bigrams"),
+                 fround(F.sum(F.col("k") * F.col("v")).cast("double")
+                        / F.sum("k")).alias("alpha"),
+                 fround(F.lit(1.0)
+                        + F.sum(F.col("k") * F.col("v")).cast("double")
+                        / F.sum("k"))
+                 .alias("expected_tokens_per_step")))
+
+
+#: Heaps-law checkpoints: the corpus prefix is measured at 10 equal
+#: doc_id-interval checkpoints (arrival order proxied by doc_id — a
+#: deterministic integer rule, no global ranking window needed).
+HEAPS_CHECKPOINTS = 10
+
+
+@register(
+    "heaps_law_fit",
+    survey="LLM-text,A6,F10,W6",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    cps AS (
+        SELECT p.p,
+               b.lo + ((b.hi - b.lo + 1) * p.p) // {HEAPS_CHECKPOINTS}
+                   - 1 AS thr
+        FROM range(1, {HEAPS_CHECKPOINTS} + 1) p(p), bounds b
+    ),
+    toks AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents) d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    firsts AS (
+        SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    dlen AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY doc_id
+    ),
+    pts AS (
+        SELECT c.p,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM dlen
+                WHERE doc_id <= c.thr) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+                WHERE first_doc <= c.thr) AS vocab
+        FROM cps c
+    ),
+    lp AS (
+        SELECT p, n_tokens, vocab,
+               CAST(ROUND(LN(n_tokens), 9) AS DECIMAL(15,9)) AS x,
+               CAST(ROUND(LN(vocab), 9) AS DECIMAL(15,9)) AS y
+        FROM pts
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM lp
+    )
+    SELECT CAST(lp.p AS INT) AS checkpoint, lp.n_tokens, lp.vocab,
+           ROUND((s.n * s.sxy - s.sx * s.sy)
+                 / (s.n * s.sxx - s.sx * s.sx), 6) AS beta,
+           ROUND((s.sy - (s.n * s.sxy - s.sx * s.sy)
+                         / (s.n * s.sxx - s.sx * s.sx) * s.sx)
+                 / s.n, 6) AS log_k,
+           CASE WHEN (s.n * s.sxx - s.sx * s.sx)
+                      * (s.n * s.syy - s.sy * s.sy) = 0 THEN 0.0
+                ELSE ROUND(((s.n * s.sxy - s.sx * s.sy)
+                            * (s.n * s.sxy - s.sx * s.sy))
+                           / ((s.n * s.sxx - s.sx * s.sx)
+                              * (s.n * s.syy - s.sy * s.sy)), 6)
+           END AS r2
+    FROM lp CROSS JOIN s
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW diagnostic — vocabulary growth V(n) ≈ K·n^β as the
+    corpus grows, the companion health check to zipf_law_fit (β ≈
+    0.4–0.6 on natural language; β → 1 means near-unbounded novelty —
+    OCR noise / random strings; β → 0 means a closed vocabulary —
+    templates). Run before sizing a tokenizer vocab or projecting how
+    much new data adds new types. Measured at {HEAPS_CHECKPOINTS}
+    doc_id-interval checkpoints (arrival order proxied by doc_id — an
+    integer rule, NO global ranking window), with ln V on ln N OLS in
+    the zipf_law_fit discipline: 9dp-snapped log points carried as
+    DECIMAL, exact moment sums, closed-form slope at the end.
+
+    Plan: one corpus scan → vocab-bounded first-occurrence aggregate
+    (MIN doc_id per token) + doc-bounded length aggregate; each
+    checkpoint's (N, V) is a broadcast threshold join over those two
+    small frames — the corpus is scanned ONCE no matter how many
+    checkpoints."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    arr = spread(t["documents"], "doc_id") \
+        .select("doc_id", _tokens().alias("t"))
+    toks = (arr.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(t) - 2, 0)), "
+            "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")).alias("tok")))
+    bounds = t["documents"].agg(F.min("doc_id").alias("lo"),
+                                F.max("doc_id").alias("hi"))
+    cps = (spark.range(1, HEAPS_CHECKPOINTS + 1)
+           .select(F.col("id").alias("p"))
+           .crossJoin(F.broadcast(bounds))
+           .select("p", (F.col("lo")
+                         + F.floor((F.col("hi") - F.col("lo") + 1)
+                                   * F.col("p") / HEAPS_CHECKPOINTS)
+                         - 1).alias("thr")))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    n_tok = (dlen.crossJoin(F.broadcast(cps))
+             .filter(F.col("doc_id") <= F.col("thr"))
+             .groupBy("p").agg(F.sum("n").alias("n_tokens")))
+    vocab = (firsts.crossJoin(F.broadcast(cps))
+             .filter(F.col("first_doc") <= F.col("thr"))
+             .groupBy("p").agg(F.count("*").alias("vocab")))
+    pts = (n_tok.join(vocab, "p")
+           .select("p",
+                   F.col("n_tokens").cast("long").alias("n_tokens"),
+                   F.col("vocab").cast("long").alias("vocab"),
+                   F.round(F.log("n_tokens"), 9).cast("decimal(15,9)")
+                   .alias("x"),
+                   F.round(F.log("vocab"), 9).cast("decimal(15,9)")
+                   .alias("y")))
+    s = pts.agg(F.count("*").alias("n"),
+                F.sum("x").cast("double").alias("sx"),
+                F.sum("y").cast("double").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (pts.crossJoin(F.broadcast(s))
+            .select(F.col("p").cast("int").alias("checkpoint"),
+                    "n_tokens", "vocab",
+                    F.round(slope, 6).alias("beta"),
+                    F.round((sy - slope * sx) / n, 6).alias("log_k"),
+                    F.when((n * sxx - sx * sx) * (n * syy - sy * sy) == 0,
+                           F.lit(0.0))
+                    .otherwise(
+                        F.round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                                / ((n * sxx - sx * sx)
+                                   * (n * syy - sy * sy)), 6))
+                    .alias("r2")))

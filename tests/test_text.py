@@ -426,3 +426,101 @@ def test_bpe_fertility_by_lang_matches_python(spark):
         assert r["fertility"] == math.floor(ns / nw * 1e6 + 0.5) / 1e6
         assert r["chars_per_sym"] == math.floor(nc / ns * 1e6 + 0.5) / 1e6
         assert r["fertility"] >= 1.0
+
+
+def test_prefix_cache_reuse_matches_python(spark):
+    """Per-k savings must equal a pure-python recount of the prefix
+    groups, and the saved-token arithmetic must be internally
+    consistent (saved = Σ (c-1)·k over shared groups)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.text import PCR_KS
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {r["prefix_len"]: r for r in
+           all_queries()["prefix_cache_reuse_stats"].fn(spark, SF_DIR)
+           .collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = [t.split(" ") for t in docs["text"]]
+    for k in PCR_KS:
+        elig = [t for t in toks if len(t) >= k]
+        groups = Counter(" ".join(t[:k]) for t in elig)
+        shared = {p: c for p, c in groups.items() if c >= 2}
+        r = got[k]
+        assert r["n_docs"] == len(elig)
+        assert r["total_tokens"] == sum(len(t) for t in elig)
+        assert r["shared_groups"] == len(shared)
+        assert r["docs_sharing"] == sum(shared.values())
+        want_saved = sum((c - 1) * k for c in shared.values())
+        assert r["tokens_saved"] == want_saved
+        import math
+        assert r["save_ratio"] == math.floor(
+            want_saved / r["total_tokens"] * 1e6 + 0.5) / 1e6
+
+
+def test_speculative_acceptance_bounds_and_python_recount(spark):
+    """alpha must sit in (0, 1]; and a python recount of
+    E[min(p_bigram, p_unigram)] per source must agree on the 1e-6
+    grid (same fround-snap-then-weighted-mean arithmetic)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {r["source"]: r for r in
+           all_queries()["speculative_decoding_acceptance"]
+           .fn(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    uni: Counter = Counter()
+    c12: Counter = Counter()
+    srcb: dict[str, Counter] = {}
+    for _, row in docs.iterrows():
+        t = row["text"].split(" ")
+        uni.update(t)
+        bg = list(zip(t, t[1:]))
+        c12.update(bg)
+        srcb.setdefault(row["source"], Counter()).update(bg)
+    c1: Counter = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    n = sum(uni.values())
+    for src, r in got.items():
+        assert 0.0 < r["alpha"] <= 1.0
+        num = 0
+        tot = 0
+        for (w1, w2), k in srcb[src].items():
+            v = min(c12[(w1, w2)] / c1[w1], uni[w2] / n)
+            v6 = math.floor(v * 1e6 + 0.5)   # decimal(25,6) micro-units
+            num += k * v6
+            tot += k
+        assert r["n_bigrams"] == tot
+        want = math.floor(num / 1e6 / tot * 1e6 + 0.5) / 1e6
+        assert r["alpha"] == want, (src, r["alpha"], want)
+        assert r["expected_tokens_per_step"] == math.floor(
+            (1.0 + num / 1e6 / tot) * 1e6 + 0.5) / 1e6
+
+
+def test_heaps_law_monotone_and_beta_band(spark):
+    """Checkpoints must be monotone in both n and V (prefixes grow),
+    the fit must be shared across rows, and beta must land in (0, 1)
+    with high r2 on the synthetic corpus (trigram type space)."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = sorted(all_queries()["heaps_law_fit"].fn(spark, SF_DIR)
+                  .collect(), key=lambda r: r["checkpoint"])
+    assert [r["checkpoint"] for r in rows] == list(range(1, 11))
+    ns = [r["n_tokens"] for r in rows]
+    vs = [r["vocab"] for r in rows]
+    assert ns == sorted(ns) and vs == sorted(vs)
+    assert vs[0] < vs[-1]          # the type space actually grows
+    assert len({r["beta"] for r in rows}) == 1
+    beta, r2 = rows[0]["beta"], rows[0]["r2"]
+    assert 0.0 < beta < 1.0, beta
+    assert r2 > 0.9, r2
