@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from covid_weather_etl_spark.functions.numeric import fround
+from covid_weather_etl_spark.functions.numeric import fround, fround_sql
 from covid_weather_etl_spark.operators import text as TX
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
@@ -2162,3 +2162,61 @@ def cdc_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - F.sum(written.otherwise(F.col("len")))
                         * F.lit(1.0) / F.sum("len"))
                  .alias("dedup_ratio")))
+
+
+@register(
+    "cross_source_chunk_duplication",
+    survey="ext-dedup,A2,A5,J1",
+    oracle=f"""
+    WITH docs_src AS (SELECT doc_id, source, text FROM documents),
+    {CDC_CHUNK_CTES},
+    sh AS (SELECT DISTINCT source, h FROM chunks),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON b.h = a.h AND b.source <> a.source
+        GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, za.n AS n_chunks_a, s.n_shared,
+           {fround_sql("s.n_shared * 1e0 / za.n")} AS containment
+    FROM shared s JOIN sizes za ON za.source = s.src_a
+    """,
+)
+def cross_source_chunk_duplication(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE text-reuse matrix — how much of source A's content
+    already exists in source B, at CDC-chunk granularity (the
+    directed containment |chunks(A) ∩ chunks(B)| / |chunks(A)|). The
+    corpus-curation question exact doc-dedup cannot answer: two
+    sources can share most of their TEXT while sharing zero whole
+    documents (syndication, mirrors, Common-Crawl-vs-curated-dump
+    overlap). Drives mix design — a source 80%-contained in another
+    contributes little marginal data and double-counts in the
+    token budget.
+
+    Plan: the shared `_cdc_chunks` pass (one corpus scan, doc-local
+    windows), distinct (source, chunk-hash) — 16-byte hashes shuffle,
+    never text — then one hash-keyed self-join grouped to the
+    |sources|² matrix. At 100 TB the join is bounded by distinct
+    chunk hashes, and the matrix itself is tiny."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = (_cdc_chunks(t["documents"])
+          .select("source", "h").distinct()
+          .localCheckpoint(eager=True))   # both join legs + sizes
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    shared = (a.join(b, "h")
+              .filter(F.col("src_a") != F.col("src_b"))
+              .groupBy("src_a", "src_b")
+              .agg(F.count("*").alias("n_shared")))
+    return (shared.join(sizes.withColumnRenamed("source", "src_a"),
+                        "src_a")
+            .select("src_a", "src_b",
+                    F.col("n").cast("long").alias("n_chunks_a"),
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    fround(F.col("n_shared") * F.lit(1.0) / F.col("n"))
+                    .alias("containment")))

@@ -28,6 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from covid_weather_etl_spark.functions.numeric import fround_sql
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
@@ -1099,3 +1100,140 @@ def pythagorean_means_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                  grid(F.count("*")
                       / F.sum((F.lit(1.0) / x).cast("decimal(25,18)"))
                       .cast("double")).alias("harm_mean")))
+
+
+#: blocking-key length band width (characters) for the ER blocking eval.
+BLK_LEN_BAND = 4
+
+
+@register(
+    "blocking_quality_eval",
+    survey="ext-er,A5,A6,J1",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    keyed AS (
+        SELECT name,
+               string_split(name, ' ')[1] AS k_tok,
+               CAST(length(name) // {BLK_LEN_BAND} AS BIGINT) AS k_len
+        FROM names
+    ),
+    truth AS (
+        SELECT a.name AS n1, b.name AS n2,
+               ka.k_tok AS tok1, kb.k_tok AS tok2,
+               ka.k_len AS len1, kb.k_len AS len2
+        FROM names a JOIN names b
+          ON a.name < b.name
+         AND levenshtein(a.name, b.name) <= 3
+        JOIN keyed ka ON ka.name = a.name
+        JOIN keyed kb ON kb.name = b.name
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM names),
+    strat AS (
+        SELECT 'first_token' AS strategy,
+               (SELECT CAST(COUNT(DISTINCT k_tok) AS BIGINT) FROM keyed)
+                   AS n_blocks,
+               (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS c FROM keyed GROUP BY k_tok))
+                   AS n_cand,
+               (SELECT CAST(SUM(CASE WHEN tok1 = tok2 THEN 1 ELSE 0 END)
+                            AS BIGINT) FROM truth) AS n_cov
+        UNION ALL
+        SELECT 'len_band',
+               (SELECT CAST(COUNT(DISTINCT k_len) AS BIGINT) FROM keyed),
+               (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS c FROM keyed GROUP BY k_len)),
+               (SELECT CAST(SUM(CASE WHEN len1 = len2 THEN 1 ELSE 0 END)
+                            AS BIGINT) FROM truth)
+        UNION ALL
+        SELECT 'token_and_band',
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT 1 FROM keyed GROUP BY k_tok, k_len)),
+               (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS c FROM keyed
+                      GROUP BY k_tok, k_len)),
+               (SELECT CAST(SUM(CASE WHEN tok1 = tok2 AND len1 = len2
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM truth)
+    )
+    SELECT s.strategy, s.n_blocks, s.n_cand,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           s.n_cov AS n_true_covered,
+           {fround_sql("1e0 - s.n_cand * 1e0 / (v.nv * (v.nv - 1) // 2)")}
+               AS reduction_ratio,
+           {fround_sql("s.n_cov * 1e0 "
+                       "/ (SELECT COUNT(*) FROM truth)")}
+               AS pair_completeness
+    FROM strat s CROSS JOIN v
+    """,
+)
+def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER BLOCKING quality gate — before running any fuzzy matcher at
+    scale you pick a blocking scheme and measure the two numbers that
+    justify it: REDUCTION RATIO (share of the all-pairs comparison
+    space the blocks prune) and PAIR COMPLETENESS (share of true
+    matches — here Levenshtein ≤ 3 pairs, name_similarity_pairs'
+    truth — that land in the same block and thus survive). Three
+    standard schemes side by side: first token, length band
+    (|len(a)−len(b)| ≤ 3 ⊂ same-or-adjacent {BLK_LEN_BAND}-char band —
+    deliberately lossy, the eval QUANTIFIES the loss), and their
+    conjunction.
+
+    The trick that makes the eval itself cheap: candidate counts come
+    from BLOCK SIZES (Σ c·(c−1)/2 — never materializing a pair), and
+    completeness is a key-equality predicate evaluated ON the truth
+    pairs (vocabulary-sized, the distinct-first discipline). Pure
+    integer counts + two fround ratios."""
+    from covid_weather_etl_spark.functions.numeric import fround
+    t = load_tables(spark, sf_dir, ("part",))
+    names = t["part"].select(F.col("p_name").alias("name")).distinct()
+    keyed = names.select(
+        "name",
+        F.split("name", " ").getItem(0).alias("k_tok"),
+        F.floor(F.length("name") / BLK_LEN_BAND).cast("long")
+        .alias("k_len")).localCheckpoint(eager=True)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"), 3)
+    len_ok = (F.abs(F.length(F.col("a.name"))
+                    - F.length(F.col("b.name"))) <= 3)
+    truth = (a.join(F.broadcast(b),
+                    (F.col("a.name") < F.col("b.name")) & len_ok
+                    & (lev >= 0))
+             .select(F.col("a.k_tok").alias("tok1"),
+                     F.col("b.k_tok").alias("tok2"),
+                     F.col("a.k_len").alias("len1"),
+                     F.col("b.k_len").alias("len2"))
+             .localCheckpoint(eager=True))
+    nv = keyed.count()
+    all_pairs = nv * (nv - 1) // 2
+    n_true = truth.count()
+
+    def block_stats(strategy: str, keys: list, hit) -> DataFrame:
+        blocks = keyed.groupBy(*keys).agg(F.count("*").alias("c"))
+        cand = blocks.agg(
+            F.count("*").alias("n_blocks"),
+            F.coalesce(F.sum(F.floor(F.col("c") * (F.col("c") - 1) / 2)),
+                       F.lit(0)).cast("long").alias("n_cand"))
+        cov = truth.agg(
+            F.coalesce(F.sum(F.when(hit, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias("n_cov"))
+        return (cand.crossJoin(F.broadcast(cov))
+                .select(F.lit(strategy).alias("strategy"),
+                        F.col("n_blocks").cast("long").alias("n_blocks"),
+                        "n_cand",
+                        F.lit(n_true).cast("long").alias("n_true"),
+                        F.col("n_cov").alias("n_true_covered"),
+                        fround(F.lit(1.0) - F.col("n_cand") * F.lit(1.0)
+                               / F.lit(float(all_pairs)))
+                        .alias("reduction_ratio"),
+                        fround(F.col("n_cov") * F.lit(1.0)
+                               / F.lit(float(n_true)))
+                        .alias("pair_completeness")))
+
+    s1 = block_stats("first_token", ["k_tok"],
+                     F.col("tok1") == F.col("tok2"))
+    s2 = block_stats("len_band", ["k_len"],
+                     F.col("len1") == F.col("len2"))
+    s3 = block_stats("token_and_band", ["k_tok", "k_len"],
+                     (F.col("tok1") == F.col("tok2"))
+                     & (F.col("len1") == F.col("len2")))
+    return s1.unionByName(s2).unionByName(s3)

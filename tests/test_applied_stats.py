@@ -157,3 +157,46 @@ def test_ridge_normal_equations_matches_numpy(spark):
             beta):
         assert math.isclose(got, want, rel_tol=1e-6, abs_tol=1e-6), \
             (got, want)
+
+
+def test_blocking_quality_eval_invariants(spark):
+    """Reduction/completeness must be consistent: the conjunction
+    scheme prunes at least as hard as either component and covers at
+    most as many true pairs; first_token blocking must be LOSSLESS on
+    this corpus-free truth set only if every true pair shares its
+    first token — assert the measured numbers agree with a recount
+    from the name table."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = {r["strategy"]: r for r in
+            all_queries()["blocking_quality_eval"].fn(spark, SF_DIR)
+            .collect()}
+    assert set(rows) == {"first_token", "len_band", "token_and_band"}
+    names = sorted(set(pd.read_parquet(f"{SF_DIR}/part.parquet")["p_name"]))
+    nv = len(names)
+    all_pairs = nv * (nv - 1) // 2
+    # candidate counts from block sizes
+    for strat, keyf in [
+        ("first_token", lambda n: n.split(" ")[0]),
+        ("len_band", lambda n: len(n) // 4),
+        ("token_and_band", lambda n: (n.split(" ")[0], len(n) // 4)),
+    ]:
+        c = Counter(keyf(n) for n in names)
+        want_cand = sum(v * (v - 1) // 2 for v in c.values())
+        r = rows[strat]
+        assert r["n_blocks"] == len(c)
+        assert r["n_cand"] == want_cand
+        assert r["reduction_ratio"] == math.floor(
+            (1.0 - want_cand / all_pairs) * 1e6 + 0.5) / 1e6
+        assert 0 <= r["n_true_covered"] <= r["n_true"]
+    conj, t1, t2 = (rows["token_and_band"], rows["first_token"],
+                    rows["len_band"])
+    assert conj["n_cand"] <= min(t1["n_cand"], t2["n_cand"])
+    assert conj["n_true_covered"] <= min(t1["n_true_covered"],
+                                         t2["n_true_covered"])

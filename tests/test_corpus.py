@@ -576,3 +576,43 @@ def test_cdc_incremental_ingest_classification(spark, tmp_path):
     for r in got.values():
         assert (r["hits_store"] + r["hits_batch"] + r["chunks_written"]
                 == r["n_chunks"])
+
+
+def test_cross_source_chunk_duplication_recount(spark):
+    """Directed containment must match a pure-python CDC replay:
+    same md5-mod boundary rule, distinct (source, chunk-hash) sets,
+    shared/|A| on the 1e-6 grid; and containment must be in (0, 1]."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.corpus import CDC_MOD
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["cross_source_chunk_duplication"] \
+        .fn(spark, SF_DIR).collect()
+    assert rows
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sets: dict[str, set] = {}
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        chunk, out = [], []
+        for tk in toks:
+            chunk.append(tk)
+            h15 = int(hashlib.md5(tk.encode()).hexdigest()[:15], 16)
+            if h15 % CDC_MOD == 0:
+                out.append(" ".join(chunk))
+                chunk = []
+        if chunk:
+            out.append(" ".join(chunk))
+        sets.setdefault(r["source"], set()).update(
+            hashlib.md5(c.encode()).hexdigest() for c in out)
+    for r in rows:
+        shared = len(sets[r["src_a"]] & sets[r["src_b"]])
+        assert r["n_chunks_a"] == len(sets[r["src_a"]])
+        assert r["n_shared"] == shared and shared > 0
+        want = math.floor(shared / len(sets[r["src_a"]]) * 1e6 + 0.5) / 1e6
+        assert r["containment"] == want
+        assert 0.0 < r["containment"] <= 1.0
