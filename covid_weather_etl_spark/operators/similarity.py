@@ -2145,3 +2145,117 @@ def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_hits") * F.lit(1.0) / F.lit(SQ8_K))
                     .alias("recall_at_k"))
             .orderBy("rank"))
+
+
+#: arriving-batch split for the incremental IVF ingest (~20% of
+#: vectors by md5, the incremental_minhash / cdc_incremental_ingest
+#: convention).
+IVF_INC_CUT = "cc"
+
+
+def _ivf_incremental_oracle() -> str:
+    """DuckDB replay over the persisted sf0.01 codebook: both the
+    store (old split) and the arriving batch (new split) get the
+    identical argmax assignment (rounded sim DESC, c_id tiebreak);
+    the report is per-cell integer counts + single-division shares."""
+    path = ivf_codebook_path("/root/testdata/sf0.01")
+    return f"""
+    WITH cb AS (
+        SELECT c_id, cv FROM read_parquet('{path}/*.parquet')
+    ), asg AS (
+        SELECT e.vec_id,
+               substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 2)
+                   >= '{IVF_INC_CUT}' AS is_new,
+               (SELECT c.c_id FROM cb c
+                ORDER BY ROUND(list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.c_id
+                LIMIT 1) AS c_id
+        FROM embeddings e
+    ), counts AS (
+        SELECT c_id,
+               CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_old,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new
+        FROM asg GROUP BY c_id
+    ), tot AS (
+        SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+               CAST(SUM(n_old + n_new) AS BIGINT) AS t_all
+        FROM counts
+    )
+    SELECT cb.c_id AS cell,
+           CAST(COALESCE(c.n_old, 0) AS BIGINT) AS n_old,
+           CAST(COALESCE(c.n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(c.n_old, 0) + COALESCE(c.n_new, 0) AS BIGINT)
+               AS n_total,
+           {{share_before}} AS share_before,
+           {{share_after}} AS share_after,
+           {{drift}} AS load_drift
+    FROM cb LEFT JOIN counts c ON c.c_id = cb.c_id
+    CROSS JOIN tot t
+    """.format(
+        share_before=("FLOOR(COALESCE(c.n_old, 0) * 1e0 / t.t_old"
+                      " * 1e6 + 0.5) / 1e6"),
+        share_after=("FLOOR((COALESCE(c.n_old, 0) + COALESCE(c.n_new, 0))"
+                     " * 1e0 / t.t_all * 1e6 + 0.5) / 1e6"),
+        drift=("FLOOR(((COALESCE(c.n_old, 0) + COALESCE(c.n_new, 0))"
+               " * 1e0 / t.t_all"
+               " - COALESCE(c.n_old, 0) * 1e0 / t.t_old)"
+               " * 1e6 + 0.5) / 1e6 + 0.0"))
+
+
+@register("ivf_incremental_ingest", survey="LLM-sim,A6,J4,U2",
+          oracle=_ivf_incremental_oracle,
+          tags=("oracle-at-sf0.01",))
+def ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index ingest — the maintenance shape a
+    production ANN index actually runs: new vectors arrive (~20% md5
+    split, the incremental_minhash / cdc_incremental_ingest batch
+    convention), get assigned to the EXISTING trained cells with the
+    same narrow literal-codebook argmax the search path uses (the
+    index is NOT retrained per batch), and the report shows what the
+    batch did to cell balance: per cell, old/new/total counts, load
+    share before and after, and the signed drift. A cell whose share
+    keeps climbing across ingests is the re-train/split-cell trigger
+    — this report is the input to that decision
+    (ivf_cell_balance_profile's operational twin for the write path).
+
+    Plan: ONLY the arriving batch needs assignment in steady state
+    (the store's cells are already persisted; both sides are derived
+    here from the split to stay self-contained) — a narrow map over
+    the literal codebook, one k-row aggregate, one broadcast 1-row
+    totals join. Zero wide shuffles at any corpus size. Exactness:
+    integer counts + fround-snapped single divisions (and a trailing
+    +0.0 on the signed drift to normalize −0.0 across engines)."""
+    from covid_weather_etl_spark.functions.numeric import fround
+    rows = ensure_ivf_codebook(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    is_new = (F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+              >= IVF_INC_CUT)
+    assigned = assign_cells_literal(emb, rows).withColumn("is_new", is_new)
+    counts = (assigned.groupBy("c_id")
+              .agg(F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+                   .cast("long").alias("n_old"),
+                   F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+                   .cast("long").alias("n_new")))
+    tot = counts.agg(F.sum("n_old").cast("long").alias("t_old"),
+                     F.sum(F.col("n_old") + F.col("n_new")).cast("long")
+                     .alias("t_all"))
+    cells = spark.createDataFrame(
+        [(int(r["c_id"]),) for r in rows], "c_id int")
+    n_old = F.coalesce(F.col("n_old"), F.lit(0)).cast("long")
+    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+    share_before = fround(n_old * F.lit(1.0) / F.col("t_old"))
+    share_after = fround((n_old + n_new) * F.lit(1.0) / F.col("t_all"))
+    drift = fround((n_old + n_new) * F.lit(1.0) / F.col("t_all")
+                   - n_old * F.lit(1.0) / F.col("t_old")) + F.lit(0.0)
+    return (cells.join(counts, "c_id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("c_id").alias("cell"),
+                    n_old.alias("n_old"), n_new.alias("n_new"),
+                    (n_old + n_new).alias("n_total"),
+                    share_before.alias("share_before"),
+                    share_after.alias("share_after"),
+                    drift.alias("load_drift")))

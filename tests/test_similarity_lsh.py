@@ -600,3 +600,32 @@ def test_sq8_recall_eval_matches_numpy_replay(spark):
     assert got.in_exact_topk.tolist() == [i in set(exact) for i in order]
     assert (got.recall_at_k == hits / SQ8_K).all()
     assert got["rank"].tolist() == list(range(1, SQ8_K + 1))
+
+
+def test_ivf_incremental_ingest_invariants(spark):
+    """Batch accounting must be internally consistent: totals add up,
+    shares sum to ~1 (rounding aside), the signed drift sums to ~0,
+    and the split matches the md5 convention."""
+    import hashlib
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.similarity import IVF_INC_CUT
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["ivf_incremental_ingest"].fn(spark, SF_DIR) \
+        .collect()
+    assert rows
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    want_new = sum(
+        1 for v in emb["vec_id"]
+        if hashlib.md5(str(v).encode()).hexdigest()[:2] >= IVF_INC_CUT)
+    assert sum(r["n_new"] for r in rows) == want_new
+    assert sum(r["n_total"] for r in rows) == len(emb)
+    for r in rows:
+        assert r["n_total"] == r["n_old"] + r["n_new"]
+        assert 0.0 <= r["share_before"] <= 1.0
+        assert 0.0 <= r["share_after"] <= 1.0
+    assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["load_drift"] for r in rows)) < 1e-4
