@@ -2220,3 +2220,114 @@ def cross_source_chunk_duplication(spark: SparkSession,
                     F.col("n_shared").cast("long").alias("n_shared"),
                     fround(F.col("n_shared") * F.lit(1.0) / F.col("n"))
                     .alias("containment")))
+
+
+@register(
+    "dedup_chain_audit",
+    survey="corpus-cc,LLM-dedup,A5,A6",
+    oracle=f"""
+    WITH RECURSIVE {TX.NGRAM_PAIRS_CTES},
+    edges AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM ngram_pairs
+        UNION ALL
+        SELECT doc_id_2, doc_id_1 FROM ngram_pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.doc_id
+    ),
+    lbl AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+    ),
+    members AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM lbl GROUP BY cluster_id
+        HAVING COUNT(*) >= 2
+    ),
+    ej AS (
+        SELECT l.cluster_id,
+               CAST(FLOOR(p.jaccard * 1e6 + 0.5) AS BIGINT) AS j6
+        FROM ngram_pairs p JOIN lbl l ON l.doc_id = p.doc_id_1
+    ),
+    estat AS (
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(MIN(j6) AS BIGINT) AS min_j6,
+               CAST(SUM(j6) AS BIGINT) AS sum_j6
+        FROM ej GROUP BY cluster_id
+    )
+    SELECT m.cluster_id,
+           m.n_members,
+           m.n_members * (m.n_members - 1) // 2 AS n_pairs,
+           e.n_edges,
+           m.n_members * (m.n_members - 1) // 2 - e.n_edges
+               AS chain_violations,
+           {fround_sql("e.n_edges * 1e0 "
+                       "/ (m.n_members * (m.n_members - 1) // 2)")}
+               AS density,
+           e.min_j6 / 1e6 AS min_edge_jaccard,
+           {fround_sql("e.sum_j6 / 1e6 / e.n_edges")} AS mean_edge_jaccard
+    FROM members m JOIN estat e ON e.cluster_id = m.cluster_id
+    """,
+)
+def dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINING audit of connected-component near-dup clusters — the
+    known failure mode of transitive dedup: A~B and B~C chain A,B,C
+    into one cluster even when J(A,C) is far below threshold, so a
+    canonical-per-cluster policy silently drops documents that are NOT
+    near-dups of the kept one. Per multi-member cluster: members,
+    implied pair count C(n,2), direct near-dup edges, CHAIN VIOLATIONS
+    (pairs only connected transitively — within-cluster pairs below
+    the J ≥ 0.2 threshold, since any in-threshold pair IS an edge by
+    construction), edge density, and min/mean edge Jaccard. A cluster
+    with density ≪ 1 is a chain, and the standard remedies (raise the
+    threshold, cap cluster diameter, re-verify against the canonical
+    only) key off exactly this report.
+
+    Plan: reuses the shared shingle-join pair pass (join keyed on
+    shingles, never n²) and star_components' O(log² n) contraction;
+    the audit itself is two cluster-keyed integer aggregates — edge
+    Jaccards enter on the 1e-6 grid as integers (§3a), so mean/min
+    are exact. At 100 TB the report is cluster-count-sized and the
+    hot-cluster hazard lives in the pair pass, which prefix filtering
+    already bounds elsewhere."""
+    pairs = TX.ngram_jaccard_near_dup(spark, sf_dir) \
+        .localCheckpoint(eager=True)   # feeds edges + the audit join
+    canon = (pairs.select(F.least("doc_id_1", "doc_id_2").alias("a"),
+                          F.greatest("doc_id_1", "doc_id_2").alias("b"))
+             .distinct())
+    lbl = star_components(canon, op_name="dedup_chain_audit")
+    # star_components omits the canonical node (it is never a `b` in
+    # the fixpoint star) — union the self-mapping so every member of
+    # every cluster carries a label
+    lbl = (lbl.unionByName(lbl.select(F.col("lbl").alias("node"),
+                                      F.col("lbl")))
+           .distinct())
+    members = (lbl.groupBy(F.col("lbl").alias("cluster_id"))
+               .agg(F.count("*").alias("n_members"))
+               .filter(F.col("n_members") >= 2))
+    j6 = F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ej = (pairs.join(lbl.withColumnRenamed("node", "doc_id_1"),
+                     "doc_id_1")
+          .select(F.col("lbl").alias("cluster_id"), j6.alias("j6")))
+    estat = (ej.groupBy("cluster_id")
+             .agg(F.count("*").alias("n_edges"),
+                  F.min("j6").alias("min_j6"),
+                  F.sum("j6").alias("sum_j6")))
+    n_pairs = (F.col("n_members") * (F.col("n_members") - 1)
+               / 2).cast("long")
+    return (members.join(estat, "cluster_id")
+            .select("cluster_id",
+                    F.col("n_members").cast("long").alias("n_members"),
+                    n_pairs.alias("n_pairs"),
+                    F.col("n_edges").cast("long").alias("n_edges"),
+                    (n_pairs - F.col("n_edges")).cast("long")
+                    .alias("chain_violations"),
+                    fround(F.col("n_edges") * F.lit(1.0) / n_pairs)
+                    .alias("density"),
+                    (F.col("min_j6") / F.lit(1e6))
+                    .alias("min_edge_jaccard"),
+                    fround(F.col("sum_j6") / F.lit(1e6)
+                           / F.col("n_edges"))
+                    .alias("mean_edge_jaccard")))

@@ -616,3 +616,69 @@ def test_cross_source_chunk_duplication_recount(spark):
         want = math.floor(shared / len(sets[r["src_a"]]) * 1e6 + 0.5) / 1e6
         assert r["containment"] == want
         assert 0.0 < r["containment"] <= 1.0
+
+
+def test_dedup_chain_audit_recount(spark):
+    """Cluster audit must match a pure-python recount: union-find over
+    the J >= 0.2 shingle pairs, per-cluster edge/violation accounting,
+    and density/min/mean on the exact grids."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = {r["cluster_id"]: r for r in
+            all_queries()["dedup_chain_audit"].fn(spark, SF_DIR)
+            .collect()}
+    assert rows
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sh = {r.doc_id: {" ".join(t[i:i+3])
+                     for i in range(len(t) - 2)}
+          for r in docs.itertuples()
+          for t in [r.text.split(" ")]}
+    ids = sorted(sh)
+    pairs = {}
+    inv = defaultdict(set)
+    for d, s in sh.items():
+        for g in s:
+            inv[g].add(d)
+    cand = {(a, b) for g, ds in inv.items()
+            for a in ds for b in ds if a < b}
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        j = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if j >= 0.2:
+            pairs[(a, b)] = j
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = defaultdict(list)
+    for d in ids:
+        clusters[find(d)].append(d)
+    want = {c: ms for c, ms in clusters.items() if len(ms) >= 2}
+    assert set(rows) == set(want)
+    for c, ms in want.items():
+        r = rows[c]
+        n = len(ms)
+        edges = [(a, b) for (a, b) in pairs if find(a) == c]
+        assert r["n_members"] == n
+        assert r["n_pairs"] == n * (n - 1) // 2
+        assert r["n_edges"] == len(edges)
+        assert r["chain_violations"] == n * (n - 1) // 2 - len(edges)
+        j6 = [math.floor(pairs[e] * 1e6 + 0.5) for e in edges]
+        assert r["min_edge_jaccard"] == min(j6) / 1e6
+        assert r["mean_edge_jaccard"] == math.floor(
+            sum(j6) / 1e6 / len(j6) * 1e6 + 0.5) / 1e6
+        assert 0.0 < r["density"] <= 1.0
