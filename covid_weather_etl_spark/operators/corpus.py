@@ -2331,3 +2331,98 @@ def dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fround(F.col("sum_j6") / F.lit(1e6)
                            / F.col("n_edges"))
                     .alias("mean_edge_jaccard")))
+
+
+#: padded-batch size for the bucketing-efficiency eval.
+BKT_BATCH = 8
+#: length-bucket widths evaluated (0 = no bucketing, one bucket).
+BKT_WIDTHS = (0, 64, 16)
+
+
+@register(
+    "bucketing_efficiency_eval",
+    survey="corpus-pack,A6,W7,F9",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    ws(w) AS (VALUES {", ".join(f"({w})" for w in BKT_WIDTHS)}),
+    bucketed AS (
+        SELECT ws.w, l.lang,
+               CASE WHEN ws.w = 0 THEN 0
+                    ELSE l.n_tok // ws.w END AS bkt,
+               l.doc_id, l.n_tok
+        FROM lens l CROSS JOIN ws
+    ),
+    batched AS (
+        SELECT w, lang, bkt, n_tok,
+               (ROW_NUMBER() OVER (PARTITION BY w, lang, bkt
+                                   ORDER BY doc_id) - 1)
+                   // {BKT_BATCH} AS batch_id
+        FROM bucketed
+    ),
+    per_batch AS (
+        SELECT w, lang, bkt, batch_id,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(MAX(n_tok) AS BIGINT) AS mx,
+               CAST(SUM(n_tok) AS BIGINT) AS real
+        FROM batched GROUP BY w, lang, bkt, batch_id
+    )
+    SELECT CAST(w AS INT) AS bucket_width,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(real) AS BIGINT) AS real_tokens,
+           CAST(SUM(mx * c) AS BIGINT) AS padded_tokens,
+           {fround_sql("1e0 - SUM(real) * 1e0 / SUM(mx * c)")}
+               AS waste_ratio
+    FROM per_batch GROUP BY w
+    """,
+)
+def bucketing_efficiency_eval(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING efficiency — the padded-batch
+    counterpart of context_packing_stats (which measures the
+    concat-and-chunk pipeline): when sequences are batched and padded
+    to the batch max (finetuning / inference serving), padding waste
+    is decided by how you bucket by length first. Evaluates the same
+    corpus under {BKT_WIDTHS} token-width bucketing (0 = arrival-order
+    batching, no bucketing) at batch size {BKT_BATCH}: batches formed
+    in doc_id order within (lang, bucket), waste = 1 −
+    real/padded tokens. The monotone drop from width 0 → 16 is the
+    number that justifies a bucketing stage in the serving path.
+
+    Plan: one corpus scan to integer lengths, a broadcast fan-out over
+    the |BKT_WIDTHS| schemes, ONE (scheme, lang, bucket)-partitioned
+    row_number (never global — the cohort key carries the partition),
+    and two integer aggregates; the single float op is the final
+    fround ratio. At 100 TB batching is per (lang, shard) with
+    shard-local order — same shape, embarrassingly parallel."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    ws = spark.createDataFrame([(w,) for w in BKT_WIDTHS], "w int")
+    lens = (spread(t["documents"], "doc_id")
+            .select("doc_id", "lang",
+                    F.size(F.split("text", " ")).cast("long")
+                    .alias("n_tok")))
+    bucketed = (lens.crossJoin(F.broadcast(ws))
+                .select("w", "lang", "doc_id", "n_tok",
+                        F.when(F.col("w") == 0, F.lit(0))
+                        .otherwise(F.floor(F.col("n_tok") / F.col("w")))
+                        .cast("long").alias("bkt")))
+    win = W.partitionBy("w", "lang", "bkt").orderBy("doc_id")
+    batched = bucketed.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(win) - 1) / BKT_BATCH).cast("long"))
+    per_batch = (batched.groupBy("w", "lang", "bkt", "batch_id")
+                 .agg(F.count("*").alias("c"),
+                      F.max("n_tok").alias("mx"),
+                      F.sum("n_tok").alias("real")))
+    return (per_batch.groupBy(F.col("w").cast("int").alias("bucket_width"))
+            .agg(F.count("*").alias("n_batches"),
+                 F.sum("real").cast("long").alias("real_tokens"),
+                 F.sum(F.col("mx") * F.col("c")).cast("long")
+                 .alias("padded_tokens"),
+                 fround(F.lit(1.0)
+                        - F.sum("real")
+                        / F.sum(F.col("mx") * F.col("c")))
+                 .alias("waste_ratio")))

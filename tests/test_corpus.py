@@ -682,3 +682,44 @@ def test_dedup_chain_audit_recount(spark):
         assert r["mean_edge_jaccard"] == math.floor(
             sum(j6) / 1e6 / len(j6) * 1e6 + 0.5) / 1e6
         assert 0.0 < r["density"] <= 1.0
+
+
+def test_bucketing_efficiency_recount_and_monotone(spark):
+    """Waste must match a python replay of the (lang, bucket) batch
+    formation, and tighter buckets must never pad more."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.corpus import (
+        BKT_BATCH, BKT_WIDTHS)
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = {r["bucket_width"]: r for r in
+            all_queries()["bucketing_efficiency_eval"].fn(spark, SF_DIR)
+            .collect()}
+    assert set(rows) == set(BKT_WIDTHS)
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    lens = [(r.doc_id, r.lang, len(r.text.split(" ")))
+            for r in docs.itertuples()]
+    for w in BKT_WIDTHS:
+        groups = defaultdict(list)
+        for doc_id, lang, n in sorted(lens):
+            groups[(lang, 0 if w == 0 else n // w)].append(n)
+        padded = real = batches = 0
+        for ns in groups.values():
+            for i in range(0, len(ns), BKT_BATCH):
+                b = ns[i:i + BKT_BATCH]
+                padded += max(b) * len(b)
+                real += sum(b)
+                batches += 1
+        r = rows[w]
+        assert r["n_batches"] == batches
+        assert r["real_tokens"] == real
+        assert r["padded_tokens"] == padded
+        assert r["waste_ratio"] == math.floor(
+            (1.0 - real / padded) * 1e6 + 0.5) / 1e6
+    assert (rows[16]["padded_tokens"] <= rows[64]["padded_tokens"]
+            <= rows[0]["padded_tokens"])
