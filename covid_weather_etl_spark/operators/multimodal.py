@@ -669,13 +669,22 @@ def ahash64(arr: np.ndarray) -> int:
     """64-bit average hash of a decoded sample array: split into 64
     equal blocks, bit = block mean above the mean of block means —
     translation of the classic 8×8 aHash to the flat uint8 stream
-    every decoder in this module emits. Deterministic, pure numpy."""
+    every decoder in this module emits. The threshold is evaluated in
+    PURE INTEGERS (block mean > mean of block means ⟺
+    64·block_sum > Σ block_sums — same predicate with the float
+    divides cancelled), which makes the whole hash exact integer
+    algebra and therefore SQL-replayable (the r8 graduation of
+    media_phash_dedup); inputs shorter than 64 samples tile
+    cyclically (np.resize semantics) into 64 one-sample blocks."""
     if arr.size == 0:
         return 0
-    n = max(arr.size // PHASH_BITS, 1)
-    blocks = arr[:n * PHASH_BITS].reshape(-1, n).mean(axis=1) \
-        if arr.size >= PHASH_BITS else np.resize(arr, PHASH_BITS).astype(float)
-    bits = blocks > blocks.mean()
+    if arr.size >= PHASH_BITS:
+        n = arr.size // PHASH_BITS
+        bs = (arr[:n * PHASH_BITS].astype(np.int64)
+              .reshape(PHASH_BITS, n).sum(axis=1))
+    else:
+        bs = np.resize(arr, PHASH_BITS).astype(np.int64)
+    bits = PHASH_BITS * bs > bs.sum()
     val = 0
     for b in bits[:PHASH_BITS]:
         val = (val << 1) | int(b)
@@ -699,7 +708,65 @@ def phash_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
             .mapInPandas(hash_batch, schema=PHASH_SCHEMA))
 
 
-@register("media_phash_dedup", survey="multimodal,LLM-dedup,J1")
+_PHASH_ORACLE = f"""
+    WITH chars AS MATERIALIZED (
+        SELECT doc_id AS asset_id, length(text) AS L,
+               generate_subscripts(split(text, ''), 1) AS p,
+               ascii(unnest(split(text, ''))) AS byte
+        FROM documents
+    ),
+    big AS (
+        SELECT asset_id, (p - 1) // (L // {PHASH_BITS}) AS blk,
+               CAST(SUM(byte) AS BIGINT) AS s
+        FROM chars
+        WHERE L >= {PHASH_BITS} AND p <= (L // {PHASH_BITS}) * {PHASH_BITS}
+        GROUP BY 1, 2
+    ),
+    small AS (
+        SELECT c.asset_id, g.i AS blk, CAST(c.byte AS BIGINT) AS s
+        FROM (SELECT unnest(generate_series(0, {PHASH_BITS - 1})) AS i) g
+        JOIN chars c ON c.L < {PHASH_BITS} AND c.p = (g.i % c.L) + 1
+    ),
+    blocks AS (SELECT * FROM big UNION ALL SELECT * FROM small),
+    tot AS (SELECT asset_id, SUM(s) AS ts FROM blocks GROUP BY 1),
+    hv AS (
+        SELECT b.asset_id,
+               SUM(CASE WHEN {PHASH_BITS} * b.s > t.ts
+                        THEN CAST(1 AS HUGEINT) << ({PHASH_BITS - 1} - b.blk)
+                        ELSE CAST(0 AS HUGEINT) END) AS v
+        FROM blocks b JOIN tot t ON t.asset_id = b.asset_id
+        GROUP BY b.asset_id
+    ),
+    h AS (
+        SELECT asset_id, v,
+               CASE WHEN v >= (CAST(1 AS HUGEINT) << 63)
+                    THEN CAST(v - (CAST(1 AS HUGEINT) << 64) AS BIGINT)
+                    ELSE CAST(v AS BIGINT) END AS phash
+        FROM hv
+    ),
+    bands AS (
+        SELECT asset_id, phash, g.i AS band,
+               CAST((v // (CAST(1 AS HUGEINT) << (16 * g.i))) % 65536
+                    AS BIGINT) AS bval
+        FROM h,
+             (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS i) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS asset_id_1, b.asset_id AS asset_id_2,
+               a.phash AS h1, b.phash AS h2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval
+         AND a.asset_id < b.asset_id
+    )
+    SELECT asset_id_1, asset_id_2,
+           CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h1, h2)) <= {PHASH_HAM_MAX}
+"""
+
+
+@register("media_phash_dedup", survey="multimodal,LLM-dedup,J1",
+          oracle=_PHASH_ORACLE)
 def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate detection over the media-asset table:
     decode → 64-bit average hash (aHash) per asset, then banded
@@ -713,8 +780,15 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands JVM-side (shiftrightunsigned + mask, codegen) and groupBy
     band value to generate candidates — complete for hamming ≤ 3
     by pigeonhole, never all-pairs; (3) exact verify
-    via bit_count(xor) ≤ PHASH_HAM_MAX=3. Rows-only driver check (the
-    decoder is not SQL); tests/test_multimodal.py pins planted
+    via bit_count(xor) ≤ PHASH_HAM_MAX=3.
+
+    Graduated from rows-only in r8: the aHash threshold is pure
+    integer algebra (64·block_sum > Σ block_sums) and the driver
+    corpus's fake decode is byte identity over ASCII text, so the
+    DuckDB twin replays the ENTIRE pipeline — per-byte block sums
+    (incl. the cyclic-tiling branch for <64-byte payloads), the bit
+    build in HUGEINT with a two's-complement fold, 16-bit banding and
+    the Hamming verify. tests/test_multimodal.py pins planted
     near-identical PPM recall through the REAL netpbm decoder,
     non-dup separation, and band completeness. Scale: candidate rate
     is governed by band width exactly as simhash — widen bands as the
