@@ -154,7 +154,11 @@ N_FEATURES = 8
 FEATURE_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
     T.StructField("n_bytes", T.IntegerType()),
-    T.StructField("features", T.ArrayType(T.FloatType())),
+    # double, not float: the feature floats are exact-integer-moment
+    # IEEE chains mirrored by the media_features oracle — a float32
+    # squeeze here would shift the 1e-5 grid snap (measured: 88/500
+    # last-digit flips at sf0.01)
+    T.StructField("features", T.ArrayType(T.DoubleType())),
 ])
 
 
@@ -167,13 +171,23 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 def _featurize(arr: np.ndarray) -> list[float]:
     """8-dim feature vector over decoded samples: mean, std, min, max,
-    plus a 4-bin histogram density. Matches the independent python
-    reimplementation in tests/test_multimodal.py."""
+    plus a 4-bin histogram density. Every float derives from EXACT
+    integer moments in a fixed op order (mean = S/n; std =
+    sqrt(n·S2 − S²)/n — both single correctly-rounded IEEE chains, so
+    the values are bit-reproducible in SQL — the r8 graduation of
+    media_features); matches the independent python reimplementation
+    in tests/test_multimodal.py to float tolerance."""
     if arr.size == 0:
         return [0.0] * N_FEATURES
-    hist = np.bincount(arr >> 6, minlength=4) / arr.size
-    return [float(arr.mean()), float(arr.std()), float(arr.min()),
-            float(arr.max()), *(float(h) for h in hist)]
+    n = int(arr.size)
+    a = arr.astype(np.int64)
+    s = int(a.sum())
+    s2 = int((a * a).sum())
+    hist = np.bincount(arr >> 6, minlength=4)
+    return [s / n,
+            float(np.sqrt(float(n * s2 - s * s)) / n),
+            float(arr.min()), float(arr.max()),
+            *(int(h) / n for h in hist)]
 
 
 def _decode_wav(payload: bytes) -> np.ndarray:
@@ -572,16 +586,60 @@ def featurize_assets(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
             .mapInPandas(extract, schema=FEATURE_SCHEMA))
 
 
-@register("media_features", survey="multimodal")
+_FEAT_ORACLE = """
+    WITH chars AS MATERIALIZED (
+        SELECT doc_id AS asset_id,
+               ascii(unnest(split(text, ''))) AS byte
+        FROM documents
+    ),
+    m AS (
+        SELECT asset_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(byte) AS BIGINT) AS s,
+               CAST(SUM(byte * byte) AS BIGINT) AS s2,
+               CAST(MIN(byte) AS BIGINT) AS mn,
+               CAST(MAX(byte) AS BIGINT) AS mx,
+               CAST(SUM(CASE WHEN byte // 64 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS h0,
+               CAST(SUM(CASE WHEN byte // 64 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS h1,
+               CAST(SUM(CASE WHEN byte // 64 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS h2,
+               CAST(SUM(CASE WHEN byte // 64 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS h3
+        FROM chars GROUP BY asset_id
+    )
+    SELECT asset_id, CAST(n AS INT) AS n_bytes,
+           FLOOR(CAST(s AS DOUBLE) / n * 1e5 + 0.5) / 1e5 AS f0,
+           FLOOR(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / n
+                 * 1e5 + 0.5) / 1e5 AS f1,
+           CAST(mn AS DOUBLE) AS f2, CAST(mx AS DOUBLE) AS f3,
+           FLOOR(CAST(h0 AS DOUBLE) / n * 1e5 + 0.5) / 1e5 AS f4,
+           FLOOR(CAST(h1 AS DOUBLE) / n * 1e5 + 0.5) / 1e5 AS f5,
+           FLOOR(CAST(h2 AS DOUBLE) / n * 1e5 + 0.5) / 1e5 AS f6,
+           FLOOR(CAST(h3 AS DOUBLE) / n * 1e5 + 0.5) / 1e5 AS f7
+    FROM m
+"""
+
+
+@register("media_features", survey="multimodal", oracle=_FEAT_ORACLE)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode(+stub)→featurize over every media asset; rows-only driver
-    check (the fake decoder is not expressible in SQL), pinned by the
-    python oracle in tests/test_multimodal.py."""
+    """Decode(+stub)→featurize over every media asset.
+
+    Graduated from rows-only in r8: _featurize derives every float
+    from exact integer moments in a fixed op order (mean = S/n, std =
+    sqrt(n·S2 − S²)/n, histogram densities cᵢ/n), and the driver
+    corpus's fake decode is byte identity over ASCII text — so the
+    DuckDB twin recomputes the moments per byte and mirrors the same
+    IEEE chains; outputs snap to the 1e-5 grid with the portable
+    floor-round on both sides. The REAL decoders stay pinned by
+    planted-asset tests."""
+    from covid_weather_etl_spark.functions.numeric import fround
     t = load_tables(spark, sf_dir, ("documents",))
     feats = featurize_assets(media_assets(t["documents"]))
     return feats.select(
         "asset_id", "n_bytes",
-        *[F.round(F.col("features")[i], 5).alias(f"f{i}")
+        *[fround(F.col("features")[i], 5).alias(f"f{i}")
           for i in range(N_FEATURES)],
     ).orderBy("asset_id")
 
@@ -634,12 +692,34 @@ def resize_assets(assets: DataFrame,
             .mapInPandas(run, schema=RESIZE_SCHEMA))
 
 
-@register("media_resize", survey="multimodal")
+_RESIZE_ORACLE = f"""
+    SELECT doc_id AS asset_id,
+           CAST(length(text) AS INT) AS n_bytes_in,
+           CAST({TARGET_SAMPLES} AS INT) AS n_bytes_out,
+           md5(array_to_string(
+               list_transform(
+                   generate_series(0, {TARGET_SAMPLES - 1}),
+                   i -> split(text, '')[(i * length(text))
+                                        // {TARGET_SAMPLES} + 1]),
+               '')) AS checksum
+    FROM documents
+"""
+
+
+@register("media_resize", survey="multimodal", oracle=_RESIZE_ORACLE)
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize every media asset to TARGET_SAMPLES samples; returns
     sizes + content checksum (not the bytes — the driver compare
-    wants stable strings). Rows-only driver check; the python oracle
-    in tests/test_multimodal.py pins the resampling."""
+    wants stable strings).
+
+    Graduated from rows-only in r8: nearest-neighbor resampling is
+    pure integer index selection (idx = (i·n)//target) and the driver
+    corpus's fake decode is byte identity over ASCII text, so the
+    DuckDB twin rebuilds the resized byte string by character index
+    and md5s it — a hash match proves the Arrow-batched kernel's
+    resample byte-for-byte. The python oracle in
+    tests/test_multimodal.py keeps pinning the resampling through the
+    REAL decoders."""
     t = load_tables(spark, sf_dir, ("documents",))
     resized = resize_assets(media_assets(t["documents"]))
     return (resized
