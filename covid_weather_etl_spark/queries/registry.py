@@ -164,27 +164,38 @@ _ROTATION_R6 = (
 )
 
 # Round 8 window (50), per the r7 verdict directive #2. Slots 1-7:
-# the only never-driver-checked queries left — the 7 r7-session
-# additions (all oracle-equipped day one, judge-verified 7/7 PASS at
-# sf0.01); a fresh row takes never-checked to 0 for the first time.
-# Slot 8: media_resize, the rows-only r03 refresh displaced from r7
-# (oldest evidence row in the registry). Slots 9-10: the two approx_*
-# profiles graduated from rows-only THIS round via bound-gate oracles
-# (verdict directive #4, quantile_sketch_error_eval precedent) —
-# their r7 rows-only rows predate the new oracles, so fresh rows flip
-# them to hash-green. Slots 11-50: the entire r02 hash-row cohort (40
-# queries, the oldest green evidence in the registry) — after this
-# round no driver evidence predates r03.
+# the 7 r7-session additions, the only never-checked queries at round
+# start (all oracle-equipped day one, judge-verified 7/7 PASS); fresh
+# rows take the round-start never-checked queue to 0. Slot 8:
+# media_resize — queued as the oldest rows-only refresh, then
+# GRADUATED to a full oracle during this session, so its row flips
+# hash-green. Slots 9-16: the other seven r8-session graduations
+# (approx_* bound gates per directive #4; rp_lsh integer sign-LSH;
+# semantic_dedup recursive-chain replay; media phash/features —
+# every rows-only row that predates its brand-new oracle) —
+# rows-only 15 -> 8, the remainder all iterative-ML-by-nature.
+# Slots 15-23: the 9 r8-session NEW operators, oracle-equipped day
+# one (serving economics, cross-source dedup, ER blocking, ANN
+# ingest, chain audit, batching efficiency). Slots 24-50: the oldest
+# 27 of the r02 hash-row cohort; the other 13 r02 rows lead the r9
+# refresh queue.
 _ROTATION_R8 = (
-    # never-checked: the 7 r7-session additions
+    # never-checked at round start: the 7 r7-session additions
     "sq8_recall_eval", "cdc_chunk_stats", "cdc_incremental_ingest",
     "domain_mix_kl_report", "bpe_fertility_by_lang",
     "minhash_banding_calibration", "quantile_sketch_error_eval",
-    # oldest evidence row anywhere: rows-only r03
+    # r8-session graduations: rows-only rows predating new oracles
     "media_resize",
-    # graduated rows-only -> bound-gate oracle this round
     "approx_distinct_profile", "approx_quantile_profile",
-    # the full r02 hash-row cohort, oldest green evidence
+    "rp_lsh_near_dup", "semantic_dedup", "media_phash_dedup",
+    "media_features",
+    # r8-session NEW operators, oracle-equipped day one
+    "rp_lsh_band_profile", "prefix_cache_reuse_stats",
+    "speculative_decoding_acceptance", "heaps_law_fit",
+    "cross_source_chunk_duplication", "blocking_quality_eval",
+    "ivf_incremental_ingest", "dedup_chain_audit",
+    "bucketing_efficiency_eval",
+    # oldest 27 of the r02 hash-row cohort (rest lead the r9 queue)
     "asof_join_attribution", "backfill_file_counts",
     "bpe_token_stats", "bucketed_colocated_join",
     "click_attribution_window", "contamination_check", "corpus_mix",
@@ -196,12 +207,6 @@ _ROTATION_R8 = (
     "ngram_jaccard_near_dup", "ols_trend_per_group",
     "persistence_forecast_eval", "quality_filter_funnel",
     "quality_score", "rule_classifier_confusion",
-    "salted_join_revenue", "seasonal_decompose", "sequence_packing",
-    "session_windows", "sliding_window_avg",
-    "standard_scaler_transform", "stratified_split_summary",
-    "tfidf_top_terms", "token_stats", "transform_logs_table",
-    "tumbling_window_counts", "validation_routing",
-    "winnowing_fingerprint",
 )
 # R9 queue: refresh the r03 cohort next (44 hash rows + the oldest
 # remaining rows-only rows media_features/als_part_recommendations

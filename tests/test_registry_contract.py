@@ -13,12 +13,11 @@ def test_rotation_window_contract():
     window = list(qs)[:50]
     assert window == list(R._ROTATION_R8)
     assert len(set(R._ROTATION_R8)) == 50
-    # r8's only deliberate rows-only slot is media_resize (the oldest
-    # evidence row in the registry, rows-only by documented nature —
-    # PARITY.md §11); the approx_* profiles graduated to bound-gate
-    # oracles this round, so any other oracle-less slot is a burnt
-    # correctness row
-    allowed_rows_only = {"media_resize"}
+    # every r8 window slot is oracle-equipped — the session graduated
+    # all seven queued rows-only queries (approx_* bound gates,
+    # rp_lsh/semantic_dedup/media_* replays), so ANY oracle-less slot
+    # is a burnt correctness row
+    allowed_rows_only = set()
     unexpected = [n for n in window
                   if not qs[n].oracle and n not in allowed_rows_only]
     assert not unexpected, unexpected
