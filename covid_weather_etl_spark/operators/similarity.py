@@ -2259,3 +2259,167 @@ def ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     share_before.alias("share_before"),
                     share_after.alias("share_after"),
                     drift.alias("load_drift")))
+
+
+#: nprobe sweep grid + eval geometry for the IVF tuning curve.
+NPROBE_GRID = (1, 2, 4)
+NPROBE_QUERIES = 16
+NPROBE_TOPK = 10
+
+
+def _ivf_nprobe_oracle() -> str:
+    """DuckDB replay over the persisted sf0.01 codebook: identical
+    assignment, per-query cell ranking, per-nprobe candidate sets,
+    exact in-candidate top-k, and the recall/scan-share aggregates."""
+    path = ivf_codebook_path("/root/testdata/sf0.01")
+    from covid_weather_etl_spark.functions.numeric import fround_sql
+    return f"""
+    WITH cb AS (
+        SELECT c_id, cv FROM read_parquet('{path}/*.parquet')
+    ),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    asg AS (
+        SELECT e.vec_id, e.v,
+               (SELECT c.c_id FROM cb c
+                ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                         DESC, c.c_id
+                LIMIT 1) AS c_id
+        FROM emb e
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb
+          WHERE vec_id < {NPROBE_QUERIES}),
+    exact AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    e.v, q.qv), 6) DESC, e.vec_id) AS rn
+            FROM emb e, q WHERE e.vec_id <> q.q_id)
+        WHERE rn <= {NPROBE_TOPK}
+    ),
+    ns(np) AS (VALUES {", ".join(f"({p})" for p in NPROBE_GRID)}),
+    cellrank AS (
+        SELECT q.q_id, c.c_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.qv, c.cv), 6) DESC, c.c_id) AS crn
+        FROM q, cb c
+    ),
+    probes AS (
+        SELECT ns.np, cr.q_id, cr.c_id
+        FROM cellrank cr JOIN ns ON cr.crn <= ns.np
+    ),
+    cand AS (
+        SELECT p.np, p.q_id, a.vec_id, a.v
+        FROM probes p JOIN asg a ON a.c_id = p.c_id
+        WHERE a.vec_id <> p.q_id
+    ),
+    scanned AS (
+        SELECT np, q_id, CAST(COUNT(*) AS BIGINT) AS n_scanned
+        FROM cand GROUP BY 1, 2
+    ),
+    annret AS (
+        SELECT np, q_id, vec_id FROM (
+            SELECT c.np, c.q_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.np, c.q_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    c.v, q.qv), 6) DESC, c.vec_id) AS rn
+            FROM cand c JOIN q ON q.q_id = c.q_id)
+        WHERE rn <= {NPROBE_TOPK}
+    ),
+    hits AS (
+        SELECT a.np, a.q_id, CAST(COUNT(*) AS BIGINT) AS h
+        FROM annret a
+        JOIN exact x ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM emb)
+    SELECT CAST(s.np AS INT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(COALESCE(h.h, 0)) AS BIGINT) AS n_hits,
+           {fround_sql(f"SUM(COALESCE(h.h, 0)) * 1e0"
+                       f" / (COUNT(*) * {NPROBE_TOPK})")} AS avg_recall,
+           {fround_sql("SUM(s.n_scanned) * 1e0 / (COUNT(*) * MIN(nn.n))")}
+               AS avg_scanned_share
+    FROM scanned s
+    LEFT JOIN hits h ON h.np = s.np AND h.q_id = s.q_id
+    CROSS JOIN nn
+    GROUP BY s.np
+    """
+
+
+@register("ivf_nprobe_recall_sweep", survey="LLM-sim,U5,A5,W6",
+          oracle=_ivf_nprobe_oracle,
+          tags=("oracle-at-sf0.01",))
+def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe TUNING CURVE — recall@{NPROBE_TOPK} and scanned
+    corpus share for nprobe in {NPROBE_GRID} over the TRAINED
+    codebook: the table you read before picking the probe count at
+    100 TB (ann_recall_eval pins one operating point; this sweeps the
+    knob and shows the whole quality/cost frontier — recall rises
+    with nprobe while scanned share measures exactly what each
+    increment costs).
+
+    Plan: one narrow literal-codebook assignment pass; ground truth
+    is one broadcast-queries pass over the corpus; each nprobe's
+    candidates come from the same cell-ranked probe table (no
+    per-nprobe rescans — the probes fan out by a broadcast literal
+    grid); rankings use per-(nprobe, query) windows, never global.
+    Oracle replays everything from the persisted artifact; recall and
+    scan-share are integer-sum ratios on the fround grid."""
+    from covid_weather_etl_spark.functions.numeric import fround
+    rows = ensure_ivf_codebook(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    assigned = assign_cells_literal(emb, rows)
+    cb = spark.createDataFrame(
+        [(int(r["c_id"]), [float(x) for x in r["cv"]]) for r in rows],
+        "c_id int, cv array<double>")
+    queries = (emb.filter(F.col("vec_id") < NPROBE_QUERIES)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("v").alias("qv")))
+    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    w = W.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    exact = (emb.crossJoin(F.broadcast(queries))
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select("q_id", "vec_id", sim.alias("s"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= NPROBE_TOPK)
+             .select("q_id", "vec_id"))
+    sim_c = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    wq = W.partitionBy("q_id").orderBy(F.col("cs").desc(), F.col("c_id"))
+    cellrank = (queries.crossJoin(F.broadcast(cb))
+                .select("q_id", "qv", "c_id", sim_c.alias("cs"))
+                .withColumn("crn", F.row_number().over(wq)))
+    ns = spark.createDataFrame([(p,) for p in NPROBE_GRID], "np int")
+    probes = (cellrank.join(F.broadcast(ns),
+                            F.col("crn") <= F.col("np"))
+              .select("np", "q_id", "qv", "c_id"))
+    cand = (assigned.join(F.broadcast(probes), "c_id")
+            .filter(F.col("vec_id") != F.col("q_id")))
+    scanned = (cand.groupBy("np", "q_id")
+               .agg(F.count("*").alias("n_scanned")))
+    w2 = W.partitionBy("np", "q_id").orderBy(F.col("s").desc(),
+                                             F.col("vec_id"))
+    annret = (cand.select("np", "q_id", "vec_id", sim.alias("s"))
+              .withColumn("rn", F.row_number().over(w2))
+              .filter(F.col("rn") <= NPROBE_TOPK)
+              .select("np", "q_id", "vec_id"))
+    hits = (annret.join(exact, ["q_id", "vec_id"])
+            .groupBy("np", "q_id").agg(F.count("*").alias("h")))
+    n_total = emb.count()
+    return (scanned.join(hits, ["np", "q_id"], "left")
+            .groupBy(F.col("np").cast("int").alias("nprobe"))
+            .agg(F.count("*").alias("n_queries"),
+                 F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("long")
+                 .alias("n_hits"),
+                 fround(F.sum(F.coalesce(F.col("h"), F.lit(0)))
+                        * F.lit(1.0)
+                        / (F.count("*") * F.lit(NPROBE_TOPK)))
+                 .alias("avg_recall"),
+                 fround(F.sum("n_scanned") * F.lit(1.0)
+                        / (F.count("*") * F.lit(float(n_total))))
+                 .alias("avg_scanned_share")))

@@ -629,3 +629,26 @@ def test_ivf_incremental_ingest_invariants(spark):
         assert 0.0 <= r["share_after"] <= 1.0
     assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["load_drift"] for r in rows)) < 1e-4
+
+
+def test_ivf_nprobe_sweep_monotone(spark):
+    """Recall and scanned share must both be monotone nondecreasing in
+    nprobe, recall must hit 1.0 when every cell is probed only if
+    nprobe covers all cells, and shares must be valid ratios."""
+    from covid_weather_etl_spark.operators.similarity import NPROBE_GRID
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = {r["nprobe"]: r for r in
+            all_queries()["ivf_nprobe_recall_sweep"].fn(spark, SF_DIR)
+            .collect()}
+    assert set(rows) == set(NPROBE_GRID)
+    grid = sorted(NPROBE_GRID)
+    for a, b in zip(grid, grid[1:]):
+        assert rows[a]["avg_recall"] <= rows[b]["avg_recall"] + 1e-9
+        assert (rows[a]["avg_scanned_share"]
+                <= rows[b]["avg_scanned_share"] + 1e-9)
+    for r in rows.values():
+        assert 0.0 <= r["avg_recall"] <= 1.0
+        assert 0.0 < r["avg_scanned_share"] <= 1.0
+        assert r["n_hits"] <= r["n_queries"] * 10
