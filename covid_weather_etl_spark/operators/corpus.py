@@ -2426,3 +2426,120 @@ def bucketing_efficiency_eval(spark: SparkSession,
                         - F.sum("real")
                         / F.sum(F.col("mx") * F.col("c")))
                  .alias("waste_ratio")))
+
+
+#: arriving-batch split for the incremental cluster maintenance
+#: (~20% of docs by md5 — the incremental_minhash / CDC convention).
+ICC_INC_CUT = "cc"
+
+
+@register(
+    "incremental_dedup_clusters",
+    survey="corpus-cc,LLM-dedup,J1,D2",
+    oracle=f"""
+    WITH RECURSIVE {TX.NGRAM_PAIRS_CTES},
+    edges AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM ngram_pairs
+        UNION ALL
+        SELECT doc_id_2, doc_id_1 FROM ngram_pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.doc_id
+    )
+    SELECT doc_id,
+           MIN(label) AS cluster_id,
+           doc_id = MIN(label) AS is_canonical
+    FROM walk GROUP BY doc_id
+    """,
+)
+def incremental_dedup_clusters(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup-cluster maintenance — the shape component
+    dedup runs in production: the cluster labels of the already-
+    ingested store are PERSISTED (derived here from the old md5 split
+    to stay self-contained, like the minhash/CDC ingest twins); a
+    ~20% batch arrives, near-dup edges are computed ONLY for pairs
+    touching a new document (new×new ∪ new×old — never old×old, the
+    incremental discipline), and star contraction runs over the OLD
+    LABEL STAR ∪ the new edges. The label star has exactly the old
+    components' connectivity, so the result PROVABLY equals a full
+    recompute — and the oracle IS the full recompute
+    (dedup_clusters_star's recursive reachability over the complete
+    edge set), so the driver hash match is a correctness proof of the
+    incremental algorithm, not just a replay.
+
+    Scale: the expensive stage (the shingle pair join) is restricted
+    to batch-incident pairs — per-ingest cost is proportional to the
+    BATCH, not the corpus; the contraction input is |old labels| +
+    |new edges| rows. This is the update path whose full-rebuild twin
+    is dedup_clusters_star."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    is_new = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+              >= ICC_INC_CUT)
+    docs = t["documents"].select("doc_id", "text", is_new.alias("is_new"))
+    shingled = (
+        spread(docs, "doc_id")
+        .select("doc_id", "is_new", F.split("text", " ").alias("tk"))
+        .select("doc_id", "is_new",
+                F.explode(F.expr(
+                    "transform(sequence(0, size(tk) - 3), "
+                    "i -> concat_ws(' ', slice(tk, i + 1, 3)))"
+                )).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True))
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # old-side labels: the persisted state (old×old edges only)
+    a_old = shingled.filter(~F.col("is_new")) \
+        .select(F.col("doc_id").alias("d1"), "s")
+    b_old = shingled.filter(~F.col("is_new")) \
+        .select(F.col("doc_id").alias("d2"), "s")
+
+    def jaccard_edges(raw_pairs):
+        j = (raw_pairs
+             .join(sizes.select(F.col("doc_id").alias("d1"),
+                                F.col("n").alias("n1")), "d1")
+             .join(sizes.select(F.col("doc_id").alias("d2"),
+                                F.col("n").alias("n2")), "d2"))
+        keep = (F.col("c") * 1.0
+                / (F.col("n1") + F.col("n2") - F.col("c"))) >= 0.2
+        return j.filter(keep).select(F.col("d1").alias("a"),
+                                     F.col("d2").alias("b"))
+
+    old_edges = jaccard_edges(
+        a_old.join(b_old, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2").agg(F.count("*").alias("c")))
+    old_lbl = star_components(old_edges,
+                              op_name="incremental_dedup_clusters.old")
+    # label star: (lbl, node) with lbl < node by construction — the
+    # persisted state's entire connectivity in |nodes| rows
+    old_star = old_lbl.select(F.col("lbl").alias("a"),
+                              F.col("node").alias("b"))
+    # batch-incident near-dup edges: new×(old ∪ new), never old×old
+    a_all = shingled.select(F.col("doc_id").alias("d1"), "s")
+    b_new = (shingled.filter(F.col("is_new"))
+             .select(F.col("doc_id").alias("d2"), "s"))
+    # new×(old ∪ new) shared-shingle pairs; canonicalize with
+    # least/greatest and de-dup (d1, d2, s) first — a new×new pair
+    # reaches the join in BOTH orders and would double its overlap
+    # count otherwise
+    new_edges = jaccard_edges(
+        a_all.join(b_new, "s")
+        .filter(F.col("d1") != F.col("d2"))
+        .select(F.least("d1", "d2").alias("dl"),
+                F.greatest("d1", "d2").alias("dg"), "s")
+        .distinct()
+        .select(F.col("dl").alias("d1"), F.col("dg").alias("d2"), "s")
+        .groupBy("d1", "d2").agg(F.count("*").alias("c")))
+    merged = old_star.unionByName(new_edges).distinct()
+    lbl = star_components(merged,
+                          op_name="incremental_dedup_clusters.merge")
+    return (t["documents"].select("doc_id")
+            .join(lbl.withColumnRenamed("node", "doc_id"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lbl", "doc_id").alias("cluster_id"),
+                    (F.coalesce("lbl", "doc_id") == F.col("doc_id"))
+                    .alias("is_canonical")))

@@ -174,11 +174,11 @@ _ROTATION_R6 = (
 # semantic_dedup recursive-chain replay; media phash/features —
 # every rows-only row that predates its brand-new oracle) —
 # rows-only 15 -> 8, the remainder all iterative-ML-by-nature.
-# Slots 15-24: the 10 r8-session NEW operators, oracle-equipped day
+# Slots 15-25: the 11 r8-session NEW operators, oracle-equipped day
 # one (serving economics, cross-source dedup, ER blocking, ANN
-# ingest, chain audit, batching efficiency, nprobe sweep). Slots
-# 25-50: the oldest 26 of the r02 hash-row cohort; the other 14 r02
-# rows lead the r9 refresh queue.
+# ingest, chain audit, batching efficiency, nprobe sweep,
+# incremental CC). Slots 26-50: the oldest 25 of the r02 hash-row
+# cohort; the other 15 r02 rows lead the r9 refresh queue.
 _ROTATION_R8 = (
     # never-checked at round start: the 7 r7-session additions
     "sq8_recall_eval", "cdc_chunk_stats", "cdc_incremental_ingest",
@@ -195,6 +195,7 @@ _ROTATION_R8 = (
     "cross_source_chunk_duplication", "blocking_quality_eval",
     "ivf_incremental_ingest", "dedup_chain_audit",
     "bucketing_efficiency_eval", "ivf_nprobe_recall_sweep",
+    "incremental_dedup_clusters",
     # oldest 27 of the r02 hash-row cohort (rest lead the r9 queue)
     "asof_join_attribution", "backfill_file_counts",
     "bpe_token_stats", "bucketed_colocated_join",
@@ -206,11 +207,15 @@ _ROTATION_R8 = (
     "knn_join", "lang_id", "load_logs_table",
     "ngram_jaccard_near_dup", "ols_trend_per_group",
     "persistence_forecast_eval", "quality_filter_funnel",
-    "quality_score",
 )
-# R9 queue: refresh the r03 cohort next (44 hash rows + the oldest
-# remaining rows-only rows media_features/als_part_recommendations
-# at r07); never-checked should stay at 0 — any new op added in r8+
+# R9 queue: the 15 r02 rows displaced from this window
+# (quality_score, rule_classifier_confusion, salted_join_revenue,
+# seasonal_decompose, sequence_packing, session_windows,
+# sliding_window_avg, standard_scaler_transform,
+# stratified_split_summary, tfidf_top_terms, token_stats,
+# transform_logs_table, tumbling_window_counts, validation_routing,
+# winnowing_fingerprint) lead the refresh queue, then the r03
+# cohort; never-checked should stay at 0 — any new op added in r9+
 # sessions leads the next window.
 
 # Round 7 window (50), per the r6 verdict directive #1. Slots 1-6: the

@@ -723,3 +723,26 @@ def test_bucketing_efficiency_recount_and_monotone(spark):
             (1.0 - real / padded) * 1e6 + 0.5) / 1e6
     assert (rows[16]["padded_tokens"] <= rows[64]["padded_tokens"]
             <= rows[0]["padded_tokens"])
+
+
+def test_incremental_dedup_clusters_equals_full_rebuild(spark):
+    """The incremental path (old label star + batch-incident edges)
+    must produce EXACTLY the labels of the full-rebuild twin, and the
+    md5 batch split must actually split."""
+    import hashlib
+
+    from covid_weather_etl_spark.operators.corpus import ICC_INC_CUT
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    inc = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in all_queries()["incremental_dedup_clusters"]
+           .fn(spark, SF_DIR).collect()}
+    full = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in all_queries()["dedup_clusters_star"]
+            .fn(spark, SF_DIR).collect()}
+    assert inc == full
+    n_new = sum(
+        1 for d in inc
+        if hashlib.md5(str(d).encode()).hexdigest()[:2] >= ICC_INC_CUT)
+    assert 0 < n_new < len(inc)
