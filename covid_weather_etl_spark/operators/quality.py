@@ -560,3 +560,118 @@ def labeling_function_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_labeled") * F.lit(1.0) / F.col("n_docs"))
                     .alias("coverage"))
             .orderBy("rule"))
+
+
+#: held-out split for the perplexity eval (~20% eval docs by md5 —
+#: the incremental-ingest convention).
+PPLX_EVAL_CUT = "cc"
+
+
+@register(
+    "ngram_perplexity_eval",
+    survey="ext-quality,A5,A6,F10,U5",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   >= '{PPLX_EVAL_CUT}' AS is_eval
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source, is_eval,
+               t[i] AS w1, t[i+1] AS w2
+        FROM docs, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM big WHERE NOT is_eval GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ),
+    vv AS (
+        SELECT CAST(COUNT(DISTINCT tkn) + 1 AS BIGINT) AS v
+        FROM (SELECT unnest(t) AS tkn FROM docs WHERE NOT is_eval)
+    ),
+    ev AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+        FROM big WHERE is_eval GROUP BY source, w1, w2
+    ),
+    terms AS (
+        SELECT e.source, e.k,
+               CAST(FLOOR(LN((COALESCE(c12.c12, 0) + 1e0)
+                             / (COALESCE(c1.c1, 0) + vv.v))
+                          * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6)) AS lp
+        FROM ev e
+        LEFT JOIN c12 ON c12.w1 = e.w1 AND c12.w2 = e.w2
+        LEFT JOIN c1 ON c1.w1 = e.w1
+        CROSS JOIN vv
+    )
+    SELECT source,
+           CAST(SUM(k) AS BIGINT) AS n_eval_bigrams,
+           FLOOR(-CAST(SUM(k * lp) AS DOUBLE) / SUM(k) * 1e6 + 0.5)
+               / 1e6 AS avg_neg_logprob,
+           FLOOR(EXP(FLOOR(-CAST(SUM(k * lp) AS DOUBLE) / SUM(k)
+                           * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
+               AS perplexity
+    FROM terms GROUP BY source
+    """,
+)
+def ngram_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT perplexity of the bigram LM per source — the CCNet
+    quality-filter primitive with the evaluation done properly:
+    unigram/bigram_logprob_score train on the corpus they score (fine
+    for relative ranking); this op trains add-one-smoothed bigrams on
+    the ~80% md5 train split and measures GENERALIZATION on the
+    held-out 20%, per source — the number that says which slice of
+    the mix a perplexity filter can trust, and the shape every KenLM
+    quality pipeline runs (train on clean, filter by held-out ppl).
+    Unseen eval bigrams/contexts fall back to the smoothed floor
+    ((0+1)/(0+V)) via left joins — the OOV path is part of the
+    measurement, not an error.
+
+    Exactness: one LN per distinct eval bigram TYPE (vocab-bounded),
+    snapped to the 1e-6 grid immediately (PARITY §4 contract),
+    k-weighted DECIMAL accumulation (§3a), one divide, and one EXP of
+    the already-snapped average (snapped again) for the perplexity.
+    Plan: train counts are map-combinable Zipf-bounded aggregates;
+    eval types join them hash-keyed; nothing corpus².
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    is_eval = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+               >= PPLX_EVAL_CUT)
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS w1, "
+        "            element_at(tk, i + 1) AS w2))")
+    big = (spread(t["documents"], "doc_id")
+           .filter(F.size(toks) >= 2)
+           .select("doc_id", "source", is_eval.alias("is_eval"),
+                   toks.alias("tk"))
+           .select("doc_id", "source", "is_eval",
+                   F.explode(bigrams).alias("b"))
+           .select("doc_id", "source", "is_eval",
+                   F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    c12 = (big.filter(~F.col("is_eval"))
+           .groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vv = (t["documents"].filter(~is_eval)
+          .select(F.explode(toks).alias("tkn"))
+          .agg((F.countDistinct("tkn") + 1).alias("v")))
+    ev = (big.filter(F.col("is_eval"))
+          .groupBy("source", "w1", "w2").agg(F.count("*").alias("k")))
+    lp = fround(F.log((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+                      / (F.coalesce(F.col("c1"), F.lit(0))
+                         + F.col("v")))) \
+        .cast("decimal(25,6)")
+    terms = (ev.join(c12, ["w1", "w2"], "left")
+             .join(c1, "w1", "left")
+             .crossJoin(F.broadcast(vv))
+             .select("source", "k", lp.alias("lp")))
+    avg_neg = fround(-F.sum(F.col("k") * F.col("lp")).cast("double")
+                     / F.sum("k"))
+    return (terms.groupBy("source")
+            .agg(F.sum("k").cast("long").alias("n_eval_bigrams"),
+                 avg_neg.alias("avg_neg_logprob"),
+                 fround(F.exp(avg_neg)).alias("perplexity")))

@@ -174,11 +174,12 @@ _ROTATION_R6 = (
 # semantic_dedup recursive-chain replay; media phash/features —
 # every rows-only row that predates its brand-new oracle) —
 # rows-only 15 -> 8, the remainder all iterative-ML-by-nature.
-# Slots 15-25: the 11 r8-session NEW operators, oracle-equipped day
+# Slots 15-26: the 12 r8-session NEW operators, oracle-equipped day
 # one (serving economics, cross-source dedup, ER blocking, ANN
 # ingest, chain audit, batching efficiency, nprobe sweep,
-# incremental CC). Slots 26-50: the oldest 25 of the r02 hash-row
-# cohort; the other 15 r02 rows lead the r9 refresh queue.
+# incremental CC, held-out perplexity). Slots 27-50: the oldest 24
+# of the r02 hash-row cohort; the other 16 r02 rows lead the r9
+# refresh queue.
 _ROTATION_R8 = (
     # never-checked at round start: the 7 r7-session additions
     "sq8_recall_eval", "cdc_chunk_stats", "cdc_incremental_ingest",
@@ -195,7 +196,7 @@ _ROTATION_R8 = (
     "cross_source_chunk_duplication", "blocking_quality_eval",
     "ivf_incremental_ingest", "dedup_chain_audit",
     "bucketing_efficiency_eval", "ivf_nprobe_recall_sweep",
-    "incremental_dedup_clusters",
+    "incremental_dedup_clusters", "ngram_perplexity_eval",
     # oldest 27 of the r02 hash-row cohort (rest lead the r9 queue)
     "asof_join_attribution", "backfill_file_counts",
     "bpe_token_stats", "bucketed_colocated_join",
@@ -206,10 +207,11 @@ _ROTATION_R8 = (
     "interpolate_gaps", "interval_join_proximity", "ivf_ann_topk",
     "knn_join", "lang_id", "load_logs_table",
     "ngram_jaccard_near_dup", "ols_trend_per_group",
-    "persistence_forecast_eval", "quality_filter_funnel",
+    "persistence_forecast_eval",
 )
-# R9 queue: the 15 r02 rows displaced from this window
-# (quality_score, rule_classifier_confusion, salted_join_revenue,
+# R9 queue: the 16 r02 rows displaced from this window
+# (quality_filter_funnel, quality_score, rule_classifier_confusion,
+# salted_join_revenue,
 # seasonal_decompose, sequence_packing, session_windows,
 # sliding_window_avg, standard_scaler_transform,
 # stratified_split_summary, tfidf_top_terms, token_stats,

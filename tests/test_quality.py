@@ -101,3 +101,52 @@ def test_labeling_function_report_matches_python(spark):
         }
         want["coverage"] = want["n_labeled"] / len(vs)
         assert got[rule] == want, rule
+
+
+def test_ngram_perplexity_eval_recount(spark):
+    """Held-out perplexity must equal a pure-python recount of the
+    add-one bigram LM on the md5 split, on the exact fround grids."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from covid_weather_etl_spark.operators.quality import PPLX_EVAL_CUT
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {r["source"]: r for r in
+           all_queries()["ngram_perplexity_eval"].fn(spark, SF_DIR)
+           .collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    vocab = set()
+    ev: dict[str, Counter] = defaultdict(Counter)
+    for r in docs.itertuples():
+        t = r.text.split(" ")
+        is_eval = (hashlib.md5(str(r.doc_id).encode()).hexdigest()[:2]
+                   >= PPLX_EVAL_CUT)
+        bg = list(zip(t, t[1:]))
+        if is_eval:
+            ev[r.source].update(bg)
+        else:
+            c12.update(bg)
+            vocab.update(t)
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    v = len(vocab) + 1
+    for src, r in got.items():
+        num = tot = 0
+        for (w1, w2), k in ev[src].items():
+            lp = math.log((c12.get((w1, w2), 0) + 1.0)
+                          / (c1.get(w1, 0) + v))
+            num += k * math.floor(lp * 1e6 + 0.5)
+            tot += k
+        assert r["n_eval_bigrams"] == tot
+        want_avg = math.floor(-num / 1e6 / tot * 1e6 + 0.5) / 1e6
+        assert r["avg_neg_logprob"] == want_avg, (src,)
+        assert r["perplexity"] == math.floor(
+            math.exp(want_avg) * 1e6 + 0.5) / 1e6
+        assert r["perplexity"] > 1.0
