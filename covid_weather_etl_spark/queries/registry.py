@@ -82,6 +82,17 @@ def _load_modules() -> None:
 # driver row this round (rotated each round; module import order no
 # longer matters).
 #
+# ROUND-START CHECKLIST (permanent — do these before anything else):
+#   1. git add CORRECTNESS_r{N-1}.json BENCH_r{N-1}.json BENCH_FULL.json
+#      if the driver left them untracked (it writes them AFTER the
+#      builder closes, so they are stale-by-construction every round).
+#   2. Regenerate the ledgers: scripts/query_index.py +
+#      scripts/plan_audit.py — `never` rows for last round's new ops
+#      flip to their fresh driver status.
+#   3. Point all_queries() at the new _ROTATION_R{N} tuple; lead with
+#      any never-checked queries (new ops land at the head), then the
+#      documented refresh queue below the previous round's window.
+#
 # Round 6 window (50), per the r5 verdict directive #1: the window is
 # drawn entirely from the never-driver-checked queue plus the two
 # explicit swap-ins. Slot 1 is pricing_summary_q1 (TPC-H Q1, the
@@ -169,7 +180,7 @@ _ROTATION_R6 = (
 # rows take the round-start never-checked queue to 0. Slot 8:
 # media_resize — queued as the oldest rows-only refresh, then
 # GRADUATED to a full oracle during this session, so its row flips
-# hash-green. Slots 9-16: the other seven r8-session graduations
+# hash-green. Slots 9-14: the other six r8-session graduations
 # (approx_* bound gates per directive #4; rp_lsh integer sign-LSH;
 # semantic_dedup recursive-chain replay; media phash/features —
 # every rows-only row that predates its brand-new oracle) —
@@ -197,7 +208,7 @@ _ROTATION_R8 = (
     "ivf_incremental_ingest", "dedup_chain_audit",
     "bucketing_efficiency_eval", "ivf_nprobe_recall_sweep",
     "incremental_dedup_clusters", "ngram_perplexity_eval",
-    # oldest 27 of the r02 hash-row cohort (rest lead the r9 queue)
+    # oldest 24 of the r02 hash-row cohort (rest lead the r9 queue)
     "asof_join_attribution", "backfill_file_counts",
     "bpe_token_stats", "bucketed_colocated_join",
     "click_attribution_window", "contamination_check", "corpus_mix",
@@ -209,16 +220,46 @@ _ROTATION_R8 = (
     "ngram_jaccard_near_dup", "ols_trend_per_group",
     "persistence_forecast_eval",
 )
-# R9 queue: the 16 r02 rows displaced from this window
-# (quality_filter_funnel, quality_score, rule_classifier_confusion,
-# salted_join_revenue,
-# seasonal_decompose, sequence_packing, session_windows,
-# sliding_window_avg, standard_scaler_transform,
-# stratified_split_summary, tfidf_top_terms, token_stats,
-# transform_logs_table, tumbling_window_counts, validation_routing,
-# winnowing_fingerprint) lead the refresh queue, then the r03
-# cohort; never-checked should stay at 0 — any new op added in r9+
-# sessions leads the next window.
+# Round 9 window (50), per the r8 verdict directive #3 and the queue
+# comment above. Head: any r9-session NEW operators (never-checked,
+# oracle-equipped day one — inserted as they land, displacing the
+# tail to the r10 queue). Then the 16 r02 rows displaced from the r8
+# window (quality_filter_funnel .. winnowing_fingerprint), then the
+# oldest slice of the 44-row r03 cohort (alphabetical within the
+# cohort — all its rows carry identical r03 freshness). Whatever r03
+# rows don't fit lead the r10 refresh queue (see the comment after
+# the tuple).
+_ROTATION_R9 = (
+    # r9-session NEW operators, oracle-equipped day one
+    # (inserted at head as they land)
+    # the 16 r02 rows displaced from the r8 window
+    "quality_filter_funnel", "quality_score",
+    "rule_classifier_confusion", "salted_join_revenue",
+    "seasonal_decompose", "sequence_packing", "session_windows",
+    "sliding_window_avg", "standard_scaler_transform",
+    "stratified_split_summary", "tfidf_top_terms", "token_stats",
+    "transform_logs_table", "tumbling_window_counts",
+    "validation_routing", "winnowing_fingerprint",
+    # oldest 34 of the 44-row r03 cohort (alphabetical)
+    "anti_join_never_ordered", "avg_latency_seconds", "chrono_split",
+    "conditional_labels", "correlation_matrix", "cube_revenue",
+    "cyclical_encoding", "daily_activity_trend", "date_bounds",
+    "date_parts", "dim_get_or_create", "docs_exact_dedup",
+    "epoch_scalar_fns", "error_rate_by_type", "etl_kpi_cards",
+    "first_difference", "frame_sample", "in_list_filter",
+    "join_chain_3way", "join_chain_4way_revenue", "join_filtered_2way",
+    "json_extraction", "label_encode_segment", "lag_features",
+    "latest_event_per_user", "left_join_made_inner", "media_catalog",
+    "monthly_boxplot_stats", "null_profile", "orders_by_month",
+    "pipeline_status", "pivot_status_revenue", "recent_events_limit",
+    "rolling_features",
+)
+# R10 queue: the 10 r03 rows displaced from this window
+# (rollup_revenue, running_total, scalar_string_date_fns,
+# semi_join_open_orders, skew_resilient_running_total, summary_stats,
+# topk_orders, union_append, value_histogram, yoy_comparison) lead
+# the refresh queue, then the r04 cohort; never-checked should stay
+# at 0 — any new op added in r10+ sessions leads the next window.
 
 # Round 7 window (50), per the r6 verdict directive #1. Slots 1-6: the
 # stale-evidence oracle upgrades — each carries a full replay oracle
@@ -425,10 +466,10 @@ def _resolved(q: Query) -> Query:
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    missing = [n for n in _ROTATION_R8 if n not in _REGISTRY]
+    missing = [n for n in _ROTATION_R9 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R8}
+    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R9}
     ordered.update((n, _resolved(q)) for n, q in _REGISTRY.items()
                    if n not in ordered)
     return ordered
