@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.functions.numeric import fround, fround_sql
+from covid_weather_etl_spark.functions.textops import shingled_rows
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
@@ -233,17 +234,7 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     toks = _tokens()
     shingled = (
-        spread(t["documents"], "doc_id")
-        # split ONCE into a column: an inline split(text) inside the
-        # transform lambda re-tokenizes the document per shingle
-        # (quadratic in doc length; measured ~1.7x slower)
-        .select("doc_id", F.split("text", " ").alias("tk"))
-        .select("doc_id",
-                F.explode(F.expr(
-                    "transform(sequence(0, size(tk) - 3), "
-                    "i -> concat_ws(' ', slice(tk, i + 1, 3)))"
-                )).alias("s"))
-        .distinct()
+        shingled_rows(spread(t["documents"], "doc_id"))
         # Consumed 4× (self-join both sides + two size joins): materialize
         # once. localCheckpoint instead of persist() so the blocks are
         # released by the ContextCleaner when the frame is GC'd —
@@ -1346,17 +1337,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in nobody's prefix — prefix filtering is also a skew guard."""
     t = load_tables(spark, sf_dir, ("documents",))
     shingled = (
-        spread(t["documents"], "doc_id")
-        # split ONCE into a column: an inline split(text) inside the
-        # transform lambda re-tokenizes the document per shingle
-        # (quadratic in doc length; measured ~1.7x slower)
-        .select("doc_id", F.split("text", " ").alias("tk"))
-        .select("doc_id",
-                F.explode(F.expr(
-                    "transform(sequence(0, size(tk) - 3), "
-                    "i -> concat_ws(' ', slice(tk, i + 1, 3)))"
-                )).alias("s"))
-        .distinct()
+        shingled_rows(spread(t["documents"], "doc_id"))
         .localCheckpoint(eager=True))     # shared by df/prefix/verify
     df_tab = shingled.groupBy("s").agg(F.count("*").alias("df"))
     w = W.partitionBy("doc_id").orderBy("df", "s")
@@ -1446,17 +1427,7 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     t = load_tables(spark, sf_dir, ("documents",))
     shingled = (
-        spread(t["documents"], "doc_id")
-        # split ONCE into a column: an inline split(text) inside the
-        # transform lambda re-tokenizes the document per shingle
-        # (quadratic in doc length; measured ~1.7x slower)
-        .select("doc_id", F.split("text", " ").alias("tk"))
-        .select("doc_id",
-                F.explode(F.expr(
-                    "transform(sequence(0, size(tk) - 3), "
-                    "i -> concat_ws(' ', slice(tk, i + 1, 3)))"
-                )).alias("s"))
-        .distinct()
+        shingled_rows(spread(t["documents"], "doc_id"))
         .localCheckpoint(eager=True))
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
@@ -2271,10 +2242,14 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     arr = spread(t["documents"], "doc_id") \
         .select("doc_id", _tokens().alias("t"))
-    toks = (arr.select(
+    # size >= 3 guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    # (text.py:740 trap), which would emit two malformed 'trigrams' for
+    # a <3-token doc while the oracle's generate_series(1, len-2) is
+    # empty — the filter matches the oracle's implicit empty behavior.
+    toks = (arr.filter(F.size("t") >= 3).select(
         "doc_id",
         F.explode(F.expr(
-            "transform(sequence(1, greatest(size(t) - 2, 0)), "
+            "transform(sequence(1, size(t) - 2), "
             "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")).alias("tok")))
     bounds = t["documents"].agg(F.min("doc_id").alias("lo"),
                                 F.max("doc_id").alias("hi"))

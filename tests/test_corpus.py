@@ -746,3 +746,27 @@ def test_incremental_dedup_clusters_equals_full_rebuild(spark):
         1 for d in inc
         if hashlib.md5(str(d).encode()).hexdigest()[:2] >= ICC_INC_CUT)
     assert 0 < n_new < len(inc)
+
+
+def test_cc_single_task_equals_star_components(spark):
+    """The single-task union-find kernel (the batch-merge fast path in
+    incremental_dedup_clusters) must return EXACTLY star_components'
+    (node, lbl) rows — same component minima, same canonical-node
+    omission — on a graph with chains, a star, a cycle, singleton
+    absence, and out-of-order edge arrival."""
+    from covid_weather_etl_spark.operators.corpus import (
+        cc_single_task, star_components)
+
+    edges = [(5, 9), (1, 5), (9, 12),          # chain merged out of order
+             (20, 21), (20, 22), (20, 23),     # star
+             (30, 31), (31, 32), (30, 32),     # cycle
+             (40, 41)]                         # pair
+    df = spark.createDataFrame(edges, "a long, b long")
+    a = {(r["node"], r["lbl"])
+         for r in cc_single_task(df).collect()}
+    b = {(r["node"], r["lbl"])
+         for r in star_components(df, op_name="test").collect()}
+    assert a == b
+    assert (12, 1) in a and (23, 20) in a and (32, 30) in a
+    # canonical nodes omitted, exactly like star_components
+    assert all(n != l for n, l in a)
