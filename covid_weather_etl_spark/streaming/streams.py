@@ -676,15 +676,10 @@ def drift_reference(events: DataFrame) -> DataFrame:
                            / (F.col("ref_n") - 1)).alias("ref_sd")))
 
 
-def _drift_windows(cur: DataFrame, ref: DataFrame) -> DataFrame:
-    """Shared window-vs-reference comparison (batch and stream arms)."""
-    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
-    win = (cur
-           .filter(F.col("ts") >= F.lit(DRIFT_CUTOFF).cast("timestamp"))
-           .filter(F.col("value").isNotNull())
-           .groupBy(F.window("ts", "1 day"), "event_type")
-           .agg(F.count("*").alias("n_events"),
-                F.sum(dec(F.col("value"))).cast("double").alias("wsx")))
+def _drift_select(win: DataFrame, ref: DataFrame) -> DataFrame:
+    """Shared window-vs-reference z-score comparison — the ONE place
+    the drift expressions live, so the batch and stream arms cannot
+    diverge. ``win`` carries (window, event_type, n_events, wsx)."""
     z = ((F.col("wsx") / F.col("n_events") - F.col("ref_mean"))
          / (F.col("ref_sd") / F.sqrt(F.col("n_events"))))
     return (win.join(F.broadcast(ref), "event_type")
@@ -696,6 +691,18 @@ def _drift_windows(cur: DataFrame, ref: DataFrame) -> DataFrame:
                     F.round("ref_mean", 6).alias("ref_mean"),
                     F.round(z, 6).alias("z_score"),
                     (F.abs(z) > DRIFT_Z).alias("alert")))
+
+
+def _drift_windows(cur: DataFrame, ref: DataFrame) -> DataFrame:
+    """Shared window-vs-reference comparison (batch and stream arms)."""
+    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
+    win = (cur
+           .filter(F.col("ts") >= F.lit(DRIFT_CUTOFF).cast("timestamp"))
+           .filter(F.col("value").isNotNull())
+           .groupBy(F.window("ts", "1 day"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(dec(F.col("value"))).cast("double").alias("wsx")))
+    return _drift_select(win, ref)
 
 
 def drift_monitor_stream(events: DataFrame, ref: DataFrame) -> DataFrame:
@@ -755,7 +762,39 @@ def drift_monitor_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream in drift_monitor_stream (stream-static broadcast join);
     stream==batch pinned in tests/test_streaming.py. All sums ride
     the 2dp DECIMAL grid, so window means, z-scores and alert bits
-    are partitioning-independent on both engines."""
+    are partitioning-independent on both engines.
+
+    Plan (r9): ONE events scan. The cutoff is day-aligned (UTC
+    session, midnight cutoff), so a single per-(day, type) rollup
+    feeds BOTH sides: pre-cutoff rows roll up again (DECIMAL sums
+    nest exactly, so the two-level moments are bit-identical to the
+    direct per-type aggregate) into the reference; post-cutoff rows
+    ARE the windows. At 100 TB this halves the firehose scan — the
+    previous shape read events once for the reference and once for
+    the windows. The stream arm keeps drift_reference (the reference
+    is frozen state there, not recomputed per batch)."""
     t = load_tables(spark, sf_dir, ("events",))
-    ref = drift_reference(t["events"]).localCheckpoint(eager=True)
-    return _drift_windows(t["events"], ref)
+    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
+    per = (t["events"]
+           .filter(F.col("value").isNotNull())
+           .groupBy(F.window("ts", "1 day"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(dec(F.col("value"))).alias("sx_d"),
+                F.sum(dec(F.round(F.col("value") * F.col("value"), 6)))
+                .alias("sxx_d"))
+           .localCheckpoint(eager=True))      # days×types-sized
+    cutoff = F.lit(DRIFT_CUTOFF).cast("timestamp")
+    ref = (per.filter(F.col("window.start") < cutoff)
+           .groupBy("event_type")
+           .agg(F.sum("n_events").cast("long").alias("ref_n"),
+                F.sum("sx_d").cast("double").alias("sx"),
+                F.sum("sxx_d").cast("double").alias("sxx"))
+           .select("event_type", "ref_n",
+                   (F.col("sx") / F.col("ref_n")).alias("ref_mean"),
+                   F.sqrt((F.col("sxx")
+                           - F.col("sx") * F.col("sx") / F.col("ref_n"))
+                          / (F.col("ref_n") - 1)).alias("ref_sd")))
+    win = (per.filter(F.col("window.start") >= cutoff)
+           .select("window", "event_type", "n_events",
+                   F.col("sx_d").cast("double").alias("wsx")))
+    return _drift_select(win, ref)
