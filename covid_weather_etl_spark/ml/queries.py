@@ -660,6 +660,186 @@ def logreg_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# U3 graduation path — fixed-round IRLS logistic regression, SQL-replayable
+# ---------------------------------------------------------------------------
+
+#: fixed IRLS round count (production early-stops on the grid-snapped
+#: step norm; a FIXED count is what makes the fit replayable).
+IRLS_ROUNDS = 4
+#: ridge added to every Gram diagonal — conditions the 4x4 solve and
+#: keeps it non-singular even if a round saturates the sigmoid.
+_IRLS_RIDGE = "1e-3"
+
+#: IRLS sufficient statistics accumulate as exact NANO-unit integers
+#: (the _D38G technique at 1e-9 instead of 1e-2: every addend here is
+#: O(1) — w = mu(1-mu) <= 0.25, |x_j| <= 1.04 — so the fine grid
+#: costs nothing and group sums stay far under 2^63 through sf 1+).
+_D9G = ("CAST(SUM(CAST(CAST(FLOOR(({e}) * 1e9 + 5e-1) AS BIGINT) "
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1e9")
+
+
+def _d9_snap(e: str) -> str:
+    return _D9G.format(e=e)
+
+
+#: 1e-6 grid snap in EXPONENT-LITERAL form — Spark parses `1000000.0`
+#: (fround_sql's repr) as DECIMAL, DuckDB as DOUBLE; this text is run
+#: on BOTH engines, so every literal must be exponent-form (the
+#: ar_forecast discipline).
+def _g6(e: str) -> str:
+    return f"FLOOR(({e}) * 1e6 + 5e-1) / 1e6"
+
+
+def _irls_eta(d: str = "d", b: str = "b") -> str:
+    """Left-associative linear predictor — ONE shared text, so both
+    engines execute the identical IEEE op sequence."""
+    return (f"((({b}.b0 + {b}.b1 * {d}.x1) + {b}.b2 * {d}.x2) "
+            f"+ {b}.b3 * {d}.x3)")
+
+
+def _irls_round_sql(design_src: str, beta_src: str) -> str:
+    """One IRLS (Newton) round as shared SQL text: per-row sigmoid
+    snapped to the 1e-6 grid, 14 nano-grid integer sums, the 4x4
+    ridge-damped normal equations solved by the shared-term-order
+    Cramer expansion, and the updated coefficients snapped back to
+    the 1e-6 grid (so every round STARTS from grid numbers)."""
+    mu = _g6(f"1e0 / (1e0 + EXP(0e0 - {_irls_eta()}))")
+    mrows = (f"SELECT d.y, d.x1, d.x2, d.x3, "
+             f"b.b0, b.b1, b.b2, b.b3, {mu} AS mu "
+             f"FROM {design_src} d CROSS JOIN {beta_src} b "
+             f"WHERE d.is_train")
+    w = "(mu * (1e0 - mu))"
+    r = "(y - mu)"
+    terms = {
+        "s00": w,
+        "s01": f"({w} * x1)", "s02": f"({w} * x2)", "s03": f"({w} * x3)",
+        "s11": f"(({w} * x1) * x1)", "s12": f"(({w} * x1) * x2)",
+        "s13": f"(({w} * x1) * x3)", "s22": f"(({w} * x2) * x2)",
+        "s23": f"(({w} * x2) * x3)", "s33": f"(({w} * x3) * x3)",
+        "g0": r,
+        "g1": f"({r} * x1)", "g2": f"({r} * x2)", "g3": f"({r} * x3)",
+    }
+    sums = (f"SELECT b0, b1, b2, b3, "
+            + ", ".join(f"{_d9_snap(e)} AS {k}" for k, e in terms.items())
+            + f" FROM ({mrows}) mm GROUP BY b0, b1, b2, b3")
+    lam = _IRLS_RIDGE
+    A = [[f"(s.s00 + {lam})", "s.s01", "s.s02", "s.s03"],
+         ["s.s01", f"(s.s11 + {lam})", "s.s12", "s.s13"],
+         ["s.s02", "s.s12", f"(s.s22 + {lam})", "s.s23"],
+         ["s.s03", "s.s13", "s.s23", f"(s.s33 + {lam})"]]
+    g = ["s.g0", "s.g1", "s.g2", "s.g3"]
+    newb = ", ".join(
+        _g6(f"(s.b{k} + {cramer_sql(A, g, k)})") + f" AS b{k}"
+        for k in range(4))
+    return f"SELECT {newb} FROM ({sums}) s"
+
+
+def _irls_eval_sql(design_src: str, beta_src: str) -> str:
+    """Held-out confusion + accuracy for the fitted coefficients:
+    pred = 1 iff the linear predictor is >= 0 (mu >= 1/2) — an
+    integer-exact rule, no sigmoid on the eval path."""
+    eta = _irls_eta()
+    pred = f"CASE WHEN {eta} >= 0e0 THEN 1 ELSE 0 END"
+    y1 = "d.y = 1e0"
+    return f"""
+    SELECT b.b0 AS b0, b.b1 AS b1, b.b2 AS b2, b.b3 AS b3,
+           CAST(SUM(CASE WHEN {y1} AND {pred} = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN NOT ({y1}) AND {pred} = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN {y1} AND {pred} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN NOT ({y1}) AND {pred} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           {_g6("SUM(CASE WHEN (CASE WHEN " + y1 + " THEN 1 ELSE 0 END) = " + pred + " THEN 1e0 ELSE 0e0 END) / COUNT(*)")}
+               AS accuracy
+    FROM {design_src} d CROSS JOIN {beta_src} b
+    WHERE NOT d.is_train
+    GROUP BY b.b0, b.b1, b.b2, b.b3
+    """
+
+
+_IRLS_DESIGN_DUCK = """
+    SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS y,
+           l_quantity / 25.0 - 1.0 AS x1,
+           l_tax * 10.0 AS x2,
+           CASE WHEN dayofweek(l_shipdate) IN (0, 6)
+                THEN 1.0 ELSE 0.0 END AS x3,
+           (l_orderkey * 31 + l_linenumber) % 10 < 7 AS is_train
+    FROM lineitem
+"""
+
+_IRLS_B0 = ("SELECT 0e0 AS b0, 0e0 AS b1, "
+            "0e0 AS b2, 0e0 AS b3")
+
+
+def _irls_oracle_sql() -> str:
+    ctes = [f"design AS ({_IRLS_DESIGN_DUCK})", f"ib0 AS ({_IRLS_B0})"]
+    for r in range(1, IRLS_ROUNDS + 1):
+        ctes.append(f"ib{r} AS ({_irls_round_sql('design', f'ib{r-1}')})")
+    return ("WITH " + ", ".join(ctes)
+            + _irls_eval_sql("design", f"ib{IRLS_ROUNDS}"))
+
+
+@register(
+    "irls_logreg_fit",
+    survey="U3,U4,U5,F10",
+    oracle=_irls_oracle_sql(),
+)
+def irls_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression fit by FIXED-ROUND IRLS (Newton-Raphson),
+    fully SQL-replayable — the graduation path the 6-feature
+    pyspark.ml twin (logreg_classifier_eval, LBFGS internals) cannot
+    take (verdict r8 #5; PARITY.md §11). Same task (the reference's
+    rain classifier analog, `dags/classification_dag.py:82-125`:
+    discounted = l_discount > 0.05), same hash 70/30 split; 3 bounded
+    features + intercept (qty/25-1, tax*10, weekend — all in
+    [-1.04, 1]) keep the per-round normal equations 4x4, i.e.
+    Cramer-expressible in the shared-term-order Leibniz expansion
+    (functions/numeric.cramer_sql — the ar_forecast/markov technique).
+
+    Replay discipline, per round: the linear predictor is ONE shared
+    left-associative text over grid coefficients; the sigmoid is the
+    single transcendental and its output is snapped to the 1e-6 grid
+    immediately (the ngram_perplexity EXP discipline — a sub-ULP
+    engine difference flips a snap only within ~1e-10 of a grid
+    boundary); the 14 sufficient statistics accumulate as exact
+    nano-unit integers (order-free); the ridge-damped 4x4 solve is
+    shared Cramer text; updated coefficients snap back to the 1e-6
+    grid, so round r+1 starts from identical numbers on both engines.
+    {IRLS_ROUNDS} rounds unrolled (fixed count = replayable; the
+    production variant early-stops on the snapped step norm). Eval is
+    sigmoid-free: pred = (eta >= 0).
+
+    Plan: one design scan per round (4 map-combinable aggregate
+    passes over the cached design — at 100 TB each is one
+    tree-aggregate of 14 doubles) + one eval pass; the one-row
+    coefficient frame is materialized between rounds so Catalyst
+    never inlines the 24-term determinants into the next round's
+    analysis (the ar_forecast stage-cut)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    design = li.select(
+        F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0).alias("y"),
+        (F.col("l_quantity") / 25.0 - 1.0).alias("x1"),
+        (F.col("l_tax") * 10.0).alias("x2"),
+        F.when(F.dayofweek("l_shipdate").isin(1, 7), 1.0)
+        .otherwise(0.0).alias("x3"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10 < 7)
+        .alias("is_train"))
+    design.localCheckpoint(eager=False)           .createOrReplaceTempView("irls_design_v")
+    spark.sql(_IRLS_B0).createOrReplaceTempView("irls_b0_v")
+    for r in range(1, IRLS_ROUNDS + 1):
+        beta = spark.sql(
+            _irls_round_sql("irls_design_v", f"irls_b{r-1}_v"))
+        # one row: the stage cut that keeps the determinant texts out
+        # of the next round's analysis
+        beta.localCheckpoint(eager=False)             .createOrReplaceTempView(f"irls_b{r}_v")
+    return spark.sql(
+        _irls_eval_sql("irls_design_v", f"irls_b{IRLS_ROUNDS}_v"))
+
+
+# ---------------------------------------------------------------------------
 # U2 — per-group seasonal-ARIMA forecast + eval (SARIMAX parity path)
 # ---------------------------------------------------------------------------
 

@@ -232,6 +232,7 @@ _ROTATION_R8 = (
 _ROTATION_R9 = (
     # r9-session NEW operators, oracle-equipped day one
     # (inserted at head as they land)
+    "irls_logreg_fit",
     # the 16 r02 rows displaced from the r8 window
     "quality_filter_funnel", "quality_score",
     "rule_classifier_confusion", "salted_join_revenue",
@@ -240,7 +241,7 @@ _ROTATION_R9 = (
     "stratified_split_summary", "tfidf_top_terms", "token_stats",
     "transform_logs_table", "tumbling_window_counts",
     "validation_routing", "winnowing_fingerprint",
-    # oldest 34 of the 44-row r03 cohort (alphabetical)
+    # oldest 33 of the 44-row r03 cohort (alphabetical)
     "anti_join_never_ordered", "avg_latency_seconds", "chrono_split",
     "conditional_labels", "correlation_matrix", "cube_revenue",
     "cyclical_encoding", "daily_activity_trend", "date_bounds",
@@ -252,10 +253,9 @@ _ROTATION_R9 = (
     "latest_event_per_user", "left_join_made_inner", "media_catalog",
     "monthly_boxplot_stats", "null_profile", "orders_by_month",
     "pipeline_status", "pivot_status_revenue", "recent_events_limit",
-    "rolling_features",
 )
-# R10 queue: the 10 r03 rows displaced from this window
-# (rollup_revenue, running_total, scalar_string_date_fns,
+# R10 queue: the 11 r03 rows displaced from this window
+# (rolling_features, rollup_revenue, running_total, scalar_string_date_fns,
 # semi_join_open_orders, skew_resilient_running_total, summary_stats,
 # topk_orders, union_append, value_histogram, yoy_comparison) lead
 # the refresh queue, then the r04 cohort; never-checked should stay

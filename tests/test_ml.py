@@ -89,6 +89,49 @@ def test_logreg_eval_invariants(spark):
     assert row.accuracy == pytest.approx((row.tp + row.tn) / n, abs=1e-4)
 
 
+def test_irls_logreg_matches_numpy_replay(spark):
+    """Independent replay of the fixed-round IRLS fit: numpy executes
+    the same grid-snapped Newton rounds (np.linalg.solve instead of
+    the Cramer expansion — different factorization, same model), so
+    the SQL fit's coefficients must land within the snap tolerance,
+    and the confusion counts must match the numpy predictions
+    exactly."""
+    import math
+
+    row = ML.irls_logreg_fit(spark, SF_DIR).collect()[0]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity", "l_tax", "l_discount",
+                                  "l_shipdate"])
+    y = (li["l_discount"] > 0.05).astype(float).to_numpy()
+    x1 = (li["l_quantity"] / 25.0 - 1.0).to_numpy()
+    x2 = (li["l_tax"] * 10.0).to_numpy()
+    dow = pd.to_datetime(li["l_shipdate"]).dt.dayofweek  # Mon=0..Sun=6
+    x3 = dow.isin([5, 6]).astype(float).to_numpy()
+    is_train = ((li["l_orderkey"] * 31 + li["l_linenumber"]) % 10 < 7)         .to_numpy()
+    X = np.column_stack([np.ones(len(y)), x1, x2, x3])
+    snap = lambda v: np.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    Xt, yt = X[is_train], y[is_train]
+    b = np.zeros(4)
+    for _ in range(ML.IRLS_ROUNDS):
+        mu = snap(1.0 / (1.0 + np.exp(-(Xt @ b))))
+        w = mu * (1.0 - mu)
+        A = (Xt * w[:, None]).T @ Xt + 1e-3 * np.eye(4)
+        g = Xt.T @ (yt - mu)
+        b = snap(b + np.linalg.solve(A, g))
+    got = np.array([row.b0, row.b1, row.b2, row.b3])
+    # nano-grid sums + 1e-6 coefficient snaps accumulate ~1e-5 drift
+    # between the exact-decimal SQL path and the float numpy path
+    assert np.allclose(got, b, atol=5e-5), (got, b)
+    Xe, ye = X[~is_train], y[~is_train]
+    pred = (Xe @ got >= 0).astype(int)
+    tp = int(((ye == 1) & (pred == 1)).sum())
+    tn = int(((ye == 0) & (pred == 0)).sum())
+    assert (row.tp, row.tn) == (tp, tn)
+    assert row.accuracy == pytest.approx((tp + tn) / len(ye), abs=1e-5)
+    assert math.isclose(row.tp + row.fp + row.fn + row.tn, len(ye))
+
+
 def _seasonal_fixture(seed: int = 42) -> np.ndarray:
     """Reference-shaped series: 30 years of monthly temperature —
     12-period yearly cycle, slight trend, AR(1) noise — scaled like the
