@@ -28,7 +28,9 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from covid_weather_etl_spark.functions.numeric import dsum, dsum_sql
+from covid_weather_etl_spark.functions.numeric import (
+    dsum, dsum_sql, fround, fround_sql,
+)
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables
 
@@ -192,3 +194,66 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_items"),
                  dsum("l_extendedprice", "revenue")))
+
+
+#: hash-bucket count for the shard-skew audit (a stand-in for the
+#: shuffle partition count the key would be hashed into).
+SKEW_NBUCKETS = 32
+
+
+@register(
+    "shard_skew_report",
+    survey="ext-infra,A6,A8,F9",
+    oracle=f"""
+    WITH pk AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)),
+                                        1, 8) AS BIGINT)
+                    % {SKEW_NBUCKETS} AS BIGINT) AS bucket,
+               l_suppkey AS k, COUNT(*) AS kn
+        FROM lineitem GROUP BY 1, 2
+    ), pb AS (
+        SELECT bucket,
+               CAST(SUM(kn) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(kn) AS BIGINT) AS top_key_rows
+        FROM pk GROUP BY 1
+    ), tot AS (SELECT SUM(n_rows) AS t FROM pb)
+    SELECT bucket, n_rows, n_keys, top_key_rows,
+           {fround_sql(f"n_rows * {SKEW_NBUCKETS}e0 / t")} AS skew_factor
+    FROM pb CROSS JOIN tot
+    """,
+)
+def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-KEY SKEW audit — run BEFORE choosing a partition/bucket
+    key at scale: hash the candidate key (l_suppkey, the fact table's
+    co-location key) into {SKEW_NBUCKETS} buckets and report per-bucket
+    row count, distinct keys, the heaviest single key, and the skew
+    factor (bucket rows / ideal). A skew_factor ≫ 1 bucket is the
+    straggler task salting/AQE-skew-join exists for, and top_key_rows
+    tells you whether it is ONE hot key (salt that key) or many
+    colliding keys (raise the partition count). md5-based bucketing so
+    both engines agree bit-for-bit (the hashed_bow discipline — NOT
+    the engine's real partitioner, which is fine: the audit measures
+    the KEY distribution, not a specific hash).
+
+    Plan: two map-combinable integer aggregates (key-level, then
+    bucket-level) + one broadcast scalar total — at 100 TB this is
+    the cheapest possible pre-shuffle fact scan, and the per-key
+    frame it rolls up is exactly the heavy-hitter table a salting
+    config is generated from."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("l_suppkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % SKEW_NBUCKETS)
+    pk = (t["lineitem"]
+          .groupBy(bucket.alias("bucket"), F.col("l_suppkey").alias("k"))
+          .agg(F.count("*").alias("kn")))
+    pb = (pk.groupBy("bucket")
+          .agg(F.sum("kn").cast("long").alias("n_rows"),
+               F.count("*").alias("n_keys"),
+               F.max("kn").cast("long").alias("top_key_rows")))
+    tot = pb.agg(F.sum("n_rows").alias("t"))
+    return (pb.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_rows", "n_keys", "top_key_rows",
+                    fround(F.col("n_rows") * float(SKEW_NBUCKETS)
+                           / F.col("t")).alias("skew_factor")))

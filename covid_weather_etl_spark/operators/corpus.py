@@ -2764,3 +2764,189 @@ def incremental_dedup_clusters(spark: SparkSession,
                     F.coalesce("lbl", "rep").alias("cluster_id"),
                     (F.coalesce("lbl", "rep") == F.col("doc_id"))
                     .alias("is_canonical")))
+
+
+#: context-window limits evaluated by the truncation-loss report
+#: (token counts in the driver corpora run 10-99).
+TRUNC_LIMITS = (16, 32, 64)
+
+
+@register(
+    "truncation_loss_report",
+    survey="corpus-pack,A3,A6,F9",
+    oracle=f"""
+    WITH lens AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), ls(l) AS (VALUES {", ".join(f"({w})" for w in TRUNC_LIMITS)})
+    SELECT CAST(l AS INT) AS context_limit, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok > l THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEAST(n_tok, l)) AS BIGINT) AS kept_tokens,
+           {fround_sql("1e0 - SUM(LEAST(n_tok, l)) * 1e0 / SUM(n_tok)")}
+               AS lost_share
+    FROM lens CROSS JOIN ls
+    GROUP BY 1, 2
+    """,
+)
+def truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-WINDOW TRUNCATION audit — the first number a training
+    (or serving) pipeline needs before fixing max_seq_len: per
+    (context limit, lang), how many documents overflow and what share
+    of tokens the hard cut discards. The complement of
+    bucketing_efficiency_eval (padding waste) and
+    context_packing_stats (concat-and-chunk): together the three
+    cover every way sequence-length policy burns tokens. The
+    monotone-in-L kept_tokens column is the curve that justifies a
+    longer context (or a split-long-docs preprocessing stage, at
+    which point span_corruption_plan takes over).
+
+    Plan: one corpus scan to integer lengths, a broadcast fan-out
+    over the {len(TRUNC_LIMITS)} limits, one map-combinable
+    integer aggregate; the single float op is the final fround
+    ratio. Embarrassingly parallel at any scale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    ls = spark.createDataFrame([(w,) for w in TRUNC_LIMITS], "l int")
+    lens = (spread(t["documents"], "doc_id")
+            .select("lang", F.size(F.split("text", " ")).cast("long")
+                    .alias("n_tok")))
+    return (lens.crossJoin(F.broadcast(ls))
+            .groupBy(F.col("l").cast("int").alias("context_limit"),
+                     "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("n_tok") > F.col("l")).cast("long"))
+                 .alias("n_truncated"),
+                 F.sum("n_tok").cast("long").alias("total_tokens"),
+                 F.sum(F.least("n_tok", F.col("l").cast("long")))
+                 .cast("long").alias("kept_tokens"),
+                 fround(F.lit(1.0)
+                        - F.sum(F.least("n_tok",
+                                        F.col("l").cast("long"))) * 1.0
+                        / F.sum("n_tok")).alias("lost_share")))
+
+
+#: Jaccard thresholds swept by the dedup sensitivity report — as
+#: exponent-literal SQL text so both engines parse DOUBLE (the
+#: candidate pass already bounds pairs at >= 0.2, the sweep floor).
+DTS_THRESHOLDS = ("2e-1", "35e-2", "5e-1")
+#: node-id offset separating the per-threshold graph copies — one
+#: star contraction runs all thresholds as disjoint subgraphs.
+DTS_OFFSET = 10_000_000_000_000
+
+
+def _dts_oracle_sql() -> str:
+    branches = []
+    for i, thr in enumerate(DTS_THRESHOLDS):
+        branches.append(f"""
+    e{i} AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM ngram_pairs
+        WHERE jaccard >= {thr}
+    ),
+    ed{i} AS (SELECT a, b FROM e{i}
+              UNION ALL SELECT b, a FROM e{i}),
+    w{i}(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.label FROM w{i} w JOIN ed{i} e ON e.a = w.doc_id
+    ),
+    l{i} AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM w{i} GROUP BY 1
+    ),
+    c{i} AS (
+        SELECT cluster_id, COUNT(*) AS sz FROM l{i}
+        GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    s{i} AS (
+        SELECT {thr} AS threshold,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_dup_docs,
+               CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster_size
+        FROM c{i}
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(len(DTS_THRESHOLDS)))
+    return (f"WITH RECURSIVE {TX.NGRAM_PAIRS_CTES}, "
+            + ", ".join(branches)
+            + f""",
+    allt AS ({unions}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT threshold, n_edges, n_clusters, n_dup_docs, max_cluster_size,
+           {fround_sql("n_dup_docs * 1e0 / tot.n")} AS dup_share
+    FROM allt CROSS JOIN tot
+    """)
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    survey="corpus-cc,LLM-dedup,A6,A8,F9",
+    oracle=_dts_oracle_sql(),
+)
+def dedup_threshold_sensitivity(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """DEDUP THRESHOLD SENSITIVITY — the tuning curve every near-dup
+    pipeline needs before committing to a Jaccard cut (the
+    ivf_nprobe_recall_sweep of the dedup family): per threshold in
+    {DTS_THRESHOLDS}, the edge count, cluster count, duplicate-doc
+    count/share and the largest cluster. Raising the threshold
+    shrinks clusters and kills chaining (dedup_chain_audit's
+    failure mode); this report shows exactly how fast, so the
+    operating point is chosen from data, not folklore.
+
+    Plan: ONE candidate pair pass (the existing bounded >= 0.2 stage
+    — candidates for every threshold are its subsets, so the sweep is
+    free at the expensive stage), then ONE star contraction for all
+    thresholds at once: each threshold's subgraph is embedded at a
+    disjoint node-id offset (thr_idx·1e13 + doc_id — min-labels are
+    preserved within a copy because the offset is monotone), so the
+    O(log² n) contraction rounds and their per-round jobs are paid
+    once, not once per threshold. Stats decode the offset back out.
+    At 100 TB the copies multiply contraction input by
+    |thresholds|, never the corpus scan or the pair join."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = (TX.ngram_jaccard_near_dup(spark, sf_dir)
+             .select("doc_id_1", "doc_id_2", "jaccard")
+             .localCheckpoint(eager=True))
+    n_docs = t["documents"].count()
+    copies = []
+    edge_counts = {}
+    for i, thr_txt in enumerate(DTS_THRESHOLDS):
+        # float(text) is the correctly-rounded parse — the SAME double
+        # DuckDB's exponent literal produces (35 * 10**-2 is NOT)
+        e = pairs.filter(F.col("jaccard") >= float(thr_txt))
+        copies.append(e.select(
+            (F.lit(i * DTS_OFFSET) + F.col("doc_id_1")).alias("a"),
+            (F.lit(i * DTS_OFFSET) + F.col("doc_id_2")).alias("b")))
+    edges = copies[0]
+    for c in copies[1:]:
+        edges = edges.unionByName(c)
+    lbl = star_components(edges, op_name="dedup_threshold_sensitivity")
+    # members per cluster = star nodes + the canonical node itself
+    sizes = (lbl.groupBy(F.col("lbl").alias("cluster"))
+             .agg((F.count("*") + 1).alias("sz")))
+    stats = (sizes
+             .groupBy(F.floor(F.col("cluster") / DTS_OFFSET)
+                      .cast("int").alias("ti"))
+             .agg(F.count("*").alias("n_clusters"),
+                  F.sum("sz").cast("long").alias("n_dup_docs"),
+                  F.max("sz").cast("long").alias("max_cluster_size")))
+    rows = []
+    for i, thr_txt in enumerate(DTS_THRESHOLDS):
+        ne = pairs.filter(F.col("jaccard") >= float(thr_txt)).count()
+        edge_counts[i] = (float(thr_txt), ne)
+    meta = spark.createDataFrame(
+        [(i, thr, ne) for i, (thr, ne) in edge_counts.items()],
+        "ti int, threshold double, n_edges long")
+    return (meta.join(stats, "ti", "left")
+            .select("threshold", "n_edges",
+                    F.coalesce("n_clusters", F.lit(0)).cast("long")
+                    .alias("n_clusters"),
+                    F.coalesce("n_dup_docs", F.lit(0)).cast("long")
+                    .alias("n_dup_docs"),
+                    F.coalesce("max_cluster_size", F.lit(0)).cast("long")
+                    .alias("max_cluster_size"),
+                    fround(F.coalesce("n_dup_docs", F.lit(0)) * 1.0
+                           / F.lit(float(n_docs))).alias("dup_share")))

@@ -900,3 +900,78 @@ def time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.floor(F.sum("term").cast("double") * F.lit(1e6)
                           + F.lit(0.5)) / F.lit(1e6))
                  .alias("decayed_score")))
+
+
+#: minimum reward margin for a preference pair to be emitted.
+DPO_MIN_MARGIN = 10.0
+#: candidate pool: the reward-bearing event type.
+DPO_CAND_TYPE = "purchase"
+
+
+@register(
+    "dpo_pair_construction",
+    survey="LLM-pref,A6,A8,J9,P7",
+    oracle=f"""
+    WITH cand AS (
+        SELECT user_id, event_id, value
+        FROM events
+        WHERE event_type = '{DPO_CAND_TYPE}' AND value IS NOT NULL
+    ), pairs AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               MAX(ROW(value, -event_id)) AS ch,
+               MIN(ROW(value, event_id)) AS rj
+        FROM cand GROUP BY 1
+        HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, n_candidates,
+           CAST(-ch[2] AS BIGINT) AS chosen_event,
+           ch[1] AS chosen_reward,
+           CAST(rj[2] AS BIGINT) AS rejected_event,
+           rj[1] AS rejected_reward,
+           ch[1] - rj[1] AS margin
+    FROM pairs
+    WHERE ch[1] - rj[1] >= {DPO_MIN_MARGIN}
+    """,
+)
+def dpo_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR construction — the DPO/RLHF data-prep shape
+    (Rafailov et al. 2023): group candidate generations by prompt
+    (here: a user's reward-bearing '{DPO_CAND_TYPE}' events, reward =
+    value), emit one (chosen, rejected) pair per prompt as the
+    best/worst by reward with DETERMINISTIC tiebreaks (equal rewards:
+    chosen takes the smallest event_id via MAX(value, -id), rejected
+    the smallest via MIN(value, id) — argmax/argmin as single
+    struct-ordered aggregates, the latest_event_per_user technique,
+    no window), and drop pairs whose margin is under
+    {DPO_MIN_MARGIN} — low-margin pairs are label noise in the DPO
+    loss. Rewards ride the 2-decimal value grid, so margins are exact
+    doubles on both engines.
+
+    Plan: one filtered scan, ONE map-combinable grouped aggregate
+    (two struct min/max + a count), a scalar filter. At 100 TB this
+    is groupBy(prompt_id) with partial aggregation — no window, no
+    join, no skew hazard beyond the prompt key itself."""
+    t = load_tables(spark, sf_dir, ("events",))
+    cand = (t["events"]
+            .filter((F.col("event_type") == DPO_CAND_TYPE)
+                    & F.col("value").isNotNull())
+            .select("user_id", "event_id", "value"))
+    pairs = (cand.groupBy("user_id")
+             .agg(F.count("*").alias("n_candidates"),
+                  F.max(F.struct(F.col("value"),
+                                 (-F.col("event_id")).alias("nid")))
+                  .alias("ch"),
+                  F.min(F.struct(F.col("value"), F.col("event_id")))
+                  .alias("rj"))
+             .filter(F.col("n_candidates") >= 2))
+    return (pairs
+            .select("user_id", "n_candidates",
+                    (-F.col("ch.nid")).cast("long").alias("chosen_event"),
+                    F.col("ch.value").alias("chosen_reward"),
+                    F.col("rj.event_id").cast("long")
+                    .alias("rejected_event"),
+                    F.col("rj.value").alias("rejected_reward"),
+                    (F.col("ch.value") - F.col("rj.value"))
+                    .alias("margin"))
+            .filter(F.col("margin") >= DPO_MIN_MARGIN))

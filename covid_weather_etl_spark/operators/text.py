@@ -20,7 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from covid_weather_etl_spark.functions.numeric import fround, fround_sql
+from covid_weather_etl_spark.functions.numeric import (
+    dsum, dsum_sql, fround, fround_sql,
+)
 from covid_weather_etl_spark.functions.textops import shingled_rows
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
@@ -2297,3 +2299,180 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / ((n * sxx - sx * sx)
                                    * (n * syy - sy * sy)), 6))
                     .alias("r2")))
+
+
+#: minimum successor mass for a context to enter the nucleus profile.
+NUCLEUS_MIN_TOT = 5
+#: nucleus mass threshold — top-p 0.9, compared in integers (cum*10
+#: >= tot*9) so the cut is float-free on both engines.
+NUCLEUS_P_NUM, NUCLEUS_P_DEN = 9, 10
+
+
+@register(
+    "nucleus_sampling_profile",
+    survey="LLM-serving,A6,A8,W6,F9",
+    oracle=f"""
+    WITH tok AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ), bgr AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c
+        FROM tok, UNNEST(generate_series(1, len(t) - 1)) u(i)
+        GROUP BY 1, 2
+    ), st AS (
+        SELECT w1, c,
+               ROW_NUMBER() OVER (PARTITION BY w1
+                                  ORDER BY c DESC, w2) AS rn,
+               SUM(c) OVER (PARTITION BY w1 ORDER BY c DESC, w2
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY w1) AS tot
+        FROM bgr
+    ), k AS (
+        SELECT w1,
+               MIN(CASE WHEN cum * {NUCLEUS_P_DEN} >=
+                             tot * {NUCLEUS_P_NUM} THEN rn END) AS k90,
+               MAX(CASE WHEN rn = 1 THEN c END) AS top1,
+               MAX(tot) AS tot
+        FROM st GROUP BY 1
+        HAVING MAX(tot) >= {NUCLEUS_MIN_TOT}
+    )
+    SELECT CAST(k90 AS INT) AS nucleus_size,
+           CAST(COUNT(*) AS BIGINT) AS n_contexts,
+           {fround_sql(dsum_sql(fround_sql("top1 * 1e0 / tot"))
+                       + " / COUNT(*)")} AS mean_top1_share
+    FROM k GROUP BY 1
+    """,
+)
+def nucleus_sampling_profile(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TOP-P (nucleus) SAMPLING profile of the corpus bigram LM — the
+    serving-side companion to speculative_decoding_acceptance: for
+    every context token with ≥ {NUCLEUS_MIN_TOT} successor
+    occurrences, the nucleus size k90 = the number of most-probable
+    successors needed to reach {NUCLEUS_P_NUM}/{NUCLEUS_P_DEN} of the
+    successor mass (Holtzman et al. 2020). The k90 histogram is what
+    sizes a top-p sampler's candidate buffer and predicts how often
+    nucleus sampling actually truncates (k90 = 1 contexts are the
+    greedy-safe prefix_cache sweet spot; a fat right tail means the
+    model stays genuinely uncertain and speculative drafting will
+    reject more). mean_top1_share per bucket ties the histogram back
+    to the acceptance-rate math.
+
+    Replay discipline: the nucleus cut is INTEGER (cum·{NUCLEUS_P_DEN}
+    ≥ tot·{NUCLEUS_P_NUM}), the per-context window is (count DESC,
+    token ASC) — a total order both engines sort identically — and
+    the only floats are grid-snapped top-1 shares averaged through an
+    exact DECIMAL sum. Plan: one bigram aggregate (map-combinable),
+    one context-partitioned window (never global — w1 carries the
+    partition), two small aggregates. At 100 TB the window runs over
+    the bigram VOCABULARY, not the corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    bgr = (spread(t["documents"], "doc_id")
+           .select(F.split("text", " ").alias("tk"))
+           .filter(F.size("tk") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(1, size(tk) - 1), "
+               "i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).alias("p"))
+           .select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count("*").alias("c")))
+    win = W.partitionBy("w1").orderBy(F.desc("c"), "w2")
+    st = bgr.select(
+        "w1", "c",
+        F.row_number().over(win).alias("rn"),
+        F.sum("c").over(win.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(W.partitionBy("w1")).alias("tot"))
+    k = (st.groupBy("w1")
+         .agg(F.min(F.when(F.col("cum") * NUCLEUS_P_DEN
+                           >= F.col("tot") * NUCLEUS_P_NUM,
+                           F.col("rn"))).alias("k90"),
+              F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top1"),
+              F.max("tot").alias("tot"))
+         .filter(F.col("tot") >= NUCLEUS_MIN_TOT))
+    return (k.groupBy(F.col("k90").cast("int").alias("nucleus_size"))
+            .agg(F.count("*").alias("n_contexts"),
+                 fround(dsum(fround(F.col("top1") * 1.0 / F.col("tot")))
+                        / F.count("*")).alias("mean_top1_share")))
+
+
+@register(
+    "rouge_overlap_eval",
+    survey="LLM-dedup,A5,A6,J1,F9",
+    oracle=f"""
+    WITH {{pairs_ctes}},
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) x
+        GROUP BY 1, 2
+    ),
+    lens AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1
+    ),
+    ov AS (
+        SELECT p.doc_id_1, p.doc_id_2,
+               CAST(SUM(LEAST(t1.tf, t2.tf)) AS BIGINT) AS overlap
+        FROM ngram_pairs p
+        JOIN tf t1 ON t1.doc_id = p.doc_id_1
+        JOIN tf t2 ON t2.doc_id = p.doc_id_2 AND t2.tok = t1.tok
+        GROUP BY 1, 2
+    )
+    SELECT o.doc_id_1, o.doc_id_2, o.overlap,
+           l1.len AS len_1, l2.len AS len_2,
+           {{p_}} AS rouge1_p, {{r_}} AS rouge1_r, {{f_}} AS rouge1_f1
+    FROM ov o
+    JOIN lens l1 ON l1.doc_id = o.doc_id_1
+    JOIN lens l2 ON l2.doc_id = o.doc_id_2
+    """.format(
+        pairs_ctes=NGRAM_PAIRS_CTES,
+        p_=fround_sql("o.overlap * 1e0 / l2.len"),
+        r_=fround_sql("o.overlap * 1e0 / l1.len"),
+        f_=fround_sql("2e0 * o.overlap / (l1.len + l2.len)"),
+    ),
+)
+def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 re-verification of the near-dup candidate pairs — the
+    second-stage filter a production dedup runs before dropping a
+    document: shingle Jaccard (the candidate rule) is order-sensitive
+    and length-biased, so borderline pairs are re-scored with unigram
+    multiset overlap (ROUGE-1: overlap = Σ_w min(tf₁, tf₂), precision
+    against the candidate, recall against the reference, F1). A pair
+    with high Jaccard but low ROUGE-1 recall is a CONTAINMENT case
+    (one doc quotes part of the other) — drop-the-duplicate would
+    delete original content; the P/R asymmetry is exactly what
+    separates near-identity from containment.
+
+    Plan: the pair set is the existing bounded candidate stage (never
+    all-pairs); tf tables are one map-combinable aggregate; the
+    overlap is a candidate-keyed join on (pair, token) — at 100 TB
+    its size is Σ over candidate pairs of shared vocabulary, bounded
+    by the candidate budget, and every count is integer-exact (floats
+    only at the three final grid divisions)."""
+    pairs = ngram_jaccard_near_dup(spark, sf_dir) \
+        .select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
+    t = load_tables(spark, sf_dir, ("documents",))
+    tf = (spread(t["documents"], "doc_id")
+          .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))    # read 2x (overlap + lens)
+    lens = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("len"))
+    t1 = tf.select(F.col("doc_id").alias("doc_id_1"), "tok",
+                   F.col("tf").alias("tf1"))
+    t2 = tf.select(F.col("doc_id").alias("doc_id_2"), "tok",
+                   F.col("tf").alias("tf2"))
+    ov = (pairs.join(t1, "doc_id_1")
+          .join(t2, ["doc_id_2", "tok"])
+          .groupBy("doc_id_1", "doc_id_2")
+          .agg(F.sum(F.least("tf1", "tf2")).cast("long").alias("overlap")))
+    l1 = lens.select(F.col("doc_id").alias("doc_id_1"),
+                     F.col("len").alias("len_1"))
+    l2 = lens.select(F.col("doc_id").alias("doc_id_2"),
+                     F.col("len").alias("len_2"))
+    return (ov.join(l1, "doc_id_1").join(l2, "doc_id_2")
+            .select("doc_id_1", "doc_id_2", "overlap", "len_1", "len_2",
+                    fround(F.col("overlap") * 1.0 / F.col("len_2"))
+                    .alias("rouge1_p"),
+                    fround(F.col("overlap") * 1.0 / F.col("len_1"))
+                    .alias("rouge1_r"),
+                    fround(2.0 * F.col("overlap")
+                           / (F.col("len_1") + F.col("len_2")))
+                    .alias("rouge1_f1")))

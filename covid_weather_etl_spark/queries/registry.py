@@ -232,7 +232,9 @@ _ROTATION_R8 = (
 _ROTATION_R9 = (
     # r9-session NEW operators, oracle-equipped day one
     # (inserted at head as they land)
-    "irls_logreg_fit",
+    "irls_logreg_fit", "truncation_loss_report", "shard_skew_report",
+    "nucleus_sampling_profile", "dpo_pair_construction",
+    "rouge_overlap_eval", "dedup_threshold_sensitivity",
     # the 16 r02 rows displaced from the r8 window
     "quality_filter_funnel", "quality_score",
     "rule_classifier_confusion", "salted_join_revenue",
@@ -241,7 +243,7 @@ _ROTATION_R9 = (
     "stratified_split_summary", "tfidf_top_terms", "token_stats",
     "transform_logs_table", "tumbling_window_counts",
     "validation_routing", "winnowing_fingerprint",
-    # oldest 33 of the 44-row r03 cohort (alphabetical)
+    # oldest 27 of the 44-row r03 cohort (alphabetical)
     "anti_join_never_ordered", "avg_latency_seconds", "chrono_split",
     "conditional_labels", "correlation_matrix", "cube_revenue",
     "cyclical_encoding", "daily_activity_trend", "date_bounds",
@@ -251,15 +253,16 @@ _ROTATION_R9 = (
     "join_chain_3way", "join_chain_4way_revenue", "join_filtered_2way",
     "json_extraction", "label_encode_segment", "lag_features",
     "latest_event_per_user", "left_join_made_inner", "media_catalog",
-    "monthly_boxplot_stats", "null_profile", "orders_by_month",
-    "pipeline_status", "pivot_status_revenue", "recent_events_limit",
 )
-# R10 queue: the 11 r03 rows displaced from this window
-# (rolling_features, rollup_revenue, running_total, scalar_string_date_fns,
-# semi_join_open_orders, skew_resilient_running_total, summary_stats,
-# topk_orders, union_append, value_histogram, yoy_comparison) lead
-# the refresh queue, then the r04 cohort; never-checked should stay
-# at 0 — any new op added in r10+ sessions leads the next window.
+# R10 queue: the 17 r03 rows displaced from this window
+# (monthly_boxplot_stats, null_profile, orders_by_month,
+# pipeline_status, pivot_status_revenue, recent_events_limit,
+# rolling_features, rollup_revenue, running_total,
+# scalar_string_date_fns, semi_join_open_orders,
+# skew_resilient_running_total, summary_stats, topk_orders,
+# union_append, value_histogram, yoy_comparison) lead the refresh
+# queue, then the r04 cohort; never-checked should stay at 0 — any
+# new op added in r10+ sessions leads the next window.
 
 # Round 7 window (50), per the r6 verdict directive #1. Slots 1-6: the
 # stale-evidence oracle upgrades — each carries a full replay oracle
