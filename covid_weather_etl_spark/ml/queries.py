@@ -813,10 +813,12 @@ def irls_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one design scan per round (4 map-combinable aggregate
     passes over the cached design — at 100 TB each is one
-    tree-aggregate of 14 doubles) + one eval pass; the one-row
-    coefficient frame is materialized between rounds so Catalyst
-    never inlines the 24-term determinants into the next round's
-    analysis (the ar_forecast stage-cut)."""
+    tree-aggregate of 14 doubles) + one eval pass; each round's four
+    grid coefficients return to the driver (a bounded scalar collect)
+    and enter the next round as EXACT exponent literals, so Catalyst
+    never analyzes a chain of nested determinant texts (the
+    ar_forecast stage-cut, without the temp-view checkpoints)."""
+    from covid_weather_etl_spark.sources.catalog import spread
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"]
     design = li.select(
@@ -827,16 +829,29 @@ def irls_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0).alias("x3"),
         ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 10 < 7)
         .alias("is_train"))
-    design.localCheckpoint(eager=False)           .createOrReplaceTempView("irls_design_v")
-    spark.sql(_IRLS_B0).createOrReplaceTempView("irls_b0_v")
-    for r in range(1, IRLS_ROUNDS + 1):
-        beta = spark.sql(
-            _irls_round_sql("irls_design_v", f"irls_b{r-1}_v"))
-        # one row: the stage cut that keeps the determinant texts out
-        # of the next round's analysis
-        beta.localCheckpoint(eager=False)             .createOrReplaceTempView(f"irls_b{r}_v")
-    return spark.sql(
-        _irls_eval_sql("irls_design_v", f"irls_b{IRLS_ROUNDS}_v"))
+    # spread across the cores BEFORE checkpointing: the single-file
+    # scan arrives as ~3 partitions and every IRLS round would run
+    # its 14-sum aggregate nearly single-threaded otherwise
+    spread(design).localCheckpoint(eager=False) \
+        .createOrReplaceTempView("irls_design_v")
+
+    def _blit(b: tuple) -> str:
+        # coefficients are EXACTLY k/1e6 doubles (the grid snap), so
+        # the exponent literal "{k}e-6" parses back to the identical
+        # double on both engines — the round's 4 scalars ride the
+        # driver as exact text, never as re-rounded floats (a bounded
+        # 4-value collect per round, the stats.py refinement shape)
+        ks = [int(round(v * 1e6)) for v in b]
+        return ("(SELECT " + ", ".join(
+            f"CAST({k}e-6 AS DOUBLE) AS b{i}" for i, k in enumerate(ks))
+            + ")")
+
+    beta = (0.0, 0.0, 0.0, 0.0)
+    for _ in range(IRLS_ROUNDS):
+        row = spark.sql(
+            _irls_round_sql("irls_design_v", _blit(beta))).first()
+        beta = (row.b0, row.b1, row.b2, row.b3)
+    return spark.sql(_irls_eval_sql("irls_design_v", _blit(beta)))
 
 
 # ---------------------------------------------------------------------------

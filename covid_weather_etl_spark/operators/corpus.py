@@ -2933,10 +2933,12 @@ def dedup_threshold_sensitivity(spark: SparkSession,
              .agg(F.count("*").alias("n_clusters"),
                   F.sum("sz").cast("long").alias("n_dup_docs"),
                   F.max("sz").cast("long").alias("max_cluster_size")))
-    rows = []
+    # all three edge counts in ONE pass over the checkpointed pairs
+    ec_row = pairs.agg(*[
+        F.sum((F.col("jaccard") >= float(s)).cast("long")).alias(f"e{i}")
+        for i, s in enumerate(DTS_THRESHOLDS)]).first()
     for i, thr_txt in enumerate(DTS_THRESHOLDS):
-        ne = pairs.filter(F.col("jaccard") >= float(thr_txt)).count()
-        edge_counts[i] = (float(thr_txt), ne)
+        edge_counts[i] = (float(thr_txt), ec_row[f"e{i}"])
     meta = spark.createDataFrame(
         [(i, thr, ne) for i, (thr, ne) in edge_counts.items()],
         "ti int, threshold double, n_edges long")
