@@ -2423,3 +2423,4 @@ def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                  fround(F.sum("n_scanned") * F.lit(1.0)
                         / (F.count("*") * F.lit(float(n_total))))
                  .alias("avg_scanned_share")))
+
