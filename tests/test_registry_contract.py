@@ -11,12 +11,11 @@ from covid_weather_etl_spark.queries import registry as R
 def test_rotation_window_contract():
     qs = R.all_queries()
     window = list(qs)[:50]
-    assert window == list(R._ROTATION_R8)
-    assert len(set(R._ROTATION_R8)) == 50
-    # every r8 window slot is oracle-equipped — the session graduated
-    # all seven queued rows-only queries (approx_* bound gates,
-    # rp_lsh/semantic_dedup/media_* replays), so ANY oracle-less slot
-    # is a burnt correctness row
+    assert window == list(R._ROTATION_R9)
+    assert len(set(R._ROTATION_R9)) == 50
+    # every r9 window slot is oracle-equipped (the remaining rows-only
+    # queries are all iterative ML with r7/r8 driver rows) — ANY
+    # oracle-less slot is a burnt correctness row
     allowed_rows_only = set()
     unexpected = [n for n in window
                   if not qs[n].oracle and n not in allowed_rows_only]
