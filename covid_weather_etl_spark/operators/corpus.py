@@ -2952,3 +2952,100 @@ def dedup_threshold_sensitivity(spark: SparkSession,
                     .alias("max_cluster_size"),
                     fround(F.coalesce("n_dup_docs", F.lit(0)) * 1.0
                            / F.lit(float(n_docs))).alias("dup_share")))
+
+
+#: md5 cut for the leakage report's 80/20 doc-level split (the
+#: incremental-ingest convention reused as a train/test split).
+SLR_TEST_CUT = ICC_INC_CUT
+
+
+@register(
+    "split_leakage_report",
+    survey="corpus-cc,LLM-dedup,A5,A6,J1",
+    oracle=f"""
+    WITH RECURSIVE {TX.NGRAM_PAIRS_CTES},
+    side AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   >= '{SLR_TEST_CUT}' AS is_test
+        FROM documents
+    ),
+    marked AS (
+        SELECT p.doc_id_1, p.doc_id_2, s1.is_test AS t1, s2.is_test AS t2
+        FROM ngram_pairs p
+        JOIN side s1 ON s1.doc_id = p.doc_id_1
+        JOIN side s2 ON s2.doc_id = p.doc_id_2
+    ),
+    leaked AS (
+        SELECT DISTINCT CASE WHEN t1 THEN doc_id_1 ELSE doc_id_2 END
+                   AS test_doc
+        FROM marked WHERE t1 <> t2
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_test,
+               CAST(SUM(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_train
+        FROM side
+    )
+    SELECT t.n_train, t.n_test,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM marked)
+               AS n_near_dup_pairs,
+           (SELECT CAST(SUM(CASE WHEN t1 <> t2 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM marked) AS n_cross_split_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM leaked)
+               AS n_leaked_test_docs,
+           {fround_sql("(SELECT COUNT(*) FROM leaked) * 1e0 / t.n_test")}
+               AS leaked_test_share
+    FROM tot t
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/TEST SPLIT LEAKAGE via near-duplicates — the eval-
+    integrity check benchmark_decontamination (verbatim n-gram
+    containment) cannot do: a test document that is a NEAR-dup of a
+    train document inflates eval scores without any 8-gram match
+    (Lee et al. 2022 measured this exact effect on C4 splits).
+    Reports, for the doc-level 80/20 md5 split: the near-dup pair
+    census, how many pairs CROSS the split, how many distinct test
+    docs are contaminated, and the leaked share of the test set — the
+    number that decides whether the split must be re-drawn at the
+    CLUSTER level (split by dedup_clusters label, never by document,
+    when this is non-zero).
+
+    Plan: the bounded candidate pair pass (never all-pairs) + two
+    broadcast-scale side joins + integer aggregates; the only float
+    is the final share. At 100 TB the cross-split check rides the
+    dedup pipeline's existing pair output for free."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    is_test = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+               >= SLR_TEST_CUT)
+    side = t["documents"].select("doc_id", is_test.alias("is_test"))
+    pairs = TX.ngram_jaccard_near_dup(spark, sf_dir) \
+        .select("doc_id_1", "doc_id_2")
+    marked = (pairs
+              .join(side.select(F.col("doc_id").alias("doc_id_1"),
+                                F.col("is_test").alias("t1")),
+                    "doc_id_1")
+              .join(side.select(F.col("doc_id").alias("doc_id_2"),
+                                F.col("is_test").alias("t2")),
+                    "doc_id_2")
+              .localCheckpoint(eager=True))
+    leaked = (marked.filter(F.col("t1") != F.col("t2"))
+              .select(F.when(F.col("t1"), F.col("doc_id_1"))
+                      .otherwise(F.col("doc_id_2")).alias("test_doc"))
+              .distinct())
+    stats = marked.agg(
+        F.count("*").alias("n_near_dup_pairs"),
+        F.sum((F.col("t1") != F.col("t2")).cast("long"))
+        .alias("n_cross_split_pairs"))
+    tot = side.agg(
+        F.sum((~F.col("is_test")).cast("long")).alias("n_train"),
+        F.sum(F.col("is_test").cast("long")).alias("n_test"))
+    nl = leaked.agg(F.count("*").alias("n_leaked_test_docs"))
+    return (tot.crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(nl))
+            .select("n_train", "n_test", "n_near_dup_pairs",
+                    "n_cross_split_pairs", "n_leaked_test_docs",
+                    fround(F.col("n_leaked_test_docs") * 1.0
+                           / F.col("n_test")).alias("leaked_test_share")))

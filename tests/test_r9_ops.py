@@ -139,3 +139,26 @@ def test_dedup_threshold_sweep_monotone_and_anchored(spark):
     assert r["n_dup_docs"] == int(multi.sum())
     assert r["max_cluster_size"] == (int(multi.max()) if len(multi)
                                      else 0)
+
+
+def test_split_leakage_duckdb_replay(spark):
+    """Independent duckdb recount of the leakage census from the raw
+    pair list + md5 split rule."""
+    import duckdb
+    import hashlib
+    r = (_q("split_leakage_report").fn(spark, SF_DIR).collect())[0]
+    pairs = (_q("ngram_jaccard_near_dup").fn(spark, SF_DIR)
+             .select("doc_id_1", "doc_id_2").toPandas())
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id"])
+    is_test = {d: hashlib.md5(str(d).encode()).hexdigest()[:2] >= "cc"
+               for d in docs["doc_id"]}
+    assert r["n_test"] == sum(is_test.values())
+    assert r["n_train"] == len(is_test) - sum(is_test.values())
+    assert r["n_near_dup_pairs"] == len(pairs)
+    cross = pairs[[is_test[a] != is_test[b]
+                   for a, b in zip(pairs["doc_id_1"], pairs["doc_id_2"])]]
+    assert r["n_cross_split_pairs"] == len(cross)
+    leaked = {(a if is_test[a] else b)
+              for a, b in zip(cross["doc_id_1"], cross["doc_id_2"])}
+    assert r["n_leaked_test_docs"] == len(leaked)
