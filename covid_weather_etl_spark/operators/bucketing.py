@@ -257,3 +257,118 @@ def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("bucket", "n_rows", "n_keys", "top_key_rows",
                     fround(F.col("n_rows") * float(SKEW_NBUCKETS)
                            / F.col("t")).alias("skew_factor")))
+
+
+#: resharding plan: current/next shard counts and ring virtual nodes.
+RSP_FROM, RSP_TO = 8, 9
+RSP_VNODES = 64
+
+
+@register(
+    "reshard_movement_plan",
+    survey="ext-infra,A5,A6,F9",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT l_suppkey AS k FROM lineitem
+    ), h AS (
+        SELECT k,
+               CAST(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS BIGINT) AS hk
+        FROM keys
+    ), vn AS (
+        SELECT s.s, v.v,
+               CAST(CAST('0x' || substr(md5(s.s || ':' || v.v), 1, 8)
+                         AS BIGINT) AS BIGINT) AS pos
+        FROM (SELECT CAST(unnest(generate_series(0, {RSP_TO - 1}))
+                          AS VARCHAR) AS s) s
+        CROSS JOIN (SELECT CAST(unnest(generate_series(0,
+                          {RSP_VNODES - 1})) AS VARCHAR) AS v) v
+    ), ring_assign AS (
+        SELECT h.k,
+               (SELECT vn.s FROM vn
+                WHERE vn.s < '{RSP_FROM}'
+                ORDER BY (CASE WHEN vn.pos >= h.hk THEN vn.pos - h.hk
+                               ELSE vn.pos - h.hk + 4294967296 END),
+                         vn.s, vn.v
+                LIMIT 1) AS s_from,
+               (SELECT vn.s FROM vn
+                ORDER BY (CASE WHEN vn.pos >= h.hk THEN vn.pos - h.hk
+                               ELSE vn.pos - h.hk + 4294967296 END),
+                         vn.s, vn.v
+                LIMIT 1) AS s_to
+        FROM h
+    ), mod_assign AS (
+        SELECT k, hk % {RSP_FROM} AS m_from, hk % {RSP_TO} AS m_to
+        FROM h
+    )
+    SELECT scheme, n_keys, n_moved,
+           {fround_sql("n_moved * 1e0 / n_keys")} AS moved_share
+    FROM (
+        SELECT 'mod' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN m_from <> m_to THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved
+        FROM mod_assign
+        UNION ALL
+        SELECT 'ring', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM ring_assign
+    ) u
+    """,
+)
+def reshard_movement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESHARDING COST plan — how much data MOVES when the shard count
+    grows {RSP_FROM} → {RSP_TO}, under the two assignment schemes:
+    modulo hashing (moves ~(1 - 1/new) of ALL keys — the reshuffle
+    that makes naive scale-out an outage) vs a consistent-hash ring
+    with {RSP_VNODES} virtual nodes per shard (moves ~1/new — only
+    keys claimed by the new shard's arcs). The moved_share pair is
+    the number that justifies ring-sharding stateful services and
+    bucketed tables alike; at 100 TB the difference is re-copying
+    ~89% vs ~11% of the store.
+
+    Replay discipline: both engines hash with md5-prefix integers;
+    ring lookup = clockwise distance minimum with a total (distance,
+    shard, vnode) tiebreak — integer-exact everywhere, the only float
+    being the final share. Plan: the key census is one distinct scan;
+    the ring is a {RSP_TO}×{RSP_VNODES}-row broadcast literal; the
+    clockwise argmin is a per-key aggregate over the broadcast ring
+    (map-side, no shuffle beyond the census)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    h32 = lambda c: (F.conv(F.substring(F.md5(c), 1, 8), 16, 10)  # noqa: E731
+                     .cast("long"))
+    keys = (t["lineitem"].select(F.col("l_suppkey").alias("k"))
+            .distinct()
+            .select("k", h32(F.col("k").cast("string")).alias("hk")))
+    ring = spark.createDataFrame(
+        [(str(s), str(v)) for s in range(RSP_TO)
+         for v in range(RSP_VNODES)], "s string, v string")
+    ring = ring.select("s", "v",
+                       h32(F.concat("s", F.lit(":"), "v")).alias("pos"))
+    dist = F.when(F.col("pos") >= F.col("hk"),
+                  F.col("pos") - F.col("hk"))         .otherwise(F.col("pos") - F.col("hk") + F.lit(4294967296))
+    scored = (keys.crossJoin(F.broadcast(ring))
+              .select("k", "s", dist.alias("dist"), "v"))
+    # clockwise argmin as a struct-MIN aggregate (no window): the
+    # (dist, shard, vnode) struct order IS the tiebreak rule
+    pick = lambda df: df.groupBy("k").agg(  # noqa: E731
+        F.min(F.struct("dist", "s", "v")).alias("w"))
+    to_ring = pick(scored).select("k", F.col("w.s").alias("s_to"))
+    from_ring = pick(scored.filter(F.col("s") < str(RSP_FROM)))         .select("k", F.col("w.s").alias("s_from"))
+    ring_moves = (from_ring.join(to_ring, "k")
+                  .agg(F.count("*").alias("n_keys"),
+                       F.sum((F.col("s_from") != F.col("s_to"))
+                             .cast("long")).alias("n_moved"))
+                  .select(F.lit("ring").alias("scheme"),
+                          "n_keys", "n_moved"))
+    mod_moves = (keys
+                 .agg(F.count("*").alias("n_keys"),
+                      F.sum((F.col("hk") % RSP_FROM
+                             != F.col("hk") % RSP_TO).cast("long"))
+                      .alias("n_moved"))
+                 .select(F.lit("mod").alias("scheme"),
+                         "n_keys", "n_moved"))
+    out = mod_moves.unionByName(ring_moves)
+    return out.select("scheme", "n_keys", "n_moved",
+                      fround(F.col("n_moved") * 1.0 / F.col("n_keys"))
+                      .alias("moved_share"))

@@ -162,3 +162,22 @@ def test_split_leakage_duckdb_replay(spark):
     leaked = {(a if is_test[a] else b)
               for a, b in zip(cross["doc_id_1"], cross["doc_id_2"])}
     assert r["n_leaked_test_docs"] == len(leaked)
+
+
+def test_reshard_ring_beats_mod(spark):
+    """Consistent hashing must move FAR fewer keys than modulo on a
+    +1-shard resize (theory: ~1/new vs ~(1-1/new)), and both schemes
+    must account every key."""
+    from covid_weather_etl_spark.operators.bucketing import RSP_TO
+    df = (_q("reshard_movement_plan").fn(spark, SF_DIR)
+          .toPandas().set_index("scheme"))
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_suppkey"])
+    assert (df["n_keys"] == li["l_suppkey"].nunique()).all()
+    mod, ring = df.loc["mod"], df.loc["ring"]
+    assert ring["moved_share"] < mod["moved_share"]
+    # ring moves on the order of 1/new, mod ~ 1 - 1/new; at sf0.001
+    # the key census is ~tens of keys, so the bound is loose
+    assert ring["moved_share"] <= 0.5, ring["moved_share"]
+    assert mod["moved_share"] > 0.5
+    assert RSP_TO > 0
