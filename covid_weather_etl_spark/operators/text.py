@@ -787,19 +787,26 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
             break
         a, b = top["l"], top["r"]
         merges.append((idx, a, b, int(top["c"])))
-        la, lb = F.lit(a), F.lit(b)
-        fold = F.aggregate(
-            F.col("syms"), F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0) & (F.element_at(acc, -1) == la)
-                & (s == lb),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(F.concat(la, lb)))
-            ).otherwise(F.concat(acc, F.array(s))))
         old = vocab
-        vocab = old.select("word", fold.alias("syms"), "cnt").localCheckpoint()
+        vocab = old.select("word", _bpe_fold(a, b).alias("syms"),
+                           "cnt").localCheckpoint()
         old.unpersist()
     return merges, vocab
+
+
+def _bpe_fold(a: str, b: str):
+    """Greedy left-to-right BPE merge application over a `syms`
+    array column ("aaa" + merge(a,a) -> [aa, a]) — the one fold rule
+    shared by the trainer and the budget-replay eval."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la)
+            & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.concat(la, lb)))
+        ).otherwise(F.concat(acc, F.array(s))))
 
 
 #: BPE artifact memo: path -> merges list (the 12-row model header).
@@ -2509,3 +2516,96 @@ def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fround(2.0 * F.col("overlap")
                            / (F.col("len_1") + F.col("len_2")))
                     .alias("rouge1_f1")))
+
+
+#: merge budgets evaluated by the vocab-budget curve (0 = characters).
+BPE_BUDGETS = (0, 4, 8, 12)
+
+
+@register(
+    "bpe_vocab_budget_eval",
+    survey="LLM-text,U1,A6,F9",
+    oracle=f"""
+    WITH RECURSIVE {{st}},
+    bl(b) AS (VALUES {", ".join(f"({b})" for b in BPE_BUDGETS)}),
+    mx AS (SELECT MAX(round) AS m FROM st),
+    sel AS (
+        SELECT bl.b, st.word, st.syms, st.cnt
+        FROM bl CROSS JOIN mx
+        JOIN st ON st.round = LEAST(bl.b, mx.m)
+    )
+    SELECT CAST(s.b AS INT) AS merge_budget,
+           (SELECT CAST(LEAST(s.b, mx.m) AS BIGINT) FROM mx)
+               AS n_merges,
+           (SELECT CAST(COUNT(DISTINCT u.sym) AS BIGINT)
+            FROM (SELECT unnest(syms) AS sym FROM sel s2
+                  WHERE s2.b = s.b) u) AS n_symbol_types,
+           CAST(SUM(s.cnt) AS BIGINT) AS corpus_tokens,
+           CAST(SUM(s.cnt * len(s.syms)) AS BIGINT) AS corpus_syms,
+           {{fert}} AS fertility
+    FROM sel s
+    GROUP BY s.b
+    """.format(
+        st=_bpe_st_ctes(),
+        fert=fround_sql("SUM(s.cnt * len(s.syms)) * 1e0 / SUM(s.cnt)"),
+    ),
+)
+def bpe_vocab_budget_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCAB-BUDGET curve for the trained BPE tokenizer — the "how
+    many merges do I need" read that sizes a tokenizer before
+    committing a vocab: for each merge budget in {BPE_BUDGETS}
+    (clamped to the merges the corpus actually supports — early stop
+    is part of the model), the corpus re-segmented under the FIRST b
+    merges, its symbol-type count (the vocab the budget buys),
+    symbols-per-word fertility, and total symbol volume (the
+    compute/storage axis). The monotone corpus_syms drop against the
+    rising n_symbol_types IS the compression/vocab trade-off curve.
+
+    Replay discipline: the per-budget segmentation is the training
+    trajectory itself — state at round b of the SAME greedy fold the
+    trainer ran (`_bpe_fold`, read from the persisted merge artifact,
+    never retrained), which the oracle replays via the shared
+    recursive training CTE's round-b rows. All metrics are integer
+    counts; the single float is the final fround fertility.
+
+    Plan: one corpus scan into the word-frequency table, then
+    vocabulary-sized folds (≤ {max(BPE_BUDGETS)} narrow maps over
+    ~|vocab| rows) with stats at each budget checkpoint — at 100 TB
+    the corpus is touched once; everything else is vocab-sized."""
+    merges, _ = ensure_bpe_artifacts(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("documents",))
+    chars = F.expr("transform(sequence(1, length(word)), "
+                   "i -> substr(word, i, 1))")
+    seg = (spread(t["documents"], "doc_id")
+           .select(F.explode(_tokens()).alias("word"))
+           .groupBy("word").agg(F.count("*").alias("cnt"))
+           .select("word", chars.alias("syms"), "cnt")
+           .localCheckpoint())
+    applied = 0
+    stats = []
+    for bgt in BPE_BUDGETS:
+        while applied < min(bgt, len(merges)):
+            a, b = merges[applied][1], merges[applied][2]
+            seg = seg.select("word", _bpe_fold(a, b).alias("syms"),
+                             "cnt").localCheckpoint()
+            applied += 1
+        core = seg.agg(
+            F.sum("cnt").cast("long").alias("corpus_tokens"),
+            F.sum(F.col("cnt") * F.size("syms")).cast("long")
+            .alias("corpus_syms"),
+            fround(F.sum(F.col("cnt") * F.size("syms")) * 1.0
+                   / F.sum("cnt")).alias("fertility"))
+        types = (seg.select(F.explode("syms").alias("sym"))
+                 .agg(F.countDistinct("sym").cast("long")
+                      .alias("n_symbol_types")))
+        stats.append(
+            core.crossJoin(F.broadcast(types))
+            .select(F.lit(bgt).cast("int").alias("merge_budget"),
+                    F.lit(min(bgt, len(merges))).cast("long")
+                    .alias("n_merges"),
+                    "n_symbol_types", "corpus_tokens", "corpus_syms",
+                    "fertility"))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

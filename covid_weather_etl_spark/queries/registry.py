@@ -236,7 +236,7 @@ _ROTATION_R9 = (
     "nucleus_sampling_profile", "dpo_pair_construction",
     "rouge_overlap_eval", "dedup_threshold_sensitivity",
     "sprt_ab_sequential", "split_leakage_report",
-    "reshard_movement_plan",
+    "reshard_movement_plan", "bpe_vocab_budget_eval",
     # the 16 r02 rows displaced from the r8 window
     "quality_filter_funnel", "quality_score",
     "rule_classifier_confusion", "salted_join_revenue",
@@ -245,7 +245,7 @@ _ROTATION_R9 = (
     "stratified_split_summary", "tfidf_top_terms", "token_stats",
     "transform_logs_table", "tumbling_window_counts",
     "validation_routing", "winnowing_fingerprint",
-    # oldest 24 of the 44-row r03 cohort (alphabetical)
+    # oldest 23 of the 44-row r03 cohort (alphabetical)
     "anti_join_never_ordered", "avg_latency_seconds", "chrono_split",
     "conditional_labels", "correlation_matrix", "cube_revenue",
     "cyclical_encoding", "daily_activity_trend", "date_bounds",
@@ -253,11 +253,11 @@ _ROTATION_R9 = (
     "epoch_scalar_fns", "error_rate_by_type", "etl_kpi_cards",
     "first_difference", "frame_sample", "in_list_filter",
     "join_chain_3way", "join_chain_4way_revenue", "join_filtered_2way",
-    "json_extraction", "label_encode_segment", "lag_features",
+    "json_extraction", "label_encode_segment",
 )
-# R10 queue: the 20 r03 rows displaced from this window
-# (latest_event_per_user, left_join_made_inner, media_catalog,
-# monthly_boxplot_stats, null_profile, orders_by_month,
+# R10 queue: the 21 r03 rows displaced from this window
+# (lag_features, latest_event_per_user, left_join_made_inner,
+# media_catalog, monthly_boxplot_stats, null_profile, orders_by_month,
 # pipeline_status, pivot_status_revenue, recent_events_limit,
 # rolling_features, rollup_revenue, running_total,
 # scalar_string_date_fns, semi_join_open_orders,

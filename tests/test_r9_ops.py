@@ -181,3 +181,24 @@ def test_reshard_ring_beats_mod(spark):
     assert ring["moved_share"] <= 0.5, ring["moved_share"]
     assert mod["moved_share"] > 0.5
     assert RSP_TO > 0
+
+
+def test_bpe_budget_curve_monotone(spark):
+    """More merges => fewer corpus symbols, never fewer symbol types
+    drop below... the trade-off curve's structural invariants, plus
+    budget-12 agreement with the shipped encode table."""
+    df = (_q("bpe_vocab_budget_eval").fn(spark, SF_DIR)
+          .toPandas().sort_values("merge_budget").reset_index(drop=True))
+    from covid_weather_etl_spark.operators.text import BPE_BUDGETS
+    assert list(df["merge_budget"]) == list(BPE_BUDGETS)
+    assert df["corpus_tokens"].nunique() == 1          # invariant axis
+    assert df["corpus_syms"].is_monotonic_decreasing   # merges compress
+    assert (df["n_merges"].diff().dropna() >= 0).all()
+    # budget-0 is the character baseline: symbols == total characters
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["text"])
+    n_chars = sum(len(w) for t in docs["text"] for w in t.split(" "))
+    assert df.iloc[0]["corpus_syms"] == n_chars
+    # full budget agrees with bpe_encode_documents' totals
+    enc = _q("bpe_encode_documents").fn(spark, SF_DIR).toPandas()
+    assert df.iloc[-1]["corpus_syms"] == enc["n_bpe_syms"].sum()
