@@ -435,3 +435,114 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("decimal(20,9)").alias("term9")))
     return (terms.groupBy("n_name", "n_suppliers")
             .agg(fround(F.sum("term9").cast("double")).alias("hhi")))
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto inventory classification — the cumulative-share cut
+# ---------------------------------------------------------------------------
+
+#: cumulative revenue-share boundaries: A <= 80%, B <= 95%, C = rest.
+ABC_A_CUT, ABC_B_CUT = 80, 95
+
+
+@register(
+    "abc_pareto_classification",
+    survey="ext-ds,A5,A6,W1,F8",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,6))) AS r
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT SUM(r) AS t FROM rev
+    ), cum AS (
+        SELECT pk, r,
+               SUM(r) OVER (ORDER BY r DESC, pk
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c
+        FROM rev
+    ), cls AS (
+        SELECT pk, r, c,
+               CASE WHEN c * 100 <= t * {ABC_A_CUT} THEN 'A'
+                    WHEN c * 100 <= t * {ABC_B_CUT} THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               t
+        FROM cum CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue,
+           {fround_sql("CAST(SUM(r) AS DOUBLE) / CAST(MAX(t) AS DOUBLE)")}
+               AS revenue_share,
+           {fround_sql("CAST(MAX(c) AS DOUBLE) / CAST(MAX(t) AS DOUBLE)")}
+               AS max_cum_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification — rank parts by revenue,
+    take the cumulative share down the ranking, and cut classes at
+    {ABC_A_CUT}%/{ABC_B_CUT}%: class A is the vital few that earn 80%
+    of revenue, C the long tail. The inventory-policy staple
+    (cycle-count frequency, stocking rules) and, in a training-data
+    pipeline, the same shape that allocates sampling budget to the
+    sources that carry most of the signal mass.
+
+    The cumulative sum is computed WITHOUT a global window (registry
+    pin): parts are log-banded by revenue (band = floor(ln r · 8) —
+    bounded band count at ANY scale, monotone in r, so band order is
+    rank order), the in-band prefix runs under a window PARTITIONED
+    by band, and each band's offset is the broadcast triangular sum
+    of strictly-higher bands — the skew_resilient_running_total
+    two-phase technique pointed down a ranking instead of a time
+    axis. DECIMAL accumulation makes phase-split sums exactly equal
+    to the oracle's single-window cumsum (decimal addition is
+    associative), and the class predicate compares decimals scaled by
+    integers (c·100 ≤ t·{ABC_A_CUT}) — no float ever decides a class.
+    An engine-vs-oracle ulp difference in ln() could only move a part
+    between bands, which by associativity cannot change any result.
+
+    Plan: one map-combinable part-keyed aggregate over the fact, a
+    band-partitioned window (each band a separate task — the hot
+    band is the tail band, which is also the densest; at 100 TB
+    widen the log base to split it), one broadcast of the band-sum
+    frame, one broadcast scalar total."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    rev = (t["lineitem"]
+           .groupBy(F.col("l_partkey").alias("pk"))
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")))
+                      .cast("decimal(25,6)")).alias("r")))
+    banded = rev.withColumn(
+        "band", F.floor(F.log(F.col("r").cast("double")) * F.lit(8.0)))
+    w_in = (W.partitionBy("band")
+            .orderBy(F.col("r").desc(), F.col("pk"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    in_band = banded.withColumn("cum_in", F.sum("r").over(w_in))
+    band_sums = (banded.groupBy("band").agg(F.sum("r").alias("bs"))
+                 .localCheckpoint(eager=True))  # band-count-sized, reused
+    a, b = band_sums.alias("a"), band_sums.alias("b")
+    offsets = (a.join(F.broadcast(b), F.col("b.band") > F.col("a.band"),
+                      "left")
+               .groupBy(F.col("a.band").alias("band"))
+               .agg(F.coalesce(F.sum("b.bs"),
+                               F.lit(0).cast("decimal(25,6)"))
+                    .alias("off")))
+    tot = band_sums.agg(F.sum("bs").alias("t"))
+    cum = (in_band.join(F.broadcast(offsets), "band")
+           .crossJoin(F.broadcast(tot))
+           .withColumn("c", F.col("cum_in") + F.col("off")))
+    cls = F.when(F.col("c") * 100 <= F.col("t") * ABC_A_CUT, "A") \
+           .when(F.col("c") * 100 <= F.col("t") * ABC_B_CUT, "B") \
+           .otherwise("C")
+    return (cum.withColumn("abc_class", cls)
+            .groupBy("abc_class")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum("r").cast("double").alias("class_revenue"),
+                 fround(F.sum("r").cast("double")
+                        / F.max("t").cast("double"))
+                 .alias("revenue_share"),
+                 fround(F.max("c").cast("double")
+                        / F.max("t").cast("double"))
+                 .alias("max_cum_share")))

@@ -426,3 +426,89 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DP_EPSILON).alias("epsilon"),
         (F.floor((F.col("true_count") + lap) * 1e6 + 0.5) / 1e6)
         .alias("noisy_count"))
+
+
+# ---------------------------------------------------------------------------
+# l-diversity privacy audit — k-anonymity's sensitive-attribute twin
+# ---------------------------------------------------------------------------
+
+#: minimum acceptable distinct sensitive values per QI group.
+L_DIV = 3
+#: sensitive attribute banding (account balance, same grid as k-anon).
+L_DIV_BAND = 1000.0
+
+
+@register(
+    "l_diversity_report",
+    survey="ext-privacy,A2,A6,F10",
+    oracle=f"""
+    WITH sv AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {L_DIV_BAND}) AS BIGINT) AS sens,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM customer GROUP BY 1, 2, 3
+    ), gn AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS l,
+               CAST(SUM(k) AS BIGINT) AS n
+        FROM sv GROUP BY 1, 2
+    ), grp AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.l, g.n,
+               SUM(CAST(ROUND(-(s.k * 1e0 / g.n)
+                              * LN(s.k * 1e0 / g.n), 9)
+                        AS DECIMAL(25,9))) AS ent
+        FROM sv s
+        JOIN gn g ON s.c_nationkey = g.c_nationkey
+                 AND s.c_mktsegment = g.c_mktsegment
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CASE WHEN l >= {L_DIV} THEN 1 ELSE 0 END AS meets_l,
+           FLOOR(MIN(EXP(CAST(ent AS DOUBLE))) * 1e6 + 0.5) / 1e6
+               AS min_entropy_l
+    FROM grp GROUP BY l
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a QI group can be large (k-anonymous) yet
+    expose everyone in it if all its members share ONE sensitive
+    value (homogeneity attack). Over the same quasi-identifier tuple
+    as `k_anonymity_report` (nation, market segment) with the
+    account-balance band as the sensitive attribute, this reports the
+    distribution of distinct-l values per group plus each l-stratum's
+    worst ENTROPY l-diversity exp(−Σ p ln p) — the stricter criterion
+    that also catches 99%-skewed groups that technically have l > 1.
+
+    Exactness: counts are integers; each entropy term is one LN per
+    (group, sensitive value) pair snapped to the 1e-9 grid and
+    DECIMAL-summed (order-free), with EXP applied to the already-
+    quantized total and snapped to 1e-6. Plan: one map-combinable
+    aggregate to the (QI, sensitive) frame, a second to QI groups
+    (the window in the oracle is a per-group total the engine gets
+    from its grouped SUM — partitioned, tiny), a third to l strata —
+    all bounded by distinct-tuple counts, never row count."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    sv = (t["customer"]
+          .groupBy("c_nationkey", "c_mktsegment",
+                   F.floor(F.col("c_acctbal") / L_DIV_BAND).alias("sens"))
+          .agg(F.count("*").alias("k")))
+    gn = (sv.groupBy("c_nationkey", "c_mktsegment")
+          .agg(F.count("*").alias("l"), F.sum("k").alias("n")))
+    p = F.col("k") * F.lit(1.0) / F.col("n")
+    term = F.round(-p * F.log(p), 9).cast("decimal(25,9)")
+    grp = (sv.join(gn, ["c_nationkey", "c_mktsegment"])
+           .groupBy("c_nationkey", "c_mktsegment", "l", "n")
+           .agg(F.sum(term).alias("ent")))
+    return (grp.groupBy("l")
+            .agg(F.count("*").alias("n_groups"),
+                 F.sum("n").cast("long").alias("n_rows"),
+                 F.max(F.when(F.col("l") >= L_DIV, 1).otherwise(0))
+                 .cast("int").alias("meets_l"),
+                 (F.floor(F.min(F.exp(F.col("ent").cast("double")))
+                          * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                 .alias("min_entropy_l"))
+            .select("l", "n_groups", "n_rows", "meets_l",
+                    "min_entropy_l"))

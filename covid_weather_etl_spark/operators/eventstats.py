@@ -975,3 +975,139 @@ def dpo_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("ch.value") - F.col("rj.value"))
                     .alias("margin"))
             .filter(F.col("margin") >= DPO_MIN_MARGIN))
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard — the KM curve's additive twin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nelson_aalen_hazard",
+    survey="ext-events,A6,J1,W1,F10",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS s FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), fp AS (
+        SELECT e.user_id, MIN(e.ts) AS p
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= su.s
+        GROUP BY 1
+    ), study AS (SELECT MAX(ts) AS study_end FROM events),
+    obs AS (
+        SELECT su.user_id,
+               CASE WHEN fp.p IS NOT NULL
+                    THEN CAST((epoch_us(fp.p) - epoch_us(su.s))
+                              // 86400000000 AS BIGINT)
+                    ELSE CAST((epoch_us(study_end) - epoch_us(su.s))
+                              // 86400000000 AS BIGINT)
+               END AS day,
+               CASE WHEN fp.p IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        FROM su LEFT JOIN fp ON su.user_id = fp.user_id
+        CROSS JOIN study
+    ), day_tab AS (
+        SELECT day,
+               CAST(SUM(is_event) AS BIGINT) AS d,
+               CAST(SUM(1 - is_event) AS BIGINT) AS c
+        FROM obs GROUP BY day
+    ), tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_total FROM day_tab),
+    at_risk AS (
+        SELECT a.day, a.d, a.c,
+               n_total - COALESCE(SUM(b.d + b.c), 0) AS n
+        FROM day_tab a CROSS JOIN tot
+        LEFT JOIN day_tab b ON b.day < a.day
+        GROUP BY a.day, a.d, a.c, n_total
+    ), haz AS (
+        SELECT a.day, a.d, a.c, a.n,
+               SUM(CAST(ROUND(b.d * 1e0 / b.n, 9)
+                        AS DECIMAL(25,9))) AS h,
+               SUM(CAST(ROUND(b.d * 1e0 / (b.n * 1e0 * b.n), 9)
+                        AS DECIMAL(25,9))) AS v
+        FROM at_risk a JOIN at_risk b ON b.day <= a.day
+        GROUP BY a.day, a.d, a.c, a.n
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n AS BIGINT) AS n_at_risk,
+           d AS n_events, c AS n_censored,
+           FLOOR(CAST(h AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_hazard,
+           FLOOR(CAST(v AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hazard_var
+    FROM haz
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for signup→purchase
+    conversion — the ADDITIVE twin of `kaplan_meier_conversion`'s
+    product-limit curve (same censored observation table): H(t) =
+    Σ_{s≤t} d_s/n_s with the standard variance Σ d_s/n_s² (Aalen
+    1978). Survival analysis reports both: S(t) answers "what share
+    has NOT converted", H(t) is the instantaneous-rate integral whose
+    slope changes localize WHEN conversion pressure shifts — and
+    exp(−H) ≥ S gives the standard cross-check between the two
+    estimators.
+
+    Exactness: the risk table is day-grain and integer; each hazard
+    term d/n (and d/n²) is one divide snapped to the 1e-9 grid, then
+    DECIMAL-summed over the triangular day join — order-free on both
+    engines, same discipline as the KM log-space product. Plan: the
+    events scan collapses to two user-keyed MIN aggregates; everything
+    after is horizon-bounded (≤ observation days rows), so the
+    triangular joins are broadcast-sized at any corpus scale."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    su = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("s")))
+    fp = (ev.filter(F.col("event_type") == "purchase")
+          .join(su, "user_id")
+          .filter(F.col("ts") >= F.col("s"))
+          .groupBy("user_id").agg(F.min("ts").alias("p")))
+    study = ev.agg(F.max("ts").alias("study_end"))
+    end_day = ((F.unix_micros("study_end") - F.unix_micros("s"))
+               / F.lit(86400000000)).cast("bigint")
+    ev_day = ((F.unix_micros("p") - F.unix_micros("s"))
+              / F.lit(86400000000)).cast("bigint")
+    obs = (su.join(fp, "user_id", "left")
+           .crossJoin(F.broadcast(study))
+           .select(F.when(F.col("p").isNotNull(), ev_day)
+                   .otherwise(end_day).alias("day"),
+                   F.when(F.col("p").isNotNull(), 1).otherwise(0)
+                   .alias("is_event")))
+    day_tab = (obs.groupBy("day")
+               .agg(F.sum("is_event").alias("d"),
+                    F.sum(1 - F.col("is_event")).alias("c"))
+               .localCheckpoint(eager=True))  # horizon-sized; reused 3x
+    tot = day_tab.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    a, b = day_tab.alias("a"), day_tab.alias("b")
+    at_risk = (a.crossJoin(F.broadcast(tot))
+               .join(F.broadcast(b), F.col("b.day") < F.col("a.day"),
+                     "left")
+               .groupBy(F.col("a.day").alias("day"),
+                        F.col("a.d").alias("d"),
+                        F.col("a.c").alias("c"),
+                        F.col("n_total"))
+               .agg((F.col("n_total")
+                     - F.coalesce(F.sum(F.col("b.d") + F.col("b.c")),
+                                  F.lit(0))).alias("n"))
+               .drop("n_total")
+               .localCheckpoint(eager=True))  # reused as both join sides
+    ra, rb = at_risk.alias("ra"), at_risk.alias("rb")
+    hterm = (F.round(F.col("rb.d") * F.lit(1.0) / F.col("rb.n"), 9)
+             .cast("decimal(25,9)"))
+    vterm = (F.round(F.col("rb.d") * F.lit(1.0)
+                     / (F.col("rb.n") * F.lit(1.0) * F.col("rb.n")), 9)
+             .cast("decimal(25,9)"))
+    haz = (ra.join(F.broadcast(rb), F.col("rb.day") <= F.col("ra.day"))
+           .groupBy(F.col("ra.day").alias("day"),
+                    F.col("ra.d").alias("n_events"),
+                    F.col("ra.c").alias("n_censored"),
+                    F.col("ra.n").alias("n_at_risk"))
+           .agg(F.sum(hterm).alias("h"), F.sum(vterm).alias("v")))
+    g6 = lambda c: F.floor(c.cast("double") * F.lit(1e6)  # noqa: E731
+                           + F.lit(0.5)) / F.lit(1e6)
+    return haz.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        g6(F.col("h")).alias("cum_hazard"),
+        g6(F.col("v")).alias("hazard_var"))
