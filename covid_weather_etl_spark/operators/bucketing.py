@@ -32,7 +32,7 @@ from covid_weather_etl_spark.functions.numeric import (
     dsum, dsum_sql, fround, fround_sql,
 )
 from covid_weather_etl_spark.queries.registry import register
-from covid_weather_etl_spark.sources.catalog import load_tables
+from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
 N_BUCKETS = 8
 
@@ -372,3 +372,136 @@ def reshard_movement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("scheme", "n_keys", "n_moved",
                       fround(F.col("n_moved") * 1.0 / F.col("n_keys"))
                       .alias("moved_share"))
+
+
+# ---------------------------------------------------------------------------
+# training-epoch shuffle plan — seeded, resumable, measurably random
+# ---------------------------------------------------------------------------
+
+#: shards per epoch (the parallel read unit at training time).
+EPOCH_SHARDS = 16
+#: the two epochs whose orders are compared.
+EPOCH_SEEDS = (1, 2)
+
+
+@register(
+    "epoch_shuffle_plan",
+    survey="ext-infra,A6,A8,W1,J1",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), keyed AS (
+        SELECT e.e AS epoch, d.doc_id, d.n_tok,
+               CAST(CAST('0x' || substr(md5(e.e || ':' ||
+                         CAST(d.doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS BIGINT) AS h
+        FROM docs d
+        CROSS JOIN (SELECT CAST(unnest([{", ".join(map(str, EPOCH_SEEDS))}])
+                         AS VARCHAR) AS e) e
+    ), sharded AS (
+        SELECT epoch, doc_id, n_tok, h, h % {EPOCH_SHARDS} AS shard,
+               lead(doc_id) OVER (PARTITION BY epoch, h % {EPOCH_SHARDS}
+                                  ORDER BY h, doc_id) AS nxt
+        FROM keyed
+    ), shard_stats AS (
+        SELECT epoch, shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM sharded GROUP BY 1, 2
+    ), edges AS (
+        SELECT epoch, doc_id, nxt FROM sharded WHERE nxt IS NOT NULL
+    ), preserved AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS preserved_adjacencies
+        FROM edges a JOIN edges b
+          ON a.doc_id = b.doc_id AND a.nxt = b.nxt
+         AND a.epoch = '{EPOCH_SEEDS[0]}' AND b.epoch = '{EPOCH_SEEDS[1]}'
+    ), moved AS (
+        SELECT CAST(SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)
+                    AS BIGINT) AS moved_docs
+        FROM sharded a JOIN sharded b ON a.doc_id = b.doc_id
+         AND a.epoch = '{EPOCH_SEEDS[0]}' AND b.epoch = '{EPOCH_SEEDS[1]}'
+    )
+    SELECT CAST(epoch AS VARCHAR) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_docs) AS BIGINT) AS min_shard_docs,
+           CAST(MAX(n_docs) AS BIGINT) AS max_shard_docs,
+           MAX(preserved_adjacencies) AS preserved_adjacencies,
+           MAX(moved_docs) AS moved_docs
+    FROM shard_stats CROSS JOIN preserved CROSS JOIN moved
+    GROUP BY epoch
+    """,
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-EPOCH shuffle plan — the deterministic global shuffle a
+    data loader needs at 100 TB, where 'random.shuffle(file_list)'
+    stops being an option: each epoch e orders documents by
+    md5(e:doc_id) and shards them h % {EPOCH_SHARDS}. Seeded hashing
+    makes the order REPRODUCIBLE (resume mid-epoch from a byte
+    offset, re-run training bit-identically) and STATELESS (any
+    worker derives its shard without coordination). The report
+    audits what a shuffle must deliver: shard balance per epoch
+    (min/max docs — hash sharding keeps this tight), inter-epoch
+    adjacency preservation (documents adjacent in BOTH epochs' reader
+    order — near zero iff epochs are genuinely independent
+    permutations; a loader bug that reuses the epoch-1 order shows up
+    here as n_docs−n_shards), and cross-epoch shard movement
+    (≈ (S−1)/S of docs must change shard).
+
+    Exactness: everything is md5-prefix integer algebra plus integer
+    counts — no floats anywhere. Plan: the hash/shard assignment is a
+    narrow map; per-epoch order lives in windows PARTITIONED by
+    (epoch, shard) — {EPOCH_SHARDS} partitions here, tens of
+    thousands in production, never global; the adjacency intersection
+    is an (a,b)-keyed hash join of edge sets, each at most one row
+    per document."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from pyspark.sql import Window as W
+    h32 = lambda c: (F.conv(F.substring(F.md5(c), 1, 8), 16, 10)  # noqa: E731
+                     .cast("long"))
+    docs = (spread(t["documents"], "doc_id")
+            .select("doc_id",
+                    F.size(F.split("text", " ")).alias("n_tok")))
+    epochs = docs.sparkSession.createDataFrame(
+        [(str(e),) for e in EPOCH_SEEDS], "epoch string")
+    keyed = (docs.crossJoin(F.broadcast(epochs))
+             .withColumn("h", h32(F.concat(
+                 "epoch", F.lit(":"), F.col("doc_id").cast("string"))))
+             .withColumn("shard", F.col("h") % EPOCH_SHARDS))
+    w = (W.partitionBy("epoch", "shard")
+         .orderBy(F.col("h"), F.col("doc_id")))
+    sharded = (keyed.withColumn("nxt", F.lead("doc_id").over(w))
+               .localCheckpoint(eager=True))  # reused 4x below
+    shard_stats = (sharded.groupBy("epoch", "shard")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum("n_tok").alias("n_tokens")))
+    e1, e2 = (str(s) for s in EPOCH_SEEDS)
+    edges = sharded.filter(F.col("nxt").isNotNull()) \
+        .select("epoch", "doc_id", "nxt")
+    preserved = (edges.filter(F.col("epoch") == e1).alias("a")
+                 .join(edges.filter(F.col("epoch") == e2).alias("b"),
+                       (F.col("a.doc_id") == F.col("b.doc_id"))
+                       & (F.col("a.nxt") == F.col("b.nxt")))
+                 .agg(F.count("*").alias("preserved_adjacencies")))
+    moved = (sharded.filter(F.col("epoch") == e1).alias("a")
+             .join(sharded.filter(F.col("epoch") == e2).alias("b"),
+                   F.col("a.doc_id") == F.col("b.doc_id"))
+             .agg(F.sum((F.col("a.shard") != F.col("b.shard"))
+                        .cast("long")).alias("moved_docs")))
+    return (shard_stats
+            .crossJoin(F.broadcast(preserved))
+            .crossJoin(F.broadcast(moved))
+            .groupBy("epoch")
+            .agg(F.count("*").alias("n_shards"),
+                 F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.min("n_docs").cast("long").alias("min_shard_docs"),
+                 F.max("n_docs").cast("long").alias("max_shard_docs"),
+                 F.max("preserved_adjacencies")
+                 .alias("preserved_adjacencies"),
+                 F.max("moved_docs").alias("moved_docs"))
+            .select("epoch", "n_shards", "n_docs", "n_tokens",
+                    "min_shard_docs", "max_shard_docs",
+                    "preserved_adjacencies", "moved_docs"))

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from covid_weather_etl_spark.functions.numeric import fround
+from covid_weather_etl_spark.functions.numeric import fround, fround_sql
 from covid_weather_etl_spark.queries.registry import register
 from covid_weather_etl_spark.sources.catalog import load_tables, spread
 
@@ -675,3 +675,162 @@ def ngram_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("k").cast("long").alias("n_eval_bigrams"),
                  avg_neg.alias("avg_neg_logprob"),
                  fround(F.exp(avg_neg)).alias("perplexity")))
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram perplexity — the production smoother, closed form
+# ---------------------------------------------------------------------------
+
+#: absolute discount (Kneser-Ney); 3/4 is the published default and an
+#: exact binary float, so both engines subtract the identical constant.
+KN_DISCOUNT = 0.75
+
+
+@register(
+    "kneser_ney_bigram_eval",
+    survey="ext-quality,A2,A6,F10,U5",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   >= '{PPLX_EVAL_CUT}' AS is_eval
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source, is_eval, t[i] AS w1, t[i+1] AS w2
+        FROM docs, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM big WHERE NOT is_eval GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM c12 GROUP BY w1
+    ),
+    bw AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+        FROM c12 GROUP BY w2
+    ),
+    nbv AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c12) AS nb,
+               (SELECT CAST(COUNT(DISTINCT tkn) + 1 AS BIGINT)
+                FROM (SELECT unnest(t) AS tkn FROM docs
+                      WHERE NOT is_eval)) AS v
+    ),
+    ev AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+        FROM big WHERE is_eval GROUP BY source, w1, w2
+    ),
+    terms AS (
+        SELECT e.source, e.k,
+               CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS oov_ctx,
+               CAST(FLOOR(LN(
+                   CASE WHEN ctx.c1 IS NULL THEN
+                       (COALESCE(bw.n1b, 0) + 1e0) / (nbv.nb + nbv.v)
+                   ELSE
+                       GREATEST(COALESCE(c12.c12, 0) - {KN_DISCOUNT},
+                                0e0) / ctx.c1
+                       + (({KN_DISCOUNT} * ctx.n1f) / ctx.c1)
+                         * ((COALESCE(bw.n1b, 0) + 1e0)
+                            / (nbv.nb + nbv.v))
+                   END) * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6)) AS lp
+        FROM ev e
+        LEFT JOIN c12 ON c12.w1 = e.w1 AND c12.w2 = e.w2
+        LEFT JOIN ctx ON ctx.w1 = e.w1
+        LEFT JOIN bw ON bw.w2 = e.w2
+        CROSS JOIN nbv
+    )
+    SELECT source,
+           CAST(SUM(k) AS BIGINT) AS n_eval_bigrams,
+           {fround_sql("SUM(k * oov_ctx) * 1e0 / SUM(k)")}
+               AS oov_context_share,
+           FLOOR(-CAST(SUM(k * lp) AS DOUBLE) / SUM(k) * 1e6 + 0.5)
+               / 1e6 AS avg_neg_logprob,
+           FLOOR(EXP(FLOOR(-CAST(SUM(k * lp) AS DOUBLE) / SUM(k)
+                           * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
+               AS perplexity
+    FROM terms GROUP BY source
+    """,
+)
+def kneser_ney_bigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram perplexity per source — the
+    smoother production LMs (and KenLM, the CCNet filter model) ship,
+    next to `ngram_perplexity_eval`'s add-one baseline on the same
+    80/20 md5 split: absolute discount D={KN_DISCOUNT} off every seen
+    bigram, the freed mass D·N1+(w1·)/c(w1) re-spent on the
+    CONTINUATION probability (N1+(·w2)/N1+(··) — how many contexts a
+    word completes, not how often it occurs: the estimator that stops
+    'Francisco' outranking 'glasses' after unseen contexts), with an
+    add-one floor over the vocab so OOV words stay finite. Unseen
+    contexts back off to the continuation distribution directly;
+    their share is reported (oov_context_share) because a filter
+    calibrated on KN scores must know how much of its input rides the
+    backoff path. Kneser-Ney is CLOSED-FORM — counts in, probabilities
+    out — so unlike iterative fits it graduates to a full hash oracle
+    with no replay machinery.
+
+    Exactness: all counts integer; each eval bigram type's probability
+    is one shared left-associative float expression over integers (÷
+    and × are exactly-rounded IEEE ops — bit-identical on both
+    engines), the single LN is snapped to the 1e-6 grid immediately,
+    then k-weighted DECIMAL accumulation, one divide, one EXP of the
+    snapped average (snapped again). Plan: identical to
+    ngram_perplexity_eval — Zipf-bounded train aggregates, hash joins
+    on eval types, nothing corpus²."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    is_eval = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+               >= PPLX_EVAL_CUT)
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS w1, "
+        "            element_at(tk, i + 1) AS w2))")
+    big = (spread(t["documents"], "doc_id")
+           .filter(F.size(toks) >= 2)
+           .select("doc_id", "source", is_eval.alias("is_eval"),
+                   toks.alias("tk"))
+           .select("doc_id", "source", "is_eval",
+                   F.explode(bigrams).alias("b"))
+           .select("doc_id", "source", "is_eval",
+                   F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    c12 = (big.filter(~F.col("is_eval"))
+           .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+           .localCheckpoint(eager=False))  # feeds ctx, bw, nb + the join
+    ctx = (c12.groupBy("w1")
+           .agg(F.sum("c12").alias("c1"), F.count("*").alias("n1f")))
+    bw = c12.groupBy("w2").agg(F.count("*").alias("n1b"))
+    nb = c12.agg(F.count("*").alias("nb"))
+    vv = (t["documents"].filter(~is_eval)
+          .select(F.explode(toks).alias("tkn"))
+          .agg((F.countDistinct("tkn") + 1).alias("v")))
+    ev = (big.filter(F.col("is_eval"))
+          .groupBy("source", "w1", "w2").agg(F.count("*").alias("k")))
+    d = F.lit(KN_DISCOUNT)
+    pc = ((F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(1.0))
+          / (F.col("nb") + F.col("v")))
+    seen = (F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - d, F.lit(0.0))
+            / F.col("c1")
+            + ((d * F.col("n1f")) / F.col("c1")) * pc)
+    p = F.when(F.col("c1").isNull(), pc).otherwise(seen)
+    lp = (F.floor(F.log(p) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)) \
+        .cast("decimal(25,6)")
+    oov = F.when(F.col("c1").isNull(), 1).otherwise(0)
+    terms = (ev.join(c12, ["w1", "w2"], "left")
+             .join(ctx, "w1", "left")
+             .join(bw, "w2", "left")
+             .crossJoin(F.broadcast(nb))
+             .crossJoin(F.broadcast(vv))
+             .select("source", "k", oov.alias("oov_ctx"),
+                     lp.alias("lp")))
+    avg_neg = (F.floor(-F.sum(F.col("k") * F.col("lp")).cast("double")
+                       / F.sum("k") * F.lit(1e6) + F.lit(0.5))
+               / F.lit(1e6))
+    return (terms.groupBy("source")
+            .agg(F.sum("k").cast("long").alias("n_eval_bigrams"),
+                 fround(F.sum(F.col("k") * F.col("oov_ctx")) * F.lit(1.0)
+                        / F.sum("k")).alias("oov_context_share"),
+                 avg_neg.alias("avg_neg_logprob"),
+                 (F.floor(F.exp(avg_neg) * F.lit(1e6) + F.lit(0.5))
+                  / F.lit(1e6)).alias("perplexity")))

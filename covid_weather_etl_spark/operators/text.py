@@ -2609,3 +2609,82 @@ def bpe_vocab_budget_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# distinct-n diversity — the repetitiveness metric for generated corpora
+# ---------------------------------------------------------------------------
+
+#: n-gram orders profiled by the diversity report.
+DIVERSITY_ORDERS = (1, 2, 3)
+
+
+def _distinct_n_oracle() -> str:
+    parts = []
+    for n in DIVERSITY_ORDERS:
+        gram = ("t[g.i]" if n == 1
+                else f"array_to_string(t[g.i : g.i + {n - 1}], ' ')")
+        parts.append(f"""
+    SELECT source, CAST({n} AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           FLOOR(COUNT(DISTINCT gram) * 1e0 / COUNT(*) * 1e6 + 0.5)
+               / 1e6 AS distinct_ratio
+    FROM (
+        SELECT d.source, {gram} AS gram
+        FROM (SELECT source, string_split(text, ' ') AS t
+              FROM documents) d,
+        LATERAL (SELECT unnest(generate_series(1, len(t) - {n - 1}))
+                 AS i) g
+        WHERE len(t) >= {n}
+    ) go GROUP BY source""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "distinct_ngram_diversity",
+    survey="ext-quality,A2,A6,D3,F9",
+    oracle=_distinct_n_oracle(),
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-n diversity per source (Li et al. 2016): the share of
+    n-gram TOKENS that are distinct TYPES, for n ∈ {1,2,3} — the
+    standard repetitiveness gauge for generated/synthetic corpora
+    (mode-collapsed sources score low) and the aggregate twin of the
+    per-document signals in `gopher_repetition_signals` (which flag
+    individual docs; this ranks whole sources for mix decisions).
+    Complements `heaps_law_fit` (type GROWTH curve) and
+    `ngram_novelty_profile` (first-occurrence order): distinct-n is
+    the order-free, single-number summary mix policies threshold on.
+
+    Exactness: counts are integers; the ratio is one divide snapped
+    to the 1e-6 grid. Plan: per order, explode→(source, gram) →
+    one map-combinable count + one distinct-aggregate — the distinct
+    runs (source, gram)-keyed, so it is a two-stage hash aggregate
+    with no skew beyond the source key; the three orders union. The
+    size ≥ n guard mirrors the oracle's empty generate_series (the
+    text.py:740 descending-sequence trap)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    outs = []
+    base = spread(t["documents"], "doc_id") \
+        .select("source", toks.alias("tk"))
+    for n in DIVERSITY_ORDERS:
+        grams = F.expr(
+            f"transform(sequence(1, size(tk) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(tk, i, {n})))")
+        g = (base.filter(F.size("tk") >= n)
+             .select("source", F.explode(grams).alias("gram")))
+        outs.append(g.groupBy("source").agg(
+            F.lit(n).cast("long").alias("n"),
+            F.count("*").alias("total_ngrams"),
+            F.countDistinct("gram").alias("distinct_ngrams"),
+            (F.floor(F.countDistinct("gram") * F.lit(1.0)
+                     / F.count("*") * F.lit(1e6) + F.lit(0.5))
+             / F.lit(1e6)).alias("distinct_ratio"))
+            .select("source", "n", "total_ngrams", "distinct_ngrams",
+                    "distinct_ratio"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

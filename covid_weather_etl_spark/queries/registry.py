@@ -233,7 +233,8 @@ _ROTATION_R9 = (
     # r9-session NEW operators, oracle-equipped day one
     # (inserted at head as they land)
     "nelson_aalen_hazard", "l_diversity_report",
-    "abc_pareto_classification",
+    "abc_pareto_classification", "kneser_ney_bigram_eval",
+    "distinct_ngram_diversity", "epoch_shuffle_plan",
     "irls_logreg_fit", "truncation_loss_report", "shard_skew_report",
     "nucleus_sampling_profile", "dpo_pair_construction",
     "rouge_overlap_eval", "dedup_threshold_sensitivity",

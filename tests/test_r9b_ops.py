@@ -108,3 +108,107 @@ def test_abc_classification_pandas_replay(spark):
     assert df.loc["A", "n_parts"] < df.loc["C", "n_parts"] or \
         df.loc["A", "class_revenue"] > df.loc["C", "class_revenue"]
     assert df.loc["A", "max_cum_share"] <= ABC_A_CUT / 100 + 1e-9
+
+
+def test_kneser_ney_vs_addone_and_pandas_replay(spark):
+    from covid_weather_etl_spark.operators.quality import (
+        KN_DISCOUNT, PPLX_EVAL_CUT)
+    kn = (_q("kneser_ney_bigram_eval").fn(spark, SF_DIR)
+          .toPandas().set_index("source"))
+    ao = (_q("ngram_perplexity_eval").fn(spark, SF_DIR)
+          .toPandas().set_index("source"))
+    # same split, same eval mass
+    assert (kn["n_eval_bigrams"].sort_index()
+            == ao["n_eval_bigrams"].sort_index()).all()
+    assert (kn["oov_context_share"].between(0, 1)).all()
+    # KN should beat add-one smoothing on held-out ppl for most
+    # sources (that's WHY it's the production smoother)
+    both = kn.join(ao, lsuffix="_kn", rsuffix="_ao")
+    assert (both["perplexity_kn"] < both["perplexity_ao"]).mean() > 0.5
+    # independent replay for one source
+    import hashlib, math
+    from collections import Counter
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    docs["is_eval"] = docs["doc_id"].map(
+        lambda d: hashlib.md5(str(d).encode()).hexdigest()[:2]
+        >= PPLX_EVAL_CUT)
+    c12, uni = Counter(), set()
+    for t in docs.loc[~docs["is_eval"], "text"]:
+        w = t.split(" ")
+        uni.update(w)
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    nb, v = len(c12), len(uni) + 1
+    src = kn.index[0]
+    ev = Counter()
+    for t in docs.loc[docs["is_eval"]
+                      & (docs["source"] == src), "text"]:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            ev[(a, b)] += 1
+    tot = totk = 0.0
+    for (a, b), k in ev.items():
+        pc = (n1b.get(b, 0) + 1.0) / (nb + v)
+        if a in c1:
+            p = (max(c12.get((a, b), 0) - KN_DISCOUNT, 0.0) / c1[a]
+                 + ((KN_DISCOUNT * n1f[a]) / c1[a]) * pc)
+        else:
+            p = pc
+        tot += k * math.floor(math.log(p) * 1e6 + 0.5) / 1e6
+        totk += k
+    assert abs(kn.loc[src, "avg_neg_logprob"] - (-tot / totk)) < 2e-6
+
+
+def test_distinct_ngram_diversity_pandas_replay(spark):
+    df = (_q("distinct_ngram_diversity").fn(spark, SF_DIR)
+          .toPandas())
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "text"])
+    for (src, n), g in df.groupby(["source", "n"]):
+        total = 0
+        types = set()
+        for t in docs.loc[docs["source"] == src, "text"]:
+            w = t.split(" ")
+            grams = [" ".join(w[i:i + n])
+                     for i in range(len(w) - n + 1)]
+            total += len(grams)
+            types.update(grams)
+        r = g.iloc[0]
+        assert r["total_ngrams"] == total
+        assert r["distinct_ngrams"] == len(types)
+    # diversity declines with n never ABOVE 1, and distinct-1 <= vocab
+    assert (df["distinct_ratio"] <= 1).all()
+    assert (df["distinct_ratio"] > 0).all()
+
+
+def test_epoch_shuffle_plan_invariants(spark):
+    from covid_weather_etl_spark.operators.bucketing import (
+        EPOCH_SHARDS, EPOCH_SEEDS)
+    df = (_q("epoch_shuffle_plan").fn(spark, SF_DIR)
+          .toPandas().set_index("epoch"))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = len(docs)
+    ntok = int(docs["text"].str.split(" ").str.len().sum())
+    assert set(df.index) == {str(e) for e in EPOCH_SEEDS}
+    for e in df.index:
+        assert df.loc[e, "n_docs"] == n
+        assert df.loc[e, "n_tokens"] == ntok
+        assert df.loc[e, "n_shards"] == EPOCH_SHARDS
+        assert df.loc[e, "min_shard_docs"] >= 1
+        # hash balance: no shard more than 2x the ideal
+        assert df.loc[e, "max_shard_docs"] <= 2 * n / EPOCH_SHARDS + 8
+    # both rows carry the same pair metrics
+    assert df["preserved_adjacencies"].nunique() == 1
+    assert df["moved_docs"].nunique() == 1
+    # independent permutations: essentially no shared adjacency, and
+    # ~ (S-1)/S of docs change shard between epochs
+    assert df["preserved_adjacencies"].iloc[0] <= max(4, n // 100)
+    expected_moved = n * (EPOCH_SHARDS - 1) / EPOCH_SHARDS
+    assert abs(df["moved_docs"].iloc[0] - expected_moved) < 0.15 * n
