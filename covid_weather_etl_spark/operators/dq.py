@@ -512,3 +512,92 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("min_entropy_l"))
             .select("l", "n_groups", "n_rows", "meets_l",
                     "min_entropy_l"))
+
+
+# ---------------------------------------------------------------------------
+# approximate functional-dependency profiling (TANE g3 error)
+# ---------------------------------------------------------------------------
+
+#: candidate dependencies audited: (table, lhs, rhs).
+FD_CANDIDATES = (
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderdate", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_shipdate"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def _fd_oracle_sql() -> str:
+    parts = []
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{tbl}.{lhs} -> {tbl}.{rhs}' AS candidate,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(SUM(cnt) - SUM(max_cnt) AS BIGINT) AS g3_rows,
+           FLOOR((SUM(cnt) - SUM(max_cnt)) * 1e0 / SUM(cnt)
+                 * 1e6 + 0.5) / 1e6 AS g3_error
+    FROM (
+        SELECT {lhs}, CAST(COUNT(*) AS BIGINT) AS n_rhs,
+               CAST(SUM(c) AS BIGINT) AS cnt,
+               CAST(MAX(c) AS BIGINT) AS max_cnt
+        FROM (SELECT {lhs}, {rhs}, COUNT(*) AS c
+              FROM {tbl} GROUP BY 1, 2) vr
+        GROUP BY {lhs}
+    ) g""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "functional_dependency_profile",
+    survey="ext-dq,A2,A6,A13",
+    oracle=_fd_oracle_sql(),
+)
+def functional_dependency_profile(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Approximate FUNCTIONAL-DEPENDENCY discovery over candidate
+    column pairs — the schema-profiling primitive (TANE, Huhtala et
+    al. 1999) that tells a warehouse which "obvious" invariants the
+    data actually honors before anyone normalizes, partitions, or
+    dedups on them. For each candidate lhs → rhs: how many lhs groups
+    see >1 distinct rhs, and the g3 error (Kivinen & Mannila 1995) —
+    the minimum fraction of rows to REMOVE for the FD to hold exactly
+    (1 − Σ_g max-rhs-count / n). g3 ≈ 0 flags a real-but-dirty
+    dependency worth a DQ rule (`dq_constraint_report`'s input); g3
+    large means the candidate is false, and a dedup/merge keyed on it
+    would corrupt data. Complements `inclusion_dependency_profile`
+    (cross-table containment; this is intra-table determination).
+
+    Exactness: pure integer counting; the only float is the final g3
+    ratio, snapped to 1e-6. Plan: per candidate, one (lhs, rhs)
+    grouped count (map-combinable), one lhs-keyed rollup, one scalar
+    summary — each bounded by distinct-pair counts; candidates over
+    the same table share the scan via union at 100 TB (Catalyst
+    reuses the exchange when grouping keys match)."""
+    names = sorted({tbl for tbl, _, _ in FD_CANDIDATES})
+    t = load_tables(spark, sf_dir, tuple(names))
+    outs = []
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        vr = (t[tbl].groupBy(lhs, rhs).agg(F.count("*").alias("c")))
+        g = (vr.groupBy(lhs)
+             .agg(F.count("*").alias("n_rhs"),
+                  F.sum("c").alias("cnt"),
+                  F.max("c").alias("max_cnt")))
+        outs.append(g.agg(
+            F.lit(f"{tbl}.{lhs} -> {tbl}.{rhs}").alias("candidate"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").alias("n_lhs_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("long"))
+            .alias("n_violating_groups"),
+            (F.sum("cnt") - F.sum("max_cnt")).cast("long")
+            .alias("g3_rows"),
+            (F.floor((F.sum("cnt") - F.sum("max_cnt")) * F.lit(1.0)
+                     / F.sum("cnt") * F.lit(1e6) + F.lit(0.5))
+             / F.lit(1e6)).alias("g3_error")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1111,3 +1111,156 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_censored").cast("long").alias("n_censored"),
         g6(F.col("h")).alias("cum_hazard"),
         g6(F.col("v")).alias("hazard_var"))
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strengths — the reward-model fit over preference pairs
+# ---------------------------------------------------------------------------
+
+#: fixed MM iteration count (fixed = SQL-replayable, the IRLS rule).
+BT_ROUNDS = 3
+
+
+def _bt_g6(e: str) -> str:
+    return f"FLOOR(({e}) * 1e6 + 5e-1) / 1e6"
+
+
+def _bt_round_sql(pairs: str, pi: str, wins: str, k_items: str) -> str:
+    """One Bradley-Terry MM round (Hunter 2004) as shared SQL text:
+    per-pair terms n_ij/(pi_i+pi_j) snapped to 1e-9 and decimal-
+    summed, pi' = W_i/denom snapped to 1e-6, then normalized to sum
+    to the item count and snapped again — so every round starts from
+    grid numbers on both engines."""
+    raw = f"""
+        SELECT w.item,
+               {_bt_g6("w.n_wins * 1e0 / CAST(SUM(CAST(FLOOR("
+                       "p.n_ij * 1e9 / (pa.pi + pb.pi) + 5e-1) "
+                       "AS DECIMAL(25,0))) AS DOUBLE) * 1e9")} AS pr
+        FROM {wins} w
+        JOIN {pairs} p ON p.i = w.item
+        JOIN {pi} pa ON pa.item = p.i
+        JOIN {pi} pb ON pb.item = p.j
+        GROUP BY w.item, w.n_wins
+    """
+    return f"""
+        SELECT r.item,
+               {_bt_g6("r.pr * (SELECT n FROM " + k_items + ") / "
+                       "t.tot")} AS pi
+        FROM ({raw}) r
+        CROSS JOIN (SELECT CAST(SUM(CAST(FLOOR(pr * 1e6 + 5e-1)
+                         AS DECIMAL(25,0))) AS DOUBLE) / 1e6 AS tot
+                    FROM ({raw})) t
+    """
+
+
+def _bt_oracle_sql() -> str:
+    base = """
+    totals AS (
+        SELECT user_id, event_type,
+               SUM(CAST(value AS DECIMAL(25,6))) AS tot
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    duels AS (
+        SELECT a.event_type AS i, b.event_type AS j,
+               CAST(SUM(CASE WHEN a.tot > b.tot THEN 1 ELSE 0 END)
+                    AS BIGINT) AS w_ij
+        FROM totals a JOIN totals b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d.i, d.j, d.w_ij + r.w_ij AS n_ij
+        FROM duels d JOIN duels r ON d.i = r.j AND d.j = r.i
+        WHERE d.w_ij + r.w_ij > 0
+    ),
+    wins AS (
+        SELECT i AS item, CAST(SUM(w_ij) AS BIGINT) AS n_wins,
+               CAST(SUM(n_ij) AS BIGINT) AS n_comparisons
+        FROM (SELECT d.i, d.w_ij, d.w_ij + r.w_ij AS n_ij
+              FROM duels d JOIN duels r ON d.i = r.j AND d.j = r.i
+              WHERE d.w_ij + r.w_ij > 0) u
+        GROUP BY i
+    ),
+    k_items AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wins),
+    pi0 AS (SELECT item, 1e0 AS pi FROM wins)
+    """
+    ctes = ["WITH " + base.strip()]
+    for r in range(1, BT_ROUNDS + 1):
+        ctes.append(
+            f"pi{r} AS ({_bt_round_sql('pairs', f'pi{r-1}', 'wins', 'k_items')})")
+    return (", ".join(ctes) + f"""
+    SELECT w.item AS event_type, w.n_wins, w.n_comparisons,
+           p.pi AS strength
+    FROM wins w JOIN pi{BT_ROUNDS} p ON p.item = w.item
+    """)
+
+
+@register(
+    "bradley_terry_strengths",
+    survey="LLM-pref,A6,J1,U3",
+    oracle=_bt_oracle_sql(),
+)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY strength fit over pairwise preferences — the
+    model behind reward-model training data and chatbot-arena
+    leaderboards: P(i beats j) = π_i/(π_i+π_j), fit by {BT_ROUNDS}
+    fixed MM rounds (Hunter 2004: π_i ← W_i / Σ_j n_ij/(π_i+π_j),
+    renormalized). Duels come from the same per-prompt preference
+    frame as `dpo_pair_construction`: within each user, event type i
+    beats j iff i's total reward exceeds j's (DECIMAL totals — the
+    comparison can't flip on accumulation order); ties contribute no
+    duel, the standard BT convention.
+
+    Replay discipline (the IRLS playbook on a tiny state): the item
+    universe is |event types| — the wins matrix is items², so every
+    MM round is algebra over a broadcast-sized frame. Per-pair terms
+    n_ij/(π_i+π_j) are snapped to the 1e-9 grid and decimal-summed
+    (order-free); π updates and the normalization each snap back to
+    the 1e-6 grid, so round r+1 starts from identical numbers on both
+    engines; {BT_ROUNDS} rounds are unrolled as CTE layers — no
+    driver loop, no collect. Plan: ONE user-keyed aggregate scans the
+    events (map-combinable), the per-user duel join fans out ≤
+    types² rows per user, and everything after is items²-bounded."""
+    t = load_tables(spark, sf_dir, ("events",))
+    totals = (t["events"].filter(F.col("value").isNotNull())
+              .groupBy("user_id", "event_type")
+              .agg(F.sum(F.col("value").cast("decimal(25,6)"))
+                   .alias("tot")))
+    a, b = totals.alias("a"), totals.alias("b")
+    duels = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.event_type") != F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("i"),
+                      F.col("b.event_type").alias("j"))
+             .agg(F.sum((F.col("a.tot") > F.col("b.tot")).cast("long"))
+                  .alias("w_ij")))
+    d, r = duels.alias("d"), duels.alias("r")
+    directed = (d.join(r, (F.col("d.i") == F.col("r.j"))
+                       & (F.col("d.j") == F.col("r.i")))
+                .select(F.col("d.i").alias("i"), F.col("d.j").alias("j"),
+                        F.col("d.w_ij").alias("w_ij"),
+                        (F.col("d.w_ij") + F.col("r.w_ij"))
+                        .alias("n_ij"))
+                .filter(F.col("n_ij") > 0)
+                .localCheckpoint(eager=True))  # items²-sized, reused
+    wins = (directed.groupBy(F.col("i").alias("item"))
+            .agg(F.sum("w_ij").cast("long").alias("n_wins"),
+                 F.sum("n_ij").cast("long").alias("n_comparisons"))
+            .localCheckpoint(eager=True))
+    directed.createOrReplaceTempView("bt_pairs_v")
+    wins.createOrReplaceTempView("bt_wins_v")
+    spark.sql("SELECT item, CAST(1.0 AS DOUBLE) AS pi FROM bt_wins_v") \
+        .createOrReplaceTempView("bt_pi_0")
+    spark.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bt_wins_v") \
+        .createOrReplaceTempView("bt_k_v")
+    cur = "bt_pi_0"
+    for rd in range(1, BT_ROUNDS + 1):
+        nxt = spark.sql(_bt_round_sql(
+            "bt_pairs_v", cur, "bt_wins_v", "bt_k_v"))
+        nxt.createOrReplaceTempView(f"bt_pi_{rd}")
+        cur = f"bt_pi_{rd}"
+    return spark.sql(f"""
+        SELECT w.item AS event_type, w.n_wins, w.n_comparisons,
+               p.pi AS strength
+        FROM bt_wins_v w JOIN {cur} p ON p.item = w.item
+    """)

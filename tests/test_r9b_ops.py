@@ -212,3 +212,68 @@ def test_epoch_shuffle_plan_invariants(spark):
     assert df["preserved_adjacencies"].iloc[0] <= max(4, n // 100)
     expected_moved = n * (EPOCH_SHARDS - 1) / EPOCH_SHARDS
     assert abs(df["moved_docs"].iloc[0] - expected_moved) < 0.15 * n
+
+
+def test_bradley_terry_pandas_replay(spark):
+    from covid_weather_etl_spark.operators.eventstats import BT_ROUNDS
+    df = (_q("bradley_terry_strengths").fn(spark, SF_DIR)
+          .toPandas().set_index("event_type").sort_index())
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    ev = ev[ev["value"].notna()]
+    tot = (ev.assign(v=ev["value"].round(6))
+           .groupby(["user_id", "event_type"])["v"].sum().reset_index())
+    import itertools
+    types = sorted(tot["event_type"].unique())
+    w = {(i, j): 0 for i in types for j in types if i != j}
+    for _, g in tot.groupby("user_id"):
+        vals = dict(zip(g["event_type"], g["v"]))
+        for i, j in itertools.permutations(vals, 2):
+            if vals[i] > vals[j]:
+                w[(i, j)] += 1
+    wins = {i: sum(w[(i, j)] for j in types if j != i) for i in types}
+    nij = {(i, j): w[(i, j)] + w[(j, i)] for i, j in w}
+    comps = {i: sum(nij[(i, j)] for j in types if j != i) for i in types}
+    for i in types:
+        assert df.loc[i, "n_wins"] == wins[i]
+        assert df.loc[i, "n_comparisons"] == comps[i]
+    # replay the fixed-round MM with the same grid snapping
+    import math
+    g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    pi = {i: 1.0 for i in types}
+    for _ in range(BT_ROUNDS):
+        pr = {}
+        for i in types:
+            den = sum(math.floor(nij[(i, j)] * 1e9 / (pi[i] + pi[j])
+                                 + 0.5) for j in types if j != i) / 1e9
+            pr[i] = g6(wins[i] * 1.0 / den)
+        tot_pi = sum(math.floor(pr[i] * 1e6 + 0.5) for i in types) / 1e6
+        pi = {i: g6(pr[i] * len(types) / tot_pi) for i in types}
+    for i in types:
+        assert abs(df.loc[i, "strength"] - pi[i]) < 2e-6
+    # more wins => more strength (same comparison counts by symmetry)
+    order_w = sorted(types, key=lambda i: wins[i])
+    order_s = sorted(types, key=lambda i: df.loc[i, "strength"])
+    assert order_w == order_s
+
+
+def test_fd_profile_pandas_replay(spark):
+    from covid_weather_etl_spark.operators.dq import FD_CANDIDATES
+    df = (_q("functional_dependency_profile").fn(spark, SF_DIR)
+          .toPandas().set_index("candidate"))
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        d = pd.read_parquet(f"{SF_DIR}/{tbl}.parquet",
+                            columns=[lhs, rhs])
+        g = d.groupby(lhs)[rhs].agg(["nunique", "size"])
+        keep = (d.groupby([lhs, rhs]).size().reset_index(name="c")
+                .groupby(lhs)["c"].max().sum())
+        r = df.loc[f"{tbl}.{lhs} -> {tbl}.{rhs}"]
+        assert r["n_rows"] == len(d)
+        assert r["n_lhs_groups"] == len(g)
+        assert r["n_violating_groups"] == int((g["nunique"] > 1).sum())
+        assert r["g3_rows"] == len(d) - keep
+        assert abs(r["g3_error"] - (len(d) - keep) / len(d)) < 2e-6
+    # sanity: g3 = 0 iff zero violating groups
+    z = df["n_violating_groups"] == 0
+    assert (df.loc[z, "g3_rows"] == 0).all()
+    assert (df.loc[~z, "g3_rows"] > 0).all()
