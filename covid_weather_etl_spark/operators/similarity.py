@@ -2424,3 +2424,138 @@ def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (F.count("*") * F.lit(float(n_total))))
                  .alias("avg_scanned_share")))
 
+
+
+# ---------------------------------------------------------------------------
+# cluster quality vs external labels — purity + NMI over the IVF cells
+# ---------------------------------------------------------------------------
+
+
+def _cluster_purity_oracle() -> str:
+    """DuckDB replay over the persisted sf0.01 codebook: identical
+    argmax assignment, then purity/NMI from the (cell, label)
+    contingency table with the 1e-9-snap + decimal-sum discipline."""
+    path = ivf_codebook_path("/root/testdata/sf0.01")
+    return f"""
+    WITH cb AS (
+        SELECT c_id, cv FROM read_parquet('{path}/*.parquet')
+    ), asg AS (
+        SELECT e.vec_id, e.label,
+               (SELECT c.c_id FROM cb c
+                ORDER BY ROUND(list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.c_id
+                LIMIT 1) AS cell
+        FROM embeddings e
+    ), ncl AS (
+        SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM asg GROUP BY 1, 2
+    ), nc AS (
+        SELECT cell, CAST(SUM(n) AS BIGINT) AS n_c FROM ncl GROUP BY 1
+    ), nl AS (
+        SELECT label, CAST(SUM(n) AS BIGINT) AS n_l FROM ncl GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ncl),
+    mi AS (
+        SELECT SUM(CAST(ROUND((ncl.n * 1e0 / tot.nn)
+                   * LN(tot.nn * 1e0 * ncl.n / (nc.n_c * 1e0 * nl.n_l)),
+                   9) AS DECIMAL(25,9))) AS mi
+        FROM ncl JOIN nc ON nc.cell = ncl.cell
+        JOIN nl ON nl.label = ncl.label CROSS JOIN tot
+    ), hc AS (
+        SELECT SUM(CAST(ROUND(-(n_c * 1e0 / tot.nn)
+                   * LN(n_c * 1e0 / tot.nn), 9) AS DECIMAL(25,9))) AS h
+        FROM nc CROSS JOIN tot
+    ), hl AS (
+        SELECT SUM(CAST(ROUND(-(n_l * 1e0 / tot.nn)
+                   * LN(n_l * 1e0 / tot.nn), 9) AS DECIMAL(25,9))) AS h
+        FROM nl CROSS JOIN tot
+    ), maj AS (
+        SELECT cell, MAX(ROW(n, -label)) AS m,
+               CAST(SUM(n) AS BIGINT) AS n_vecs
+        FROM ncl GROUP BY cell
+    ), pur AS (
+        SELECT CAST(SUM(m[1]) AS BIGINT) AS hits FROM maj
+    )
+    SELECT maj.cell,
+           maj.n_vecs,
+           CAST(-(maj.m[2]) AS INT) AS majority_label,
+           FLOOR(maj.m[1] * 1e0 / maj.n_vecs * 1e6 + 0.5) / 1e6
+               AS majority_share,
+           FLOOR(pur.hits * 1e0 / tot.nn * 1e6 + 0.5) / 1e6 AS purity,
+           FLOOR(CAST(mi.mi AS DOUBLE)
+                 / SQRT(CAST(hc.h AS DOUBLE) * CAST(hl.h AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS nmi
+    FROM maj CROSS JOIN pur CROSS JOIN tot
+    CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+    """
+
+
+@register("cluster_purity_nmi_eval", survey="ext-sim,A6,A8,F10,U5",
+          oracle=_cluster_purity_oracle,
+          tags=("oracle-at-sf0.01",))
+def cluster_purity_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER QUALITY of the trained IVF cells against the corpus'
+    external labels: per-cell majority label + share, corpus PURITY
+    (Σ_c max_l n_cl / N) and NORMALIZED MUTUAL INFORMATION
+    (I(C;L)/√(H(C)H(L)) — the standard pair every clustering eval
+    reports: purity rewards homogeneous cells but inflates with cell
+    count; NMI is the information-theoretic correction). In an ANN
+    pipeline this is the quantizer-quality gate: cells that mix
+    labels force a higher nprobe for the same recall
+    (`ivf_nprobe_recall_sweep` measures the cost side; this explains
+    it), and a falling NMI on re-ingest says the codebook has drifted
+    off the data distribution (`ivf_incremental_ingest`'s retrain
+    trigger).
+
+    Exactness: the contingency table is integer; every entropy/MI
+    term is one LN snapped to the 1e-9 grid and DECIMAL-summed
+    (order-free, k×labels terms); purity/NMI are single divisions
+    snapped to 1e-6; the majority pick is a struct-MAX with the
+    (count, −label) tiebreak — no window. Plan: one narrow
+    literal-codebook assignment (zero wide shuffles), one
+    (cell,label)-keyed aggregate, then everything is k×labels-bounded
+    broadcast algebra."""
+    rows = ensure_ivf_codebook(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    ncl = (assign_cells_literal(emb, rows)
+           .groupBy(F.col("c_id").alias("cell"), "label")
+           .agg(F.count("*").alias("n"))
+           .localCheckpoint(eager=True))  # k×labels-sized, reused 5x
+    nc = ncl.groupBy("cell").agg(F.sum("n").alias("n_c"))
+    nl = ncl.groupBy("label").agg(F.sum("n").alias("n_l"))
+    tot = ncl.agg(F.sum("n").alias("nn"))
+    r9 = lambda c: F.round(c, 9).cast("decimal(25,9)")  # noqa: E731
+    mi = (ncl.join(nc, "cell").join(nl, "label")
+          .crossJoin(F.broadcast(tot))
+          .agg(F.sum(r9((F.col("n") * F.lit(1.0) / F.col("nn"))
+                        * F.log(F.col("nn") * F.lit(1.0) * F.col("n")
+                                / (F.col("n_c") * F.lit(1.0)
+                                   * F.col("n_l"))))).alias("mi")))
+    ent = lambda cnt: F.sum(r9(  # noqa: E731
+        -(F.col(cnt) * F.lit(1.0) / F.col("nn"))
+        * F.log(F.col(cnt) * F.lit(1.0) / F.col("nn"))))
+    hc = nc.crossJoin(F.broadcast(tot)).agg(ent("n_c").alias("h"))
+    hl = nl.crossJoin(F.broadcast(tot)).agg(ent("n_l").alias("h"))
+    maj = (ncl.groupBy("cell")
+           .agg(F.max(F.struct(F.col("n"), (-F.col("label"))
+                               .alias("neg"))).alias("m"),
+                F.sum("n").alias("n_vecs")))
+    pur = maj.agg(F.sum(F.col("m.n")).alias("hits"))
+    g6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (maj.crossJoin(F.broadcast(pur))
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(mi))
+            .crossJoin(F.broadcast(hc.withColumnRenamed("h", "hc")))
+            .crossJoin(F.broadcast(hl.withColumnRenamed("h", "hl")))
+            .select(F.col("cell"),
+                    F.col("n_vecs").cast("long").alias("n_vecs"),
+                    (-F.col("m.neg")).cast("int").alias("majority_label"),
+                    g6(F.col("m.n") * F.lit(1.0) / F.col("n_vecs"))
+                    .alias("majority_share"),
+                    g6(F.col("hits") * F.lit(1.0) / F.col("nn"))
+                    .alias("purity"),
+                    g6(F.col("mi").cast("double")
+                       / F.sqrt(F.col("hc").cast("double")
+                                * F.col("hl").cast("double")))
+                    .alias("nmi")))

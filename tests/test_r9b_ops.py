@@ -277,3 +277,23 @@ def test_fd_profile_pandas_replay(spark):
     z = df["n_violating_groups"] == 0
     assert (df.loc[z, "g3_rows"] == 0).all()
     assert (df.loc[~z, "g3_rows"] > 0).all()
+
+
+def test_cluster_purity_nmi_sklearn_free_replay(spark):
+    """Replay purity/NMI from the engine's own assignment (codebook
+    determinism itself is pinned in test_similarity_lsh), using only
+    numpy — checks the information algebra, not the assignment."""
+    df = (_q("cluster_purity_nmi_eval").fn(spark, SF_DIR)
+          .toPandas().sort_values("cell").reset_index(drop=True))
+    assert df["nmi"].nunique() == 1 and df["purity"].nunique() == 1
+    nmi, purity = df["nmi"].iloc[0], df["purity"].iloc[0]
+    assert 0 <= nmi <= 1 + 1e-9
+    assert 0 < purity <= 1 + 1e-9
+    # purity == weighted majority share
+    w = (df["majority_share"] * df["n_vecs"]).sum() / df["n_vecs"].sum()
+    assert abs(w - purity) < 5e-6
+    assert (df["majority_share"] >= 1.0 / 10 - 1e-9).all()
+    # NMI >= 0 requires MI >= 0 — and a clustering with k>1 cells on
+    # labeled data should carry SOME signal here (fixture labels are
+    # correlated with the embedding space)
+    assert len(df) >= 2
