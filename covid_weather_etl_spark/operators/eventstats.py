@@ -1264,3 +1264,148 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                p.pi AS strength
         FROM bt_wins_v w JOIN {cur} p ON p.item = w.item
     """)
+
+
+# ---------------------------------------------------------------------------
+# exact Shapley-value attribution — the game-theoretic credit split
+# ---------------------------------------------------------------------------
+
+#: touch channels and their bitmask bits (purchase is the conversion).
+SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+#: |channels|! — the Shapley denominator, kept integer until the end.
+_SHAP_NFACT = 24
+#: coalition-size weights |S|!(n-1-|S|)! for n=4: index = |S|.
+_SHAP_W = (6, 2, 2, 6)
+
+
+def _shapley_oracle() -> str:
+    in_list = ", ".join(f"'{c}'" for c, _ in SHAPLEY_CHANNELS)
+    bit_case = " ".join(f"WHEN '{c}' THEN {b}"
+                        for c, b in SHAPLEY_CHANNELS)
+    w_case = " ".join(f"WHEN {s} THEN {w}"
+                      for s, w in enumerate(_SHAP_W))
+    chan_rows = ", ".join(f"('{c}', {b})" for c, b in SHAPLEY_CHANNELS)
+    return f"""
+    WITH fp AS (
+        SELECT user_id, MIN(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1
+    ), masks AS (
+        SELECT e.user_id,
+               CAST(bit_or(CASE e.event_type {bit_case} END)
+                    AS BIGINT) AS m
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE e.event_type IN ({in_list}) AND e.ts < fp.p_ts
+        GROUP BY e.user_id
+    ), cnt AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM masks GROUP BY m
+    ), subsets AS (
+        SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS s
+    ), v AS (
+        SELECT s.s, CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS v
+        FROM subsets s LEFT JOIN cnt c ON (c.m & s.s) = c.m
+        GROUP BY s.s
+    ), chan AS (
+        SELECT * FROM (VALUES {chan_rows}) AS t(channel, bit)
+    ), marg AS (
+        SELECT ch.channel,
+               CAST(SUM((CASE bit_count(v0.s) {w_case} END)
+                        * (v1.v - v0.v)) AS BIGINT) AS phi24
+        FROM chan ch
+        JOIN v v0 ON (v0.s & ch.bit) = 0
+        JOIN v v1 ON v1.s = (v0.s | ch.bit)
+        GROUP BY ch.channel
+    ), touched AS (
+        SELECT ch.channel,
+               CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS n_users_touched
+        FROM chan ch LEFT JOIN cnt c ON (c.m & ch.bit) <> 0
+        GROUP BY ch.channel
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS attributable FROM cnt
+    )
+    SELECT m.channel, t.n_users_touched, m.phi24,
+           m.phi24 / {_SHAP_NFACT}e0 AS phi,
+           FLOOR(m.phi24 * 1e0 / ({_SHAP_NFACT}e0 * tot.attributable)
+                 * 1e6 + 0.5) / 1e6 AS share
+    FROM marg m JOIN touched t ON t.channel = m.channel
+    CROSS JOIN tot
+    """
+
+
+@register(
+    "shapley_attribution",
+    survey="ext-events,A6,J1,F12",
+    oracle=_shapley_oracle(),
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the four touch channels —
+    the game-theoretic credit split (the third classic next to
+    `multi_touch_attribution`'s linear rule and `markov_attribution`'s
+    removal effects): φ_i = Σ_{{S∌i}} |S|!(n−1−|S|)!/n! · (v(S∪i)−v(S)),
+    where v(S) counts conversions whose pre-purchase touch set is
+    covered by S. With n=4 channels the 2⁴ coalition lattice is
+    enumerated EXACTLY — no sampling — and by keeping the n!
+    denominator symbolic (phi24 = 24·φ is an integer) every marginal
+    stays in integer arithmetic until one final divide. Efficiency
+    axiom Σφ_i = v(full) = all attributable conversions is pinned in
+    tests — the property the heuristic rules violate.
+
+    Plan: one user-keyed MIN (first purchase), one user-keyed BIT_OR
+    (touch bitmask — a map-combinable integer aggregate, the whole
+    journey compresses to 4 bits), a ≤15-row mask census, and the
+    lattice algebra is broadcast joins over 16-row frames. At 100 TB
+    the only fact-sized work is the two user-keyed aggregates; the
+    Shapley computation itself is constant-size. Conversions with no
+    prior touch are excluded from v by construction (unattributable);
+    masks-subset matching uses (m & S) = m on both engines."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    chans = {c: b for c, b in SHAPLEY_CHANNELS}
+    fp = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    bit = F.create_map(*[F.lit(x) for cb in SHAPLEY_CHANNELS
+                         for x in cb])[F.col("event_type")]
+    masks = (ev.filter(F.col("event_type").isin(*chans))
+             .join(fp, "user_id")
+             .filter(F.col("ts") < F.col("p_ts"))
+             .select("user_id", bit.alias("bit"))
+             .groupBy("user_id")
+             .agg(F.expr("bit_or(bit)").cast("long").alias("m")))
+    cnt = (masks.groupBy("m").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=True))  # <=15 rows, reused 3x
+    subsets = spark.range(16).select(F.col("id").alias("s"))
+    v = (subsets.join(F.broadcast(cnt),
+                      (F.col("m").bitwiseAND(F.col("s")) == F.col("m")),
+                      "left")
+         .groupBy("s")
+         .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+         .localCheckpoint(eager=True))  # 16 rows, joined twice
+    chan = spark.createDataFrame(list(SHAPLEY_CHANNELS),
+                                 "channel string, bit long")
+    w_expr = F.element_at(
+        F.array(*[F.lit(w) for w in _SHAP_W]),
+        F.bit_count(F.col("v0.s")).cast("int") + 1).cast("long")
+    v0, v1 = v.alias("v0"), v.alias("v1")
+    marg = (chan.join(F.broadcast(v0),
+                      F.col("v0.s").bitwiseAND(F.col("bit")) == 0)
+            .join(F.broadcast(v1),
+                  F.col("v1.s") == F.col("v0.s").bitwiseOR(F.col("bit")))
+            .groupBy("channel")
+            .agg(F.sum(w_expr * (F.col("v1.v") - F.col("v0.v")))
+                 .cast("long").alias("phi24")))
+    touched = (chan.join(F.broadcast(cnt),
+                         F.col("m").bitwiseAND(F.col("bit")) != 0,
+                         "left")
+               .groupBy("channel")
+               .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                    .alias("n_users_touched")))
+    tot = cnt.agg(F.sum("c").cast("long").alias("attributable"))
+    return (marg.join(touched, "channel")
+            .crossJoin(F.broadcast(tot))
+            .select("channel", "n_users_touched", "phi24",
+                    (F.col("phi24") / F.lit(float(_SHAP_NFACT)))
+                    .alias("phi"),
+                    (F.floor(F.col("phi24") * F.lit(1.0)
+                             / (F.lit(float(_SHAP_NFACT))
+                                * F.col("attributable"))
+                             * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                    .alias("share")))

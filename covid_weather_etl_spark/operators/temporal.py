@@ -264,3 +264,94 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / F.sum("dt_us").cast("double")
                           * F.lit(1_000_000.0) + F.lit(0.5))
                   / F.lit(1_000_000.0)).alias("twa_value")))
+
+
+# ---------------------------------------------------------------------------
+# watermark-delay design: late-event accounting under simulated arrival
+# ---------------------------------------------------------------------------
+
+#: tumbling window width the lateness is measured against (seconds).
+LATE_WINDOW_SEC = 3600
+#: simulated network/queue delay ceiling (seconds) — md5-derived.
+LATE_MAX_DELAY_SEC = 3600
+#: candidate watermark delays to sweep (minutes).
+LATE_WATERMARKS_MIN = (0, 10, 30, 60)
+
+
+@register(
+    "late_event_accounting",
+    survey="ext-stream,A6,F4,F9",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id,
+               epoch_us(ts) // 1000000 AS t,
+               (epoch_us(ts) // 1000000)
+                   + (CAST(CAST('0x' || substr(md5(
+                          CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+                      AS BIGINT) % {LATE_MAX_DELAY_SEC}) AS arrival
+        FROM events
+    ), lat AS (
+        SELECT event_id,
+               arrival - (((t // {LATE_WINDOW_SEC}) + 1)
+                          * {LATE_WINDOW_SEC}) AS lateness
+        FROM ev
+    ), wm AS (
+        SELECT CAST(unnest([{", ".join(str(m) for m in LATE_WATERMARKS_MIN)}])
+                    AS BIGINT) AS watermark_min
+    )
+    SELECT w.watermark_min,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN l.lateness > w.watermark_min * 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           FLOOR(SUM(CASE WHEN l.lateness > w.watermark_min * 60
+                          THEN 1 ELSE 0 END) * 1e0 / COUNT(*)
+                 * 1e6 + 0.5) / 1e6 AS drop_share,
+           CAST(MAX(l.lateness) AS BIGINT) AS max_lateness_sec
+    FROM lat l CROSS JOIN wm w
+    GROUP BY w.watermark_min
+    """,
+)
+def late_event_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK-DELAY design sweep — the number Structured Streaming
+    asks for before any stateful query ships (`withWatermark("ts",
+    "<how much?>")"): for each candidate delay, how many events would
+    arrive AFTER their {LATE_WINDOW_SEC}s tumbling window's watermark
+    has passed (and thus be dropped from the aggregate)? Arrival time
+    is simulated as event time + an md5-derived delay uniform on
+    [0, {LATE_MAX_DELAY_SEC}s) — deterministic, so the sweep is
+    reproducible and oracle-checkable; with real ingestion timestamps
+    the identical plan runs unchanged. lateness = arrival −
+    window_end; an event is dropped under watermark d iff
+    lateness > d. The sweep row where drop_share falls below the
+    pipeline's loss budget IS the watermark to configure —
+    state-retention cost grows linearly in d, so the smallest
+    acceptable d wins (the streams module's watermarked twins hold
+    state for exactly this duration).
+
+    Exactness: pure integer epoch/µs//s algebra and md5-prefix
+    integers; the only float is the final share, snapped to 1e-6.
+    Plan: one narrow map over the events scan (no shuffle), a
+    4-row broadcast sweep join, one map-combinable aggregate."""
+    t = load_tables(spark, sf_dir, ("events",))
+    sec = (F.unix_micros("ts") / F.lit(1000000)).cast("long")
+    delay = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                1, 8), 16, 10).cast("long")
+             % LATE_MAX_DELAY_SEC)
+    win_end = ((sec / LATE_WINDOW_SEC).cast("long") + 1) \
+        * LATE_WINDOW_SEC
+    lat = (t["events"]
+           .select(F.col("event_id"),
+                   ((sec + delay) - win_end).alias("lateness")))
+    wm = spark.createDataFrame([(m,) for m in LATE_WATERMARKS_MIN],
+                               "watermark_min long")
+    dropped = (F.col("lateness") > F.col("watermark_min") * 60) \
+        .cast("long")
+    return (lat.crossJoin(F.broadcast(wm))
+            .groupBy("watermark_min")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(dropped).alias("n_dropped"),
+                 (F.floor(F.sum(dropped) * F.lit(1.0) / F.count("*")
+                          * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                 .alias("drop_share"),
+                 F.max("lateness").cast("long")
+                 .alias("max_lateness_sec")))

@@ -2688,3 +2688,83 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# term burstiness — dispersion of term counts across documents
+# ---------------------------------------------------------------------------
+
+#: how many top-frequency terms the burstiness profile reports.
+BURST_TOPN = 20
+
+
+@register(
+    "term_burstiness_profile",
+    survey="ext-quality,A6,A8,W7,F9",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, tkn AS term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tkn
+              FROM documents) x
+        GROUP BY 1, 2
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), term AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS cf,
+               CAST(SUM(c * c) AS BIGINT) AS sumsq
+        FROM tc GROUP BY term
+    )
+    SELECT term, df, cf,
+           FLOOR(cf * 1e0 / n * 1e6 + 0.5) / 1e6 AS mean_rate,
+           FLOOR((sumsq * 1e0 / n - (cf * 1e0 / n) * (cf * 1e0 / n))
+                 / (cf * 1e0 / n) * 1e6 + 0.5) / 1e6 AS dispersion,
+           FLOOR(cf * 1e0 / df * 1e6 + 0.5) / 1e6 AS mean_when_present
+    FROM term CROSS JOIN nd
+    ORDER BY cf DESC, term
+    LIMIT {BURST_TOPN}
+    """,
+)
+def term_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM BURSTINESS (Church & Gale 1995): for the corpus' top
+    {BURST_TOPN} terms, the variance-to-mean DISPERSION of per-document
+    counts (Poisson terms sit at D≈1; content-bearing terms are
+    'bursty' — they arrive in clumps, D≫1) plus the mean count in the
+    documents where the term appears. The statistic separates function
+    words from topical words WITHOUT a stopword list, which is exactly
+    what `tfidf_top_terms` assumes and `quality_score`'s stopword
+    ratio hardcodes — and in synthetic-data QA, a generator that
+    sprinkles keywords uniformly (D≈1 everywhere) is detectably
+    unnatural corpus-statistically.
+
+    Exactness: df/cf/Σc² are integer aggregates (zero-count docs
+    contribute 0 to every sum, so the full-corpus variance needs only
+    the docs containing the term plus the scalar doc count); mean,
+    dispersion and mean-when-present are shared-text float
+    expressions snapped to 1e-6. Plan: explode → (doc, term) count →
+    term-keyed rollup (all map-combinable, Zipf-bounded), one
+    broadcast scalar, one TakeOrdered({BURST_TOPN}) — no window."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tc = (spread(t["documents"], "doc_id")
+          .select("doc_id",
+                  F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("c")))
+    nd = t["documents"].agg(F.count("*").alias("n"))
+    term = (tc.groupBy("term")
+            .agg(F.count("*").alias("df"),
+                 F.sum("c").alias("cf"),
+                 F.sum(F.col("c") * F.col("c")).alias("sumsq")))
+    g6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    m = F.col("cf") * F.lit(1.0) / F.col("n")
+    return (term.crossJoin(F.broadcast(nd))
+            .select("term",
+                    F.col("df").cast("long").alias("df"),
+                    F.col("cf").cast("long").alias("cf"),
+                    g6(m).alias("mean_rate"),
+                    g6((F.col("sumsq") * F.lit(1.0) / F.col("n")
+                        - m * m) / m).alias("dispersion"),
+                    g6(F.col("cf") * F.lit(1.0) / F.col("df"))
+                    .alias("mean_when_present"))
+            .orderBy(F.col("cf").desc(), "term")
+            .limit(BURST_TOPN))

@@ -236,7 +236,8 @@ _ROTATION_R9 = (
     "abc_pareto_classification", "kneser_ney_bigram_eval",
     "distinct_ngram_diversity", "epoch_shuffle_plan",
     "bradley_terry_strengths", "functional_dependency_profile",
-    "cluster_purity_nmi_eval",
+    "cluster_purity_nmi_eval", "shapley_attribution",
+    "late_event_accounting", "term_burstiness_profile",
     "irls_logreg_fit", "truncation_loss_report", "shard_skew_report",
     "nucleus_sampling_profile", "dpo_pair_construction",
     "rouge_overlap_eval", "dedup_threshold_sensitivity",

@@ -297,3 +297,95 @@ def test_cluster_purity_nmi_sklearn_free_replay(spark):
     # labeled data should carry SOME signal here (fixture labels are
     # correlated with the embedding space)
     assert len(df) >= 2
+
+
+def test_shapley_efficiency_axiom_and_replay(spark):
+    from covid_weather_etl_spark.operators.eventstats import (
+        SHAPLEY_CHANNELS, _SHAP_NFACT, _SHAP_W)
+    df = (_q("shapley_attribution").fn(spark, SF_DIR)
+          .toPandas().set_index("channel"))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    fp = (ev[ev["event_type"] == "purchase"]
+          .groupby("user_id")["ts"].min())
+    bits = dict(SHAPLEY_CHANNELS)
+    touch = ev[ev["event_type"].isin(bits)].merge(
+        fp.rename("p_ts"), on="user_id")
+    touch = touch[touch["ts"] < touch["p_ts"]]
+    masks = (touch.assign(b=touch["event_type"].map(bits))
+             .groupby("user_id")["b"]
+             .agg(lambda s: int(np.bitwise_or.reduce(s.values))))
+    from collections import Counter
+    cnt = Counter(masks.values)
+    v = {S: sum(c for m, c in cnt.items() if (m & S) == m)
+         for S in range(16)}
+    # efficiency: sum phi = v(full lattice) (exact, integer phi24)
+    assert df["phi24"].sum() == v[15] * _SHAP_NFACT
+    assert sum(cnt.values()) == v[15]
+    for ch, b in SHAPLEY_CHANNELS:
+        phi24 = sum(_SHAP_W[bin(S).count("1")] * (v[S | b] - v[S])
+                    for S in range(16) if not S & b)
+        assert df.loc[ch, "phi24"] == phi24
+        assert abs(df.loc[ch, "phi"] - phi24 / _SHAP_NFACT) < 1e-12
+        assert df.loc[ch, "n_users_touched"] == sum(
+            c for m, c in cnt.items() if m & b)
+    # Shapley of a null player (channel touched by nobody) would be 0;
+    # every real channel here has exposure, so all phis positive-ish
+    assert (df["phi24"] >= 0).all()
+
+
+def test_late_event_accounting_monotone_and_replay(spark):
+    import hashlib
+    from covid_weather_etl_spark.operators.temporal import (
+        LATE_MAX_DELAY_SEC, LATE_WINDOW_SEC, LATE_WATERMARKS_MIN)
+    df = (_q("late_event_accounting").fn(spark, SF_DIR)
+          .toPandas().sort_values("watermark_min")
+          .reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "ts"])
+    sec = ev["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+    delay = ev["event_id"].map(
+        lambda e: int(hashlib.md5(str(e).encode()).hexdigest()[:8], 16)
+        % LATE_MAX_DELAY_SEC)
+    lateness = (sec + delay) - ((sec // LATE_WINDOW_SEC) + 1) \
+        * LATE_WINDOW_SEC
+    for _, r in df.iterrows():
+        exp = int((lateness > r["watermark_min"] * 60).sum())
+        assert r["n_dropped"] == exp
+        assert r["n_events"] == len(ev)
+        assert r["max_lateness_sec"] == int(lateness.max())
+    # drops monotone non-increasing in the watermark delay
+    assert df["n_dropped"].is_monotonic_decreasing
+    assert (df["drop_share"] <= 1).all()
+    # a 60-min watermark on a 60-min max delay drops ~nothing
+    assert df.iloc[-1]["n_dropped"] <= df.iloc[0]["n_dropped"]
+
+
+def test_term_burstiness_pandas_replay(spark):
+    from collections import Counter
+    from covid_weather_etl_spark.operators.text import BURST_TOPN
+    df = (_q("term_burstiness_profile").fn(spark, SF_DIR)
+          .toPandas())
+    assert len(df) == BURST_TOPN
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["text"])
+    n = len(docs)
+    per_doc = [Counter(t.split(" ")) for t in docs["text"]]
+    df_, cf, sq = Counter(), Counter(), Counter()
+    for c in per_doc:
+        for w, k in c.items():
+            df_[w] += 1
+            cf[w] += k
+            sq[w] += k * k
+    top = sorted(cf, key=lambda w: (-cf[w], w))[:BURST_TOPN]
+    assert list(df["term"]) == top
+    for _, r in df.iterrows():
+        w = r["term"]
+        assert r["df"] == df_[w] and r["cf"] == cf[w]
+        m = cf[w] / n
+        disp = (sq[w] / n - m * m) / m
+        assert abs(r["dispersion"] - disp) < 2e-6
+        assert abs(r["mean_when_present"] - cf[w] / df_[w]) < 2e-6
+    # dispersion >= the underdispersion floor and, for clumpy text,
+    # at least one term should be super-Poisson
+    assert (df["dispersion"] >= 0).all()
