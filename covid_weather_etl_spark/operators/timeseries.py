@@ -965,3 +965,116 @@ def pinball_quantile_forecast_eval(spark: SparkSession,
                  .alias("avg_pinball"),
                  F.sum(F.when(y <= q, 1).otherwise(0)).cast("bigint")
                  .alias("n_covered")))
+
+
+# ---------------------------------------------------------------------------
+# Croston's method — intermittent-demand forecasting
+# ---------------------------------------------------------------------------
+
+#: Croston smoothing constant (mirrored into the oracle via repr).
+CROSTON_ALPHA = 0.1
+#: a day 'demands' when at least this quantity ships (rare => sparse).
+CROSTON_QTY_MIN = 45
+
+
+def _croston_oracle() -> str:
+    a = repr(CROSTON_ALPHA)
+    return f"""
+    WITH RECURSIVE m AS (
+        SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS d
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity >= {CROSTON_QTY_MIN}
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT brand, day, d,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+               CAST(day - LAG(day) OVER w AS BIGINT) AS gap
+        FROM m WINDOW w AS (PARTITION BY brand ORDER BY day)
+    ),
+    cr AS (
+        SELECT brand, day, d, rn,
+               d * 1e0 AS z, 1e0 AS p
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.brand, s.day, s.d, s.rn,
+               CAST('{a}' AS DOUBLE) * s.d
+                   + (1e0 - CAST('{a}' AS DOUBLE)) * cr.z,
+               CAST('{a}' AS DOUBLE) * s.gap
+                   + (1e0 - CAST('{a}' AS DOUBLE)) * cr.p
+        FROM seq s JOIN cr ON s.brand = cr.brand AND s.rn = cr.rn + 1
+    ),
+    last AS (
+        SELECT brand, MAX(rn) AS n FROM cr GROUP BY brand
+    )
+    SELECT cr.brand,
+           CAST(last.n AS BIGINT) AS n_demands,
+           cr.day AS last_demand_day,
+           FLOOR(cr.z * 1e6 + 0.5) / 1e6 AS size_ewma,
+           FLOOR(cr.p * 1e6 + 0.5) / 1e6 AS interval_ewma,
+           FLOOR(cr.z / cr.p * 1e6 + 0.5) / 1e6 AS demand_rate
+    FROM cr JOIN last ON cr.brand = last.brand AND cr.rn = last.n
+    """
+
+
+@register(
+    "croston_forecast_eval",
+    survey="ext-timeseries,W2,W4,U2",
+    oracle=_croston_oracle(),
+)
+def croston_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD (Croston 1972) — the forecaster for
+    INTERMITTENT demand, where most periods are zero and a plain EWMA
+    decays toward zero between spikes and lags after them: smooth the
+    demand SIZES (z) and the inter-demand INTERVALS (p) as two
+    separate EWMAs updated only when demand occurs; the demand rate
+    z/p is the per-period forecast. Series: per-brand daily counts of
+    rare large shipments (quantity ≥ {CROSTON_QTY_MIN} — a few
+    demand days per thousand). This member completes the smoothing
+    family (EWMA → Holt-Winters → Kalman → Croston) with the sparse
+    case every spare-parts / long-tail-SKU pipeline hits.
+
+    Replay discipline (the kalman_level_smooth pattern): updates only
+    touch demand events, so the recursion length is n_demands per
+    brand, replayed per-series in applyInPandas with the exact IEEE
+    op order (α·x first, then add) the DuckDB recursive CTE mirrors;
+    α rides repr'd literals; init z₁=d₁, p₁=1; 6dp display snap.
+    Plan: one filtered brand/day aggregate (map-combinable; the
+    filter prunes the scan to the rare rows), then per-brand state of
+    TWO scalars — the 100 TB shape is groupBy(sku).applyInPandas over
+    demand events only, never the dense calendar."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    m = (t["lineitem"].filter(F.col("l_quantity") >= CROSTON_QTY_MIN)
+         .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .groupBy(F.col("p_brand").alias("brand"),
+                  F.col("l_shipdate").cast("date").alias("day"))
+         .agg(F.count("*").alias("d")))
+
+    def croston(pdf):
+        import math
+
+        import pandas as pd
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        days = pdf["day"].to_numpy()
+        dem = pdf["d"].to_numpy()
+        z, p = float(dem[0]), 1.0
+        for i in range(1, len(pdf)):
+            gap = float((days[i] - days[i - 1]).days)
+            z = CROSTON_ALPHA * float(dem[i]) + (1.0 - CROSTON_ALPHA) * z
+            p = CROSTON_ALPHA * gap + (1.0 - CROSTON_ALPHA) * p
+        fr6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "brand": [pdf["brand"].iloc[0]],
+            "n_demands": [len(pdf)],
+            "last_demand_day": [days[-1]],
+            "size_ewma": [fr6(z)],
+            "interval_ewma": [fr6(p)],
+            "demand_rate": [fr6(z / p)],
+        })
+
+    schema = ("brand string, n_demands bigint, last_demand_day date, "
+              "size_ewma double, interval_ewma double, "
+              "demand_rate double")
+    return m.groupBy("brand").applyInPandas(croston, schema=schema)

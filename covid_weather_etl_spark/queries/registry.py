@@ -238,6 +238,7 @@ _ROTATION_R9 = (
     "bradley_terry_strengths", "functional_dependency_profile",
     "cluster_purity_nmi_eval", "shapley_attribution",
     "late_event_accounting", "term_burstiness_profile",
+    "croston_forecast_eval",
     "irls_logreg_fit", "truncation_loss_report", "shard_skew_report",
     "nucleus_sampling_profile", "dpo_pair_construction",
     "rouge_overlap_eval", "dedup_threshold_sensitivity",

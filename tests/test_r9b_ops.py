@@ -389,3 +389,41 @@ def test_term_burstiness_pandas_replay(spark):
     # dispersion >= the underdispersion floor and, for clumpy text,
     # at least one term should be super-Poisson
     assert (df["dispersion"] >= 0).all()
+
+
+def test_croston_pandas_replay(spark):
+    import math
+    from covid_weather_etl_spark.operators.timeseries import (
+        CROSTON_ALPHA, CROSTON_QTY_MIN)
+    df = (_q("croston_forecast_eval").fn(spark, SF_DIR)
+          .toPandas().set_index("brand"))
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_shipdate"])
+    pt = pd.read_parquet(f"{SF_DIR}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    m = (li[li["l_quantity"] >= CROSTON_QTY_MIN]
+         .merge(pt, left_on="l_partkey", right_on="p_partkey"))
+    m["day"] = m["l_shipdate"].dt.date
+    daily = (m.groupby(["p_brand", "day"]).size()
+             .rename("d").reset_index())
+    for brand, g in daily.groupby("p_brand"):
+        g = g.sort_values("day").reset_index(drop=True)
+        z, p = float(g["d"].iloc[0]), 1.0
+        for i in range(1, len(g)):
+            gap = float((g["day"].iloc[i] - g["day"].iloc[i - 1]).days)
+            z = CROSTON_ALPHA * float(g["d"].iloc[i]) \
+                + (1.0 - CROSTON_ALPHA) * z
+            p = CROSTON_ALPHA * gap + (1.0 - CROSTON_ALPHA) * p
+        r = df.loc[brand]
+        assert r["n_demands"] == len(g)
+        assert r["last_demand_day"] == g["day"].iloc[-1]
+        assert abs(r["size_ewma"]
+                   - math.floor(z * 1e6 + 0.5) / 1e6) < 1e-9
+        assert abs(r["interval_ewma"]
+                   - math.floor(p * 1e6 + 0.5) / 1e6) < 1e-9
+        assert abs(r["demand_rate"]
+                   - math.floor(z / p * 1e6 + 0.5) / 1e6) < 1e-9
+    # demand rate bounded by max size / min interval; intervals >= 1
+    assert (df["interval_ewma"] >= 1 - 1e-9).all()
+    assert (df["demand_rate"] <= df["size_ewma"] + 1e-9).all()
