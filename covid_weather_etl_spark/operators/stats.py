@@ -1237,3 +1237,105 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("tok1") == F.col("tok2"))
                      & (F.col("len1") == F.col("len2")))
     return s1.unionByName(s2).unionByName(s3)
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation — variance-optimal stratified sampling design
+# ---------------------------------------------------------------------------
+
+#: total sample budget the allocation distributes.
+NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation_plan",
+    survey="ext-sampling,A6,A10,F10,F9",
+    oracle=f"""
+    WITH s AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(o_totalprice * o_totalprice
+                             AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    ), st AS (
+        SELECT n_name, n_rows,
+               FLOOR(SQRT((sxx - (sx / n_rows) * sx)
+                          / (n_rows - 1)) * 1e6 + 0.5) / 1e6 AS sd
+        FROM s
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(FLOOR(n_rows * sd * 1e6 + 0.5)
+                             AS DECIMAL(25,0))) AS DOUBLE) / 1e6 AS w
+        FROM st
+    )
+    SELECT st.n_name, st.n_rows, st.sd AS stratum_sd,
+           CAST(FLOOR({NEYMAN_BUDGET} * st.n_rows * 1e0 / tot.n_total
+                      + 0.5) AS BIGINT) AS proportional_alloc,
+           CAST(FLOOR({NEYMAN_BUDGET} * (st.n_rows * st.sd) / tot.w
+                      + 0.5) AS BIGINT) AS neyman_alloc,
+           {fround_sql("(st.n_rows * st.sd) / tot.w")} AS neyman_share
+    FROM st CROSS JOIN tot
+    """,
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN ALLOCATION (Neyman 1934) — the variance-optimal way to
+    spend a sampling budget of {NEYMAN_BUDGET} across strata: sample
+    n_h ∝ N_h·S_h (stratum size × stratum std), vs the proportional
+    baseline n_h ∝ N_h. High-variance nations get oversampled, stable
+    ones undersampled — the estimator-variance win every survey /
+    data-audit / eval-set-construction pipeline takes when strata
+    differ in spread (the design-side complement of
+    `stratified_exact_k_sample`, which EXECUTES a plan like this, and
+    of `bootstrap_mean_ci`, which prices the variance this reduces).
+
+    Exactness: per-stratum moments ride DECIMAL sums (2dp money →
+    4dp squares, exact); the std is one shared-text sqrt snapped to
+    1e-6; N_h·S_h products snap to 1e-6 then DECIMAL-sum into the
+    denominator, so every ratio sees identical inputs on both
+    engines; allocations are floor(x+0.5) of those shared
+    expressions. Plan: one fact-side aggregate after two broadcast
+    dim joins (nation/customer are dims), then a ~25-row frame and a
+    1-row broadcast total — map-combinable end to end, no window."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    s = (t["orders"]
+         .join(F.broadcast(t["customer"]
+                           .select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["nation"]
+                           .select("n_nationkey", "n_name")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy("n_name")
+         .agg(F.count("*").alias("n_rows"),
+              F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+              .cast("double").alias("sx"),
+              F.sum((F.col("o_totalprice") * F.col("o_totalprice"))
+                    .cast("decimal(25,6)")).cast("double").alias("sxx")))
+    g6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    st = s.select(
+        "n_name", "n_rows",
+        g6(F.sqrt((F.col("sxx") - (F.col("sx") / F.col("n_rows"))
+                   * F.col("sx")) / (F.col("n_rows") - 1))).alias("sd"))
+    st = st.localCheckpoint(eager=True)  # ~25 rows, reused as both sides
+    tot = st.agg(
+        F.sum("n_rows").cast("long").alias("n_total"),
+        (F.sum(F.floor(F.col("n_rows") * F.col("sd") * F.lit(1e6)
+                       + F.lit(0.5)).cast("decimal(25,0)"))
+         .cast("double") / F.lit(1e6)).alias("w"))
+    return (st.crossJoin(F.broadcast(tot))
+            .select("n_name",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("sd").alias("stratum_sd"),
+                    F.floor(F.lit(NEYMAN_BUDGET) * F.col("n_rows")
+                            * F.lit(1.0) / F.col("n_total") + F.lit(0.5))
+                    .cast("long").alias("proportional_alloc"),
+                    F.floor(F.lit(NEYMAN_BUDGET)
+                            * (F.col("n_rows") * F.col("sd"))
+                            / F.col("w") + F.lit(0.5))
+                    .cast("long").alias("neyman_alloc"),
+                    g6((F.col("n_rows") * F.col("sd")) / F.col("w"))
+                    .alias("neyman_share")))

@@ -2768,3 +2768,109 @@ def term_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_when_present"))
             .orderBy(F.col("cf").desc(), "term")
             .limit(BURST_TOPN))
+
+
+# ---------------------------------------------------------------------------
+# source-level similarity matrix — which corpus slices duplicate effort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_similarity_matrix",
+    survey="ext-quality,A6,J1,F10",
+    oracle="""
+    WITH tc AS (
+        SELECT source, tkn AS term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tkn
+              FROM documents) x
+        GROUP BY 1, 2
+    ), ns AS (
+        SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM tc
+    ), dfs AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY 1
+    ), w AS (
+        SELECT tc.source, tc.term,
+               FLOOR(LN(1e0 + tc.c) * LN(ns.n * 1e0 / dfs.df)
+                     * 1e6 + 0.5) / 1e6 AS w
+        FROM tc JOIN dfs ON dfs.term = tc.term CROSS JOIN ns
+        WHERE dfs.df < ns.n
+    ), norms AS (
+        SELECT source,
+               CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(25,9)))
+                    AS DOUBLE) AS nrm
+        FROM w GROUP BY 1
+    ), dots AS (
+        SELECT a.source AS source_1, b.source AS source_2,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+               CAST(SUM(CAST(ROUND(a.w * b.w, 9) AS DECIMAL(25,9)))
+                    AS DOUBLE) AS dot
+        FROM w a JOIN w b
+          ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT d.source_1, d.source_2, d.n_shared_terms,
+           FLOOR(d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)) * 1e6 + 0.5)
+               / 1e6 AS cosine
+    FROM dots d
+    JOIN norms na ON na.source = d.source_1
+    JOIN norms nb ON nb.source = d.source_2
+    """,
+)
+def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level tf-idf cosine matrix — which corpus slices cover
+    the same ground: each source becomes a log-tf·idf vector over the
+    shared vocabulary (idf at SOURCE grain, so terms present in every
+    source — the stopword axis that makes raw-count cosines all ≈1 —
+    get weight exactly 0 and drop out), and every source pair gets a
+    cosine. The corpus-mix diagnostic upstream of `corpus_mix` /
+    `domain_mix_kl_report`: two sources with cosine ≈ 1 are buying
+    the same distribution twice, and the dedup budget
+    (`cross_source_chunk_duplication`) should go to exactly those
+    pairs first.
+
+    Exactness: counts/df integer; each weight is two LNs of integer
+    ratios in one shared text, snapped to 1e-6; pairwise products
+    snap to 1e-9 and DECIMAL-sum (order-free); the final cosine is
+    one shared divide-of-sqrts, snapped. Plan: (source, term) counts
+    are map-combinable and Zipf-bounded; the pair dot-products come
+    from a TERM-KEYED self-join (fan-out Σ_t sources(t)² ≤ vocab·s²,
+    never docs²) — the same blocking argument as the prefix-filter
+    joins; norms and the final matrix are |sources|-bounded."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    tc = (spread(t["documents"], "doc_id")
+          .select("source",
+                  F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("source", "term").agg(F.count("*").alias("c")))
+    ns = tc.agg(F.countDistinct("source").alias("n"))
+    dfs = tc.groupBy("term").agg(F.count("*").alias("df"))
+    g6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    w = (tc.join(dfs, "term")
+         .crossJoin(F.broadcast(ns))
+         .filter(F.col("df") < F.col("n"))
+         .select("source", "term",
+                 g6(F.log(F.lit(1.0) + F.col("c"))
+                    * F.log(F.col("n") * F.lit(1.0) / F.col("df")))
+                 .alias("w"))
+         .localCheckpoint(eager=True))  # vocab-bounded, reused 3x
+    r9 = lambda c: F.round(c, 9).cast("decimal(25,9)")  # noqa: E731
+    norms = (w.groupBy("source")
+             .agg(F.sum(r9(F.col("w") * F.col("w"))).cast("double")
+                  .alias("nrm")))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (a.join(b, (F.col("a.term") == F.col("b.term"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_1"),
+                     F.col("b.source").alias("source_2"))
+            .agg(F.count("*").alias("n_shared_terms"),
+                 F.sum(r9(F.col("a.w") * F.col("b.w"))).cast("double")
+                 .alias("dot")))
+    na = norms.withColumnRenamed("source", "source_1") \
+        .withColumnRenamed("nrm", "na")
+    nb = norms.withColumnRenamed("source", "source_2") \
+        .withColumnRenamed("nrm", "nb")
+    return (dots.join(F.broadcast(na), "source_1")
+            .join(F.broadcast(nb), "source_2")
+            .select("source_1", "source_2", "n_shared_terms",
+                    g6(F.col("dot")
+                       / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
+                    .alias("cosine")))

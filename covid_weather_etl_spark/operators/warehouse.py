@@ -773,3 +773,132 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(F.count("*").alias("n_rows"),
                  F.bit_xor(h).alias("xor_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# zone-map pruning effectiveness — does the layout actually skip?
+# ---------------------------------------------------------------------------
+
+#: blocks for the unclustered layout (row-group proxy).
+ZM_BLOCKS = 64
+#: month-range probe workload the zone maps are scored against.
+ZM_QUERY_MONTHS = ("1995-03-01", "1996-08-01", "1998-01-01",
+                   "2000-06-01")
+
+
+def _zm_oracle() -> str:
+    months = ", ".join(f"DATE '{m}'" for m in ZM_QUERY_MONTHS)
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ), blocks AS (
+        SELECT 'unclustered' AS layout,
+               CAST(o_orderkey % {ZM_BLOCKS} AS BIGINT) AS block, d
+        FROM base
+        UNION ALL
+        SELECT 'date_clustered',
+               CAST((EXTRACT(year FROM d) * 12
+                     + EXTRACT(month FROM d)) AS BIGINT), d
+        FROM base
+    ), zone AS (
+        SELECT layout, block, MIN(d) AS lo, MAX(d) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM blocks GROUP BY 1, 2
+    ), q AS (
+        SELECT q_start, q_start + INTERVAL 1 MONTH AS q_end
+        FROM (SELECT unnest([{months}]) AS q_start)
+    ), probe AS (
+        SELECT z.layout, q.q_start,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN z.lo < q.q_end AND z.hi >= q.q_start
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS scanned_blocks,
+               CAST(SUM(CASE WHEN z.lo < q.q_end AND z.hi >= q.q_start
+                             THEN z.n_rows ELSE 0 END) AS BIGINT)
+                   AS scanned_rows
+        FROM zone z CROSS JOIN q
+        GROUP BY 1, 2
+    ), match AS (
+        SELECT b.layout, q.q_start,
+               CAST(COUNT(*) AS BIGINT) AS matching_rows
+        FROM blocks b JOIN q
+          ON b.d >= q.q_start AND b.d < q.q_end
+        GROUP BY 1, 2
+    )
+    SELECT p.layout, CAST(p.q_start AS DATE) AS q_month,
+           p.n_blocks, p.scanned_blocks, p.scanned_rows,
+           COALESCE(m.matching_rows, 0) AS matching_rows,
+           FLOOR(p.scanned_blocks * 1e0 / p.n_blocks * 1e6 + 0.5)
+               / 1e6 AS scan_share
+    FROM probe p LEFT JOIN match m
+      ON m.layout = p.layout AND m.q_start = p.q_start
+    """
+
+
+@register(
+    "zonemap_pruning_eval",
+    survey="ext-layout,A6,A8,J1,F9",
+    oracle=_zm_oracle(),
+)
+def zonemap_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP pruning effectiveness — the measurement behind every
+    layout decision (`zorder_layout` plans a layout; this scores one):
+    build per-block min/max footers for two layouts of the same table
+    (unclustered: key-scattered blocks, the shape of insertion-order
+    ingest; date-clustered: month blocks, the shape after OPTIMIZE /
+    sortWithinPartitions), then replay a month-range probe workload
+    against the footers and count which blocks a scan could SKIP. On
+    the clustered layout scan_share collapses to ~1/n_months; on the
+    unclustered one every block straddles every month (min/max spans
+    everything) and nothing prunes — the quantified argument for
+    paying the clustering write cost, and exactly what the engine's
+    own parquet scans do with footer stats (test_plans pins pushdown;
+    this op prices it).
+
+    Exactness: dates and counts are integers; the only float is the
+    final share (1e-6 snap). Plan: one narrow block-assignment map,
+    one (layout, block) min/max/count aggregate (map-combinable,
+    block-bounded output), a 4-row broadcast probe join, plus one
+    direct selectivity aggregate for ground truth — the fact is
+    scanned twice, nothing wider than the zone table shuffles."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    base = t["orders"].select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d"))
+    blocks = (base.select(
+        F.lit("unclustered").alias("layout"),
+        (F.col("o_orderkey") % ZM_BLOCKS).cast("long").alias("block"),
+        "d")
+        .unionByName(base.select(
+            F.lit("date_clustered").alias("layout"),
+            (F.year("d") * 12 + F.month("d")).cast("long")
+            .alias("block"), "d")))
+    zone = (blocks.groupBy("layout", "block")
+            .agg(F.min("d").alias("lo"), F.max("d").alias("hi"),
+                 F.count("*").alias("n_rows")))
+    q = spark.createDataFrame([(m,) for m in ZM_QUERY_MONTHS],
+                              "q_start string") \
+        .select(F.col("q_start").cast("date").alias("q_start")) \
+        .withColumn("q_end", F.add_months("q_start", 1))
+    hit = (F.col("lo") < F.col("q_end")) & (F.col("hi") >= F.col("q_start"))
+    probe = (zone.crossJoin(F.broadcast(q))
+             .groupBy("layout", "q_start")
+             .agg(F.count("*").alias("n_blocks"),
+                  F.sum(hit.cast("long")).alias("scanned_blocks"),
+                  F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+                  .cast("long").alias("scanned_rows")))
+    match = (blocks.join(F.broadcast(q),
+                         (F.col("d") >= F.col("q_start"))
+                         & (F.col("d") < F.col("q_end")))
+             .groupBy("layout", "q_start")
+             .agg(F.count("*").alias("matching_rows")))
+    return (probe.join(match, ["layout", "q_start"], "left")
+            .select("layout", F.col("q_start").alias("q_month"),
+                    F.col("n_blocks").cast("long").alias("n_blocks"),
+                    "scanned_blocks", "scanned_rows",
+                    F.coalesce(F.col("matching_rows"), F.lit(0))
+                    .cast("long").alias("matching_rows"),
+                    (F.floor(F.col("scanned_blocks") * F.lit(1.0)
+                             / F.col("n_blocks") * F.lit(1e6)
+                             + F.lit(0.5)) / F.lit(1e6))
+                    .alias("scan_share")))

@@ -238,7 +238,8 @@ _ROTATION_R9 = (
     "bradley_terry_strengths", "functional_dependency_profile",
     "cluster_purity_nmi_eval", "shapley_attribution",
     "late_event_accounting", "term_burstiness_profile",
-    "croston_forecast_eval",
+    "croston_forecast_eval", "zonemap_pruning_eval",
+    "neyman_allocation_plan", "source_similarity_matrix",
     "irls_logreg_fit", "truncation_loss_report", "shard_skew_report",
     "nucleus_sampling_profile", "dpo_pair_construction",
     "rouge_overlap_eval", "dedup_threshold_sensitivity",

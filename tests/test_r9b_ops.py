@@ -427,3 +427,97 @@ def test_croston_pandas_replay(spark):
     # demand rate bounded by max size / min interval; intervals >= 1
     assert (df["interval_ewma"] >= 1 - 1e-9).all()
     assert (df["demand_rate"] <= df["size_ewma"] + 1e-9).all()
+
+
+def test_zonemap_pruning_contrast(spark):
+    from covid_weather_etl_spark.operators.warehouse import (
+        ZM_BLOCKS, ZM_QUERY_MONTHS)
+    df = (_q("zonemap_pruning_eval").fn(spark, SF_DIR).toPandas())
+    assert len(df) == 2 * len(ZM_QUERY_MONTHS)
+    un = df[df["layout"] == "unclustered"]
+    cl = df[df["layout"] == "date_clustered"]
+    # unclustered: key-scattered blocks straddle every month — nothing
+    # prunes; clustered: only the probe month's block scans
+    # (not == 100%: at the pytest SF a ~23-row block can end before a
+    # late probe month; the CONTRAST vs clustered is the invariant)
+    assert (un["scanned_blocks"] >= 0.5 * ZM_BLOCKS).all()
+    assert un["scan_share"].mean() >= 0.8
+    assert (un["scanned_blocks"].min()
+            > 10 * cl["scanned_blocks"].max())
+    assert (cl["scanned_blocks"] <= 2).all()
+    assert (cl["scan_share"] < 0.1).all()
+    # zone maps are sound: a scan can never miss matching rows
+    assert (df["scanned_rows"] >= df["matching_rows"]).all()
+    # ground truth selectivity identical across layouts
+    m = df.groupby("q_month")["matching_rows"].nunique()
+    assert (m == 1).all()
+
+
+def test_neyman_allocation_pandas_replay(spark):
+    from covid_weather_etl_spark.operators.stats import NEYMAN_BUDGET
+    df = (_q("neyman_allocation_plan").fn(spark, SF_DIR)
+          .toPandas().set_index("n_name"))
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    m = (o.merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(n, left_on="c_nationkey", right_on="n_nationkey"))
+    g = m.groupby("n_name")["o_totalprice"].agg(["size", "std"])
+    for name, r in df.iterrows():
+        assert r["n_rows"] == g.loc[name, "size"]
+        assert abs(r["stratum_sd"] - g.loc[name, "std"]) < 1e-3
+    # total allocations land within rounding slack of the budget
+    assert abs(df["neyman_alloc"].sum() - NEYMAN_BUDGET) <= len(df)
+    assert abs(df["proportional_alloc"].sum() - NEYMAN_BUDGET) <= len(df)
+    assert abs(df["neyman_share"].sum() - 1.0) < 1e-4
+    # Neyman oversamples the high-variance strata relative to
+    # proportional whenever sd exceeds the weighted mean sd
+    wmean_sd = (df["n_rows"] * df["stratum_sd"]).sum() / df["n_rows"].sum()
+    hi = df["stratum_sd"] > wmean_sd * 1.02
+    lo = df["stratum_sd"] < wmean_sd * 0.98
+    if hi.any():
+        assert (df.loc[hi, "neyman_alloc"]
+                >= df.loc[hi, "proportional_alloc"] - 1).all()
+    if lo.any():
+        assert (df.loc[lo, "neyman_alloc"]
+                <= df.loc[lo, "proportional_alloc"] + 1).all()
+
+
+def test_source_similarity_matrix_shape_and_bounds(spark):
+    import math
+    from collections import Counter
+    df = (_q("source_similarity_matrix").fn(spark, SF_DIR)
+          .toPandas())
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "text"])
+    s = sorted(docs["source"].unique())
+    # pairs with no shared discriminative term are absent (zero cosine)
+    assert 0 < len(df) <= len(s) * (len(s) - 1) // 2
+    assert (df["cosine"] >= 0).all() and (df["cosine"] <= 1 + 1e-9).all()
+    assert (df["source_1"] < df["source_2"]).all()
+    assert not df.duplicated(["source_1", "source_2"]).any()
+    # numpy tf-idf replay for the pair sharing the most terms
+    tc = {src: Counter(" ".join(g["text"]).split(" "))
+          for src, g in docs.groupby("source")}
+    dfs = Counter()
+    for src in s:
+        for term in tc[src]:
+            dfs[term] += 1
+    ns = len(s)
+    top = df.sort_values(["n_shared_terms", "source_1", "source_2"],
+                         ascending=[False, True, True]).iloc[0]
+    a, b = top["source_1"], top["source_2"]
+    g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    wa = {t: g6(math.log(1 + c) * math.log(ns / dfs[t]))
+          for t, c in tc[a].items() if dfs[t] < ns}
+    wb = {t: g6(math.log(1 + c) * math.log(ns / dfs[t]))
+          for t, c in tc[b].items() if dfs[t] < ns}
+    dot = sum(round(wa[t] * wb[t], 9) for t in wa if t in wb)
+    na = sum(round(v * v, 9) for v in wa.values())
+    nb = sum(round(v * v, 9) for v in wb.values())
+    exp = g6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    got = df[(df["source_1"] == a)
+             & (df["source_2"] == b)]["cosine"].iloc[0]
+    assert abs(got - exp) < 2e-6
