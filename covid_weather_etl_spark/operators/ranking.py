@@ -731,3 +731,131 @@ def ndcg_popularity_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         (F.floor(F.sum("ndcg").cast("double") / F.count("*")
                  * 1e6 + 0.5) / 1e6).alias("mean_ndcg")))
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap — top-weighted agreement between two rankings
+# ---------------------------------------------------------------------------
+
+#: RBO persistence parameter and evaluation depth.
+RBO_P = 0.9
+RBO_DEPTH = 50
+#: depths reported (prefix agreements + truncated RBO at each).
+RBO_REPORT_DEPTHS = (10, 25, 50)
+
+
+@register(
+    "rank_biased_overlap",
+    survey="ext-rank,A6,W6,F10",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,6))) AS v
+        FROM lineitem GROUP BY 1
+    ), qty AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_quantity AS DECIMAL(25,6))) AS v
+        FROM lineitem GROUP BY 1
+    ), la AS (
+        SELECT pk, CAST(ROW_NUMBER() OVER (ORDER BY v DESC, pk) AS BIGINT)
+                   AS ra
+        FROM rev QUALIFY ra <= {RBO_DEPTH}
+    ), lb AS (
+        SELECT pk, CAST(ROW_NUMBER() OVER (ORDER BY v DESC, pk) AS BIGINT)
+                   AS rb
+        FROM qty QUALIFY rb <= {RBO_DEPTH}
+    ), joint AS (
+        SELECT la.pk, GREATEST(la.ra, lb.rb) AS m
+        FROM la JOIN lb ON la.pk = lb.pk
+    ), depths AS (
+        SELECT CAST(unnest(generate_series(1, {RBO_DEPTH})) AS BIGINT)
+               AS d
+    ), od AS (
+        SELECT d.d, CAST(COUNT(j.pk) AS BIGINT) AS o
+        FROM depths d LEFT JOIN joint j ON j.m <= d.d
+        GROUP BY d.d
+    ), terms AS (
+        SELECT d, o,
+               CAST(ROUND((1e0 - {RBO_P!r}) * POW({RBO_P!r}, d - 1)
+                          * o / d, 9) AS DECIMAL(25,9)) AS term
+        FROM od
+    )
+    SELECT a.d AS depth,
+           a.o AS n_overlap,
+           FLOOR(a.o * 1e0 / a.d * 1e6 + 0.5) / 1e6 AS agreement,
+           FLOOR(CAST(SUM(b.term) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS rbo_truncated
+    FROM terms a JOIN terms b ON b.d <= a.d
+    WHERE a.d IN ({", ".join(str(d) for d in RBO_REPORT_DEPTHS)})
+    GROUP BY a.d, a.o
+    """,
+)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber et al. 2010) between two part
+    rankings — by revenue vs by shipped quantity: RBO_d =
+    (1−p)·Σ_{{k≤d}} p^{{k−1}}·|A_k ∩ B_k|/k with persistence
+    p={RBO_P}, reported at depths {RBO_REPORT_DEPTHS}. The
+    top-weighted agreement measure for comparing rankers when only
+    prefixes matter (two rankers that agree on the head and scramble
+    the tail score high — Spearman over full lists can't say that);
+    completes the ranking-eval family (NDCG judges one ranking
+    against labels; RBO compares two rankings to each other, the A/B
+    question for retrieval/ranker rollouts).
+
+    Exactness: both rankings order by exact DECIMAL totals with pk
+    tie-break (total order); prefix-overlap counts come from the
+    integer identity item ∈ A_d∩B_d ⟺ max(rank_A, rank_B) ≤ d; each
+    RBO term is one shared-text pow/divide snapped to 1e-9 and
+    DECIMAL-summed over the triangular depth join. Plan: two
+    map-combinable part aggregates, two TakeOrdered({RBO_DEPTH})
+    heads whose in-list positions are recovered by a broadcast
+    {RBO_DEPTH}²-row self-count (no global window — positions within
+    the top-D list ARE global positions, since the list is the global
+    head under the same total order); everything after is
+    {RBO_DEPTH}-bounded."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+
+    def topd(df: DataFrame, rank_name: str) -> DataFrame:
+        head = (df.orderBy(F.col("v").desc(), F.col("pk"))
+                .limit(RBO_DEPTH).localCheckpoint(eager=True))
+        x, y = head.alias("x"), head.alias("y")
+        beats = (F.col("y.v") > F.col("x.v")) | \
+            ((F.col("y.v") == F.col("x.v"))
+             & (F.col("y.pk") < F.col("x.pk")))
+        return (x.join(F.broadcast(y), beats, "left")
+                .groupBy(F.col("x.pk").alias("pk"))
+                .agg((F.count(F.col("y.pk")) + 1).cast("long")
+                     .alias(rank_name)))
+
+    rev = (li.groupBy(F.col("l_partkey").alias("pk"))
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")))
+                      .cast("decimal(25,6)")).alias("v")))
+    qty = (li.groupBy(F.col("l_partkey").alias("pk"))
+           .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+                .alias("v")))
+    joint = (topd(rev, "ra").join(topd(qty, "rb"), "pk")
+             .select("pk", F.greatest("ra", "rb").alias("m")))
+    depths = spark.range(1, RBO_DEPTH + 1) \
+        .select(F.col("id").alias("d"))
+    od = (depths.join(F.broadcast(joint), F.col("m") <= F.col("d"),
+                      "left")
+          .groupBy("d").agg(F.count("pk").alias("o"))
+          .localCheckpoint(eager=True))  # depth-bounded, reused 2x
+    term = F.round((1.0 - RBO_P) * F.pow(F.lit(RBO_P), F.col("d") - 1)
+                   * F.col("o") / F.col("d"), 9).cast("decimal(25,9)")
+    terms = od.select("d", "o", term.alias("term"))
+    a, b = terms.alias("a"), terms.alias("b")
+    g6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (a.join(F.broadcast(b), F.col("b.d") <= F.col("a.d"))
+            .filter(F.col("a.d").isin(*RBO_REPORT_DEPTHS))
+            .groupBy(F.col("a.d").alias("depth"),
+                     F.col("a.o").alias("n_overlap"))
+            .agg(g6(F.col("n_overlap") * F.lit(1.0) / F.col("depth"))
+                 .alias("agreement"),
+                 g6(F.sum("b.term").cast("double"))
+                 .alias("rbo_truncated"))
+            .select("depth", F.col("n_overlap").cast("long")
+                    .alias("n_overlap"), "agreement", "rbo_truncated"))

@@ -2874,3 +2874,84 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     g6(F.col("dot")
                        / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
                     .alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM seed vocabulary — the SentencePiece counterpart to BPE
+# ---------------------------------------------------------------------------
+
+#: candidate substring lengths and the seed-vocab size reported.
+UVS_MIN_LEN, UVS_MAX_LEN = 2, 4
+UVS_TOPK = 30
+
+
+def _uvs_oracle() -> str:
+    parts = []
+    for ln in range(UVS_MIN_LEN, UVS_MAX_LEN + 1):
+        parts.append(f"""
+        SELECT substr(w, g.i, {ln}) AS piece,
+               CAST({ln} AS BIGINT) AS piece_len, c
+        FROM wc, LATERAL (SELECT unnest(generate_series(1,
+                          len(w) - {ln - 1})) AS i) g
+        WHERE len(w) >= {ln}""")
+    return f"""
+    WITH wc AS (
+        SELECT tkn AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tkn
+              FROM documents) x
+        GROUP BY 1
+    ), cand AS ({" UNION ALL ".join(parts)})
+    SELECT piece, piece_len,
+           CAST(SUM(c) AS BIGINT) AS freq,
+           CAST(SUM(c) * piece_len AS BIGINT) AS score
+    FROM cand GROUP BY piece, piece_len
+    ORDER BY score DESC, piece
+    LIMIT {UVS_TOPK}
+    """
+
+
+@register(
+    "unigram_vocab_seed",
+    survey="LLM-token,A6,W7,F1",
+    oracle=_uvs_oracle(),
+)
+def unigram_vocab_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM tokenizer SEED vocabulary (Kudo 2018, the
+    SentencePiece algorithm's step 0 — the other major tokenizer
+    family next to the BPE lifecycle already in the registry): harvest
+    every within-word substring of length {UVS_MIN_LEN}–{UVS_MAX_LEN},
+    score each candidate by frequency × length (the bytes-covered
+    heuristic the seed step ranks with before EM pruning), and keep
+    the top {UVS_TOPK}. BPE grows pieces bottom-up by merging; unigram
+    starts from this over-complete seed and prunes — which is why a
+    corpus-level seed table is the required first artifact.
+
+    Exactness: pure integer counting (substring explosion is weighted
+    by word-type counts, so the fan-out is VOCABULARY-sized, never
+    corpus-sized — the same Zipf-bounding as the BPE ops); score =
+    freq·len is integer; the cut is ORDER BY (score, piece) — total
+    order, deterministic. Plan: one token count (map-combinable), a
+    ≤3× vocab-sized explode, one piece-keyed aggregate, one
+    TakeOrdered — no window, no join."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    wc = (spread(t["documents"], "doc_id")
+          .select(F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("w").agg(F.count("*").alias("c")))
+    outs = []
+    for ln in range(UVS_MIN_LEN, UVS_MAX_LEN + 1):
+        pieces = F.expr(
+            f"transform(sequence(1, length(w) - {ln - 1}), "
+            f"i -> substring(w, i, {ln}))")
+        outs.append(wc.filter(F.length("w") >= ln)
+                    .select(F.explode(pieces).alias("piece"),
+                            F.lit(ln).cast("long").alias("piece_len"),
+                            "c"))
+    cand = outs[0]
+    for o in outs[1:]:
+        cand = cand.unionByName(o)
+    return (cand.groupBy("piece", "piece_len")
+            .agg(F.sum("c").cast("long").alias("freq"),
+                 (F.sum("c") * F.col("piece_len")).cast("long")
+                 .alias("score"))
+            .orderBy(F.col("score").desc(), "piece")
+            .limit(UVS_TOPK))

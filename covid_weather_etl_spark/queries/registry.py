@@ -240,6 +240,7 @@ _ROTATION_R9 = (
     "late_event_accounting", "term_burstiness_profile",
     "croston_forecast_eval", "zonemap_pruning_eval",
     "neyman_allocation_plan", "source_similarity_matrix",
+    "unigram_vocab_seed", "rank_biased_overlap",
     "irls_logreg_fit", "truncation_loss_report", "shard_skew_report",
     "nucleus_sampling_profile", "dpo_pair_construction",
     "rouge_overlap_eval", "dedup_threshold_sensitivity",
@@ -253,19 +254,21 @@ _ROTATION_R9 = (
     "stratified_split_summary", "tfidf_top_terms", "token_stats",
     "transform_logs_table", "tumbling_window_counts",
     "validation_routing", "winnowing_fingerprint",
-    # oldest 23 of the 44-row r03 cohort (alphabetical)
+    # oldest 5 of the 44-row r03 cohort (alphabetical; the 18
+    # continuation-session new ops above displaced the other 18 this
+    # window had planned — never-checked queries outrank refreshes)
     "anti_join_never_ordered", "avg_latency_seconds", "chrono_split",
-    "conditional_labels", "correlation_matrix", "cube_revenue",
-    "cyclical_encoding", "daily_activity_trend", "date_bounds",
-    "date_parts", "dim_get_or_create", "docs_exact_dedup",
-    "epoch_scalar_fns", "error_rate_by_type", "etl_kpi_cards",
-    "first_difference", "frame_sample", "in_list_filter",
-    "join_chain_3way", "join_chain_4way_revenue", "join_filtered_2way",
-    "json_extraction", "label_encode_segment",
+    "conditional_labels", "correlation_matrix",
 )
-# R10 queue: the 21 r03 rows displaced from this window
-# (lag_features, latest_event_per_user, left_join_made_inner,
-# media_catalog, monthly_boxplot_stats, null_profile, orders_by_month,
+# R10 queue: the 39 remaining r03 rows displaced from this window
+# (cube_revenue, cyclical_encoding,
+# daily_activity_trend, date_bounds, date_parts, dim_get_or_create,
+# docs_exact_dedup, epoch_scalar_fns, error_rate_by_type,
+# etl_kpi_cards, first_difference, frame_sample, in_list_filter,
+# join_chain_3way, join_chain_4way_revenue, join_filtered_2way,
+# json_extraction, label_encode_segment, lag_features,
+# latest_event_per_user, left_join_made_inner, media_catalog,
+# monthly_boxplot_stats, null_profile, orders_by_month,
 # pipeline_status, pivot_status_revenue, recent_events_limit,
 # rolling_features, rollup_revenue, running_total,
 # scalar_string_date_fns, semi_join_open_orders,

@@ -521,3 +521,57 @@ def test_source_similarity_matrix_shape_and_bounds(spark):
     got = df[(df["source_1"] == a)
              & (df["source_2"] == b)]["cosine"].iloc[0]
     assert abs(got - exp) < 2e-6
+
+
+def test_unigram_vocab_seed_pandas_replay(spark):
+    from collections import Counter
+    from covid_weather_etl_spark.operators.text import (
+        UVS_MAX_LEN, UVS_MIN_LEN, UVS_TOPK)
+    df = (_q("unigram_vocab_seed").fn(spark, SF_DIR).toPandas())
+    assert len(df) == UVS_TOPK
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["text"])
+    wc = Counter(" ".join(docs["text"]).split(" "))
+    cand = Counter()
+    for w, c in wc.items():
+        for ln in range(UVS_MIN_LEN, UVS_MAX_LEN + 1):
+            for i in range(len(w) - ln + 1):
+                cand[w[i:i + ln]] += c
+    scored = sorted(((c * len(p), p) for p, c in cand.items()),
+                    key=lambda t: (-t[0], t[1]))[:UVS_TOPK]
+    assert [p for _, p in scored] == list(df["piece"])
+    for _, r in df.iterrows():
+        assert r["freq"] == cand[r["piece"]]
+        assert r["score"] == cand[r["piece"]] * len(r["piece"])
+        assert r["piece_len"] == len(r["piece"])
+
+
+def test_rank_biased_overlap_pandas_replay(spark):
+    import math
+    from covid_weather_etl_spark.operators.ranking import (
+        RBO_DEPTH, RBO_P, RBO_REPORT_DEPTHS)
+    df = (_q("rank_biased_overlap").fn(spark, SF_DIR)
+          .toPandas().set_index("depth").sort_index())
+    assert list(df.index) == sorted(RBO_REPORT_DEPTHS)
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_quantity"])
+    li["rev"] = (li["l_extendedprice"] * (1 - li["l_discount"])).round(6)
+    rev = li.groupby("l_partkey")["rev"].sum().round(6)
+    qty = li.groupby("l_partkey")["l_quantity"].sum().round(6)
+    ra = {pk: i + 1 for i, pk in enumerate(
+        sorted(rev.index, key=lambda k: (-rev[k], k))[:RBO_DEPTH])}
+    rb = {pk: i + 1 for i, pk in enumerate(
+        sorted(qty.index, key=lambda k: (-qty[k], k))[:RBO_DEPTH])}
+    m = {pk: max(ra[pk], rb[pk]) for pk in ra if pk in rb}
+    for d in RBO_REPORT_DEPTHS:
+        o = sum(1 for v in m.values() if v <= d)
+        assert df.loc[d, "n_overlap"] == o
+        rbo = sum(round((1 - RBO_P) * RBO_P ** (k - 1)
+                        * sum(1 for v in m.values() if v <= k) / k, 9)
+                  for k in range(1, d + 1))
+        assert abs(df.loc[d, "rbo_truncated"]
+                   - math.floor(rbo * 1e6 + 0.5) / 1e6) < 2e-6
+    # RBO truncated is non-decreasing in depth; agreement in [0,1]
+    assert df["rbo_truncated"].is_monotonic_increasing
+    assert (df["agreement"] <= 1).all()
