@@ -910,3 +910,208 @@ def sprt_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.least(F.coalesce("d1", "d0"),
                            F.coalesce("d0", "d1")), F.lit(0))
         .cast("long").alias("decision_day")))
+
+
+# ---------------------------------------------------------------------------
+# Holm step-down multiple-testing correction over a fleet of A/B reads
+# ---------------------------------------------------------------------------
+
+#: family-wise error rate and the DESIGN test count (the 25 nations;
+#: thresholds are baked at this m, so the procedure is exactly Holm
+#: when all 25 strata test and conservative if any stratum drops out).
+HOLM_ALPHA = 0.05
+HOLM_M = 25
+
+
+def _norm_ppf(p: float) -> float:
+    """Acklam's rational approximation to the standard normal inverse
+    CDF (|rel err| < 1.15e-9) — pure-Python deterministic floats, used
+    ONLY to bake critical-value literals shared by both engines."""
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    import math
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                  + c[4]) * q + c[5])
+                / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    if p > phigh:
+        return -_norm_ppf(1 - p)
+    q = p - 0.5
+    r = q * q
+    return ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r
+              + a[4]) * r + a[5]) * q
+            / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+                + b[4]) * r + 1))
+
+
+#: per-rank Holm critical |z| values: rank k tests at alpha/(m-k+1).
+HOLM_ZCRIT = tuple(
+    round(_norm_ppf(1 - HOLM_ALPHA / (2 * (HOLM_M - k + 1))), 6)
+    for k in range(1, HOLM_M + 1))
+_BONF_Z = HOLM_ZCRIT[0]                 # alpha/m — Bonferroni
+_RAW_Z = round(_norm_ppf(1 - HOLM_ALPHA / 2), 6)   # unadjusted
+
+
+def _holm_oracle() -> str:
+    zrows = ", ".join(f"({k + 1}, {z!r})"
+                      for k, z in enumerate(HOLM_ZCRIT))
+    return f"""
+    WITH s AS (
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(o_totalprice * o_totalprice, 6)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n ON c_nationkey = n.n_nationkey
+        GROUP BY 1
+    ), g AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_g,
+               SUM(sx) AS sx_g, SUM(sxx) AS sxx_g
+        FROM s
+    ), z AS (
+        SELECT s.n_name, s.n,
+               FLOOR(((s.sx / s.n) - ((g.sx_g - s.sx) / (g.n_g - s.n)))
+                     / SQRT(((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))
+                                / s.n
+                            + (((g.sxx_g - s.sxx)
+                                - (g.sx_g - s.sx) * (g.sx_g - s.sx)
+                                  / (g.n_g - s.n)) / (g.n_g - s.n - 1))
+                              / (g.n_g - s.n))
+                     * 1e6 + 0.5) / 1e6 AS z
+        FROM s CROSS JOIN g
+        WHERE s.n >= 2
+    ), ranked AS (
+        SELECT a.n_name, a.n, a.z,
+               CAST(1 + COUNT(CASE WHEN ABS(b.z) > ABS(a.z)
+                              OR (ABS(b.z) = ABS(a.z)
+                                  AND b.n_name < a.n_name)
+                              THEN 1 END) AS BIGINT) AS rk
+        FROM z a LEFT JOIN z b ON b.n_name <> a.n_name
+        GROUP BY a.n_name, a.n, a.z
+    ), crit AS (SELECT * FROM (VALUES {zrows}) AS t(rk, zcrit)),
+    dec AS (
+        SELECT r.n_name, r.n, r.z, r.rk, c.zcrit,
+               CASE WHEN ABS(r.z) >= c.zcrit THEN 1 ELSE 0 END AS pass_k
+        FROM ranked r JOIN crit c ON c.rk = r.rk
+    )
+    SELECT d.n_name, d.n, d.z, d.rk AS holm_rank,
+           CASE WHEN ABS(d.z) >= {_RAW_Z!r} THEN 1 ELSE 0 END
+               AS reject_unadjusted,
+           CASE WHEN ABS(d.z) >= {_BONF_Z!r} THEN 1 ELSE 0 END
+               AS reject_bonferroni,
+           CAST(MIN(e.pass_k) AS INT) AS reject_holm
+    FROM dec d JOIN dec e ON e.rk <= d.rk
+    GROUP BY d.n_name, d.n, d.z, d.rk
+    """
+
+
+@register(
+    "holm_multiple_tests",
+    survey="ext-drift,A6,A10,F9",
+    oracle=_holm_oracle(),
+)
+def holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLM step-down correction over a FLEET of per-nation Welch
+    z-tests (nation mean order value vs everyone else) — the
+    multiple-comparisons discipline the per-test members of the A/B
+    family (welch_ttest_ab, sprt_ab_sequential, cuped, did) need the
+    moment a dashboard fans one metric across {HOLM_M} strata and
+    'discovers' the reddest cell: unadjusted testing at α={HOLM_ALPHA}
+    false-alarms ~1−0.95^{HOLM_M} ≈ 72% of the time. Reported per
+    stratum: the z, its rank, and three verdicts — unadjusted,
+    Bonferroni (α/m — uniformly conservative), and Holm (step-down:
+    rank k tests at α/(m−k+1), stop at the first failure — uniformly
+    more powerful than Bonferroni at the same FWER, Holm 1979).
+
+    Replay discipline: per-stratum sufficient statistics are exact
+    DECIMAL sums on the 2dp money grid; each z is ONE shared-text
+    expression snapped to 1e-6; critical values are Acklam inverse-
+    normal LITERALS baked identically into both engines (no erf at
+    query time); the rank is a broadcast self-count over the
+    {HOLM_M}-row test frame (total order: |z| desc, name), and Holm's
+    'all previous ranks must also reject' is a triangular MIN over
+    the same tiny frame — no window anywhere. Plan: one fact
+    aggregate behind two broadcast dim joins; everything after is
+    {HOLM_M}-row algebra."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
+    s = (t["orders"]
+         .join(F.broadcast(t["customer"]
+                           .select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["nation"]
+                           .select("n_nationkey", "n_name")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy("n_name")
+         .agg(F.count("*").alias("n"),
+              F.sum(dec(F.col("o_totalprice"))).cast("double")
+              .alias("sx"),
+              F.sum(dec(F.round(F.col("o_totalprice")
+                                * F.col("o_totalprice"), 6)))
+              .cast("double").alias("sxx")))
+    g = s.agg(F.sum("n").alias("n_g"), F.sum("sx").alias("sx_g"),
+              F.sum("sxx").alias("sxx_g"))
+    mean_a = F.col("sx") / F.col("n")
+    mean_r = (F.col("sx_g") - F.col("sx")) / (F.col("n_g") - F.col("n"))
+    var_a = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) \
+        / (F.col("n") - 1)
+    var_r = ((F.col("sxx_g") - F.col("sxx"))
+             - (F.col("sx_g") - F.col("sx"))
+             * (F.col("sx_g") - F.col("sx"))
+             / (F.col("n_g") - F.col("n"))) \
+        / (F.col("n_g") - F.col("n") - 1)
+    zexpr = F.floor((mean_a - mean_r)
+                    / F.sqrt(var_a / F.col("n")
+                             + var_r / (F.col("n_g") - F.col("n")))
+                    * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    z = (s.crossJoin(F.broadcast(g))
+         .filter(F.col("n") >= 2)
+         .select("n_name", "n", zexpr.alias("z"))
+         .localCheckpoint(eager=True))  # test-frame-sized, reused 3x
+    a, b = z.alias("a"), z.alias("b")
+    beats = (F.abs(F.col("b.z")) > F.abs(F.col("a.z"))) | \
+        ((F.abs(F.col("b.z")) == F.abs(F.col("a.z")))
+         & (F.col("b.n_name") < F.col("a.n_name")))
+    ranked = (a.join(F.broadcast(b),
+                     F.col("b.n_name") != F.col("a.n_name"), "left")
+              .groupBy(F.col("a.n_name").alias("n_name"),
+                       F.col("a.n").alias("n"),
+                       F.col("a.z").alias("z"))
+              .agg((F.count(F.when(beats, 1)) + 1).cast("long")
+                   .alias("rk")))
+    crit = spark.createDataFrame(
+        [(k + 1, zc) for k, zc in enumerate(HOLM_ZCRIT)],
+        "rk long, zcrit double")
+    dec_df = (ranked.join(F.broadcast(crit), "rk")
+              .select("n_name", "n", "z", "rk",
+                      (F.abs(F.col("z")) >= F.col("zcrit"))
+                      .cast("int").alias("pass_k"))
+              .localCheckpoint(eager=True))  # reused as both sides
+    d, e = dec_df.alias("d"), dec_df.alias("e")
+    return (d.join(F.broadcast(e), F.col("e.rk") <= F.col("d.rk"))
+            .groupBy(F.col("d.n_name").alias("n_name"),
+                     F.col("d.n").alias("n"),
+                     F.col("d.z").alias("z"),
+                     F.col("d.rk").alias("holm_rank"))
+            .agg(F.max(F.when(F.abs(F.col("d.z")) >= F.lit(_RAW_Z), 1)
+                       .otherwise(0)).cast("int")
+                 .alias("reject_unadjusted"),
+                 F.max(F.when(F.abs(F.col("d.z")) >= F.lit(_BONF_Z), 1)
+                       .otherwise(0)).cast("int")
+                 .alias("reject_bonferroni"),
+                 F.min(F.col("e.pass_k")).cast("int")
+                 .alias("reject_holm")))

@@ -902,3 +902,92 @@ def zonemap_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / F.col("n_blocks") * F.lit(1e6)
                              + F.lit(0.5)) / F.lit(1e6))
                     .alias("scan_share")))
+
+
+# ---------------------------------------------------------------------------
+# column-encoding size estimation — pick the codec from the statistics
+# ---------------------------------------------------------------------------
+
+#: columns profiled: (column, plain bytes per value).
+ENC_COLUMNS = (("l_returnflag", 1), ("l_linestatus", 1),
+               ("l_shipdate", 8), ("l_quantity", 8), ("l_suppkey", 8))
+
+
+def _enc_oracle() -> str:
+    parts = []
+    for col, width in ENC_COLUMNS:
+        parts.append(f"""
+    SELECT '{col}' AS col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           FLOOR(SUM(ent_term) * 1e6 + 0.5) / 1e6 AS entropy_bits,
+           CAST(SUM(c) * {width} AS BIGINT) AS plain_bytes,
+           CAST(CAST(CEIL(SUM(c) * CEIL(LN(COUNT(*) + 1) / LN(2e0))
+                          / 8e0) AS BIGINT)
+                + COUNT(*) * {width} AS BIGINT) AS dict_bytes,
+           CAST(CEIL(SUM(c) * (FLOOR(SUM(ent_term) * 1e6 + 0.5) / 1e6)
+                     / 8e0) AS BIGINT) AS entropy_floor_bytes
+    FROM (
+        SELECT c, CAST(ROUND(-(c * 1e0 / SUM(c) OVER ())
+                             * LN(c * 1e0 / SUM(c) OVER ()) / LN(2e0),
+                             9) AS DECIMAL(25,9)) AS ent_term
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY {col}) h
+    ) e""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "encoding_size_estimate",
+    survey="ext-layout,A2,A6,F10",
+    oracle=_enc_oracle(),
+)
+def encoding_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-ENCODING size estimation from sufficient statistics —
+    the storage-codec decision (plain vs dictionary+bit-packing) read
+    straight off each column's value histogram, plus the Shannon
+    entropy floor no lossless codec can beat (n·H/8 bytes): flag
+    columns (~1.5 bits) dictionary-encode ~5×, keys near log2(n) bits
+    don't — the per-column numbers behind a parquet writer's encoding
+    choices and the capacity planning every 100 TB table layout
+    starts from (complements `zonemap_pruning_eval`: that prices
+    scan-time skipping, this prices the bytes at rest).
+
+    Exactness: histograms are integer; entropy terms snap LN ratios
+    to the 1e-9 grid and DECIMAL-sum; the byte estimates are CEIL of
+    shared-text expressions over integers and the snapped entropy.
+    The oracle's OVER () is a per-column scalar total the engine gets
+    from a grouped sum — value-histogram-sized, never a row window.
+    Plan: one map-combinable groupBy per column (Catalyst shares the
+    scan), each output bounded by that column's cardinality."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    outs = []
+    ln2 = F.log(F.lit(2.0))
+    for col, width in ENC_COLUMNS:
+        h = li.groupBy(col).agg(F.count("*").alias("c"))
+        tot = h.agg(F.sum("c").alias("n"))
+        p = F.col("c") * F.lit(1.0) / F.col("n")
+        ent_term = F.round(-p * F.log(p) / ln2, 9).cast("decimal(25,9)")
+        ent = (h.crossJoin(F.broadcast(tot))
+               .agg(F.sum(ent_term).alias("ent"),
+                    F.max("n").alias("n_rows"),
+                    F.count("*").alias("n_distinct")))
+        eb = F.floor(F.col("ent").cast("double") * F.lit(1e6)
+                     + F.lit(0.5)) / F.lit(1e6)
+        bits = F.ceil(F.log(F.col("n_distinct") + F.lit(1.0)) / ln2)
+        outs.append(ent.select(
+            F.lit(col).alias("col"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            eb.alias("entropy_bits"),
+            (F.col("n_rows") * width).cast("long").alias("plain_bytes"),
+            (F.ceil(F.col("n_rows") * bits / F.lit(8.0)).cast("long")
+             + F.col("n_distinct") * width).cast("long")
+            .alias("dict_bytes"),
+            F.ceil(F.col("n_rows") * eb / F.lit(8.0)).cast("long")
+            .alias("entropy_floor_bytes")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

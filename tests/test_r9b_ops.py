@@ -575,3 +575,63 @@ def test_rank_biased_overlap_pandas_replay(spark):
     # RBO truncated is non-decreasing in depth; agreement in [0,1]
     assert df["rbo_truncated"].is_monotonic_increasing
     assert (df["agreement"] <= 1).all()
+
+
+def test_encoding_size_estimate_pandas_replay(spark):
+    import math
+    from collections import Counter
+    from covid_weather_etl_spark.operators.warehouse import ENC_COLUMNS
+    df = (_q("encoding_size_estimate").fn(spark, SF_DIR)
+          .toPandas().set_index("col"))
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=[c for c, _ in ENC_COLUMNS])
+    for col, width in ENC_COLUMNS:
+        vc = Counter(li[col])
+        n = sum(vc.values())
+        r = df.loc[col]
+        assert r["n_rows"] == n and r["n_distinct"] == len(vc)
+        ent = sum(round(-(c / n) * math.log(c / n) / math.log(2), 9)
+                  for c in vc.values())
+        ent = math.floor(ent * 1e6 + 0.5) / 1e6
+        assert abs(r["entropy_bits"] - ent) < 1e-9
+        assert r["plain_bytes"] == n * width
+        bits = math.ceil(math.log(len(vc) + 1) / math.log(2))
+        assert r["dict_bytes"] == math.ceil(n * bits / 8) \
+            + len(vc) * width
+        assert r["entropy_floor_bytes"] == math.ceil(n * ent / 8)
+        # information theory: the entropy floor never exceeds either
+        # encoding and entropy never exceeds log2(cardinality)
+        assert r["entropy_floor_bytes"] <= r["plain_bytes"]
+        assert r["entropy_bits"] <= math.log2(len(vc)) + 1e-6
+    # low-cardinality flags dictionary-win; keys don't
+    assert df.loc["l_returnflag", "dict_bytes"] \
+        < df.loc["l_returnflag", "plain_bytes"]
+    assert df.loc["l_suppkey", "dict_bytes"] \
+        > df.loc["l_suppkey", "entropy_floor_bytes"]
+
+
+def test_holm_stepdown_properties(spark):
+    from covid_weather_etl_spark.operators.drift import (
+        HOLM_M, HOLM_ZCRIT, _BONF_Z, _RAW_Z, _norm_ppf)
+    # the baked critical values are sane and ordered
+    assert abs(_norm_ppf(0.975) - 1.959964) < 1e-5
+    assert _BONF_Z == HOLM_ZCRIT[0] > HOLM_ZCRIT[-1] >= _RAW_Z
+    assert len(HOLM_ZCRIT) == HOLM_M
+    df = (_q("holm_multiple_tests").fn(spark, SF_DIR)
+          .toPandas().sort_values("holm_rank").reset_index(drop=True))
+    # ranks are a permutation; |z| non-increasing down the ranks
+    assert list(df["holm_rank"]) == list(range(1, len(df) + 1))
+    assert (df["z"].abs().diff().dropna() <= 1e-12).all()
+    # logical nesting: bonferroni ⊆ holm ⊆ unadjusted
+    assert (df["reject_bonferroni"] <= df["reject_holm"]).all()
+    assert (df["reject_holm"] <= df["reject_unadjusted"]).all()
+    # holm is a step-down: once a rank fails, all later ranks fail
+    h = list(df["reject_holm"])
+    assert h == sorted(h, reverse=True)
+    # verdict replay against the baked thresholds
+    for i, r in df.iterrows():
+        assert r["reject_unadjusted"] == int(abs(r["z"]) >= _RAW_Z)
+        assert r["reject_bonferroni"] == int(abs(r["z"]) >= _BONF_Z)
+        expected = all(
+            abs(df["z"].iloc[j]) >= HOLM_ZCRIT[j] for j in range(i + 1))
+        assert r["reject_holm"] == int(expected)
