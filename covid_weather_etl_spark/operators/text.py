@@ -2780,9 +2780,12 @@ def term_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext-quality,A6,J1,F10",
     oracle="""
     WITH tc AS (
-        SELECT source, tkn AS term, CAST(COUNT(*) AS BIGINT) AS c
-        FROM (SELECT source, unnest(string_split(text, ' ')) AS tkn
-              FROM documents) x
+        SELECT source, array_to_string(t[g.i : g.i + 2], ' ') AS term,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, string_split(text, ' ') AS t
+              FROM documents) d,
+        LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+        WHERE len(t) >= 3
         GROUP BY 1, 2
     ), ns AS (
         SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM tc
@@ -2819,10 +2822,11 @@ def term_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOURCE-level tf-idf cosine matrix — which corpus slices cover
     the same ground: each source becomes a log-tf·idf vector over the
-    shared vocabulary (idf at SOURCE grain, so terms present in every
-    source — the stopword axis that makes raw-count cosines all ≈1 —
-    get weight exactly 0 and drop out), and every source pair gets a
-    cosine. The corpus-mix diagnostic upstream of `corpus_mix` /
+    TRIGRAM type space (unigrams saturate — on this corpus every word
+    reaches every source, so a word-grain source-idf zeroes out; the
+    ~16-27k trigram types stay discriminative at every SF), with idf
+    at SOURCE grain so any gram present in all sources gets weight
+    exactly 0 and drops out, and every source pair gets a cosine. The corpus-mix diagnostic upstream of `corpus_mix` /
     `domain_mix_kl_report`: two sources with cosine ≈ 1 are buying
     the same distribution twice, and the dedup budget
     (`cross_source_chunk_duplication`) should go to exactly those
@@ -2837,9 +2841,13 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     never docs²) — the same blocking argument as the prefix-filter
     joins; norms and the final matrix are |sources|-bounded."""
     t = load_tables(spark, sf_dir, ("documents",))
+    grams = F.expr(
+        "transform(sequence(1, size(tk) - 2), "
+        "i -> concat_ws(' ', slice(tk, i, 3)))")
     tc = (spread(t["documents"], "doc_id")
-          .select("source",
-                  F.explode(F.split("text", " ")).alias("term"))
+          .select("source", F.split("text", " ").alias("tk"))
+          .filter(F.size("tk") >= 3)
+          .select("source", F.explode(grams).alias("term"))
           .groupBy("source", "term").agg(F.count("*").alias("c")))
     ns = tc.agg(F.countDistinct("source").alias("n"))
     dfs = tc.groupBy("term").agg(F.count("*").alias("df"))

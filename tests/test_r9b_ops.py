@@ -499,8 +499,15 @@ def test_source_similarity_matrix_shape_and_bounds(spark):
     assert (df["source_1"] < df["source_2"]).all()
     assert not df.duplicated(["source_1", "source_2"]).any()
     # numpy tf-idf replay for the pair sharing the most terms
-    tc = {src: Counter(" ".join(g["text"]).split(" "))
-          for src, g in docs.groupby("source")}
+    def tri(texts):
+        c = Counter()
+        for t in texts:
+            w = t.split(" ")
+            for i in range(len(w) - 2):
+                c[" ".join(w[i:i + 3])] += 1
+        return c
+
+    tc = {src: tri(g["text"]) for src, g in docs.groupby("source")}
     dfs = Counter()
     for src in s:
         for term in tc[src]:
