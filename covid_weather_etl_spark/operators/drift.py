@@ -1115,3 +1115,93 @@ def holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("reject_bonferroni"),
                  F.min(F.col("e.pass_k")).cast("int")
                  .alias("reject_holm")))
+
+
+# ---------------------------------------------------------------------------
+# sample-ratio mismatch (SRM) — the experiment-health gate
+# ---------------------------------------------------------------------------
+
+#: assignment seeds swept (each simulates one experiment's hash salt).
+SRM_SEEDS = ("exp1", "exp2", "exp3")
+#: chi-square(1 df) critical values at 95% / 99%.
+_SRM_CHI2_95, _SRM_CHI2_99 = 3.841459, 6.634897
+
+
+def _srm_oracle() -> str:
+    parts = []
+    for seed in SRM_SEEDS:
+        parts.append(f"""
+    SELECT '{seed}' AS seed,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+    FROM (
+        SELECT CAST(CAST('0x' || substr(md5('{seed}:' ||
+                    CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+               AS BIGINT) AS arm
+        FROM (SELECT DISTINCT user_id FROM events) u
+    ) a""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+    WITH counts AS ({body})
+    SELECT seed, n_a, n_b,
+           FLOOR((n_a - n_b) * (n_a - n_b) * 1e0 / (n_a + n_b)
+                 * 1e6 + 0.5) / 1e6 AS chi2,
+           CASE WHEN (n_a - n_b) * (n_a - n_b) * 1e0 / (n_a + n_b)
+                     > {_SRM_CHI2_95!r} THEN 1 ELSE 0 END AS srm_95,
+           CASE WHEN (n_a - n_b) * (n_a - n_b) * 1e0 / (n_a + n_b)
+                     > {_SRM_CHI2_99!r} THEN 1 ELSE 0 END AS srm_99
+    FROM counts
+    """
+
+
+@register(
+    "srm_check",
+    survey="ext-drift,A6,F9",
+    oracle=_srm_oracle(),
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO MISMATCH check — the first gate every experiment
+    readout must pass (Fabijan et al. 2019 report ~6% of real
+    experiments fail it): under a 50/50 split, arm counts n_a, n_b
+    give the 1-df chi-square (n_a−n_b)²/(n_a+n_b); exceeding
+    {_SRM_CHI2_95} (95%) means the ASSIGNMENT is broken — redirects,
+    bot filtering, or logging loss hit one arm harder — and every
+    downstream metric (welch_ttest_ab, cuped, sprt) is untrustworthy
+    no matter how significant it looks. Swept over {len(SRM_SEEDS)}
+    hash salts: healthy md5 assignment passes all of them; a failing
+    salt localizes the bug to the assignment path, not the traffic.
+
+    Exactness: integer counts, one shared-text chi-square expression
+    snapped to 1e-6, literal critical values — the flag compares the
+    UNSNAPPED shared expression on both engines, so the verdict can't
+    flip on the display grid. Plan: one distinct-user projection, a
+    narrow hash map per seed, and a 2-counter aggregate —
+    map-combinable; at 100 TB this is one scan however many salts."""
+    t = load_tables(spark, sf_dir, ("events",))
+    users = t["events"].select("user_id").distinct() \
+        .localCheckpoint(eager=True)  # reused per seed
+    outs = []
+    for seed in SRM_SEEDS:
+        arm = (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{seed}:"), F.col("user_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 2)
+        outs.append(users.select(arm.alias("arm")).agg(
+            F.lit(seed).alias("seed"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long").alias("n_b")))
+    counts = outs[0]
+    for o in outs[1:]:
+        counts = counts.unionByName(o)
+    chi2 = ((F.col("n_a") - F.col("n_b"))
+            * (F.col("n_a") - F.col("n_b")) * F.lit(1.0)
+            / (F.col("n_a") + F.col("n_b")))
+    return counts.select(
+        "seed", "n_a", "n_b",
+        (F.floor(chi2 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("chi2"),
+        F.when(chi2 > _SRM_CHI2_95, 1).otherwise(0).alias("srm_95"),
+        F.when(chi2 > _SRM_CHI2_99, 1).otherwise(0).alias("srm_99"))

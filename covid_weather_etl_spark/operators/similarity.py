@@ -2559,3 +2559,93 @@ def cluster_purity_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / F.sqrt(F.col("hc").cast("double")
                                 * F.col("hl").cast("double")))
                     .alias("nmi")))
+
+
+# ---------------------------------------------------------------------------
+# in-batch negative collision audit — contrastive-training batch design
+# ---------------------------------------------------------------------------
+
+#: batch sizes swept (the contrastive loss' negatives-per-anchor knob).
+INB_BATCH_SIZES = (8, 32, 128)
+
+
+@register(
+    "inbatch_negative_collisions",
+    survey="ext-sim,A6,A2,F9",
+    oracle=f"""
+    WITH tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+    ), lbl AS (
+        SELECT CAST(SUM(nl * (nl - 1)) AS BIGINT) AS s2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS nl
+              FROM embeddings GROUP BY label) l
+    ), sw AS (
+        {" UNION ALL ".join(f'''
+        SELECT CAST({bsz} AS BIGINT) AS batch_size,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS n_batches,
+               CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS colliding_pairs,
+               CAST(SUM(k) AS BIGINT) AS n_rows
+        FROM (
+            SELECT CAST(CAST('0x' || substr(md5(CAST(vec_id
+                        AS VARCHAR)), 1, 8) AS BIGINT)
+                   % CEIL((SELECT n FROM tot) / {bsz}e0) AS BIGINT)
+                       AS b,
+                   label, CAST(COUNT(*) AS BIGINT) AS k
+            FROM embeddings GROUP BY 1, 2
+        ) g''' for bsz in INB_BATCH_SIZES)}
+    )
+    SELECT sw.batch_size, sw.n_batches, sw.n_rows, sw.colliding_pairs,
+           FLOOR(lbl.s2 * 1e0 / (tot.n * (tot.n - 1)) * 1e6 + 0.5)
+               / 1e6 AS random_pair_rate
+    FROM sw CROSS JOIN tot CROSS JOIN lbl
+    """,
+)
+def inbatch_negative_collisions(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """IN-BATCH NEGATIVE collision audit for contrastive training —
+    when batches ARE the negative pool (CLIP/SimCLR-style), two
+    same-label items in one batch make a FALSE negative that pushes
+    apart what training should pull together. For md5-hashed batch
+    assignments at sizes {INB_BATCH_SIZES}: how many same-label pairs
+    land in the same batch, next to the corpus' random-pair collision
+    rate Σn_l(n_l−1)/(N(N−1)) (the birthday baseline hashing should
+    match — a measured EXCESS means labels correlate with the batch
+    key and the loader needs label-aware batching or a re-hash; the
+    absolute rate prices how much de-duplication
+    (`semantic_dedup` / `embedding_near_dup`) must precede
+    contrastive training at this batch size).
+
+    Exactness: pure integer counting (k·(k−1)/2 on BIGINTs) plus one
+    final snapped divide. Plan: per sweep size, one (batch, label)
+    grouped count — map-combinable, output bounded by batches×labels;
+    the corpus baseline is one label-keyed count. At 100 TB this is
+    the same one-aggregate shape per batch-size candidate."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select("vec_id", "label")
+    tot = emb.agg(F.count("*").alias("n"))
+    lbl = (emb.groupBy("label").agg(F.count("*").alias("nl"))
+           .agg(F.sum(F.col("nl") * (F.col("nl") - 1)).alias("s2")))
+    h32 = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
+                              1, 8), 16, 10).cast("long"))
+    outs = []
+    for bsz in INB_BATCH_SIZES:
+        g = (emb.crossJoin(F.broadcast(tot))
+             .select((h32 % F.ceil(F.col("n") / F.lit(float(bsz)))
+                      .cast("long")).alias("b"), "label")
+             .groupBy("b", "label").agg(F.count("*").alias("k")))
+        outs.append(g.agg(
+            F.lit(bsz).cast("long").alias("batch_size"),
+            F.countDistinct("b").alias("n_batches"),
+            F.sum((F.col("k") * (F.col("k") - 1) / 2).cast("long"))
+            .cast("long").alias("colliding_pairs"),
+            F.sum("k").cast("long").alias("n_rows")))
+    sw = outs[0]
+    for o in outs[1:]:
+        sw = sw.unionByName(o)
+    return (sw.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(lbl))
+            .select("batch_size", "n_batches", "n_rows",
+                    "colliding_pairs",
+                    (F.floor(F.col("s2") * F.lit(1.0)
+                             / (F.col("n") * (F.col("n") - 1))
+                             * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                    .alias("random_pair_rate")))

@@ -1078,3 +1078,123 @@ def croston_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
               "size_ewma double, interval_ewma double, "
               "demand_rate double")
     return m.groupBy("brand").applyInPandas(croston, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition — which time scales carry the signal
+# ---------------------------------------------------------------------------
+
+#: dyadic window length (2^6 days from the first order date).
+HAAR_N = 64
+HAAR_LEVELS = 6
+
+
+def _haar_oracle() -> str:
+    rev = "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
+    ctes = [f"""
+    d0 AS (
+        SELECT g.i AS idx, COALESCE(m.rev, 0e0) AS x
+        FROM (SELECT CAST(unnest(generate_series(0, {HAAR_N - 1}))
+                     AS BIGINT) AS i) g
+        LEFT JOIN (
+            SELECT CAST(datediff('day', (SELECT MIN(CAST(o_orderdate
+                            AS DATE)) FROM orders),
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+                   {rev} AS rev
+            FROM orders GROUP BY 1
+        ) m ON m.idx = g.i
+    )"""]
+    for lv in range(1, HAAR_LEVELS + 1):
+        ctes.append(f"""
+    a{lv} AS (
+        SELECT idx // 2 AS idx,
+               (SUM(CASE WHEN idx % 2 = 0 THEN x ELSE 0e0 END)
+                + SUM(CASE WHEN idx % 2 = 1 THEN x ELSE 0e0 END))
+                   / 2e0 AS x,
+               (SUM(CASE WHEN idx % 2 = 0 THEN x ELSE 0e0 END)
+                - SUM(CASE WHEN idx % 2 = 1 THEN x ELSE 0e0 END))
+                   / 2e0 AS d
+        FROM {"d0" if lv == 1 else f"a{lv - 1}"}
+        GROUP BY idx // 2
+    )""")
+    levels = " UNION ALL ".join(
+        f"""SELECT CAST({lv} AS BIGINT) AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+               CAST(SUM(CAST(FLOOR(d * d + 0.5) AS DECIMAL(25,0)))
+                    AS DOUBLE) AS energy
+        FROM a{lv}""" for lv in range(1, HAAR_LEVELS + 1))
+    return ("WITH " + ", ".join(c.strip() for c in ctes) + f"""
+    , lv AS ({levels}),
+    tot AS (SELECT SUM(energy) AS te FROM lv)
+    SELECT level, n_coeffs,
+           FLOOR(energy * 1e6 + 0.5) / 1e6 AS energy,
+           FLOOR(energy / te * 1e6 + 0.5) / 1e6 AS energy_share
+    FROM lv CROSS JOIN tot
+    """)
+
+
+@register(
+    "haar_wavelet_energy",
+    survey="ext-timeseries,W1,A6,F10",
+    oracle=_haar_oracle(),
+)
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAAR WAVELET energy decomposition of the first {HAAR_N} days of
+    daily revenue — how much variance lives at each time SCALE: level
+    1 details are day-to-day jitter, level 3 ≈ weekly structure,
+    level 6 the one coarse half-vs-half trend split. The multi-
+    resolution complement to `seasonal_decompose` (fixed period) and
+    `acf_daily_revenue` (all lags, one scale): a spike concentrates
+    energy at fine levels, a regime shift at coarse ones — which is
+    why Haar energies are the standard cheap features for time-series
+    classification and changepoint screening.
+
+    Exactness: the zero-filled dyadic frame is exact (decimal daily
+    sums); each Haar step is (even±odd)/2 — division by 2 is exact in
+    binary floating point, so every coefficient is bit-identical on
+    both engines; energy terms snap d² to the INTEGER grid (floor+0.5
+    — revenue-scale energies are ~1e10, so unit precision is 10
+    significant digits and the snap stays under 2^63 through sf 10+)
+    and DECIMAL-sum. Plan: one fact aggregate to day grain, then
+    {HAAR_LEVELS} chained {HAAR_N}-row-bounded groupBys (idx div 2) —
+    constant-size after the first aggregate; at any corpus scale the
+    cascade cost is the day-count, never rows."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    first = t["orders"].agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"))
+    daily = (t["orders"].crossJoin(F.broadcast(first))
+             .groupBy(F.datediff(F.col("o_orderdate").cast("date"),
+                                 F.col("d0")).cast("long").alias("idx"))
+             .agg(dsum("o_totalprice", "rev")))
+    grid = spark.range(HAAR_N).select(F.col("id").alias("idx"))
+    cur = (grid.join(daily, "idx", "left")
+           .select("idx", F.coalesce(F.col("rev"), F.lit(0.0))
+                   .alias("x")))
+    out_parts = []
+    for lv in range(1, HAAR_LEVELS + 1):
+        even = F.sum(F.when(F.col("idx") % 2 == 0, F.col("x"))
+                     .otherwise(F.lit(0.0)))
+        odd = F.sum(F.when(F.col("idx") % 2 == 1, F.col("x"))
+                    .otherwise(F.lit(0.0)))
+        nxt = (cur.groupBy((F.col("idx") / 2).cast("long").alias("idx"))
+               .agg(((even + odd) / F.lit(2.0)).alias("x"),
+                    ((even - odd) / F.lit(2.0)).alias("d"))
+               .localCheckpoint(eager=True))  # <=32-row frame per level
+        out_parts.append(nxt.agg(
+            F.lit(lv).cast("long").alias("level"),
+            F.count("*").alias("n_coeffs"),
+            F.sum(F.floor(F.col("d") * F.col("d") + F.lit(0.5))
+                  .cast("decimal(25,0)")).cast("double")
+            .alias("energy")))
+        cur = nxt.select("idx", "x")
+    lv = out_parts[0]
+    for o in out_parts[1:]:
+        lv = lv.unionByName(o)
+    lv = lv.localCheckpoint(eager=True)
+    tot = lv.agg(F.sum("energy").alias("te"))
+    g6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (lv.crossJoin(F.broadcast(tot))
+            .select("level", "n_coeffs", g6(F.col("energy"))
+                    .alias("energy"),
+                    g6(F.col("energy") / F.col("te"))
+                    .alias("energy_share")))

@@ -242,6 +242,7 @@ _ROTATION_R9 = (
     "neyman_allocation_plan", "source_similarity_matrix",
     "unigram_vocab_seed", "rank_biased_overlap",
     "encoding_size_estimate", "holm_multiple_tests",
+    "haar_wavelet_energy", "inbatch_negative_collisions", "srm_check",
     "irls_logreg_fit", "truncation_loss_report", "shard_skew_report",
     "nucleus_sampling_profile", "dpo_pair_construction",
     "rouge_overlap_eval", "dedup_threshold_sensitivity",
@@ -255,13 +256,12 @@ _ROTATION_R9 = (
     "stratified_split_summary", "tfidf_top_terms", "token_stats",
     "transform_logs_table", "tumbling_window_counts",
     "validation_routing", "winnowing_fingerprint",
-    # oldest 3 of the 44-row r03 cohort (alphabetical; the 20
-    # continuation-session new ops above displaced the other 20 this
-    # window had planned — never-checked queries outrank refreshes)
-    "anti_join_never_ordered", "avg_latency_seconds", "chrono_split",
 )
-# R10 queue: the 41 remaining r03 rows displaced from this window
-# (conditional_labels, correlation_matrix, cube_revenue,
+# The 23 continuation-session new ops displaced the whole r03 slice
+# this window had planned — never-checked queries outrank refreshes.
+# R10 queue: the full 44-row r03 cohort displaced from this window
+# (anti_join_never_ordered, avg_latency_seconds, chrono_split,
+# conditional_labels, correlation_matrix, cube_revenue,
 # cyclical_encoding,
 # daily_activity_trend, date_bounds, date_parts, dim_get_or_create,
 # docs_exact_dedup, epoch_scalar_fns, error_rate_by_type,

@@ -642,3 +642,84 @@ def test_holm_stepdown_properties(spark):
         expected = all(
             abs(df["z"].iloc[j]) >= HOLM_ZCRIT[j] for j in range(i + 1))
         assert r["reject_holm"] == int(expected)
+
+
+def test_haar_energy_numpy_replay(spark):
+    import math
+    from covid_weather_etl_spark.operators.timeseries import (
+        HAAR_LEVELS, HAAR_N)
+    df = (_q("haar_wavelet_energy").fn(spark, SF_DIR)
+          .toPandas().set_index("level").sort_index())
+    assert list(df.index) == list(range(1, HAAR_LEVELS + 1))
+    assert list(df["n_coeffs"]) == [HAAR_N >> k
+                                    for k in range(1, HAAR_LEVELS + 1)]
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    o["idx"] = (o["o_orderdate"].dt.normalize()
+                - o["o_orderdate"].dt.normalize().min()).dt.days
+    daily = (o[o["idx"] < HAAR_N].groupby("idx")["o_totalprice"]
+             .apply(lambda s: float(s.round(6).sum())))
+    x = np.zeros(HAAR_N)
+    x[daily.index.to_numpy()] = daily.to_numpy()
+    for lv in range(1, HAAR_LEVELS + 1):
+        a = (x[0::2] + x[1::2]) / 2.0
+        d = (x[0::2] - x[1::2]) / 2.0
+        e = sum(math.floor(v * v + 0.5) for v in d)
+        assert abs(df.loc[lv, "energy"] - e) < 1e-6 * max(e, 1)
+        x = a
+    assert abs(df["energy_share"].sum() - 1.0) < 5e-6
+    # Parseval sanity: total detail energy <= total signal energy
+    total = float((np.array(
+        [daily.get(i, 0.0) for i in range(HAAR_N)]) ** 2).sum())
+    assert df["energy"].sum() <= total + 1.0
+
+
+def test_inbatch_collisions_pandas_replay(spark):
+    import hashlib
+    import math
+    from covid_weather_etl_spark.operators.similarity import (
+        INB_BATCH_SIZES)
+    df = (_q("inbatch_negative_collisions").fn(spark, SF_DIR)
+          .toPandas().set_index("batch_size"))
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    n = len(emb)
+    for bsz in INB_BATCH_SIZES:
+        nb = math.ceil(n / bsz)
+        b = emb["vec_id"].map(lambda v: int(hashlib.md5(
+            str(v).encode()).hexdigest()[:8], 16) % nb)
+        coll = (emb.assign(b=b).groupby(["b", "label"]).size()
+                .map(lambda k: k * (k - 1) // 2).sum())
+        r = df.loc[bsz]
+        assert r["colliding_pairs"] == coll
+        assert r["n_rows"] == n
+        assert r["n_batches"] <= nb
+    s2 = (emb.groupby("label").size()
+          .map(lambda k: k * (k - 1)).sum())
+    exp = math.floor(s2 / (n * (n - 1)) * 1e6 + 0.5) / 1e6
+    assert (df["random_pair_rate"] == exp).all()
+    # more rows per batch => more collisions
+    assert df["colliding_pairs"].is_monotonic_increasing
+
+
+def test_srm_check_replay_and_health(spark):
+    import hashlib
+    from covid_weather_etl_spark.operators.drift import (
+        SRM_SEEDS, _SRM_CHI2_95)
+    df = (_q("srm_check").fn(spark, SF_DIR)
+          .toPandas().set_index("seed"))
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id"])
+    users = ev["user_id"].unique()
+    for seed in SRM_SEEDS:
+        arms = [int(hashlib.md5(f"{seed}:{u}".encode())
+                    .hexdigest()[:8], 16) % 2 for u in users]
+        na, nb = arms.count(0), arms.count(1)
+        r = df.loc[seed]
+        assert r["n_a"] == na and r["n_b"] == nb
+        chi2 = (na - nb) ** 2 / (na + nb)
+        assert abs(r["chi2"] - chi2) < 2e-6
+        assert r["srm_95"] == int(chi2 > _SRM_CHI2_95)
+        assert r["srm_95"] >= r["srm_99"]
+    # healthy md5 assignment: no salt should scream SRM at 99%
+    assert df["srm_99"].sum() == 0
