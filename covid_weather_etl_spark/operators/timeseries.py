@@ -1127,7 +1127,7 @@ def _haar_oracle() -> str:
     , lv AS ({levels}),
     tot AS (SELECT SUM(energy) AS te FROM lv)
     SELECT level, n_coeffs,
-           FLOOR(energy * 1e6 + 0.5) / 1e6 AS energy,
+           energy,
            FLOOR(energy / te * 1e6 + 0.5) / 1e6 AS energy_share
     FROM lv CROSS JOIN tot
     """)
@@ -1193,8 +1193,10 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     lv = lv.localCheckpoint(eager=True)
     tot = lv.agg(F.sum("energy").alias("te"))
     g6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    # energy is ALREADY on the integer grid (decimal sum of floored
+    # terms) — a further 1e-6 fround would overflow FLOOR's long at
+    # sf0.1 energies (x*1e6 > 2^63), so it is emitted as-is
     return (lv.crossJoin(F.broadcast(tot))
-            .select("level", "n_coeffs", g6(F.col("energy"))
-                    .alias("energy"),
+            .select("level", "n_coeffs", F.col("energy"),
                     g6(F.col("energy") / F.col("te"))
                     .alias("energy_share")))
