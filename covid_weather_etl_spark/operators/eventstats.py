@@ -1226,7 +1226,10 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = (t["events"].filter(F.col("value").isNotNull())
               .groupBy("user_id", "event_type")
               .agg(F.sum(F.col("value").cast("decimal(25,6)"))
-                   .alias("tot")))
+                   .alias("tot"))
+              # (user, type)-sized; checkpointed so the events scan +
+              # aggregate runs ONCE for both sides of the duel join
+              .localCheckpoint(eager=True))
     a, b = totals.alias("a"), totals.alias("b")
     duels = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
                     & (F.col("a.event_type") != F.col("b.event_type")))
