@@ -963,6 +963,89 @@ _BONF_Z = HOLM_ZCRIT[0]                 # alpha/m — Bonferroni
 _RAW_Z = round(_norm_ppf(1 - HOLM_ALPHA / 2), 6)   # unadjusted
 
 
+def _nation_welch_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared per-nation Welch-z test frame (nation mean order
+    value vs everyone else), checkpointed — one fact aggregate behind
+    broadcast dim joins, then scalar algebra; consumed by both
+    multiple-testing procedures below."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
+    s = (t["orders"]
+         .join(F.broadcast(t["customer"]
+                           .select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["nation"]
+                           .select("n_nationkey", "n_name")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy("n_name")
+         .agg(F.count("*").alias("n"),
+              F.sum(dec(F.col("o_totalprice"))).cast("double")
+              .alias("sx"),
+              F.sum(dec(F.round(F.col("o_totalprice")
+                                * F.col("o_totalprice"), 6)))
+              .cast("double").alias("sxx")))
+    g = s.agg(F.sum("n").alias("n_g"), F.sum("sx").alias("sx_g"),
+              F.sum("sxx").alias("sxx_g"))
+    mean_a = F.col("sx") / F.col("n")
+    mean_r = (F.col("sx_g") - F.col("sx")) / (F.col("n_g") - F.col("n"))
+    var_a = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) \
+        / (F.col("n") - 1)
+    var_r = ((F.col("sxx_g") - F.col("sxx"))
+             - (F.col("sx_g") - F.col("sx"))
+             * (F.col("sx_g") - F.col("sx"))
+             / (F.col("n_g") - F.col("n"))) \
+        / (F.col("n_g") - F.col("n") - 1)
+    zexpr = F.floor((mean_a - mean_r)
+                    / F.sqrt(var_a / F.col("n")
+                             + var_r / (F.col("n_g") - F.col("n")))
+                    * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (s.crossJoin(F.broadcast(g))
+            .filter(F.col("n") >= 2)
+            .select("n_name", "n", zexpr.alias("z"))
+            .localCheckpoint(eager=True))  # test-frame-sized, reused
+
+
+#: shared CTE text: the 25-nation Welch-z test frame (s -> g -> z ->
+#: ranked) used by BOTH multiple-testing procedures below.
+_NATION_Z_CTES = """
+    s AS (
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(o_totalprice * o_totalprice, 6)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n ON c_nationkey = n.n_nationkey
+        GROUP BY 1
+    ), g AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_g,
+               SUM(sx) AS sx_g, SUM(sxx) AS sxx_g
+        FROM s
+    ), z AS (
+        SELECT s.n_name, s.n,
+               FLOOR(((s.sx / s.n) - ((g.sx_g - s.sx) / (g.n_g - s.n)))
+                     / SQRT(((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))
+                                / s.n
+                            + (((g.sxx_g - s.sxx)
+                                - (g.sx_g - s.sx) * (g.sx_g - s.sx)
+                                  / (g.n_g - s.n)) / (g.n_g - s.n - 1))
+                              / (g.n_g - s.n))
+                     * 1e6 + 0.5) / 1e6 AS z
+        FROM s CROSS JOIN g
+        WHERE s.n >= 2
+    ), ranked AS (
+        SELECT a.n_name, a.n, a.z,
+               CAST(1 + COUNT(CASE WHEN ABS(b.z) > ABS(a.z)
+                              OR (ABS(b.z) = ABS(a.z)
+                                  AND b.n_name < a.n_name)
+                              THEN 1 END) AS BIGINT) AS rk
+        FROM z a LEFT JOIN z b ON b.n_name <> a.n_name
+        GROUP BY a.n_name, a.n, a.z
+    )"""
+
+
 def _holm_oracle() -> str:
     zrows = ", ".join(f"({k + 1}, {z!r})"
                       for k, z in enumerate(HOLM_ZCRIT))
@@ -1047,41 +1130,7 @@ def holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same tiny frame — no window anywhere. Plan: one fact
     aggregate behind two broadcast dim joins; everything after is
     {HOLM_M}-row algebra."""
-    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
-    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
-    s = (t["orders"]
-         .join(F.broadcast(t["customer"]
-                           .select("c_custkey", "c_nationkey")),
-               F.col("o_custkey") == F.col("c_custkey"))
-         .join(F.broadcast(t["nation"]
-                           .select("n_nationkey", "n_name")),
-               F.col("c_nationkey") == F.col("n_nationkey"))
-         .groupBy("n_name")
-         .agg(F.count("*").alias("n"),
-              F.sum(dec(F.col("o_totalprice"))).cast("double")
-              .alias("sx"),
-              F.sum(dec(F.round(F.col("o_totalprice")
-                                * F.col("o_totalprice"), 6)))
-              .cast("double").alias("sxx")))
-    g = s.agg(F.sum("n").alias("n_g"), F.sum("sx").alias("sx_g"),
-              F.sum("sxx").alias("sxx_g"))
-    mean_a = F.col("sx") / F.col("n")
-    mean_r = (F.col("sx_g") - F.col("sx")) / (F.col("n_g") - F.col("n"))
-    var_a = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) \
-        / (F.col("n") - 1)
-    var_r = ((F.col("sxx_g") - F.col("sxx"))
-             - (F.col("sx_g") - F.col("sx"))
-             * (F.col("sx_g") - F.col("sx"))
-             / (F.col("n_g") - F.col("n"))) \
-        / (F.col("n_g") - F.col("n") - 1)
-    zexpr = F.floor((mean_a - mean_r)
-                    / F.sqrt(var_a / F.col("n")
-                             + var_r / (F.col("n_g") - F.col("n")))
-                    * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    z = (s.crossJoin(F.broadcast(g))
-         .filter(F.col("n") >= 2)
-         .select("n_name", "n", zexpr.alias("z"))
-         .localCheckpoint(eager=True))  # test-frame-sized, reused 3x
+    z = _nation_welch_z(spark, sf_dir)
     a, b = z.alias("a"), z.alias("b")
     beats = (F.abs(F.col("b.z")) > F.abs(F.col("a.z"))) | \
         ((F.abs(F.col("b.z")) == F.abs(F.col("a.z")))
@@ -1205,3 +1254,91 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi2"),
         F.when(chi2 > _SRM_CHI2_95, 1).otherwise(0).alias("srm_95"),
         F.when(chi2 > _SRM_CHI2_99, 1).otherwise(0).alias("srm_99"))
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg step-up — FDR control, the discovery-oriented twin
+# ---------------------------------------------------------------------------
+
+#: false-discovery rate the BH procedure controls.
+BH_Q = 0.10
+#: per-rank BH critical |z|: rank k tests at p <= k*q/m, thresholds
+#: DECREASE with k (step-up; compare HOLM_ZCRIT, which increases).
+BH_ZCRIT = tuple(
+    round(_norm_ppf(1 - (k * BH_Q) / (2 * HOLM_M)), 6)
+    for k in range(1, HOLM_M + 1))
+
+
+def _bh_oracle() -> str:
+    zrows = ", ".join(f"({k + 1}, {z!r})" for k, z in enumerate(BH_ZCRIT))
+    return f"""
+    WITH {_NATION_Z_CTES.strip()},
+    crit AS (SELECT * FROM (VALUES {zrows}) AS t(rk, zcrit)),
+    dec AS (
+        SELECT r.n_name, r.n, r.z, r.rk, c.zcrit,
+               CASE WHEN ABS(r.z) >= c.zcrit THEN 1 ELSE 0 END AS pass_k
+        FROM ranked r JOIN crit c ON c.rk = r.rk
+    ),
+    kstar AS (
+        SELECT COALESCE(MAX(CASE WHEN pass_k = 1 THEN rk END), 0) AS ks
+        FROM dec
+    )
+    SELECT d.n_name, d.n, d.z, d.rk AS bh_rank, d.zcrit AS bh_threshold_z,
+           CASE WHEN d.rk <= k.ks THEN 1 ELSE 0 END AS reject_bh
+    FROM dec d CROSS JOIN kstar k
+    """
+
+
+@register(
+    "bh_fdr_control",
+    survey="ext-drift,A6,A10,F9",
+    oracle=_bh_oracle(),
+)
+def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG step-up over the same {HOLM_M}-nation Welch-z
+    fleet as `holm_multiple_tests` — the OTHER multiple-testing
+    guarantee: Holm controls the family-wise error (any false
+    positive, the launch-decision bar); BH controls the FALSE
+    DISCOVERY RATE at q={BH_Q} (share of false positives among
+    discoveries — the screening bar for 'which segments deserve a
+    follow-up experiment'). Step-UP: find the LARGEST rank k whose
+    |z| clears its threshold z(1−kq/2m) and reject ranks 1..k —
+    including ranks that individually failed, the property that makes
+    BH strictly more powerful than Holm on the same data (pinned in
+    tests: reject_holm ⊆ reject_bh here).
+
+    Replay discipline: identical to Holm — the shared z frame
+    (_nation_welch_z / _NATION_Z_CTES), Acklam critical-value
+    literals, broadcast self-count ranks; the step-up k* is one MAX
+    over the {HOLM_M}-row decision frame and the verdict is an
+    integer rank comparison. Plan: one fact aggregate, then
+    {HOLM_M}-row algebra."""
+    z = _nation_welch_z(spark, sf_dir)
+    a, b = z.alias("a"), z.alias("b")
+    beats = (F.abs(F.col("b.z")) > F.abs(F.col("a.z"))) | \
+        ((F.abs(F.col("b.z")) == F.abs(F.col("a.z")))
+         & (F.col("b.n_name") < F.col("a.n_name")))
+    ranked = (a.join(F.broadcast(b),
+                     F.col("b.n_name") != F.col("a.n_name"), "left")
+              .groupBy(F.col("a.n_name").alias("n_name"),
+                       F.col("a.n").alias("n"),
+                       F.col("a.z").alias("z"))
+              .agg((F.count(F.when(beats, 1)) + 1).cast("long")
+                   .alias("rk")))
+    crit = spark.createDataFrame(
+        [(k + 1, zc) for k, zc in enumerate(BH_ZCRIT)],
+        "rk long, zcrit double")
+    dec_df = (ranked.join(F.broadcast(crit), "rk")
+              .select("n_name", "n", "z", "rk", "zcrit",
+                      (F.abs(F.col("z")) >= F.col("zcrit"))
+                      .cast("int").alias("pass_k"))
+              .localCheckpoint(eager=True))
+    kstar = dec_df.agg(F.coalesce(
+        F.max(F.when(F.col("pass_k") == 1, F.col("rk"))),
+        F.lit(0)).alias("ks"))
+    return (dec_df.crossJoin(F.broadcast(kstar))
+            .select("n_name", "n", "z",
+                    F.col("rk").alias("bh_rank"),
+                    F.col("zcrit").alias("bh_threshold_z"),
+                    F.when(F.col("rk") <= F.col("ks"), 1).otherwise(0)
+                    .alias("reject_bh")))

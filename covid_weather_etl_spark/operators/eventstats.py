@@ -1412,3 +1412,97 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 * F.col("attributable"))
                              * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
                     .alias("share")))
+
+
+# ---------------------------------------------------------------------------
+# top conversion paths — the ordered-journey report
+# ---------------------------------------------------------------------------
+
+#: how many distinct paths the report keeps.
+PATH_TOPK = 10
+#: journey length cap (defensive truncation for pathological users).
+PATH_MAX_STEPS = 8
+
+
+@register(
+    "conversion_path_topk",
+    survey="ext-events,A6,W1,W7,F1",
+    oracle=f"""
+    WITH fp AS (
+        SELECT user_id, MIN(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1
+    ), steps AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE e.ts < fp.p_ts AND e.event_type <> 'purchase'
+    ), ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM steps
+    ), paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_steps
+        FROM ranked WHERE rn <= {PATH_MAX_STEPS}
+        GROUP BY user_id
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM paths)
+    SELECT p.path, p.n_steps,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(COUNT(*) * 1e0 / MAX(t.n) * 1e6 + 0.5) / 1e6
+               AS user_share
+    FROM paths p CROSS JOIN tot t
+    GROUP BY p.path, p.n_steps
+    ORDER BY n_users DESC, p.path
+    LIMIT {PATH_TOPK}
+    """,
+)
+def conversion_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP CONVERSION PATHS — the ordered pre-purchase journey report
+    ('view>click>view>signup', counted across converting users) that
+    every funnel dashboard ships next to the stage-level funnel:
+    `funnel_conversion` says HOW MANY reach each stage,
+    `prefixspan_event_patterns` mines frequent SUBsequences; this
+    reports the literal full paths, ranked by user count, the shape
+    attribution teams eyeball before choosing a model
+    (`multi_touch_attribution` / `markov_attribution` /
+    `shapley_attribution` then price it). Journeys are truncated at
+    {PATH_MAX_STEPS} steps — the standard defensive cap that keeps a
+    pathological user from minting a unique path.
+
+    Determinism: step order is (ts, event_id) — a total order; the
+    path string is an ORDERED aggregation both engines define
+    identically (sort_array of (rn, type) structs on the Spark side,
+    string_agg ORDER BY rn in DuckDB); counts are integers and the
+    only float is the share (1e-6 snap). The top-K cut orders by
+    (n_users DESC, path) — total order. Plan: one user-keyed MIN, a
+    user-partitioned row_number (never global), one user-keyed
+    ordered collect bounded at {PATH_MAX_STEPS} elements, one
+    path-keyed count, one TakeOrdered({PATH_TOPK})."""
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    fp = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    steps = (ev.join(fp, "user_id")
+             .filter((F.col("ts") < F.col("p_ts"))
+                     & (F.col("event_type") != "purchase"))
+             .select("user_id", "event_type", "ts", "event_id"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (steps.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= PATH_MAX_STEPS))
+    paths = (ranked.groupBy("user_id")
+             .agg(F.concat_ws(
+                 ">", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("rn", "event_type"))),
+                     lambda s: s["event_type"])).alias("path"),
+                 F.count("*").alias("n_steps")))
+    tot = paths.agg(F.count("*").alias("n"))
+    return (paths.crossJoin(F.broadcast(tot))
+            .groupBy("path", "n_steps")
+            .agg(F.count("*").alias("n_users"),
+                 (F.floor(F.count("*") * F.lit(1.0) / F.max("n")
+                          * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                 .alias("user_share"))
+            .orderBy(F.col("n_users").desc(), "path")
+            .limit(PATH_TOPK))

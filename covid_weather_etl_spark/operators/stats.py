@@ -1339,3 +1339,121 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("neyman_alloc"),
                     g6((F.col("n_rows") * F.col("sd")) / F.col("w"))
                     .alias("neyman_share")))
+
+
+# ---------------------------------------------------------------------------
+# Gini split scores — the CART node criterion per candidate feature
+# ---------------------------------------------------------------------------
+
+#: candidate discrete features scored against the discount label:
+#: (name, spark SQL expr, duckdb SQL expr). The exprs differ in
+#: dialect (dayofweek bases, integer division) but produce IDENTICAL
+#: categorical values — shared text is only required for floats.
+GINI_FEATURES = (
+    ("returnflag", "l_returnflag", "l_returnflag"),
+    ("linestatus", "l_linestatus", "l_linestatus"),
+    ("weekend",
+     "CASE WHEN dayofweek(l_shipdate) IN (1, 7) THEN 'y' ELSE 'n' END",
+     "CASE WHEN dayofweek(l_shipdate) IN (0, 6) THEN 'y' ELSE 'n' END"),
+    ("qty_band",
+     "CAST(CAST(FLOOR(l_quantity / 10) AS BIGINT) AS STRING)",
+     "CAST(CAST(FLOOR(l_quantity / 10) AS BIGINT) AS VARCHAR)"),
+)
+_GINI_LABEL = "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END"
+
+
+def _gini_oracle() -> str:
+    parts = []
+    for name, _spark_expr, expr in GINI_FEATURES:
+        parts.append(f"""
+    SELECT '{name}' AS feature,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           FLOOR(MAX(parent) * 1e6 + 0.5) / 1e6 AS parent_gini,
+           FLOOR(CAST(SUM(CAST(FLOOR((nv * 1e0 / nt)
+                 * (1e0 - (n1 * 1e0 / nv) * (n1 * 1e0 / nv)
+                        - ((nv - n1) * 1e0 / nv)
+                          * ((nv - n1) * 1e0 / nv)) * 1e9 + 0.5)
+                 AS DECIMAL(25,0))) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+               AS weighted_gini,
+           FLOOR((MAX(parent)
+                  - CAST(SUM(CAST(FLOOR((nv * 1e0 / nt)
+                    * (1e0 - (n1 * 1e0 / nv) * (n1 * 1e0 / nv)
+                           - ((nv - n1) * 1e0 / nv)
+                             * ((nv - n1) * 1e0 / nv)) * 1e9 + 0.5)
+                    AS DECIMAL(25,0))) AS DOUBLE) / 1e9)
+                 * 1e6 + 0.5) / 1e6 AS gini_gain
+    FROM (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(SUM(y) AS BIGINT) AS n1,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nt,
+               1e0 - (SUM(SUM(y)) OVER () * 1e0
+                      / SUM(COUNT(*)) OVER ())
+                       * (SUM(SUM(y)) OVER () * 1e0
+                          / SUM(COUNT(*)) OVER ())
+                   - ((SUM(COUNT(*)) OVER () - SUM(SUM(y)) OVER ())
+                      * 1e0 / SUM(COUNT(*)) OVER ())
+                       * ((SUM(COUNT(*)) OVER () - SUM(SUM(y)) OVER ())
+                          * 1e0 / SUM(COUNT(*)) OVER ()) AS parent
+        FROM (SELECT CAST({expr} AS VARCHAR) AS v,
+                     {_GINI_LABEL} AS y
+              FROM lineitem) r
+        GROUP BY v
+    ) per_v""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "gini_split_scores",
+    survey="ext-ml,A3,A6,F9,U4",
+    oracle=_gini_oracle(),
+)
+def gini_split_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI SPLIT scores — the CART node criterion (Breiman et al.
+    1984) for each candidate discrete feature against the discount
+    label: weighted post-split impurity Σ_v (n_v/n)·Gini(v) and the
+    gain vs the parent node. The counting-side complement to
+    `mutual_information_features` (information gain) and
+    `feature_relevance_ranking` — and literally the statistic the GBT
+    twins' tree learner maximizes at every node; here it is ONE
+    grouped aggregate per feature, which is how distributed tree
+    libraries actually evaluate candidate splits at scale (sufficient
+    statistics per (feature value, label), never row-level recursion).
+
+    Exactness: all counts integer; each per-value term is one
+    shared-text float expression snapped to the 1e-9 grid and
+    DECIMAL-summed (order-free across values); the parent Gini is
+    scalar algebra over group totals (the oracle's OVER () is the
+    per-feature total the engine gets from a broadcast scalar).
+    Plan: per feature, one map-combinable (value, label) count
+    rollup bounded by the feature's cardinality; features union."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    outs = []
+    for name, expr, _duck_expr in GINI_FEATURES:
+        r = li.select(F.expr(expr).cast("string").alias("v"),
+                      F.expr(_GINI_LABEL).alias("y"))
+        per_v = (r.groupBy("v")
+                 .agg(F.count("*").alias("nv"), F.sum("y").alias("n1")))
+        tot = per_v.agg(F.sum("nv").alias("nt"),
+                        F.sum("n1").alias("t1"))
+        p1 = F.col("n1") * F.lit(1.0) / F.col("nv")
+        p0 = (F.col("nv") - F.col("n1")) * F.lit(1.0) / F.col("nv")
+        term = F.floor((F.col("nv") * F.lit(1.0) / F.col("nt"))
+                       * (F.lit(1.0) - p1 * p1 - p0 * p0)
+                       * F.lit(1e9) + F.lit(0.5)).cast("decimal(25,0)")
+        q1 = F.col("t1") * F.lit(1.0) / F.col("nt")
+        q0 = (F.col("nt") - F.col("t1")) * F.lit(1.0) / F.col("nt")
+        parent = F.lit(1.0) - q1 * q1 - q0 * q0
+        g6 = lambda c: (F.floor(c * F.lit(1e6) + F.lit(0.5))  # noqa: E731
+                        / F.lit(1e6))
+        wg = F.sum(term).cast("double") / F.lit(1e9)
+        outs.append(per_v.crossJoin(F.broadcast(tot)).agg(
+            F.lit(name).alias("feature"),
+            F.count("*").alias("n_values"),
+            g6(F.max(parent)).alias("parent_gini"),
+            g6(wg).alias("weighted_gini"),
+            g6(F.max(parent) - wg).alias("gini_gain")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

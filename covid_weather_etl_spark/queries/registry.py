@@ -243,6 +243,7 @@ _ROTATION_R9 = (
     "unigram_vocab_seed", "rank_biased_overlap",
     "encoding_size_estimate", "holm_multiple_tests",
     "haar_wavelet_energy", "inbatch_negative_collisions", "srm_check",
+    "conversion_path_topk", "bh_fdr_control", "gini_split_scores",
     "irls_logreg_fit", "truncation_loss_report", "shard_skew_report",
     "nucleus_sampling_profile", "dpo_pair_construction",
     "rouge_overlap_eval", "dedup_threshold_sensitivity",
@@ -254,12 +255,15 @@ _ROTATION_R9 = (
     "seasonal_decompose", "sequence_packing", "session_windows",
     "sliding_window_avg", "standard_scaler_transform",
     "stratified_split_summary", "tfidf_top_terms", "token_stats",
-    "transform_logs_table", "tumbling_window_counts",
-    "validation_routing", "winnowing_fingerprint",
+    "transform_logs_table",
 )
-# The 23 continuation-session new ops displaced the whole r03 slice
-# this window had planned — never-checked queries outrank refreshes.
-# R10 queue: the full 44-row r03 cohort displaced from this window
+# The 26 continuation-session new ops displaced the whole r03 slice
+# this window had planned plus the last three r02 refresh slots
+# (tumbling_window_counts, validation_routing, winnowing_fingerprint
+# -> r10 queue head) — never-checked queries outrank refreshes.
+# R10 queue: the three displaced r02 refreshes (tumbling_window_counts,
+# validation_routing, winnowing_fingerprint), then the
+# full 44-row r03 cohort displaced from this window
 # (anti_join_never_ordered, avg_latency_seconds, chrono_split,
 # conditional_labels, correlation_matrix, cube_revenue,
 # cyclical_encoding,

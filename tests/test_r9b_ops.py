@@ -723,3 +723,102 @@ def test_srm_check_replay_and_health(spark):
         assert r["srm_95"] >= r["srm_99"]
     # healthy md5 assignment: no salt should scream SRM at 99%
     assert df["srm_99"].sum() == 0
+
+
+def test_conversion_path_topk_pandas_replay(spark):
+    from collections import Counter
+    from covid_weather_etl_spark.operators.eventstats import (
+        PATH_MAX_STEPS, PATH_TOPK)
+    df = (_q("conversion_path_topk").fn(spark, SF_DIR).toPandas())
+    assert len(df) <= PATH_TOPK
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+    fp = (ev[ev["event_type"] == "purchase"]
+          .groupby("user_id")["ts"].min().rename("p_ts"))
+    pre = ev.merge(fp, on="user_id")
+    pre = pre[(pre["ts"] < pre["p_ts"])
+              & (pre["event_type"] != "purchase")]
+    paths = Counter()
+    for _, g in pre.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).head(PATH_MAX_STEPS)
+        paths[">".join(g["event_type"])] += 1
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:len(df)]
+    assert list(df["path"]) == [p for p, _ in top]
+    assert list(df["n_users"]) == [c for _, c in top]
+    for _, r in df.iterrows():
+        assert r["n_steps"] == len(r["path"].split(">"))
+        assert r["n_steps"] <= PATH_MAX_STEPS
+    assert abs(df["user_share"].iloc[0]
+               - df["n_users"].iloc[0] / sum(paths.values())) < 2e-6
+
+
+def test_bh_vs_holm_power_ordering(spark):
+    from covid_weather_etl_spark.operators.drift import (
+        BH_ZCRIT, HOLM_M, HOLM_ZCRIT)
+    # step-up thresholds decrease, step-down thresholds increase...
+    # in REJECTION difficulty: HOLM_ZCRIT falls with rank (alpha/(m-k+1)
+    # grows), BH_ZCRIT falls faster from a lower start at k=1? No:
+    # at k=1 BH tests q/m vs Holm alpha/m — BH's q=0.10 > alpha=0.05,
+    # so BH is uniformly easier here. Pin the shapes:
+    assert len(BH_ZCRIT) == HOLM_M
+    assert all(a >= b for a, b in zip(BH_ZCRIT, BH_ZCRIT[1:]))
+    assert all(h >= b for h, b in zip(HOLM_ZCRIT, BH_ZCRIT))
+    bh = (_q("bh_fdr_control").fn(spark, SF_DIR)
+          .toPandas().set_index("n_name"))
+    holm = (_q("holm_multiple_tests").fn(spark, SF_DIR)
+            .toPandas().set_index("n_name"))
+    # same test frame
+    assert (bh["z"].sort_index() == holm["z"].sort_index()).all()
+    assert (bh["bh_rank"].sort_index()
+            == holm["holm_rank"].sort_index()).all()
+    # BH (FDR, q=0.10) rejects a superset of Holm (FWER, alpha=0.05)
+    j = bh.join(holm[["reject_holm"]])
+    assert (j["reject_holm"] <= j["reject_bh"]).all()
+    # step-up: rejections are exactly ranks 1..k*
+    r = bh.sort_values("bh_rank")["reject_bh"].tolist()
+    assert r == sorted(r, reverse=True)
+    # replay k*
+    passes = [abs(z) >= c for z, c in zip(
+        bh.sort_values("bh_rank")["z"], BH_ZCRIT)]
+    ks = max((i + 1 for i, p in enumerate(passes) if p), default=0)
+    assert sum(r) == ks
+
+
+def test_gini_split_scores_pandas_replay(spark):
+    import math
+    from covid_weather_etl_spark.operators.stats import GINI_FEATURES
+    df = (_q("gini_split_scores").fn(spark, SF_DIR)
+          .toPandas().set_index("feature"))
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_shipdate", "l_quantity",
+                                  "l_discount"])
+    li["y"] = (li["l_discount"] > 0.05).astype(int)
+    feats = {
+        "returnflag": li["l_returnflag"],
+        "linestatus": li["l_linestatus"],
+        "weekend": li["l_shipdate"].dt.dayofweek.isin([5, 6])
+        .map({True: "y", False: "n"}),
+        "qty_band": np.floor(li["l_quantity"] / 10).astype(int)
+        .astype(str),
+    }
+    n = len(li)
+    t1 = li["y"].sum()
+    parent = 1 - (t1 / n) ** 2 - ((n - t1) / n) ** 2
+    for name, _, _ in GINI_FEATURES:
+        g = li.assign(v=feats[name]).groupby("v")["y"] \
+            .agg(["size", "sum"])
+        wg = sum(math.floor(
+            (r["size"] / n)
+            * (1 - (r["sum"] / r["size"]) ** 2
+               - ((r["size"] - r["sum"]) / r["size"]) ** 2) * 1e9
+            + 0.5) for _, r in g.iterrows()) / 1e9
+        row = df.loc[name]
+        assert row["n_values"] == len(g)
+        assert abs(row["parent_gini"] - parent) < 2e-6
+        assert abs(row["weighted_gini"] - wg) < 2e-6
+        assert abs(row["gini_gain"] - (parent - wg)) < 4e-6
+        # splitting can never increase impurity
+        assert row["gini_gain"] >= -1e-9
