@@ -282,6 +282,39 @@ _ROTATION_R9 = (
 # queue, then the r04 cohort; never-checked should stay at 0 — any
 # new op added in r10+ sessions leads the next window.
 
+# Round 10 window (50), per the r9 verdict directive #4 and the queue
+# comment above. Head: any r10-session NEW operators (oracle-equipped
+# day one, inserted as they land — never-checked outranks refreshes,
+# displacing the tail to the r11 queue). Then the 3 r02 refreshes
+# displaced from the r9 window, then the full 44-row r03 cohort (its
+# rows all carry identical r03 freshness; alphabetical). 3+44 = 47
+# refresh slots; at 50-cap, each new r10 op displaces one tail row to
+# the r11 queue head. After this window the oldest hash row is >= r04.
+_ROTATION_R10 = (
+    # r10-session NEW operators land here (head), as they register.
+    # the 3 r02 refreshes displaced from the r9 window
+    "tumbling_window_counts", "validation_routing",
+    "winnowing_fingerprint",
+    # the 44-row r03 cohort (oldest evidence in the ledger)
+    "anti_join_never_ordered", "avg_latency_seconds", "chrono_split",
+    "conditional_labels", "correlation_matrix", "cube_revenue",
+    "cyclical_encoding", "daily_activity_trend", "date_bounds",
+    "date_parts", "dim_get_or_create", "docs_exact_dedup",
+    "epoch_scalar_fns", "error_rate_by_type", "etl_kpi_cards",
+    "first_difference", "frame_sample", "in_list_filter",
+    "join_chain_3way", "join_chain_4way_revenue", "join_filtered_2way",
+    "json_extraction", "label_encode_segment", "lag_features",
+    "latest_event_per_user", "left_join_made_inner", "media_catalog",
+    "monthly_boxplot_stats", "null_profile", "orders_by_month",
+    "pipeline_status", "pivot_status_revenue", "recent_events_limit",
+    "rolling_features", "rollup_revenue", "running_total",
+    "scalar_string_date_fns", "semi_join_open_orders",
+    "skew_resilient_running_total", "summary_stats", "topk_orders",
+    "union_append", "value_histogram", "yoy_comparison",
+)
+# R11 queue: rows displaced from this window by r10-session new ops
+# (tail-first), then the r04 cohort; never-checked stays at 0.
+
 # Round 7 window (50), per the r6 verdict directive #1. Slots 1-6: the
 # stale-evidence oracle upgrades — each carries a full replay oracle
 # newer than its last driver row (rows-only r02-r04), so a fresh row
@@ -487,10 +520,10 @@ def _resolved(q: Query) -> Query:
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    missing = [n for n in _ROTATION_R9 if n not in _REGISTRY]
+    missing = [n for n in _ROTATION_R10 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R9}
+    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R10}
     ordered.update((n, _resolved(q)) for n, q in _REGISTRY.items()
                    if n not in ordered)
     return ordered
