@@ -17,16 +17,11 @@ import sys
 import time
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-    from covid_weather_etl_spark.queries.registry import all_queries
-    from covid_weather_etl_spark.session import get_spark
-
-    spark = get_spark("cwes-bench", cpus=cpus)
-    qs = all_queries()
-
+def warm_session(spark, sf_dir: str, cpus: str) -> None:
+    """One-time cluster warmups (classloading, codegen, Arrow worker
+    pool) so first-use costs don't land on whichever query runs first.
+    Shared by the bench harness and scripts/warm_measure.py (§8 warm
+    protocol) so 'warm' means the same thing in both."""
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     # warm Spark ML too (pipeline/tree-ensemble classloading + codegen
@@ -73,6 +68,18 @@ def main() -> None:
     wide.select(_pd_warm(_F.col("id"))).count()
     # mapInPandas is a third distinct path (iterator protocol)
     wide.mapInPandas(lambda it: it, wide.schema).count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from covid_weather_etl_spark.session import get_spark
+
+    spark = get_spark("cwes-bench", cpus=cpus)
+    qs = all_queries()
+    warm_session(spark, sf_dir, cpus)
 
     timings: dict[str, float] = {}
     t_total = time.perf_counter()

@@ -516,8 +516,9 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("decimal(25,6)")).alias("r")))
     # part-count-sized; checkpointed so the fact is scanned ONCE for
     # both the in-band prefix and the band-sum/offset branches
-    banded = rev.withColumn(
-        "band", F.floor(F.log(F.col("r").cast("double")) * F.lit(8.0)))         .localCheckpoint(eager=True)
+    banded = (rev.withColumn(
+        "band", F.floor(F.log(F.col("r").cast("double")) * F.lit(8.0)))
+        .localCheckpoint(eager=True))
     w_in = (W.partitionBy("band")
             .orderBy(F.col("r").desc(), F.col("pk"))
             .rowsBetween(W.unboundedPreceding, W.currentRow))

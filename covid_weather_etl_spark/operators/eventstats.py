@@ -1218,8 +1218,13 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ij/(π_i+π_j) are snapped to the 1e-9 grid and decimal-summed
     (order-free); π updates and the normalization each snap back to
     the 1e-6 grid, so round r+1 starts from identical numbers on both
-    engines; {BT_ROUNDS} rounds are unrolled as CTE layers — no
-    driver loop, no collect. Plan: ONE user-keyed aggregate scans the
+    engines; each round's π frame is localCheckpointed (items-sized,
+    same discipline as directed/wins) before the next round references
+    it, so the physical plan stays ONE round deep instead of doubling
+    per round (_bt_round_sql inlines its input twice: the update and
+    the tot normalization). View names are suffixed per invocation so
+    two concurrent evaluations in one SparkSession can't race on
+    createOrReplaceTempView. Plan: ONE user-keyed aggregate scans the
     events (map-combinable), the per-user duel join fans out ≤
     types² rows per user, and everything after is items²-bounded."""
     t = load_tables(spark, sf_dir, ("events",))
@@ -1250,22 +1255,28 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("w_ij").cast("long").alias("n_wins"),
                  F.sum("n_ij").cast("long").alias("n_comparisons"))
             .localCheckpoint(eager=True))
-    directed.createOrReplaceTempView("bt_pairs_v")
-    wins.createOrReplaceTempView("bt_wins_v")
-    spark.sql("SELECT item, CAST(1.0 AS DOUBLE) AS pi FROM bt_wins_v") \
-        .createOrReplaceTempView("bt_pi_0")
-    spark.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bt_wins_v") \
-        .createOrReplaceTempView("bt_k_v")
-    cur = "bt_pi_0"
+    import uuid
+    sfx = uuid.uuid4().hex[:8]
+    pairs_v, wins_v, k_v = (f"bt_pairs_{sfx}", f"bt_wins_{sfx}",
+                            f"bt_k_{sfx}")
+    directed.createOrReplaceTempView(pairs_v)
+    wins.createOrReplaceTempView(wins_v)
+    spark.sql(f"SELECT item, CAST(1.0 AS DOUBLE) AS pi FROM {wins_v}") \
+        .createOrReplaceTempView(f"bt_pi_0_{sfx}")
+    spark.sql(f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {wins_v}") \
+        .createOrReplaceTempView(k_v)
+    cur = f"bt_pi_0_{sfx}"
     for rd in range(1, BT_ROUNDS + 1):
-        nxt = spark.sql(_bt_round_sql(
-            "bt_pairs_v", cur, "bt_wins_v", "bt_k_v"))
-        nxt.createOrReplaceTempView(f"bt_pi_{rd}")
-        cur = f"bt_pi_{rd}"
+        # items-sized checkpoint: the round SQL inlines its input
+        # twice, so without this the plan doubles per round
+        nxt = spark.sql(_bt_round_sql(pairs_v, cur, wins_v, k_v)) \
+            .localCheckpoint(eager=True)
+        nxt.createOrReplaceTempView(f"bt_pi_{rd}_{sfx}")
+        cur = f"bt_pi_{rd}_{sfx}"
     return spark.sql(f"""
         SELECT w.item AS event_type, w.n_wins, w.n_comparisons,
                p.pi AS strength
-        FROM bt_wins_v w JOIN {cur} p ON p.item = w.item
+        FROM {wins_v} w JOIN {cur} p ON p.item = w.item
     """)
 
 

@@ -354,6 +354,72 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: BFS horizon for the hop-distance profile.
 BFS_MAX_HOPS = 4
 
+#: Single-task BFS budget: when the bidirectional edge list fits this
+#: bound, the whole traversal runs in ONE mapInPandas task instead of
+#: ~diameter×3 scheduled jobs (the cc_single_task precedent,
+#: corpus.py) — the r9-measured per-job scheduler tax (129–223 ms on a
+#: busy host) makes job COUNT, not per-round plan shape, the dominant
+#: cost of iterative queries at this graph size. The kernel is
+#: vectorized numpy over integer-coded edges (~16 B/edge for the code
+#: arrays + the unique node strings), so 2M edges is a ≲100 MB task
+#: working set — comfortably inside one standard executor. Above the
+#: cap the level-synchronous loop below is the scale path.
+BFS_SINGLE_TASK_MAX = 2_000_000
+
+
+def _bfs_single_task(edges: DataFrame) -> DataFrame:
+    """Whole-BFS-in-one-task kernel over a BOUNDED bidirectional edge
+    frame: factorize node ids to integer codes once, take the
+    lexicographically smallest ``s:``-prefixed node as root (same
+    ordering as the DataFrame ``F.min`` on the ASCII node ids), then
+    expand level by level to BFS_MAX_HOPS with boolean-mask scatter
+    over the code arrays — each hop is one O(|E|) numpy pass, no
+    Python-level per-edge loop. Emits the hop-distance profile
+    directly. Integer-exact and traversal-order-free (a node's hop
+    distance does not depend on visit order within a level), so it is
+    hash-identical to the level-synchronous loop and the
+    recursive-CTE oracle. Callers MUST gate on BFS_SINGLE_TASK_MAX —
+    one task holds the whole edge list."""
+    import numpy as np
+    import pandas as pd
+
+    def k(pdfs):
+        parts = list(pdfs)
+        empty = pd.DataFrame({"dist": pd.Series([], dtype="int32"),
+                              "n_nodes": pd.Series([], dtype="int64")})
+        if not parts:
+            yield empty
+            return
+        e = pd.concat(parts, ignore_index=True)
+        codes, nodes = pd.factorize(
+            pd.concat([e["src"], e["dst"]], ignore_index=True))
+        src, dst = codes[:len(e)], codes[len(e):]
+        sup = np.asarray([n.startswith("s:") for n in nodes])
+        if not sup.any():
+            yield empty
+            return
+        root = int(np.flatnonzero(sup)[
+            np.asarray(nodes)[sup].argmin()])
+        visited = np.zeros(len(nodes), dtype=bool)
+        visited[root] = True
+        frontier = visited.copy()
+        counts = [1]
+        for _ in range(BFS_MAX_HOPS):
+            nxt = np.zeros(len(nodes), dtype=bool)
+            nxt[dst[frontier[src]]] = True
+            nxt &= ~visited
+            n_new = int(nxt.sum())
+            if not n_new:
+                break
+            counts.append(n_new)
+            visited |= nxt
+            frontier = nxt
+        yield pd.DataFrame(
+            {"dist": pd.Series(range(len(counts)), dtype="int32"),
+             "n_nodes": pd.Series(counts, dtype="int64")})
+
+    return edges.coalesce(1).mapInPandas(k, "dist int, n_nodes long")
+
 _BFS_EDGE_SQL = """
         SELECT CONCAT('c:', o_custkey) AS src,
                CONCAT('s:', l_suppkey) AS dst
@@ -396,7 +462,14 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hops of this supplier", the reachability primitive under blast-
     radius and influence queries.
 
-    Iteration shape: level-synchronous frontier expansion — each round
+    Two execution paths, gated on the materialized edge count (the
+    cc_single_task precedent, corpus.py): when the bidirectional edge
+    list fits BFS_SINGLE_TASK_MAX, the WHOLE traversal runs in one
+    mapInPandas task (_bfs_single_task) — 2 jobs total instead of
+    ~diameter×3, which is the 100×-relevant fix for per-job scheduler
+    tax on iterative queries (r9 measured 129–223 ms/job on a busy
+    host; this query was the worst case at ~12 jobs). Above the cap,
+    the level-synchronous loop below is the scale path: each round
     joins ONLY the previous frontier (never the full visited set)
     against the src-keyed edge frame and localCheckpoints the new
     frontier so the plan stays one round deep. First-discovery dedup
@@ -409,8 +482,10 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join's build side from |visited| (grows every round) to one
     frontier. The per-round driver scalar (frontier emptiness) is the
     loop's stopping test — same discipline as pagerank/dedup_clusters.
-    The oracle is a recursive CTE over the identical edge set; UNION
-    dedup bounds its working set at nodes × hops rows.
+    Both paths are hash-identical (hop distances are integer-exact and
+    traversal-order-free). The oracle is a recursive CTE over the
+    identical edge set; UNION dedup bounds its working set at
+    nodes × hops rows.
 
     Scale: round cost = frontier ⋈ edges (key-projected shuffle;
     bucketed-by-src edges make it co-located), frontier ≤ nodes rows.
@@ -428,6 +503,9 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )).alias("e")).select("e.src", "e.dst")
         .localCheckpoint())  # reused every round: materialize once
+
+    if edges.count() <= BFS_SINGLE_TASK_MAX:
+        return _bfs_single_task(edges)
 
     root = edges.filter(F.col("src").startswith("s:")) \
                 .agg(F.min("src")).first()[0]

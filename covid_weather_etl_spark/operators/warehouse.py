@@ -922,7 +922,9 @@ def _enc_oracle() -> str:
            CAST(COUNT(*) AS BIGINT) AS n_distinct,
            FLOOR(SUM(ent_term) * 1e6 + 0.5) / 1e6 AS entropy_bits,
            CAST(SUM(c) * {width} AS BIGINT) AS plain_bytes,
-           CAST(CAST(CEIL(SUM(c) * CEIL(LN(COUNT(*) + 1) / LN(2e0))
+           CAST(CAST(CEIL(SUM(c) * CEIL(FLOOR(LN(COUNT(*) + 1)
+                                              / LN(2e0) * 1e9 + 0.5)
+                                        / 1e9)
                           / 8e0) AS BIGINT)
                 + COUNT(*) * {width} AS BIGINT) AS dict_bytes,
            CAST(CEIL(SUM(c) * (FLOOR(SUM(ent_term) * 1e6 + 0.5) / 1e6)
@@ -975,7 +977,14 @@ def encoding_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count("*").alias("n_distinct")))
         eb = F.floor(F.col("ent").cast("double") * F.lit(1e6)
                      + F.lit(0.5)) / F.lit(1e6)
-        bits = F.ceil(F.log(F.col("n_distinct") + F.lit(1.0)) / ln2)
+        # snap the log ratio to the 1e-9 grid BEFORE the integer-valued
+        # CEIL: at exact powers of two (l_returnflag: 3+1=4) a 1-ulp
+        # JVM-vs-DuckDB libm divergence would otherwise flip CEIL by a
+        # whole bit-per-value (advice r9) — same snap-before-deciding
+        # discipline as every other float-derived decision here
+        bits = F.ceil(F.floor(F.log(F.col("n_distinct") + F.lit(1.0))
+                              / ln2 * F.lit(1e9) + F.lit(0.5))
+                      / F.lit(1e9))
         outs.append(ent.select(
             F.lit(col).alias("col"),
             F.col("n_rows").cast("long").alias("n_rows"),
