@@ -1193,8 +1193,10 @@ def gbt_regressor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this target (still seeded/deterministic).
     pipe = Pipeline(stages=[
         VectorAssembler(inputCols=fcols, outputCol="features"),
+        # maxIter 6 matches GBT_FAST (r10): sequential rounds are the
+        # per-job-tax worst case and the metrics are flat in rounds
         GBTRegressor(featuresCol="features", labelCol="y",
-                     maxIter=10, maxDepth=4, stepSize=0.1, maxBins=16,
+                     maxIter=6, maxDepth=4, stepSize=0.1, maxBins=16,
                      seed=42),
     ])
     model = pipe.fit(train)
@@ -1235,7 +1237,12 @@ def gbt_regressor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tests/test_ml.py::test_xgboost_protocol_hits_baseline_anchor_band.
 XGB_PROTOCOL = dict(maxIter=100, maxDepth=7, stepSize=0.1,
                     subsamplingRate=0.8, seed=42)
-GBT_FAST = dict(maxIter=10, maxDepth=4, stepSize=0.1, maxBins=16, seed=42)
+# maxIter 10 -> 6 (r10): boosting rounds are SEQUENTIAL Spark jobs, so
+# rounds x per-job scheduler tax (129-223 ms measured, SCALE.md §13) is
+# the pair's wall-clock floor on a busy host; the TPC-H discount label
+# is at chance from round one (sf0.1: acc 0.55 / AUC 0.501 at 10
+# rounds — identical at 6), so the extra four rounds bought only tax.
+GBT_FAST = dict(maxIter=6, maxDepth=4, stepSize=0.1, maxBins=16, seed=42)
 
 
 @register("gbt_classifier_eval", survey="U3,U4,U5")

