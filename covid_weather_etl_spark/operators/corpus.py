@@ -195,6 +195,142 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_efficiency_report",
+    survey="corpus-pack,A6,A8,W7,F9",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang
+                                               ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+                   AS batch_id
+        FROM toks
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens,
+           CAST(MAX(batch_id) + 1 AS BIGINT) AS n_batches,
+           CAST(CEIL(SUM(n_tokens) * 1.0 / {PACK_BUDGET}) AS BIGINT)
+               AS n_batches_lb,
+           {fround_sql(f"SUM(n_tokens) * 1e0 / ((MAX(batch_id) + 1)"
+                       f" * {PACK_BUDGET})")} AS fill_share
+    FROM packed GROUP BY lang
+    """,
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency accounting per language stream — the
+    utilization report behind every context-window packing decision:
+    how many PACK_BUDGET-token batches the deterministic contiguous
+    packing (sequence_packing's exact batch_id formula) actually
+    uses, against the bin-packing LOWER BOUND ceil(stream tokens /
+    budget) no packer can beat, plus the fill share (padding waste =
+    1 − fill) and the largest single document (straddle risk — a doc
+    longer than the budget forces splitting upstream). The gap
+    between n_batches and n_batches_lb is the compute a smarter
+    packer (FFD, best-fit) could reclaim — measured, not guessed.
+
+    Plan: one scan into (doc, lang, tokens), the same per-stream
+    cumulative window sequence_packing uses (partitioned by lang —
+    never global; the two-phase blocked prefix sum is the drop-in at
+    100 TB), one map-combinable aggregate per lang. fill_share is a
+    single division of exact integers, snapped on both engines."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = toks.withColumn(
+        "batch_id", F.floor(offset / PACK_BUDGET).cast("long"))
+    return (packed.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+                 (F.max("batch_id") + 1).cast("long").alias("n_batches"),
+                 F.ceil(F.sum("n_tokens") * F.lit(1.0)
+                        / F.lit(PACK_BUDGET)).cast("long")
+                 .alias("n_batches_lb"),
+                 fround(F.sum("n_tokens") * F.lit(1.0)
+                        / ((F.max("batch_id") + 1) * F.lit(PACK_BUDGET)))
+                 .alias("fill_share")))
+
+
+@register(
+    "tokenizer_drift_eval",
+    survey="LLM-text,corpus-funnel,A5,A6,J1",
+    oracle=lambda: f"""
+    WITH RECURSIVE {TX._bpe_st_ctes()},
+    fin AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS w_syms
+        FROM st WHERE round = (SELECT MAX(round) FROM st)
+    ),
+    dw AS (
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         >= '{ICC_INC_CUT}'
+                    THEN 'new' ELSE 'old' END AS slice,
+               lang, doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT slice, lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(SUM(k * w_syms) AS BIGINT) AS n_bpe_syms,
+           {fround_sql("SUM(k * w_syms) * 1e0 / SUM(k)")} AS fertility
+    FROM dw JOIN fin USING (word)
+    GROUP BY 1, 2
+    """,
+)
+def tokenizer_drift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER DRIFT monitor — fertility (BPE symbols per
+    whitespace token) of the PERSISTED tokenizer artifact
+    (ensure_bpe_artifacts, trained once on the full corpus) measured
+    separately on the already-ingested store vs the arriving batch
+    (the incremental md5 split the dedup seam uses), per language.
+    Rising fertility on new data is the standard signal that a
+    shipped tokenizer no longer fits the distribution (new domains,
+    languages, formats) and a retrain/extension is due — the
+    production monitor that sits NEXT to the serving seam, reading
+    the artifact instead of retraining (bpe_fertility_by_lang's
+    per-slice upgrade, same vocabulary-join encoding as
+    bpe_encode_documents).
+
+    Plan: one corpus scan into (slice, lang, word) counts
+    (map-combinable), one broadcast join against the Zipf-bounded
+    persisted segmentation, one tiny aggregate; fertility is a single
+    snapped division of exact integers. Oracle replays the training
+    loop (the shared _bpe_st_ctes recursive CTE) and the same split."""
+    _, vocab = TX.ensure_bpe_artifacts(spark, sf_dir)
+    enc = vocab.select("word", F.size("syms").cast("long").alias("w_syms"))
+    t = load_tables(spark, sf_dir, ("documents",))
+    slice_c = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        >= ICC_INC_CUT, F.lit("new")).otherwise(F.lit("old"))
+    dw = (spread(t["documents"], "doc_id")
+          .select(slice_c.alias("slice"), "lang", "doc_id",
+                  F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("slice", "lang", "doc_id", "word")
+          .agg(F.count("*").alias("k")))
+    return (dw.join(F.broadcast(enc), "word")
+            .groupBy("slice", "lang")
+            .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.sum("k").cast("long").alias("n_tokens"),
+                 F.sum(F.col("k") * F.col("w_syms")).cast("long")
+                 .alias("n_bpe_syms"),
+                 fround(F.sum(F.col("k") * F.col("w_syms")) * F.lit(1.0)
+                        / F.sum("k")).alias("fertility")))
+
+
+@register(
     "dedup_clusters",
     survey="corpus-cc,LLM-dedup,J1",
     oracle=f"""
@@ -225,10 +361,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents keep their own id. Convergence is detected by the global
     label sum (strictly decreasing until fixpoint), one scalar per
     round on the driver. The oracle is an independent formulation:
-    DuckDB recursive-CTE label reachability + MIN."""
+    DuckDB recursive-CTE label reachability + MIN.
+
+    Gated like the BFS/Bellman-Ford pair (r10): when the canonical
+    pair set fits CC_SINGLE_TASK_MAX, the contraction runs in the one
+    union-find task (cc_single_task — proven hash-identical to the
+    min-label fixpoint: both resolve every node to its component
+    minimum), composed with the corpus by one left join; the
+    propagation loop below is the above-cap scale path. The expensive
+    part either way is building the pair set, which stays fully
+    distributed."""
     t = load_tables(spark, sf_dir, ("documents",))
-    pairs = TX.ngram_jaccard_near_dup(spark, sf_dir) \
-        .select("doc_id_1", "doc_id_2")
+    pairs = (TX.ngram_jaccard_near_dup(spark, sf_dir)
+             .select("doc_id_1", "doc_id_2")
+             .localCheckpoint(eager=True))
+    if pairs.count() <= CC_SINGLE_TASK_MAX:
+        lbl = cc_single_task(pairs.select(F.col("doc_id_1").alias("a"),
+                                          F.col("doc_id_2").alias("b")))
+        return (t["documents"].select("doc_id")
+                .join(lbl.withColumnRenamed("node", "doc_id"),
+                      "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("lbl", "doc_id").alias("cluster_id"),
+                        (F.coalesce("lbl", "doc_id") == F.col("doc_id"))
+                        .alias("is_canonical")))
     edges = (pairs.select(F.col("doc_id_1").alias("src"),
                           F.col("doc_id_2").alias("dst"))
              .unionByName(pairs.select(

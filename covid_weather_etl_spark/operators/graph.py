@@ -534,6 +534,53 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Bellman-Ford relaxation rounds (path length bound).
 BF_ROUNDS = 3
 
+
+def _bf_single_task(edges: DataFrame) -> DataFrame:
+    """Whole-Bellman-Ford-in-one-task kernel over a BOUNDED
+    (src, dst, cost) edge frame — the weighted sibling of
+    _bfs_single_task, same gate, same factorize-once + O(|E|)-numpy-
+    pass-per-round shape. Min-plus over int64 distances is exact and
+    accumulation-order-free (np.minimum.at resolves ties identically
+    to the loop's MIN aggregate), so the collapse is hash-identical
+    to the level loop and the unrolled-SQL oracle. Unreached nodes
+    (sentinel distance) are excluded from the profile, matching the
+    loop's discovered-nodes-only label frame."""
+    import numpy as np
+    import pandas as pd
+
+    INF = np.int64(1) << 62
+
+    def k(pdfs):
+        parts = list(pdfs)
+        empty = pd.DataFrame({"dist": pd.Series([], dtype="int64"),
+                              "n_nodes": pd.Series([], dtype="int64")})
+        if not parts:
+            yield empty
+            return
+        e = pd.concat(parts, ignore_index=True)
+        codes, nodes = pd.factorize(
+            pd.concat([e["src"], e["dst"]], ignore_index=True))
+        src, dst = codes[:len(e)], codes[len(e):]
+        cost = e["cost"].to_numpy(dtype=np.int64)
+        sup = np.asarray([n.startswith("s:") for n in nodes])
+        if not sup.any():
+            yield empty
+            return
+        root = int(np.flatnonzero(sup)[
+            np.asarray(nodes)[sup].argmin()])
+        dist = np.full(len(nodes), INF, dtype=np.int64)
+        dist[root] = 0
+        for _ in range(BF_ROUNDS):
+            nd = dist.copy()
+            np.minimum.at(nd, dst, dist[src] + cost)
+            dist = nd
+        reach = dist[dist < INF]
+        vals, cnts = np.unique(reach, return_counts=True)
+        yield pd.DataFrame({"dist": pd.Series(vals, dtype="int64"),
+                            "n_nodes": pd.Series(cnts, dtype="int64")})
+
+    return edges.coalesce(1).mapInPandas(k, "dist long, n_nodes long")
+
 _BF_EDGE_SQL = """
         SELECT CONCAT('c:', o_custkey) AS src,
                CONCAT('s:', l_suppkey) AS dst,
@@ -593,7 +640,13 @@ def bellman_ford_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would blow up on a dense bipartite graph), the oracle relaxes the
     same node-bounded frames the engine does. Scale: round cost =
     labels ⋈ edges (bucketed-by-src co-locates it); label frame ≤
-    nodes rows; rounds bound path length like a GNN's receptive field."""
+    nodes rows; rounds bound path length like a GNN's receptive field.
+
+    Like shortest_path_hops, the query is gated on the materialized
+    edge count: under BFS_SINGLE_TASK_MAX the whole relaxation runs
+    in ONE mapInPandas task (_bf_single_task — min-plus over integer
+    code arrays is order-free, so the collapse is hash-identical);
+    the loop above the cap is the scale path."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     pairs = (spread(t["lineitem"], "l_orderkey")
              .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -608,6 +661,9 @@ def bellman_ford_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst",
                 F.ceil(1000.0 / F.col("e.w")).cast("long").alias("cost"))
         .localCheckpoint(eager=True))
+
+    if edges.count() <= BFS_SINGLE_TASK_MAX:
+        return _bf_single_task(edges)
 
     root = edges.filter(F.col("src").startswith("s:")) \
                 .agg(F.min("src")).first()[0]

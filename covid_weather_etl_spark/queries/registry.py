@@ -292,7 +292,8 @@ _ROTATION_R9 = (
 # the r11 queue head. After this window the oldest hash row is >= r04.
 _ROTATION_R10 = (
     # r10-session NEW operators land here (head), as they register.
-    "curation_pipeline_run",
+    "curation_pipeline_run", "pack_efficiency_report",
+    "tokenizer_drift_eval",
     # the 3 r02 refreshes displaced from the r9 window
     "tumbling_window_counts", "validation_routing",
     "winnowing_fingerprint",

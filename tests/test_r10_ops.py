@@ -80,3 +80,42 @@ def test_curation_pipeline_matches_standalone_stages(spark):
     assert df["n_tokens"].sum() <= enc["n_tokens"].sum()
     assert df["n_bpe_syms"].sum() <= enc["n_bpe_syms"].sum()
     assert (df["n_tokens"].sum() > 0) == (df["n_dedup"].sum() > 0)
+
+
+def test_pack_efficiency_pandas_replay(spark):
+    df = (_q("pack_efficiency_report").fn(spark, SF_DIR)
+          .toPandas().set_index("lang").sort_index())
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs["n_tok"] = docs["text"].str.split(" ").str.len()
+    for lang, g in docs.sort_values("doc_id").groupby("lang"):
+        r = df.loc[lang]
+        tot = int(g["n_tok"].sum())
+        offs = g["n_tok"].cumsum() - g["n_tok"]
+        n_batches = int((offs // PACK_BUDGET).max()) + 1 \
+            if len(g) else 0
+        assert r["n_docs"] == len(g)
+        assert r["n_tokens"] == tot
+        assert r["max_doc_tokens"] == int(g["n_tok"].max())
+        assert r["n_batches"] == n_batches
+        assert r["n_batches_lb"] == math.ceil(tot / PACK_BUDGET)
+        # the lower bound really is a lower bound, and fill <= 1
+        assert r["n_batches"] >= r["n_batches_lb"]
+        assert 0 < r["fill_share"] <= 1.0
+
+
+def test_tokenizer_drift_slices_partition_the_encode_table(spark):
+    """The two md5 slices partition bpe_encode_documents' per-doc
+    totals exactly: summing the standalone encode table over each
+    slice reproduces the drift report's token/symbol totals."""
+    import hashlib
+    drift = (_q("tokenizer_drift_eval").fn(spark, SF_DIR)
+             .toPandas().groupby("slice")[["n_tokens", "n_bpe_syms"]]
+             .sum())
+    enc = _q("bpe_encode_documents").fn(spark, SF_DIR).toPandas()
+    enc["slice"] = enc["doc_id"].map(
+        lambda d: "new"
+        if hashlib.md5(str(d).encode()).hexdigest()[:2] >= ICC_INC_CUT
+        else "old")
+    exp = enc.groupby("slice")[["n_tokens", "n_bpe_syms"]].sum()
+    assert drift["n_tokens"].to_dict() == exp["n_tokens"].to_dict()
+    assert drift["n_bpe_syms"].to_dict() == exp["n_bpe_syms"].to_dict()
