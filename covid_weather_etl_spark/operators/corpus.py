@@ -3183,6 +3183,83 @@ def curation_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("nc", z).alias("n_cells")))
 
 
+#: a shingle posted in at least this many store documents is "hot" —
+#: its posting list dominates the candidate pair join (cost ∝ C(df,2)).
+HOT_SHINGLE_DF = 4
+
+
+@register(
+    "dedup_state_compaction_report",
+    survey="LLM-dedup,A1,A2,A6,A8,F9",
+    oracle=f"""
+    WITH osh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                    < '{ICC_INC_CUT}') d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM osh GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM osh)
+    SELECT nd.n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(MAX(df) AS BIGINT) AS max_df,
+           CAST(SUM(CASE WHEN df >= {HOT_SHINGLE_DF}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+           CAST(SUM(CASE WHEN df >= {HOT_SHINGLE_DF}
+                         THEN df ELSE 0 END) AS BIGINT) AS postings_hot,
+           CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS cand_pairs,
+           CAST(SUM(CASE WHEN df < {HOT_SHINGLE_DF}
+                         THEN df * (df - 1) // 2 ELSE 0 END)
+                AS BIGINT) AS cand_pairs_capped
+    FROM df CROSS JOIN nd
+    GROUP BY nd.n_docs
+    """,
+)
+def dedup_state_compaction_report(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Health / compaction report of the PERSISTED dedup inverted
+    index (ensure_dedup_old_state) — the capacity-planning numbers an
+    incremental dedup service reads before every ingest: index size
+    (docs, distinct shingles, postings), posting-list skew (max df,
+    hot-shingle count and posting mass at df ≥ {HOT_SHINGLE_DF}), and
+    the candidate-pair cost the NEXT full pair join would pay
+    (Σ C(df,2) — the actual row count of a shingle-keyed self-join)
+    with and without capping hot shingles. A growing hot share is the
+    signal to stop-list boilerplate shingles or re-band — exactly the
+    MinHash/CDC tuning decision, priced from the live artifact.
+
+    All-integer single-row output. Spark side reads the persisted
+    index (the seam — never re-shingles the store); the oracle
+    recomputes the same index from the raw corpus, so the hash match
+    re-proves the artifact's content on every driver run, not just
+    its consumers. Plan: one groupBy(s) over the index + one global
+    aggregate — map-combinable, shingle-bounded."""
+    _, old_idx, old_sz = ensure_dedup_old_state(spark, sf_dir)
+    df_ = old_idx.groupBy("s").agg(F.count("*").alias("df"))
+    hot = F.col("df") >= HOT_SHINGLE_DF
+    pairs = F.expr("df * (df - 1) div 2")  # even product: exact integer
+    nd = old_sz.agg(F.count("*").cast("long").alias("n_docs"))
+    return (df_.agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.max("df").cast("long").alias("max_df"),
+        F.sum(hot.cast("long")).cast("long").alias("n_hot"),
+        F.sum(F.when(hot, F.col("df")).otherwise(0)).cast("long")
+        .alias("postings_hot"),
+        F.sum(pairs).cast("long").alias("cand_pairs"),
+        F.sum(F.when(~hot, pairs).otherwise(0)).cast("long")
+        .alias("cand_pairs_capped"))
+        .crossJoin(F.broadcast(nd))
+        .select("n_docs", "n_shingles", "n_postings", "max_df",
+                "n_hot", "postings_hot", "cand_pairs",
+                "cand_pairs_capped"))
+
+
 #: context-window limits evaluated by the truncation-loss report
 #: (token counts in the driver corpora run 10-99).
 TRUNC_LIMITS = (16, 32, 64)

@@ -596,6 +596,83 @@ def ivf_cell_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
+def _ivf_rebalance_oracle() -> str:
+    """DuckDB replay over the persisted sf0.01 codebook: identical
+    argmax assignment, integer load thresholds, exact-division CEIL."""
+    path = ivf_codebook_path("/root/testdata/sf0.01")
+    return f"""
+    WITH cb AS (
+        SELECT c_id, cv FROM read_parquet('{path}/*.parquet')
+    ), asg AS (
+        SELECT e.vec_id,
+               (SELECT c.c_id FROM cb c
+                ORDER BY ROUND(list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.c_id
+                LIMIT 1) AS c_id
+        FROM embeddings e
+    ), counts AS (SELECT c_id, COUNT(*) AS n FROM asg GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM asg)
+    SELECT cb.c_id AS cell,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_vecs,
+           CASE WHEN COALESCE(c.n, 0) * {KMEANS_K} > 2 * t.total
+                THEN 'split'
+                WHEN COALESCE(c.n, 0) * {KMEANS_K} * 2 < t.total
+                THEN 'merge'
+                ELSE 'keep' END AS action,
+           CAST(GREATEST(1, CEIL(COALESCE(c.n, 0) * {KMEANS_K} * 1e0
+                                 / t.total)) AS BIGINT)
+               AS planned_partitions
+    FROM cb LEFT JOIN counts c ON c.c_id = cb.c_id
+    CROSS JOIN tot t
+    """
+
+
+@register("ivf_rebalance_plan", survey="ext-sim,A6,J4,F8",
+          oracle=_ivf_rebalance_oracle,
+          tags=("oracle-at-sf0.01",))
+def ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index REBALANCE plan — the maintenance action
+    ivf_cell_balance_profile's health metric feeds: per persisted-
+    codebook cell, the assigned load and the operational verdict —
+    'split' when the cell holds > 2× the mean load (hot partition:
+    long probe tails, imbalanced nprobe cost), 'merge' when < ½× the
+    mean (wasted probe budget, including empty cells), else 'keep' —
+    plus the planned partition count CEIL(n·k / N) a splitter would
+    target (each child near mean load). At 100 TB cells ARE
+    partitions, so this table IS the re-sharding work order, priced
+    from the live artifact without touching the codebook.
+
+    Exactness: the thresholds are INTEGER comparisons (n·k vs 2N —
+    never a ratio), and the CEIL divides integers whose exact quotient
+    is representable whenever it is integral, so the decision can't
+    flip cross-engine. Plan: one narrow literal-codebook assignment
+    pass, a k-row aggregate, a broadcast 1-row total; empty cells kept
+    via the left join (an empty cell is a merge candidate)."""
+    rows = ensure_ivf_codebook(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    assigned = assign_cells_literal(_vecs(t["embeddings"]), rows)
+    counts = assigned.groupBy("c_id").agg(F.count("*").alias("n"))
+    cells = spark.createDataFrame(
+        [(int(r["c_id"]),) for r in rows], "c_id int")
+    total = assigned.agg(F.count("*").cast("long").alias("total"))
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    action = (F.when(n * KMEANS_K > 2 * F.col("total"), "split")
+              .when(n * KMEANS_K * 2 < F.col("total"), "merge")
+              .otherwise("keep"))
+    planned = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(n * F.lit(KMEANS_K) * F.lit(1.0) / F.col("total"))
+        .cast("long"))
+    return (cells.join(counts, "c_id", "left")
+            .crossJoin(F.broadcast(total))
+            .select(F.col("c_id").alias("cell"),
+                    n.alias("n_vecs"),
+                    action.alias("action"),
+                    planned.alias("planned_partitions"))
+            .orderBy("cell"))
+
+
 # ---------------------------------------------------------------------------
 # embedding near-duplicate detection
 # ---------------------------------------------------------------------------

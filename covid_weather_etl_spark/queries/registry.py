@@ -293,7 +293,8 @@ _ROTATION_R9 = (
 _ROTATION_R10 = (
     # r10-session NEW operators land here (head), as they register.
     "curation_pipeline_run", "pack_efficiency_report",
-    "tokenizer_drift_eval",
+    "tokenizer_drift_eval", "dedup_state_compaction_report",
+    "ivf_rebalance_plan",
     # the 3 r02 refreshes displaced from the r9 window
     "tumbling_window_counts", "validation_routing",
     "winnowing_fingerprint",
@@ -314,8 +315,10 @@ _ROTATION_R10 = (
     "skew_resilient_running_total", "summary_stats", "topk_orders",
     "union_append", "value_histogram", "yoy_comparison",
 )
-# R11 queue: rows displaced from this window by r10-session new ops
-# (tail-first), then the r04 cohort; never-checked stays at 0.
+# R11 queue: the 2 r03 rows displaced from this window by the 5
+# r10-session new ops (value_histogram, yoy_comparison — the tuple
+# holds 52 names, the driver takes the first 50), then the r04
+# cohort; never-checked stays at 0.
 
 # Round 7 window (50), per the r6 verdict directive #1. Slots 1-6: the
 # stale-evidence oracle upgrades — each carries a full replay oracle

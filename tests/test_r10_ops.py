@@ -119,3 +119,61 @@ def test_tokenizer_drift_slices_partition_the_encode_table(spark):
     exp = enc.groupby("slice")[["n_tokens", "n_bpe_syms"]].sum()
     assert drift["n_tokens"].to_dict() == exp["n_tokens"].to_dict()
     assert drift["n_bpe_syms"].to_dict() == exp["n_bpe_syms"].to_dict()
+
+
+def test_dedup_state_compaction_pandas_replay(spark):
+    from covid_weather_etl_spark.operators.corpus import HOT_SHINGLE_DF
+    r = (_q("dedup_state_compaction_report").fn(spark, SF_DIR)
+         .collect()[0])
+    import hashlib
+    from collections import Counter
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    old = docs[docs["doc_id"].map(
+        lambda d: hashlib.md5(str(d).encode()).hexdigest()[:2]
+        < ICC_INC_CUT)]
+    df = Counter()
+    n_docs = 0
+    for _, row in old.iterrows():
+        t = row["text"].split(" ")
+        sh = {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+        if sh:
+            n_docs += 1
+        for s in sh:
+            df[s] += 1
+    assert r.n_docs == n_docs
+    assert r.n_shingles == len(df)
+    assert r.n_postings == sum(df.values())
+    assert r.max_df == max(df.values())
+    hot = {s: c for s, c in df.items() if c >= HOT_SHINGLE_DF}
+    assert r.n_hot == len(hot)
+    assert r.postings_hot == sum(hot.values())
+    assert r.cand_pairs == sum(c * (c - 1) // 2 for c in df.values())
+    assert r.cand_pairs_capped == sum(
+        c * (c - 1) // 2 for c in df.values() if c < HOT_SHINGLE_DF)
+    assert r.cand_pairs_capped <= r.cand_pairs
+
+
+def test_ivf_rebalance_plan_consistency(spark):
+    """The plan rows agree with ivf_cell_balance_profile's loads and
+    the integer thresholds; planned partitions cover the load."""
+    from covid_weather_etl_spark.operators.similarity import KMEANS_K
+    plan = (_q("ivf_rebalance_plan").fn(spark, SF_DIR)
+            .toPandas().set_index("cell").sort_index())
+    bal = (_q("ivf_cell_balance_profile").fn(spark, SF_DIR)
+           .toPandas().set_index("cell").sort_index())
+    assert list(plan.index) == list(bal.index)
+    total = int(plan["n_vecs"].sum())
+    for cell, r in plan.iterrows():
+        n = int(r["n_vecs"])
+        assert n == int(bal.loc[cell, "n_vecs"])
+        if n * KMEANS_K > 2 * total:
+            assert r["action"] == "split"
+        elif n * KMEANS_K * 2 < total:
+            assert r["action"] == "merge"
+        else:
+            assert r["action"] == "keep"
+        assert r["planned_partitions"] == max(
+            1, math.ceil(n * KMEANS_K / total))
+    # split cells plan >= 2 children; the plan conserves total load
+    assert (plan.loc[plan["action"] == "split",
+                     "planned_partitions"] >= 2).all()
