@@ -11,9 +11,12 @@ from covid_weather_etl_spark.queries import registry as R
 def test_rotation_window_contract():
     qs = R.all_queries()
     window = list(qs)[:50]
-    assert window == list(R._ROTATION_R9)
-    assert len(set(R._ROTATION_R9)) == 50
-    # every r9 window slot is oracle-equipped (the remaining rows-only
+    # the driver takes the first 50 dict entries; the rotation tuple
+    # may hold more (new ops displace tail refreshes to the next
+    # round's queue)
+    assert window == list(R._ROTATION_R10)[:50]
+    assert len(set(R._ROTATION_R10)) == len(R._ROTATION_R10) >= 50
+    # every r10 window slot is oracle-equipped (the remaining rows-only
     # queries are all iterative ML with r7/r8 driver rows) — ANY
     # oracle-less slot is a burnt correctness row
     allowed_rows_only = set()
