@@ -3183,6 +3183,105 @@ def curation_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("nc", z).alias("n_cells")))
 
 
+#: training-run token budget (BPE symbols) for the mix plan — sized so
+#: the driver corpora need 2-20 epochs per family (non-degenerate at
+#: every SF: total corpus symbol mass runs ~3e4-4e5).
+TRAIN_TOKEN_BUDGET = 200_000
+
+
+@register(
+    "mix_token_budget_plan",
+    survey="LLM-text,corpus-pack,A5,A6,F8,F9",
+    oracle=lambda: f"""
+    WITH RECURSIVE {TX._bpe_st_ctes()},
+    fin AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS w_syms
+        FROM st WHERE round = (SELECT MAX(round) FROM st)
+    ),
+    dw AS (
+        SELECT {_GRP_SQL} AS grp, word, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    fam AS (
+        SELECT grp, CAST(SUM(k * w_syms) AS BIGINT) AS avail_syms
+        FROM dw JOIN fin USING (word) GROUP BY grp
+    ),
+    cap AS (
+        SELECT CAST(FLOOR(MIN(avail_syms / ({_W_SQL}))) AS BIGINT)
+            AS max_norepeat_budget
+        FROM fam
+    )
+    SELECT grp,
+           avail_syms,
+           CAST(FLOOR({TRAIN_TOKEN_BUDGET} * ({_W_SQL})) AS BIGINT)
+               AS target_syms,
+           CAST(CEIL(FLOOR({TRAIN_TOKEN_BUDGET} * ({_W_SQL}))
+                     * 1e0 / avail_syms) AS BIGINT) AS epochs_needed,
+           CAST(GREATEST(0, FLOOR({TRAIN_TOKEN_BUDGET} * ({_W_SQL}))
+                            - avail_syms) AS BIGINT)
+               AS single_epoch_shortfall,
+           cap.max_norepeat_budget
+    FROM fam CROSS JOIN cap
+    """,
+)
+def mix_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONSTRAINED training-mix plan (the Muennighoff et al. 2022
+    repeated-data accounting) priced in REAL tokenizer symbols from
+    the persisted BPE artifact: for a TRAIN_TOKEN_BUDGET-symbol run at
+    MIX_WEIGHTS proportions, each source family must contribute
+    floor(B·w_g) symbols; the corpus holds avail_g — so the plan
+    reports the repeat factor CEIL(target/avail) (epochs of family g
+    the loader must schedule), the single-epoch shortfall, and the
+    largest budget servable with NO repetition
+    (floor(min_g avail_g / w_g) — corpus_mix's binding-family cap
+    lifted from document space to token space). This is the table a
+    pretraining-data owner reads before committing a mix: which
+    family binds, which gets repeated (and so diminishing returns),
+    and how far the corpus stretches.
+
+    Exactness: avail/target are exact integers off the broadcast
+    vocabulary join (the persisted segmentation — never a retrain);
+    B·w and avail/w are single shared-text double products/divisions
+    feeding FLOOR/CEIL identically on both engines (the _W_SQL
+    double-literal discipline), and the CEIL ratio divides two int64s
+    (exact whenever integral). Plan: one corpus scan into family word
+    counts (map-combinable), one broadcast vocab join, a 3-row
+    aggregate + a 1-row broadcast cap."""
+    _, vocab = TX.ensure_bpe_artifacts(spark, sf_dir)
+    enc = vocab.select("word", F.size("syms").cast("long").alias("w_syms"))
+    t = load_tables(spark, sf_dir, ("documents",))
+    grp = F.concat(
+        F.lit("g"),
+        (F.regexp_extract("source", r"src(\d+)", 1).cast("bigint") % 3)
+        .cast("string"))
+    dw = (spread(t["documents"], "doc_id")
+          .select(grp.alias("grp"),
+                  F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("grp", "word").agg(F.count("*").alias("k")))
+    w_expr = (F.when(F.col("grp") == "g0", MIX_WEIGHTS["g0"])
+              .when(F.col("grp") == "g1", MIX_WEIGHTS["g1"])
+              .otherwise(MIX_WEIGHTS["g2"]))
+    fam = (dw.join(F.broadcast(enc), "word")
+           .groupBy("grp")
+           .agg(F.sum(F.col("k") * F.col("w_syms")).cast("long")
+                .alias("avail_syms")))
+    cap = fam.agg(F.floor(F.min(F.col("avail_syms") / w_expr))
+                  .cast("long").alias("max_norepeat_budget"))
+    target = F.floor(F.lit(float(TRAIN_TOKEN_BUDGET)) * w_expr)
+    return (fam.crossJoin(F.broadcast(cap))
+            .select("grp", "avail_syms",
+                    target.cast("long").alias("target_syms"),
+                    F.ceil(target * F.lit(1.0) / F.col("avail_syms"))
+                    .cast("long").alias("epochs_needed"),
+                    F.greatest(F.lit(0).cast("long"),
+                               (target - F.col("avail_syms"))
+                               .cast("long"))
+                    .alias("single_epoch_shortfall"),
+                    "max_norepeat_budget"))
+
+
 #: a shingle posted in at least this many store documents is "hot" —
 #: its posting list dominates the candidate pair join (cost ∝ C(df,2)).
 HOT_SHINGLE_DF = 4

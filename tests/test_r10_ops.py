@@ -177,3 +177,50 @@ def test_ivf_rebalance_plan_consistency(spark):
     # split cells plan >= 2 children; the plan conserves total load
     assert (plan.loc[plan["action"] == "split",
                      "planned_partitions"] >= 2).all()
+
+
+def test_dedup_clusters_single_task_equals_loop(spark):
+    """The gated cc_single_task contraction equals the min-label
+    propagation loop row for row (both resolve to component minima)."""
+    import covid_weather_etl_spark.operators.corpus as C
+    cap = C.CC_SINGLE_TASK_MAX
+    try:
+        C.CC_SINGLE_TASK_MAX = 10**9
+        single = {(r.doc_id, r.cluster_id, r.is_canonical) for r in
+                  C.dedup_clusters(spark, SF_DIR).collect()}
+        C.CC_SINGLE_TASK_MAX = -1
+        loop = {(r.doc_id, r.cluster_id, r.is_canonical) for r in
+                C.dedup_clusters(spark, SF_DIR).collect()}
+    finally:
+        C.CC_SINGLE_TASK_MAX = cap
+    assert single == loop and len(single) > 0
+
+
+def test_mix_token_budget_plan_replay(spark):
+    """Replay from bpe_encode_documents + the documents table: family
+    symbol mass, targets, epochs, shortfall and the no-repeat cap."""
+    from covid_weather_etl_spark.operators.corpus import (
+        MIX_WEIGHTS, TRAIN_TOKEN_BUDGET)
+    import re
+    plan = (_q("mix_token_budget_plan").fn(spark, SF_DIR)
+            .toPandas().set_index("grp").sort_index())
+    enc = _q("bpe_encode_documents").fn(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    rx = re.compile(r"src(\d+)")
+    docs["grp"] = docs["source"].map(
+        lambda s: "g" + str(int(rx.search(s).group(1)) % 3))
+    m = enc.merge(docs[["doc_id", "grp"]], on="doc_id")
+    avail = m.groupby("grp")["n_bpe_syms"].sum()
+    cap = math.floor(min(avail[g] / w for g, w in MIX_WEIGHTS.items()))
+    for g, w in MIX_WEIGHTS.items():
+        r = plan.loc[g]
+        assert r["avail_syms"] == avail[g]
+        target = math.floor(TRAIN_TOKEN_BUDGET * w)
+        assert r["target_syms"] == target
+        assert r["epochs_needed"] == math.ceil(target / avail[g])
+        assert r["single_epoch_shortfall"] == max(0, target - avail[g])
+        assert r["max_norepeat_budget"] == cap
+    # the cap really is servable with no repetition: at budget=cap
+    # every family's target fits its availability
+    for g, w in MIX_WEIGHTS.items():
+        assert math.floor(cap * w) <= avail[g]
