@@ -3282,6 +3282,96 @@ def mix_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "max_norepeat_budget"))
 
 
+@register(
+    "epoch_repeat_schedule",
+    survey="LLM-text,corpus-pack,A6,W1,F8",
+    oracle=lambda: f"""
+    WITH RECURSIVE {TX._bpe_st_ctes()},
+    fin AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS w_syms
+        FROM st WHERE round = (SELECT MAX(round) FROM st)
+    ),
+    dw AS (
+        SELECT {_GRP_SQL} AS grp, word, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    fam AS (
+        SELECT grp, CAST(SUM(k * w_syms) AS BIGINT) AS avail_syms
+        FROM dw JOIN fin USING (word) GROUP BY grp
+    ),
+    sched AS (
+        SELECT grp, avail_syms,
+               CAST(FLOOR({TRAIN_TOKEN_BUDGET} * ({_W_SQL})) AS BIGINT)
+                   AS target_syms,
+               CAST(CEIL(FLOOR({TRAIN_TOKEN_BUDGET} * ({_W_SQL}))
+                         * 1e0 / avail_syms) AS BIGINT) AS ep
+        FROM fam
+    )
+    SELECT grp, CAST(e AS BIGINT) AS epoch,
+           CAST(CASE WHEN e < ep THEN avail_syms
+                     ELSE target_syms - (ep - 1) * avail_syms
+                END AS BIGINT) AS tokens_drawn,
+           CAST(LEAST(e * avail_syms, target_syms) AS BIGINT)
+               AS cum_tokens
+    FROM sched, UNNEST(generate_series(1, ep)) AS u(e)
+    """,
+)
+def epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOADER SCHEDULE `mix_token_budget_plan` implies — one row
+    per (family, epoch) of the data-constrained run: full corpus
+    passes draw avail_g symbols each, the final pass draws the
+    remainder target − (epochs−1)·avail (the partial epoch a
+    repeat-aware loader truncates deterministically), with the
+    cumulative token position after each pass. This is the table the
+    epoch scheduler (epoch_shuffle_plan's seeded orders) walks — plan
+    (how much) and schedule (when) split exactly like
+    sequence_packing vs pack_efficiency_report.
+
+    All-integer: availability/targets are the mix plan's exact
+    integers; the epoch explode is a bounded F.sequence (epochs ≤
+    B/min-avail — never corpus-sized). One corpus scan + broadcast
+    vocab join + 3-row aggregate + a bounded generate_series."""
+    _, vocab = TX.ensure_bpe_artifacts(spark, sf_dir)
+    enc = vocab.select("word", F.size("syms").cast("long").alias("w_syms"))
+    t = load_tables(spark, sf_dir, ("documents",))
+    grp = F.concat(
+        F.lit("g"),
+        (F.regexp_extract("source", r"src(\d+)", 1).cast("bigint") % 3)
+        .cast("string"))
+    dw = (spread(t["documents"], "doc_id")
+          .select(grp.alias("grp"),
+                  F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("grp", "word").agg(F.count("*").alias("k")))
+    w_expr = (F.when(F.col("grp") == "g0", MIX_WEIGHTS["g0"])
+              .when(F.col("grp") == "g1", MIX_WEIGHTS["g1"])
+              .otherwise(MIX_WEIGHTS["g2"]))
+    fam = (dw.join(F.broadcast(enc), "word")
+           .groupBy("grp")
+           .agg(F.sum(F.col("k") * F.col("w_syms")).cast("long")
+                .alias("avail_syms")))
+    target = F.floor(F.lit(float(TRAIN_TOKEN_BUDGET)) * w_expr) \
+        .cast("long")
+    sched = fam.select(
+        "grp", "avail_syms", target.alias("target_syms"),
+        F.ceil(target * F.lit(1.0) / F.col("avail_syms"))
+        .cast("long").alias("ep"))
+    e = F.col("epoch")
+    return (sched
+            .select("grp", "avail_syms", "target_syms", "ep",
+                    F.explode(F.sequence(F.lit(1).cast("long"),
+                                         F.col("ep"))).alias("epoch"))
+            .select("grp", e.alias("epoch"),
+                    F.when(e < F.col("ep"), F.col("avail_syms"))
+                    .otherwise(F.col("target_syms")
+                               - (F.col("ep") - 1) * F.col("avail_syms"))
+                    .cast("long").alias("tokens_drawn"),
+                    F.least(e * F.col("avail_syms"),
+                            F.col("target_syms")).cast("long")
+                    .alias("cum_tokens")))
+
+
 #: a shingle posted in at least this many store documents is "hot" —
 #: its posting list dominates the candidate pair join (cost ∝ C(df,2)).
 HOT_SHINGLE_DF = 4

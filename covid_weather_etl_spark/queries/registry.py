@@ -295,6 +295,7 @@ _ROTATION_R10 = (
     "curation_pipeline_run", "pack_efficiency_report",
     "tokenizer_drift_eval", "dedup_state_compaction_report",
     "ivf_rebalance_plan", "mix_token_budget_plan",
+    "epoch_repeat_schedule",
     # the 3 r02 refreshes displaced from the r9 window
     "tumbling_window_counts", "validation_routing",
     "winnowing_fingerprint",

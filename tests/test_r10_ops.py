@@ -224,3 +224,22 @@ def test_mix_token_budget_plan_replay(spark):
     # every family's target fits its availability
     for g, w in MIX_WEIGHTS.items():
         assert math.floor(cap * w) <= avail[g]
+
+
+def test_epoch_repeat_schedule_consistent_with_plan(spark):
+    """The schedule's per-family rows telescope to the plan exactly:
+    epochs count, per-epoch draws, and the final cumulative = target."""
+    plan = (_q("mix_token_budget_plan").fn(spark, SF_DIR)
+            .toPandas().set_index("grp"))
+    sched = (_q("epoch_repeat_schedule").fn(spark, SF_DIR)
+             .toPandas().sort_values(["grp", "epoch"]))
+    for g, rows in sched.groupby("grp"):
+        p = plan.loc[g]
+        assert len(rows) == p["epochs_needed"]
+        assert list(rows["epoch"]) == list(range(1, len(rows) + 1))
+        # full passes draw avail; the last draws the remainder
+        assert (rows["tokens_drawn"].iloc[:-1] == p["avail_syms"]).all()
+        assert rows["tokens_drawn"].sum() == p["target_syms"]
+        assert rows["cum_tokens"].iloc[-1] == p["target_syms"]
+        assert rows["cum_tokens"].is_monotonic_increasing
+        assert (rows["tokens_drawn"] > 0).all()
