@@ -1639,65 +1639,83 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — no float appears anywhere, so the DuckDB replay is
     exact by construction.
 
-    Scale: one checkpointed base scan feeds all stages; the near-dup
-    candidate stage is LOSSLESS prefix filtering (AllPairs/PPJoin,
-    Xiao et al. 2008) — only each doc's floor(n/2)+1 rarest shingles
-    under one global (df, s) order enter the candidate join, so a
-    shingle shared by k documents no longer emits k^2 pairs unless it
-    is rare enough to sit in prefixes (the hot-token blowup is
-    structurally excluded; the exact verify rule 3c >= n1+n2, i.e.
-    Jaccard >= 1/2, is unchanged and the prefix lemma guarantees the
-    identical drop set). The DuckDB twin deliberately keeps the
-    EXHAUSTIVE shared-shingle join, so the driver hash-match is a
-    cross-strategy equality proof of the pruning's losslessness.
-    Quality is per-row array algebra (no shuffle); decontamination is
-    two distinct-gram explodes and a semi-join, broadcast-sized on
-    the eval side. The funnel itself is five map-side-combinable
-    aggregates over frames the plan already has."""
+    SINGLE-ACTION FLAG DESIGN (r11 — the in-bench fix): the r10 shape
+    materialized three eager localCheckpoints and five unioned stage
+    aggregates, which cost 38 scheduled jobs per run; on a busy host
+    at the measured 0.2-0.36 s/job scheduler tax that is a 8-14 s
+    floor before any work happens (SCALE.md §13). This shape computes
+    per-doc STAGE FLAGS instead and folds the whole funnel into ONE
+    conditional aggregate + `stack`, one action, no checkpoints:
+
+      s1  doc_id == min(doc_id) OVER (PARTITION BY text)   — exact
+          dedup as a keyed window, replacing groupBy+re-join;
+      s2  s1 AND NOT dropped — `drops` comes from the unchanged
+          lossless prefix-filter candidate stage (below), left-joined
+          back as a flag (AQE broadcasts it when small; at 100 TB it
+          degrades to a keyed shuffle join, still correct);
+      s3  s2 AND the per-row integer quality gates (narrow algebra);
+      s4  s3 AND NOT contaminated — the 8-gram decontamination branch
+          runs on the QUALITY-PASSING SUPERSET of s3 (it skips the
+          near-dup filter, so it never waits on the drops branch; a
+          contaminated doc that near-dup already dropped just sets a
+          flag that s4 = s3 AND NOT ct ignores — the reported set is
+          identical, and the two expensive branches now run
+          independently). The train-gram explode also skips its old
+          per-doc DISTINCT — the final doc_id-level distinct absorbs
+          duplicate grams, which deletes a full-width shuffle.
+
+    Identical subtrees (the flagged scan feeding the shingle, the
+    decontamination and the final branch) reuse one exchange
+    (ReusedExchange); shingle df now comes from a COUNT() OVER
+    (PARTITION BY s) window on the exploded frame instead of a
+    groupBy+join, deleting another exchange. Measured at sf0.1: 38
+    jobs -> ~17, in-bench floor cut accordingly (SCALE.md §8/§13).
+
+    Scale: the near-dup candidate stage is LOSSLESS prefix filtering
+    (AllPairs/PPJoin, Xiao et al. 2008) — only each doc's
+    floor(n/2)+1 rarest shingles under one global (df, s) order enter
+    the candidate join, so a shingle shared by k documents no longer
+    emits k^2 pairs unless it is rare enough to sit in prefixes (the
+    hot-token blowup is structurally excluded; the exact verify rule
+    3c >= n1+n2, i.e. Jaccard >= 1/2, is unchanged and the prefix
+    lemma guarantees the identical drop set). The DuckDB twin
+    deliberately keeps the EXHAUSTIVE shared-shingle join, so the
+    driver hash-match is a cross-strategy equality proof of the
+    pruning's losslessness. Quality is per-row array algebra (no
+    shuffle); decontamination is two gram explodes and a semi-join.
+    The funnel itself is ONE map-side-combinable aggregate."""
     t = load_tables(spark, sf_dir, ("documents",))
-    # deliberately NOT checkpointed: base is narrow ops over the
-    # pushdown parquet scan, and re-deriving it per consumer is
-    # measurably cheaper than materializing the full text+token-array
-    # frame (A/B at sf0.1: first run 6.5 s vs 12.4 s with the
-    # checkpoint, warm 5.3-5.7 vs 5.8-5.9)
-    base = (spread(t["documents"], "doc_id")
-            .filter(F.col("doc_id") % TX.DECON_EVAL_MOD != 0)
-            .select("doc_id", "source", "text",
-                    F.split("text", " ").alias("tk"))
-            .withColumn("n_tok", F.size("tk")))
-    keep1 = base.groupBy("text").agg(F.min("doc_id").alias("doc_id")) \
-                .select("doc_id")
-    s1 = base.join(keep1, "doc_id")
-    # guard: a doc with <3 tokens shingles to nothing (and Spark's
-    # descending sequence(0, size-3) would throw); it stays in the
-    # s1/s2 counts, it just can never be a near-dup candidate — the
-    # oracle's generate_series(1, len-2) is naturally empty for it
-    sh = (s1.filter(F.size("tk") >= 3)
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(F.col("tk")),
+        lambda tok: F.size(F.filter(F.col("tk"), lambda x: x == tok))))
+    flagged = (spread(t["documents"], "doc_id")
+               .filter(F.col("doc_id") % TX.DECON_EVAL_MOD != 0)
+               .select("doc_id", "source", "text",
+                       F.split("text", " ").alias("tk"))
+               .withColumn("n_tok", F.size("tk"))
+               .withColumn("s1", F.col("doc_id") == F.min("doc_id")
+                           .over(W.partitionBy("text")))
+               .withColumn("q", (F.col("n_tok") >= FUNNEL_MIN_TOKENS)
+                           & (top_cnt * FUNNEL_TOP_SHARE_DEN
+                              <= F.col("n_tok"))))
+    # near-dup drops over the s1 survivors — the lossless prefix-
+    # filtered AllPairs/PPJoin stage, unchanged from r6 except that
+    # shingle df is a keyed window (one exchange) instead of a
+    # groupBy+join (two). A doc with <3 tokens shingles to nothing
+    # (Spark's descending sequence(0, size-3) would throw) — it can
+    # never be a near-dup candidate; the oracle's
+    # generate_series(1, len-2) is naturally empty for it.
+    sh = (flagged.filter(F.col("s1")).filter(F.size("tk") >= 3)
           .select("doc_id", F.explode(F.expr(
               "transform(sequence(0, size(tk) - 3), "
               "i -> concat_ws(' ', slice(tk, i + 1, 3)))")).alias("s"))
-          .distinct()
-          .localCheckpoint(eager=True))
-    # LOSSLESS prefix-filtered candidate stage (AllPairs/PPJoin) at
-    # the funnel's own threshold: the verify rule 3c >= n1+n2 is
-    # exactly Jaccard >= 1/2, so a qualifying pair shares c >=
-    # ceil(n_i/2) shingles with EACH side and must therefore collide
-    # inside both docs' (floor(n/2)+1)-shingle prefixes under one
-    # global (df, s) order — the prefix lemma (Xiao et al. 2008).
-    # This replaces the raw shared-shingle self-join, whose k^2
-    # fan-out on a shingle shared by k docs is the classic hot-token
-    # blowup at 100 TB; the hottest shingles live in nobody's prefix,
-    # so prefix filtering is also the skew guard. Integer-only rule:
-    # pos <= floor(ns/2)+1  ⟺  2*pos <= ns+2.
-    df_tab = sh.groupBy("s").agg(F.count("*").alias("df"))
-    # ONE doc_id aggregation yields the rarity-sorted shingle array,
-    # from which both the prefix (slice) and the exact-verify set
-    # (transform) fall out — no window pass, no second docsets shuffle
-    docsets = (sh.join(df_tab, "s")
+          .distinct())
+    docsets = (sh.withColumn("df", F.count("*").over(W.partitionBy("s")))
                .groupBy("doc_id")
                .agg(F.array_sort(F.collect_list(F.struct("df", "s")))
                     .alias("arr"),
                     F.count("*").alias("ns")))
+    # integer-only prefix rule: pos <= floor(ns/2)+1 ⟺ 2*pos <= ns+2
     pref = (docsets.select(
         "doc_id", "ns",
         F.posexplode(F.expr(
@@ -1711,8 +1729,6 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lexicographically FIRST collision at 0-based (pa, pb) bounds the
     # true overlap by 1 + min(na-1-pa, nb-1-pb); pairs whose bound
     # already fails the verify rule never reach array_intersect
-    # (sf0.1: 220k colliding pairs -> 87k verifies; the factor grows
-    # with doc-length variance, which this synthetic corpus lacks)
     a, b = pref.alias("a"), pref.alias("b")
     first = F.min(F.struct(F.col("a.pos").alias("pa"),
                            F.col("b.pos").alias("pb"),
@@ -1741,17 +1757,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("c", F.size(F.array_intersect("set1", "set2"))
                          .cast("long"))
              .filter(F.col("c") * 3 >= F.col("n1") + F.col("n2"))
-             .select(F.col("d2").alias("doc_id")).distinct())
-    s2 = s1.join(drops, "doc_id", "left_anti").localCheckpoint(eager=True)
-    top_cnt = F.array_max(F.transform(
-        F.array_distinct(F.col("tk")),
-        lambda tok: F.size(F.filter(F.col("tk"), lambda x: x == tok))))
-    s3 = (s2.withColumn("top_cnt", top_cnt)
-          .filter((F.col("n_tok") >= FUNNEL_MIN_TOKENS)
-                  & (F.col("top_cnt") * FUNNEL_TOP_SHARE_DEN
-                     <= F.col("n_tok")))
-          .drop("top_cnt")
-          .localCheckpoint(eager=True))
+             .select(F.col("d2").alias("doc_id")).distinct()
+             .withColumn("_nd", F.lit(True)))
+    # decontamination on the quality-passing SUPERSET of s3 (near-dup
+    # filter deliberately skipped — see docstring); no per-doc gram
+    # DISTINCT, the final doc_id distinct absorbs duplicates
     g8 = (f"transform(sequence(0, size(tk) - {TX.DECON_NGRAM}), "
           f"i -> concat_ws(' ', slice(tk, i + 1, {TX.DECON_NGRAM})))")
     ev = (t["documents"]
@@ -1759,24 +1769,42 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.split("text", " ").alias("tk"))
           .filter(F.size("tk") >= TX.DECON_NGRAM)
           .select(F.explode(F.expr(g8)).alias("gram")).distinct())
-    tr_g = (s3.filter(F.size("tk") >= TX.DECON_NGRAM)
-            .select("doc_id", F.explode(F.expr(g8)).alias("gram"))
-            .distinct())
-    contaminated = tr_g.join(ev, "gram").select("doc_id").distinct()
-    s4 = s3.join(contaminated, "doc_id", "left_anti")
+    contaminated = (flagged
+                    .filter(F.col("s1") & F.col("q")
+                            & (F.size("tk") >= TX.DECON_NGRAM))
+                    .select("doc_id", F.explode(F.expr(g8)).alias("gram"))
+                    .join(ev, "gram").select("doc_id").distinct()
+                    .withColumn("_ct", F.lit(True)))
+    staged = (flagged.select("doc_id", "source", "n_tok", "s1", "q")
+              .join(drops, "doc_id", "left")
+              .join(contaminated, "doc_id", "left")
+              .withColumn("s2", F.col("s1") & F.col("_nd").isNull())
+              .withColumn("s3", F.col("s2") & F.col("q"))
+              .withColumn("s4", F.col("s3") & F.col("_ct").isNull()))
 
-    def stage(df: DataFrame, label: str) -> DataFrame:
-        return (df.groupBy("source")
-                .agg(F.count("*").alias("n_docs"),
-                     F.sum("n_tok").alias("n_tokens"))
-                .select(F.lit(label).alias("stage"), "source",
-                        "n_docs", "n_tokens"))
+    def cnt(flag: str) -> list:
+        return [F.sum(F.when(F.col(flag), F.lit(1)).otherwise(F.lit(0)))
+                .alias("n_" + flag),
+                F.sum(F.when(F.col(flag), F.col("n_tok")))
+                .alias("t_" + flag)]
 
-    return (stage(base, "0_train")
-            .unionByName(stage(s1, "1_exact_dedup"))
-            .unionByName(stage(s2, "2_near_dedup"))
-            .unionByName(stage(s3, "3_quality"))
-            .unionByName(stage(s4, "4_decontaminated"))
+    return (staged.groupBy("source")
+            .agg(F.count("*").alias("n_s0"),
+                 F.sum("n_tok").cast("long").alias("t_s0"),
+                 *cnt("s1"), *cnt("s2"), *cnt("s3"), *cnt("s4"))
+            .select("source", F.expr(
+                "stack(5, '0_train', n_s0, t_s0, "
+                "'1_exact_dedup', n_s1, t_s1, "
+                "'2_near_dedup', n_s2, t_s2, "
+                "'3_quality', n_s3, t_s3, "
+                "'4_decontaminated', n_s4, t_s4) "
+                "AS (stage, n_docs, n_tokens)"))
+            # SQL GROUP BY over an empty stage subset emits nothing;
+            # stack emits a zero row — drop it to match the oracle
+            .filter(F.col("n_docs") > 0)
+            .select("stage", "source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"))
             .orderBy("stage", "source"))
 
 
@@ -2939,7 +2967,7 @@ def _curation_pipeline_oracle(
     here proves the composition, not new semantics."""
     from covid_weather_etl_spark.operators.similarity import (
         ivf_codebook_path)
-    path = ivf_codebook_path("/root/testdata/sf0.01")
+    path = ivf_codebook_path(sf_dir)
     return f"""
     WITH RECURSIVE {TX._bpe_st_ctes()},
     ingest AS (
@@ -3353,10 +3381,16 @@ def epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("avail_syms")))
     target = F.floor(F.lit(float(TRAIN_TOKEN_BUDGET)) * w_expr) \
         .cast("long")
-    sched = fam.select(
+    sched = (fam.select(
         "grp", "avail_syms", target.alias("target_syms"),
         F.ceil(target * F.lit(1.0) / F.col("avail_syms"))
         .cast("long").alias("ep"))
+        # sequence(1, 0) in Spark yields the DESCENDING [1, 0], while
+        # DuckDB's generate_series(1, 0) is empty — if a family's
+        # target ever floors to 0 symbols the engines would diverge
+        # (advice r10). Drop zero-epoch families before the explode,
+        # mirroring the shingled_rows sequence(0,-1) guard.
+        .where(F.col("ep") >= 1))
     e = F.col("epoch")
     return (sched
             .select("grp", "avail_syms", "target_syms", "ep",

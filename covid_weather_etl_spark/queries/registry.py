@@ -316,10 +316,11 @@ _ROTATION_R10 = (
     "skew_resilient_running_total", "summary_stats", "topk_orders",
     "union_append", "value_histogram", "yoy_comparison",
 )
-# R11 queue: the 2 r03 rows displaced from this window by the 5
-# r10-session new ops (value_histogram, yoy_comparison — the tuple
-# holds 52 names, the driver takes the first 50), then the r04
-# cohort; never-checked stays at 0.
+# R11 queue: the 4 r03 rows displaced from this window by the 7
+# r10-session new ops (topk_orders, union_append, value_histogram,
+# yoy_comparison — the tuple holds 54 names, the driver takes the
+# first 50), then the r04 cohort; never-checked stays at 0.
+# (Comment corrected per r10 ADVICE: 7 new ops landed, not 5.)
 
 # Round 7 window (50), per the r6 verdict directive #1. Slots 1-6: the
 # stale-evidence oracle upgrades — each carries a full replay oracle
