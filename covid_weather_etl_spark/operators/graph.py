@@ -367,19 +367,23 @@ BFS_MAX_HOPS = 4
 BFS_SINGLE_TASK_MAX = 2_000_000
 
 
-def _bfs_single_task(edges: DataFrame) -> DataFrame:
-    """Whole-BFS-in-one-task kernel over a BOUNDED bidirectional edge
-    frame: factorize node ids to integer codes once, take the
-    lexicographically smallest ``s:``-prefixed node as root (same
-    ordering as the DataFrame ``F.min`` on the ASCII node ids), then
-    expand level by level to BFS_MAX_HOPS with boolean-mask scatter
-    over the code arrays — each hop is one O(|E|) numpy pass, no
-    Python-level per-edge loop. Emits the hop-distance profile
-    directly. Integer-exact and traversal-order-free (a node's hop
-    distance does not depend on visit order within a level), so it is
-    hash-identical to the level-synchronous loop and the
-    recursive-CTE oracle. Callers MUST gate on BFS_SINGLE_TASK_MAX —
-    one task holds the whole edge list."""
+def _bfs_single_task(pairs: DataFrame) -> DataFrame:
+    """Whole-BFS-in-one-task kernel over a BOUNDED **integer pair**
+    frame (``c`` = custkey, ``s`` = suppkey, one row per undirected
+    edge): factorize the two int columns once (no node strings ever
+    cross the Arrow boundary — r11: the string frame cost ~3x the
+    transfer bytes and a string factorize; shrinking the one-core
+    task is the steal-burst defence the r10 verdict asked for), pick
+    as root the supplier whose DECIMAL-STRING key is lexicographically
+    smallest (identical to ``F.min`` over the ``s:<key>`` node ids the
+    loop path and the oracle use, since the prefix is constant), then
+    mirror the pair arrays in numpy (concatenate, not a Spark explode
+    — deletes the explode stage entirely) and expand level by level to
+    BFS_MAX_HOPS with boolean-mask scatter — each hop one O(|E|) numpy
+    pass, no Python loop over nodes. Hop counts are traversal-order-
+    free integers, hash-identical to the level-synchronous loop and
+    the recursive-CTE oracle. Callers MUST gate on
+    BFS_SINGLE_TASK_MAX — one task holds the whole edge list."""
     import numpy as np
     import pandas as pd
 
@@ -391,21 +395,24 @@ def _bfs_single_task(edges: DataFrame) -> DataFrame:
             yield empty
             return
         e = pd.concat(parts, ignore_index=True)
-        codes, nodes = pd.factorize(
-            pd.concat([e["src"], e["dst"]], ignore_index=True))
-        src, dst = codes[:len(e)], codes[len(e):]
-        sup = np.asarray([n.startswith("s:") for n in nodes])
-        if not sup.any():
+        c_codes, c_nodes = pd.factorize(e["c"].to_numpy())
+        s_codes, s_nodes = pd.factorize(e["s"].to_numpy())
+        if not len(s_nodes):
             yield empty
             return
-        root = int(np.flatnonzero(sup)[
-            np.asarray(nodes)[sup].argmin()])
-        visited = np.zeros(len(nodes), dtype=bool)
+        nc = len(c_nodes)
+        s_codes = s_codes + nc
+        root = nc + min(range(len(s_nodes)),
+                        key=lambda i: str(s_nodes[i]))
+        n = nc + len(s_nodes)
+        src = np.concatenate([c_codes, s_codes])
+        dst = np.concatenate([s_codes, c_codes])
+        visited = np.zeros(n, dtype=bool)
         visited[root] = True
         frontier = visited.copy()
         counts = [1]
         for _ in range(BFS_MAX_HOPS):
-            nxt = np.zeros(len(nodes), dtype=bool)
+            nxt = np.zeros(n, dtype=bool)
             nxt[dst[frontier[src]]] = True
             nxt &= ~visited
             n_new = int(nxt.sum())
@@ -418,7 +425,7 @@ def _bfs_single_task(edges: DataFrame) -> DataFrame:
             {"dist": pd.Series(range(len(counts)), dtype="int32"),
              "n_nodes": pd.Series(counts, dtype="int64")})
 
-    return edges.coalesce(1).mapInPandas(k, "dist int, n_nodes long")
+    return pairs.coalesce(1).mapInPandas(k, "dist int, n_nodes long")
 
 _BFS_EDGE_SQL = """
         SELECT CONCAT('c:', o_custkey) AS src,
@@ -492,20 +499,36 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     BFS depth is the bipartite graph's diameter (small-world: ~4-6),
     so the round count is bounded and data-independent in practice."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    # distinct (custkey, suppkey) INT pairs — node strings are built
+    # only on the above-cap loop path; the gated kernel receives the
+    # raw ints (r11: smaller transfer, no explode stage, and the
+    # one-core kernel task shrinks below typical steal-burst length)
     pairs = (spread(t["lineitem"], "l_orderkey")
              .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-             .groupBy(F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-                      F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"))
+             .groupBy(F.col("o_custkey").alias("c"),
+                      F.col("l_suppkey").alias("s"))
              .agg(F.count("*").alias("w"))
              .drop("w"))
-    edges = (pairs.select(F.explode(F.array(
+
+    # gate on the PARQUET METADATA row count of lineitem — a strict
+    # upper bound on the distinct pair count (each pair needs at least
+    # one lineitem row), answered from footer statistics without
+    # executing the join. Conservative: a graph that would fit the
+    # kernel may take the loop path near the cap, never the reverse.
+    # This keeps the gated path ONE action (no checkpoint job, no
+    # exact-count job): measured 9 -> 6 jobs at sf0.1 (SCALE.md §13).
+    if t["lineitem"].count() * 2 <= BFS_SINGLE_TASK_MAX:
+        return _bfs_single_task(pairs)
+
+    pairs = pairs.localCheckpoint()  # loop path: reused every round
+    named = pairs.select(
+        F.concat(F.lit("c:"), F.col("c")).alias("src"),
+        F.concat(F.lit("s:"), F.col("s")).alias("dst"))
+    edges = (named.select(F.explode(F.array(
         F.struct(F.col("src"), F.col("dst")),
         F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )).alias("e")).select("e.src", "e.dst")
         .localCheckpoint())  # reused every round: materialize once
-
-    if edges.count() <= BFS_SINGLE_TASK_MAX:
-        return _bfs_single_task(edges)
 
     root = edges.filter(F.col("src").startswith("s:")) \
                 .agg(F.min("src")).first()[0]
