@@ -468,25 +468,38 @@ def incremental_minhash_ingest(spark: SparkSession,
     τ={INC_TAU} on the shared shingle sets, so the (identical)
     banding recall on both sides cancels out of the comparison.
 
-    Scale: shingle explode (corpus-sized, shared thrice via
-    localCheckpoint), a (doc, perm)-keyed MIN aggregate ({INC_PERMS}×
+    Scale: shingle explode (corpus-sized, shared by the band and the
+    docset chains through one ReusedExchange — single action, no
+    checkpoint), a (doc, perm)-keyed MIN aggregate ({INC_PERMS}×
     shingle rows, map-combinable), a (doc, band) string fold, the
     band-bucket self-join (bounded by bucket occupancy, the LSH
-    point), then per-candidate intersection counts. In steady state
-    the old side's `sh`→`bands` chain is read from the persisted
-    index instead of recomputed — the plan after that line is
-    unchanged."""
+    point), then one array_intersect verify per candidate over the
+    per-doc sorted shingle arrays (collision-bounded frame, both
+    docset joins AQE-broadcast). In steady state the old side's
+    `sh`→`bands` chain is read from the persisted index instead of
+    recomputed — the plan after that line is unchanged."""
     t = load_tables(spark, sf_dir, ("documents",))
+    # ONE action, no checkpoint (r11): `sh` feeds exactly two chains
+    # (minhash bands, per-doc shingle arrays) whose identical distinct
+    # exchange is deduplicated by ReusedExchange; the old/new flag is
+    # a PURE FUNCTION of doc_id, so the former flags frame (a distinct
+    # + two joins onto the band self-join) is now an expression on the
+    # candidate pair itself; and the exact verify is array_intersect
+    # over per-doc sorted shingle arrays (the prefix_filter /
+    # curation_funnel shape) instead of two corpus-sized pair-keyed
+    # shingle joins — the candidate frame is collision-bounded, so
+    # both docset joins AQE-broadcast. 15 -> ~10 scheduled jobs and
+    # the two largest shuffles deleted (SCALE.md §13).
     sh = (spread(t["documents"], "doc_id")
           .select("doc_id", F.split("text", " ").alias("tk"))
           .filter(F.size("tk") >= 3)   # <3-token docs shingle to nothing
           .select("doc_id", F.explode(F.expr(_INC_SHINGLES)).alias("s"))
-          .distinct()
-          .localCheckpoint(eager=True))
-    is_new = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-              >= INC_OLD_CUT)
-    flags = sh.select("doc_id").distinct().select(
-        "doc_id", is_new.alias("is_new"))
+          .distinct())
+
+    def is_new(col: str):
+        return (F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+                >= INC_OLD_CUT)
+
     mh = (sh.select("doc_id", "s",
                     F.explode(F.sequence(
                         F.lit(0), F.lit(INC_PERMS - 1))).alias("p"))
@@ -499,41 +512,33 @@ def incremental_minhash_ingest(spark: SparkSession,
                  F.transform(
                      F.array_sort(F.collect_list(F.struct("p", "h"))),
                      lambda r: r["h"]), "|").alias("key")))
-    a = bands.alias("a").join(flags.withColumnRenamed(
-        "doc_id", "fa_id").withColumnRenamed("is_new", "a_new"),
-        F.col("a.doc_id") == F.col("fa_id"))
-    b = bands.alias("b").join(flags.withColumnRenamed(
-        "doc_id", "fb_id").withColumnRenamed("is_new", "b_new"),
-        F.col("b.doc_id") == F.col("fb_id"))
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .filter(F.col("a_new") | F.col("b_new"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_id_1"),
-                    F.col("b.doc_id").alias("doc_id_2"),
-                    "a_new", "b_new")
-            .distinct())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # intersection counts: pair-keyed joins on the shared shingle text
-    sh1 = sh.select(F.col("doc_id").alias("doc_id_1"),
-                    F.col("s").alias("s1"))
-    sh2 = sh.select(F.col("doc_id").alias("doc_id_2"),
-                    F.col("s").alias("s2"))
-    left = cand.join(sh1, "doc_id_1")
-    common = (left
-              .join(sh2, (left["doc_id_2"] == sh2["doc_id_2"])
-                    & (left["s1"] == sh2["s2"]))
-              .drop(sh2["doc_id_2"])
-              .groupBy("doc_id_1", "doc_id_2", "a_new", "b_new")
-              .agg(F.count("*").alias("n_common")))
+                    F.col("b.doc_id").alias("doc_id_2"))
+            .distinct()
+            .withColumn("a_new", is_new("doc_id_1"))
+            .withColumn("b_new", is_new("doc_id_2"))
+            .filter(F.col("a_new") | F.col("b_new")))
+    docsets = (sh.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list("s")).alias("sset"),
+                    F.count("*").alias("n")))
+    j = (cand
+         .join(docsets.select(F.col("doc_id").alias("doc_id_1"),
+                              F.col("sset").alias("set1"),
+                              F.col("n").alias("n1")), "doc_id_1")
+         .join(docsets.select(F.col("doc_id").alias("doc_id_2"),
+                              F.col("sset").alias("set2"),
+                              F.col("n").alias("n2")), "doc_id_2")
+         .withColumn("n_common",
+                     F.size(F.array_intersect("set1", "set2"))
+                     .cast("long")))
     jac = (F.col("n_common")
            / (F.col("n1") + F.col("n2") - F.col("n_common")))
-    return (common
-            .join(sizes.select(F.col("doc_id").alias("doc_id_1"),
-                               F.col("n").alias("n1")), "doc_id_1")
-            .join(sizes.select(F.col("doc_id").alias("doc_id_2"),
-                               F.col("n").alias("n2")), "doc_id_2")
-            .filter(jac >= INC_TAU)
+    return (j.filter(jac >= INC_TAU)
             .select("doc_id_1", "doc_id_2", jac.alias("jaccard"),
                     F.when(F.col("a_new") & F.col("b_new"), "intra-batch")
                      .otherwise("backfill").alias("pair_kind")))

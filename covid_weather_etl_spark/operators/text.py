@@ -1378,26 +1378,52 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JVM higher-order function, no UDF). Skew: the hottest shingles
     live in nobody's prefix — prefix filtering is also a skew guard."""
     t = load_tables(spark, sf_dir, ("documents",))
-    shingled = (
-        shingled_rows(spread(t["documents"], "doc_id"))
-        .localCheckpoint(eager=True))     # shared by df/prefix/verify
-    df_tab = shingled.groupBy("s").agg(F.count("*").alias("df"))
+    # ONE pipeline, one action (r11): shingle df comes from a COUNT()
+    # OVER (PARTITION BY s) window on the exploded frame (one exchange
+    # on s) instead of a groupBy+re-join (two), and everything
+    # downstream — prefixes, candidate keys AND the exact-verify doc
+    # arrays — derives from the doc-partitioned `ranked` frame, so the
+    # docsets aggregate rides the window's existing doc_id
+    # partitioning with NO new exchange and the r10 eager checkpoint
+    # (a full corpus-sized materialization + its scheduler jobs) is
+    # gone: 11 -> ~7 scheduled jobs at sf0.1 (SCALE.md §13).
+    shingled = shingled_rows(spread(t["documents"], "doc_id"))
     w = W.partitionBy("doc_id").orderBy("df", "s")
-    ranked = (shingled.join(df_tab, "s")
-              .select("doc_id", "s", F.row_number().over(w).alias("pos"),
+    ranked = (shingled
+              .withColumn("df", F.count("*").over(W.partitionBy("s")))
+              .select("doc_id", "s", "df",
+                      F.row_number().over(w).alias("pos"),
                       F.count("*").over(W.partitionBy("doc_id")).alias("n")))
     prefix_len = (F.col("n")
                   - F.ceil(F.lit(PREFIX_JACCARD_TAU) * F.col("n")) + 1)
     pref = (ranked.filter(F.col("pos") <= prefix_len)
-            .select("doc_id", "s"))
-    cand = (pref.alias("a")
-            .join(pref.alias("b"),
-                  (F.col("a.s") == F.col("b.s"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_id_1"),
-                    F.col("b.doc_id").alias("doc_id_2"))
-            .distinct())
-    docsets = (shingled.groupBy("doc_id")
+            .select("doc_id", "s", "pos", "n"))
+    # PPJoin's two further LOSSLESS prunes before the exact verify
+    # (r11 — ported from corpus_curation_funnel, where they cut the
+    # verify set ~2.5x): (a) length filter in the join condition —
+    # J >= 1/2 forces max(n1,n2) <= 2*min(n1,n2); (b) positional
+    # filter — prefixes share the global (df, s) order, so the
+    # lexicographically FIRST collision at 1-based (pa, pb) bounds the
+    # true overlap by 1 + min(na-pa, nb-pb); pairs whose bound already
+    # fails |∩| >= (na+nb)/3 (Jaccard >= 1/2 in intersection form)
+    # never reach array_intersect.
+    a, b = pref.alias("a"), pref.alias("b")
+    first = F.min(F.struct(F.col("a.pos").alias("pa"),
+                           F.col("b.pos").alias("pb"),
+                           F.col("a.n").alias("na"),
+                           F.col("b.n").alias("nb"))).alias("m")
+    ub = F.lit(1) + F.least(F.col("m.na") - F.col("m.pa"),
+                            F.col("m.nb") - F.col("m.pb"))
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.n") * 2 >= F.col("b.n"))
+                   & (F.col("b.n") * 2 >= F.col("a.n")))
+            .groupBy(F.col("a.doc_id").alias("doc_id_1"),
+                     F.col("b.doc_id").alias("doc_id_2"))
+            .agg(first)
+            .filter(ub * 3 >= F.col("m.na") + F.col("m.nb"))
+            .select("doc_id_1", "doc_id_2"))
+    docsets = (ranked.groupBy("doc_id")
                .agg(F.array_sort(F.collect_list("s")).alias("set"),
                     F.count("*").alias("n")))
     j = (cand
