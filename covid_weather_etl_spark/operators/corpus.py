@@ -3483,6 +3483,199 @@ def dedup_state_compaction_report(spark: SparkSession,
                 "cand_pairs_capped"))
 
 
+def dedup_compacted_idx_path(sf_dir: str) -> str:
+    """Warehouse location of the COMPACTED inverted index — a sibling
+    of the old-store state (same path + content-fingerprint + batch-
+    cut keying, plus the hot threshold, so retuning HOT_SHINGLE_DF
+    rebuilds instead of reading a stale compaction)."""
+    return dedup_star_path(sf_dir, "old") + f"_idxc{HOT_SHINGLE_DF}"
+
+
+def ensure_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the compaction the report prices: drop every posting of
+    a hot shingle (df >= HOT_SHINGLE_DF) from the persisted inverted
+    index and persist the result — the APPLY half of the dedup-state
+    maintenance seam. Corpus-sized artifact: returned as a DataFrame,
+    never collected (the ensure_dedup_old_state discipline)."""
+    import os
+    path = dedup_compacted_idx_path(sf_dir)
+    if path not in _STAR_MEMO and not os.path.isdir(path):
+        _, old_idx, _ = ensure_dedup_old_state(spark, sf_dir)
+        hot = (old_idx.groupBy("s").agg(F.count("*").alias("df"))
+               .filter(F.col("df") >= HOT_SHINGLE_DF).select("s"))
+        (old_idx.join(hot, "s", "left_anti")
+         .write.mode("overwrite").parquet(path))
+    _STAR_MEMO.add(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "dedup_state_compaction_apply",
+    survey="LLM-dedup,A1,A2,J1,J7,P7",
+    oracle=f"""
+    WITH osh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                    < '{ICC_INC_CUT}') d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    bsh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                    >= '{ICC_INC_CUT}') d,
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM osh GROUP BY 1),
+    osz AS (SELECT doc_id, COUNT(*) AS n FROM osh GROUP BY 1),
+    bsz AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
+    idx AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles_before,
+               CAST(SUM(df) AS BIGINT) AS n_postings_before,
+               CAST(SUM(CASE WHEN df < {HOT_SHINGLE_DF}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shingles_after,
+               CAST(SUM(CASE WHEN df < {HOT_SHINGLE_DF}
+                             THEN df ELSE 0 END) AS BIGINT)
+                   AS n_postings_after
+        FROM df
+    ),
+    pc AS (
+        SELECT b.doc_id AS nd, o.doc_id AS od, COUNT(*) AS c
+        FROM bsh b JOIN osh o ON b.s = o.s GROUP BY 1, 2
+    ),
+    pca AS (
+        SELECT DISTINCT b.doc_id AS nd, o.doc_id AS od
+        FROM bsh b
+        JOIN osh o ON b.s = o.s
+        JOIN df ON df.s = b.s
+        WHERE df.df < {HOT_SHINGLE_DF}
+    ),
+    ver AS (
+        SELECT pc.nd, pc.od,
+               pc.c * 1.0 / (bsz.n + osz.n - pc.c) >= 0.2 AS ok
+        FROM pc
+        JOIN bsz ON bsz.doc_id = pc.nd
+        JOIN osz ON osz.doc_id = pc.od
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cand_before,
+               CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS verified_before
+        FROM ver
+    ),
+    agga AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cand_after,
+               CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS verified_after
+        FROM pca JOIN ver ON ver.nd = pca.nd AND ver.od = pca.od
+    )
+    SELECT idx.n_shingles_before, idx.n_shingles_after,
+           idx.n_postings_before, idx.n_postings_after,
+           agg.cand_before, agga.cand_after,
+           agg.verified_before, agga.verified_after,
+           agg.verified_before - agga.verified_after AS missed_pairs
+    FROM idx CROSS JOIN agg CROSS JOIN agga
+    """,
+)
+def dedup_state_compaction_apply(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """MAINTAIN → RE-VERIFY for the dedup seam: EXECUTE the compaction
+    dedup_state_compaction_report prices (drop hot-shingle postings,
+    df >= {HOT_SHINGLE_DF}, from the persisted inverted index;
+    persisted as a sibling artifact), then replay the next INGEST's
+    candidate generation against BOTH index versions and verify every
+    candidate on the FULL shingle sets at the state's J >= 0.2 rule.
+    One all-integer row:
+
+      n_shingles/n_postings before/after   compaction accounting
+      cand_before/after        batch candidate pairs each index emits
+      verified_before/after    candidates that are TRUE duplicates
+      missed_pairs             true duplicates the compacted index no
+                               longer surfaces — the RECALL PRICE of
+                               the compaction, measured, not assumed
+                               (a pair is missed iff its every shared
+                               shingle is hot — boilerplate-only
+                               overlap, which is usually exactly what
+                               compaction intends to stop paying for;
+                               a nonzero count is the signal to lower
+                               HOT_SHINGLE_DF back toward re-banding).
+
+    Unlike the IVF apply (float centroid artifact, oracle reads the
+    parquet), everything here is integer set algebra, so the DuckDB
+    twin recomputes BOTH the compaction and the ingest replay from the
+    raw corpus — the driver hash re-proves the artifact's content and
+    the maintenance decision end-to-end.
+
+    Plan: the index df aggregate is shingle-bounded; candidate
+    generation is the batch-into-index join (batch-proportional, the
+    incremental contract); verification is array_intersect over
+    per-doc sorted arrays (collision-bounded frame, AQE-broadcast
+    joins); compacted candidates re-use the verified frame via a
+    semi-join, so the exact intersection is computed ONCE per pair."""
+    _, old_idx, old_sz = ensure_dedup_old_state(spark, sf_dir)
+    cidx = ensure_dedup_compacted(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("documents",))
+    is_new = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+              >= ICC_INC_CUT)
+    batch = shingled_rows(spread(t["documents"].filter(is_new), "doc_id"))
+
+    df_ = old_idx.groupBy("s").agg(F.count("*").alias("df"))
+    cold = F.col("df") < HOT_SHINGLE_DF
+    idx_acct = df_.agg(
+        F.count("*").cast("long").alias("n_shingles_before"),
+        F.sum(cold.cast("long")).cast("long").alias("n_shingles_after"),
+        F.sum("df").cast("long").alias("n_postings_before"),
+        F.sum(F.when(cold, F.col("df")).otherwise(0)).cast("long")
+        .alias("n_postings_after"))
+
+    bsets = (batch.groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list("s")).alias("bset"),
+                  F.count("*").alias("bn")))
+    osets = (old_idx.groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list("s")).alias("oset"),
+                  F.count("*").alias("on")))
+
+    def cand(idx: DataFrame) -> DataFrame:
+        return (batch.join(idx.select(F.col("doc_id").alias("od"), "s"),
+                           "s")
+                .select(F.col("doc_id").alias("nd"), "od")
+                .distinct())
+
+    c = F.col("c")
+    ver = (cand(old_idx)
+           .join(bsets.select(F.col("doc_id").alias("nd"),
+                              "bset", "bn"), "nd")
+           .join(osets.select(F.col("doc_id").alias("od"),
+                              "oset", "on"), "od")
+           .withColumn("c", F.size(F.array_intersect("bset", "oset"))
+                       .cast("long"))
+           .select("nd", "od",
+                   (c * 1.0 / (F.col("bn") + F.col("on") - c) >= 0.2)
+                   .alias("ok")))
+    before = ver.agg(
+        F.count("*").cast("long").alias("cand_before"),
+        F.sum(F.col("ok").cast("long")).cast("long")
+        .alias("verified_before"))
+    after = (cand(cidx).join(ver, ["nd", "od"])
+             .agg(F.count("*").cast("long").alias("cand_after"),
+                  F.sum(F.col("ok").cast("long")).cast("long")
+                  .alias("verified_after")))
+    return (idx_acct.crossJoin(F.broadcast(before))
+            .crossJoin(F.broadcast(after))
+            .select("n_shingles_before", "n_shingles_after",
+                    "n_postings_before", "n_postings_after",
+                    "cand_before", "cand_after",
+                    "verified_before", "verified_after",
+                    (F.col("verified_before") - F.col("verified_after"))
+                    .alias("missed_pairs")))
+
+
 #: context-window limits evaluated by the truncation-loss report
 #: (token counts in the driver corpora run 10-99).
 TRUNC_LIMITS = (16, 32, 64)

@@ -147,3 +147,44 @@ def test_rebalanced_path_keyed_by_content(spark):
     assert fp and hashlib.md5(
         f"{__import__('os').path.abspath(SF_DIR)}|{fp}".encode()
     ).hexdigest()[:10] in p
+
+
+# ---------------------------------------------------------------------------
+# dedup_state_compaction_apply — the integer maintain→verify seam
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_apply_parity_at_pytest_sf(spark, duck):
+    """The oracle recomputes compaction + ingest replay from the raw
+    corpus (no artifact path inside), so the registered text parities
+    at ANY SF directly."""
+    assert_parity(spark, duck, _q("dedup_state_compaction_apply"),
+                  sf_dir=SF_DIR)
+
+
+def test_compaction_apply_invariants_and_artifact(spark):
+    """Monotonicity (after <= before on every axis), exact missed
+    accounting, and a pandas bit-replay of the persisted compacted
+    index (= old index minus hot shingles)."""
+    from covid_weather_etl_spark.operators import corpus as C
+
+    r = (_q("dedup_state_compaction_apply").fn(spark, SF_DIR)
+         .collect()[0].asDict())
+    assert r["n_shingles_after"] <= r["n_shingles_before"]
+    assert r["n_postings_after"] <= r["n_postings_before"]
+    assert r["cand_after"] <= r["cand_before"]
+    assert r["verified_after"] <= r["verified_before"]
+    assert r["missed_pairs"] == (r["verified_before"]
+                                 - r["verified_after"])
+    assert r["missed_pairs"] >= 0
+
+    full = pd.read_parquet(C.dedup_star_path(SF_DIR, "oldidx"))
+    comp = pd.read_parquet(C.dedup_compacted_idx_path(SF_DIR))
+    df = full.groupby("s").size()
+    hot = set(df[df >= C.HOT_SHINGLE_DF].index)
+    want = full[~full["s"].isin(hot)]
+    assert len(comp) == len(want) == r["n_postings_after"]
+    assert (set(map(tuple, comp[["doc_id", "s"]].values))
+            == set(map(tuple, want[["doc_id", "s"]].values)))
+    assert full["s"].nunique() == r["n_shingles_before"]
+    assert comp["s"].nunique() == r["n_shingles_after"]
