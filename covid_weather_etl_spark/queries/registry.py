@@ -282,6 +282,40 @@ _ROTATION_R9 = (
 # queue, then the r04 cohort; never-checked should stay at 0 — any
 # new op added in r10+ sessions leads the next window.
 
+# Round 11 window (50), per the r10 verdict directive #5. Head: the 2
+# r11-session NEW operators (oracle-equipped day one), then the 4 r03
+# rows the r10 window displaced (topk_orders, union_append,
+# value_histogram, yoy_comparison — the oldest evidence left in the
+# ledger), then the full 44-row r04 cohort (identical r04 freshness;
+# alphabetical). 2 + 4 + 44 = exactly 50 — no displacement; after this
+# window the oldest hash row is >= r05 (the directive's done-bar).
+# R12 queue: the 50-row r05 cohort leads (acf_daily_revenue ...
+# zipf_law_fit — see QUERIES.md), minus any r12-session new ops.
+_ROTATION_R11 = (
+    # r11-session NEW operators (maintain->verify seam closers)
+    "ivf_rebalance_apply", "dedup_state_compaction_apply",
+    # the 4 r03 rows displaced from the r10 window
+    "topk_orders", "union_append", "value_histogram", "yoy_comparison",
+    # the 44-row r04 cohort (oldest evidence in the ledger)
+    "bigram_logprob_score", "bloom_prefilter_join", "bm25_doc_scores",
+    "bpe_merge_step", "chi2_independence", "cohort_retention",
+    "correlated_subquery_orders", "cusum_changepoint",
+    "debounce_events", "decile_rank_customers", "dq_constraint_report",
+    "dsir_importance_weights", "dup_chunk_removal",
+    "embedding_dim_profile", "embedding_int8_quantize",
+    "event_transition_matrix", "ewma_smoothing", "funnel_conversion",
+    "gopher_repetition_signals", "grouping_sets_margins",
+    "hashed_bow_features", "heavy_hitters_twopass",
+    "incremental_agg_maintenance", "iqr_outlier_report",
+    "key_skew_profile", "knn_label_eval", "lapsed_buyers_except",
+    "local_supplier_revenue", "multi_touch_attribution",
+    "pii_redaction", "quantile_binning", "rag_chunking",
+    "range_frame_revenue", "repeat_buyers_intersect", "rolling_cv_gbt",
+    "scd2_dim_history", "scd2_fact_join", "scd2_point_in_time",
+    "seq_length_histogram", "snapshot_diff", "unigram_logprob_score",
+    "vocab_coverage", "winsorized_prices", "zorder_layout",
+)
+
 # Round 10 window (50), per the r9 verdict directive #4 and the queue
 # comment above. Head: any r10-session NEW operators (oracle-equipped
 # day one, inserted as they land — never-checked outranks refreshes,
@@ -527,10 +561,10 @@ def _resolved(q: Query) -> Query:
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    missing = [n for n in _ROTATION_R10 if n not in _REGISTRY]
+    missing = [n for n in _ROTATION_R11 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R10}
+    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R11}
     ordered.update((n, _resolved(q)) for n, q in _REGISTRY.items()
                    if n not in ordered)
     return ordered

@@ -14,12 +14,15 @@ def test_rotation_window_contract():
     # the driver takes the first 50 dict entries; the rotation tuple
     # may hold more (new ops displace tail refreshes to the next
     # round's queue)
-    assert window == list(R._ROTATION_R10)[:50]
-    assert len(set(R._ROTATION_R10)) == len(R._ROTATION_R10) >= 50
-    # every r10 window slot is oracle-equipped (the remaining rows-only
+    assert window == list(R._ROTATION_R11)[:50]
+    assert len(set(R._ROTATION_R11)) == len(R._ROTATION_R11) >= 50
+    # every r11 window slot is oracle-equipped (the remaining rows-only
     # queries are all iterative ML with r7/r8 driver rows) — ANY
     # oracle-less slot is a burnt correctness row
-    allowed_rows_only = set()
+    # rolling_cv_gbt is one of the 8 rows-only-by-nature iterative-ML
+    # queries (PARITY.md §11); its r04 cohort slot refreshes the
+    # weaker rows-only evidence deliberately (the r7 precedent)
+    allowed_rows_only = {"rolling_cv_gbt"}
     unexpected = [n for n in window
                   if not qs[n].oracle and n not in allowed_rows_only]
     assert not unexpected, unexpected
