@@ -584,6 +584,218 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming incremental near-dup dedup (the persisted-index fold twin)
+# ---------------------------------------------------------------------------
+
+#: exact-Jaccard acceptance threshold — MUST match the batch family's
+#: (ngram_jaccard_near_dup / incremental_dedup_clusters, J >= 0.2 over
+#: distinct 3-gram word shingles), or stream != batch by construction.
+DEDUP_FOLD_TAU = 0.2
+
+#: document-stream schema as landed for the dedup fold.
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _fold_part(state_dir: str, table: str, batch_id: int) -> str:
+    import os
+    return os.path.join(state_dir, table, f"fold={batch_id}")
+
+
+def _read_prior_folds(spark: SparkSession, state_dir: str, table: str,
+                      batch_id: int) -> "DataFrame | None":
+    """All state partitions written by folds STRICTLY BEFORE this one.
+    The `fold < batch_id` filter is a partition-pruned read (fold is
+    the hive partition column) and is what makes a retried batch see
+    exactly the state its first attempt saw — the fold is a pure
+    function of (prior state, batch), so at-least-once redelivery
+    rewrites the same partitions with the same bytes."""
+    import os
+    root = os.path.join(state_dir, table)
+    try:
+        return spark.read.parquet(root).filter(F.col("fold") < batch_id)
+    except AnalysisException as exc:
+        if (exc.getCondition() or "") != "PATH_NOT_FOUND":
+            raise
+        return None
+
+
+def dedup_fold_batch(batch_df: DataFrame, batch_id: int,
+                     state_dir: str) -> None:
+    """Fold ONE micro-batch of documents into the persisted near-dup
+    dedup state — the kernel `dedup_fold_stream` wires into
+    `foreachBatch`, kept module-level so the at-least-once replay
+    property is directly testable (call it twice with the same
+    batch id; the state is byte-stable).
+
+    State layout under ``state_dir`` (all hive-partitioned by fold):
+      docs/fold=N  (doc_id, n)     — batch membership + shingle count
+      idx/fold=N   (doc_id, s, n)  — the distinct-shingle inverted
+                                     index rows this batch contributed
+                                     (n denormalized so the candidate
+                                     join never recomputes sizes)
+      star/fold=N  (node, lbl)     — label-star DELTA: only nodes
+                                     whose component label changed in
+                                     this fold are rewritten; readers
+                                     resolve latest-fold-wins.
+
+    This is the production write shape at 100 TB: per-ingest cost is
+    batch×(collision-bounded candidates) — never old×old — and the
+    per-fold star delta is O(touched components), not a corpus-sized
+    state rewrite (the batch `incremental_dedup_clusters` /
+    `dedup_state_compaction_apply` family proves the same index-reuse
+    contract; this operator is its Structured-Streaming twin, as
+    `rollup_refresh_stream` is to `incremental_agg_maintenance`).
+    Idempotence comes from partition-scoped overwrite rather than a
+    high-watermark row: a retried batch id reads `fold < batch_id`
+    state only, recomputes deterministically, and overwrites its own
+    fold partitions in place — no double-fold, no tombstones. The
+    multi-table write is not atomic across tables; on a transactional
+    table format (Delta/Iceberg) the three writes become one commit —
+    the fold logic is unchanged.
+    """
+    from covid_weather_etl_spark.functions.textops import shingled_rows
+    from covid_weather_etl_spark.operators.corpus import (
+        CC_SINGLE_TASK_MAX, cc_single_task, star_components)
+
+    spark = batch_df.sparkSession
+    # batch-sized, consumed 3x (docs write, idx write, candidate join)
+    sh_new = (shingled_rows(batch_df.select("doc_id", "text"))
+              .groupBy("doc_id")
+              .agg(F.collect_list("s").alias("ss"),
+                   F.count("*").alias("n"))
+              .select("doc_id", F.explode("ss").alias("s"), "n")
+              .localCheckpoint(eager=True))
+    docs_new = (batch_df.select("doc_id")
+                .join(sh_new.groupBy("doc_id").agg(F.max("n").alias("n")),
+                      "doc_id", "left")
+                .select("doc_id", F.coalesce("n", F.lit(0)).alias("n")))
+
+    prior_idx = _read_prior_folds(spark, state_dir, "idx", batch_id)
+    probe = sh_new.select("doc_id", "s", "n", F.lit(False).alias("is_old"))
+    if prior_idx is not None:
+        probe = probe.unionByName(
+            prior_idx.select("doc_id", "s", "n",
+                             F.lit(True).alias("is_old")))
+    # candidates: new x (old ∪ new), shingle-bucketed (the LSH-free
+    # exact form — pair generation proportional to true overlap); the
+    # a<b guard dedupes new x new, is_old keeps new x old once
+    a, b = sh_new.alias("a"), probe.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")))
+             .filter(F.col("b.is_old")
+                     | (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.least("a.doc_id", "b.doc_id").alias("d1"),
+                      F.greatest("a.doc_id", "b.doc_id").alias("d2"),
+                      F.col("a.n").alias("n1"), F.col("b.n").alias("n2"))
+             .agg(F.count("*").alias("c")))
+    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+    edges = (pairs.filter(jac >= DEDUP_FOLD_TAU)
+             .select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+             .distinct())
+
+    # resolve current labels (latest fold wins), contract edge
+    # endpoints through them, then components over the CONTRACTED
+    # graph — bounded by the batch's touched components, so the
+    # single-task union-find kernel applies under the same gate as
+    # the batch path (distributed star contraction above it)
+    prior_star = _read_prior_folds(spark, state_dir, "star", batch_id)
+    if prior_star is not None:
+        labels = (prior_star.groupBy("node")
+                  .agg(F.max_by("lbl", "fold").alias("lbl"))
+                  .localCheckpoint(eager=True))
+        la = F.coalesce(F.col("la.lbl"), F.col("e.a"))
+        lb = F.coalesce(F.col("lb.lbl"), F.col("e.b"))
+        contracted = (edges.alias("e")
+                      .join(labels.alias("la"),
+                            F.col("e.a") == F.col("la.node"), "left")
+                      .join(labels.alias("lb"),
+                            F.col("e.b") == F.col("lb.node"), "left")
+                      .filter(la != lb)
+                      .select(F.least(la, lb).alias("a"),
+                              F.greatest(la, lb).alias("b"))
+                      .distinct())
+    else:
+        labels = None
+        contracted = edges
+    contracted = contracted.localCheckpoint(eager=True)
+    if contracted.count() <= CC_SINGLE_TASK_MAX:
+        relabel = cc_single_task(contracted)
+    else:
+        relabel = star_components(contracted, op_name="dedup_fold")
+    relabel = relabel.localCheckpoint(eager=True)  # consumed twice
+
+    # delta = the merged old-label nodes themselves + every node whose
+    # CURRENT label is one of those old labels (nodes in unmerged
+    # components are not rewritten — the O(touched) write)
+    delta = relabel.select("node", "lbl")
+    if labels is not None:
+        delta = delta.unionByName(
+            labels.alias("s")
+            .join(relabel.alias("r"),
+                  F.col("s.lbl") == F.col("r.node"))
+            .select(F.col("s.node").alias("node"),
+                    F.col("r.lbl").alias("lbl")))
+    delta = delta.select(F.col("node").cast("long"),
+                         F.col("lbl").cast("long"))
+
+    # partition-scoped overwrites make the whole fold idempotent;
+    # delta is materialized BEFORE the star write because its lineage
+    # reads the star directory the write extends
+    delta = delta.localCheckpoint(eager=True)
+    (sh_new.write.mode("overwrite")
+     .parquet(_fold_part(state_dir, "idx", batch_id)))
+    (docs_new.write.mode("overwrite")
+     .parquet(_fold_part(state_dir, "docs", batch_id)))
+    (delta.write.mode("overwrite")
+     .parquet(_fold_part(state_dir, "star", batch_id)))
+
+
+def dedup_fold_stream(stream: DataFrame, state_dir: str,
+                      checkpoint_dir: str):
+    """Streaming incremental near-dup dedup via `foreachBatch`: each
+    micro-batch of documents folds into the persisted dedup state
+    (shingle inverted index + label star), maintaining
+    fold(...fold(fold(S0, b1), b2)..., bn) == one-shot(all docs) —
+    exactly the batch `dedup_clusters` truth, which the stream==batch
+    pytest asserts. Works because pairwise Jaccard is independent of
+    the rest of the corpus (every pair is scored when its later doc
+    arrives, against the persisted index) and component-min merge is
+    associative — so fold order cannot change the fixpoint."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_fold_batch(batch_df, batch_id, state_dir)
+
+    return (stream.writeStream
+            .foreachBatch(fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_dedup_fold_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained cluster assignment: every ingested doc with its
+    latest-fold-wins component label (own id if singleton) — the same
+    (doc_id, cluster_id, is_canonical) contract as the batch
+    `dedup_clusters` query. The label resolution is one max_by
+    aggregate over the star deltas; at 100 TB the periodic
+    `dedup_state_compaction_apply` pass rewrites the deltas into a
+    single fold so this read stays O(non-singleton nodes)."""
+    import os
+    docs = (spark.read.parquet(os.path.join(state_dir, "docs"))
+            .select("doc_id").distinct())
+    star = spark.read.parquet(os.path.join(state_dir, "star"))
+    labels = (star.groupBy("node")
+              .agg(F.max_by("lbl", "fold").alias("lbl")))
+    return (docs.join(labels, docs["doc_id"] == labels["node"], "left")
+            .select("doc_id",
+                    F.coalesce("lbl", "doc_id").alias("cluster_id"),
+                    (F.coalesce("lbl", "doc_id") == F.col("doc_id"))
+                    .alias("is_canonical")))
+
+
+# ---------------------------------------------------------------------------
 # streaming debounce (gap-based burst suppression)
 # ---------------------------------------------------------------------------
 

@@ -401,3 +401,72 @@ def test_left_outer_stream_join_equals_batch_anti(spark, landing_dir,
     batch["purchase_ts"] = batch["purchase_ts"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got_pdf, batch)
     assert len(batch) > 0  # the anti-join is non-degenerate on sf0.001
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental near-dup dedup (persisted-index fold twin)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def doc_landing(spark, tmp_path_factory) -> str:
+    """The sf0.001 documents table as 3 parquet chunk files, each a
+    micro-batch ingest of the dedup fold."""
+    d = tmp_path_factory.mktemp("docs_landing")
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    pdf = docs.select("doc_id", "text").toPandas()
+    n = len(pdf)
+    for i in range(3):
+        pdf.iloc[i * n // 3:(i + 1) * n // 3].to_parquet(
+            f"{d}/chunk_{i}.parquet", index=False)
+    return str(d)
+
+
+def _doc_stream(spark, landing: str):
+    return (spark.readStream.schema(S.DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(landing))
+
+
+def test_dedup_fold_stream_equals_oneshot_clusters(spark, doc_landing,
+                                                   tmp_path):
+    """After 3 micro-batch folds into the persisted index, the
+    maintained cluster labels equal the one-shot batch dedup_clusters
+    truth over the same corpus (fold associativity: every pair is
+    Jaccard-scored when its later doc arrives; component-min merge is
+    order-free). A same-checkpoint rerun folds nothing twice."""
+    state = str(tmp_path / "dedup_state")
+    ckpt = str(tmp_path / "ckpt")
+    q = S.dedup_fold_stream(_doc_stream(spark, doc_landing), state, ckpt)
+    q.awaitTermination(300)
+    got = normalize(S.read_dedup_fold_state(spark, state).toPandas())
+    from covid_weather_etl_spark.operators import corpus as C
+    want = normalize(C.dedup_clusters(spark, SF_DIR).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (~want["is_canonical"]).sum() > 0  # non-degenerate: real dups
+    # same checkpoint, no new files -> state unchanged
+    q2 = S.dedup_fold_stream(_doc_stream(spark, doc_landing), state, ckpt)
+    q2.awaitTermination(300)
+    got2 = normalize(S.read_dedup_fold_state(spark, state).toPandas())
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+def test_dedup_fold_batch_replay_is_idempotent(spark, doc_landing,
+                                               tmp_path):
+    """foreachBatch's at-least-once contract: redelivering a batch
+    UNDER ITS ORIGINAL BATCH ID re-reads only `fold < id` state and
+    overwrites its own fold partitions with identical content — the
+    middle fold is replayed after the final fold committed, and the
+    resolved state is unchanged."""
+    import os
+    state = str(tmp_path / "dedup_state")
+    ckpt = str(tmp_path / "ckpt")
+    q = S.dedup_fold_stream(_doc_stream(spark, doc_landing), state, ckpt)
+    q.awaitTermination(300)
+    before = normalize(S.read_dedup_fold_state(spark, state).toPandas())
+    # reconstruct fold 1's exact batch from its membership partition
+    member = spark.read.parquet(os.path.join(state, "docs", "fold=1"))
+    batch1 = (spark.read.parquet(doc_landing)
+              .join(member.select("doc_id"), "doc_id")
+              .select("doc_id", "text"))
+    S.dedup_fold_batch(batch1, 1, state)
+    after = normalize(S.read_dedup_fold_state(spark, state).toPandas())
+    pd.testing.assert_frame_equal(after, before, check_dtype=False)
