@@ -524,3 +524,39 @@ def test_heaps_law_monotone_and_beta_band(spark):
     beta, r2 = rows[0]["beta"], rows[0]["r2"]
     assert 0.0 < beta < 1.0, beta
     assert r2 > 0.9, r2
+
+
+def test_bpe_continue_train_resume_equals_scratch(spark):
+    """The resumability identity behind bpe_continue_train: running
+    BPE_EXTEND_MERGES more rounds FROM the persisted round-12 state
+    must reproduce, merge for merge and segmentation for
+    segmentation, a from-scratch 12+K training run — the property
+    that makes checkpoint-resume tokenizer training trustworthy."""
+    from covid_weather_etl_spark.operators.text import (
+        BPE_EXTEND_MERGES, BPE_TRAIN_MERGES, _bpe_init_vocab,
+        _bpe_rounds, ensure_bpe_artifacts)
+    from tests.conftest import SF_DIR
+
+    scratch_m, scratch_v = _bpe_rounds(
+        _bpe_init_vocab(spark, SF_DIR), 1,
+        BPE_TRAIN_MERGES + BPE_EXTEND_MERGES)
+    merges, vocab = ensure_bpe_artifacts(spark, SF_DIR)
+    ext_m, ext_v = _bpe_rounds(vocab, len(merges) + 1, BPE_EXTEND_MERGES)
+    assert merges + ext_m == scratch_m
+    assert len(ext_m) > 0  # the corpus supports real extension merges
+    got = sorted((r["word"], list(r["syms"])) for r in ext_v.collect())
+    want = sorted((r["word"], list(r["syms"])) for r in scratch_v.collect())
+    assert got == want
+
+
+def test_bpe_continue_train_parity(spark, duck):
+    """Driver-style oracle parity for the registered maintain→verify
+    query (the oracle's from-scratch 12+K recursive-CTE replay IS the
+    cross-engine resumability check)."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR, assert_parity
+    q = all_queries()["bpe_continue_train"]
+    assert_parity(spark, duck, q)
+    # non-degenerate: the extension must actually save symbols
+    pdf = q.fn(spark, SF_DIR).toPandas()
+    assert (pdf["syms_saved"] > 0).any()
