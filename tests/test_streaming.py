@@ -470,3 +470,42 @@ def test_dedup_fold_batch_replay_is_idempotent(spark, doc_landing,
     S.dedup_fold_batch(batch1, 1, state)
     after = normalize(S.read_dedup_fold_state(spark, state).toPandas())
     pd.testing.assert_frame_equal(after, before, check_dtype=False)
+
+
+def test_dedup_fold_chain_merge_across_folds(spark, tmp_path):
+    """Synthetic chain corpus pinning the cross-fold relabel algebra:
+    A~B~C~D (3-gram Jaccard >= 0.2 ONLY between neighbors) folded as
+    {A, D} then {B} then {C} exercises singleton->cluster, cluster
+    extension, and a two-component merge via one arriving doc — the
+    final labels must equal the one-shot dedup_clusters truth AND the
+    hand-derived component (min id wins through every merge path)."""
+    import os
+    w = [f"t{i:02d}" for i in range(1, 20)]
+    texts = {
+        1: " ".join(w[0:10]),     # A: t01..t10
+        2: " ".join(w[3:13]),     # B: t04..t13  (J(A,B)=5/11)
+        3: " ".join(w[6:16]),     # C: t07..t16  (J(B,C)=5/11, J(A,C)=2/14 < 0.2)
+        4: " ".join(w[9:19]),     # D: t10..t19  (J(C,D)=5/11, J(B,D) < 0.2)
+        99: " ".join(f"x{i}" for i in range(10)),  # X: singleton
+    }
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pd.DataFrame({
+        "doc_id": list(texts), "text": list(texts.values()),
+        "lang": "en", "source": "synth",
+        "n_chars": [len(t) for t in texts.values()],
+    }).to_parquet(f"{corpus}/documents.parquet", index=False)
+
+    state = str(tmp_path / "state")
+    for fold_id, ids in enumerate([(1, 4), (2,), (3, 99)]):
+        batch = spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string")
+        S.dedup_fold_batch(batch, fold_id, state)
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in S.read_dedup_fold_state(spark, state).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (1, False), 99: (99, True)}
+    from covid_weather_etl_spark.operators import corpus as C
+    want = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in C.dedup_clusters(spark, str(corpus)).collect()}
+    assert got == want
