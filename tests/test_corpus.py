@@ -770,3 +770,47 @@ def test_cc_single_task_equals_star_components(spark):
     assert (12, 1) in a and (23, 20) in a and (32, 30) in a
     # canonical nodes omitted, exactly like star_components
     assert all(n != l for n, l in a)
+
+
+def test_cc_kernels_agree_on_random_graphs(spark):
+    """Property pin for the gated CC pair: on arbitrary random graphs
+    (not just corpus- or fixture-shaped ones) the single-task
+    union-find kernel and the distributed star contraction return the
+    identical (node, lbl) set. Hypothesis drives the edge sets; a
+    pure-python union-find is the third, independent referee."""
+    from hypothesis import given, settings, strategies as st
+
+    from covid_weather_etl_spark.operators.corpus import (
+        cc_single_task, star_components)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40))
+    def check(raw):
+        edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "a long, b long")
+        got_one = {(r["node"], r["lbl"])
+                   for r in cc_single_task(df).collect()}
+        got_star = {(r["node"], r["lbl"])
+                    for r in star_components(df, op_name="prop").collect()}
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for e in edges for n in e}
+        want = {(n, find(n)) for n in nodes if find(n) != n}
+        assert got_one == want
+        assert got_star == want
+
+    check()
