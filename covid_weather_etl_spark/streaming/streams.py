@@ -661,6 +661,17 @@ def dedup_fold_batch(batch_df: DataFrame, batch_id: int,
         CC_SINGLE_TASK_MAX, cc_single_task, star_components)
 
     spark = batch_df.sparkSession
+    # two exactly-once layers on top of the checkpoint, the
+    # upsert_gold_stream pattern: in-batch dedup on the natural key,
+    # then first-write-wins against already-ingested membership (an
+    # at-least-once SOURCE redelivering a doc in a LATER fold would
+    # otherwise append duplicate index rows and double its Jaccard
+    # counts). The membership probe is a column-pruned anti-join.
+    batch_df = batch_df.dropDuplicates(["doc_id"])
+    prior_docs = _read_prior_folds(spark, state_dir, "docs", batch_id)
+    if prior_docs is not None:
+        batch_df = batch_df.join(prior_docs.select("doc_id"),
+                                 "doc_id", "left_anti")
     # batch-sized, consumed 3x (docs write, idx write, candidate join)
     sh_new = (shingled_rows(batch_df.select("doc_id", "text"))
               .groupBy("doc_id")

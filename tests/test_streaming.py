@@ -509,3 +509,26 @@ def test_dedup_fold_chain_merge_across_folds(spark, tmp_path):
     want = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
             for r in C.dedup_clusters(spark, str(corpus)).collect()}
     assert got == want
+
+
+def test_dedup_fold_source_redelivery_is_first_write_wins(spark, tmp_path):
+    """The second exactly-once layer (above the checkpoint): a doc
+    redelivered by the SOURCE in a later fold — and an in-batch
+    duplicate — must not re-enter the index (duplicate shingle rows
+    would double its Jaccard counts); state equals a clean ingest."""
+    texts = {1: "a b c d e f", 2: "a b c d e f", 3: "p q r s t u"}
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, texts[1]), (3, texts[3]), (3, texts[3])],  # in-batch dup
+        "doc_id long, text string")
+    S.dedup_fold_batch(b0, 0, state)
+    b1 = spark.createDataFrame(
+        [(2, texts[2]), (1, texts[1])],  # doc 1 redelivered by source
+        "doc_id long, text string")
+    S.dedup_fold_batch(b1, 1, state)
+    import os
+    idx = spark.read.parquet(os.path.join(state, "idx"))
+    assert idx.groupBy("doc_id", "s").count().filter("count > 1").count() == 0
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in S.read_dedup_fold_state(spark, state).collect()}
+    assert got == {1: 1, 2: 1, 3: 3}  # 1&2 identical text -> one cluster
