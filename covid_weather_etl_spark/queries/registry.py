@@ -289,13 +289,15 @@ _ROTATION_R9 = (
 # ledger), then the full 44-row r04 cohort (identical r04 freshness;
 # alphabetical). 2 + 4 + 44 = exactly 50 — no displacement; after this
 # window the oldest hash row is >= r05 (the directive's done-bar).
-# R12 queue: zorder_layout (displaced from this window by the third
-# r11 new op at 50-cap), then the 50-row r05 cohort
-# (acf_daily_revenue ... zipf_law_fit — see QUERIES.md), minus any
-# r12-session new ops.
+# R12 queue: winsorized_prices + zorder_layout (displaced from this
+# window by the 3rd/4th r11 new ops at the 50-cap — the tuple holds
+# 52 names, the driver takes the first 50), then the 50-row r05
+# cohort (acf_daily_revenue ... zipf_law_fit — see QUERIES.md),
+# minus any r12-session new ops.
 _ROTATION_R11 = (
-    # r11-session NEW operators (maintain->verify seam closers)
-    "bpe_continue_train",
+    # r11-session NEW operators (maintain->verify seam closers +
+    # the streaming fold's driver row)
+    "bpe_continue_train", "dedup_fold_state_clusters",
     "ivf_rebalance_apply", "dedup_state_compaction_apply",
     # the 4 r03 rows displaced from the r10 window
     "topk_orders", "union_append", "value_histogram", "yoy_comparison",

@@ -532,3 +532,20 @@ def test_dedup_fold_source_redelivery_is_first_write_wins(spark, tmp_path):
     got = {r["doc_id"]: r["cluster_id"]
            for r in S.read_dedup_fold_state(spark, state).collect()}
     assert got == {1: 1, 2: 1, 3: 3}  # 1&2 identical text -> one cluster
+
+
+def test_dedup_fold_state_clusters_parity_and_truth(spark, duck):
+    """The registered driver row for the streaming fold: the 3-fold
+    replayed state must hash-match the recursive-CTE oracle AND equal
+    the batch dedup_clusters frame row-for-row; the second call reads
+    the persisted state (memo path) and returns the same frame."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR, assert_parity
+    q = all_queries()["dedup_fold_state_clusters"]
+    assert_parity(spark, duck, q)
+    got = normalize(q.fn(spark, SF_DIR).toPandas())
+    from covid_weather_etl_spark.operators import corpus as C
+    want = normalize(C.dedup_clusters(spark, SF_DIR).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    again = normalize(q.fn(spark, SF_DIR).toPandas())
+    pd.testing.assert_frame_equal(again, got, check_dtype=False)
