@@ -103,13 +103,21 @@ def main() -> None:
     # tail-truncating capture can still parse it.  (Round-1 lesson:
     # one 80-entry JSON line was truncated from the front and the
     # driver recorded "parsed": null.)
+    #
+    # Every pass writes BENCH_FULL_LAST.json (gitignored scratch).  The
+    # committed BENCH_FULL.json is only rewritten when the close
+    # protocol sets SPARK_GRAFT_BENCH_PIN=1 — so ad-hoc and driver
+    # passes no longer clobber the committed artifact between closes
+    # (r11 VERDICT directive #6).
     full = {"metric": "total_query_wall_seconds", "value": total,
             "unit": "sec", "queries": timings, "sf": sf_val}
+    pin = os.environ.get("SPARK_GRAFT_BENCH_PIN") == "1"
+    out_name = "BENCH_FULL.json" if pin else "BENCH_FULL_LAST.json"
     try:
-        with open("BENCH_FULL.json", "w") as fh:
+        with open(out_name, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
     except OSError as ex:
-        print(f"bench: could not write BENCH_FULL.json: {ex}", file=sys.stderr)
+        print(f"bench: could not write {out_name}: {ex}", file=sys.stderr)
     print(json.dumps(full["queries"], sort_keys=True), file=sys.stderr)
 
     headline = {n: timings[n] for n in timings if qs[n].bench}
@@ -120,7 +128,7 @@ def main() -> None:
         "queries": headline,
         "sf": sf_val,
         "n_queries": len(timings),
-        "full": "BENCH_FULL.json",
+        "full": out_name,
     }))
 
 
