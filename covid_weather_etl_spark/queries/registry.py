@@ -294,6 +294,50 @@ _ROTATION_R9 = (
 # 52 names, the driver takes the first 50), then the 50-row r05
 # cohort (acf_daily_revenue ... zipf_law_fit — see QUERIES.md),
 # minus any r12-session new ops.
+# Round 12 window (50), per the r11 verdict directive #3. Head: any
+# r12-session NEW operators (oracle-equipped day one, inserted as they
+# land — never-checked outranks refreshes, each displacing one tail row
+# to the r13 queue). Then winsorized_prices + zorder_layout (the 2 r04
+# rows displaced at the r11 window's 50-cap — the oldest hash evidence
+# left in the ledger), then the 50-row r05 cohort (identical r05
+# freshness; alphabetical). 2 + 50 = 52 refresh names; the driver takes
+# the first 50, so at round start the alphabetical tail
+# (woe_iv_binning, zipf_law_fit) leads the r13 queue, plus one more per
+# r12-session new op. After this window the oldest hash row is >= r05
+# (only whatever r05 tail is displaced), with the bulk at r06+.
+_ROTATION_R12 = (
+    # r12-session NEW operators land here (head), as they register.
+    "stream_fold_compaction_apply",
+    # the 2 r04 rows displaced at the r11 50-cap
+    "winsorized_prices", "zorder_layout",
+    # the 50-row r05 cohort (oldest evidence in the ledger)
+    "acf_daily_revenue", "adamic_adar_links", "bellman_ford_costs",
+    "benford_digit_profile", "bootstrap_mean_ci",
+    "calibration_ece_report", "count_min_frequency",
+    "decile_lift_table", "dedup_clusters_star", "dedup_keep_longest",
+    "drift_monitor_windows", "embedding_gram_matrix",
+    "er_name_clusters", "exact_auc_mann_whitney",
+    "exact_average_precision", "feature_relevance_ranking",
+    "hard_negative_mining", "hll_audience_overlap",
+    "inclusion_dependency_profile", "isotonic_calibration",
+    "ivf_codebook_train", "kaplan_meier_conversion", "ks_two_sample",
+    "mase_forecast_eval", "minhash_jaccard_audit",
+    "modal_priority_by_nation", "mutual_information_features",
+    "naive_bayes_lang_eval", "ndcg_popularity_baseline",
+    "pareto_front_parts", "pmi_collocations", "pq_codebook_train",
+    "prefix_filter_jaccard_join", "psi_drift_report",
+    "purge_cascade_report", "quantile_normalize_feature",
+    "random_projection_embed", "returned_item_customers",
+    "schema_evolution_merge", "session_stats", "shortest_path_hops",
+    "spearman_correlation", "stratified_exact_k_sample",
+    "stratified_kfold_summary", "topk_orders_per_customer",
+    "weighted_median_price", "weighted_sample_topk", "welch_ttest_ab",
+    "woe_iv_binning", "zipf_law_fit",
+)
+# R13 queue: the r05 tail displaced at this window's 50-cap (one name
+# per r12-session new op, from zipf_law_fit backwards), then the
+# r06 cohort (see QUERIES.md).
+
 _ROTATION_R11 = (
     # r11-session NEW operators (maintain->verify seam closers +
     # the streaming fold's driver row)
@@ -566,10 +610,10 @@ def _resolved(q: Query) -> Query:
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    missing = [n for n in _ROTATION_R11 if n not in _REGISTRY]
+    missing = [n for n in _ROTATION_R12 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R11}
+    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R12}
     ordered.update((n, _resolved(q)) for n, q in _REGISTRY.items()
                    if n not in ordered)
     return ordered

@@ -898,6 +898,187 @@ def read_dedup_fold_state(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming fold-state compaction (maintain -> re-verify)
+# ---------------------------------------------------------------------------
+
+def compact_fold_state(spark: SparkSession, src_dir: str,
+                       dst_dir: str) -> int:
+    """Rewrite a multi-fold dedup state into ONE consolidated fold —
+    the maintenance pass that bounds the fold-partition count the
+    streaming sink accumulates (one docs/idx/star partition set per
+    micro-batch, unbounded over time; the r11 gap this op closes).
+
+    The consolidated fold keeps the HIGHEST committed fold id M, so
+    every invariant the fold kernel relies on survives compaction:
+
+    - future batches (id > M) read ``fold < batch_id`` and see exactly
+      the pre-compaction state, because compaction is equivalence-
+      preserving on everything the kernel consumes — membership is the
+      same doc set, the index is the same (doc_id, s, n) posting set
+      (first-write-wins already made each doc's rows unique), and the
+      star deltas are replaced by their RESOLVED latest-fold-wins
+      labels with identity rows (lbl == node, relabel bookkeeping that
+      resolves to a no-op) dropped — so `read_dedup_fold_state` and
+      the kernel's label-contraction join produce identical frames
+      (pinned in tests/test_streaming.py, including a redelivery
+      AFTER compaction);
+    - the star read collapses from O(delta history) to one row per
+      NON-CANONICAL doc — the minimum possible — and stays there;
+    - a retried batch id <= M would see truncated state, which is why
+      compaction only covers folds the streaming CHECKPOINT has
+      committed (a committed availableNow batch is never redelivered;
+      the foreachBatch retry window is only the in-flight batch).
+      Run it with the stream stopped or on a snapshot, then swap the
+      state pointer — same no-transactional-format story as the fold
+      itself (on Delta/Iceberg the swap becomes one REPLACE commit).
+
+    Scale: three narrow columnar rewrites (membership, postings,
+    resolved labels) + one max_by label resolution — every frame
+    O(state), nothing corpus-quadratic, nothing collected but the
+    fold-id scalar. Returns M."""
+    import os
+    docs = spark.read.parquet(os.path.join(src_dir, "docs"))
+    m = int(docs.agg(F.max("fold")).first()[0])
+    (docs.select("doc_id", "n").write.mode("overwrite")
+     .parquet(_fold_part(dst_dir, "docs", m)))
+    idx = spark.read.parquet(os.path.join(src_dir, "idx"))
+    (idx.select("doc_id", "s", "n").write.mode("overwrite")
+     .parquet(_fold_part(dst_dir, "idx", m)))
+    star = spark.read.parquet(os.path.join(src_dir, "star"))
+    resolved = (star.groupBy("node")
+                .agg(F.max_by("lbl", "fold").alias("lbl"))
+                .filter(F.col("lbl") != F.col("node")))
+    (resolved.select(F.col("node").cast("long"),
+                     F.col("lbl").cast("long"))
+     .write.mode("overwrite").parquet(_fold_part(dst_dir, "star", m)))
+    return m
+
+
+def ensure_compacted_fold_state(spark: SparkSession, sf_dir: str) -> str:
+    """The compacted twin of `ensure_dedup_fold_state`'s 3-fold state,
+    built once per corpus fingerprint as a SIBLING artifact (the
+    `ensure_dedup_compacted` precedent: the live state stays
+    untouched so the registered apply op's before/after accounting is
+    deterministic under driver re-runs)."""
+    import os
+    from covid_weather_etl_spark.functions.artifacts import artifact_path
+    path = artifact_path(sf_dir, "dedup_fold_cmp",
+                         f"f3c{''.join(FOLD_CUTS)}j{DEDUP_FOLD_TAU}s3")
+    if path not in _FOLD_MEMO and not os.path.isdir(path):
+        live = ensure_dedup_fold_state(spark, sf_dir)
+        compact_fold_state(spark, live, path)
+    _FOLD_MEMO.add(path)
+    return path
+
+
+@register(
+    "stream_fold_compaction_apply",
+    survey="streaming-fold,LLM-dedup,A1,A2,D2,J1",
+    oracle=lambda: f"""
+    WITH RECURSIVE {_ngram_pairs_ctes()},
+    edges AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM ngram_pairs
+        UNION ALL
+        SELECT doc_id_2, doc_id_1 FROM ngram_pairs
+    ),
+    walk(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.doc_id
+    ),
+    cl AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)
+    SELECT CAST(3 AS INT) AS folds_before,
+           CAST(1 AS INT) AS folds_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS idx_postings_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS idx_postings_after,
+           (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM cl)
+               AS n_clusters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cl
+            WHERE doc_id <> cluster_id) AS star_rows_after,
+           CAST(0 AS BIGINT) AS label_mismatches
+    """,
+)
+def stream_fold_compaction_apply(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """MAINTAIN → RE-VERIFY for the STREAMING dedup seam: EXECUTE the
+    fold-state compaction (`compact_fold_state` — rewrite the 3
+    hive fold partitions the micro-batch sink accumulated into one
+    consolidated fold, star deltas replaced by resolved labels) and
+    verify the compacted state against BOTH the live state and the
+    from-scratch corpus truth in one all-integer row:
+
+      folds_before/after        3 -> 1 partition-set consolidation
+      n_docs                    membership carried (= corpus)
+      idx_postings before/after the posting set is carried EXACTLY
+                                (first-write-wins made it minimal
+                                already — compaction must not lose or
+                                duplicate a posting)
+      n_clusters/star_rows_after the resolved labels: star collapses
+                                to one row per non-canonical doc, so
+                                star_rows_after = n_docs - n_clusters
+      label_mismatches          docs whose compacted cluster label
+                                differs from the live read — the
+                                equivalence proof, counted by full
+                                outer join, pinned 0 by the oracle
+
+    The DuckDB twin recomputes every data-dependent column from the
+    raw corpus (recursive-CTE cluster truth + the shared 3-gram
+    posting CTE), so a driver PASS re-proves, cross-engine: the fold
+    state's membership and index ARE the corpus's, the compacted
+    labels ARE the one-shot truth, and compaction changed nothing a
+    reader or a future fold can observe. Completes the streaming
+    seam's train → consume → MAINTAIN → re-verify lifecycle
+    (the dedup_state_compaction_apply / ivf_rebalance_apply pattern
+    applied to the foreachBatch state; r11 verdict directive #4).
+
+    Scale: all comparison frames are state-sized and narrow (two
+    membership counts, two posting counts, one full outer join on
+    doc_id); the compaction itself is three columnar rewrites —
+    per-maintenance cost O(state), amortized across every subsequent
+    read and fold, which stop paying O(delta history) per label
+    resolution."""
+    import os
+    live = ensure_dedup_fold_state(spark, sf_dir)
+    comp = ensure_compacted_fold_state(spark, sf_dir)
+    docs_live = spark.read.parquet(os.path.join(live, "docs"))
+    docs_comp = spark.read.parquet(os.path.join(comp, "docs"))
+    idx_live = spark.read.parquet(os.path.join(live, "idx"))
+    idx_comp = spark.read.parquet(os.path.join(comp, "idx"))
+    star_comp = spark.read.parquet(os.path.join(comp, "star"))
+    pre = read_dedup_fold_state(spark, live)
+    post = read_dedup_fold_state(spark, comp)
+
+    a_before = docs_live.agg(
+        F.countDistinct("fold").cast("int").alias("folds_before"))
+    a_after = docs_comp.agg(
+        F.countDistinct("fold").cast("int").alias("folds_after"),
+        F.count("*").cast("long").alias("n_docs"))
+    a_ib = idx_live.agg(
+        F.count("*").cast("long").alias("idx_postings_before"))
+    a_ia = idx_comp.agg(
+        F.count("*").cast("long").alias("idx_postings_after"))
+    a_cl = post.agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"))
+    a_star = star_comp.agg(
+        F.count("*").cast("long").alias("star_rows_after"))
+    a_mm = (pre.select("doc_id", F.col("cluster_id").alias("c1"))
+            .join(post.select("doc_id", F.col("cluster_id").alias("c2")),
+                  "doc_id", "full")
+            .filter(~F.col("c1").eqNullSafe(F.col("c2")))
+            .agg(F.count("*").cast("long").alias("label_mismatches")))
+    return (a_before.crossJoin(F.broadcast(a_after))
+            .crossJoin(F.broadcast(a_ib))
+            .crossJoin(F.broadcast(a_ia))
+            .crossJoin(F.broadcast(a_cl))
+            .crossJoin(F.broadcast(a_star))
+            .crossJoin(F.broadcast(a_mm))
+            .select("folds_before", "folds_after", "n_docs",
+                    "idx_postings_before", "idx_postings_after",
+                    "n_clusters", "star_rows_after", "label_mismatches"))
+
+
+# ---------------------------------------------------------------------------
 # streaming debounce (gap-based burst suppression)
 # ---------------------------------------------------------------------------
 

@@ -534,6 +534,81 @@ def test_dedup_fold_source_redelivery_is_first_write_wins(spark, tmp_path):
     assert got == {1: 1, 2: 1, 3: 3}  # 1&2 identical text -> one cluster
 
 
+def test_fold_compaction_preserves_state_and_future_folds(spark, tmp_path):
+    """The fold-state compaction contract, on the synthetic chain
+    corpus: (a) the compacted single-fold state resolves to exactly
+    the pre-compaction clusters; (b) the index/membership row sets are
+    carried exactly; (c) a FUTURE fold lands identically on the live
+    and compacted states (compaction is invisible to the kernel); and
+    (d) redelivering that future batch AFTER compaction is idempotent
+    — the at-least-once story survives maintenance."""
+    import os
+    w = [f"t{i:02d}" for i in range(1, 20)]
+    texts = {
+        1: " ".join(w[0:10]),     # A: t01..t10
+        2: " ".join(w[3:13]),     # B: t04..t13  (J(A,B)=5/11)
+        3: " ".join(w[6:16]),     # C: t07..t16  (chain via B)
+        99: " ".join(f"x{i}" for i in range(10)),  # singleton
+    }
+    live = str(tmp_path / "live")
+    for fold_id, ids in enumerate([(1, 99), (2,), (3,)]):
+        batch = spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string")
+        S.dedup_fold_batch(batch, fold_id, live)
+    pre = normalize(S.read_dedup_fold_state(spark, live).toPandas())
+
+    comp = str(tmp_path / "comp")
+    m = S.compact_fold_state(spark, live, comp)
+    assert m == 2  # consolidated under the highest committed fold id
+    # (a) resolved clusters unchanged
+    post = normalize(S.read_dedup_fold_state(spark, comp).toPandas())
+    pd.testing.assert_frame_equal(post, pre, check_dtype=False)
+    # (b) posting/membership sets carried exactly; one fold partition
+    for table in ("docs", "idx"):
+        a = spark.read.parquet(os.path.join(live, table)).drop("fold")
+        b = spark.read.parquet(os.path.join(comp, table)).drop("fold")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    folds = spark.read.parquet(os.path.join(comp, "docs"))
+    assert folds.select("fold").distinct().count() == 1
+    # star holds exactly the non-canonical docs, identity rows dropped
+    star = spark.read.parquet(os.path.join(comp, "star"))
+    assert star.filter("node = lbl").count() == 0
+    assert star.count() == int((~pre["is_canonical"]).sum())
+
+    # (c) a future fold (doc 4 merges nothing; doc 5 extends A's
+    # cluster through C) sees identical state either way
+    nxt = spark.createDataFrame(
+        [(4, " ".join(f"y{i}" for i in range(10))),
+         (5, " ".join(w[9:19]))], "doc_id long, text string")
+    S.dedup_fold_batch(nxt, 3, live)
+    S.dedup_fold_batch(nxt, 3, comp)
+    after_live = normalize(S.read_dedup_fold_state(spark, live).toPandas())
+    after_comp = normalize(S.read_dedup_fold_state(spark, comp).toPandas())
+    pd.testing.assert_frame_equal(after_comp, after_live, check_dtype=False)
+    assert after_comp.set_index("doc_id")["cluster_id"].to_dict() == {
+        1: 1, 2: 1, 3: 1, 5: 1, 4: 4, 99: 99}
+    # (d) redelivery of batch 3 against the compacted state: unchanged
+    S.dedup_fold_batch(nxt, 3, comp)
+    again = normalize(S.read_dedup_fold_state(spark, comp).toPandas())
+    pd.testing.assert_frame_equal(again, after_comp, check_dtype=False)
+
+
+def test_stream_fold_compaction_apply_parity_and_invariants(spark, duck):
+    """The registered driver row: hash-parity against the recursive-
+    CTE truth oracle at sf0.001, plus the invariants the single row
+    encodes — postings carried exactly, star at its floor
+    (n_docs - n_clusters), zero label mismatches."""
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import assert_parity
+    q = all_queries()["stream_fold_compaction_apply"]
+    assert_parity(spark, duck, q)
+    row = q.fn(spark, SF_DIR).first()
+    assert row["folds_before"] == 3 and row["folds_after"] == 1
+    assert row["idx_postings_before"] == row["idx_postings_after"]
+    assert row["star_rows_after"] == row["n_docs"] - row["n_clusters"]
+    assert row["label_mismatches"] == 0
+
+
 def test_dedup_fold_state_clusters_parity_and_truth(spark, duck):
     """The registered driver row for the streaming fold: the 3-fold
     replayed state must hash-match the recursive-CTE oracle AND equal
