@@ -1701,15 +1701,17 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup drops over the s1 survivors — the lossless prefix-
     # filtered AllPairs/PPJoin stage, unchanged from r6 except that
     # shingle df is a keyed window (one exchange) instead of a
-    # groupBy+join (two). A doc with <3 tokens shingles to nothing
+    # groupBy+join (two), and per-doc shingle dedup is array_distinct
+    # BEFORE the explode (narrow, r12) — the old explode().distinct()
+    # paid a full (doc_id, s)-row shuffle for a dedup that is per-doc
+    # by definition. A doc with <3 tokens shingles to nothing
     # (Spark's descending sequence(0, size-3) would throw) — it can
     # never be a near-dup candidate; the oracle's
     # generate_series(1, len-2) is naturally empty for it.
     sh = (flagged.filter(F.col("s1")).filter(F.size("tk") >= 3)
-          .select("doc_id", F.explode(F.expr(
+          .select("doc_id", F.explode(F.array_distinct(F.expr(
               "transform(sequence(0, size(tk) - 3), "
-              "i -> concat_ws(' ', slice(tk, i + 1, 3)))")).alias("s"))
-          .distinct())
+              "i -> concat_ws(' ', slice(tk, i + 1, 3)))"))).alias("s")))
     docsets = (sh.withColumn("df", F.count("*").over(W.partitionBy("s")))
                .groupBy("doc_id")
                .agg(F.array_sort(F.collect_list(F.struct("df", "s")))
