@@ -993,6 +993,263 @@ def sarima_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# U2/U5 — fixed-path SARIMA via Hannan-Rissanen: the graduation twin
+# ---------------------------------------------------------------------------
+
+# The SARIMA graduation attempt (verdict r11 #5): the auto-order numpy
+# query above cannot graduate (AIC grid + ADF-selected d = a
+# data-dependent MODEL CHOICE cascade; see PARITY.md §11 addendum),
+# but the FIXED-order family member can, by the irls precedent: pin
+# the order at ARIMA(1,1,1)(0,1,0)_7 and fit by the Hannan-Rissanen
+# two-stage CLOSED FORM — (1) a long-AR(3) least squares on the
+# doubly-differenced series yields residuals that estimate the
+# innovations; (2) ONE more least squares of w_t on [1, w_{t-1},
+# e_{t-1}] yields (c, phi, theta). Both stages are linear solves =
+# shared-term-order Cramer text (the ar_forecast_per_group 4x4 reused
+# VERBATIM for stage 1; a 3x3 for stage 2). No iteration anywhere.
+
+_HR_SEASON = 7   # weekly cycle, same unit as SARIMA_SEASON
+_HR_H = 7        # forecast horizon == season, so the seasonal
+                 # inversion needs only TRAIN values (no feedback)
+
+_HR_A = [["n2", "t1", "t2"],
+         ["t1", "t11", "t12"],
+         ["t2", "t12", "t22"]]
+_HR_B = ["ty", "t1y", "t2y"]
+
+_HR_G = "FLOOR(({e}) * 1e6 + 5e-1) / 1e6"
+
+
+def _hr_g(e: str) -> str:
+    return _HR_G.format(e=e)
+
+
+def _hr_series_sql(src: str) -> str:
+    """rn/cnt indexing, the 80/20 cut, and the (D=1,s=7)(d=1) double
+    difference w = Δ1 Δ7 y — pure window algebra, shared text."""
+    return f"""
+    SELECT n_name, rn, cnt, ntr, y, z1,
+           z1 - LAG(z1, 1) OVER (PARTITION BY n_name ORDER BY rn) AS w
+    FROM (
+        SELECT n_name, rn, cnt,
+               CAST(FLOOR(cnt * 8e-1) AS INT) AS ntr, y,
+               y - LAG(y, {_HR_SEASON})
+                   OVER (PARTITION BY n_name ORDER BY rn) AS z1
+        FROM (
+            SELECT n_name, y,
+                   ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY d)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY n_name) AS cnt
+            FROM {src}
+        ) b
+    ) z
+    """
+
+
+def _hr_train_sql(series_src: str) -> str:
+    """TRAIN slice of the differenced series, shaped (n_name, d, y) so
+    the ar_forecast_per_group design/sums/Cramer fragments apply
+    verbatim (d = rn, y = w)."""
+    return f"""
+    SELECT n_name, rn AS d, w AS y FROM {series_src}
+    WHERE w IS NOT NULL AND rn <= ntr
+    """
+
+
+def _hr_resid_sql(design_src: str, coef_src: str) -> str:
+    """Stage-1 innovations estimate: e = w - AR(3) fit, snapped to the
+    1e-6 grid so stage 2 starts from identical numbers cross-engine
+    (the irls re-snap discipline)."""
+    eta = "(c.c0 + c.c1 * d.y1 + c.c2 * d.y2 + c.c3 * d.y3)"
+    return f"""
+    SELECT d.n_name, d.d, d.y, d.y1,
+           {_hr_g(f'd.y - {eta}')} AS e
+    FROM {design_src} d JOIN {coef_src} c ON c.n_name = d.n_name
+    """
+
+
+def _hr_design2_sql(resid_src: str) -> str:
+    return f"""
+    SELECT * FROM (
+        SELECT n_name, d, y AS wv, y1 AS w1,
+               LAG(e, 1) OVER (PARTITION BY n_name ORDER BY d) AS e1
+        FROM {resid_src}
+    ) r WHERE e1 IS NOT NULL
+    """
+
+
+def _hr_sums2_sql(d2_src: str) -> str:
+    """Stage-2 sufficient statistics over [1, w_{{t-1}}, e_{{t-1}}] —
+    all nine accumulate on the exact centi-unit integer grid
+    (order-free, map-combinable; the _D38G discipline)."""
+    p = _d38_snap
+    return f"""
+    SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS n2,
+           {p('w1')} AS t1, {p('e1')} AS t2, {p('wv')} AS ty,
+           {p('w1 * w1')} AS t11, {p('w1 * e1')} AS t12,
+           {p('e1 * e1')} AS t22, {p('w1 * wv')} AS t1y,
+           {p('e1 * wv')} AS t2y
+    FROM {d2_src} GROUP BY n_name
+    HAVING COUNT(*) >= 4
+    """
+
+
+def _hr_coef2_sql(sums2_src: str) -> str:
+    c = {f"k{k}": cramer_sql(_HR_A, _HR_B, k) for k in range(3)}
+    return f"""
+    SELECT n_name, {c['k0']} AS cc, {c['k1']} AS phi, {c['k2']} AS theta
+    FROM {sums2_src}
+    """
+
+
+def _hr_final_sql(series_src: str, resid_src: str, coef2_src: str) -> str:
+    """Boundary scalars + the 7-step unrolled forecast + inversion.
+    With horizon == season, the seasonal inversion ŷ_{{T+h}} =
+    ẑ1_{{T+h}} + y_{{T+h-7}} reads only TRAIN values b1..b7 — no
+    forecast feedback — and the d=1 inversion is the chained partial
+    sum zc_h = zc_{{h-1}} + f_h; theta enters step 1 only (future
+    innovations are zero)."""
+    g = _hr_g
+    bcols = ", ".join(
+        f"MAX(CASE WHEN rn = ntr - {6 - h} THEN y END) AS b{h + 1}"
+        for h in range(_HR_H))
+    acols = ", ".join(
+        f"MAX(CASE WHEN rn = ntr + {h + 1} THEN y END) AS a{h + 1}"
+        for h in range(_HR_H))
+    zchain = ", ".join(
+        f"z{h}c AS (SELECT *, zc{h - 1} + f{h} AS zc{h} FROM z{h - 1}c)"
+        for h in range(2, _HR_H + 1))
+    gchain = ", ".join(
+        f"g{h} AS (SELECT *, cc + phi * f{h - 1} AS f{h} FROM g{h - 1})"
+        for h in range(2, _HR_H + 1))
+    ycols = ", ".join(f"zc{h} + b{h} AS yh{h}" for h in range(1, _HR_H + 1))
+    steps = " UNION ALL ".join(
+        f"SELECT n_name, {h} AS step, ntr, yh{h} AS fc, a{h} AS actual "
+        f"FROM yh" for h in range(1, _HR_H + 1))
+    return f"""
+    bounds AS (
+        SELECT n_name, MAX(cnt) AS cnt, MAX(ntr) AS ntr,
+               MAX(CASE WHEN rn = ntr THEN z1 END) AS z1t,
+               {bcols}, {acols}
+        FROM {series_src} GROUP BY n_name
+    ), lastr AS (
+        SELECT r.n_name, r.y AS wt, r.e AS et,
+               b.cnt, b.ntr, b.z1t,
+               {', '.join(f'b.b{h}' for h in range(1, _HR_H + 1))},
+               {', '.join(f'b.a{h}' for h in range(1, _HR_H + 1))},
+               c.cc, c.phi, c.theta
+        FROM {resid_src} r
+        JOIN bounds b ON b.n_name = r.n_name AND r.d = b.ntr
+        JOIN {coef2_src} c ON c.n_name = r.n_name
+        WHERE b.cnt >= b.ntr + {_HR_H}
+    ),
+    g1 AS (SELECT *, cc + phi * wt + theta * et AS f1 FROM lastr),
+    {gchain},
+    z1c AS (SELECT *, z1t + f1 AS zc1 FROM g{_HR_H}),
+    {zchain},
+    yh AS (SELECT *, {ycols} FROM z{_HR_H}c),
+    steps AS ({steps})
+    SELECT n_name, CAST(step AS INT) AS step, CAST(ntr AS INT) AS n_train,
+           {g('fc')} AS forecast, {g('actual')} AS actual,
+           {g('ABS(fc - actual)')} AS abs_err
+    FROM steps
+    """
+
+
+def _hr_oracle_sql() -> str:
+    """Single-text DuckDB composition — stage-1 fragments shared with
+    ar_forecast_per_group verbatim."""
+    return (f"WITH {_NATION_DAILY_SQL}, "
+            f"hr_series AS ({_hr_series_sql('nation_daily')}), "
+            f"hr_train AS ({_hr_train_sql('hr_series')}), "
+            f"hr_design AS ({_ar_design_sql('hr_train')}), "
+            f"hr_sums AS ({_ar_sums_sql('hr_design')}), "
+            f"hr_coef AS ({_ar_coef_sql('hr_sums')}), "
+            f"hr_resid AS ({_hr_resid_sql('hr_design', 'hr_coef')}), "
+            f"hr_d2 AS ({_hr_design2_sql('hr_resid')}), "
+            f"hr_sums2 AS ({_hr_sums2_sql('hr_d2')}), "
+            f"hr_coef2 AS ({_hr_coef2_sql('hr_sums2')}), "
+            + _hr_final_sql("hr_series", "hr_resid", "hr_coef2"))
+
+
+@register(
+    "sarima_hr_forecast_eval",
+    survey="U2,U5,W5",
+    oracle=_hr_oracle_sql(),
+)
+def sarima_hr_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation SARIMA with a FIXED order and a DETERMINISTIC
+    closed-form fit path — the graduation twin of the rows-only
+    auto-order query above (verdict r11 #5), standing to
+    sarima_forecast_eval exactly as irls_logreg_fit stands to
+    logreg_classifier_eval: same reference task (per-country SARIMAX,
+    `dags/forecasting_dag.py:127-231`, 80/20 chrono split), the
+    data-dependent model search replaced by the pinned
+    ARIMA(1,1,1)(0,1,0)_7 the reference's own headline anchor uses a
+    (1,1,1)-family member of, and every float step SQL-replayable:
+
+      difference   w = Δ1 Δ7 y (window lags — exact IEEE, shared text)
+      stage 1      long-AR(3) on train w — the ar_forecast_per_group
+                   design/14-sums/4x4 Cramer fragments REUSED VERBATIM
+                   (exact centi-grid integer accumulation, order-free)
+      innovations  e = w - fit, snapped to the 1e-6 grid (irls re-snap)
+      stage 2      w_t ~ [1, w_{t-1}, e_{t-1}] (Hannan-Rissanen):
+                   nine centi-grid sums, 3x3 shared-term-order Cramer
+                   -> (c, phi, theta) — MA estimated WITHOUT iteration
+      forecast     7 steps unrolled as chained CTEs; theta enters step
+                   1 only (future innovations = 0); horizon == season
+                   makes the seasonal inversion feedback-free (reads
+                   only the last 7 TRAIN values); the d=1 inversion is
+                   a chained partial sum
+      eval         per-step forecast/actual/abs_err on the 1e-6 grid
+                   over the first 7 test days — per-step rows, so no
+                   cross-engine aggregate-order question exists
+
+    The driver hash is therefore a cross-engine replay of the ENTIRE
+    fit+forecast: identical IEEE op sequences via shared SQL text,
+    order-free accumulations, grid re-snaps between stages. What still
+    cannot graduate — and why this query does not subsume the numpy
+    twin — is the auto-order search itself (AIC over 6 fits + an
+    ADF-gated d: a float-ranked argmin whose tie distances approach
+    ULPs; PARITY.md §11).
+
+    Plan: one shuffle on (nation, day) for the base series; every
+    window is nation-partitioned (25 bounded groups; no global
+    window); the two sufficient-statistic aggregates are
+    map-combinable single passes; coefficient frames are one row per
+    nation, localCheckpointed so Catalyst never inlines the 120-term
+    determinants into the forecast chain (the ar_forecast stage-cut).
+    At 100 TB: the series aggregate dominates and scales as one
+    combinable shuffle; everything after it is per-group scalar
+    algebra on 25-row frames."""
+    daily = nation_daily(spark, sf_dir)
+    daily.localCheckpoint(eager=False).createOrReplaceTempView("hr_nd_v")
+    spark.sql(_hr_series_sql("hr_nd_v")) \
+        .localCheckpoint(eager=False) \
+        .createOrReplaceTempView("hr_series_v")
+    spark.sql(_hr_train_sql("hr_series_v")) \
+        .createOrReplaceTempView("hr_train_v")
+    spark.sql(_ar_design_sql("hr_train_v")) \
+        .createOrReplaceTempView("hr_design_v")
+    spark.sql(_ar_sums_sql("hr_design_v")) \
+        .createOrReplaceTempView("hr_sums_v")
+    coef = spark.sql(_ar_coef_sql("hr_sums_v"))
+    coef.localCheckpoint(eager=False).createOrReplaceTempView("hr_coef_v")
+    spark.sql(_hr_resid_sql("hr_design_v", "hr_coef_v")) \
+        .localCheckpoint(eager=False) \
+        .createOrReplaceTempView("hr_resid_v")
+    spark.sql(_hr_design2_sql("hr_resid_v")) \
+        .createOrReplaceTempView("hr_d2_v")
+    spark.sql(_hr_sums2_sql("hr_d2_v")) \
+        .createOrReplaceTempView("hr_sums2_v")
+    coef2 = spark.sql(_hr_coef2_sql("hr_sums2_v"))
+    coef2.localCheckpoint(eager=False).createOrReplaceTempView("hr_coef2_v")
+    return spark.sql(
+        "WITH " + _hr_final_sql("hr_series_v", "hr_resid_v", "hr_coef2_v")) \
+        .orderBy("n_name", "step")
+
+
+# ---------------------------------------------------------------------------
 # U2/U5 — Fourier trend regression (Prophet parity path)
 # ---------------------------------------------------------------------------
 

@@ -307,7 +307,7 @@ _ROTATION_R9 = (
 # (only whatever r05 tail is displaced), with the bulk at r06+.
 _ROTATION_R12 = (
     # r12-session NEW operators land here (head), as they register.
-    "stream_fold_compaction_apply",
+    "stream_fold_compaction_apply", "sarima_hr_forecast_eval",
     # the 2 r04 rows displaced at the r11 50-cap
     "winsorized_prices", "zorder_layout",
     # the 50-row r05 cohort (oldest evidence in the ledger)

@@ -61,6 +61,62 @@ def test_ar_forecast_every_group_present(spark, daily_pdf):
     assert set(got.n_name) == big_enough
 
 
+def _hr_numpy_oracle(y: np.ndarray):
+    """Independent replay of the Hannan-Rissanen ARIMA(1,1,1)(0,1,0)_7
+    fit+forecast (np.linalg.solve both stages — different
+    factorization and exact float sums vs the query's Cramer text over
+    centi-grid integer accumulations, so agreement is tolerance-
+    banded: same model, independent arithmetic). Returns
+    (yhat[7], actual[7], n_train) or None if the series is too short."""
+    s, H = 7, 7
+    n = len(y)
+    ntr = int(np.floor(n * 0.8))
+    if ntr < 16 or n < ntr + H:
+        return None
+    z1 = np.full(n, np.nan)
+    z1[s:] = y[s:] - y[:-s]
+    w = np.full(n, np.nan)
+    w[s + 1:] = z1[s + 1:] - z1[s:-1]
+    snap = np.vectorize(lambda v: np.floor(v * 1e6 + 0.5) / 1e6)
+    pos = np.arange(s + 1 + 3, ntr)        # 0-based design rows (3 lags)
+    X1 = np.column_stack([np.ones(len(pos)),
+                          w[pos - 1], w[pos - 2], w[pos - 3]])
+    t1 = w[pos]
+    a = np.linalg.solve(X1.T @ X1, X1.T @ t1)
+    e = snap(t1 - X1 @ a)
+    X2 = np.column_stack([np.ones(len(pos) - 1), w[pos - 1][1:], e[:-1]])
+    c_, phi, theta = np.linalg.solve(X2.T @ X2, X2.T @ t1[1:])
+    fc = [c_ + phi * w[ntr - 1] + theta * e[-1]]
+    for _ in range(H - 1):
+        fc.append(c_ + phi * fc[-1])
+    zc = np.cumsum(fc) + z1[ntr - 1]
+    return zc + y[ntr - s:ntr], y[ntr:ntr + H], ntr
+
+
+def test_sarima_hr_matches_numpy_replay(spark, daily_pdf):
+    got = ML.sarima_hr_forecast_eval(spark, SF_DIR).toPandas()
+    assert len(got) > 0
+    checked = 0
+    for name, grp in daily_pdf.groupby("n_name"):
+        y = grp.sort_values("d")["y"].to_numpy(dtype=np.float64)
+        rep = _hr_numpy_oracle(y)
+        sub = got[got.n_name == name].sort_values("step")
+        if rep is None:
+            continue
+        yh, actual, ntr = rep
+        assert len(sub) == 7, name
+        assert (sub["n_train"] == ntr).all()
+        np.testing.assert_allclose(sub["forecast"].to_numpy(), yh,
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(sub["actual"].to_numpy(), actual,
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(
+            sub["abs_err"].to_numpy(),
+            np.abs(yh - actual), rtol=1e-4, atol=1e-2)
+        checked += 1
+    assert checked > 0  # the replay exercised real groups
+
+
 def test_stratified_split_proportions(spark):
     pdf = ML.stratified_split_summary(spark, SF_DIR).toPandas()
     pivot = pdf.pivot(index="label", columns="split", values="n").fillna(0)
