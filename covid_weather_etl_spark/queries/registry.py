@@ -301,10 +301,12 @@ _ROTATION_R9 = (
 # rows displaced at the r11 window's 50-cap — the oldest hash evidence
 # left in the ledger), then the 50-row r05 cohort (identical r05
 # freshness; alphabetical). 2 + 50 = 52 refresh names; the driver takes
-# the first 50, so at round start the alphabetical tail
-# (woe_iv_binning, zipf_law_fit) leads the r13 queue, plus one more per
-# r12-session new op. After this window the oldest hash row is >= r05
-# (only whatever r05 tail is displaced), with the bulk at r06+.
+# the first 50; with the 2 r12-session new ops at the head the tuple
+# holds 54 names and the displaced alphabetical tail is exactly
+# (weighted_sample_topk, welch_ttest_ab, woe_iv_binning, zipf_law_fit)
+# — those 4 r05 rows lead the r13 queue. After this window the oldest
+# hash evidence is those 4 r05 rows; the bulk moves to r06+. Every
+# window slot is oracle-equipped (verified by test_registry_contract).
 _ROTATION_R12 = (
     # r12-session NEW operators land here (head), as they register.
     "stream_fold_compaction_apply", "sarima_hr_forecast_eval",
