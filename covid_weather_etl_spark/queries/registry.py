@@ -301,15 +301,17 @@ _ROTATION_R9 = (
 # rows displaced at the r11 window's 50-cap — the oldest hash evidence
 # left in the ledger), then the 50-row r05 cohort (identical r05
 # freshness; alphabetical). 2 + 50 = 52 refresh names; the driver takes
-# the first 50; with the 2 r12-session new ops at the head the tuple
-# holds 54 names and the displaced alphabetical tail is exactly
-# (weighted_sample_topk, welch_ttest_ab, woe_iv_binning, zipf_law_fit)
-# — those 4 r05 rows lead the r13 queue. After this window the oldest
-# hash evidence is those 4 r05 rows; the bulk moves to r06+. Every
-# window slot is oracle-equipped (verified by test_registry_contract).
+# the first 50; with the 3 r12-session new ops at the head the tuple
+# holds 55 names and the displaced alphabetical tail is exactly
+# (weighted_median_price, weighted_sample_topk, welch_ttest_ab,
+# woe_iv_binning, zipf_law_fit) — those 5 r05 rows lead the r13 queue.
+# After this window the oldest hash evidence is those 5 r05 rows; the
+# bulk moves to r06+. Every window slot is oracle-equipped (verified
+# by test_registry_contract).
 _ROTATION_R12 = (
     # r12-session NEW operators land here (head), as they register.
     "stream_fold_compaction_apply", "sarima_hr_forecast_eval",
+    "ivf_fold_state_cells",
     # the 2 r04 rows displaced at the r11 50-cap
     "winsorized_prices", "zorder_layout",
     # the 50-row r05 cohort (oldest evidence in the ledger)

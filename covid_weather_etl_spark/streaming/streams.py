@@ -1079,6 +1079,183 @@ def stream_fold_compaction_apply(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# streaming IVF ingest fold (the ANN seam's write-path streaming twin)
+# ---------------------------------------------------------------------------
+
+#: embedding-stream schema as landed for the IVF ingest fold.
+VEC_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+#: fold-state memo for the IVF ingest state dirs.
+_IVF_FOLD_MEMO: set = set()
+
+
+def ivf_fold_batch(batch_df: DataFrame, batch_id: int, state_dir: str,
+                   codebook_rows: list) -> None:
+    """Fold ONE micro-batch of vectors into the persisted IVF
+    assignment state — the ANN write path as a foreachBatch kernel,
+    completing the streaming symmetry: dedup has batch
+    (`incremental_dedup_clusters`) + stream (`dedup_fold_batch`)
+    twins; IVF had only the batch side (`ivf_incremental_ingest`,
+    operators/similarity.py:2599) until this kernel.
+
+    State layout: ``asg/fold=N (vec_id, c_id)`` — each fold writes
+    exactly the vectors it admitted, assigned to the EXISTING trained
+    cells by the same literal-codebook argmax the search path uses
+    (`assign_cells_literal`: narrow map, no shuffle; the index is NOT
+    retrained per batch — retraining is the rebalance seam's job).
+    Exactly-once on top of the checkpoint is the dedup-fold recipe:
+    in-batch dropDuplicates on vec_id, first-write-wins anti-join
+    against prior-fold membership (column-pruned, partition-pruned
+    ``fold < batch_id`` read), partition-scoped overwrite keyed by
+    batch id. Assignment is per-vector algebra — independent of batch
+    composition and order — so fold(...fold(S0,b1)...,bn) equals the
+    one-shot assignment BY CONSTRUCTION once membership is
+    exactly-once; the driver row (ivf_fold_state_cells) re-proves
+    that equality cross-engine against the DuckDB argmax replay.
+
+    100 TB: per-ingest cost is O(batch × k) narrow compute + one
+    batch-sized write; the periodic `compact_fold_state`-style
+    rewrite of asg/ into one fold bounds partition count (same
+    maintenance story as the dedup fold — asg is a single table, so
+    the generic kernel applies trivially)."""
+    from covid_weather_etl_spark.operators.similarity import (
+        _vecs, assign_cells_literal)
+    spark = batch_df.sparkSession
+    batch_df = batch_df.dropDuplicates(["vec_id"])
+    prior = _read_prior_folds(spark, state_dir, "asg", batch_id)
+    if prior is not None:
+        batch_df = batch_df.join(prior.select("vec_id"),
+                                 "vec_id", "left_anti")
+    assigned = (assign_cells_literal(_vecs(batch_df), codebook_rows)
+                .select("vec_id", F.col("c_id").cast("int")))
+    (assigned.write.mode("overwrite")
+     .parquet(_fold_part(state_dir, "asg", batch_id)))
+
+
+def ivf_fold_stream(stream: DataFrame, state_dir: str,
+                    checkpoint_dir: str, codebook_rows: list):
+    """Structured-Streaming wiring for `ivf_fold_batch` — micro-batch
+    ANN index ingest with at-least-once-safe partition-scoped
+    overwrite (the dedup_fold_stream shape)."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_fold_batch(batch_df, batch_id, state_dir, codebook_rows)
+
+    return (stream.writeStream
+            .foreachBatch(fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def ensure_ivf_fold_state(spark: SparkSession, sf_dir: str) -> str:
+    """The IVF ingest fold's persisted state for ``sf_dir``: built on
+    first touch by replaying the embeddings table as THREE
+    deterministic micro-batches (md5(vec_id) first hex char — the
+    dedup fold's split), read from the warehouse thereafter. Keyed by
+    the embeddings content fingerprint + the fold constants."""
+    import os
+    from covid_weather_etl_spark.functions.artifacts import artifact_path
+    from covid_weather_etl_spark.operators.similarity import (
+        ensure_ivf_codebook)
+    path = artifact_path(sf_dir, "ivf_fold", f"f3c{''.join(FOLD_CUTS)}",
+                         table="embeddings")
+    if path not in _IVF_FOLD_MEMO and not os.path.isdir(path):
+        rows = ensure_ivf_codebook(spark, sf_dir)
+        emb = (load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+               .select("vec_id", "embedding",
+                       F.substring(F.md5(F.col("vec_id").cast("string")),
+                                   1, 1).alias("h")))
+        lo, hi = FOLD_CUTS
+        for fold_id, cond in enumerate(
+                (F.col("h") < lo,
+                 (F.col("h") >= lo) & (F.col("h") < hi),
+                 F.col("h") >= hi)):
+            ivf_fold_batch(emb.filter(cond).select("vec_id", "embedding"),
+                           fold_id, path, rows)
+    _IVF_FOLD_MEMO.add(path)
+    return path
+
+
+def _ivf_fold_oracle(sf_dir: str) -> str:
+    """DuckDB replay: one-shot argmax assignment of the WHOLE table
+    over the persisted codebook (round-6 sims, ties to lowest c_id),
+    per-cell totals + snapped shares — the fold state must equal it."""
+    from covid_weather_etl_spark.operators.similarity import (
+        ivf_codebook_path)
+    path = ivf_codebook_path(sf_dir)
+    return f"""
+    WITH cb AS (
+        SELECT c_id, cv FROM read_parquet('{path}/*.parquet')
+    ), asg AS (
+        SELECT e.vec_id,
+               (SELECT c.c_id FROM cb c
+                ORDER BY ROUND(list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.cv), 6) DESC,
+                         c.c_id
+                LIMIT 1) AS c_id
+        FROM embeddings e
+    ), counts AS (
+        SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n FROM asg GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts
+    )
+    SELECT cb.c_id AS cell,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_vectors,
+           FLOOR(COALESCE(c.n, 0) * 1e0 / t.t * 1e6 + 5e-1) / 1e6
+               AS share
+    FROM cb LEFT JOIN counts c ON c.c_id = cb.c_id
+    CROSS JOIN tot t
+    """
+
+
+@register(
+    "ivf_fold_state_cells",
+    survey="streaming-fold,ext-sim,A6,J4",
+    oracle=lambda: _ivf_fold_oracle("/root/testdata/sf0.01"),
+    tags=("oracle-at-sf0.01",),
+)
+def ivf_fold_state_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING IVF ingest fold's maintained per-cell state as a
+    driver-verified query: the embeddings table is replayed through
+    `ivf_fold_batch` as three deterministic micro-batch folds into the
+    persisted assignment state (first touch only — thereafter this
+    benches the read path), and the per-cell occupancy is
+    hash-compared against the one-shot DuckDB argmax replay over the
+    persisted codebook. A PASS row proves, cross-engine, that the
+    micro-batch ingest path loses nothing, duplicates nothing, and
+    assigns exactly as the search path would — the
+    dedup_fold_state_clusters contract applied to the ANN seam
+    (its oracle-at-sf0.01 convention; per-SF oracle parity closed in
+    tests/test_streaming.py against this SF's own artifacts).
+
+    Scale: the read is one groupBy over the narrow (vec_id, c_id)
+    state + a codebook-sized left join and a broadcast 1-row total —
+    no wide shuffle; the build cost is the fold kernel's O(batch × k)
+    per ingest."""
+    import os
+    from covid_weather_etl_spark.functions.numeric import fround
+    from covid_weather_etl_spark.operators.similarity import (
+        ensure_ivf_codebook)
+    rows = ensure_ivf_codebook(spark, sf_dir)
+    state = ensure_ivf_fold_state(spark, sf_dir)
+    asg = spark.read.parquet(os.path.join(state, "asg"))
+    counts = (asg.groupBy("c_id")
+              .agg(F.count("*").cast("long").alias("n_vectors")))
+    tot = counts.agg(F.sum("n_vectors").cast("long").alias("t"))
+    cells = spark.createDataFrame(
+        [(int(r["c_id"]),) for r in rows], "c_id int")
+    n = F.coalesce(F.col("n_vectors"), F.lit(0)).cast("long")
+    return (cells.join(counts, "c_id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("c_id").alias("cell"),
+                    n.alias("n_vectors"),
+                    fround(n * F.lit(1.0) / F.col("t")).alias("share")))
+
+
+# ---------------------------------------------------------------------------
 # streaming debounce (gap-based burst suppression)
 # ---------------------------------------------------------------------------
 

@@ -534,6 +534,90 @@ def test_dedup_fold_source_redelivery_is_first_write_wins(spark, tmp_path):
     assert got == {1: 1, 2: 1, 3: 3}  # 1&2 identical text -> one cluster
 
 
+def test_ivf_fold_parity_at_pytest_sf(spark, duck):
+    """Driver-style parity for the streaming IVF ingest fold at the
+    pytest SF: the registered oracle is sf0.01-pinned (the ivf
+    family's convention), so rebuild the same oracle text against
+    THIS SF's own persisted codebook — closes the per-SF ladder."""
+    from types import SimpleNamespace
+    from covid_weather_etl_spark.queries.registry import all_queries
+    from tests.conftest import assert_parity
+    q = all_queries()["ivf_fold_state_cells"]
+    shim = SimpleNamespace(name=q.name, fn=q.fn,
+                           oracle=S._ivf_fold_oracle(SF_DIR))
+    assert_parity(spark, duck, shim, sf_dir=SF_DIR)
+
+
+def test_ivf_fold_stream_equals_oneshot_assignment(spark, tmp_path):
+    """The foreachBatch ANN ingest: after 3 micro-batch folds, the
+    maintained (vec_id, c_id) state equals the one-shot
+    literal-codebook assignment of the whole table; a same-checkpoint
+    rerun folds nothing twice."""
+    import os
+    from covid_weather_etl_spark.operators import similarity as SIM
+    rows = SIM.ensure_ivf_codebook(spark, SF_DIR)
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"] \
+        .select("vec_id", "embedding")
+    landing = tmp_path / "vec_landing"
+    landing.mkdir()
+    pdf = emb.toPandas()
+    n = len(pdf)
+    for i in range(3):
+        pdf.iloc[i * n // 3:(i + 1) * n // 3].to_parquet(
+            f"{landing}/chunk_{i}.parquet", index=False)
+    state = str(tmp_path / "ivf_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema(S.VEC_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(landing)))
+    q = S.ivf_fold_stream(stream, state, ckpt, rows)
+    q.awaitTermination(300)
+    got = (spark.read.parquet(os.path.join(state, "asg"))
+           .select("vec_id", "c_id").toPandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    want = (SIM.assign_cells_literal(SIM._vecs(emb), rows)
+            .select("vec_id", F.col("c_id").cast("int")).toPandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    q2 = S.ivf_fold_stream(
+        (spark.readStream.schema(S.VEC_SCHEMA)
+         .option("maxFilesPerTrigger", 1).parquet(str(landing))),
+        state, ckpt, rows)
+    q2.awaitTermination(300)
+    again = (spark.read.parquet(os.path.join(state, "asg"))
+             .select("vec_id", "c_id").toPandas()
+             .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(again, want, check_dtype=False)
+
+
+def test_ivf_fold_redelivery_and_first_write_wins(spark, tmp_path):
+    """At-least-once safety for the ANN fold: a batch replayed under
+    its ORIGINAL id rewrites identical content; a vector redelivered
+    by the SOURCE in a later fold (and an in-batch duplicate) does not
+    re-enter the state."""
+    import os
+    cb = [{"c_id": 0, "cv": [1.0, 0.0]}, {"c_id": 1, "cv": [0.0, 1.0]}]
+    vecs = {1: [0.9, 0.1], 2: [0.2, 0.8], 3: [0.7, 0.3]}
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, vecs[1]), (3, vecs[3]), (3, vecs[3])],   # in-batch dup
+        "vec_id long, embedding array<float>")
+    S.ivf_fold_batch(b0, 0, state, cb)
+    b1 = spark.createDataFrame(
+        [(2, vecs[2]), (1, vecs[1])],                 # source redelivery
+        "vec_id long, embedding array<float>")
+    S.ivf_fold_batch(b1, 1, state, cb)
+    asg = spark.read.parquet(os.path.join(state, "asg"))
+    assert asg.groupBy("vec_id").count().filter("count > 1").count() == 0
+    got = {r["vec_id"]: r["c_id"] for r in asg.collect()}
+    assert got == {1: 0, 2: 1, 3: 0}
+    before = {(r["vec_id"], r["c_id"], r["fold"]) for r in asg.collect()}
+    S.ivf_fold_batch(b1, 1, state, cb)                # replay, same id
+    after = {(r["vec_id"], r["c_id"], r["fold"])
+             for r in spark.read.parquet(
+                 os.path.join(state, "asg")).collect()}
+    assert after == before
+
+
 def test_fold_compaction_preserves_state_and_future_folds(spark, tmp_path):
     """The fold-state compaction contract, on the synthetic chain
     corpus: (a) the compacted single-fold state resolves to exactly
