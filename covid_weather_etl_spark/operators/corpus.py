@@ -1315,8 +1315,19 @@ def star_components(pairs: DataFrame, op_name: str = "star_components",
     callers left-join their node universe and coalesce for singletons.
     One round = large-star then small-star (each one groupBy(min) +
     one key-projected join); fixpoint detected by a (count, DECIMAL
-    xxhash sum) checksum — O(log² n) rounds on any graph shape."""
+    xxhash sum) checksum — O(log² n) rounds on any graph shape.
+
+    Gated (r12) like dedup_clusters/BFS/Bellman-Ford: when the
+    materialized pair set fits CC_SINGLE_TASK_MAX, the whole
+    resolution runs in the one union-find task (cc_single_task —
+    hash-identical because components are unique and both paths
+    label every node with the component minimum), deleting the
+    contraction loop's per-round shuffle + checkpoint + checksum
+    jobs; the distributed contraction below remains the above-cap
+    scale path."""
     E = pairs.localCheckpoint(eager=True)
+    if E.count() <= CC_SINGLE_TASK_MAX:
+        return cc_single_task(E)
 
     def star(E: DataFrame, large: bool) -> DataFrame:
         nb = (E.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -2755,19 +2766,30 @@ CC_SINGLE_TASK_MAX = 1_000_000
 
 def cc_single_task(edges: DataFrame) -> DataFrame:
     """Connected components of a BOUNDED canonical (a < b) edge frame
-    in ONE executor task: union-find with path compression inside an
-    applyInPandas kernel over a single constant group. Returns
-    (node, lbl) for every non-singleton node with lbl = component
-    minimum — the star_components contract, computed without the
-    contraction loop's per-round shuffle/checkpoint jobs (measured
-    ~3 s of pure scheduler tax for a <100-edge graph on this host).
+    in ONE executor task: union-find with path compression inside a
+    mapInPandas kernel over the coalesced frame. Returns (node, lbl)
+    for every non-singleton node with lbl = component minimum — the
+    star_components contract, computed without the contraction loop's
+    per-round shuffle/checkpoint jobs (measured ~3 s of pure scheduler
+    tax for a <100-edge graph on this host).
+
+    Key-type generic (r12): long keys compare numerically; string
+    keys are compared as UTF-8 BYTES inside the kernel — unsigned
+    byte-wise order, exactly UTF8String.compareTo semantics and
+    DuckDB's binary collation — so the component minimum is
+    bit-identical to the distributed MIN aggregate on both engines
+    for ANY string content, not just ASCII.
 
     Integer-exact and order-free (the union-find resolves every node
     to the component min regardless of edge arrival order), so it is
     hash-identical to star_components. Callers MUST gate on
-    CC_SINGLE_TASK_MAX — this kernel is for batch-merge graphs that
-    are edge-bounded by construction, not for whole-corpus graphs."""
+    CC_SINGLE_TASK_MAX — this kernel is for edge-bounded graphs
+    (batch-merge deltas, vocabulary-sized pair sets), not for
+    unbounded whole-corpus graphs."""
     import pandas as pd
+
+    key_t = dict(edges.dtypes)["a"]
+    as_bytes = key_t == "string"
 
     def uf(pdfs):
         parent: dict = {}
@@ -2781,7 +2803,11 @@ def cc_single_task(edges: DataFrame) -> DataFrame:
             return r
 
         for pdf in pdfs:
-            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+            av, bv = pdf["a"].tolist(), pdf["b"].tolist()
+            if as_bytes:
+                av = [v.encode("utf-8") for v in av]
+                bv = [v.encode("utf-8") for v in bv]
+            for a, b in zip(av, bv):
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     # union by MIN root: the root IS the component min
@@ -2793,12 +2819,16 @@ def cc_single_task(edges: DataFrame) -> DataFrame:
         # assigned a parent), so this matches star_components' output
         # shape: the canonical node itself is omitted
         out = [(x, find(x)) for x in parent]
-        yield pd.DataFrame({"node": [x for x, _ in out],
-                            "lbl": [l for _, l in out]})
+        if as_bytes:
+            out = [(x.decode("utf-8"), l.decode("utf-8")) for x, l in out]
+        yield pd.DataFrame(
+            {"node": pd.Series([x for x, _ in out],
+                               dtype=object if as_bytes else "int64"),
+             "lbl": pd.Series([l for _, l in out],
+                              dtype=object if as_bytes else "int64")})
 
-    one = edges.select(F.col("a").cast("long"), F.col("b").cast("long")) \
-               .coalesce(1)
-    return one.mapInPandas(uf, "node long, lbl long")
+    one = edges.select("a", "b").coalesce(1)
+    return one.mapInPandas(uf, f"node {key_t}, lbl {key_t}")
 
 
 @register(

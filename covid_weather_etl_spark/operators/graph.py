@@ -558,16 +558,23 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 BF_ROUNDS = 3
 
 
-def _bf_single_task(edges: DataFrame) -> DataFrame:
-    """Whole-Bellman-Ford-in-one-task kernel over a BOUNDED
-    (src, dst, cost) edge frame — the weighted sibling of
+def _bf_single_task(pairs: DataFrame) -> DataFrame:
+    """Whole-Bellman-Ford-in-one-task kernel over a BOUNDED distinct
+    (c, s, w) INTEGER pair frame — the weighted sibling of
     _bfs_single_task, same gate, same factorize-once + O(|E|)-numpy-
-    pass-per-round shape. Min-plus over int64 distances is exact and
-    accumulation-order-free (np.minimum.at resolves ties identically
-    to the loop's MIN aggregate), so the collapse is hash-identical
-    to the level loop and the unrolled-SQL oracle. Unreached nodes
-    (sentinel distance) are excluded from the profile, matching the
-    loop's discovered-nodes-only label frame."""
+    pass-per-round shape, and since r12 the same int-pair transfer
+    discipline (no node strings are built or cross Arrow; the r11 BFS
+    lesson). Edge cost ceil(1000/w) is computed in-kernel with the
+    identical correctly-rounded IEEE division + exact ceil the loop's
+    `F.ceil(1000.0 / w)` performs. The root is the supplier whose
+    DECIMAL-STRING key is lexicographically smallest — identical to
+    `F.min` over the 's:<key>' node ids the loop path and the oracle
+    use, since the prefix is constant. Min-plus over int64 distances
+    is exact and accumulation-order-free (np.minimum.at resolves ties
+    identically to the loop's MIN aggregate), so the collapse is
+    hash-identical to the level loop and the unrolled-SQL oracle.
+    Unreached nodes (sentinel distance) are excluded from the
+    profile, matching the loop's discovered-nodes-only label frame."""
     import numpy as np
     import pandas as pd
 
@@ -581,28 +588,33 @@ def _bf_single_task(edges: DataFrame) -> DataFrame:
             yield empty
             return
         e = pd.concat(parts, ignore_index=True)
-        codes, nodes = pd.factorize(
-            pd.concat([e["src"], e["dst"]], ignore_index=True))
-        src, dst = codes[:len(e)], codes[len(e):]
-        cost = e["cost"].to_numpy(dtype=np.int64)
-        sup = np.asarray([n.startswith("s:") for n in nodes])
-        if not sup.any():
+        c_codes, c_nodes = pd.factorize(e["c"].to_numpy())
+        s_codes, s_nodes = pd.factorize(e["s"].to_numpy())
+        if not len(s_nodes):
             yield empty
             return
-        root = int(np.flatnonzero(sup)[
-            np.asarray(nodes)[sup].argmin()])
-        dist = np.full(len(nodes), INF, dtype=np.int64)
+        nc = len(c_nodes)
+        s_codes = s_codes + nc
+        n = nc + len(s_nodes)
+        cost = np.ceil(
+            1000.0 / e["w"].to_numpy(dtype=np.float64)).astype(np.int64)
+        src = np.concatenate([c_codes, s_codes])
+        dst = np.concatenate([s_codes, c_codes])
+        cost2 = np.concatenate([cost, cost])
+        root = nc + min(range(len(s_nodes)),
+                        key=lambda i: str(s_nodes[i]))
+        dist = np.full(n, INF, dtype=np.int64)
         dist[root] = 0
         for _ in range(BF_ROUNDS):
             nd = dist.copy()
-            np.minimum.at(nd, dst, dist[src] + cost)
+            np.minimum.at(nd, dst, dist[src] + cost2)
             dist = nd
         reach = dist[dist < INF]
         vals, cnts = np.unique(reach, return_counts=True)
         yield pd.DataFrame({"dist": pd.Series(vals, dtype="int64"),
                             "n_nodes": pd.Series(cnts, dtype="int64")})
 
-    return edges.coalesce(1).mapInPandas(k, "dist long, n_nodes long")
+    return pairs.coalesce(1).mapInPandas(k, "dist long, n_nodes long")
 
 _BF_EDGE_SQL = """
         SELECT CONCAT('c:', o_custkey) AS src,
@@ -665,12 +677,25 @@ def bellman_ford_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels ⋈ edges (bucketed-by-src co-locates it); label frame ≤
     nodes rows; rounds bound path length like a GNN's receptive field.
 
-    Like shortest_path_hops, the query is gated on the materialized
-    edge count: under BFS_SINGLE_TASK_MAX the whole relaxation runs
-    in ONE mapInPandas task (_bf_single_task — min-plus over integer
-    code arrays is order-free, so the collapse is hash-identical);
-    the loop above the cap is the scale path."""
+    Like shortest_path_hops, the query is gated — since r12 on the
+    PARQUET-METADATA lineitem row count, a strict upper bound on the
+    distinct pair count answered from footer statistics with no extra
+    job (the r11 BFS precedent): under BFS_SINGLE_TASK_MAX the whole
+    relaxation runs in ONE mapInPandas task over raw INT pairs
+    (_bf_single_task — min-plus over integer code arrays is
+    order-free, so the collapse is hash-identical; no node strings
+    built, no explode stage, no checkpoint/exact-count jobs); the
+    loop above the cap is the scale path."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    if t["lineitem"].count() * 2 <= BFS_SINGLE_TASK_MAX:
+        pairs = (spread(t["lineitem"], "l_orderkey")
+                 .join(t["orders"],
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy(F.col("o_custkey").alias("c"),
+                          F.col("l_suppkey").alias("s"))
+                 .agg(F.count("*").alias("w")))
+        return _bf_single_task(pairs)
+
     pairs = (spread(t["lineitem"], "l_orderkey")
              .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
              .groupBy(F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
@@ -684,9 +709,6 @@ def bellman_ford_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst",
                 F.ceil(1000.0 / F.col("e.w")).cast("long").alias("cost"))
         .localCheckpoint(eager=True))
-
-    if edges.count() <= BFS_SINGLE_TASK_MAX:
-        return _bf_single_task(edges)
 
     root = edges.filter(F.col("src").startswith("s:")) \
                 .agg(F.min("src")).first()[0]
@@ -864,6 +886,72 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
             .agg(F.count("*").alias("degree"))
 
 
+def _kcore_single_task(pairs: DataFrame, k: int) -> DataFrame:
+    """Whole-k-core-peel-in-one-task kernel over a BOUNDED distinct
+    (c, s) integer pair frame (one row per undirected customer ↔
+    supplier edge): factorize both key columns once, then peel with
+    O(|E|) numpy bincount waves — simultaneous deletion per wave,
+    exactly kcore()'s confluent rule, so the surviving (node,
+    within-core degree) set is integer-exact and hash-identical to
+    the distributed fixpoint (the k-core is unique; Seidman 1983).
+    No node strings are built or cross the Arrow boundary (the
+    _bfs_single_task lesson) — side/key decode replaces them.
+
+    The KCORE_MAX_ROUNDS runaway guard is enforced in-kernel: it
+    raises (surfacing as a task failure) instead of returning a
+    non-core — same loud-failure contract as the loop, and strictly
+    sharper: the kernel re-checks after the cap-th wave, so it only
+    fails when a fixpoint genuinely needs more waves than the cap."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(pdfs):
+        parts = list(pdfs)
+        empty = pd.DataFrame({"side": pd.Series([], dtype=object),
+                              "key": pd.Series([], dtype="int64"),
+                              "degree": pd.Series([], dtype="int64")})
+        if not parts:
+            yield empty
+            return
+        e = pd.concat(parts, ignore_index=True)
+        c_codes, c_nodes = pd.factorize(e["c"].to_numpy())
+        s_codes, s_nodes = pd.factorize(e["s"].to_numpy())
+        nc = len(c_nodes)
+        s_codes = s_codes + nc
+        n = nc + len(s_nodes)
+        if not n:
+            yield empty
+            return
+        src = np.concatenate([c_codes, s_codes])
+        dst = np.concatenate([s_codes, c_codes])
+        alive = np.ones(n, dtype=bool)
+        rounds = 0
+        while True:
+            rounds += 1
+            if rounds > KCORE_MAX_ROUNDS:
+                raise RuntimeError(
+                    f"kcore: no fixpoint after {KCORE_MAX_ROUNDS} "
+                    f"rounds (k={k}); raise max_rounds")
+            live = alive[src] & alive[dst]
+            deg = np.bincount(src[live], minlength=n)
+            viol = alive & (deg < k)
+            if not viol.any():
+                break
+            alive &= ~viol
+        idx = np.flatnonzero(alive)
+        side = np.where(idx < nc, "customer", "supplier")
+        node_vals = np.concatenate([
+            np.asarray(c_nodes, dtype="int64"),
+            np.asarray(s_nodes, dtype="int64")])
+        yield pd.DataFrame(
+            {"side": pd.Series(side, dtype=object),
+             "key": pd.Series(node_vals[idx], dtype="int64"),
+             "degree": pd.Series(deg[idx], dtype="int64")})
+
+    return (pairs.coalesce(1)
+            .mapInPandas(kern, "side string, key long, degree long"))
+
+
 _KCORE_ORACLE = f"""
     WITH RECURSIVE pairs AS (
         SELECT DISTINCT 'c:' || o.o_custkey AS cust,
@@ -926,8 +1014,25 @@ def kcore_purchase_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only). tests/test_graph.py additionally pins parity with a
     brute-force pandas peel, the ≥k invariant, maximality (every
     dropped node would still fall below k against the core), and
-    determinism."""
+    determinism.
+
+    Gated (r12) on the parquet-metadata lineitem row count — a strict
+    upper bound on the distinct pair count, answered from footer
+    statistics with no extra job (the shortest_path_hops precedent):
+    under BFS_SINGLE_TASK_MAX the whole peel runs in ONE mapInPandas
+    task over raw INT pairs (_kcore_single_task — no node strings
+    built, no per-round deg-aggregate/violator-count/semi-join jobs);
+    the kcore() loop above the cap is the scale path."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    if t["lineitem"].count() * 2 <= BFS_SINGLE_TASK_MAX:
+        pairs = (spread(t["lineitem"], "l_orderkey")
+                 .join(t["orders"],
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy(F.col("o_custkey").alias("c"),
+                          F.col("l_suppkey").alias("s"))
+                 .agg(F.count("*").alias("w"))
+                 .drop("w"))
+        return _kcore_single_task(pairs, KCORE_K)
     core = kcore(purchase_edges(t))
     side = (F.when(F.col("node").startswith("c:"), "customer")
             .otherwise("supplier"))

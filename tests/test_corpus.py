@@ -757,6 +757,8 @@ def test_cc_single_task_equals_star_components(spark):
     from covid_weather_etl_spark.operators.corpus import (
         cc_single_task, star_components)
 
+    import covid_weather_etl_spark.operators.corpus as C
+
     edges = [(5, 9), (1, 5), (9, 12),          # chain merged out of order
              (20, 21), (20, 22), (20, 23),     # star
              (30, 31), (31, 32), (30, 32),     # cycle
@@ -764,8 +766,16 @@ def test_cc_single_task_equals_star_components(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     a = {(r["node"], r["lbl"])
          for r in cc_single_task(df).collect()}
-    b = {(r["node"], r["lbl"])
-         for r in star_components(df, op_name="test").collect()}
+    # force the distributed contraction (star_components is itself
+    # gated onto cc_single_task since r12 — without the flip this
+    # test would compare the kernel to itself)
+    cap = C.CC_SINGLE_TASK_MAX
+    try:
+        C.CC_SINGLE_TASK_MAX = -1
+        b = {(r["node"], r["lbl"])
+             for r in star_components(df, op_name="test").collect()}
+    finally:
+        C.CC_SINGLE_TASK_MAX = cap
     assert a == b
     assert (12, 1) in a and (23, 20) in a and (32, 30) in a
     # canonical nodes omitted, exactly like star_components
@@ -794,8 +804,15 @@ def test_cc_kernels_agree_on_random_graphs(spark):
         df = spark.createDataFrame(edges, "a long, b long")
         got_one = {(r["node"], r["lbl"])
                    for r in cc_single_task(df).collect()}
-        got_star = {(r["node"], r["lbl"])
-                    for r in star_components(df, op_name="prop").collect()}
+        import covid_weather_etl_spark.operators.corpus as C
+        cap = C.CC_SINGLE_TASK_MAX
+        try:
+            C.CC_SINGLE_TASK_MAX = -1  # force the distributed loop
+            got_star = {(r["node"], r["lbl"])
+                        for r in star_components(df,
+                                                 op_name="prop").collect()}
+        finally:
+            C.CC_SINGLE_TASK_MAX = cap
         parent: dict = {}
 
         def find(x):
@@ -814,3 +831,29 @@ def test_cc_kernels_agree_on_random_graphs(spark):
         assert got_star == want
 
     check()
+
+
+def test_cc_single_task_string_keys_equal_loop(spark):
+    """r12: the key-type-generic union-find kernel on STRING node ids
+    (the er_name_clusters shape) returns exactly the distributed
+    contraction's rows — minima compared as UTF-8 bytes, matching the
+    engines' binary string order; includes a non-ASCII pair to pin
+    the encode/decode roundtrip on the kernel path."""
+    import covid_weather_etl_spark.operators.corpus as C
+    from covid_weather_etl_spark.operators.corpus import (
+        cc_single_task, star_components)
+
+    edges = [("m", "z"), ("a", "m"),           # chain out of order
+             ("x1", "x2"),                     # pair
+             ("é", "Ａ")]             # non-ASCII pair
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {(r["node"], r["lbl"]) for r in cc_single_task(df).collect()}
+    cap = C.CC_SINGLE_TASK_MAX
+    try:
+        C.CC_SINGLE_TASK_MAX = -1  # force the distributed loop
+        want = {(r["node"], r["lbl"])
+                for r in star_components(df, op_name="s").collect()}
+    finally:
+        C.CC_SINGLE_TASK_MAX = cap
+    assert got == want
+    assert ("z", "a") in got and ("m", "a") in got
