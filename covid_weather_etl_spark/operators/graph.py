@@ -161,8 +161,13 @@ def pagerank(edges: DataFrame, rounds: int = PR_ROUNDS,
                  # rounds) — the same reason web-scale PageRank
                  # checkpoints. localCheckpoint materializes the ~N-row
                  # state frame on executors and resets the plan to a
-                 # leaf.
-                 .localCheckpoint(eager=True))
+                 # leaf. LAZY since r12: the very next action (the L1
+                 # delta aggregate below, or round-0's broadcast build
+                 # next round) materializes and caches it in the same
+                 # job — one scheduled job per round instead of two,
+                 # identical bytes either way (the plan is a leaf
+                 # LogicalRDD whether or not it is materialized yet).
+                 .localCheckpoint(eager=False))
         LAST_ROUNDS = i + 1
         if tol is not None and i >= 1:
             # DECIMAL-exact L1 so the stopping round (hence the result)

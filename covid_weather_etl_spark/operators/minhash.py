@@ -500,18 +500,26 @@ def incremental_minhash_ingest(spark: SparkSession,
         return (F.substring(F.md5(F.col(col).cast("string")), 1, 2)
                 >= INC_OLD_CUT)
 
-    mh = (sh.select("doc_id", "s",
-                    F.explode(F.sequence(
-                        F.lit(0), F.lit(INC_PERMS - 1))).alias("p"))
-          .groupBy("doc_id", "p")
-          .agg(F.min(F.md5(F.concat_ws(
-              "|", F.col("p").cast("string"), F.col("s")))).alias("h")))
-    bands = (mh.groupBy("doc_id",
-                        (F.col("p") / INC_ROWS).cast("int").alias("band"))
-             .agg(F.array_join(
-                 F.transform(
-                     F.array_sort(F.collect_list(F.struct("p", "h"))),
-                     lambda r: r["h"]), "|").alias("key")))
+    # r12: the INC_PERMS-way permutation explode + (doc, p)-keyed MIN
+    # + second (doc, band) collect_list shuffle is folded into ONE
+    # doc-keyed aggregate with INC_PERMS column minima (the p index is
+    # a literal per column, so md5('p|s') and its minimum are
+    # bit-identical to the exploded form) — 2 exchanges -> 1, and the
+    # shuffle carries docs rows instead of docs x INC_PERMS rows. The
+    # band keys then concat the per-band minima in p order directly,
+    # replacing the array_sort(collect_list(struct)) fold.
+    mh = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws("|", F.lit(str(p)), F.col("s"))))
+        .alias(f"h{p}") for p in range(INC_PERMS)])
+    band_structs = [
+        F.struct(
+            F.lit(band).cast("int").alias("band"),
+            F.concat_ws("|", *[F.col(f"h{band * INC_ROWS + j}")
+                               for j in range(INC_ROWS)]).alias("key"))
+        for band in range(INC_BANDS)]
+    bands = (mh.select("doc_id",
+                       F.explode(F.array(*band_structs)).alias("bk"))
+             .select("doc_id", "bk.band", "bk.key"))
     cand = (bands.alias("a")
             .join(bands.alias("b"),
                   (F.col("a.band") == F.col("b.band"))
