@@ -473,7 +473,7 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (W.partitionBy("epoch", "shard")
          .orderBy(F.col("h"), F.col("doc_id")))
     sharded = (keyed.withColumn("nxt", F.lead("doc_id").over(w))
-               .localCheckpoint(eager=True))  # reused 4x below
+               .localCheckpoint(eager=False))  # reused 4x below
     shard_stats = (sharded.groupBy("epoch", "shard")
                    .agg(F.count("*").alias("n_docs"),
                         F.sum("n_tok").alias("n_tokens")))

@@ -142,7 +142,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the frame itself is tiny (docs × ~a-dozen fps), so an eager
     # localCheckpoint (same pattern as dedup_clusters' fixpoint) pays
     # one small write to halve the heavy work
-    fps = fps.join(split, "doc_id").localCheckpoint(eager=True)
+    fps = fps.join(split, "doc_id").localCheckpoint(eager=False)
     test_fps = fps.filter(F.col("is_test")).select("doc_id", "fp")
     train_fps = (fps.filter(~F.col("is_test"))
                  .select("fp").distinct()
@@ -374,7 +374,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     pairs = (TX.ngram_jaccard_near_dup(spark, sf_dir)
              .select("doc_id_1", "doc_id_2")
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     if pairs.count() <= CC_SINGLE_TASK_MAX:
         lbl = cc_single_task(pairs.select(F.col("doc_id_1").alias("a"),
                                           F.col("doc_id_2").alias("b")))
@@ -1223,7 +1223,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single biggest avoidable cost in this plan.
     dtf = (fb.groupBy("doc_id", "lang", bucket.alias("bucket"))
            .agg(F.count("*").alias("tf"))
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     bstat = (dtf.groupBy("bucket")
              .agg(F.sum(F.when(F.col("lang") == "en", F.col("tf"))
                         .otherwise(F.lit(0))).alias("ct"),
@@ -1240,7 +1240,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
          .groupBy("doc_id")
          .agg(F.sum("tf").cast("long").alias("n_feats"),
               F.round(F.sum(F.col("tf") * F.col("lr")), 6).alias("logw"))
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     cut = w.agg(F.round(F.percentile("logw", F.lit(DSIR_CUT_Q)), 6)
                 .alias("c"))
     return (w.crossJoin(F.broadcast(cut))
@@ -1325,7 +1325,7 @@ def star_components(pairs: DataFrame, op_name: str = "star_components",
     contraction loop's per-round shuffle + checkpoint + checksum
     jobs; the distributed contraction below remains the above-cap
     scale path."""
-    E = pairs.localCheckpoint(eager=True)
+    E = pairs.localCheckpoint(eager=False)
     if E.count() <= CC_SINGLE_TASK_MAX:
         return cc_single_task(E)
 
@@ -1357,7 +1357,7 @@ def star_components(pairs: DataFrame, op_name: str = "star_components",
 
     prev, converged = checksum(E), False
     for _ in range(max_rounds):
-        E = star(star(E, large=True), large=False).localCheckpoint(eager=True)
+        E = star(star(E, large=True), large=False).localCheckpoint(eager=False)
         cur = checksum(E)
         if cur == prev:
             converged = True
@@ -2222,7 +2222,7 @@ def domain_mix_kl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = (spread(t["documents"], "doc_id")
           .select("source", F.explode(F.split("text", " ")).alias("t"))
           .groupBy("source", "t").agg(F.count("*").alias("c"))
-          .localCheckpoint(eager=True))
+          .localCheckpoint(eager=False))
     st = sc.groupBy("source").agg(F.sum("c").alias("ts"),
                                   F.count("*").alias("nd"))
     gc = sc.groupBy("t").agg(F.sum("c").alias("g"))
@@ -2321,7 +2321,7 @@ def cdc_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     never old x old. All integer/md5 algebra — exact oracle via the
     shared CDC_CHUNK_CTES twin of _cdc_chunks."""
     t = load_tables(spark, sf_dir, ("documents",))
-    chunks = _cdc_chunks(t["documents"]).localCheckpoint(eager=True)
+    chunks = _cdc_chunks(t["documents"]).localCheckpoint(eager=False)
     is_new = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
               >= CDC_INC_CUT)
     flags = (t["documents"].select("doc_id")
@@ -2403,7 +2403,7 @@ def cross_source_chunk_duplication(spark: SparkSession,
     t = load_tables(spark, sf_dir, ("documents",))
     sh = (_cdc_chunks(t["documents"])
           .select("source", "h").distinct()
-          .localCheckpoint(eager=True))   # both join legs + sizes
+          .localCheckpoint(eager=False))   # both join legs + sizes
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     a = sh.select(F.col("source").alias("src_a"), "h")
     b = sh.select(F.col("source").alias("src_b"), "h")
@@ -2494,7 +2494,7 @@ def dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     report is cluster-count-sized and the hot-cluster hazard lives in
     the pair pass, which prefix filtering already bounds elsewhere."""
     pairs = TX.ngram_jaccard_near_dup(spark, sf_dir) \
-        .localCheckpoint(eager=True)   # feeds edges + the audit join
+        .localCheckpoint(eager=False)   # feeds edges + the audit join
     lbl = ensure_dedup_label_star(spark, sf_dir, "full")
     # star_components omits the canonical node (it is never a `b` in
     # the fixpoint star) — union the self-mapping so every member of
@@ -2892,7 +2892,7 @@ def incremental_dedup_clusters(spark: SparkSession,
     # the arriving batch is the only thing shingled at ingest time
     new_sh = (shingled_rows(
         spread(t["documents"].filter(is_new), "doc_id"))
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
     sizes = (old_sz
              .unionByName(new_sh.groupBy("doc_id")
                           .agg(F.count("*").cast("long").alias("n"))))
@@ -2957,7 +2957,7 @@ def incremental_dedup_clusters(spark: SparkSession,
                  .select(F.least("x", "y").alias("a"),
                          F.greatest("x", "y").alias("b"))
                  .distinct()
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     # batch-merge graphs are edge-bounded by construction: one ingest
     # can create at most |batch candidate pairs| merges, so the
     # single-task union-find kernel applies; the star contraction is
@@ -3164,7 +3164,7 @@ def curation_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch-sized; checkpointed once, feeds quality + accounting
     ingest = (spread(t["documents"].filter(is_new), "doc_id")
               .select("doc_id", grp.alias("grp"), "text", "n_chars")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     toks = F.split("text", " ")
     batchq = (ingest
               .filter((F.col("n_chars") >= MIN_CHARS)
@@ -3172,10 +3172,10 @@ def curation_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & ((F.size(F.array_distinct(toks)) * 1.0
                           / F.size(toks)) >= MIN_DISTINCT_RATIO))
               .select("doc_id", "grp", "text")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     # --- stage 3: near-dup drop vs persisted store + within batch ---
     _, old_idx, old_sz = ensure_dedup_old_state(spark, sf_dir)
-    bsh = shingled_rows(batchq).localCheckpoint(eager=True)
+    bsh = shingled_rows(batchq).localCheckpoint(eager=False)
     bsz = bsh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     sizes = old_sz.unionByName(bsz)
     a_all = (old_idx.select(F.col("doc_id").alias("od"), "s",
@@ -3196,7 +3196,7 @@ def curation_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                        >= 0.2)
              .select(F.col("nd").alias("doc_id")).distinct())
     surv = (batchq.join(drops, "doc_id", "left_anti")
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     # --- stage 4: token accounting with the persisted tokenizer ---
     _, vocab = TX.ensure_bpe_artifacts(spark, sf_dir)
     enc = vocab.select("word", F.size("syms").cast("long").alias("w_syms"))
@@ -3851,7 +3851,7 @@ def dedup_threshold_sensitivity(spark: SparkSession,
     t = load_tables(spark, sf_dir, ("documents",))
     pairs = (TX.ngram_jaccard_near_dup(spark, sf_dir)
              .select("doc_id_1", "doc_id_2", "jaccard")
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     n_docs = t["documents"].count()
     copies = []
     edge_counts = {}
@@ -3972,7 +3972,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(side.select(F.col("doc_id").alias("doc_id_2"),
                                 F.col("is_test").alias("t2")),
                     "doc_id_2")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     leaked = (marked.filter(F.col("t1") != F.col("t2"))
               .select(F.when(F.col("t1"), F.col("doc_id_1"))
                       .otherwise(F.col("doc_id_2")).alias("test_doc"))

@@ -518,13 +518,13 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the in-band prefix and the band-sum/offset branches
     banded = (rev.withColumn(
         "band", F.floor(F.log(F.col("r").cast("double")) * F.lit(8.0)))
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
     w_in = (W.partitionBy("band")
             .orderBy(F.col("r").desc(), F.col("pk"))
             .rowsBetween(W.unboundedPreceding, W.currentRow))
     in_band = banded.withColumn("cum_in", F.sum("r").over(w_in))
     band_sums = (banded.groupBy("band").agg(F.sum("r").alias("bs"))
-                 .localCheckpoint(eager=True))  # band-count-sized, reused
+                 .localCheckpoint(eager=False))  # band-count-sized, reused
     a, b = band_sums.alias("a"), band_sums.alias("b")
     offsets = (a.join(F.broadcast(b), F.col("b.band") > F.col("a.band"),
                       "left")

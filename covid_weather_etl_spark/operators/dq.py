@@ -188,7 +188,7 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (t["orders"].filter(F.col("o_totalprice") > 0)
               .select(digit.alias("digit"))
               .groupBy("digit").agg(F.count("*").alias("n"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     tot = counts.agg(F.sum("n").alias("total"))
     benford = F.log10(1.0 + 1.0 / F.col("digit"))
     obs = F.col("n") * 1.0 / F.col("total")

@@ -112,7 +112,7 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("ref_cnt"),
                    F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
                    .alias("cur_cnt"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     tot = counts.agg(F.sum("ref_cnt").alias("nr"),
                      F.sum("cur_cnt").alias("nc"))
     ref_pct = F.col("ref_cnt") * 1.0 / F.col("nr")
@@ -203,7 +203,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and each reuse would otherwise recompute the scan
     d = (s.groupBy(F.col("value").alias("v"))
          .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
 
     lo, hi = d.agg(F.min("v"), F.max("v")).first()
     if lo is None:
@@ -299,7 +299,7 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |segments|x2 rows reused four times — materialize the scan once
     cells = (joined.groupBy("segment", "label")
              .agg(F.count("*").alias("n_xy"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     mx = cells.groupBy("segment").agg(F.sum("n_xy").alias("n_x"))
     my = cells.groupBy("label").agg(F.sum("n_xy").alias("n_y"))
     tot = cells.agg(F.sum("n_xy").alias("n"))
@@ -471,7 +471,7 @@ def feature_relevance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("order_month"),
                       F.when(F.col("o_totalprice") > MI_PRICE_CUT, 1)
                       .otherwise(0).alias("y"))
-              .localCheckpoint(eager=True))  # one join feeds 4 screens
+              .localCheckpoint(eager=False))  # one join feeds 4 screens
 
     def mi_one(feat: str) -> DataFrame:
         cells = (joined.groupBy(F.col(feat).alias("x"), "y")
@@ -496,7 +496,7 @@ def feature_relevance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis = None
     for f in FR_FEATURES:
         mis = mi_one(f) if mis is None else mis.unionByName(mi_one(f))
-    mis = mis.localCheckpoint(eager=True)  # 4 rows; both triangular sides
+    mis = mis.localCheckpoint(eager=False)  # 4 rows; both triangular sides
     p, q = mis.alias("p"), mis.alias("q")
     ahead = ((F.col("q.mi_nats") > F.col("p.mi_nats"))
              | ((F.col("q.mi_nats") == F.col("p.mi_nats"))
@@ -1002,7 +1002,7 @@ def _nation_welch_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.crossJoin(F.broadcast(g))
             .filter(F.col("n") >= 2)
             .select("n_name", "n", zexpr.alias("z"))
-            .localCheckpoint(eager=True))  # test-frame-sized, reused
+            .localCheckpoint(eager=False))  # test-frame-sized, reused
 
 
 #: shared CTE text: the 25-nation Welch-z test frame (s -> g -> z ->
@@ -1149,7 +1149,7 @@ def holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("n_name", "n", "z", "rk",
                       (F.abs(F.col("z")) >= F.col("zcrit"))
                       .cast("int").alias("pass_k"))
-              .localCheckpoint(eager=True))  # reused as both sides
+              .localCheckpoint(eager=False))  # reused as both sides
     d, e = dec_df.alias("d"), dec_df.alias("e")
     return (d.join(F.broadcast(e), F.col("e.rk") <= F.col("d.rk"))
             .groupBy(F.col("d.n_name").alias("n_name"),
@@ -1230,7 +1230,7 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable; at 100 TB this is one scan however many salts."""
     t = load_tables(spark, sf_dir, ("events",))
     users = t["events"].select("user_id").distinct() \
-        .localCheckpoint(eager=True)  # reused per seed
+        .localCheckpoint(eager=False)  # reused per seed
     outs = []
     for seed in SRM_SEEDS:
         arm = (F.conv(F.substring(F.md5(F.concat(
@@ -1332,7 +1332,7 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("n_name", "n", "z", "rk", "zcrit",
                       (F.abs(F.col("z")) >= F.col("zcrit"))
                       .cast("int").alias("pass_k"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     kstar = dec_df.agg(F.coalesce(
         F.max(F.when(F.col("pass_k") == 1, F.col("rk"))),
         F.lit(0)).alias("ks"))

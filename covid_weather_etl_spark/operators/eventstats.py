@@ -486,7 +486,7 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_tab = (obs.groupBy("day")
                .agg(F.sum("is_event").alias("d"),
                     F.sum(1 - F.col("is_event")).alias("c"))
-               .localCheckpoint(eager=True))  # horizon-sized; reused 3×
+               .localCheckpoint(eager=False))  # horizon-sized; reused 3×
     tot = day_tab.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
     a, b = day_tab.alias("a"), day_tab.alias("b")
     at_risk = (a.crossJoin(F.broadcast(tot))
@@ -499,7 +499,7 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - F.coalesce(F.sum(F.col("b.d") + F.col("b.c")),
                                   F.lit(0))).alias("n"))
                .drop("n_total")
-               .localCheckpoint(eager=True))  # reused as both join sides
+               .localCheckpoint(eager=False))  # reused as both join sides
     ra, rb = at_risk.alias("ra"), at_risk.alias("rb")
     frac = F.col("rb.d") * 1.0 / F.col("rb.n")
     term = (F.when((F.col("rb.d") > 0) & (F.col("rb.d") < F.col("rb.n")),
@@ -1075,7 +1075,7 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_tab = (obs.groupBy("day")
                .agg(F.sum("is_event").alias("d"),
                     F.sum(1 - F.col("is_event")).alias("c"))
-               .localCheckpoint(eager=True))  # horizon-sized; reused 3x
+               .localCheckpoint(eager=False))  # horizon-sized; reused 3x
     tot = day_tab.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
     a, b = day_tab.alias("a"), day_tab.alias("b")
     at_risk = (a.crossJoin(F.broadcast(tot))
@@ -1089,7 +1089,7 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - F.coalesce(F.sum(F.col("b.d") + F.col("b.c")),
                                   F.lit(0))).alias("n"))
                .drop("n_total")
-               .localCheckpoint(eager=True))  # reused as both join sides
+               .localCheckpoint(eager=False))  # reused as both join sides
     ra, rb = at_risk.alias("ra"), at_risk.alias("rb")
     hterm = (F.round(F.col("rb.d") * F.lit(1.0) / F.col("rb.n"), 9)
              .cast("decimal(25,9)"))
@@ -1234,7 +1234,7 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("tot"))
               # (user, type)-sized; checkpointed so the events scan +
               # aggregate runs ONCE for both sides of the duel join
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     a, b = totals.alias("a"), totals.alias("b")
     duels = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
                     & (F.col("a.event_type") != F.col("b.event_type")))
@@ -1250,11 +1250,11 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("d.w_ij") + F.col("r.w_ij"))
                         .alias("n_ij"))
                 .filter(F.col("n_ij") > 0)
-                .localCheckpoint(eager=True))  # items²-sized, reused
+                .localCheckpoint(eager=False))  # items²-sized, reused
     wins = (directed.groupBy(F.col("i").alias("item"))
             .agg(F.sum("w_ij").cast("long").alias("n_wins"),
                  F.sum("n_ij").cast("long").alias("n_comparisons"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     import uuid
     sfx = uuid.uuid4().hex[:8]
     pairs_v, wins_v, k_v = (f"bt_pairs_{sfx}", f"bt_wins_{sfx}",
@@ -1270,7 +1270,7 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         # items-sized checkpoint: the round SQL inlines its input
         # twice, so without this the plan doubles per round
         nxt = spark.sql(_bt_round_sql(pairs_v, cur, wins_v, k_v)) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         nxt.createOrReplaceTempView(f"bt_pi_{rd}_{sfx}")
         cur = f"bt_pi_{rd}_{sfx}"
     return spark.sql(f"""
@@ -1385,14 +1385,14 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("user_id")
              .agg(F.expr("bit_or(bit)").cast("long").alias("m")))
     cnt = (masks.groupBy("m").agg(F.count("*").alias("c"))
-           .localCheckpoint(eager=True))  # <=15 rows, reused 3x
+           .localCheckpoint(eager=False))  # <=15 rows, reused 3x
     subsets = spark.range(16).select(F.col("id").alias("s"))
     v = (subsets.join(F.broadcast(cnt),
                       (F.col("m").bitwiseAND(F.col("s")) == F.col("m")),
                       "left")
          .groupBy("s")
          .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
-         .localCheckpoint(eager=True))  # 16 rows, joined twice
+         .localCheckpoint(eager=False))  # 16 rows, joined twice
     chan = spark.createDataFrame(list(SHAPLEY_CHANNELS),
                                  "channel string, bit long")
     w_expr = F.element_at(

@@ -268,7 +268,7 @@ def minhash_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("event_type") == "click", "a")
                     .otherwise("b").alias("s"))
             .distinct()
-            .localCheckpoint(eager=True))  # feeds sizes, inter and sigs
+            .localCheckpoint(eager=False))  # feeds sizes, inter and sigs
     sizes = sets.agg(
         F.countDistinct(F.when(F.col("s") == "a", F.col("user_id")))
         .alias("n_a"),

@@ -333,7 +333,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count("*").alias("co"))
          .filter(F.col("co") >= TRI_MIN_CO)
          .select("pa", "pb")
-         .localCheckpoint())  # edge list feeds three join legs + degrees
+         .localCheckpoint(eager=False))  # edge list feeds three join legs + degrees
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
            .join(e3, (F.col("e3.pa") == F.col("e1.pa"))
@@ -525,7 +525,7 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     if t["lineitem"].count() * 2 <= BFS_SINGLE_TASK_MAX:
         return _bfs_single_task(pairs)
 
-    pairs = pairs.localCheckpoint()  # loop path: reused every round
+    pairs = pairs.localCheckpoint(eager=False)  # loop path: reused every round
     named = pairs.select(
         F.concat(F.lit("c:"), F.col("c")).alias("src"),
         F.concat(F.lit("s:"), F.col("s")).alias("dst"))
@@ -533,7 +533,7 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("src"), F.col("dst")),
         F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )).alias("e")).select("e.src", "e.dst")
-        .localCheckpoint())  # reused every round: materialize once
+        .localCheckpoint(eager=False))  # reused every round: materialize once
 
     root = edges.filter(F.col("src").startswith("s:")) \
                 .agg(F.min("src")).first()[0]
@@ -546,7 +546,7 @@ def shortest_path_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         if hop >= 2:  # bipartite: dst of hop-(h-1) is at h-2 or h
             nxt = nxt.join(frontiers[hop - 2].select("node"),
                            "node", "left_anti")
-        nxt = nxt.withColumn("dist", F.lit(hop)).localCheckpoint()
+        nxt = nxt.withColumn("dist", F.lit(hop)).localCheckpoint(eager=False)
         # the emptiness probe on the FINAL hop is dead weight (the
         # loop ends regardless; an empty frame unions harmlessly)
         if hop < BFS_MAX_HOPS and not nxt.take(1):
@@ -713,19 +713,19 @@ def bellman_ford_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )).alias("e"))
         .select("e.src", "e.dst",
                 F.ceil(1000.0 / F.col("e.w")).cast("long").alias("cost"))
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
 
     root = edges.filter(F.col("src").startswith("s:")) \
                 .agg(F.min("src")).first()[0]
     dist = spark.createDataFrame([(root, 0)], "node string, dist long") \
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
     for _ in range(BF_ROUNDS):
         relaxed = (dist.join(edges, dist["node"] == edges["src"])
                    .select(F.col("dst").alias("node"),
                            (dist["dist"] + F.col("cost")).alias("dist")))
         dist = (dist.unionByName(relaxed)
                 .groupBy("node").agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
 
 
@@ -798,7 +798,7 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count("*").alias("co"))
          .filter(F.col("co") >= TRI_MIN_CO)
          .select("pa", "pb")
-         .localCheckpoint(eager=True))     # reused: und ×2 + anti-join
+         .localCheckpoint(eager=False))     # reused: und ×2 + anti-join
     und = (e.select(F.explode(F.array(
         F.struct(F.col("pa").alias("z"), F.col("pb").alias("x")),
         F.struct(F.col("pb").alias("z"), F.col("pa").alias("x")),
@@ -865,7 +865,7 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
     # groupBy over the endpoint pair), so degrees over it are already
     # distinct-neighbour counts — no dedup pass needed. If you feed
     # this a multigraph from elsewhere, distinct() it first.
-    e = edges.select("src", "dst").coalesce(8).localCheckpoint(eager=True)
+    e = edges.select("src", "dst").coalesce(8).localCheckpoint(eager=False)
     KCORE_LAST_ROUNDS = 0
     for i in range(max_rounds):
         deg = e.groupBy("src").agg(F.count("*").alias("degree"))
@@ -878,7 +878,7 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
         e = (e.join(keep, e["src"] == keep["node"], "leftsemi")
              .join(keep, e["dst"] == keep["node"], "leftsemi")
              .coalesce(8)
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     else:
         # Cap exhausted with violators still present: the frame in hand
         # is NOT the k-core, and the contract promises the unique

@@ -357,7 +357,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
               # graph.purchase_edges). Remaining cost is output-bound:
               # the driver corpus' shared vocabulary puts a large
               # fraction of all pairs within small Hamming distance
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qh") == F.col("b.qh"))
@@ -659,7 +659,7 @@ def minhash_banding_calibration(spark: SparkSession,
     docs_s = (t["documents"]
               .filter(F.substring(F.md5(F.col("doc_id").cast("string")),
                                   1, 1) < CALIB_CUT))
-    sh = shingles(docs_s).localCheckpoint(eager=True)
+    sh = shingles(docs_s).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = (sh.select(F.col("doc_id").alias("d1"),
                       F.col("token").alias("s")),

@@ -875,7 +875,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grows."""
     t = load_tables(spark, sf_dir, ("documents",))
     hashes = phash_assets(media_assets(t["documents"])) \
-        .localCheckpoint(eager=True)  # decode once; reused by both sides
+        .localCheckpoint(eager=False)  # decode once; reused by both sides
     bands = hashes.select(
         "asset_id", "phash",
         F.explode(F.array(*[

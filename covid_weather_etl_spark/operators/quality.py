@@ -529,7 +529,7 @@ def labeling_function_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(0).alias("lf_repetition"),
         F.when(F.array_contains("tk", LF_KEYWORD), 1)
          .otherwise(0).alias("lf_keyword"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def row(rule: str, others: tuple[str, str]) -> DataFrame:
         return votes.select(

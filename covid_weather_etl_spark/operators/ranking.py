@@ -86,7 +86,7 @@ def exact_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (scored.groupBy("score")
          .agg(F.sum("y").alias("pos"),
               F.sum(1 - F.col("y")).alias("neg"))
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
 
     lo, hi = d.agg(F.min("score"), F.max("score")).first()
     if lo is None:
@@ -130,7 +130,7 @@ def rank_table(df: DataFrame, col: str, n_blocks: int = 32) -> DataFrame:
     (col, rk2_col) with the average rank carried 2×-scaled as an
     exact integer on the ½ grid."""
     d = (df.groupBy(col).agg(F.count("*").alias("c"))
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     lo, hi = d.agg(F.min(col), F.max(col)).first()
     if lo is None:
         return d.select(F.col(col),
@@ -314,7 +314,7 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(dec.alias("decile"), "y")
              .groupBy("decile")
              .agg(F.count("*").alias("n_rows"), F.sum("y").alias("n_pos"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     tot = cells.agg(F.sum("n_rows").alias("nr"), F.sum("n_pos").alias("np"))
     a, b = cells.alias("a"), cells.alias("b")
     cum = (a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
@@ -420,7 +420,7 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = (part.groupBy("p_retailprice")
            .agg(F.min("p_size").alias("gmin"))
            .withColumn("blk", F.floor(F.col("p_retailprice") / 100.0))
-           .localCheckpoint(eager=True))  # price-grain; reused 3×
+           .localCheckpoint(eager=False))  # price-grain; reused 3×
     band = grp.groupBy("blk").agg(F.min("gmin").alias("bmin"))
     ba, bb = band.alias("ba"), band.alias("bb")
     band_prefix = (ba.join(F.broadcast(bb),
@@ -502,7 +502,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 100.0).alias("blk"))
     band = (li.groupBy("l_returnflag", "blk")
             .agg(F.sum("qd").alias("bw"))
-            .localCheckpoint(eager=True))    # bands-sized; reused 3x
+            .localCheckpoint(eager=False))    # bands-sized; reused 3x
     tot = band.groupBy("l_returnflag").agg(F.sum("bw").alias("tot"))
     ba, bb = band.alias("ba"), band.alias("bb")
     below = (ba.join(F.broadcast(bb),
@@ -595,7 +595,7 @@ def exact_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (scored.groupBy("score")
          .agg(F.sum("y").alias("pos"),
               F.sum(1 - F.col("y")).alias("neg"))
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     lo, hi = d.agg(F.min("score"), F.max("score")).first()
     if lo is None:
         return spark.createDataFrame(
@@ -707,7 +707,7 @@ def ndcg_popularity_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_partkey").alias("p"))
            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                 .cast("double").alias("rel"))
-           .localCheckpoint(eager=True))   # reused: pop + pred + ideal
+           .localCheckpoint(eager=False))   # reused: pop + pred + ideal
     pop = (rel.groupBy("p")
            .agg(F.sum(F.col("rel").cast("decimal(18,2)"))
                 .cast("double").alias("pop")))
@@ -819,7 +819,7 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def topd(df: DataFrame, rank_name: str) -> DataFrame:
         head = (df.orderBy(F.col("v").desc(), F.col("pk"))
-                .limit(RBO_DEPTH).localCheckpoint(eager=True))
+                .limit(RBO_DEPTH).localCheckpoint(eager=False))
         x, y = head.alias("x"), head.alias("y")
         beats = (F.col("y.v") > F.col("x.v")) | \
             ((F.col("y.v") == F.col("x.v"))
@@ -843,7 +843,7 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = (depths.join(F.broadcast(joint), F.col("m") <= F.col("d"),
                       "left")
           .groupBy("d").agg(F.count("pk").alias("o"))
-          .localCheckpoint(eager=True))  # depth-bounded, reused 2x
+          .localCheckpoint(eager=False))  # depth-bounded, reused 2x
     term = F.round((1.0 - RBO_P) * F.pow(F.lit(RBO_P), F.col("d") - 1)
                    * F.col("o") / F.col("d"), 9).cast("decimal(25,9)")
     terms = od.select("d", "o", term.alias("term"))

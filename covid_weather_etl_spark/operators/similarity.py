@@ -1704,7 +1704,7 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.posexplode(F.col("embedding").cast("array<double>"))
                   .alias("k", "e"))
           .select("vec_id", (F.col("k") + 1).alias("k"), "e")
-          .localCheckpoint(eager=True))   # both sides of the self-join
+          .localCheckpoint(eager=False))   # both sides of the self-join
     a, b = ev.alias("a"), ev.alias("b")
     p = (F.round(F.col("a.e") * F.col("b.e"), 12)
          .cast("decimal(30,12)"))
@@ -1907,7 +1907,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("vec_id", "k",
                   F.floor(F.col("e") * PCA_Q + F.lit(0.5))
                   .cast("long").alias("u"))
-          .localCheckpoint(eager=True))   # both sides of the self-join
+          .localCheckpoint(eager=False))   # both sides of the self-join
     n = ev.select(F.count_distinct("vec_id")).first()[0]
     su = {int(r["k"]): int(r["su"]) for r in
           ev.groupBy("k").agg(F.sum("u").alias("su")).collect()}
@@ -2159,7 +2159,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rel.alias("rel"))
             .orderBy(F.col("rel").desc(), F.col("doc_id"))
             .limit(MMR_POOL)
-            .localCheckpoint(eager=True))       # pool reused twice
+            .localCheckpoint(eager=False))       # pool reused twice
     a = cand.select(F.col("doc_id").alias("a"), F.col("v").alias("va"))
     b = cand.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"))
     psim = F.round(cosine(F.col("va"), F.col("vb")), 6)
@@ -2485,7 +2485,7 @@ def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("vec_id",
                   F.posexplode(F.col("embedding").cast("array<double>"))
                   .alias("k", "x"))
-          .localCheckpoint(eager=True))
+          .localCheckpoint(eager=False))
     stats = ev.groupBy("k").agg(F.min("x").alias("mn"),
                                 F.max("x").alias("mx"))
     qv = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")) \
@@ -2501,7 +2501,7 @@ def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("vec_id")
               .agg(F.sum(F.col("qv") * F.col("pv")).alias("sq8_score")))
     topk = scores.orderBy(F.col("sq8_score").desc(), "vec_id") \
-                 .limit(SQ8_K).localCheckpoint(eager=True)
+                 .limit(SQ8_K).localCheckpoint(eager=False)
     # rank without a global window (the registry pins zero): a
     # broadcast triangular count over the k-row frame, as
     # bpe_merge_step does for its merge ranks
@@ -2909,7 +2909,7 @@ def cluster_purity_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncl = (assign_cells_literal(emb, rows)
            .groupBy(F.col("c_id").alias("cell"), "label")
            .agg(F.count("*").alias("n"))
-           .localCheckpoint(eager=True))  # k×labels-sized, reused 5x
+           .localCheckpoint(eager=False))  # k×labels-sized, reused 5x
     nc = ncl.groupBy("cell").agg(F.sum("n").alias("n_c"))
     nl = ncl.groupBy("label").agg(F.sum("n").alias("n_l"))
     tot = ncl.agg(F.sum("n").alias("nn"))

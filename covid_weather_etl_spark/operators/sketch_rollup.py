@@ -280,9 +280,9 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                       rho.alias("rho"))
             .groupBy("event_type", "bucket")
             .agg(F.max("rho").alias("mx"))
-            .localCheckpoint(eager=True))   # ≤ 2·4096 rows; reused 2×
+            .localCheckpoint(eager=False))   # ≤ 2·4096 rows; reused 2×
     a, b = OVERLAP_TYPES
-    per = hll_estimate(regs, ["event_type"]).localCheckpoint(eager=True)
+    per = hll_estimate(regs, ["event_type"]).localCheckpoint(eager=False)
     union_regs = (regs.groupBy("bucket").agg(F.max("mx").alias("mx"))
                   .withColumn("g", F.lit(1)))
     uni = (hll_estimate(union_regs, ["g"])
@@ -388,7 +388,7 @@ def bitmap_audience_intersection(spark: SparkSession,
                     mask.alias("m"))
           .groupBy("event_type", "bucket")
           .agg(F.bit_or("m").alias("words"))
-          .localCheckpoint(eager=True))    # reused: sizes + both sides
+          .localCheckpoint(eager=False))    # reused: sizes + both sides
     sizes = bm.agg(
         F.sum(F.when(F.col("event_type") == "signup",
                      F.bit_count("words")).otherwise(0)).alias("n_signup"),

@@ -521,7 +521,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(x.alias("x"), y.alias("y"))
            .groupBy("x")
            .agg(F.count("*").alias("w"), F.sum("y").alias("pos"))
-           .localCheckpoint(eager=True))  # B rows; reused by 4 joins
+           .localCheckpoint(eager=False))  # B rows; reused by 4 joins
     lo0 = pts.agg((F.min("x") - 1).alias("x"),
                   F.lit(0).cast("long").alias("cw"),
                   F.lit(0).cast("long").alias("cpos"))
@@ -530,7 +530,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.col("a.x").alias("x"))
            .agg(F.sum("b.w").alias("cw"), F.sum("b.pos").alias("cpos"))
            .unionByName(lo0)
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     hi, lo = pre.alias("hi"), pre.alias("lo")
     seg = (hi.join(F.broadcast(lo), F.col("lo.x") < F.col("hi.x"))
            .select((F.col("lo.x") + 1).alias("k"),
@@ -632,7 +632,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
                   .cast("double").alias("rev"))
-             .localCheckpoint(eager=True))  # reused: base stats + reps
+             .localCheckpoint(eager=False))  # reused: base stats + reps
     base = daily.agg(F.count("*").alias("n_days"),
                      F.round(F.avg("rev"), 6).alias("mean_revenue"))
     bs = F.explode(F.array(*[F.lit(i) for i in range(BOOT_B)])).alias("b")
@@ -705,7 +705,7 @@ def er_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("part",))
     names = (t["part"].groupBy(F.col("p_name").alias("name"))
              .agg(F.count("*").alias("n_parts"))
-             .localCheckpoint(eager=True))  # reused: pairs + universe
+             .localCheckpoint(eager=False))  # reused: pairs + universe
     a, b = names.alias("a"), names.alias("b")
     # same thresholded-levenshtein + length-band pruning as
     # name_similarity_pairs (lossless; see that docstring)
@@ -816,7 +816,7 @@ def calibration_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            avg_conf.alias("avg_conf"),
                            frac_pos.alias("frac_pos"),
                            gap9.alias("gap9"))
-             .localCheckpoint(eager=True))   # 10 rows; reused
+             .localCheckpoint(eager=False))   # 10 rows; reused
     tot = terms.agg(F.sum("n_rows").alias("n"),
                     F.sum(F.col("n_rows") * F.col("gap9")).alias("wgap"))
     ece = F.floor(F.col("wgap").cast("double") / F.col("n")
@@ -934,7 +934,7 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - F.col("n_good") * 1.0 / F.col("g"))
                               * woe, 9)
                       .cast("decimal(20,9)").alias("term9")))
-    scored = scored.localCheckpoint(eager=True)  # 4 rows; reused twice
+    scored = scored.localCheckpoint(eager=False)  # 4 rows; reused twice
     ivf = scored.agg((F.floor(F.sum("term9").cast("double") * 1e6 + 0.5)
                       / 1e6).alias("iv"))
     return (scored.crossJoin(F.broadcast(ivf))
@@ -1190,7 +1190,7 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         F.split("name", " ").getItem(0).alias("k_tok"),
         F.floor(F.length("name") / BLK_LEN_BAND).cast("long")
-        .alias("k_len")).localCheckpoint(eager=True)
+        .alias("k_len")).localCheckpoint(eager=False)
     a, b = keyed.alias("a"), keyed.alias("b")
     lev = F.levenshtein(F.col("a.name"), F.col("b.name"), 3)
     len_ok = (F.abs(F.length(F.col("a.name"))
@@ -1202,7 +1202,7 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("b.k_tok").alias("tok2"),
                      F.col("a.k_len").alias("len1"),
                      F.col("b.k_len").alias("len2"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     nv = keyed.count()
     all_pairs = nv * (nv - 1) // 2
     n_true = truth.count()
@@ -1320,7 +1320,7 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", "n_rows",
         g6(F.sqrt((F.col("sxx") - (F.col("sx") / F.col("n_rows"))
                    * F.col("sx")) / (F.col("n_rows") - 1))).alias("sd"))
-    st = st.localCheckpoint(eager=True)  # ~25 rows, reused as both sides
+    st = st.localCheckpoint(eager=False)  # ~25 rows, reused as both sides
     tot = st.agg(
         F.sum("n_rows").cast("long").alias("n_total"),
         (F.sum(F.floor(F.col("n_rows") * F.col("sd") * F.lit(1e6)

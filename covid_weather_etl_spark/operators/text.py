@@ -243,7 +243,7 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CacheManager entries from persist() outlive the query and
         # accumulate across a multi-query run. (On a real cluster with
         # executor churn, swap for a reliable checkpoint dir.)
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -768,7 +768,7 @@ def _bpe_init_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("word").agg(F.count("*").alias("cnt")))
     chars = F.expr("transform(sequence(1, length(word)), "
                    "i -> substr(word, i, 1))")
-    return wc.select("word", chars.alias("syms"), "cnt").localCheckpoint()
+    return wc.select("word", chars.alias("syms"), "cnt").localCheckpoint(eager=False)
 
 
 def _bpe_rounds(vocab: DataFrame, first_idx: int, max_rounds: int):
@@ -1198,11 +1198,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize so the corpus-sized explode runs exactly twice
     # (bigrams + unigrams), never per consumer
     pc_all = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_cnt"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     pc = pc_all.filter(F.col("pair_cnt") >= PMI_MIN_CNT)
     uc = (toks.select(F.explode("ts").alias("tok"))
           .groupBy("tok").agg(F.count("*").alias("tok_cnt"))
-          .localCheckpoint(eager=True))
+          .localCheckpoint(eager=False))
     nb = pc_all.agg(F.sum("pair_cnt").alias("n_big"))
     nu = uc.agg(F.sum("tok_cnt").alias("n_tok"))
     u1 = uc.select(F.col("tok").alias("w1"), F.col("tok_cnt").alias("c1"))
@@ -1311,7 +1311,7 @@ def naive_bayes_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = toks.filter(~is_test)
 
     ct = (train.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
-          .localCheckpoint(eager=True))  # class-conditional counts; reused
+          .localCheckpoint(eager=False))  # class-conditional counts; reused
     tc = ct.groupBy("lang").agg(F.sum("cnt").alias("t_c"))
     vv = ct.select("tok").distinct().agg(F.count("*").alias("v"))
     tr_docs = (docs.filter(~is_test).groupBy("lang")
@@ -1409,7 +1409,7 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = (spread(t["documents"], "doc_id")
           .select(F.explode(_tokens()).alias("tok"))
           .groupBy("tok").agg(F.count("*").alias("cnt"))
-          .localCheckpoint(eager=True))   # vocab-bounded; both join sides
+          .localCheckpoint(eager=False))   # vocab-bounded; both join sides
     p, q = tc.alias("p"), tc.alias("q")
     ahead = ((F.col("q.cnt") > F.col("p.cnt"))
              | ((F.col("q.cnt") == F.col("p.cnt"))
@@ -1612,7 +1612,7 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     shingled = (
         shingled_rows(spread(t["documents"], "doc_id"))
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
     pairs = (
@@ -2630,12 +2630,12 @@ def rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the candidate budget, and every count is integer-exact (floats
     only at the three final grid divisions)."""
     pairs = ngram_jaccard_near_dup(spark, sf_dir) \
-        .select("doc_id_1", "doc_id_2").localCheckpoint(eager=True)
+        .select("doc_id_1", "doc_id_2").localCheckpoint(eager=False)
     t = load_tables(spark, sf_dir, ("documents",))
     tf = (spread(t["documents"], "doc_id")
           .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
           .groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-          .localCheckpoint(eager=True))    # read 2x (overlap + lens)
+          .localCheckpoint(eager=False))    # read 2x (overlap + lens)
     lens = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("len"))
     t1 = tf.select(F.col("doc_id").alias("doc_id_1"), "tok",
                    F.col("tf").alias("tf1"))
@@ -2722,14 +2722,14 @@ def bpe_vocab_budget_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.explode(_tokens()).alias("word"))
            .groupBy("word").agg(F.count("*").alias("cnt"))
            .select("word", chars.alias("syms"), "cnt")
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     applied = 0
     stats = []
     for bgt in BPE_BUDGETS:
         while applied < min(bgt, len(merges)):
             a, b = merges[applied][1], merges[applied][2]
             seg = seg.select("word", _bpe_fold(a, b).alias("syms"),
-                             "cnt").localCheckpoint()
+                             "cnt").localCheckpoint(eager=False)
             applied += 1
         core = seg.agg(
             F.sum("cnt").cast("long").alias("corpus_tokens"),
@@ -3001,7 +3001,7 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  g6(F.log(F.lit(1.0) + F.col("c"))
                     * F.log(F.col("n") * F.lit(1.0) / F.col("df")))
                  .alias("w"))
-         .localCheckpoint(eager=True))  # vocab-bounded, reused 3x
+         .localCheckpoint(eager=False))  # vocab-bounded, reused 3x
     r9 = lambda c: F.round(c, 9).cast("decimal(25,9)")  # noqa: E731
     norms = (w.groupBy("source")
              .agg(F.sum(r9(F.col("w") * F.col("w"))).cast("double")

@@ -625,7 +625,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("o_orderdate").cast("date").alias("d"))
              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                   .cast("decimal(18,2)").alias("x"))
-             .localCheckpoint(eager=True))  # day-grain; reused 4x
+             .localCheckpoint(eager=False))  # day-grain; reused 4x
     stats = daily.agg(
         F.count("*").alias("n"),
         F.round(F.sum("x").cast("double") / F.count("*"), 6)
@@ -633,7 +633,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (daily.crossJoin(F.broadcast(stats))
            .select("d", (F.col("x") - F.col("xbar"))
                    .cast("decimal(16,6)").alias("e"))
-           .localCheckpoint(eager=True))   # reused as both join sides
+           .localCheckpoint(eager=False))   # reused as both join sides
     den = dev.agg(F.sum(F.col("e") * F.col("e")).alias("s_ee"))
     lags = spark.range(1, ACF_MAX_LAG + 1).select(
         F.col("id").cast("int").alias("lag"))
@@ -735,7 +735,7 @@ def theilsen_mannkendall_trend(spark: SparkSession,
                         ((F.year("o_orderdate") - 1995) * 12
                          + F.month("o_orderdate")).alias("mx"))
                .agg(dsum("o_totalprice", "y"))
-               .localCheckpoint(eager=True))  # reused by pairs/ties/size
+               .localCheckpoint(eager=False))  # reused by pairs/ties/size
     a = monthly.select(F.col("n_name").alias("ln"),
                        F.col("mx").alias("ax"), F.col("y").alias("ay"))
     b = monthly.select(F.col("n_name").alias("rn"),
@@ -1179,7 +1179,7 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = (cur.groupBy((F.col("idx") / 2).cast("long").alias("idx"))
                .agg(((even + odd) / F.lit(2.0)).alias("x"),
                     ((even - odd) / F.lit(2.0)).alias("d"))
-               .localCheckpoint(eager=True))  # <=32-row frame per level
+               .localCheckpoint(eager=False))  # <=32-row frame per level
         out_parts.append(nxt.agg(
             F.lit(lv).cast("long").alias("level"),
             F.count("*").alias("n_coeffs"),
@@ -1190,7 +1190,7 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     lv = out_parts[0]
     for o in out_parts[1:]:
         lv = lv.unionByName(o)
-    lv = lv.localCheckpoint(eager=True)
+    lv = lv.localCheckpoint(eager=False)
     tot = lv.agg(F.sum("energy").alias("te"))
     g6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     # energy is ALREADY on the integer grid (decimal sum of floored

@@ -528,7 +528,7 @@ def purge_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     subject = t["orders"].agg(F.min("o_custkey")).first()[0]
     ords = (t["orders"].filter(F.col("o_custkey") == subject)
-            .select("o_orderkey").localCheckpoint(eager=True))
+            .select("o_orderkey").localCheckpoint(eager=False))
 
     def report(name: str, df: DataFrame, removed: DataFrame) -> DataFrame:
         nb = df.count()
