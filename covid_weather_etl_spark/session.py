@@ -58,6 +58,12 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # r12: the single-task gates (graph.py, corpus.py) answer their
+        # row-count guard from parquet footer statistics when aggregate
+        # pushdown is on; the engine session always set this but the
+        # driver's vanilla session did not, so gate counts paid a real
+        # scan there. Metadata counts are exact — plan-only change.
+        ("spark.sql.parquet.aggregatePushdown", "true"),
         # driver testdata events.ts is TIMESTAMP(NANOS); see sources/catalog.py
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
