@@ -473,30 +473,37 @@ def feature_relevance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise(0).alias("y"))
               .localCheckpoint(eager=False))  # one join feeds 4 screens
 
-    def mi_one(feat: str) -> DataFrame:
-        cells = (joined.groupBy(F.col(feat).alias("x"), "y")
-                 .agg(F.count("*").alias("n_xy")))
-        mx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
-        my = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
-        tt = cells.agg(F.sum("n_xy").alias("n"))
-        term = F.round(
-            (F.col("n_xy") * 1.0 / F.col("n"))
-            * F.log((F.col("n_xy") * 1.0 * F.col("n"))
-                    / (1.0 * F.col("n_x") * F.col("n_y"))), 9) \
-            .cast("decimal(28,9)")
-        return (cells.join(F.broadcast(mx), "x")
-                .join(F.broadcast(my), "y")
-                .crossJoin(F.broadcast(tt))
-                .agg(F.countDistinct("x").alias("n_levels"),
-                     F.round(F.sum(term).cast("double"), 6)
-                     .alias("mi_nats"))
-                .select(F.lit(feat).alias("feature"),
-                        "n_levels", "mi_nats"))
-
-    mis = None
-    for f in FR_FEATURES:
-        mis = mi_one(f) if mis is None else mis.unionByName(mi_one(f))
-    mis = mis.localCheckpoint(eager=False)  # 4 rows; both triangular sides
+    # r12: ONE exploded (feature, x, y) aggregate replaces the four
+    # per-feature cells passes — 4 data-sized shuffles → 1 (map-side
+    # partial aggregation collapses the ×4 explode fan-out to
+    # cells-count rows before the exchange, guide §2.3), and the
+    # marginals/totals become ONE tiny frame each for all four screens
+    # instead of four broadcast builds apiece (46 scheduled jobs → ~12;
+    # the per-cell counts, the 9dp term expression and the DECIMAL sum
+    # are character-identical, so mi_nats is bit-unchanged).
+    cells = (joined.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(f).alias("feature"), F.col(f).alias("x"))
+            for f in FR_FEATURES])).alias("fx"), "y")
+        .groupBy(F.col("fx.feature").alias("feature"),
+                 F.col("fx.x").alias("x"), "y")
+        .agg(F.count("*").alias("n_xy"))
+        .localCheckpoint(eager=False))  # levels-bounded; 4 consumers
+    mx = cells.groupBy("feature", "x").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("feature", "y").agg(F.sum("n_xy").alias("n_y"))
+    tt = cells.groupBy("feature").agg(F.sum("n_xy").alias("n"))
+    term = F.round(
+        (F.col("n_xy") * 1.0 / F.col("n"))
+        * F.log((F.col("n_xy") * 1.0 * F.col("n"))
+                / (1.0 * F.col("n_x") * F.col("n_y"))), 9) \
+        .cast("decimal(28,9)")
+    mis = (cells.join(F.broadcast(mx), ["feature", "x"])
+           .join(F.broadcast(my), ["feature", "y"])
+           .join(F.broadcast(tt), "feature")
+           .groupBy("feature")
+           .agg(F.countDistinct("x").alias("n_levels"),
+                F.round(F.sum(term).cast("double"), 6).alias("mi_nats"))
+           .localCheckpoint(eager=False))  # 4 rows; both triangular sides
     p, q = mis.alias("p"), mis.alias("q")
     ahead = ((F.col("q.mi_nats") > F.col("p.mi_nats"))
              | ((F.col("q.mi_nats") == F.col("p.mi_nats"))
@@ -1046,6 +1053,103 @@ _NATION_Z_CTES = """
     )"""
 
 
+#: single-task collapse gate for the two multiple-testing procedures
+#: (r12): the shared z frame is ≤ HOLM_M rows BY DOMAIN (one row per
+#: nation), so the post-z algebra — triangular rank join, critical-
+#: value join, step decision — runs in ONE mapInPandas task instead of
+#: ~10 one-task broadcast/aggregate jobs apiece (SCALE.md §13 tax).
+#: The kernels introduce NO new float ops: z doubles pass through,
+#: ranks are |z| comparisons with byte-order name tie-breaks (the
+#: cc_single_task UTF-8 convention), thresholds are the same module
+#: literals, verdicts are integer comparisons. The flag exists so
+#: tests can force the distributed path for the equality pins.
+MT_SINGLE_TASK_MAX = HOLM_M
+
+
+def _mt_rank(rows) -> list:
+    """Shared rank step: 1 + |{b : |z_b| > |z_a| or (= and name_b <
+    name_a byte-order)}| — the triangular-join text replayed on ints/
+    doubles/bytes."""
+    out = []
+    for name, n, z in rows:
+        az = abs(z)
+        rk = 1 + sum(
+            1 for bn, _, bz in rows
+            if bn != name and (abs(bz) > az
+                               or (abs(bz) == az
+                                   and bn.encode("utf-8")
+                                   < name.encode("utf-8"))))
+        out.append((name, n, z, rk))
+    return out
+
+
+def _holm_single_task(z: DataFrame) -> DataFrame:
+    """Holm step-down in one task over the ≤HOLM_M-row z frame; see
+    MT_SINGLE_TASK_MAX. Bit-exact: replays the rank/threshold/step
+    algebra on the unchanged z doubles (pinned kernel-vs-loop in
+    tests/test_drift.py)."""
+    import pandas as pd
+
+    def k(pdfs):
+        cols = {"n_name": "object", "n": "int64", "z": "float64",
+                "holm_rank": "int64", "reject_unadjusted": "int32",
+                "reject_bonferroni": "int32", "reject_holm": "int32"}
+        parts = list(pdfs)
+        rows = ([(nm, int(n), float(zz))
+                 for p in parts
+                 for nm, n, zz in zip(p["n_name"], p["n"], p["z"])]
+                if parts else [])
+        if not rows:
+            yield pd.DataFrame({c: pd.Series([], dtype=t)
+                                for c, t in cols.items()})
+            return
+        ranked = _mt_rank(rows)
+        pass_k = {rk: int(abs(zz) >= HOLM_ZCRIT[rk - 1])
+                  for _, _, zz, rk in ranked}
+        recs = [(nm, n, zz, rk,
+                 int(abs(zz) >= _RAW_Z), int(abs(zz) >= _BONF_Z),
+                 min(pass_k[r] for r in pass_k if r <= rk))
+                for nm, n, zz, rk in ranked]
+        yield pd.DataFrame({c: pd.Series([r[i] for r in recs], dtype=t)
+                            for i, (c, t) in enumerate(cols.items())})
+
+    return z.coalesce(1).mapInPandas(
+        k, "n_name string, n long, z double, holm_rank long, "
+           "reject_unadjusted int, reject_bonferroni int, "
+           "reject_holm int")
+
+
+def _bh_single_task(z: DataFrame) -> DataFrame:
+    """Benjamini-Hochberg step-up in one task over the ≤HOLM_M-row z
+    frame; same contract as _holm_single_task."""
+    import pandas as pd
+
+    def k(pdfs):
+        cols = {"n_name": "object", "n": "int64", "z": "float64",
+                "bh_rank": "int64", "bh_threshold_z": "float64",
+                "reject_bh": "int32"}
+        parts = list(pdfs)
+        rows = ([(nm, int(n), float(zz))
+                 for p in parts
+                 for nm, n, zz in zip(p["n_name"], p["n"], p["z"])]
+                if parts else [])
+        if not rows:
+            yield pd.DataFrame({c: pd.Series([], dtype=t)
+                                for c, t in cols.items()})
+            return
+        ranked = _mt_rank(rows)
+        ks = max((rk for _, _, zz, rk in ranked
+                  if abs(zz) >= BH_ZCRIT[rk - 1]), default=0)
+        recs = [(nm, n, zz, rk, BH_ZCRIT[rk - 1], int(rk <= ks))
+                for nm, n, zz, rk in ranked]
+        yield pd.DataFrame({c: pd.Series([r[i] for r in recs], dtype=t)
+                            for i, (c, t) in enumerate(cols.items())})
+
+    return z.coalesce(1).mapInPandas(
+        k, "n_name string, n long, z double, bh_rank long, "
+           "bh_threshold_z double, reject_bh int")
+
+
 def _holm_oracle() -> str:
     zrows = ", ".join(f"({k + 1}, {z!r})"
                       for k, z in enumerate(HOLM_ZCRIT))
@@ -1131,6 +1235,11 @@ def holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate behind two broadcast dim joins; everything after is
     {HOLM_M}-row algebra."""
     z = _nation_welch_z(spark, sf_dir)
+    # single-task collapse (r12): the z frame is domain-bounded at
+    # HOLM_M rows; run the whole step procedure in one kernel task
+    # (kernel-vs-loop pinned in tests; flag only exists for tests).
+    if HOLM_M <= MT_SINGLE_TASK_MAX:
+        return _holm_single_task(z)
     a, b = z.alias("a"), z.alias("b")
     beats = (F.abs(F.col("b.z")) > F.abs(F.col("a.z"))) | \
         ((F.abs(F.col("b.z")) == F.abs(F.col("a.z")))
@@ -1314,6 +1423,11 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rank comparison. Plan: one fact aggregate, then
     {HOLM_M}-row algebra."""
     z = _nation_welch_z(spark, sf_dir)
+    # single-task collapse (r12): the z frame is domain-bounded at
+    # HOLM_M rows; run the whole step procedure in one kernel task
+    # (kernel-vs-loop pinned in tests; flag only exists for tests).
+    if HOLM_M <= MT_SINGLE_TASK_MAX:
+        return _bh_single_task(z)
     a, b = z.alias("a"), z.alias("b")
     beats = (F.abs(F.col("b.z")) > F.abs(F.col("a.z"))) | \
         ((F.abs(F.col("b.z")) == F.abs(F.col("a.z")))

@@ -1120,6 +1120,88 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixed MM iteration count (fixed = SQL-replayable, the IRLS rule).
 BT_ROUNDS = 3
 
+#: single-task collapse cap on the DIRECTED pair frame (items²-bounded;
+#: ~48 B/row → ≤ ~50 MB task working set at the cap). Below it the
+#: whole MM fit runs in ONE mapInPandas task (_bt_single_task) instead
+#: of 3 rounds × (2 joins + aggregate + normalization subquery) of
+#: items-sized plan fragments — measured r12: the loop path schedules
+#: 40 jobs / 133 one-task stages, pure per-job scheduler tax at this
+#: state size (SCALE.md §13). Above the cap the temp-view round loop
+#: below is the scale path (items² beyond the cap means a fat
+#: preference matrix — then the distributed joins are the right shape).
+BT_SINGLE_TASK_MAX = 1_000_000
+
+
+def _bt_single_task(directed: DataFrame) -> DataFrame:
+    """Whole-MM-fit-in-one-task kernel over the DIRECTED duel frame
+    (i, j, w_ij, n_ij — one row per ordered pair with n_ij > 0).
+    Callers MUST gate on BT_SINGLE_TASK_MAX.
+
+    Bit-exactness contract (same discipline as the graph kernels'
+    UTF-8/int arguments): every float op replays the _bt_round_sql
+    text with IDENTICAL IEEE semantics — Python floats ARE doubles,
+    `/` and `*` are left-associative in both grammars, math.floor on
+    a double equals SQL FLOOR(DOUBLE), and the DECIMAL(25,0) per-item
+    term sums are exact Python int sums. Per round, per item:
+    denom_i = Σ_j floor(n_ij·1e9/(π_i+π_j) + 0.5)   (int sum),
+    pr_i    = floor(((w_i/denom_i)·1e9)·1e6 + 0.5)/1e6,
+    tot     = float(Σ_i floor(pr_i·1e6 + 0.5))/1e6,
+    π_i     = floor(((pr_i·n)/tot)·1e6 + 0.5)/1e6
+    — exactly the grid-snap sequence the SQL loop and the DuckDB
+    oracle execute, so the result is hash-identical to both (pinned
+    kernel-vs-loop in tests/test_eventstats.py)."""
+    import math
+
+    import pandas as pd
+
+    def k(pdfs):
+        empty = pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_wins": pd.Series([], dtype="int64"),
+            "n_comparisons": pd.Series([], dtype="int64"),
+            "strength": pd.Series([], dtype="float64")})
+        parts = list(pdfs)
+        if not parts:
+            yield empty
+            return
+        e = pd.concat(parts, ignore_index=True)
+        if not len(e):
+            yield empty
+            return
+        wins: dict = {}
+        pairs = []
+        for i, j, w, nij in zip(e["i"], e["j"], e["w_ij"], e["n_ij"]):
+            acc = wins.setdefault(i, [0, 0])
+            acc[0] += int(w)
+            acc[1] += int(nij)
+            pairs.append((i, j, float(nij)))
+        n = float(len(wins))
+        pi = {it: 1.0 for it in wins}
+        for _ in range(BT_ROUNDS):
+            denom = {it: 0 for it in wins}
+            for i, j, nij in pairs:
+                denom[i] += int(math.floor(nij * 1e9 / (pi[i] + pi[j])
+                                           + 0.5))
+            pr = {it: math.floor(float(wins[it][0]) / float(denom[it])
+                                 * 1e9 * 1e6 + 0.5) / 1e6
+                  for it in wins}
+            tot = float(sum(int(math.floor(v * 1e6 + 0.5))
+                            for v in pr.values())) / 1e6
+            pi = {it: math.floor(pr[it] * n / tot * 1e6 + 0.5) / 1e6
+                  for it in wins}
+        yield pd.DataFrame({
+            "event_type": list(wins),
+            "n_wins": pd.Series([v[0] for v in wins.values()],
+                                dtype="int64"),
+            "n_comparisons": pd.Series([v[1] for v in wins.values()],
+                                       dtype="int64"),
+            "strength": pd.Series([pi[it] for it in wins],
+                                  dtype="float64")})
+
+    return directed.coalesce(1).mapInPandas(
+        k, "event_type string, n_wins long, n_comparisons long, "
+           "strength double")
+
 
 def _bt_g6(e: str) -> str:
     return f"FLOOR(({e}) * 1e6 + 5e-1) / 1e6"
@@ -1251,6 +1333,14 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("n_ij"))
                 .filter(F.col("n_ij") > 0)
                 .localCheckpoint(eager=False))  # items²-sized, reused
+    # single-task collapse (r12, the graph-kernel precedent): the
+    # count gate is one cheap job on the items²-bounded frame (and
+    # doubles as the checkpoint materialization); below the cap the
+    # whole 3-round MM fit runs in ONE task — kernel-vs-loop equality
+    # pinned in tests, oracle unchanged (hash-identical by the
+    # bit-exactness contract in _bt_single_task's docstring).
+    if 0 <= directed.count() <= BT_SINGLE_TASK_MAX:
+        return _bt_single_task(directed)
     wins = (directed.groupBy(F.col("i").alias("item"))
             .agg(F.sum("w_ij").cast("long").alias("n_wins"),
                  F.sum("n_ij").cast("long").alias("n_comparisons"))

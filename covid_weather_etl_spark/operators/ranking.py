@@ -447,6 +447,79 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p_size").cast("int").alias("p_size")))
 
 
+#: driver-resolution cap on the band frame (rows). The frame is
+#: domain-bounded (price-range/100 bands × |return flags|), so the cap
+#: never binds on real data; it exists as the scale guard and so tests
+#: can force the distributed refinement (-1).
+WM_COLLECT_MAX = 100_000
+
+
+def _wm_from_bands(li: DataFrame, rows) -> DataFrame:
+    """Pass-2 of the weighted-median refinement with the crossing-band
+    decision resolved on the driver from the collected band frame.
+    Exact replay of the distributed decision: bp/tot are Python
+    decimal.Decimal sums of the collected DECIMAL(25,6) masses (the
+    same exact values Spark's decimal SUM produces), the crossing test
+    2·(bp+bw) ≥ tot is an exact decimal comparison, and the chosen
+    (flag, cblk, bp, tot) re-enter the plan as DECIMAL literals cast to
+    the distributed path's exact types — so the in-band cumulative and
+    the final filter see bit-identical numbers (pinned literal-vs-loop
+    in tests/test_ranking.py)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["l_returnflag"]].append((int(r["blk"]), r["bw"]))
+    info = []  # (flag, cblk, bp, tot)
+    for flag, lst in per.items():
+        lst.sort()
+        tot = sum((bw for _, bw in lst), Decimal(0))
+        bp = Decimal(0)
+        for blk, bw in lst:
+            if 2 * (bp + bw) >= tot:
+                info.append((flag, blk, bp, tot))
+                break
+            bp += bw
+    if not info:
+        return (li.filter(F.lit(False))
+                .groupBy("l_returnflag")
+                .agg(F.min("l_extendedprice")
+                     .alias("weighted_median_price"),
+                     F.lit(None).cast("double").alias("total_qty")))
+    picked = None
+    for flag, cblk, _, _ in info:
+        c = (F.col("l_returnflag") == flag) & (F.col("blk") == cblk)
+        picked = c if picked is None else (picked | c)
+    # bp/tot enter as the SAME types the distributed path produced:
+    # bp = coalesce(SUM(dec(25,6))) -> decimal(35,6); tot likewise.
+    def lit_by_flag(idx):
+        # when-chain with one branch per distinct flag (order
+        # irrelevant — the predicates are disjoint); every branch is
+        # the same decimal(35,6) type, so the CASE result type matches
+        # the distributed path's join-produced column exactly.
+        e = F.lit(info[0][idx]).cast("decimal(35,6)")
+        for rec in info[1:]:
+            e = F.when(F.col("l_returnflag") == rec[0],
+                       F.lit(rec[idx]).cast("decimal(35,6)")) \
+                .otherwise(e)
+        return e
+
+    in_band = (li.filter(picked)
+               .groupBy("l_returnflag", "l_extendedprice")
+               .agg(F.sum("qd").alias("w"))
+               .withColumn("bp", lit_by_flag(2))
+               .withColumn("tot", lit_by_flag(3)))
+    w_in = (W.partitionBy("l_returnflag")
+            .orderBy("l_extendedprice")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = in_band.withColumn("cum", F.col("bp") + F.sum("w").over(w_in))
+    return (cum.filter(2 * F.col("cum") >= F.col("tot"))
+            .groupBy("l_returnflag")
+            .agg(F.min("l_extendedprice").alias("weighted_median_price"),
+                 F.max("tot").cast("double").alias("total_qty")))
+
+
 @register(
     "weighted_median_price",
     survey="ext-rank,A11,A6,W1",
@@ -503,6 +576,18 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = (li.groupBy("l_returnflag", "blk")
             .agg(F.sum("qd").alias("bw"))
             .localCheckpoint(eager=False))    # bands-sized; reused 3x
+    # r12: resolve the crossing band on the DRIVER when the band frame
+    # is small (it is domain-bounded: price-range/100 × |flags| rows at
+    # ANY data scale — the woe_iv cursor-scalar convention, exact
+    # DECIMAL arithmetic end to end), replacing the triangular
+    # broadcast join + crossing + cross_info joins (~6 one-task jobs,
+    # SCALE.md §13 tax) with literal predicates on the pass-2 scan.
+    # limit(cap+1) bounds the fetch: if more rows come back, fall
+    # through to the distributed refinement (the above-cap scale path).
+    if WM_COLLECT_MAX >= 0:
+        rows = band.limit(WM_COLLECT_MAX + 1).collect()
+        if len(rows) <= WM_COLLECT_MAX:
+            return _wm_from_bands(li, rows)
     tot = band.groupBy("l_returnflag").agg(F.sum("bw").alias("tot"))
     ba, bb = band.alias("ba"), band.alias("bb")
     below = (ba.join(F.broadcast(bb),
@@ -740,6 +825,82 @@ def ndcg_popularity_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: RBO persistence parameter and evaluation depth.
 RBO_P = 0.9
 RBO_DEPTH = 50
+
+#: single-task collapse gate (r12): everything after the two
+#: TakeOrdered heads is RBO_DEPTH-bounded BY CONSTRUCTION (limit D),
+#: so the rank/overlap/term algebra — two triangular self-joins, the
+#: depth fan-out join and the truncated-sum join, ~9 one-task jobs of
+#: ≤50-row work (SCALE.md §13 tax) — runs in ONE mapInPandas task.
+#: Exactness: the DECIMAL totals cross Arrow as exact decimal.Decimal
+#: (rank comparisons unchanged); the only float replays are
+#: pow/round-9dp/g6, pinned bit-identical to the JVM in
+#: tests/test_ranking.py (data-INDEPENDENT inputs: p^(d-1), d ≤ 50).
+#: The flag exists so tests can force the distributed path.
+RBO_SINGLE_TASK_MAX = RBO_DEPTH
+
+
+def _rbo_single_task(heads: DataFrame) -> DataFrame:
+    """Whole-RBO-in-one-task kernel over the tagged union of the two
+    top-D heads (side 'a' = revenue ranking, 'b' = quantity ranking;
+    columns side, pk, v). Replays the triangular rank count (v desc,
+    pk asc ties), m = max(rank_a, rank_b), prefix overlaps o_d, the
+    9dp-snapped RBO terms (Double.toString/HALF_UP semantics via
+    Decimal(repr(x))) and the 1e-6 grid finals — see
+    RBO_SINGLE_TASK_MAX for the bit-exactness argument."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    q9 = Decimal("1e-9")
+    # p^(d-1) via the JVM's StrictMath.pow (py4j round-trips doubles
+    # through Double.toString — bit-exact). Measured on this build:
+    # Spark's F.pow == StrictMath.pow, which differs by 1 ulp from BOTH
+    # the HotSpot Math.pow intrinsic AND C/Python libm pow at e.g.
+    # exponent 4 — so the kernel must replay StrictMath, not the
+    # platform libm. Data-independent (RBO_DEPTH constants); pinned
+    # against F.pow AND exhaustively over every reachable (o, d) term
+    # in tests/test_ranking.py.
+    sm = heads.sparkSession._jvm.java.lang.StrictMath
+    powv = [sm.pow(RBO_P, float(e)) for e in range(RBO_DEPTH)]
+
+    def k(pdfs):
+        cols = {"depth": "int64", "n_overlap": "int64",
+                "agreement": "float64", "rbo_truncated": "float64"}
+        parts = list(pdfs)
+        rows = ([(s, int(pk), v)
+                 for p in parts
+                 for s, pk, v in zip(p["side"], p["pk"], p["v"])]
+                if parts else [])
+        if not rows:
+            yield pd.DataFrame({c: pd.Series([], dtype=t)
+                                for c, t in cols.items()})
+            return
+        rank = {}
+        for side in ("a", "b"):
+            lst = [(pk, v) for s, pk, v in rows if s == side]
+            for pk, v in lst:
+                rank[(side, pk)] = 1 + sum(
+                    1 for qk, qv in lst
+                    if qk != pk and (qv > v or (qv == v and qk < pk)))
+        m = [max(rank[("a", pk)], rank[("b", pk)])
+             for (s, pk) in rank if s == "a" and ("b", pk) in rank]
+        terms = []
+        recs = []
+        for d in range(1, RBO_DEPTH + 1):
+            o = sum(1 for x in m if x <= d)
+            raw = (1.0 - RBO_P) * powv[d - 1] * float(o) / float(d)
+            terms.append(Decimal(repr(raw)).quantize(q9, ROUND_HALF_UP))
+            if d in RBO_REPORT_DEPTHS:
+                g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa
+                recs.append((d, o, g6(float(o) * 1.0 / float(d)),
+                             g6(float(sum(terms)))))
+        yield pd.DataFrame({c: pd.Series([r[i] for r in recs], dtype=t)
+                            for i, (c, t) in enumerate(cols.items())})
+
+    return heads.coalesce(1).mapInPandas(
+        k, "depth long, n_overlap long, agreement double, "
+           "rbo_truncated double")
 #: depths reported (prefix agreements + truncated RBO at each).
 RBO_REPORT_DEPTHS = (10, 25, 50)
 
@@ -836,6 +997,18 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = (li.groupBy(F.col("l_partkey").alias("pk"))
            .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)"))
                 .alias("v")))
+    # single-task collapse (r12): the two heads are ≤RBO_DEPTH rows by
+    # construction — run all post-head algebra in one kernel task
+    # (kernel-vs-loop pinned in tests; flag only exists for tests).
+    if RBO_DEPTH <= RBO_SINGLE_TASK_MAX:
+        heads = (rev.orderBy(F.col("v").desc(), F.col("pk"))
+                 .limit(RBO_DEPTH)
+                 .select(F.lit("a").alias("side"), "pk", "v")
+                 .unionByName(
+                     qty.orderBy(F.col("v").desc(), F.col("pk"))
+                     .limit(RBO_DEPTH)
+                     .select(F.lit("b").alias("side"), "pk", "v")))
+        return _rbo_single_task(heads)
     joint = (topd(rev, "ra").join(topd(qty, "rb"), "pk")
              .select("pk", F.greatest("ra", "rb").alias("m")))
     depths = spark.range(1, RBO_DEPTH + 1) \

@@ -2878,6 +2878,65 @@ def _cluster_purity_oracle() -> str:
     """
 
 
+#: driver-resolution cap on the contingency table (rows). k×labels-
+#: bounded by construction (IVF cell count × label vocabulary), so the
+#: cap never binds on real data; -1 forces the distributed path (tests).
+CPN_COLLECT_MAX = 100_000
+
+
+def _cpn_from_cells(spark: SparkSession, cells) -> DataFrame:
+    """cluster_purity_nmi_eval's post-aggregate algebra resolved on the
+    driver from the collected (cell, label, n) contingency table —
+    replaces ~12 one-task broadcast/aggregate jobs (SCALE.md §13 tax)
+    with exact arithmetic over a k×labels-bounded list. Bit-exactness:
+    integer counts collect losslessly; every LN is evaluated by the
+    JVM's OWN StrictMath.log via py4j (Spark 4's F.log == StrictMath —
+    the platform libm differs by 1 ulp on some inputs, the F.pow
+    lesson); 9dp snaps replay Spark ROUND's Double.toString/HALF_UP
+    semantics (Decimal(repr(x))); term sums are exact Decimal; sqrt is
+    IEEE-correctly-rounded everywhere so math.sqrt is safe. Pinned
+    kernel-vs-loop (incl. per-input log equality) in
+    tests/test_similarity_lsh.py."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1e-9")
+    slog = spark._jvm.java.lang.StrictMath.log
+
+    def r9(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q9, ROUND_HALF_UP)
+
+    g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    tab = [(int(r["cell"]), int(r["label"]), int(r["n"])) for r in cells]
+    nn = float(sum(n for _, _, n in tab))
+    nc, nl, per_cell = {}, {}, {}
+    for c, l, n in tab:
+        nc[c] = nc.get(c, 0) + n
+        nl[l] = nl.get(l, 0) + n
+        per_cell.setdefault(c, []).append((l, n))
+    mi = sum((r9((n * 1.0 / nn)
+                 * slog(nn * 1.0 * n / (nc[c] * 1.0 * nl[l])))
+              for c, l, n in tab), Decimal(0))
+    ent = lambda counts: sum(  # noqa: E731
+        (r9(-(v * 1.0 / nn) * slog(v * 1.0 / nn))
+         for v in counts), Decimal(0))
+    hc, hl = ent(nc.values()), ent(nl.values())
+    hits = 0
+    recs = []
+    for c, pairs in per_cell.items():
+        n_maj, neg = max((n, -l) for l, n in pairs)
+        hits += n_maj
+        recs.append((c, nc[c], n_maj, -neg))
+    nmi = g6(float(mi) / math.sqrt(float(hc) * float(hl)))
+    purity = g6(hits * 1.0 / nn)
+    out = [(c, n_vecs, lbl, g6(n_maj * 1.0 / n_vecs), purity, nmi)
+           for c, n_vecs, n_maj, lbl in recs]
+    return spark.createDataFrame(
+        out, "cell int, n_vecs long, majority_label int, "
+             "majority_share double, purity double, nmi double")
+
+
 @register("cluster_purity_nmi_eval", survey="ext-sim,A6,A8,F10,U5",
           oracle=_cluster_purity_oracle,
           tags=("oracle-at-sf0.01",))
@@ -2910,6 +2969,14 @@ def cluster_purity_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.col("c_id").alias("cell"), "label")
            .agg(F.count("*").alias("n"))
            .localCheckpoint(eager=False))  # k×labels-sized, reused 5x
+    # driver resolution (r12): the contingency table is k×labels rows
+    # by construction — resolve purity/NMI/majorities on the driver
+    # with exact JVM-log arithmetic (see _cpn_from_cells; pinned
+    # driver-vs-distributed in tests; -1 forces the distributed path).
+    if CPN_COLLECT_MAX >= 0:
+        tab = ncl.limit(CPN_COLLECT_MAX + 1).collect()
+        if len(tab) <= CPN_COLLECT_MAX:
+            return _cpn_from_cells(spark, tab)
     nc = ncl.groupBy("cell").agg(F.sum("n").alias("n_c"))
     nl = ncl.groupBy("label").agg(F.sum("n").alias("n_l"))
     tot = ncl.agg(F.sum("n").alias("nn"))

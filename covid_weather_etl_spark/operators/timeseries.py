@@ -1088,6 +1088,69 @@ def croston_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 HAAR_N = 64
 HAAR_LEVELS = 6
 
+#: single-task collapse gate for the cascade (r12): the post-aggregate
+#: frame is ALWAYS HAAR_N rows by construction (a constant dyadic
+#: window, not a data-sized frame), so the whole 6-level cascade —
+#: previously 6 chained groupBys + 6 energy aggregates + union + total
+#: = 21 scheduled jobs / 85 stages of ≤64-row algebra, pure per-job
+#: scheduler tax (SCALE.md §13) — runs in ONE mapInPandas task. The
+#: flag exists only so tests can force the distributed cascade for the
+#: kernel-vs-loop equality pin; at any data scale the kernel input
+#: stays HAAR_N rows.
+HAAR_SINGLE_TASK_MAX = HAAR_N
+
+
+def _haar_single_task(cur) -> "DataFrame":
+    """Whole-cascade-in-one-task kernel over the zero-filled dyadic
+    frame (idx 0..HAAR_N-1, x = daily revenue as DOUBLE). Bit-exactness
+    contract: each Haar step is (even±odd)/2 on doubles — IEEE-
+    identical to the SQL cascade's 2-row SUM(CASE) groups (adding the
+    CASE's 0e0 arm to a non-negative double is exact, division by 2 is
+    exact); energy terms floor(d² + 0.5) are exact int sums; the total
+    is accumulated in LEVEL ORDER 1..6 — the same sequential order the
+    DuckDB oracle's union CTE sums, which the hash-green history proves
+    equals the Spark aggregate's value; energy_share replays the 1e-6
+    grid snap. Pinned kernel-vs-loop in tests/test_timeseries.py."""
+    import math
+
+    import pandas as pd
+
+    def k(pdfs):
+        parts = list(pdfs)
+        cols = {"level": "int64", "n_coeffs": "int64",
+                "energy": "float64", "energy_share": "float64"}
+        if not parts:
+            yield pd.DataFrame({c: pd.Series([], dtype=t)
+                                for c, t in cols.items()})
+            return
+        e = pd.concat(parts, ignore_index=True).sort_values("idx")
+        x = [float(v) for v in e["x"]]
+        levels = []
+        for lv in range(1, HAAR_LEVELS + 1):
+            nxt, det = [], []
+            for i in range(0, len(x), 2):
+                nxt.append((x[i] + x[i + 1]) / 2.0)
+                det.append((x[i] - x[i + 1]) / 2.0)
+            energy = sum(int(math.floor(d * d + 0.5)) for d in det)
+            levels.append((lv, len(det), float(energy)))
+            x = nxt
+        te = 0.0
+        for _, _, en in levels:          # level order 1..6 — see above
+            te = te + en
+        yield pd.DataFrame({
+            "level": pd.Series([l for l, _, _ in levels], dtype="int64"),
+            "n_coeffs": pd.Series([n for _, n, _ in levels],
+                                  dtype="int64"),
+            "energy": pd.Series([en for _, _, en in levels],
+                                dtype="float64"),
+            "energy_share": pd.Series(
+                [math.floor(en / te * 1e6 + 0.5) / 1e6
+                 for _, _, en in levels], dtype="float64")})
+
+    return cur.coalesce(1).mapInPandas(
+        k, "level long, n_coeffs long, energy double, "
+           "energy_share double")
+
 
 def _haar_oracle() -> str:
     rev = "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
@@ -1170,6 +1233,12 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = (grid.join(daily, "idx", "left")
            .select("idx", F.coalesce(F.col("rev"), F.lit(0.0))
                    .alias("x")))
+    # single-task collapse (r12): the cascade input is HAAR_N rows by
+    # construction at ANY data scale — run the whole 6-level cascade in
+    # one kernel task (21 jobs → 1; kernel-vs-loop pinned in tests; the
+    # flag only exists so tests can force the distributed cascade).
+    if HAAR_N <= HAAR_SINGLE_TASK_MAX:
+        return _haar_single_task(cur)
     out_parts = []
     for lv in range(1, HAAR_LEVELS + 1):
         even = F.sum(F.when(F.col("idx") % 2 == 0, F.col("x"))

@@ -652,3 +652,38 @@ def test_ivf_nprobe_sweep_monotone(spark):
         assert 0.0 <= r["avg_recall"] <= 1.0
         assert 0.0 < r["avg_scanned_share"] <= 1.0
         assert r["n_hits"] <= r["n_queries"] * 10
+
+
+def test_cluster_purity_driver_path_equals_distributed(spark):
+    """r12 driver resolution of the purity/NMI algebra: (1) Spark's
+    F.log is bitwise StrictMath.log (the py4j replay's source — C libm
+    differs by 1 ulp on ~7% of inputs, measured); (2) the driver path
+    equals the distributed path bitwise on the fixture corpus."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    import covid_weather_etl_spark.operators.similarity as S
+
+    sm = spark._jvm.java.lang.StrictMath
+    xs = [0.1 * k + 0.0001 for k in range(1, 200)]
+    jv = (spark.createDataFrame([(x,) for x in xs], "x double")
+          .select(F.log("x").alias("l")).collect())
+    assert all(struct.pack("d", r["l"]) == struct.pack("d", sm.log(x))
+               for r, x in zip(jv, xs))
+
+    def rows(df):
+        return sorted(tuple(struct.pack("d", v) if isinstance(v, float)
+                            else v for v in r.asDict().values())
+                      for r in df.collect())
+
+    cap = S.CPN_COLLECT_MAX
+    try:
+        S.CPN_COLLECT_MAX = 100_000
+        drv = rows(S.cluster_purity_nmi_eval(spark, SF_DIR))
+        S.CPN_COLLECT_MAX = -1  # force the distributed path
+        dist = rows(S.cluster_purity_nmi_eval(spark, SF_DIR))
+    finally:
+        S.CPN_COLLECT_MAX = cap
+    assert drv == dist and len(drv) >= 2
