@@ -2103,7 +2103,8 @@ ALS_RANK = 8
 ALS_TOP = 3
 
 
-@register("als_part_recommendations", survey="ext-ml,U2,U3")
+@register("als_part_recommendations", survey="ext-ml,U2,U3",
+          bench=True)  # r13: heavy flagged for the driver PERF table
 def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Implicit-feedback collaborative filtering (Hu, Koren & Volinsky
     2008) over the customer × part purchase matrix: interactions =

@@ -390,6 +390,82 @@ def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("b.new_users").alias("cum_users")))
 
 
+#: driver-resolution cap on the day-grain risk table (rows). The table
+#: is horizon-bounded (one row per observed duration day), so the cap
+#: never binds on real data at any corpus scale; -1 forces the
+#: distributed triangular-join path (tests).
+SURV_COLLECT_MAX = 100_000
+
+
+def _surv_at_risk(rows) -> list[tuple[int, int, int, int]]:
+    """at-risk replay over the collected day_tab — exact integer
+    prefix algebra, identical to the triangular join: n(day_a) =
+    n_total − Σ_{day_b < day_a} (d_b + c_b). Returns (day, d, c, n)
+    ascending by day."""
+    tab = sorted((int(r["day"]), int(r["d"]), int(r["c"])) for r in rows)
+    n_total = sum(d + c for _, d, c in tab)
+    out, below = [], 0
+    for day, d, c in tab:
+        out.append((day, d, c, n_total - below))
+        below += d + c
+    return out
+
+
+def _km_from_day_tab(spark: SparkSession, rows) -> DataFrame:
+    """kaplan_meier_conversion's post-day_tab algebra resolved on the
+    driver (callers gate on SURV_COLLECT_MAX) — replaces the two
+    triangular broadcast joins + their checkpoint/broadcast-build jobs
+    with one ascending-day prefix pass. Bit-exactness: counts are
+    integers; each log term replays F.log == StrictMath.log via py4j
+    on the identical double d·1.0/n, snapped 9dp with the
+    Decimal(repr(x)) HALF_UP replay of Spark ROUND, DECIMAL-summed
+    exactly; survival replays ROUND(EXP(logsum), 6) with StrictMath.exp
+    + the same Decimal snap. Pinned driver-vs-distributed bitwise in
+    tests/test_eventstats.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9, q6 = Decimal("1e-9"), Decimal("1e-6")
+    jm = spark._jvm.java.lang.StrictMath
+    out = []
+    logsum, hit = Decimal(0), False
+    for day, d, c, n in _surv_at_risk(rows):
+        if d >= n:
+            hit = True
+        elif d > 0:
+            logsum += Decimal(repr(jm.log(1.0 - d * 1.0 / n))).quantize(
+                q9, ROUND_HALF_UP)
+        surv = 0.0 if hit else float(
+            Decimal(repr(jm.exp(float(logsum)))).quantize(
+                q6, ROUND_HALF_UP))
+        out.append((day, n, d, c, surv))
+    return spark.createDataFrame(
+        out, "day bigint, n_at_risk bigint, n_events bigint, "
+             "n_censored bigint, survival double")
+
+
+def _na_from_day_tab(spark: SparkSession, rows) -> DataFrame:
+    """nelson_aalen_hazard's post-day_tab algebra resolved on the
+    driver (same gate/discipline as _km_from_day_tab; no
+    transcendentals at all — each hazard term is one IEEE divide
+    snapped 9dp via the Decimal(repr) replay of Spark ROUND,
+    DECIMAL-summed, finals g6-floored like the engine's fround)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1e-9")
+    g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    r9 = lambda x: Decimal(repr(x)).quantize(q9, ROUND_HALF_UP)  # noqa: E731
+    out = []
+    h, v = Decimal(0), Decimal(0)
+    for day, d, c, n in _surv_at_risk(rows):
+        h += r9(d * 1.0 / n)
+        v += r9(d * 1.0 / (n * 1.0 * n))
+        out.append((day, n, d, c, g6(float(h)), g6(float(v))))
+    return spark.createDataFrame(
+        out, "day long, n_at_risk long, n_events long, "
+             "n_censored long, cum_hazard double, hazard_var double")
+
+
 @register(
     "kaplan_meier_conversion",
     survey="ext-events,A6,J1,W1",
@@ -487,6 +563,14 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.sum("is_event").alias("d"),
                     F.sum(1 - F.col("is_event")).alias("c"))
                .localCheckpoint(eager=False))  # horizon-sized; reused 3×
+    # driver resolution (r13): the risk table is horizon-bounded —
+    # resolve at-risk counts + the log-space product on the driver
+    # (see _km_from_day_tab; -1 forces the distributed path, pinned
+    # driver-vs-distributed bitwise in tests).
+    if SURV_COLLECT_MAX >= 0:
+        tab = day_tab.limit(SURV_COLLECT_MAX + 1).collect()
+        if len(tab) <= SURV_COLLECT_MAX:
+            return _km_from_day_tab(spark, tab)
     tot = day_tab.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
     a, b = day_tab.alias("a"), day_tab.alias("b")
     at_risk = (a.crossJoin(F.broadcast(tot))
@@ -1076,6 +1160,12 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.sum("is_event").alias("d"),
                     F.sum(1 - F.col("is_event")).alias("c"))
                .localCheckpoint(eager=False))  # horizon-sized; reused 3x
+    # driver resolution (r13): same gate/discipline as
+    # kaplan_meier_conversion above (see _na_from_day_tab).
+    if SURV_COLLECT_MAX >= 0:
+        tab = day_tab.limit(SURV_COLLECT_MAX + 1).collect()
+        if len(tab) <= SURV_COLLECT_MAX:
+            return _na_from_day_tab(spark, tab)
     tot = day_tab.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
     a, b = day_tab.alias("a"), day_tab.alias("b")
     at_risk = (a.crossJoin(F.broadcast(tot))
@@ -1435,6 +1525,42 @@ def _shapley_oracle() -> str:
     """
 
 
+#: driver-resolution flag for the Shapley lattice (the census is
+#: domain-bounded at ≤15 rows, so no size cap is needed; False forces
+#: the distributed path for tests).
+_SHAP_DRIVER = True
+
+
+def _shapley_from_cnt(spark: SparkSession, rows) -> DataFrame:
+    """shapley_attribution's coalition-lattice algebra resolved on the
+    driver from the collected mask census (≤15 rows BY DOMAIN — masks
+    are non-zero 4-bit ints). Everything up to the two final divides
+    is exact integer arithmetic (order-free); phi replays
+    phi24 / 24.0 and share replays FLOOR(phi24·1.0/(24.0·attributable)
+    ·1e6 + 0.5)/1e6 — the identical IEEE op sequence the Spark
+    expressions execute. Pinned driver-vs-distributed bitwise in
+    tests/test_eventstats.py."""
+    import math
+
+    cnt = {int(r["m"]): int(r["c"]) for r in rows}
+    v = {s: sum(c for m, c in cnt.items() if (m & s) == m)
+         for s in range(16)}
+    attributable = sum(cnt.values())
+    out = []
+    for channel, bit in SHAPLEY_CHANNELS:
+        phi24 = sum(_SHAP_W[bin(s).count("1")] * (v[s | bit] - v[s])
+                    for s in range(16) if (s & bit) == 0)
+        touched = sum(c for m, c in cnt.items() if (m & bit) != 0)
+        phi = phi24 / float(_SHAP_NFACT)
+        share = math.floor(phi24 * 1.0 / (float(_SHAP_NFACT)
+                                          * attributable)
+                           * 1e6 + 0.5) / 1e6
+        out.append((channel, touched, phi24, phi, share))
+    return spark.createDataFrame(
+        out, "channel string, n_users_touched long, phi24 long, "
+             "phi double, share double")
+
+
 @register(
     "shapley_attribution",
     survey="ext-events,A6,J1,F12",
@@ -1476,6 +1602,15 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.expr("bit_or(bit)").cast("long").alias("m")))
     cnt = (masks.groupBy("m").agg(F.count("*").alias("c"))
            .localCheckpoint(eager=False))  # <=15 rows, reused 3x
+    # driver resolution (r13): the census is ≤15 rows BY DOMAIN (4-bit
+    # non-zero masks) — the one collect doubles as the checkpoint
+    # materialization; empty census (no conversions) falls through to
+    # the distributed lattice, whose NaN/NULL shape is the pinned
+    # degenerate behavior. SHAP_DRIVER=False forces the loop (tests).
+    if _SHAP_DRIVER:
+        tab = cnt.collect()
+        if tab:
+            return _shapley_from_cnt(spark, tab)
     subsets = spark.range(16).select(F.col("id").alias("s"))
     v = (subsets.join(F.broadcast(cnt),
                       (F.col("m").bitwiseAND(F.col("s")) == F.col("m")),

@@ -155,6 +155,73 @@ def rank_table(df: DataFrame, col: str, n_blocks: int = 32) -> DataFrame:
             .select(col, rk2.cast("long").alias(f"rk2_{col}")))
 
 
+#: driver-resolution cap on the (a, b) joint tie-census (rows). Joint
+#: distinct (chars, tokens) pairs are length-domain-bounded in
+#: practice; -1 forces the distributed path (tests). The row-count
+#: bound keeps the replay inside the engine's long-multiply range.
+SPEAR_COLLECT_MAX = 100_000
+_SPEAR_N_MAX = 10**9
+
+
+def _spearman_from_cells(spark: SparkSession, rows):
+    """spearman_correlation's rank/moment algebra resolved on the
+    driver from the collected (a, b, c) joint tie-census — the two
+    rank_table side frames, their min/max first() jobs, broadcast
+    builds and the moment aggregate collapse into exact integer
+    algebra (ranks on the ½ grid carried 2×-scaled as ints, moment
+    sums exact Python ints == the engine's DECIMAL sums), one
+    float(int)/2 (or /4) per moment — the identical
+    CAST(DECIMAL AS DOUBLE) rounding — and the closed-form rho in
+    plain IEEE doubles with the Decimal(repr) HALF_UP replay of Spark
+    ROUND. Returns None when the denominator is 0 (degenerate,
+    all-tied input) — callers fall through to the distributed path,
+    whose NaN/Infinity double-division shape is the pinned behavior.
+    Pinned driver-vs-distributed bitwise in tests/test_ranking.py."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cells = [(int(r["a"]), int(r["b"]), int(r["c"])) for r in rows]
+    if not cells:
+        return spark.createDataFrame(
+            [(0, None)], "n long, spearman_rho double")
+    ca: dict = {}
+    cb: dict = {}
+    for a, b, c in cells:
+        ca[a] = ca.get(a, 0) + c
+        cb[b] = cb.get(b, 0) + c
+
+    def rk2(counts: dict) -> dict:
+        thru, out = 0, {}
+        for v in sorted(counts):
+            c = counts[v]
+            thru += c
+            out[v] = 2 * (thru - c) + c + 1
+        return out
+
+    rka, rkb = rk2(ca), rk2(cb)
+    n = sa = sb = sab = saa = sbb = 0
+    for a, b, c in cells:
+        x, y = rka[a], rkb[b]
+        n += c
+        sa += c * x
+        sb += c * y
+        sab += c * x * y
+        saa += c * x * x
+        sbb += c * y * y
+    fsa, fsb = float(sa) / 2, float(sb) / 2
+    fsab, fsaa, fsbb = float(sab) / 4, float(saa) / 4, float(sbb) / 4
+    arg1, arg2 = n * fsaa - fsa * fsa, n * fsbb - fsb * fsb
+    if arg1 < 0.0 or arg2 < 0.0:     # float-rounded-negative variance:
+        return None                  # NaN shape — distributed path
+    den = math.sqrt(arg1) * math.sqrt(arg2)
+    if den == 0.0:
+        return None
+    rho = float(Decimal(repr((n * fsab - fsa * fsb) / den)).quantize(
+        Decimal("1e-6"), ROUND_HALF_UP))
+    return spark.createDataFrame(
+        [(n, rho)], "n long, spearman_rho double")
+
+
 @register(
     "spearman_correlation",
     survey="ext-rank,A14,A6,W1",
@@ -213,6 +280,19 @@ def spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (spread(t["documents"], "doc_id")
             .select(F.col("n_chars").alias("a"),
                     F.size(F.split("text", " ")).cast("long").alias("b")))
+    # driver resolution (r13): ONE (a, b)-keyed tie-census aggregate
+    # replaces the two rank_table side frames (each with its own
+    # min/max first() job + broadcast build) — below the cap the rank
+    # and moment algebra is exact integer arithmetic on the driver
+    # (see _spearman_from_cells; -1 forces the distributed path).
+    if SPEAR_COLLECT_MAX >= 0:
+        cells = (base.groupBy("a", "b").agg(F.count("*").alias("c"))
+                 .limit(SPEAR_COLLECT_MAX + 1).collect())
+        if (len(cells) <= SPEAR_COLLECT_MAX
+                and sum(int(r["c"]) for r in cells) <= _SPEAR_N_MAX):
+            out = _spearman_from_cells(spark, cells)
+            if out is not None:
+                return out
     ranked = (base
               .join(F.broadcast(rank_table(base, "a")), "a")
               .join(F.broadcast(rank_table(base, "b")), "b"))

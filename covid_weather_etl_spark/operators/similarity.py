@@ -2401,6 +2401,10 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SQ8 evaluation: candidates kept by the quantized score and the
 #: exact-baseline list depth (recall@SQ8_K).
 SQ8_K = 10
+#: driver-resolution flag for the post-head algebra (both heads are
+#: SQ8_K-bounded by construction; False forces the distributed path
+#: for tests).
+_SQ8_DRIVER = True
 
 
 @register(
@@ -2501,7 +2505,38 @@ def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("vec_id")
               .agg(F.sum(F.col("qv") * F.col("pv")).alias("sq8_score")))
     topk = scores.orderBy(F.col("sq8_score").desc(), "vec_id") \
-                 .limit(SQ8_K).localCheckpoint(eager=False)
+                 .limit(SQ8_K)
+    emb = _vecs(t["embeddings"])
+    pv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
+    exact_top = (emb.crossJoin(F.broadcast(pv))
+                 .filter(F.col("vec_id") != 0)
+                 .orderBy(F.floor(cosine(F.col("v"), F.col("p"))
+                                  * F.lit(1e6) + F.lit(0.5)).desc(),
+                          "vec_id")
+                 .limit(SQ8_K)
+                 .select("vec_id"))
+    # driver resolution (r13, the rank_biased_overlap precedent): both
+    # heads are ≤SQ8_K rows BY CONSTRUCTION (TakeOrdered limits) — the
+    # post-head rank/hit/recall algebra is integer arithmetic plus ONE
+    # division (n_hits·1.0/SQ8_K, the identical IEEE op), so it
+    # resolves on the driver from the two collected heads instead of a
+    # triangular broadcast join + hit join + count + crossJoin (each a
+    # broadcast-build job). _SQ8_DRIVER=False forces the distributed
+    # path (tests; pinned bitwise either way).
+    if _SQ8_DRIVER:
+        head = [(int(r["vec_id"]), int(r["sq8_score"]))
+                for r in topk.collect()]
+        exact_ids = {int(r["vec_id"]) for r in exact_top.collect()}
+        n_hits = sum(1 for v, _ in head if v in exact_ids)
+        recall = n_hits * 1.0 / SQ8_K
+        out = [(1 + sum(1 for u, us in head
+                        if us > s or (us == s and u < v)),
+                v, s, v in exact_ids, recall) for v, s in head]
+        out.sort()
+        return spark.createDataFrame(
+            out, "rank int, vec_id long, sq8_score long, "
+                 "in_exact_topk boolean, recall_at_k double")
+    topk = topk.localCheckpoint(eager=False)
     # rank without a global window (the registry pins zero): a
     # broadcast triangular count over the k-row frame, as
     # bpe_merge_step does for its merge ranks
@@ -2514,16 +2549,9 @@ def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("t.sq8_score").alias("sq8_score"))
                .agg((F.count(F.col("u.vec_id")) + 1).cast("int")
                     .alias("rank")))
-    emb = _vecs(t["embeddings"])
-    pv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
-    exact_top = (emb.crossJoin(F.broadcast(pv))
-                 .filter(F.col("vec_id") != 0)
-                 .orderBy(F.floor(cosine(F.col("v"), F.col("p"))
-                                  * F.lit(1e6) + F.lit(0.5)).desc(),
-                          "vec_id")
-                 .limit(SQ8_K)
-                 .select("vec_id", F.lit(True).alias("hit")))
-    joined = sq8_top.join(F.broadcast(exact_top), "vec_id", "left")
+    joined = sq8_top.join(
+        F.broadcast(exact_top.withColumn("hit", F.lit(True))),
+        "vec_id", "left")
     hits = joined.agg(F.count("hit").alias("n_hits"))
     return (joined
             .crossJoin(F.broadcast(hits))

@@ -199,6 +199,26 @@ def hll_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: audience-overlap pair: the two behavioral cohorts to intersect.
 OVERLAP_TYPES = ("signup", "purchase")
 
+#: driver-resolution flag for the overlap's sketch algebra (the
+#: register census is ≤ 2·HLL_M rows by construction; False forces
+#: the distributed path for tests).
+_HLL_OVL_DRIVER = True
+
+
+def _hll_est_driver(jm, pairs) -> float:
+    """hll_estimate's scalar algebra replayed on the driver for ONE
+    group's collected (bucket, mx) registers: the Z-sum is the exact
+    integer Σ 2^(rho0−mx), casts and divides are the identical IEEE
+    ops, and the linear-counting LN is the JVM's own StrictMath.log
+    via py4j (Spark 4's F.log == StrictMath)."""
+    s_present = sum(1 << (_HLL_RHO0 - mx) for _, mx in pairs)
+    v = HLL_M - len(pairs)
+    s_total = float(s_present + v * _HLL_EMPTY)
+    e_raw = HLL_ALPHA * _HLL_NUM / s_total
+    if e_raw <= 2.5 * HLL_M and v > 0:
+        return float(HLL_M) * jm.log(float(HLL_M) / float(v))
+    return e_raw
+
 _OVERLAP_SRC = ("(SELECT event_type, user_id FROM events "
                 "WHERE event_type IN ('signup', 'purchase'))")
 
@@ -282,6 +302,52 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("rho").alias("mx"))
             .localCheckpoint(eager=False))   # ≤ 2·4096 rows; reused 2×
     a, b = OVERLAP_TYPES
+    # driver resolution (r13): the register census is ≤ 2·HLL_M rows
+    # BY CONSTRUCTION — the three estimates (per-type + union) resolve
+    # on the driver (_hll_est_driver: exact integer Z-sums, StrictMath
+    # LN, fround replayed with math.floor) and the THREE exact
+    # fact-sized aggregates fold into ONE distinct + per-user-flag
+    # pass (identical counts: countDistinct(user | type) ==
+    # Σ has_type over distinct users; the semi-join intersection ==
+    # Σ (has_a AND has_b)). A type with no registers falls through to
+    # the distributed path, whose empty-frame crossJoin shape is the
+    # pinned degenerate behavior. _HLL_OVL_DRIVER=False forces the
+    # distributed path (tests; pinned bitwise either way).
+    if _HLL_OVL_DRIVER:
+        import math
+
+        reg_rows = [(r["event_type"], int(r["bucket"]), int(r["mx"]))
+                    for r in regs.collect()]
+        per_type: dict = {}
+        for et, bucket, mx in reg_rows:
+            per_type.setdefault(et, []).append((bucket, mx))
+        if a in per_type and b in per_type:
+            jm = spark._jvm.java.lang.StrictMath
+            uni_regs: dict = {}
+            for _, bucket, mx in reg_rows:
+                uni_regs[bucket] = max(uni_regs.get(bucket, 0), mx)
+            g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+            asu = g6(_hll_est_driver(jm, per_type[a]))
+            apu = g6(_hll_est_driver(jm, per_type[b]))
+            aun = g6(_hll_est_driver(jm, list(uni_regs.items())))
+            overlap = asu + apu - aun
+            flags = (ev.select("event_type", "user_id").distinct()
+                     .groupBy("user_id")
+                     .agg(F.max(F.col("event_type") == a).alias("ha"),
+                          F.max(F.col("event_type") == b).alias("hb")))
+            exact = flags.agg(
+                F.sum(F.col("ha").cast("long")).alias("exact_signup"),
+                F.sum(F.col("hb").cast("long")).alias("exact_purchase"),
+                F.sum((F.col("ha") & F.col("hb")).cast("long"))
+                .alias("exact_overlap"))
+            return exact.select(
+                F.lit(asu).alias("approx_signup"),
+                F.lit(apu).alias("approx_purchase"),
+                F.lit(aun).alias("approx_union"),
+                F.lit(g6(overlap)).alias("approx_overlap"),
+                "exact_signup", "exact_purchase", "exact_overlap",
+                fround(F.lit(overlap) - F.col("exact_overlap"))
+                .alias("overlap_err"))
     per = hll_estimate(regs, ["event_type"]).localCheckpoint(eager=False)
     union_regs = (regs.groupBy("bucket").agg(F.max("mx").alias("mx"))
                   .withColumn("g", F.lit(1)))

@@ -451,6 +451,62 @@ ISO_BIN = 10
 ISO_TOK_CUT = 56
 
 
+#: driver-resolution cap on the binned point frame (rows). Bins are
+#: length-domain-bounded (n_chars // ISO_BIN); the cap also bounds the
+#: driver's (B+1)² float64 segment matrix (4001² ≈ 128 MB/matrix).
+#: -1 forces the distributed triangular-join path (tests).
+ISO_COLLECT_MAX = 4000
+
+
+def _iso_from_pts(spark: SparkSession, rows) -> DataFrame:
+    """isotonic_calibration's closed-form minimax fit resolved on the
+    driver from the collected (x, w, pos) bin frame — replaces three
+    triangular broadcast joins (+ checkpoint/broadcast-build jobs)
+    with vectorized numpy over the (B+1)² segment matrix. Bit-exact:
+    prefix sums are exact int64; every seg_avg replays
+    (Δcpos)·1.0/(Δcw) — int64→float64 conversion then one IEEE divide,
+    identical to the engine's long→double cast + divide; the minimax
+    is pure comparison/selection (no arithmetic), so min/max pick the
+    identical doubles; finals replay Spark ROUND via Decimal(repr)
+    HALF_UP. Pinned driver-vs-distributed bitwise in
+    tests/test_warehouse.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    if not rows:
+        return spark.createDataFrame(
+            [], "char_bin long, n_docs long, n_pos long, "
+                "emp_rate double, iso_rate double")
+    pts = sorted((int(r["x"]), int(r["w"]), int(r["pos"])) for r in rows)
+    xs = [p[0] for p in pts]
+    ws = np.array([p[1] for p in pts], dtype=np.int64)
+    pos = np.array([p[2] for p in pts], dtype=np.int64)
+    B = len(pts)
+    cw0 = np.concatenate(([0], np.cumsum(ws)))       # pre0 prefix sums
+    cp0 = np.concatenate(([0], np.cumsum(pos)))
+    num = (cp0[None, :] - cp0[:, None]).astype(np.float64) * 1.0
+    den = (cw0[None, :] - cw0[:, None]).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        A = num / den                                # A[lo, hi], hi > lo
+    A[np.tril_indices(B + 1)] = np.inf               # hi <= lo: no seg
+    # S[lo, i] = min_{hi >= i} A[lo, hi]; fit(i) = max_{lo < i} S[lo, i]
+    S = np.minimum.accumulate(A[:, ::-1], axis=1)[:, ::-1]
+    M = np.maximum.accumulate(S, axis=0)
+    fit = M[np.arange(B), np.arange(1, B + 1)]
+    q6 = Decimal("1e-6")
+
+    def r6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(q6, ROUND_HALF_UP))
+
+    out = [(xs[i], int(ws[i]), int(pos[i]),
+            r6(int(pos[i]) * 1.0 / int(ws[i])), r6(float(fit[i])))
+           for i in range(B)]
+    return spark.createDataFrame(
+        out, "char_bin long, n_docs long, n_pos long, "
+             "emp_rate double, iso_rate double")
+
+
 @register(
     "isotonic_calibration",
     survey="ext-stats,U1,A6,F9",
@@ -522,6 +578,13 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("x")
            .agg(F.count("*").alias("w"), F.sum("y").alias("pos"))
            .localCheckpoint(eager=False))  # B rows; reused by 4 joins
+    # driver resolution (r13): the bin frame is length-domain-bounded
+    # — resolve the O(B²) minimax on the driver (see _iso_from_pts;
+    # -1 forces the distributed triangular joins).
+    if ISO_COLLECT_MAX >= 0:
+        tab = pts.limit(ISO_COLLECT_MAX + 1).collect()
+        if len(tab) <= ISO_COLLECT_MAX:
+            return _iso_from_pts(spark, tab)
     lo0 = pts.agg((F.min("x") - 1).alias("x"),
                   F.lit(0).cast("long").alias("cw"),
                   F.lit(0).cast("long").alias("cpos"))
@@ -837,6 +900,7 @@ WOE_BAD_CUT = 0.05
 @register(
     "woe_iv_binning",
     survey="ext-stats,A11,A3,F9",
+    bench=True,  # r13: heavy flagged for the driver PERF table (additions-only)
     oracle=f"""
     WITH edges AS (
         SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS e1,

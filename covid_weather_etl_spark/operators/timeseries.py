@@ -529,31 +529,39 @@ def mad_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     family next to ewma_smoothing (drift) and cusum_changepoint (level
     shifts): this one catches point anomalies.
 
-    Plan shape: the one (nation, day) rollup shuffle, then two
-    group-count-sized exact-percentile aggregates (median, then median
-    of absolute deviations — the second needs the first, an inherent
-    two-pass dependency), each broadcast back over the tiny daily
-    frame. Both medians are rounded 6dp before any comparison so both
-    engines threshold identical values; groups with MAD = 0 are
-    excluded on both sides rather than dividing by zero. At 100 TB the
-    rollup IS the data reduction (days×nations rows); the percentile
-    swaps for approx_percentile, nothing else changes. The daily frame
-    is cached: it feeds three consumers (median, MAD, final filter)
-    and without the cache each one re-runs the fact scan + rollup —
-    measured 2× cold wall at sf0.1 (8.5s → 4.3s); the cached frame is
-    group-count-sized (nations × days), never fact-sized."""
+    Plan shape: the one (nation, day) rollup shuffle, then both
+    exact percentiles as whole-partition WINDOW aggregates over the
+    same n_name partitioning (median, then median of absolute
+    deviations — the second needs the first, an inherent two-pass
+    dependency): one exchange establishes the partitioning and both
+    Window operators reuse it (guide §2.4), so the plan is linear —
+    no cache, no broadcast builds, one action. Both medians are
+    rounded 6dp before any comparison so both engines threshold
+    identical values; groups with MAD = 0 are excluded on both sides
+    rather than dividing by zero. At 100 TB the rollup IS the data
+    reduction (days×nations rows per window partition — never a
+    global window); the percentile swaps for approx_percentile,
+    nothing else changes."""
     from covid_weather_etl_spark.ml.queries import nation_daily
 
-    daily = (nation_daily(spark, sf_dir)
-             .select("n_name", "d", "y").cache())
-    med = (daily.groupBy("n_name")
-           .agg(F.round(F.percentile("y", F.lit(0.5)), 6).alias("med")))
-    with_med = daily.join(F.broadcast(med), "n_name")
-    mad = (with_med.groupBy("n_name")
-           .agg(F.round(F.percentile(F.abs(F.col("y") - F.col("med")),
-                                     F.lit(0.5)), 6).alias("mad")))
+    # r13 (guide §2.4): both medians as whole-partition window
+    # aggregates over the SAME n_name partitioning — one exchange
+    # establishes the partitioning and both Window operators reuse it,
+    # replacing the cached daily frame + two groupBy aggregates + two
+    # broadcast-exchange builds (each a scheduled job) with one linear
+    # plan. percentile() over an unbounded frame evaluates once per
+    # partition on the identical per-nation value multiset, so med/mad
+    # are the same doubles as the groupBy form (6dp-rounded as before).
+    wn = W.partitionBy("n_name")
+    daily = nation_daily(spark, sf_dir).select("n_name", "d", "y")
+    med = F.round(F.percentile("y", F.lit(0.5)).over(wn), 6)
+    with_med = daily.select("n_name", "d", "y", med.alias("med"))
+    mad = F.round(F.percentile(F.abs(F.col("y") - F.col("med")),
+                               F.lit(0.5)).over(wn), 6)
+    with_mad = with_med.select("n_name", "d", "y", "med",
+                               mad.alias("mad"))
     dev = F.abs(F.col("y") - F.col("med"))
-    return (with_med.join(F.broadcast(mad), "n_name")
+    return (with_mad
             .filter((F.col("mad") > 0)
                     & (dev > MAD_CUTOFF * MAD_SIGMA * F.col("mad")))
             .select("n_name", "d", "y", "med", "mad",

@@ -342,6 +342,50 @@ _ROTATION_R12 = (
 # per r12-session new op, from zipf_law_fit backwards), then the
 # r06 cohort (see QUERIES.md).
 
+# Round 13 window (50), per the r12 verdict directive #7. Head: the 5
+# r05 rows displaced at the r12 window's 50-cap (the oldest hash
+# evidence left in the ledger), then the full 50-row r06 cohort
+# (identical r06 freshness; alphabetical). 5 + 50 = 55 names; the
+# driver takes the first 50, so the displaced alphabetical tail is
+# exactly (time_to_convert_stats, top_supplier_quarter, triangle_count,
+# unattributed_purchases, volume_shipping_pair) — those 5 r06 rows lead
+# the r14 queue. After this window the oldest hash evidence is those 5
+# r06 rows; the bulk moves to r07+. Every slot is oracle-equipped
+# (verified by test_registry_contract).
+_ROTATION_R13 = (
+    # the 5 r05 rows displaced at the r12 50-cap
+    "weighted_median_price", "weighted_sample_topk", "welch_ttest_ab",
+    "woe_iv_binning", "zipf_law_fit",
+    # the 50-row r06 cohort (oldest evidence in the ledger)
+    "basket_affinity", "bitmap_audience_intersection",
+    "cheapest_supplier_per_part", "compaction_plan",
+    "conformal_forecast_intervals", "containment_near_dup",
+    "cuped_adjusted_metric", "did_revenue_uplift",
+    "disjunctive_brand_revenue", "distributed_exact_median",
+    "dp_noisy_counts", "exact_substring_spans",
+    "forecast_revenue_change", "holt_winters_forecast_eval",
+    "incremental_minhash_ingest", "ips_offpolicy_eval",
+    "k_anonymity_report", "kcore_purchase_network",
+    "large_volume_customers", "late_shipment_priority",
+    "late_sole_supplier", "longest_increase_streak",
+    "markov_attribution", "mmr_diverse_topk", "name_similarity_pairs",
+    "national_market_share", "order_count_distribution",
+    "order_priority_journey", "pagerank_suppliers",
+    "pricing_summary_q1", "priority_mix_except_all",
+    "product_type_profit", "promo_revenue_share",
+    "prospect_balance_report", "regex_token_profile",
+    "rfm_segmentation", "ridge_normal_equations",
+    "rolling_median_revenue", "rrf_hybrid_retrieval",
+    "shingle_df_spectrum", "small_quantity_revenue",
+    "table_checksum_orders", "target_encoding_segment",
+    "temperature_mix_weights", "theilsen_mannkendall_trend",
+    "time_to_convert_stats", "top_supplier_quarter", "triangle_count",
+    "unattributed_purchases", "volume_shipping_pair",
+)
+# R14 queue: the r06 tail displaced at this window's 50-cap
+# (time_to_convert_stats ... volume_shipping_pair), then the r07
+# cohort (see QUERIES.md).
+
 _ROTATION_R11 = (
     # r11-session NEW operators (maintain->verify seam closers +
     # the streaming fold's driver row)
@@ -614,10 +658,10 @@ def _resolved(q: Query) -> Query:
 
 def all_queries() -> dict[str, Query]:
     _load_modules()
-    missing = [n for n in _ROTATION_R12 if n not in _REGISTRY]
+    missing = [n for n in _ROTATION_R13 if n not in _REGISTRY]
     if missing:
         raise KeyError(f"rotation names not registered: {missing}")
-    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R12}
+    ordered = {n: _resolved(_REGISTRY[n]) for n in _ROTATION_R13}
     ordered.update((n, _resolved(q)) for n, q in _REGISTRY.items()
                    if n not in ordered)
     return ordered

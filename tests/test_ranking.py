@@ -196,3 +196,26 @@ def test_rbo_kernel_equals_loop_and_term_algebra_exhaustive(spark):
     finally:
         R.RBO_SINGLE_TASK_MAX = cap
     assert single == loop and len(single) == len(R.RBO_REPORT_DEPTHS)
+
+
+def test_spearman_driver_path_equals_distributed(spark):
+    """r13 driver resolution of the rank/moment algebra is BITWISE
+    identical to the rank_table + moment-aggregate path."""
+    import struct
+
+    import covid_weather_etl_spark.operators.ranking as R
+
+    def rows(df):
+        return sorted(tuple(struct.pack("d", v) if isinstance(v, float)
+                            else v for v in r.asDict().values())
+                      for r in df.collect())
+
+    cap = R.SPEAR_COLLECT_MAX
+    try:
+        R.SPEAR_COLLECT_MAX = 100_000
+        drv = rows(QUERIES["spearman_correlation"].fn(spark, SF_DIR))
+        R.SPEAR_COLLECT_MAX = -1  # force the distributed path
+        dist = rows(QUERIES["spearman_correlation"].fn(spark, SF_DIR))
+    finally:
+        R.SPEAR_COLLECT_MAX = cap
+    assert drv == dist and len(drv) == 1

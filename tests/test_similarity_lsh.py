@@ -687,3 +687,26 @@ def test_cluster_purity_driver_path_equals_distributed(spark):
     finally:
         S.CPN_COLLECT_MAX = cap
     assert drv == dist and len(drv) >= 2
+
+
+def test_sq8_driver_path_equals_distributed(spark):
+    """r13 driver resolution of the SQ8 post-head rank/hit algebra is
+    BITWISE identical to the triangular-join path (flip the flag)."""
+    import struct
+
+    import covid_weather_etl_spark.operators.similarity as S
+
+    def rows(df):
+        return sorted(tuple(struct.pack("d", v) if isinstance(v, float)
+                            else v for v in r.asDict().values())
+                      for r in df.collect())
+
+    flag = S._SQ8_DRIVER
+    try:
+        S._SQ8_DRIVER = True
+        drv = rows(S.sq8_recall_eval(spark, SF_DIR))
+        S._SQ8_DRIVER = False
+        dist = rows(S.sq8_recall_eval(spark, SF_DIR))
+    finally:
+        S._SQ8_DRIVER = flag
+    assert drv == dist and len(drv) == S.SQ8_K
