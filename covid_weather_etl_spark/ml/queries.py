@@ -697,12 +697,13 @@ def _irls_eta(d: str = "d", b: str = "b") -> str:
             f"+ {b}.b3 * {d}.x3)")
 
 
-def _irls_round_sql(design_src: str, beta_src: str) -> str:
-    """One IRLS (Newton) round as shared SQL text: per-row sigmoid
-    snapped to the 1e-6 grid, 14 nano-grid integer sums, the 4x4
-    ridge-damped normal equations solved by the shared-term-order
-    Cramer expansion, and the updated coefficients snapped back to
-    the 1e-6 grid (so every round STARTS from grid numbers)."""
+def _irls_sums_sql(design_src: str, beta_src: str) -> str:
+    """The 14 nano-grid sufficient-statistic sums of one IRLS round
+    (per-row sigmoid snapped to the 1e-6 grid first) — the data-sized
+    half of _irls_round_sql, exposed separately so the engine can run
+    just the aggregate and replay the 4x4 Cramer solve on the driver
+    (functions/numeric.det_val is the documented exact op-sequence
+    twin of det_sql)."""
     mu = _g6(f"1e0 / (1e0 + EXP(0e0 - {_irls_eta()}))")
     mrows = (f"SELECT d.y, d.x1, d.x2, d.x3, "
              f"b.b0, b.b1, b.b2, b.b3, {mu} AS mu "
@@ -719,9 +720,18 @@ def _irls_round_sql(design_src: str, beta_src: str) -> str:
         "g0": r,
         "g1": f"({r} * x1)", "g2": f"({r} * x2)", "g3": f"({r} * x3)",
     }
-    sums = (f"SELECT b0, b1, b2, b3, "
+    return (f"SELECT b0, b1, b2, b3, "
             + ", ".join(f"{_d9_snap(e)} AS {k}" for k, e in terms.items())
             + f" FROM ({mrows}) mm GROUP BY b0, b1, b2, b3")
+
+
+def _irls_round_sql(design_src: str, beta_src: str) -> str:
+    """One IRLS (Newton) round as shared SQL text: per-row sigmoid
+    snapped to the 1e-6 grid, 14 nano-grid integer sums, the 4x4
+    ridge-damped normal equations solved by the shared-term-order
+    Cramer expansion, and the updated coefficients snapped back to
+    the 1e-6 grid (so every round STARTS from grid numbers)."""
+    sums = _irls_sums_sql(design_src, beta_src)
     lam = _IRLS_RIDGE
     A = [[f"(s.s00 + {lam})", "s.s01", "s.s02", "s.s03"],
          ["s.s01", f"(s.s11 + {lam})", "s.s12", "s.s13"],
@@ -846,11 +856,32 @@ def irls_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST({k}e-6 AS DOUBLE) AS b{i}" for i, k in enumerate(ks))
             + ")")
 
+    # r13: per round the engine runs ONLY the 14-stat aggregate and the
+    # driver replays the ridge-damped Cramer solve with det_val — the
+    # exact op-sequence twin of det_sql (same signed_perms term order,
+    # left-associative products/sums), so the grid coefficients are
+    # bit-identical to the old in-plan solve (pinned in tests/test_ml)
+    # while Catalyst no longer analyzes ~800 determinant ops per round
+    # (the dominant per-round cost: planning, not the aggregate).
+    import math
+
+    from covid_weather_etl_spark.functions.numeric import det_val
+    lam = float(_IRLS_RIDGE)
     beta = (0.0, 0.0, 0.0, 0.0)
     for _ in range(IRLS_ROUNDS):
-        row = spark.sql(
-            _irls_round_sql("irls_design_v", _blit(beta))).first()
-        beta = (row.b0, row.b1, row.b2, row.b3)
+        s = spark.sql(
+            _irls_sums_sql("irls_design_v", _blit(beta))).first()
+        A = [[s.s00 + lam, s.s01, s.s02, s.s03],
+             [s.s01, s.s11 + lam, s.s12, s.s13],
+             [s.s02, s.s12, s.s22 + lam, s.s23],
+             [s.s03, s.s13, s.s23, s.s33 + lam]]
+        g = [s.g0, s.g1, s.g2, s.g3]
+        det_a = det_val(A)
+        beta = tuple(
+            math.floor((beta[k] + det_val(
+                [[g[r] if c == k else A[r][c] for c in range(4)]
+                 for r in range(4)]) / det_a) * 1e6 + 0.5) / 1e6
+            for k in range(4))
     return spark.sql(_irls_eval_sql("irls_design_v", _blit(beta)))
 
 

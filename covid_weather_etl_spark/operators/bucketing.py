@@ -478,21 +478,32 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .agg(F.count("*").alias("n_docs"),
                         F.sum("n_tok").alias("n_tokens")))
     e1, e2 = (str(s) for s in EPOCH_SEEDS)
-    edges = sharded.filter(F.col("nxt").isNotNull()) \
-        .select("epoch", "doc_id", "nxt")
-    preserved = (edges.filter(F.col("epoch") == e1).alias("a")
-                 .join(edges.filter(F.col("epoch") == e2).alias("b"),
-                       (F.col("a.doc_id") == F.col("b.doc_id"))
-                       & (F.col("a.nxt") == F.col("b.nxt")))
-                 .agg(F.count("*").alias("preserved_adjacencies")))
-    moved = (sharded.filter(F.col("epoch") == e1).alias("a")
-             .join(sharded.filter(F.col("epoch") == e2).alias("b"),
-                   F.col("a.doc_id") == F.col("b.doc_id"))
-             .agg(F.sum((F.col("a.shard") != F.col("b.shard"))
-                        .cast("long")).alias("moved_docs")))
+    # r13 (guide §2.4): each doc has EXACTLY one sharded row per epoch,
+    # so the two doc_id self-joins (each side a filter over the
+    # checkpoint, plus their broadcast/exchange builds) fold into ONE
+    # doc-keyed pivot aggregate producing both cross-epoch reads —
+    # preserved = #docs whose (non-null) successor matches in both
+    # epochs (== the old inner join on (doc_id, nxt)), moved = #docs
+    # whose shard differs (== the old a.shard <> b.shard sum). Counts
+    # are identical integers; one shuffle replaces two.
+    per_doc = (sharded.groupBy("doc_id")
+               .agg(F.max(F.when(F.col("epoch") == e1, F.col("nxt")))
+                    .alias("nxt1"),
+                    F.max(F.when(F.col("epoch") == e2, F.col("nxt")))
+                    .alias("nxt2"),
+                    F.max(F.when(F.col("epoch") == e1, F.col("shard")))
+                    .alias("sh1"),
+                    F.max(F.when(F.col("epoch") == e2, F.col("shard")))
+                    .alias("sh2")))
+    cross = per_doc.agg(
+        F.coalesce(F.sum((F.col("nxt1").isNotNull()
+                          & (F.col("nxt1") == F.col("nxt2")))
+                         .cast("long")), F.lit(0))
+        .alias("preserved_adjacencies"),
+        F.sum((F.col("sh1") != F.col("sh2")).cast("long"))
+        .alias("moved_docs"))
     return (shard_stats
-            .crossJoin(F.broadcast(preserved))
-            .crossJoin(F.broadcast(moved))
+            .crossJoin(F.broadcast(cross))
             .groupBy("epoch")
             .agg(F.count("*").alias("n_shards"),
                  F.sum("n_docs").cast("long").alias("n_docs"),

@@ -62,18 +62,6 @@ _DEC = "decimal(18,15)"  # exact accumulator for rank mass (ranks ≤ 1); 18
 #: numpy twin must run the identical number of rounds for bit-parity)
 LAST_ROUNDS = 0
 
-#: driver-resolution cap on the NODE count (r13, VERDICT directive #3):
-#: below it the per-round state update + L1 convergence test resolve on
-#: the driver from the collected node-sized mass frame, so a round
-#: schedules exactly ONE job (the edge-join mass aggregate collect) —
-#: no per-round localCheckpoint materialization and no per-round
-#: broadcast-exchange build jobs (the rank frame re-enters each round
-#:  as a LocalRelation literal, whose broadcast build is a driver-local
-#: collect, not a scheduled job). Above the cap the distributed state
-#: loop below is the scale path — at 100 TB the gate never fires.
-#: -1 forces the distributed path (tests).
-PR_DRIVER_LOOP_MAX = 1_000_000
-
 
 def purchase_edges(t: dict) -> DataFrame:
     """Undirected bipartite edges customer↔supplier with lineitem
@@ -98,62 +86,6 @@ def purchase_edges(t: dict) -> DataFrame:
         F.struct(F.col("supp").alias("src"), F.col("cust").alias("dst"),
                  F.col("w")),
     )).alias("e")).select("e.src", "e.dst", "e.w"))
-
-
-def _pr_driver_loop(e: DataFrame, nodes: DataFrame, n: int, rounds: int,
-                    damping: float, tol: float | None,
-                    inv: float) -> DataFrame:
-    """pagerank()'s round loop with the node-sized state resolved on
-    the driver (callers gate on PR_DRIVER_LOOP_MAX). Per round, ONE
-    scheduled job: the edge-join mass aggregate — Spark computes the
-    per-dst Σ DECIMAL(frac·rank) exactly as the distributed loop does
-    (same cached `e`, same expression), the driver collects the
-    node-sized (dst, mass) frame and replays the state update
-    new = (1−d)/n + d·mass, est' = rank + (new − rank)·inv,
-    dterm = |est' − est| in Python doubles (identical IEEE ops), and
-    the DECIMAL-exact L1 via Decimal(repr(dterm)).quantize(1e-15,
-    HALF_UP) — the exact BigDecimal.valueOf/HALF_UP semantics of
-    Spark's CAST(double AS DECIMAL(18,15)) — summed exactly. The next
-    round's rank frame re-enters as a LocalRelation literal, so its
-    broadcast build is driver-local (no job) and NO per-round
-    localCheckpoint is needed (the plan never nests). Stopping round,
-    est values and LAST_ROUNDS are bit-identical to the distributed
-    loop (pinned in tests/test_graph.py)."""
-    global LAST_ROUNDS
-    from decimal import ROUND_HALF_UP, Decimal
-
-    spark = e.sparkSession
-    q15 = Decimal("1e-15")
-    node_list = [r["node"] for r in nodes.collect()]
-    base = (1.0 - damping) / n
-    rank = {v: 1.0 / n for v in node_list}
-    est = {v: 1.0 / n for v in node_list}
-    for i in range(rounds):
-        rank_rows = spark.createDataFrame(
-            [(v, rank[v]) for v in node_list], "node string, rank double")
-        mass_rows = (e.join(F.broadcast(rank_rows),
-                            F.col("src") == F.col("node"))
-                     .groupBy("dst")
-                     .agg(F.sum((F.col("frac") * F.col("rank")).cast(_DEC))
-                          .cast("double").alias("mass"))
-                     .collect())
-        mass = {r["dst"]: r["mass"] for r in mass_rows}
-        delta = Decimal(0)
-        for v in node_list:
-            m = mass.get(v)
-            new_rank = base + damping * (m if m is not None else 0.0)
-            est_new = rank[v] + (new_rank - rank[v]) * inv
-            delta += Decimal(repr(abs(est_new - est[v]))).quantize(
-                q15, ROUND_HALF_UP)
-            rank[v], est[v] = new_rank, est_new
-        LAST_ROUNDS = i + 1
-        if tol is not None and i >= 1 and float(delta) < tol:
-            break
-    e.unpersist()
-    nodes.unpersist()
-    src = rank if tol is None else est
-    return spark.createDataFrame([(v, src[v]) for v in node_list],
-                                 "node string, rank double")
 
 
 def pagerank(edges: DataFrame, rounds: int = PR_ROUNDS,
@@ -186,20 +118,6 @@ def pagerank(edges: DataFrame, rounds: int = PR_ROUNDS,
     # not three separate join jobs. est starts at the uniform vector;
     # its round-1 delta term is ignored (the check starts at round 2,
     # mirroring the numpy twin).
-    # driver-resolved round loop (r13): the state frame is node-count
-    # sized; below the cap the rank/est/delta update is plain per-node
-    # double algebra the driver replays with IDENTICAL IEEE semantics
-    # (the expressions below are left-associative double ops in both
-    # grammars), while the one genuinely data-sized op per round — the
-    # edge-join DECIMAL mass aggregate — stays IN SPARK unchanged, so
-    # the collected mass doubles are bit-identical to what the
-    # distributed join would have read. The L1 delta replays
-    # CAST(double AS DECIMAL(18,15)) via Decimal(repr(x)) [=
-    # BigDecimal.valueOf, the r12 machinery] + exact Decimal sum.
-    # Pinned driver-loop-vs-distributed bitwise in tests/test_graph.py;
-    # PR_DRIVER_LOOP_MAX = -1 forces the distributed path.
-    if 0 < n <= PR_DRIVER_LOOP_MAX:
-        return _pr_driver_loop(e, nodes, n, rounds, damping, tol, inv)
     state = nodes.select("node", F.lit(1.0 / n).alias("rank"),
                          F.lit(1.0 / n).alias("est"))
     # the rank frame is node-count sized — broadcast it into the edge

@@ -2524,9 +2524,17 @@ def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-build job). _SQ8_DRIVER=False forces the distributed
     # path (tests; pinned bitwise either way).
     if _SQ8_DRIVER:
+        # ONE tagged-union collect so the two head pipelines stay
+        # concurrent inside a single action (two sequential collects
+        # serialized them — measured +0.35 s)
+        both = (topk.select(F.lit(0).alias("side"), "vec_id", "sq8_score")
+                .unionByName(exact_top.select(
+                    F.lit(1).alias("side"), "vec_id",
+                    F.lit(0).cast("long").alias("sq8_score")))
+                .collect())
         head = [(int(r["vec_id"]), int(r["sq8_score"]))
-                for r in topk.collect()]
-        exact_ids = {int(r["vec_id"]) for r in exact_top.collect()}
+                for r in both if r["side"] == 0]
+        exact_ids = {int(r["vec_id"]) for r in both if r["side"] == 1}
         n_hits = sum(1 for v, _ in head if v in exact_ids)
         recall = n_hits * 1.0 / SQ8_K
         out = [(1 + sum(1 for u, us in head

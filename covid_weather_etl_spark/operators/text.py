@@ -2342,55 +2342,6 @@ def speculative_decoding_acceptance(spark: SparkSession,
 HEAPS_CHECKPOINTS = 10
 
 
-#: driver-resolution flag for the Heaps OLS tail (pts is bounded at
-#: HEAPS_CHECKPOINTS rows by construction; False forces the
-#: distributed path for tests).
-_HEAPS_DRIVER = True
-
-
-def _heaps_from_pts(spark: SparkSession, rows):
-    """heaps_law_fit's OLS tail resolved on the driver from the
-    collected ≤HEAPS_CHECKPOINTS-row point frame (see the call site
-    for the bit-exactness argument). Returns None on a zero slope
-    denominator — callers fall through to the distributed tail."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    if not rows:
-        return spark.createDataFrame(
-            [], "checkpoint int, n_tokens long, vocab long, "
-                "beta double, log_k double, r2 double")
-    q6 = Decimal("1e-6")
-
-    def r6(x: float) -> float:
-        return float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
-
-    n = len(rows)
-    xs = [r["x"] for r in rows]      # decimal.Decimal, exact
-    ys = [r["y"] for r in rows]
-    import decimal
-    with decimal.localcontext() as ctx:
-        ctx.prec = 60                # keep scale-18 products exact
-        sx = float(sum(xs))
-        sy = float(sum(ys))
-        sxy = float(sum(x * y for x, y in zip(xs, ys)))
-        sxx = float(sum(x * x for x in xs))
-        syy = float(sum(y * y for y in ys))
-    sden = n * sxx - sx * sx
-    if sden == 0.0:
-        return None
-    slope = (n * sxy - sx * sy) / sden
-    beta = r6(slope)
-    log_k = r6((sy - slope * sx) / n)
-    r2den = (n * sxx - sx * sx) * (n * syy - sy * sy)
-    r2 = 0.0 if r2den == 0.0 else r6(
-        ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / r2den)
-    out = [(int(r["p"]), int(r["n_tokens"]), int(r["vocab"]),
-            beta, log_k, r2) for r in rows]
-    return spark.createDataFrame(
-        out, "checkpoint int, n_tokens long, vocab long, "
-             "beta double, log_k double, r2 double")
-
-
 @register(
     "heaps_law_fit",
     survey="LLM-text,A6,F10,W6",
@@ -2509,19 +2460,6 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("x"),
                    F.round(F.log("vocab"), 9).cast("decimal(15,9)")
                    .alias("y")))
-    # driver resolution (r13): pts is ≤{HEAPS_CHECKPOINTS} rows BY
-    # CONSTRUCTION (one per checkpoint), so the OLS moments and
-    # closed-form slope resolve on the driver — the 9dp-snapped log
-    # points collect as exact decimal.Decimal, moment sums are exact
-    # Decimal products/sums (== the engine's DECIMAL aggregate), each
-    # CAST(AS DOUBLE) is the identical correctly-rounded float(), and
-    # the finals are plain IEEE ops + the Decimal(repr) HALF_UP replay
-    # of Spark ROUND. Degenerate zero denominators fall through to the
-    # distributed tail (NaN-shape parity). HEAPS_DRIVER=False forces
-    # the distributed path (tests; pinned bitwise either way).
-    out = _heaps_from_pts(spark, pts.collect()) if _HEAPS_DRIVER else None
-    if out is not None:
-        return out
     s = pts.agg(F.count("*").alias("n"),
                 F.sum("x").cast("double").alias("sx"),
                 F.sum("y").cast("double").alias("sy"),

@@ -270,29 +270,3 @@ def test_bfs_single_task_equals_loop(spark):
     assert single == loop and len(single) > 1
     assert sbf == lbf and len(sbf) > 1
 
-
-def test_pagerank_driver_loop_equals_distributed(spark):
-    """The r13 driver-resolved round loop is BITWISE identical to the
-    distributed state loop — same est doubles, same stopping round —
-    by flipping PR_DRIVER_LOOP_MAX (-1 forces the distributed path)."""
-    import struct
-
-    import covid_weather_etl_spark.operators.graph as G
-    t = load_tables(spark, SF_DIR, ("lineitem", "orders"))
-    cap = G.PR_DRIVER_LOOP_MAX
-    try:
-        G.PR_DRIVER_LOOP_MAX = 10**9
-        drv = {r["node"]: r["rank"]
-               for r in pagerank(purchase_edges(t)).collect()}
-        drv_rounds = G.LAST_ROUNDS
-        G.PR_DRIVER_LOOP_MAX = -1
-        dist = {r["node"]: r["rank"]
-                for r in pagerank(purchase_edges(t)).collect()}
-        dist_rounds = G.LAST_ROUNDS
-    finally:
-        G.PR_DRIVER_LOOP_MAX = cap
-    assert drv_rounds == dist_rounds and drv_rounds >= 2
-    assert set(drv) == set(dist) and len(drv) > 10
-    for v, r in dist.items():
-        assert struct.pack("<d", drv[v]) == struct.pack("<d", r), \
-            (v, drv[v], r)

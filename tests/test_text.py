@@ -561,26 +561,3 @@ def test_bpe_continue_train_parity(spark, duck):
     pdf = q.fn(spark, SF_DIR).toPandas()
     assert (pdf["syms_saved"] > 0).any()
 
-
-def test_heaps_driver_path_equals_distributed(spark):
-    """r13 driver resolution of the Heaps OLS tail is BITWISE
-    identical to the distributed moment aggregate (flip the flag)."""
-    import struct
-
-    import covid_weather_etl_spark.operators.text as T
-    from tests.conftest import SF_DIR
-
-    def rows(df):
-        return sorted(tuple(struct.pack("d", v) if isinstance(v, float)
-                            else v for v in r.asDict().values())
-                      for r in df.collect())
-
-    flag = T._HEAPS_DRIVER
-    try:
-        T._HEAPS_DRIVER = True
-        drv = rows(T.heaps_law_fit(spark, SF_DIR))
-        T._HEAPS_DRIVER = False
-        dist = rows(T.heaps_law_fit(spark, SF_DIR))
-    finally:
-        T._HEAPS_DRIVER = flag
-    assert drv == dist and len(drv) >= 5
