@@ -458,7 +458,14 @@ def feature_relevance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     features²-sized triangular count, not a global window. Plan: the
     orders⋈customer join is computed once per feature over the same
     broadcast dim (Catalyst reuses the scan); every downstream frame
-    is level-count-bounded."""
+    is level-count-bounded.
+
+    Empty-input note (ADVICE r12): the r12 single-explode rewrite
+    emits ZERO rows on an empty orders join (the old per-feature
+    global .agg() emitted one n_levels=0/NULL-mi row per feature).
+    Reachable only with an empty fixture — every real SF has orders —
+    and the driver oracle mirrors the current shape; documented as
+    the intended behavior rather than padded with a literal frame."""
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     joined = (t["orders"]
               .join(F.broadcast(t["customer"]),
@@ -1083,71 +1090,40 @@ def _mt_rank(rows) -> list:
     return out
 
 
-def _holm_single_task(z: DataFrame) -> DataFrame:
-    """Holm step-down in one task over the ≤HOLM_M-row z frame; see
-    MT_SINGLE_TASK_MAX. Bit-exact: replays the rank/threshold/step
-    algebra on the unchanged z doubles (pinned kernel-vs-loop in
-    tests/test_drift.py)."""
-    import pandas as pd
-
-    def k(pdfs):
-        cols = {"n_name": "object", "n": "int64", "z": "float64",
-                "holm_rank": "int64", "reject_unadjusted": "int32",
-                "reject_bonferroni": "int32", "reject_holm": "int32"}
-        parts = list(pdfs)
-        rows = ([(nm, int(n), float(zz))
-                 for p in parts
-                 for nm, n, zz in zip(p["n_name"], p["n"], p["z"])]
-                if parts else [])
-        if not rows:
-            yield pd.DataFrame({c: pd.Series([], dtype=t)
-                                for c, t in cols.items()})
-            return
-        ranked = _mt_rank(rows)
-        pass_k = {rk: int(abs(zz) >= HOLM_ZCRIT[rk - 1])
-                  for _, _, zz, rk in ranked}
-        recs = [(nm, n, zz, rk,
-                 int(abs(zz) >= _RAW_Z), int(abs(zz) >= _BONF_Z),
-                 min(pass_k[r] for r in pass_k if r <= rk))
-                for nm, n, zz, rk in ranked]
-        yield pd.DataFrame({c: pd.Series([r[i] for r in recs], dtype=t)
-                            for i, (c, t) in enumerate(cols.items())})
-
-    return z.coalesce(1).mapInPandas(
-        k, "n_name string, n long, z double, holm_rank long, "
-           "reject_unadjusted int, reject_bonferroni int, "
-           "reject_holm int")
+def _holm_from_rows(spark: SparkSession, rows) -> DataFrame:
+    """Holm step-down resolved on the driver from the collected
+    ≤MT_SINGLE_TASK_MAX-row z frame (callers gate on the ACTUAL row
+    count and on NULL-free z — ADVICE r12 hardening; NULL z or an
+    over-cap frame falls through to the distributed path, whose
+    NULL-propagation is the pinned shape). Bit-exact: replays the
+    rank/threshold/step algebra on the unchanged z doubles (pinned
+    driver-vs-distributed in tests/test_drift.py)."""
+    tup = [(r["n_name"], int(r["n"]), float(r["z"])) for r in rows]
+    ranked = _mt_rank(tup)
+    pass_k = {rk: int(abs(zz) >= HOLM_ZCRIT[rk - 1])
+              for _, _, zz, rk in ranked}
+    recs = [(nm, n, zz, rk,
+             int(abs(zz) >= _RAW_Z), int(abs(zz) >= _BONF_Z),
+             min(pass_k[r] for r in pass_k if r <= rk))
+            for nm, n, zz, rk in ranked]
+    return spark.createDataFrame(
+        recs, "n_name string, n long, z double, holm_rank long, "
+              "reject_unadjusted int, reject_bonferroni int, "
+              "reject_holm int")
 
 
-def _bh_single_task(z: DataFrame) -> DataFrame:
-    """Benjamini-Hochberg step-up in one task over the ≤HOLM_M-row z
-    frame; same contract as _holm_single_task."""
-    import pandas as pd
-
-    def k(pdfs):
-        cols = {"n_name": "object", "n": "int64", "z": "float64",
-                "bh_rank": "int64", "bh_threshold_z": "float64",
-                "reject_bh": "int32"}
-        parts = list(pdfs)
-        rows = ([(nm, int(n), float(zz))
-                 for p in parts
-                 for nm, n, zz in zip(p["n_name"], p["n"], p["z"])]
-                if parts else [])
-        if not rows:
-            yield pd.DataFrame({c: pd.Series([], dtype=t)
-                                for c, t in cols.items()})
-            return
-        ranked = _mt_rank(rows)
-        ks = max((rk for _, _, zz, rk in ranked
-                  if abs(zz) >= BH_ZCRIT[rk - 1]), default=0)
-        recs = [(nm, n, zz, rk, BH_ZCRIT[rk - 1], int(rk <= ks))
-                for nm, n, zz, rk in ranked]
-        yield pd.DataFrame({c: pd.Series([r[i] for r in recs], dtype=t)
-                            for i, (c, t) in enumerate(cols.items())})
-
-    return z.coalesce(1).mapInPandas(
-        k, "n_name string, n long, z double, bh_rank long, "
-           "bh_threshold_z double, reject_bh int")
+def _bh_from_rows(spark: SparkSession, rows) -> DataFrame:
+    """Benjamini-Hochberg step-up on the driver; same contract as
+    _holm_from_rows."""
+    tup = [(r["n_name"], int(r["n"]), float(r["z"])) for r in rows]
+    ranked = _mt_rank(tup)
+    ks = max((rk for _, _, zz, rk in ranked
+              if abs(zz) >= BH_ZCRIT[rk - 1]), default=0)
+    recs = [(nm, n, zz, rk, BH_ZCRIT[rk - 1], int(rk <= ks))
+            for nm, n, zz, rk in ranked]
+    return spark.createDataFrame(
+        recs, "n_name string, n long, z double, bh_rank long, "
+              "bh_threshold_z double, reject_bh int")
 
 
 def _holm_oracle() -> str:
@@ -1235,11 +1211,16 @@ def holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate behind two broadcast dim joins; everything after is
     {HOLM_M}-row algebra."""
     z = _nation_welch_z(spark, sf_dir)
-    # single-task collapse (r12): the z frame is domain-bounded at
-    # HOLM_M rows; run the whole step procedure in one kernel task
-    # (kernel-vs-loop pinned in tests; flag only exists for tests).
-    if HOLM_M <= MT_SINGLE_TASK_MAX:
-        return _holm_single_task(z)
+    # driver resolution (r12 kernel -> r13 bounded collect, ADVICE
+    # hardening): gate on the ACTUAL row count and NULL-free z — an
+    # over-cap universe or a NULL z (zero pooled variance) falls
+    # through to the distributed path, whose NULL-propagation is the
+    # pinned shape. -1 forces the distributed path (tests).
+    if MT_SINGLE_TASK_MAX >= 0:
+        rows = z.limit(MT_SINGLE_TASK_MAX + 1).collect()
+        if (len(rows) <= MT_SINGLE_TASK_MAX
+                and all(r["z"] is not None for r in rows)):
+            return _holm_from_rows(spark, rows)
     a, b = z.alias("a"), z.alias("b")
     beats = (F.abs(F.col("b.z")) > F.abs(F.col("a.z"))) | \
         ((F.abs(F.col("b.z")) == F.abs(F.col("a.z")))
@@ -1423,11 +1404,12 @@ def bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rank comparison. Plan: one fact aggregate, then
     {HOLM_M}-row algebra."""
     z = _nation_welch_z(spark, sf_dir)
-    # single-task collapse (r12): the z frame is domain-bounded at
-    # HOLM_M rows; run the whole step procedure in one kernel task
-    # (kernel-vs-loop pinned in tests; flag only exists for tests).
-    if HOLM_M <= MT_SINGLE_TASK_MAX:
-        return _bh_single_task(z)
+    # driver resolution — same gate/hardening as holm_multiple_tests.
+    if MT_SINGLE_TASK_MAX >= 0:
+        rows = z.limit(MT_SINGLE_TASK_MAX + 1).collect()
+        if (len(rows) <= MT_SINGLE_TASK_MAX
+                and all(r["z"] is not None for r in rows)):
+            return _bh_from_rows(spark, rows)
     a, b = z.alias("a"), z.alias("b")
     beats = (F.abs(F.col("b.z")) > F.abs(F.col("a.z"))) | \
         ((F.abs(F.col("b.z")) == F.abs(F.col("a.z")))

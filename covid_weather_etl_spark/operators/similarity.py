@@ -2930,7 +2930,12 @@ def _cpn_from_cells(spark: SparkSession, cells) -> DataFrame:
     the platform libm differs by 1 ulp on some inputs, the F.pow
     lesson); 9dp snaps replay Spark ROUND's Double.toString/HALF_UP
     semantics (Decimal(repr(x))); term sums are exact Decimal; sqrt is
-    IEEE-correctly-rounded everywhere so math.sqrt is safe. Pinned
+    IEEE-correctly-rounded everywhere so math.sqrt is safe. JDK
+    assumption (ADVICE r12): Double.toString is shortest-roundtrip on
+    JDK 19+, and on the 17/18 FloatingDecimal it agrees with Python
+    repr on every pinned input — the per-input F.log==StrictMath pins
+    cover the fixture corpus; on an older deployment JDK re-run those
+    pins before trusting data-dependent 9dp snaps. Pinned
     kernel-vs-loop (incl. per-input log equality) in
     tests/test_similarity_lsh.py."""
     import math
@@ -2945,6 +2950,14 @@ def _cpn_from_cells(spark: SparkSession, cells) -> DataFrame:
     g6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
 
     tab = [(int(r["cell"]), int(r["label"]), int(r["n"])) for r in cells]
+    # ADVICE r12 hardening: empty corpus -> the distributed path's
+    # empty frame (no 0/0 purity); degenerate entropy (single cluster
+    # or single label -> H=0) falls through to the distributed path,
+    # whose NULL-on-divide-by-zero nmi is the pinned shape.
+    if not tab:
+        return spark.createDataFrame(
+            [], "cell int, n_vecs long, majority_label int, "
+                "majority_share double, purity double, nmi double")
     nn = float(sum(n for _, _, n in tab))
     nc, nl, per_cell = {}, {}, {}
     for c, l, n in tab:
@@ -2958,6 +2971,8 @@ def _cpn_from_cells(spark: SparkSession, cells) -> DataFrame:
         (r9(-(v * 1.0 / nn) * slog(v * 1.0 / nn))
          for v in counts), Decimal(0))
     hc, hl = ent(nc.values()), ent(nl.values())
+    if float(hc) * float(hl) == 0.0:
+        return None                      # degenerate: distributed path
     hits = 0
     recs = []
     for c, pairs in per_cell.items():
@@ -3012,7 +3027,9 @@ def cluster_purity_nmi_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     if CPN_COLLECT_MAX >= 0:
         tab = ncl.limit(CPN_COLLECT_MAX + 1).collect()
         if len(tab) <= CPN_COLLECT_MAX:
-            return _cpn_from_cells(spark, tab)
+            out = _cpn_from_cells(spark, tab)
+            if out is not None:
+                return out
     nc = ncl.groupBy("cell").agg(F.sum("n").alias("n_c"))
     nl = ncl.groupBy("label").agg(F.sum("n").alias("n_l"))
     tot = ncl.agg(F.sum("n").alias("nn"))

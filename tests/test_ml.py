@@ -759,3 +759,63 @@ def test_holt_winters_short_series_guard_parity(spark, tmp_path):
             s = sdf[sorted(sdf.columns)].reset_index(drop=True)
             o = odf[sorted(odf.columns)].reset_index(drop=True)
             pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+def test_cramer_driver_solve_equals_inplan_text(spark):
+    """r13 driver resolution of the per-group Cramer stages
+    (ar_forecast stage-1, sarima_hr stages 1+2) and the IRLS per-round
+    solve is BITWISE identical to the in-plan determinant text."""
+    import struct
+
+    import covid_weather_etl_spark.ml.queries as M
+    from covid_weather_etl_spark.queries.registry import all_queries
+    QS = all_queries()
+
+    def rows(df):
+        return sorted(tuple(struct.pack("d", v) if isinstance(v, float)
+                            else v for v in r.asDict().values())
+                      for r in df.collect())
+
+    cap = M.COEF_COLLECT_MAX
+    try:
+        M.COEF_COLLECT_MAX = 100_000
+        ar_d = rows(QS["ar_forecast_per_group"].fn(spark, SF_DIR))
+        hr_d = rows(QS["sarima_hr_forecast_eval"].fn(spark, SF_DIR))
+        M.COEF_COLLECT_MAX = -1  # force the in-plan Cramer text
+        ar_p = rows(QS["ar_forecast_per_group"].fn(spark, SF_DIR))
+        hr_p = rows(QS["sarima_hr_forecast_eval"].fn(spark, SF_DIR))
+    finally:
+        M.COEF_COLLECT_MAX = cap
+    assert ar_d == ar_p and len(ar_d) > 10
+    assert hr_d == hr_p and len(hr_d) > 10
+
+
+def test_irls_driver_solve_equals_round_sql(spark):
+    """The r13 driver-side det_val replay of the IRLS round solve is
+    BITWISE identical to the old chained _irls_round_sql loop."""
+    import struct
+
+    import covid_weather_etl_spark.ml.queries as M
+    from covid_weather_etl_spark.queries.registry import all_queries
+
+    def _blit(b):
+        ks = [int(round(v * 1e6)) for v in b]
+        return ("(SELECT " + ", ".join(
+            f"CAST({k}e-6 AS DOUBLE) AS b{i}" for i, k in enumerate(ks))
+            + ")")
+
+    def rows(df):
+        return sorted(tuple(struct.pack("d", v) if isinstance(v, float)
+                            else v for v in r.asDict().values())
+                      for r in df.collect())
+
+    new = rows(all_queries()["irls_logreg_fit"].fn(spark, SF_DIR))
+    # old loop: full round SQL (aggregate + in-plan Cramer) per round,
+    # reusing the design view the query registered
+    beta = (0.0, 0.0, 0.0, 0.0)
+    for _ in range(M.IRLS_ROUNDS):
+        row = spark.sql(
+            M._irls_round_sql("irls_design_v", _blit(beta))).first()
+        beta = (row.b0, row.b1, row.b2, row.b3)
+    old = rows(spark.sql(M._irls_eval_sql("irls_design_v", _blit(beta))))
+    assert new == old and len(new) == 1
