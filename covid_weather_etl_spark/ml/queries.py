@@ -391,44 +391,6 @@ def _ar_coef_sql(sums_src: str) -> str:
     """
 
 
-#: driver-resolution cap on the per-group sufficient-statistic frame
-#: (rows = groups; nation-bounded here). -1 forces the in-plan Cramer
-#: text (tests).
-COEF_COLLECT_MAX = 100_000
-
-
-def _cramer_coef_driver(spark: SparkSession, sums_df,
-                        A_names, b_names, out_cols: str):
-    """Replay a per-group Cramer coefficient stage on the driver: for
-    each collected sums row, x_k = det_val(A_k)/det_val(A) — det_val is
-    the documented exact op-sequence twin of det_sql (same signed_perms
-    term order, left-associative products/sums), and the collected
-    stats are the identical doubles the in-plan text would read, so the
-    coefficients are bit-identical while Catalyst never analyzes the
-    ~10²-term determinant expressions. Returns None above the cap or on
-    a zero/NaN determinant (degenerate input — the in-plan NaN/Inf
-    division shape is the pinned behavior)."""
-    from covid_weather_etl_spark.functions.numeric import det_val
-    if COEF_COLLECT_MAX < 0:
-        return None
-    rows = sums_df.limit(COEF_COLLECT_MAX + 1).collect()
-    if len(rows) > COEF_COLLECT_MAX:
-        return None
-    k_n = len(A_names)
-    out = []
-    for r in rows:
-        A = [[float(r[c]) for c in row] for row in A_names]
-        b = [float(r[c]) for c in b_names]
-        det_a = det_val(A)
-        if det_a == 0.0 or det_a != det_a:
-            return None
-        out.append((r["n_name"],) + tuple(
-            det_val([[b[i] if j == k else A[i][j] for j in range(k_n)]
-                     for i in range(k_n)]) / det_a
-            for k in range(k_n)))
-    return spark.createDataFrame(out, out_cols)
-
-
 def _ar_final_sql(src: str, design_src: str, coef_src: str) -> str:
     g = "FLOOR(({e}) * 1e6 + 5e-1) / 1e6".format
     return f"""
@@ -521,18 +483,10 @@ def ar_forecast_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .createOrReplaceTempView("ar_design_v")
     sums = spark.sql(_ar_sums_sql("ar_design_v"))
     sums.createOrReplaceTempView("ar_sums_v")
-    # one row per nation: the Cramer solve replays on the driver from
-    # the collected sums (bit-identical — see _cramer_coef_driver; the
-    # coefficient frame re-enters as a literal, so neither the 4x4
-    # determinant text nor a checkpoint job exists in-plan). -1 on the
-    # cap forces the in-plan text (tests pin both paths bitwise).
-    coef = _cramer_coef_driver(
-        spark, sums, _AR_A, _AR_B,
-        "n_name string, c0 double, c1 double, c2 double, c3 double")
-    if coef is None:
-        coef = spark.sql(_ar_coef_sql("ar_sums_v")) \
-            .localCheckpoint(eager=False)
-    coef.createOrReplaceTempView("ar_coef_v")
+    # one row per nation: materializing here is what cuts the
+    # determinant expressions out of downstream analysis
+    coef = spark.sql(_ar_coef_sql("ar_sums_v"))
+    coef.localCheckpoint(eager=False).createOrReplaceTempView("ar_coef_v")
     return spark.sql(
         "WITH " + _ar_final_sql("ar_nd_v", "ar_design_v", "ar_coef_v")) \
         .orderBy("n_name", "step")
@@ -1308,32 +1262,19 @@ def sarima_hr_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .createOrReplaceTempView("hr_train_v")
     spark.sql(_ar_design_sql("hr_train_v")) \
         .createOrReplaceTempView("hr_design_v")
-    sums1 = spark.sql(_ar_sums_sql("hr_design_v"))
-    sums1.createOrReplaceTempView("hr_sums_v")
-    # stage-1 and stage-2 Cramer solves replay on the driver (see
-    # _cramer_coef_driver / ar_forecast_per_group) — the 4x4 and 3x3
-    # determinant texts and their checkpoint jobs vanish from the plan.
-    coef = _cramer_coef_driver(
-        spark, sums1, _AR_A, _AR_B,
-        "n_name string, c0 double, c1 double, c2 double, c3 double")
-    if coef is None:
-        coef = spark.sql(_ar_coef_sql("hr_sums_v")) \
-            .localCheckpoint(eager=False)
-    coef.createOrReplaceTempView("hr_coef_v")
+    spark.sql(_ar_sums_sql("hr_design_v")) \
+        .createOrReplaceTempView("hr_sums_v")
+    coef = spark.sql(_ar_coef_sql("hr_sums_v"))
+    coef.localCheckpoint(eager=False).createOrReplaceTempView("hr_coef_v")
     spark.sql(_hr_resid_sql("hr_design_v", "hr_coef_v")) \
         .localCheckpoint(eager=False) \
         .createOrReplaceTempView("hr_resid_v")
     spark.sql(_hr_design2_sql("hr_resid_v")) \
         .createOrReplaceTempView("hr_d2_v")
-    sums2 = spark.sql(_hr_sums2_sql("hr_d2_v"))
-    sums2.createOrReplaceTempView("hr_sums2_v")
-    coef2 = _cramer_coef_driver(
-        spark, sums2, _HR_A, _HR_B,
-        "n_name string, cc double, phi double, theta double")
-    if coef2 is None:
-        coef2 = spark.sql(_hr_coef2_sql("hr_sums2_v")) \
-            .localCheckpoint(eager=False)
-    coef2.createOrReplaceTempView("hr_coef2_v")
+    spark.sql(_hr_sums2_sql("hr_d2_v")) \
+        .createOrReplaceTempView("hr_sums2_v")
+    coef2 = spark.sql(_hr_coef2_sql("hr_sums2_v"))
+    coef2.localCheckpoint(eager=False).createOrReplaceTempView("hr_coef2_v")
     return spark.sql(
         "WITH " + _hr_final_sql("hr_series_v", "hr_resid_v", "hr_coef2_v")) \
         .orderBy("n_name", "step")

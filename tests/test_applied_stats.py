@@ -5,6 +5,8 @@ closed-form identities and guarantees their oracles don't state.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import numpy as np
@@ -22,6 +24,7 @@ from covid_weather_etl_spark.operators.stats import (
 from tests.conftest import SF_DIR
 
 
+@pytest.mark.slow
 def test_did_matches_pandas_cells(spark):
     out = did_revenue_uplift(spark, SF_DIR).toPandas().iloc[0]
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
@@ -43,6 +46,7 @@ def test_did_matches_pandas_cells(spark):
             + out.n_ctrl_pre + out.n_ctrl_post) == len(ev)
 
 
+@pytest.mark.slow
 def test_conformal_radius_is_exact_order_statistic(spark):
     out = conformal_forecast_intervals(spark, SF_DIR).toPandas()
     assert len(out) > 0

@@ -6,10 +6,11 @@ determinism/stratification properties oracles can't express.
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 import pandas as pd
-import pytest
 
 from covid_weather_etl_spark.operators import corpus as C
 from covid_weather_etl_spark.operators.corpus import CDC_MOD
@@ -89,6 +90,7 @@ def test_contamination_only_flags_test_docs_with_real_overlap(spark):
     assert probe["n_shared"] == len(mine & train_fps)
 
 
+@pytest.mark.slow
 def test_dedup_clusters_match_union_find(spark, docs_pdf):
     pairs = [(r["doc_id_1"], r["doc_id_2"]) for r in
              TX.ngram_jaccard_near_dup(spark, SF_DIR).collect()]
@@ -148,6 +150,7 @@ def test_quality_funnel_is_monotone_and_consistent(spark, docs_pdf):
                                        >= C.MIN_CHARS).sum())
 
 
+@pytest.mark.slow
 def test_dsir_weights_favor_target_and_respect_quota(spark, docs_pdf):
     """DSIR invariants the oracle can't express: the target (en) slice
     must score higher on average than the non-target slice (its own
@@ -321,6 +324,7 @@ def test_context_packing_stats_planted(spark, tmp_path):
     assert abs(r["pad_fraction"] - (124 / 1024)) < 1e-6
 
 
+@pytest.mark.slow
 def test_corpus_curation_funnel_matches_python_replay(spark):
     """Independent pure-python replay of all five funnel stages: the
     per-(stage, source) doc and token counts must match exactly, and
@@ -536,6 +540,7 @@ def test_domain_mix_kl_planted(spark, tmp_path):
     assert abs(got["A"]["kl_nats"] - math.log(4.0 / 3.0)) < 1e-8
 
 
+@pytest.mark.slow
 def test_cdc_incremental_ingest_classification(spark, tmp_path):
     """Planted batch/store split (ids chosen on both sides of the md5
     cut): a new doc equal to a stored doc must be fully store-hit
@@ -725,6 +730,7 @@ def test_bucketing_efficiency_recount_and_monotone(spark):
             <= rows[0]["padded_tokens"])
 
 
+@pytest.mark.slow
 def test_incremental_dedup_clusters_equals_full_rebuild(spark):
     """The incremental path (old label star + batch-incident edges)
     must produce EXACTLY the labels of the full-rebuild twin, and the
@@ -748,6 +754,7 @@ def test_incremental_dedup_clusters_equals_full_rebuild(spark):
     assert 0 < n_new < len(inc)
 
 
+@pytest.mark.slow
 def test_cc_single_task_equals_star_components(spark):
     """The single-task union-find kernel (the batch-merge fast path in
     incremental_dedup_clusters) must return EXACTLY star_components'
@@ -782,6 +789,7 @@ def test_cc_single_task_equals_star_components(spark):
     assert all(n != l for n, l in a)
 
 
+@pytest.mark.slow
 def test_cc_kernels_agree_on_random_graphs(spark):
     """Property pin for the gated CC pair: on arbitrary random graphs
     (not just corpus- or fixture-shaped ones) the single-task
@@ -833,6 +841,7 @@ def test_cc_kernels_agree_on_random_graphs(spark):
     check()
 
 
+@pytest.mark.slow
 def test_cc_single_task_string_keys_equal_loop(spark):
     """r12: the key-type-generic union-find kernel on STRING node ids
     (the er_name_clusters shape) returns exactly the distributed

@@ -4,11 +4,12 @@ covered by test_oracle_parity)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from covid_weather_etl_spark.operators.drift import (
     KS_A, KS_B, MI_PRICE_CUT, PSI_CUTOFF,
@@ -172,6 +173,7 @@ def test_feature_ranking_mi_values_and_rank_contract(spark):
     assert list(order.mi_rank) == [1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_multiple_testing_kernels_equal_loop(spark):
     """The r12 single-task collapses of Holm and BH are BIT-identical
     to the distributed triangular-join paths: force both paths via the

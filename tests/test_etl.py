@@ -5,10 +5,11 @@ re-asserted at the DataFrame level.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.etl import pipeline as P
@@ -50,6 +51,7 @@ def stage_dir(tmp_path) -> str:
 
 # --- transformer semantics (reference tests/test_transformer.py) -----------
 
+@pytest.mark.slow
 def test_weather_imputation_and_load(spark, tmp_path, lake):
     """snow/tsun null → 0.0 (reference :90-106); happy path loads all."""
     d = stage_dir(tmp_path)
@@ -134,6 +136,7 @@ def test_empty_worklist(spark, tmp_path, lake):
 
 # --- loader semantics (reference tests/test_loader.py) ---------------------
 
+@pytest.mark.slow
 def test_duplicate_load_skipped(spark, tmp_path, lake):
     """re-running the same batch loads 0, skips as duplicates
     (reference :67-78 duplicate → skip insert, still Success)."""
@@ -156,6 +159,7 @@ def test_in_batch_duplicates_collapse(spark, tmp_path, lake):
     assert res.n_loaded == 1 and res.n_skipped_duplicates == 1
 
 
+@pytest.mark.slow
 def test_ids_continue_across_batches(spark, tmp_path, lake):
     """surrogate ids continue from max(gold.id) (get_or_create analog)."""
     d1, d2 = stage_dir(tmp_path), str(tmp_path / "staging" / "batch_2")

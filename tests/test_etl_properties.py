@@ -9,6 +9,7 @@ everything else — the reference's whole-file-granularity contract
 from __future__ import annotations
 
 import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -38,6 +39,7 @@ def entry_is_bad(e: dict) -> bool:
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(batch=batch_strategy)
+@pytest.mark.slow
 def test_routing_matches_rules(spark, tmp_path_factory, batch):
     tmp = tmp_path_factory.mktemp("prop")
     d = str(tmp / "staging" / "batch_1700000000")

@@ -6,6 +6,8 @@ per-user recomputation and a crafted out-of-order stream.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -252,6 +254,7 @@ def _bitrows(df):
                   for r in df.collect())
 
 
+@pytest.mark.slow
 def test_survival_driver_path_equals_distributed(spark):
     """r13 driver resolution of the KM/NA post-day_tab algebra is
     BITWISE identical to the triangular-join path (flip the gate)."""
@@ -270,6 +273,7 @@ def test_survival_driver_path_equals_distributed(spark):
     assert na_d == na_l and len(na_d) >= 2
 
 
+@pytest.mark.slow
 def test_shapley_driver_path_equals_distributed(spark):
     """r13 driver resolution of the Shapley coalition lattice is
     BITWISE identical to the distributed 16-subset joins."""

@@ -6,6 +6,8 @@ determinism across runs.
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import pandas as pd
 
@@ -66,6 +68,7 @@ def test_pagerank_matches_power_iteration(spark):
         assert abs(got[v] - r) < 1e-12, (v, got[v], r)
 
 
+@pytest.mark.slow
 def test_rank_mass_conserved_and_deterministic(spark):
     df = QUERIES["pagerank_suppliers"].fn(spark, SF_DIR)
     a = df.collect()
@@ -236,7 +239,6 @@ def test_kcore_raises_when_round_cap_exhausted(spark):
     round, so a 7-node path needs 3 rounds to empty at k=2; with
     max_rounds=1 the frame in hand is NOT the k-core and kcore must
     raise rather than silently return it (advice r4)."""
-    import pytest
 
     from covid_weather_etl_spark.operators import graph as G
 
@@ -249,6 +251,7 @@ def test_kcore_raises_when_round_cap_exhausted(spark):
     assert G.kcore(edges, k=2, max_rounds=10).count() == 0
 
 
+@pytest.mark.slow
 def test_bfs_single_task_equals_loop(spark):
     """The r10 single-task collapse is hash-identical to the
     level-synchronous loop: force BOTH paths by flipping the gate."""

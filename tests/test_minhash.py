@@ -8,10 +8,11 @@ replay oracles for the driver; these tests are the third engine.)
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 import pandas as pd
-import pytest
 
 from covid_weather_etl_spark.operators import minhash as M
 from tests.conftest import SF_DIR
@@ -96,6 +97,7 @@ def test_simhash_matches_python(spark, docs, docs_pdf):
         assert fps[row.doc_id] == fp, f"doc {row.doc_id}"
 
 
+@pytest.mark.slow
 def test_simhash_near_dup_is_exact_close_pair_set(spark):
     """The operator returns EXACTLY the brute-force pair set at
     Hamming ≤ 5 (6-band pigeonhole guarantees completeness, the

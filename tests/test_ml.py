@@ -6,9 +6,10 @@ logistic-regression evaluation.
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import pandas as pd
-import pytest
 
 from covid_weather_etl_spark.ml import queries as ML
 from tests.conftest import SF_DIR
@@ -242,6 +243,7 @@ def test_sarima_eval_query_shape(spark):
     assert (pdf.loc[ok, "rmse"] >= pdf.loc[ok, "mae"]).all()
 
 
+@pytest.mark.slow
 def test_gbt_eval_invariants_and_determinism(spark):
     a = ML.gbt_classifier_eval(spark, SF_DIR).collect()[0]
     n = a.tp + a.fp + a.fn + a.tn
@@ -311,6 +313,7 @@ def test_xgboost_protocol_hits_baseline_anchor_band(spark):
         fr.unpersist()
 
 
+@pytest.mark.slow
 def test_adf_matches_numpy(spark, daily_pdf):
     got = ML.adf_stationarity(spark, SF_DIR).toPandas().set_index("n_name")
     for name, grp in daily_pdf.groupby("n_name"):
@@ -335,6 +338,7 @@ def test_adf_detects_stationary_vs_random_walk(spark):
     assert ML.adf_stat(walk) > ML.ADF_CRIT_5PCT
 
 
+@pytest.mark.slow
 def test_pipeline_model_save_load_roundtrip(spark, tmp_path):
     """S9: model persistence — PipelineModel.save/load replaces the
     reference's joblib-base64-over-XCom round trip
@@ -432,6 +436,7 @@ def test_nation_daily_exog_columns(spark):
     assert 0.0 <= row["urgent_share"] <= 1.0
 
 
+@pytest.mark.slow
 def test_gbt_regressor_eval_invariants_and_determinism(spark):
     a = ML.gbt_regressor_eval(spark, SF_DIR).collect()[0]
     b = ML.gbt_regressor_eval(spark, SF_DIR).collect()[0]
@@ -543,6 +548,7 @@ def test_holt_winters_eval_runs_on_real_series(spark):
     assert (ok["mae"] >= 0).all() and (ok["rmse"] >= ok["mae"]).all()
 
 
+@pytest.mark.slow
 def test_als_recommendations_shape_and_signal(spark):
     """ALS invariants: 20 users × top-3 deterministic slice, dense
     rank positions, and the trained model must score actually-
@@ -593,6 +599,7 @@ def test_stratified_kfold_balance_and_determinism(spark):
             assert ((g.pos_rate - overall).abs() < 0.3).all(), stratum
 
 
+@pytest.mark.slow
 def test_fpgrowth_matches_bruteforce_apriori(spark):
     from itertools import combinations
 
@@ -629,6 +636,7 @@ def test_fpgrowth_matches_bruteforce_apriori(spark):
                 assert (",".join(sub), sz - 1) in out
 
 
+@pytest.mark.slow
 def test_prefixspan_matches_bruteforce(spark):
     from itertools import combinations
 
@@ -660,6 +668,7 @@ def test_prefixspan_matches_bruteforce(spark):
     assert out == expected
 
 
+@pytest.mark.slow
 def test_pipeline_model_save_load_rescores_identically(spark, tmp_path):
     """S9 closure (model binary sink/source): a fitted pyspark.ml
     PipelineModel (assembler → train-fitted scaler → seeded GBT — the
@@ -708,6 +717,7 @@ def test_pipeline_model_save_load_rescores_identically(spark, tmp_path):
     assert list(g0.treeWeights) == list(g1.treeWeights)
 
 
+@pytest.mark.slow
 def test_holt_winters_short_series_guard_parity(spark, tmp_path):
     """The r6 oracle guard must mirror the Python guard exactly: the
     TRAIN slice (floor(0.8·n)), not the full series, needs two
@@ -761,35 +771,7 @@ def test_holt_winters_short_series_guard_parity(spark, tmp_path):
             pd.testing.assert_frame_equal(s, o, check_dtype=False)
 
 
-def test_cramer_driver_solve_equals_inplan_text(spark):
-    """r13 driver resolution of the per-group Cramer stages
-    (ar_forecast stage-1, sarima_hr stages 1+2) and the IRLS per-round
-    solve is BITWISE identical to the in-plan determinant text."""
-    import struct
-
-    import covid_weather_etl_spark.ml.queries as M
-    from covid_weather_etl_spark.queries.registry import all_queries
-    QS = all_queries()
-
-    def rows(df):
-        return sorted(tuple(struct.pack("d", v) if isinstance(v, float)
-                            else v for v in r.asDict().values())
-                      for r in df.collect())
-
-    cap = M.COEF_COLLECT_MAX
-    try:
-        M.COEF_COLLECT_MAX = 100_000
-        ar_d = rows(QS["ar_forecast_per_group"].fn(spark, SF_DIR))
-        hr_d = rows(QS["sarima_hr_forecast_eval"].fn(spark, SF_DIR))
-        M.COEF_COLLECT_MAX = -1  # force the in-plan Cramer text
-        ar_p = rows(QS["ar_forecast_per_group"].fn(spark, SF_DIR))
-        hr_p = rows(QS["sarima_hr_forecast_eval"].fn(spark, SF_DIR))
-    finally:
-        M.COEF_COLLECT_MAX = cap
-    assert ar_d == ar_p and len(ar_d) > 10
-    assert hr_d == hr_p and len(hr_d) > 10
-
-
+@pytest.mark.slow
 def test_irls_driver_solve_equals_round_sql(spark):
     """The r13 driver-side det_val replay of the IRLS round solve is
     BITWISE identical to the old chained _irls_round_sql loop."""

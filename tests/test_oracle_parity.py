@@ -33,7 +33,22 @@ def duck01():
     con.close()
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+#: parity params whose single-query runtime dominates the module
+#: (>= ~4 s at sf0.001) — excluded from the default run (see
+#: pytest.ini addopts); `-m slow` / the close full run covers them.
+SLOW_PARITY = {
+    "rp_lsh_near_dup", "pca_top_component", "mmr_diverse_topk",
+    "sarima_hr_forecast_eval", "zipf_law_fit",
+    "bradley_terry_strengths", "ar_forecast_per_group",
+    "ivf_rebalance_apply", "ridge_normal_equations",
+    "holt_winters_forecast_eval", "irls_logreg_fit",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in SLOW_PARITY else n
+     for n in WITH_ORACLE])
 def test_query_matches_oracle(spark, duck, duck01, name):
     q = QUERIES[name]
     if "oracle-at-sf0.01" in q.tags:
@@ -42,10 +57,25 @@ def test_query_matches_oracle(spark, duck, duck01, name):
         assert_parity(spark, duck, q)
 
 
+@pytest.mark.slow
 def test_all_queries_return_rows(spark):
+    # full registry sweep (337 s) — slow; the default run covers every
+    # oracle-equipped query via test_query_matches_oracle (parity
+    # executes the query), so the fast twin below only needs the
+    # rows-only remainder.
     for name, q in QUERIES.items():
         df = q.fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_rows_only_queries_return_rows(spark):
+    """Fast default-run coverage for the queries parity cannot touch
+    (no oracle) — the oracle-equipped rest is executed by
+    test_query_matches_oracle anyway."""
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            df = q.fn(spark, "/root/testdata/sf0.001")
+            assert df.count() >= 0, name
 
 
 def test_entry_smoke(spark):

@@ -16,6 +16,28 @@ from tests.conftest import SF_DIR
 QUERIES = all_queries()
 
 
+#: fast-run canary subset for the zero-global-windows bar — the full
+#: registry sweep below is `slow` (350 plan builds ≈ minutes) and runs
+#: at close; this sample keeps a default-run tripwire on the operator
+#: families most likely to regress (windows, ranking, iterative).
+_GW_CANARY = [
+    "pricing_summary_q1", "session_windows", "rolling_median_revenue",
+    "topk_orders_per_customer", "pagerank_suppliers", "dedup_keep_longest",
+    "mad_anomaly_report", "compaction_plan", "epoch_shuffle_plan",
+    "decile_rank_customers", "range_frame_revenue", "scd2_dim_history",
+    "corpus_curation_funnel", "curation_pipeline_run", "sq8_recall_eval",
+    "kaplan_meier_conversion", "spearman_correlation", "session_stats",
+    "sarima_hr_forecast_eval", "weighted_median_price",
+]
+
+
+@pytest.mark.parametrize("name", _GW_CANARY)
+def test_no_global_windows_canary(spark, name):
+    df = QUERIES[name].fn(spark, SF_DIR)
+    assert I.global_window_count(df) == 0, I.physical_plan(df)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_global_windows(spark, name):
     """A window without partition columns funnels every row through one

@@ -8,6 +8,8 @@ ADC + re-rank pipeline.
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from pyspark.sql import functions as F
@@ -69,6 +71,7 @@ def test_trained_codebook_beats_naive_quantizer(spark):
     assert recon_err(CB) < 0.9 * recon_err(naive)
 
 
+@pytest.mark.slow
 def test_planted_clusters_fully_recalled(spark, tmp_path):
     """40 tight clusters × 25 points: the query point's top-5 must all
     come from its own cluster, found through the ADC shortlist."""

@@ -11,6 +11,8 @@ contract on a planted-skew fixture where split AND merge both fire.
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 from types import SimpleNamespace
 
@@ -99,6 +101,7 @@ def test_rebalance_apply_delta_arithmetic(spark):
     assert (df["scanned_after"] > 0).all()
 
 
+@pytest.mark.slow
 def test_rebalance_fires_on_planted_skew(spark, tmp_path):
     """Planted-skew corpus: one dense hot cluster and one nearly-empty
     direction force a split AND a merge; the rebalanced artifact must

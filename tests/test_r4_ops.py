@@ -6,11 +6,12 @@ winsorization and the sequence-length histogram.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from covid_weather_etl_spark.operators.relational_ext import (
     WINSOR_HI, WINSOR_LO,
@@ -239,6 +240,7 @@ def test_seq_length_histogram_totals(spark, docs_pdf):
     assert dict(zip(got["bin"], got["n_docs"])) == want.to_dict()
 
 
+@pytest.mark.slow
 def test_distributed_exact_quantile_pathological_inputs(spark):
     """The iterative rank-refinement selection on inputs the histogram
     narrowing finds hardest: all-equal values (range never shrinks),

@@ -5,8 +5,9 @@ duckdb replay or structural invariants the SQL can't fake)."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
+
+import pandas as pd
 
 from covid_weather_etl_spark.queries.registry import all_queries
 from tests.conftest import SF_DIR
@@ -122,6 +123,7 @@ def test_rouge_overlap_matches_counter_replay(spark):
         assert 0 < r["rouge1_f1"] <= 1
 
 
+@pytest.mark.slow
 def test_dedup_threshold_sweep_monotone_and_anchored(spark):
     df = (_q("dedup_threshold_sensitivity").fn(spark, SF_DIR)
           .toPandas().sort_values("threshold").reset_index(drop=True))
@@ -141,6 +143,7 @@ def test_dedup_threshold_sweep_monotone_and_anchored(spark):
                                      else 0)
 
 
+@pytest.mark.slow
 def test_split_leakage_duckdb_replay(spark):
     """Independent duckdb recount of the leakage census from the raw
     pair list + md5 split rule."""
@@ -183,6 +186,7 @@ def test_reshard_ring_beats_mod(spark):
     assert RSP_TO > 0
 
 
+@pytest.mark.slow
 def test_bpe_budget_curve_monotone(spark):
     """More merges => fewer corpus symbols, never fewer symbol types
     drop below... the trade-off curve's structural invariants, plus

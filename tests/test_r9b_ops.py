@@ -5,6 +5,12 @@ can't fake — e.g. exp(-H) >= S against the Kaplan-Meier sibling)."""
 
 from __future__ import annotations
 
+import pytest
+
+# The whole module is builder-side replay evidence (pandas/duckdb
+# recomputations); the default run covers these ops via oracle parity.
+pytestmark = pytest.mark.slow
+
 import math
 
 import numpy as np
@@ -18,6 +24,7 @@ def _q(name):
     return all_queries()[name]
 
 
+@pytest.mark.slow
 def test_nelson_aalen_pandas_replay_and_km_bound(spark):
     na = (_q("nelson_aalen_hazard").fn(spark, SF_DIR)
           .toPandas().sort_values("day").reset_index(drop=True))
@@ -110,6 +117,7 @@ def test_abc_classification_pandas_replay(spark):
     assert df.loc["A", "max_cum_share"] <= ABC_A_CUT / 100 + 1e-9
 
 
+@pytest.mark.slow
 def test_kneser_ney_vs_addone_and_pandas_replay(spark):
     from covid_weather_etl_spark.operators.quality import (
         KN_DISCOUNT, PPLX_EVAL_CUT)
@@ -165,6 +173,7 @@ def test_kneser_ney_vs_addone_and_pandas_replay(spark):
     assert abs(kn.loc[src, "avg_neg_logprob"] - (-tot / totk)) < 2e-6
 
 
+@pytest.mark.slow
 def test_distinct_ngram_diversity_pandas_replay(spark):
     df = (_q("distinct_ngram_diversity").fn(spark, SF_DIR)
           .toPandas())
@@ -187,6 +196,7 @@ def test_distinct_ngram_diversity_pandas_replay(spark):
     assert (df["distinct_ratio"] > 0).all()
 
 
+@pytest.mark.slow
 def test_epoch_shuffle_plan_invariants(spark):
     from covid_weather_etl_spark.operators.bucketing import (
         EPOCH_SHARDS, EPOCH_SEEDS)
@@ -214,6 +224,7 @@ def test_epoch_shuffle_plan_invariants(spark):
     assert abs(df["moved_docs"].iloc[0] - expected_moved) < 0.15 * n
 
 
+@pytest.mark.slow
 def test_bradley_terry_pandas_replay(spark):
     from covid_weather_etl_spark.operators.eventstats import BT_ROUNDS
     df = (_q("bradley_terry_strengths").fn(spark, SF_DIR)
@@ -257,6 +268,7 @@ def test_bradley_terry_pandas_replay(spark):
     assert order_w == order_s
 
 
+@pytest.mark.slow
 def test_bradley_terry_kernel_equals_loop(spark):
     """The r12 single-task MM collapse is BIT-identical to the
     temp-view round loop: force both paths by flipping the gate
@@ -281,6 +293,7 @@ def test_bradley_terry_kernel_equals_loop(spark):
     assert single == loop and len(single) >= 2
 
 
+@pytest.mark.slow
 def test_fd_profile_pandas_replay(spark):
     from covid_weather_etl_spark.operators.dq import FD_CANDIDATES
     df = (_q("functional_dependency_profile").fn(spark, SF_DIR)
@@ -303,6 +316,7 @@ def test_fd_profile_pandas_replay(spark):
     assert (df.loc[~z, "g3_rows"] > 0).all()
 
 
+@pytest.mark.slow
 def test_cluster_purity_nmi_sklearn_free_replay(spark):
     """Replay purity/NMI from the engine's own assignment (codebook
     determinism itself is pinned in test_similarity_lsh), using only
@@ -608,6 +622,7 @@ def test_rank_biased_overlap_pandas_replay(spark):
     assert (df["agreement"] <= 1).all()
 
 
+@pytest.mark.slow
 def test_encoding_size_estimate_pandas_replay(spark):
     import math
     from collections import Counter

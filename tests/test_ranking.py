@@ -4,6 +4,8 @@ engine/oracle pair."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import pandas as pd
 
@@ -198,6 +200,7 @@ def test_rbo_kernel_equals_loop_and_term_algebra_exhaustive(spark):
     assert single == loop and len(single) == len(R.RBO_REPORT_DEPTHS)
 
 
+@pytest.mark.slow
 def test_spearman_driver_path_equals_distributed(spark):
     """r13 driver resolution of the rank/moment algebra is BITWISE
     identical to the rank_table + moment-aggregate path."""

@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 
 import numpy as np
@@ -17,6 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
 QUERIES = all_queries()
 
 
+@pytest.mark.slow
 def test_semdedup_invariants_on_corpus(spark):
     df = QUERIES["semantic_dedup"].fn(spark, SF_DIR).cache()
     try:
@@ -36,6 +39,7 @@ def test_semdedup_invariants_on_corpus(spark):
         df.unpersist()
 
 
+@pytest.mark.slow
 def test_semdedup_drops_planted_duplicates(spark, tmp_path):
     """3 tight semantic groups × 30 near-identical vectors (ids
     round-robin across groups so group = vec_id % 3): the corpus must

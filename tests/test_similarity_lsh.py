@@ -8,9 +8,10 @@ the banding calibration promises ≥ 0.99 candidate probability.
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.operators import similarity as S
@@ -116,6 +117,7 @@ def test_embedding_near_dup_equals_brute_force(spark):
     assert got == truth
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_codebook_deterministic_and_recall(spark):
     """Trained-IVF: the Lloyd loop is RNG-free (two runs produce the
     identical codebook), and the probe-cell search finds a meaningful
@@ -654,6 +656,7 @@ def test_ivf_nprobe_sweep_monotone(spark):
         assert r["n_hits"] <= r["n_queries"] * 10
 
 
+@pytest.mark.slow
 def test_cluster_purity_driver_path_equals_distributed(spark):
     """r12 driver resolution of the purity/NMI algebra: (1) Spark's
     F.log is bitwise StrictMath.log (the py4j replay's source — C libm
@@ -689,6 +692,7 @@ def test_cluster_purity_driver_path_equals_distributed(spark):
     assert drv == dist and len(drv) >= 2
 
 
+@pytest.mark.slow
 def test_sq8_driver_path_equals_distributed(spark):
     """r13 driver resolution of the SQ8 post-head rank/hit algebra is
     BITWISE identical to the triangular-join path (flip the flag)."""

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from covid_weather_etl_spark.queries.registry import all_queries
@@ -266,6 +268,7 @@ def test_quantile_sketch_error_within_bound(spark):
         assert r["exact_price"] == xc / 1e2
 
 
+@pytest.mark.slow
 def test_hll_overlap_driver_path_equals_distributed(spark):
     """r13 driver resolution of the overlap's sketch algebra (incl.
     the folded single-pass exact counts) is BITWISE identical to the

@@ -9,8 +9,9 @@ incremental processing, not a single-batch degenerate case.
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
+
+import pandas as pd
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.sources.catalog import load_tables
@@ -40,6 +41,7 @@ def _run_stream_to_memory(spark, df, name: str, mode: str):
     return spark.table(name)
 
 
+@pytest.mark.slow
 def test_tumbling_stream_equals_batch(spark, landing_dir):
     stream = S.read_event_stream(spark, landing_dir,
                                  max_files_per_trigger=1)
@@ -137,6 +139,7 @@ def test_enrich_stream_equals_batch_join(spark, landing_dir):
     assert g["segment"].notna().any()
 
 
+@pytest.mark.slow
 def test_stream_stream_join_equals_batch(spark, landing_dir):
     """Inner stream-stream join with watermarks emits exactly the batch
     join's matches (inner joins emit on match; the watermark only
@@ -153,6 +156,7 @@ def test_stream_stream_join_equals_batch(spark, landing_dir):
     pd.testing.assert_frame_equal(g, b[g.columns])
 
 
+@pytest.mark.slow
 def test_upsert_gold_stream_is_duplicate_proof(spark, landing_dir,
                                                tmp_path):
     """foreachBatch upsert: duplicates across micro-batches are dropped
@@ -183,6 +187,7 @@ def test_upsert_gold_stream_is_duplicate_proof(spark, landing_dir,
     assert spark.read.parquet(gold).count() == n_distinct
 
 
+@pytest.mark.slow
 def test_dedup_ingest_stream_drops_redeliveries(spark, landing_dir,
                                                 tmp_path):
     """dropDuplicatesWithinWatermark twin of dedup-on-load (D2), run on
@@ -351,6 +356,7 @@ def test_drift_monitor_stream_equals_batch(spark, landing_dir):
         assert (merged[f"{col}_s"] == merged[f"{col}_b"]).all(), col
 
 
+@pytest.mark.slow
 def test_left_outer_stream_join_equals_batch_anti(spark, landing_dir,
                                                   tmp_path):
     """The LEFT-OUTER stream-stream join's null-match rows (streaming
@@ -426,6 +432,7 @@ def _doc_stream(spark, landing: str):
             .option("maxFilesPerTrigger", 1).parquet(landing))
 
 
+@pytest.mark.slow
 def test_dedup_fold_stream_equals_oneshot_clusters(spark, doc_landing,
                                                    tmp_path):
     """After 3 micro-batch folds into the persisted index, the
@@ -449,6 +456,7 @@ def test_dedup_fold_stream_equals_oneshot_clusters(spark, doc_landing,
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
 
 
+@pytest.mark.slow
 def test_dedup_fold_batch_replay_is_idempotent(spark, doc_landing,
                                                tmp_path):
     """foreachBatch's at-least-once contract: redelivering a batch
@@ -472,6 +480,7 @@ def test_dedup_fold_batch_replay_is_idempotent(spark, doc_landing,
     pd.testing.assert_frame_equal(after, before, check_dtype=False)
 
 
+@pytest.mark.slow
 def test_dedup_fold_chain_merge_across_folds(spark, tmp_path):
     """Synthetic chain corpus pinning the cross-fold relabel algebra:
     A~B~C~D (3-gram Jaccard >= 0.2 ONLY between neighbors) folded as
@@ -511,6 +520,7 @@ def test_dedup_fold_chain_merge_across_folds(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_dedup_fold_source_redelivery_is_first_write_wins(spark, tmp_path):
     """The second exactly-once layer (above the checkpoint): a doc
     redelivered by the SOURCE in a later fold — and an in-batch
@@ -548,6 +558,7 @@ def test_ivf_fold_parity_at_pytest_sf(spark, duck):
     assert_parity(spark, duck, shim, sf_dir=SF_DIR)
 
 
+@pytest.mark.slow
 def test_ivf_fold_stream_equals_oneshot_assignment(spark, tmp_path):
     """The foreachBatch ANN ingest: after 3 micro-batch folds, the
     maintained (vec_id, c_id) state equals the one-shot
@@ -618,6 +629,7 @@ def test_ivf_fold_redelivery_and_first_write_wins(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_fold_compaction_preserves_state_and_future_folds(spark, tmp_path):
     """The fold-state compaction contract, on the synthetic chain
     corpus: (a) the compacted single-fold state resolves to exactly

@@ -5,6 +5,8 @@ the registry-wide oracle sweep covers the corpus itself.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -526,6 +528,7 @@ def test_heaps_law_monotone_and_beta_band(spark):
     assert r2 > 0.9, r2
 
 
+@pytest.mark.slow
 def test_bpe_continue_train_resume_equals_scratch(spark):
     """The resumability identity behind bpe_continue_train: running
     BPE_EXTEND_MERGES more rounds FROM the persisted round-12 state

@@ -7,8 +7,9 @@ dup-chunk reconstruction, and vocabulary coverage bounds.
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
+
+import pandas as pd
 from pyspark.sql import functions as F
 
 from covid_weather_etl_spark.operators.corpus import (
@@ -652,6 +653,7 @@ def test_schema_evolution_null_fill_contract(spark):
     assert out[2].n_balance_null == 0
 
 
+@pytest.mark.slow
 def test_isotonic_driver_path_equals_distributed(spark):
     """r13 driver resolution of the PAV minimax (numpy over the
     collected bin frame) is BITWISE identical to the triangular-join
