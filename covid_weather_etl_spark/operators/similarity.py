@@ -2402,9 +2402,12 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: exact-baseline list depth (recall@SQ8_K).
 SQ8_K = 10
 #: driver-resolution flag for the post-head algebra (both heads are
-#: SQ8_K-bounded by construction; False forces the distributed path
-#: for tests).
-_SQ8_DRIVER = True
+#: SQ8_K-bounded by construction). Default FALSE (r13): the driver
+#: path A/B'd as a warm wash but read +0.35 s cold-in-session across
+#: all four close bench passes (1.81 vs the 1.44 baseline min) — the
+#: distributed tail stays the default; the driver path and its bitwise
+#: pin remain for the record.
+_SQ8_DRIVER = False
 
 
 @register(
